@@ -1,0 +1,80 @@
+"""Aggregation operators (SURVEY §2.5 A1-A10, §2.7 O2).
+
+Reference semantics: the SSIS Aggregate component maps to GROUP BY
+(/root/reference/src/parser/constants.py:31); the generated models use 3-key
+hash aggregates with SUM/SUM/COUNT (agg_daily_sales.sql:56-68), guarded
+post-agg measures (:91-95), scalar validation counts
+(src/connections/sql_server.py:156-164), FLOAT checksums (:194-199),
+HAVING COUNT(*)>1 duplicate detection (:237-245), MAX watermarks
+(src/agents/builder.py:322-326), and TOP 1 ... ORDER BY DESC
+(InventorySync.dtsx:58-62).
+
+Spark-first notes for 100 TB: ``groupBy().agg()`` gets map-side partial
+aggregation automatically (HashAggregate -> shuffle on group keys ->
+HashAggregate), so the shuffle carries one row per (partition, key) — the
+right shape at any scale.  Scalar aggregates reduce to a single row without
+collecting data.  ``top_k_latest`` uses ``orderBy().limit(k)`` which Spark
+executes as TakeOrderedAndProject: a per-partition top-k then a k-row merge
+on the driver — never a full sort of the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    post: dict[str, Column] | None = None,
+) -> DataFrame:
+    """A1/A2: hash aggregate; ``post`` adds derived measures (A3) computed on
+    the aggregated (small) result."""
+    out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    for name, col in (post or {}).items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def scalar_aggregate(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """A4: scalar aggregates (validation counts) — one-row DataFrame."""
+    return df.agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def checksum_aggregates(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """A5: per-column SUM/AVG over FLOAT casts, NULL->0
+    (sql_server.py:194-199, validator.py:379-387)."""
+    aggs = []
+    for c in numeric_cols:
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).cast("double")), F.lit(0.0)).alias(f"sum_{c}")
+        )
+        aggs.append(
+            F.coalesce(F.avg(F.col(c).cast("double")), F.lit(0.0)).alias(f"avg_{c}")
+        )
+    return df.agg(*aggs)
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A7: GROUP BY pk HAVING COUNT(*) > 1 (sql_server.py:237-245)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def row_count(df: DataFrame, alias: str = "row_cnt") -> DataFrame:
+    """A10: RowCount component -> one-row count frame (the package-variable
+    binding happens driver-side via .first())."""
+    return df.agg(F.count(F.lit(1)).alias(alias))
+
+
+def top_k_latest(
+    df: DataFrame, order_by: list[Column], k: int = 1
+) -> DataFrame:
+    """O2/O3: SELECT TOP k ... ORDER BY ... DESC. Pass fully-deterministic
+    sort keys (include a unique tiebreaker) so results are stable."""
+    return df.orderBy(*order_by).limit(k)

@@ -1,0 +1,82 @@
+"""Lookup transform — the reference's core join operator (SURVEY §2.4 J1/J2).
+
+Reference semantics (/root/reference/src/parser/models.py:74-85, parse at
+src/parser/ssis_parser.py:378-415; instances SalesFactETL.dtsx:125-227):
+an equi LEFT JOIN of the streaming rows against a cached dimension, with
+
+- ``cache_mode`` Full (CacheType 0): whole dim in memory -> ``F.broadcast``.
+  This is the 100 TB-critical decision: the fact side never shuffles; each
+  executor probes a local hash map (BroadcastHashJoin).
+- ``no_match``: FailComponent (row error -> we assert zero unmatched) or
+  IgnoreFailure (null-extend -> plain left join).
+- dimension flag filters (``IsCurrent = 1`` / ``IsActive = 1``,
+  fct_sales.sql:52,64) applied to the build side BEFORE the join so the
+  broadcast table stays minimal.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class LookupNoMatch(Enum):
+    FAIL = "FailComponent"      # NoMatchBehavior 0
+    IGNORE = "IgnoreFailure"    # NoMatchBehavior 1
+    INNER = "RedirectNoMatch"   # drop unmatched (redirect-to-error analog)
+
+
+def lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    select: dict[str, str],
+    dim_filter: Column | None = None,
+    no_match: LookupNoMatch = LookupNoMatch.IGNORE,
+    broadcast: bool = True,
+) -> DataFrame:
+    """J1: broadcast left-join lookup.
+
+    ``select``: dim column -> output alias map (the SSIS lookup's output
+    column list); only these columns (plus join keys) are broadcast, keeping
+    the build side narrow.
+    """
+    build = dim
+    if dim_filter is not None:
+        build = build.filter(dim_filter)
+    if isinstance(on, list):
+        # prune the build side to join keys + requested outputs before broadcast
+        build = build.select(
+            *on,
+            *[F.col(c).alias(a) for c, a in select.items() if c not in on],
+        )
+
+    if broadcast:
+        build = F.broadcast(build)
+
+    how = "inner" if no_match is LookupNoMatch.INNER else "left"
+    joined = fact.join(build, on=on, how=how)
+
+    if no_match is LookupNoMatch.FAIL:
+        first_out = list(select.values())[0]
+        unmatched = joined.filter(F.col(first_out).isNull()).limit(1).count()
+        if unmatched:
+            raise ValueError(
+                f"Lookup FailComponent: unmatched rows on keys {on}"
+            )
+    return joined
+
+
+def lookup_chain(fact: DataFrame, lookups: list[dict]) -> DataFrame:
+    """J2: sequential CTE-style chain of lookups (fct_sales.sql:44-75).
+
+    Each element is kwargs for :func:`lookup`. The chain stays one Catalyst
+    plan: N BroadcastHashJoins over a single pass of the fact table — no
+    fact-side shuffle at any size.
+    """
+    out = fact
+    for kw in lookups:
+        out = lookup(out, **kw)
+    return out

@@ -1,0 +1,136 @@
+"""Validation / data-quality operators (SURVEY §2.14 V1-V4, §2.10 D7).
+
+Reference semantics:
+- V1 row-count equality with tolerance (pass == 0, warn < warn_tol, fail)
+  /root/reference/src/validation/validator.py:82-126; tolerances
+  config/agents.yaml:12-15 (row_count 1%, checksum 0.01%).
+- V2 PK integrity: null count + duplicate count
+  (validator.py:128-167, src/connections/sql_server.py:208-254).
+- V3 numeric checksum SUM/AVG relative variance (validator.py:169-220).
+- V4 dbt schema tests not_null / unique / relationships / accepted_values /
+  expect_column_values_to_be_between (models/*/schema.yml).
+- D7 RAISERROR pre-flight guard (SalesFactETL.dtsx:54-61).
+
+Every check is a DataFrame aggregate — the violation COUNT is computed
+distributed and only the scalar verdict reaches the driver, so the same
+checks run unchanged against a 100 TB table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    check: str
+    status: str          # pass | warning | fail
+    detail: dict
+
+    @property
+    def ok(self) -> bool:
+        return self.status != "fail"
+
+
+def row_count_compare(
+    legacy: DataFrame,
+    migrated: DataFrame,
+    fail_tolerance: float = 0.01,
+    warn_tolerance: float = 0.0001,
+) -> CheckResult:
+    """V1: |a-b| relative to legacy count vs tolerances (validator.py:107-115)."""
+    a, b = legacy.count(), migrated.count()
+    diff = abs(a - b)
+    rel = diff / a if a else (0.0 if b == 0 else 1.0)
+    status = "pass" if diff == 0 else "warning" if rel < warn_tolerance else (
+        "warning" if rel <= fail_tolerance else "fail"
+    )
+    return CheckResult("row_count", status, {"legacy": a, "migrated": b, "rel": rel})
+
+
+def pk_integrity(df: DataFrame, pk_cols: list[str]) -> CheckResult:
+    """V2: one pass computing null-key and duplicate-key counts."""
+    null_pred = None
+    for c in pk_cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    nulls, dups = _pk_counts(df, pk_cols, null_pred)
+    status = "pass" if (nulls == 0 and dups == 0) else "fail"
+    return CheckResult("pk_integrity", status, {"null_keys": nulls, "dup_keys": dups})
+
+
+def _pk_counts(df: DataFrame, pk_cols: list[str], null_pred: Column):
+    nulls = df.filter(null_pred).count()
+    dups = (
+        df.groupBy(*pk_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    return nulls, dups
+
+
+def checksum_compare(
+    legacy: DataFrame,
+    migrated: DataFrame,
+    numeric_cols: list[str],
+    tolerance: float = 0.0001,
+) -> CheckResult:
+    """V3: SUM/AVG-as-FLOAT per column, relative variance <= 0.01% passes."""
+    def sums(df):
+        aggs = [
+            F.coalesce(F.sum(F.col(c).cast("double")), F.lit(0.0)).alias(c)
+            for c in numeric_cols
+        ]
+        return df.agg(*aggs).first()
+
+    a, b = sums(legacy), sums(migrated)
+    detail, status = {}, "pass"
+    for c in numeric_cols:
+        base = abs(a[c]) if a[c] else 1.0
+        var = abs(a[c] - b[c]) / base
+        detail[c] = {"legacy": a[c], "migrated": b[c], "variance": var}
+        if var > tolerance:
+            status = "fail"
+    return CheckResult("checksum", status, detail)
+
+
+# --- V4 dbt schema tests: each returns the VIOLATING rows (empty == pass) ---
+
+def not_null_violations(df: DataFrame, col: str) -> DataFrame:
+    return df.filter(F.col(col).isNull())
+
+
+def unique_violations(df: DataFrame, col: str) -> DataFrame:
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(col)
+    )
+
+
+def relationship_violations(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    parent_keys = parent.select(F.col(pk).alias(fk)).distinct()
+    return child.filter(F.col(fk).isNotNull()).join(parent_keys, on=fk, how="left_anti")
+
+
+def accepted_values_violations(df: DataFrame, col: str, values: list) -> DataFrame:
+    return df.filter(~F.col(col).isin(values) | F.col(col).isNull())
+
+
+def between_violations(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    return df.filter(~F.col(col).between(lo, hi) | F.col(col).isNull())
+
+
+def preflight_guard(df: DataFrame, min_rows: int = 1, name: str = "preflight") -> int:
+    """D7: RAISERROR analog — abort the pipeline when a required input is
+    empty/short (SalesFactETL.dtsx:54-61). Uses a LIMIT'd count so the guard
+    is O(min_rows), not a full scan."""
+    n = df.limit(min_rows).count()
+    if n < min_rows:
+        raise RuntimeError(f"{name}: expected >= {min_rows} rows, found {n}")
+    return n

@@ -1,0 +1,148 @@
+"""SCD Type 2 operators (SURVEY §2.4 J4, §2.3 E10-E13, §2.6 W1).
+
+Reference semantics: the SSIS package MERGEs staged customers into the
+dimension, updating when the SHA2 change hash differs and inserting new keys
+(/root/reference/samples/ssis_packages/CustomerDataLoad.dtsx:165-181); the
+dbt rewrite replaces MERGE with a deterministic full rebuild that stamps
+surrogate key, change hash, ``is_current`` / ``valid_from`` / ``valid_to``
+metadata (dbt_project/models/core/dim_customer.sql:28-81).
+
+Spark-first: both shapes.
+- ``scd2_snapshot``: the reference's dbt shape — rebuild from the staged
+  snapshot (one narrow projection, no shuffle).
+- ``scd2_rebuild``: the windowed multi-version shape (SURVEY §2.6 plan) —
+  given a history of records per natural key, derive version chains with
+  ``row_number``/``lead`` over a key-partitioned window.  The only shuffle
+  is on the natural key, which is exactly the partitioning a 100 TB dimension
+  history needs anyway.
+- ``merge_upsert``: join-based MERGE for incremental runs — current dim +
+  changed/new rows, no Delta dependency (plain-parquet engine), matching the
+  reference's own MERGE-free dodge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..expressions import change_hash, surrogate_key
+
+
+def scd2_snapshot(
+    df: DataFrame,
+    natural_key: str,
+    hash_cols: list[str],
+    effective_date_col: str,
+    key_alias: str | None = None,
+    hash_alias: str = "change_hash",
+) -> DataFrame:
+    """J4/E10/E11/E13 (dbt shape): stamp surrogate key, change hash, and
+    current-row SCD metadata onto a staged snapshot (dim_customer.sql:42-81)."""
+    key_alias = key_alias or f"{natural_key}_key"
+    return (
+        df.withColumn(key_alias, surrogate_key(F.col(natural_key)))
+        .withColumn(hash_alias, change_hash(*[F.col(c) for c in hash_cols]))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("valid_from", F.col(effective_date_col).cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+    )
+
+
+def scd2_rebuild(
+    history: DataFrame,
+    natural_key: str,
+    change_ts_col: str,
+    hash_cols: list[str],
+    key_alias: str | None = None,
+) -> DataFrame:
+    """W1: version chains from a change history.
+
+    Consecutive records per key whose change hash is unchanged collapse into
+    one version; each version gets ``version_number``, ``valid_from``,
+    ``valid_to`` (next version's start) and ``is_current``.
+    """
+    key_alias = key_alias or f"{natural_key}_key"
+    w = Window.partitionBy(natural_key).orderBy(change_ts_col)
+
+    hashed = history.withColumn(
+        "change_hash", change_hash(*[F.col(c) for c in hash_cols])
+    )
+    # drop consecutive no-change records (hash equal to previous row's)
+    deduped = (
+        hashed.withColumn("_prev_hash", F.lag("change_hash").over(w))
+        .filter(
+            F.col("_prev_hash").isNull()
+            | (F.col("change_hash") != F.col("_prev_hash"))
+        )
+        .drop("_prev_hash")
+    )
+    w2 = Window.partitionBy(natural_key).orderBy(change_ts_col)
+    return (
+        deduped.withColumn("version_number", F.row_number().over(w2))
+        .withColumn("valid_from", F.col(change_ts_col).cast("date"))
+        .withColumn(
+            "valid_to", F.lead(F.col(change_ts_col).cast("date")).over(w2)
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn(
+            key_alias,
+            surrogate_key(F.col(natural_key), F.col("version_number")),
+        )
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    natural_key: str,
+    hash_cols: list[str],
+    effective_date_col: str,
+) -> DataFrame:
+    """J4 (incremental shape): SCD2 MERGE as a join-based rewrite.
+
+    - source rows with a new key -> inserted as current
+    - source rows whose hash differs from the current target row -> target
+      row closed out (``valid_to`` set, ``is_current`` false) + new current row
+    - unchanged target rows pass through
+
+    Returns the new dimension state (write with mode('overwrite') or
+    partition_overwrite on the natural-key bucket at scale).
+    """
+    src = scd2_snapshot(source, natural_key, hash_cols, effective_date_col)
+
+    tgt_current = target.filter(F.col("is_current"))
+    tgt_closed = target.filter(~F.col("is_current"))
+
+    src_keyed = src.select(
+        F.col(natural_key).alias("_src_key"),
+        F.col("change_hash").alias("_src_hash"),
+        F.col(effective_date_col).alias("_src_effective"),
+    )
+    joined = tgt_current.join(
+        src_keyed, tgt_current[natural_key] == src_keyed["_src_key"], "left"
+    )
+    unchanged = joined.filter(
+        F.col("_src_key").isNull() | (F.col("change_hash") == F.col("_src_hash"))
+    ).select(*target.columns)
+    closed_out = (
+        joined.filter(
+            F.col("_src_key").isNotNull()
+            & (F.col("change_hash") != F.col("_src_hash"))
+        )
+        .withColumn("valid_to", F.col("_src_effective").cast("date"))
+        .withColumn("is_current", F.lit(False))
+        .select(*target.columns)
+    )
+
+    tgt_keys = tgt_current.select(F.col(natural_key).alias("_t_key"), "change_hash")
+    incoming = (
+        src.join(tgt_keys, src[natural_key] == tgt_keys["_t_key"], "left")
+        .filter(
+            F.col("_t_key").isNull()
+            | (src["change_hash"] != tgt_keys["change_hash"])
+        )
+        .select(*[src[c] for c in src.columns])
+    )
+    return tgt_closed.unionByName(unchanged).unionByName(closed_out).unionByName(
+        incoming.select(*target.columns)
+    )

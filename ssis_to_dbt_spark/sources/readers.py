@@ -1,0 +1,144 @@
+"""Source operators (SURVEY §2.1 S1-S9).
+
+The reference's sources are OLE DB (table scan or embedded SELECT with ?
+params, /root/reference/src/parser/ssis_parser.py:306-354), flat files and
+Excel (src/parser/constants.py:35-38), dbt ``source()``/``ref()`` bindings
+(dbt_project/models/sources/src_datawarehouse.yml), and a manually-flagged
+REST API Script Task (samples/ssis_packages/InventorySync.dtsx:67-91).
+
+Spark-first mapping: every scan is a declarative ``spark.read`` with an
+EXPLICIT schema (the reference declares every column type,
+ssis_parser.py:318-338 — we never infer on a correctness path), so Catalyst
+gets column pruning + predicate pushdown into the parquet reader for free.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schema import TESTDATA_SCHEMAS
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1/S2: OLE DB source analog — full scan or pushdown-filtered scan.
+
+    Embedded-SELECT semantics (S1) are expressed by chaining
+    ``.select(...).filter(...)`` on the returned frame; Catalyst pushes both
+    into the parquet scan (check ``PushedFilters`` in .explain).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """S4: FlatFileSource analog (src/parser/constants.py:35)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON line source (counterpart of the S10 JSON export sink)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_excel(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S5: ExcelSource analog (src/parser/constants.py:37).
+
+    No Excel reader ships in this container; Excel files are staged to CSV by
+    an out-of-band step (mirroring how the reference flags Excel connections
+    for manual review) and read through the CSV path.  If handed a real
+    .xlsx we fail loudly rather than guess.
+    """
+    if path.endswith((".xlsx", ".xls")):
+        raise NotImplementedError(
+            "Excel decode requires an out-of-band conversion to CSV; "
+            "stage the sheet as CSV and call read_excel on that path"
+        )
+    return read_csv(spark, path, schema)
+
+
+def read_rest_api(spark: SparkSession, url: str, schema: T.StructType) -> DataFrame:
+    """S9: REST API source escape hatch.
+
+    The reference never auto-converts this either — its Script Task is
+    flagged ``manual_review_required`` (src/parser/models.py:133-142).  The
+    contract here: an out-of-band ingestion job lands the API payload as
+    JSON/parquet, and this reads the landed path. A bare URL is refused.
+    """
+    if url.startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "REST ingestion is an out-of-band job (reference flags it manual); "
+            "point read_rest_api at the landed JSON/parquet path instead"
+        )
+    if url.endswith(".parquet") or os.path.isdir(url):
+        return read_parquet(spark, url, schema)
+    return read_json(spark, url, schema)
+
+
+@dataclass
+class SourceRegistry:
+    """dbt ``source()`` / ``ref()`` binding (S6/S7).
+
+    The reference binds model inputs to declared external tables via YAML
+    (src_datawarehouse.yml:12-84) and to upstream models via ``ref()``
+    (fct_sales.sql:41,50). Here: ``source()`` resolves a (schema, name) pair
+    to a parquet path + StructType; ``ref()`` resolves to a registered
+    upstream DataFrame (lazy — chaining DataFrames keeps the whole model DAG
+    inside one Catalyst plan, the analog of dbt 'ephemeral')."""
+
+    spark: SparkSession
+    sources: dict[tuple[str, str], tuple[str, T.StructType | None]] = field(
+        default_factory=dict
+    )
+    models: dict[str, DataFrame] = field(default_factory=dict)
+
+    def declare_source(
+        self,
+        schema_name: str,
+        table: str,
+        path: str,
+        schema: T.StructType | None = None,
+    ) -> None:
+        self.sources[(schema_name, table)] = (path, schema)
+
+    def source(self, schema_name: str, table: str) -> DataFrame:
+        path, schema = self.sources[(schema_name, table)]
+        return read_parquet(self.spark, path, schema)
+
+    def register_model(self, name: str, df: DataFrame) -> None:
+        self.models[name] = df
+
+    def ref(self, name: str) -> DataFrame:
+        return self.models[name]
+
+
+def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's test tables with explicit schemas, UTC session tz.
+
+    The session timezone matters: the parquet timestamps are naive; pinning
+    UTC makes Spark's instant->date extraction agree with DuckDB's (the
+    correctness oracle) naive-timestamp arithmetic.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {
+        name: read_parquet(spark, f"{sf_dir}/{name}.parquet", schema)
+        for name, schema in TESTDATA_SCHEMAS.items()
+    }

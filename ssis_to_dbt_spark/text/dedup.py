@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-bounded (never all-pairs):
+
+- exact:     hash-groupBy on normalized text. One shuffle on the 128-bit
+             content hash; at 100 TB this is the canonical dedup pass.
+- minhash:   shingle -> K minhash signature -> LSH banding -> candidates via
+             an equi-join on (band, band_hash). Only near-identical docs
+             collide, so the join output is ~linear in the duplicate count.
+- simhash:   48-bit sign-fingerprint of token hashes; near-dups share the
+             fingerprint (or a band of it) -> equi-join, same cost shape.
+- n-gram Jaccard: exact set similarity via an inverted-index join on
+             shingles (with a frequent-shingle cap so hot shingles can't
+             quadratically blow up a bucket — the standard scale guard).
+
+Everything is built-in Column expressions (higher-order functions, xxhash64)
+— no Python UDFs — so the whole pass stays in Tungsten codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingle(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of lowercased text."""
+    toks = _tokens(text)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # size 0 sequence(1,0) would be [1,0] descending — guard short docs
+    grams = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, trim, collapse whitespace — the exact-dedup canonical form."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (content_hash, n_docs, canonical_doc_id)."""
+    return (
+        df.withColumn("content_hash", F.md5(normalized_text(F.col(text_col))))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (min id) per content hash. Plan: hash -> one
+    shuffle -> min-aggregate -> semi-join back; no window over all rows."""
+    hashed = df.withColumn("content_hash", F.md5(normalized_text(F.col(text_col))))
+    canonical = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(canonical, ["content_hash", id_col], "left_semi").drop(
+        "content_hash"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K-permutation minhash signature as an array<bigint> column.
+
+    Each permutation i is xxhash64(i, shingle); the signature component is
+    the min over the doc's shingles — all inside one projection.
+    """
+    sh = shingle(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(i, s))
+        ),
+    )
+    return df.withColumn("minhash", sig)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    Banding: the signature splits into ``bands`` bands of ``num_hashes/bands``
+    rows; docs agreeing on ANY full band become a candidate pair.  The pair
+    generation is groupBy (band_idx, band_hash) -> intra-bucket pairing, an
+    equi-join keyed on the band hash: no all-pairs comparison ever happens.
+
+    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
+    fraction of matching signature components.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col), "minhash"
+    )
+    banded = sigs.select(
+        id_col,
+        "minhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(
+                                F.slice("minhash", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            )
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
+
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash(text: Column, bits: int = 48) -> Column:
+    """SimHash fingerprint (<=62 bits so the value fits a signed BIGINT).
+
+    Per token: xxhash64; per bit b: +1 if bit set else -1, summed over
+    tokens; fingerprint bit b is 1 when the sum is positive.
+    """
+    toks = _tokens(text)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    band_bits: int = 12,
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any ``band_bits``-wide band
+    of the fingerprint (Hamming-ball blocking, equi-join on band value)."""
+    n_bands = bits // band_bits
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.shiftright("simhash", b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    left = banded.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    right = banded.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming_distance"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted-index join.
+
+    explode(shingles) -> (shingle, doc); self-join on shingle counts the
+    intersection per doc pair; |A| + |B| - inter gives the union.  The
+    ``max_shingle_docs`` cap drops shingles present in more than that many
+    docs (stopword-grams) — the standard guard that keeps a hot shingle from
+    creating a quadratic bucket at scale.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_docs is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_docs)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
+    a = sh.select(F.col("sh"), F.col(id_col).alias("doc_a"))
+    b = sh.select(F.col("sh"), F.col(id_col).alias("doc_b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("intersection").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("intersection")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
