@@ -274,15 +274,26 @@ class SSISExpressionCompiler:
             return col, s
         raise ValueError(f"unexpected token {tok}")
 
+    _DATE_FUNCS = ("DATEADD", "DATEDIFF", "DATEPART")
+
     def _function(self, name: str):
         self._expect("(")
+        date_part: str | None = None
+        if name in self._DATE_FUNCS:
+            # The first argument of DATEADD/DATEDIFF/DATEPART is a date-part
+            # KEYWORD (bare `day` or quoted "day"), not an expression — consume
+            # it literally before the generic argument loop (T-SQL grammar;
+            # reference surface: src/agents/llm/prompts.py:150-164).
+            tok = self._next()
+            raw = tok.text.strip('"') if tok.kind in ("name", "string") else None
+            if raw is None or raw.lower() not in _DATE_PART:
+                raise ValueError(f"{name}: expected a date-part, got {tok.text!r}")
+            date_part = _DATE_PART[raw.lower()]
+            self._expect(",")
         args: list[Column] = []
         arg_str: list[bool] = []
-        raw_names: list[str | None] = []
         if self._peek() and self._peek().text != ")":
             while True:
-                tok = self._peek()
-                raw_names.append(tok.text if tok and tok.kind == "name" else None)
                 col, s = self._ternary()
                 args.append(col)
                 arg_str.append(s)
@@ -291,9 +302,9 @@ class SSISExpressionCompiler:
                     continue
                 break
         self._expect(")")
-        return self._apply_function(name, args, arg_str, raw_names)
+        return self._apply_function(name, args, arg_str, date_part)
 
-    def _apply_function(self, name, args, arg_str, raw_names):
+    def _apply_function(self, name, args, arg_str, date_part=None):
         if name == "ISNULL":
             # SSIS arity-1 ISNULL(x) is a boolean null test; the reference
             # rewrites it to T-SQL ISNULL(x,'') (builder.py:485-490) — we
@@ -339,19 +350,42 @@ class SSISExpressionCompiler:
                 return F.lit(self.now).cast("timestamp"), False
             return F.current_timestamp(), False
         if name == "DATEADD":
-            part = _DATE_PART[(raw_names[0] or "").lower().strip('"')]
-            n, date = args[1], args[2]
-            if part in ("year", "quarter", "month"):
-                months = {"year": 12, "quarter": 3, "month": 1}[part]
+            n, date = args[0], args[1]
+            if date_part in ("year", "quarter", "month"):
+                months = {"year": 12, "quarter": 3, "month": 1}[date_part]
                 return F.timestamp_add("MONTH", (n * months).cast("long"), date), False
-            unit = part.upper()
-            return F.timestamp_add(unit, n.cast("long"), date), False
+            return F.timestamp_add(date_part.upper(), n.cast("long"), date), False
         if name == "DATEDIFF":
-            part = _DATE_PART[(raw_names[0] or "").lower().strip('"')]
-            return F.timestamp_diff(part.upper(), args[1], args[2]), False
+            # T-SQL DATEDIFF counts datepart BOUNDARIES crossed, not elapsed
+            # units (DATEDIFF(day, '23:00', next day '01:00') = 1).  DuckDB's
+            # date_diff shares this semantics, which keeps the oracle honest.
+            a, b = args[0], args[1]
+            if date_part == "year":
+                return F.year(b) - F.year(a), False
+            if date_part == "quarter":
+                return (
+                    (F.year(b) * 4 + F.quarter(b)) - (F.year(a) * 4 + F.quarter(a)),
+                    False,
+                )
+            if date_part == "month":
+                return (
+                    (F.year(b) * 12 + F.month(b)) - (F.year(a) * 12 + F.month(a)),
+                    False,
+                )
+            if date_part == "day":
+                return F.datediff(F.to_date(b), F.to_date(a)), False
+            if date_part == "week":
+                # T-SQL weeks start Sunday; 1970-01-04 is the epoch Sunday
+                sunday = F.lit("1970-01-04").cast("date")
+                da, db = F.datediff(F.to_date(a), sunday), F.datediff(F.to_date(b), sunday)
+                return (F.floor(db / 7) - F.floor(da / 7)).cast("int"), False
+            secs = {"hour": 3600, "minute": 60, "second": 1}[date_part]
+            return (
+                (F.floor(F.unix_timestamp(b) / secs) - F.floor(F.unix_timestamp(a) / secs)).cast("long"),
+                False,
+            )
         if name == "DATEPART":
-            part = _DATE_PART[(raw_names[0] or "").lower().strip('"')]
-            return F.date_part(F.lit(part), args[1]), False
+            return F.date_part(F.lit(date_part), args[0]), False
         if name == "YEAR":
             return F.year(args[0]), False
         if name == "MONTH":

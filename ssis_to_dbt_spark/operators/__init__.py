@@ -1,5 +1,5 @@
 from .project import typed_project, ColumnSpec
-from .lookup import lookup, LookupNoMatch
+from .lookup import lookup, lookup_chain, LookupNoMatch
 from .joins import merge_join, semi_join, anti_join, fk_violations
 from .aggregate import (
     checksum_aggregates,
@@ -10,9 +10,14 @@ from .aggregate import (
     top_k_latest,
 )
 from .split import conditional_split, conditional_split_tagged, data_conversion
-from .setops import merge_sorted, union_all
-from .scd import scd2_rebuild, scd2_snapshot
-from .incremental import max_watermark, watermark_filter
+from .setops import merge_sorted, sort, union_all
+from .scd import merge_upsert, scd2_rebuild, scd2_snapshot
+from .incremental import (
+    incremental_merge,
+    max_watermark,
+    scalar_bound,
+    watermark_filter,
+)
 from .quality import (
     accepted_values_violations,
     between_violations,
@@ -27,14 +32,14 @@ from .quality import (
 
 __all__ = [
     "typed_project", "ColumnSpec",
-    "lookup", "LookupNoMatch",
+    "lookup", "lookup_chain", "LookupNoMatch",
     "merge_join", "semi_join", "anti_join", "fk_violations",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion",
-    "union_all", "merge_sorted",
-    "scd2_rebuild", "scd2_snapshot",
-    "watermark_filter", "max_watermark",
+    "union_all", "merge_sorted", "sort",
+    "scd2_rebuild", "scd2_snapshot", "merge_upsert",
+    "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",
     "accepted_values_violations", "between_violations", "preflight_guard",

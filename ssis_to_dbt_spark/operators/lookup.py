@@ -46,12 +46,17 @@ def lookup(
     build = dim
     if dim_filter is not None:
         build = build.filter(dim_filter)
+    need_marker = no_match is LookupNoMatch.FAIL
     if isinstance(on, list):
         # prune the build side to join keys + requested outputs before broadcast
         build = build.select(
             *on,
             *[F.col(c).alias(a) for c, a in select.items() if c not in on],
         )
+    if need_marker:
+        # A matched dim row may legitimately carry NULL output columns, so
+        # match detection needs a dedicated always-non-null marker.
+        build = build.withColumn("_matched", F.lit(1))
 
     if broadcast:
         build = F.broadcast(build)
@@ -59,13 +64,13 @@ def lookup(
     how = "inner" if no_match is LookupNoMatch.INNER else "left"
     joined = fact.join(build, on=on, how=how)
 
-    if no_match is LookupNoMatch.FAIL:
-        first_out = list(select.values())[0]
-        unmatched = joined.filter(F.col(first_out).isNull()).limit(1).count()
+    if need_marker:
+        unmatched = joined.filter(F.col("_matched").isNull()).limit(1).count()
         if unmatched:
             raise ValueError(
                 f"Lookup FailComponent: unmatched rows on keys {on}"
             )
+        joined = joined.drop("_matched")
     return joined
 
 

@@ -38,16 +38,15 @@ class CheckResult:
 def row_count_compare(
     legacy: DataFrame,
     migrated: DataFrame,
-    fail_tolerance: float = 0.01,
     warn_tolerance: float = 0.0001,
 ) -> CheckResult:
-    """V1: |a-b| relative to legacy count vs tolerances (validator.py:107-115)."""
+    """V1: |a-b| relative to legacy count (validator.py:106-115): pass only on
+    an exact match, warning strictly below ``warn_tolerance`` (0.01%), fail at
+    or above it — a 0.5% row drift FAILS, mirroring the reference."""
     a, b = legacy.count(), migrated.count()
     diff = abs(a - b)
     rel = diff / a if a else (0.0 if b == 0 else 1.0)
-    status = "pass" if diff == 0 else "warning" if rel < warn_tolerance else (
-        "warning" if rel <= fail_tolerance else "fail"
-    )
+    status = "pass" if diff == 0 else ("warning" if rel < warn_tolerance else "fail")
     return CheckResult("row_count", status, {"legacy": a, "migrated": b, "rel": rel})
 
 

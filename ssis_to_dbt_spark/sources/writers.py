@@ -16,6 +16,9 @@ merge/update are expressed as join-based rewrites + overwrite.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,12 +77,17 @@ def update_flag(
     updated = df.withColumn(
         flag_col, F.when(where(df), F.lit(new_value)).otherwise(F.col(flag_col))
     )
-    # Parquet can't overwrite a path that's being read lazily — materialize
-    # through a staging subdir then swap via a second overwrite write.
-    updated.cache()
-    updated.count()
-    updated.write.mode("overwrite").parquet(path)
-    updated.unpersist()
+    # Parquet can't safely overwrite a path that's being read lazily (cache
+    # eviction would recompute from the truncated source) — write to a staging
+    # sibling, then atomically swap directories.
+    staging = path.rstrip("/") + "__staging"
+    updated.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
 
 
 def write_json(df: DataFrame, path: str) -> None:

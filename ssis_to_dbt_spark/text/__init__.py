@@ -2,6 +2,8 @@ from .analysis import (
     document_fingerprint,
     language_id,
     quality_score,
+    regex_token_count,
+    rolling_hash,
     token_count,
 )
 from .dedup import (
@@ -12,8 +14,16 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingle,
     simhash,
+    simhash_candidates,
 )
-from .similarity import brute_force_topk, lsh_bucket_candidates, lsh_topk
+from .similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    hyperplane_bucket,
+    knn_join,
+    lsh_bucket_candidates,
+    lsh_topk,
+)
 
 __all__ = [
     "shingle",
@@ -22,12 +32,18 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidates",
     "simhash",
+    "simhash_candidates",
     "ngram_jaccard_pairs",
     "brute_force_topk",
+    "cosine_similarity",
+    "hyperplane_bucket",
+    "knn_join",
     "lsh_bucket_candidates",
     "lsh_topk",
     "language_id",
     "quality_score",
     "token_count",
+    "regex_token_count",
+    "rolling_hash",
     "document_fingerprint",
 ]

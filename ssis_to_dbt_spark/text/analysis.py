@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a pure ``pyspark.sql.Column`` expression (no Python UDFs):
+at 100 TB these run entirely inside Tungsten whole-stage codegen as one
+narrow projection over the document scan — no shuffle, no Python boundary.
+
+Operators (driver extension surface alongside SURVEY.md §2):
+- ``token_count``          whitespace tokenization count
+- ``regex_token_count``    BPE-ish word/punctuation token estimate
+- ``language_id``          stopword-marker n-gram heuristic (argmax over langs)
+- ``quality_score``        length/punctuation/stopword-ratio score in [0, 1]
+- ``document_fingerprint`` md5 content fingerprint + 64-bit rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: word pieces OR single non-space punctuation marks.
+_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny per-language stopword marker sets (heuristic language ID — the classic
+# n-gram/function-word approach scaled down to expression form).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "es", "una", "y"],
+}
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(_ws_tokens(text))
+    )
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_PATTERN), 0))
+
+
+def _marker_hits(text_lower: Column, words: list[str]) -> Column:
+    """Count of marker-stopword occurrences (word-bounded) in the text."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text_lower, F.lit(pattern), 0))
+
+
+def language_id(text: Column, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of per-language stopword-marker hits.
+
+    Deterministic tiebreak: languages are scored in a fixed order and a later
+    language must strictly beat the current best to take over.  Documents with
+    zero marker hits map to ``default`` ('und' = undetermined).
+    """
+    low = F.lower(text)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang, words in _LANG_MARKERS.items():
+        score = _marker_hits(low, words)
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]:
+
+    - length factor: min(n_chars / 1000, 1)               (longer is better)
+    - alpha ratio:   letters+digits+spaces / n_chars      (penalize symbol soup)
+    - stopword factor: min(stopword_hits / tokens / 0.2, 1)
+
+    All arithmetic is exact-integer counts divided as doubles, so the same
+    expression evaluated by another engine (the DuckDB oracle) produces
+    bit-identical doubles.
+    """
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    toks = token_count(text)
+    stop_hits = _marker_hits(F.lower(text), _LANG_MARKERS["en"])
+    length_factor = F.least(n_chars.cast("double") / F.lit(1000.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    stop_factor = F.when(
+        toks > 0,
+        F.least(stop_hits.cast("double") / toks / F.lit(0.2), F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    return (length_factor + alpha_ratio + stop_factor) / F.lit(3.0)
+
+
+def document_fingerprint(text: Column) -> Column:
+    """md5 fingerprint of whitespace-normalized lowercase text — the
+    content-identity key used by exact dedup and provenance tracking."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hash(text: Column, window: int = 8) -> Column:
+    """64-bit polynomial rolling-hash sketch: xxhash64 of each ``window``-token
+    slice, reduced to the minimum (a 1-element winnowing fingerprint).  Useful
+    as a cheap containment signal between documents; xxhash64 keeps it inside
+    codegen."""
+    toks = _ws_tokens(text)
+    k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    slices = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.array_min(slices)

@@ -35,8 +35,12 @@ def shingle(text: Column, n: int = 3) -> Column:
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    # size 0 sequence(1,0) would be [1,0] descending — guard short docs
-    grams = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    # Docs shorter than n tokens get ONE shingle = the whole normalized text.
+    # An empty shingle set would give every short doc an all-null minhash
+    # signature, collapsing all of them into a single quadratic LSH bucket;
+    # the whole-text fallback keeps identical short docs pairable while
+    # distinct ones stay apart.
+    grams = F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_distinct(grams)
 
 
@@ -165,17 +169,20 @@ def simhash(text: Column, bits: int = 48) -> Column:
     tokens; fingerprint bit b is 1 when the sum is positive.
     """
     toks = _tokens(text)
+    # bit positions are Python ints (shiftright requires literal shift widths)
     counts = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
             ),
             lambda a, c: a + c,
         ),
@@ -183,10 +190,8 @@ def simhash(text: Column, bits: int = 48) -> Column:
     return F.aggregate(
         F.zip_with(
             counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.array(*[F.lit(1 << b).cast("long") for b in range(bits)]),
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -208,14 +213,16 @@ def simhash_candidates(
         id_col,
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.shiftright("simhash", b * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .alias("band_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")

@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers, mirroring how an ANN service is actually built:
+
+- ``brute_force_topk`` — exact cosine top-k of a query vector against the
+  corpus.  One narrow projection + ``TakeOrderedAndProject`` (per-partition
+  top-k, k-row driver merge): correct at any corpus size, cost linear in rows.
+- ``lsh_bucket_candidates`` / ``lsh_topk`` — random-hyperplane (sign) LSH.
+  Buckets come from deterministic xxhash64-derived hyperplanes, so the same
+  vector always lands in the same bucket with no stored model.  Candidate
+  generation is an equi-join on the bucket id — never an all-pairs cross join
+  — which is the 100 TB scale path.
+
+All vector math uses built-in higher-order functions (``zip_with`` /
+``aggregate``), keeping the hot path in the JVM with no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; zero-norm vectors score 0 rather than NaN."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _query_literal(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered best-first, id tiebreak.
+
+    Plan shape: project cosine -> orderBy().limit(k) which Spark executes as
+    TakeOrderedAndProject — no global sort of the corpus.
+    """
+    q = _query_literal(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity(_as_double(F.col(vec_col)), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 16, seed: int = 0) -> Column:
+    """Sign-LSH bucket id (one bit per hyperplane, packed into a BIGINT).
+
+    Hyperplane ``p``'s component ``j`` is a deterministic ±1 derived from
+    ``xxhash64(seed, p, j)`` — a Rademacher random projection that needs no
+    stored model and is reproducible across jobs and engines.
+    """
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        dims,
+                        lambda j: F.when(
+                            F.xxhash64(F.lit(seed), p, j).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # pack bit p at position p: bit * 2^p, summed (shiftleft needs a literal)
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda b, p: b * F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-neighbor candidate pairs = vectors sharing an LSH bucket.
+
+    Equi-join keyed on the bucket id: shuffle is proportional to corpus size,
+    pair output to the bucket sizes — never an all-pairs comparison.
+    """
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), num_planes, seed).alias("bucket"),
+    )
+    left = bucketed.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    right = bucketed.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(
+                _as_double(F.col("vec_a")), _as_double(F.col("vec_b"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    With ``num_planes`` bits the corpus is cut ~``2**num_planes``-fold before
+    any distance math — the IVF-style scale path.  Recall is tuned by lowering
+    ``num_planes`` (bigger buckets) or unioning several ``seed`` probes.
+    """
+    spark = df.sparkSession
+    qdf = spark.range(1).select(_query_literal(query_vec).alias("q"))
+    q_bucket = qdf.select(
+        hyperplane_bucket(F.col("q"), num_planes, seed).alias("b")
+    ).first()["b"]
+    candidates = df.filter(
+        hyperplane_bucket(F.col(vec_col), num_planes, seed) == F.lit(q_bucket)
+    )
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join of a (small, broadcastable) query set against the
+    corpus: broadcast the queries, score every (query, corpus) pair on the
+    corpus partitions, keep top-k per query with a window rank.  The corpus —
+    the 100 TB side — never shuffles; only (n_queries * k) rows survive."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(
+            _as_double(F.col(corpus_vec)), _as_double(F.col(query_vec))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
