@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``ssis_to_dbt_spark.catalog``; one entry per
+operator family from SURVEY.md §2 plus the LLM-pipeline extensions
+(dedup / similarity / text analysis / streaming windows).
 """
 
 from __future__ import annotations
@@ -13,26 +16,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ssis_to_dbt_spark import catalog
+from ssis_to_dbt_spark.session import tune_for_correctness
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the fct_sales star join (lineitem ⋈ orders with broadcast
+    customer/part lookups, surrogate keys, date key) on sf0.001."""
+    tune_for_correctness(spark)
+    return catalog.q_fct_sales_star(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family (SURVEY.md §2)."""
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_for_correctness(spark)
+            return fn(spark, sf_dir)
+        return run
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: wrap(fn) for name, fn in catalog.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted for xxhash64-based
+    ops, which the driver records as rows-only checks)."""
+    return dict(catalog.ORACLES)

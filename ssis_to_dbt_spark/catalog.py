@@ -1,0 +1,1047 @@
+"""Query registry backing ``__spark_entry__.py`` (driver contract).
+
+Each entry pairs a Spark query built from the engine's operators with an
+ANSI-SQL oracle DuckDB runs on the same parquet tables.  Column names and
+result types are aligned on both sides (the driver's compare sorts columns by
+name and hashes values), so every computed column is explicitly aliased and
+cast identically in the Spark code and the SQL.
+
+Numeric-determinism ground rules (why the casts look the way they do):
+- measures are cast to DECIMAL before aggregation — decimal sums are exact
+  and order-independent, so Spark's parallel partial aggregation and DuckDB's
+  sequential scan produce identical values (a raw SUM(double) would differ in
+  final ulps between engines);
+- double->decimal casts are safe (a binary double can never sit exactly on a
+  decimal rounding midpoint), decimal->narrower-decimal casts are avoided;
+- per-row double arithmetic (ratios, cosines) keeps the same expression tree
+  on both sides, which makes IEEE results bit-identical.
+
+Operator coverage tags reference SURVEY.md §2 (S/P/E/J/A/W/O/U/M/D/C/ST/F/V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .expressions import (
+    compile_ssis_expression,
+    nullif_trim,
+    safe_divide,
+    surrogate_key,
+)
+from .operators import (
+    ColumnSpec,
+    LookupNoMatch,
+    accepted_values_violations,
+    between_violations,
+    conditional_split_tagged,
+    duplicate_keys,
+    incremental_merge,
+    lookup,
+    merge_join,
+    merge_sorted,
+    merge_upsert,
+    not_null_violations,
+    relationship_violations,
+    scd2_rebuild,
+    scd2_snapshot,
+    semi_join,
+    typed_project,
+    union_all,
+    watermark_filter,
+)
+from .operators.incremental import max_watermark
+from .pipeline import Model, Pipeline
+from .sources.readers import testdata
+from .streaming import session_window, tumbling_window
+from .text import (
+    brute_force_topk,
+    exact_duplicate_groups,
+    knn_join,
+    language_id,
+    lsh_topk,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    quality_score,
+    regex_token_count,
+    simhash_candidates,
+    token_count,
+)
+from .text.analysis import document_fingerprint
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return testdata(spark, sf_dir)
+
+
+_D182 = T.DecimalType(18, 2)
+_D184 = T.DecimalType(18, 4)
+
+
+# ---------------------------------------------------------------------------
+# 1. Staging projection (P1 P2 P6 P7 E5 M2 E14; stg_sales__transactions.sql)
+# ---------------------------------------------------------------------------
+
+def q_stg_sales_transactions(spark, sf_dir):
+    li = _t(spark, sf_dir)["lineitem"].filter(F.col("l_returnflag") == "N")
+    return typed_project(
+        li,
+        [
+            ColumnSpec("l_orderkey", cast="bigint", alias="order_key"),
+            ColumnSpec("l_linenumber", cast="int", alias="line_number"),
+            ColumnSpec("l_partkey", cast="bigint", alias="product_key"),
+            ColumnSpec("l_suppkey", cast="bigint", alias="supplier_key"),
+            ColumnSpec("l_quantity", cast="int", alias="quantity"),
+            ColumnSpec("l_extendedprice", cast=_D182, alias="gross_amount"),
+            ColumnSpec(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                cast=_D184,
+                alias="net_amount",
+            ),
+            ColumnSpec(F.col("l_discount") * F.lit(100.0), cast=_D182, alias="discount_pct"),
+            ColumnSpec(F.col("l_tax"), default=0.0, alias="tax_rate"),
+            ColumnSpec(nullif_trim(F.col("l_linestatus")), alias="line_status"),
+            ColumnSpec(F.to_date("l_shipdate"), alias="ship_date"),
+        ],
+    )
+
+
+SQL_STG_SALES = """
+SELECT CAST(l_orderkey AS BIGINT) AS order_key,
+       CAST(l_linenumber AS INTEGER) AS line_number,
+       CAST(l_partkey AS BIGINT) AS product_key,
+       CAST(l_suppkey AS BIGINT) AS supplier_key,
+       CAST(l_quantity AS INTEGER) AS quantity,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS gross_amount,
+       CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS net_amount,
+       CAST(l_discount * 100.0 AS DECIMAL(18,2)) AS discount_pct,
+       COALESCE(l_tax, 0.0) AS tax_rate,
+       NULLIF(TRIM(l_linestatus), '') AS line_status,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem WHERE l_returnflag = 'N'
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Star join flagship (J1 J2 J3 E10 E12 P5; fct_sales.sql:44-105)
+# ---------------------------------------------------------------------------
+
+def q_fct_sales_star(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    orders_dim = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+    )
+    fact = merge_join(t["lineitem"], orders_dim, on=["l_orderkey"], how="inner")
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    fact = lookup(
+        fact,
+        cust,
+        on=["o_custkey"],
+        select={"c_mktsegment": "mkt_segment"},
+        dim_filter=F.col("c_acctbal") > 0,
+        no_match=LookupNoMatch.IGNORE,
+    )
+    part_dim = t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    fact = lookup(fact, part_dim, on=["l_partkey"], select={"p_brand": "brand"})
+    return fact.select(
+        surrogate_key(F.col("l_orderkey"), F.col("l_linenumber")).alias("sales_key"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").cast("int").alias("line_number"),
+        F.col("mkt_segment"),
+        F.col("brand"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("int").alias("date_key"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast(_D184)
+        .alias("net_amount"),
+    )
+
+
+SQL_FCT_SALES = """
+SELECT md5(concat_ws('-', coalesce(CAST(l.l_orderkey AS VARCHAR), ''),
+                          coalesce(CAST(l.l_linenumber AS VARCHAR), ''))) AS sales_key,
+       l.l_orderkey AS order_key,
+       CAST(l.l_linenumber AS INTEGER) AS line_number,
+       c.c_mktsegment AS mkt_segment,
+       p.p_brand AS brand,
+       CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+            + day(o.o_orderdate) AS INTEGER) AS date_key,
+       CAST(l.l_quantity AS INTEGER) AS quantity,
+       CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)) AS net_amount
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c ON o.o_custkey = c.c_custkey
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Grouped aggregate + guarded measure (A1 A2 A3 E6; agg_daily_sales.sql)
+# ---------------------------------------------------------------------------
+
+def q_agg_daily_sales(spark, sf_dir):
+    li = _t(spark, sf_dir)["lineitem"]
+    agg = (
+        li.groupBy(
+            F.to_date("l_shipdate").alias("ship_date"),
+            F.col("l_returnflag").alias("return_flag"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(_D182)).cast(_D182).alias("total_quantity"),
+            F.sum(F.col("l_extendedprice").cast(_D182)).cast(_D182).alias("total_gross"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(_D184)
+            ).cast(_D184).alias("total_net"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .withColumn(
+            "avg_net",
+            F.when(
+                F.col("line_count") > 0,
+                F.col("total_net").cast("double") / F.col("line_count"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return agg
+
+
+SQL_AGG_DAILY = """
+WITH a AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+         l_returnflag AS return_flag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_quantity,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_gross,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_net,
+         COUNT(*) AS line_count
+  FROM lineitem GROUP BY 1, 2)
+SELECT *, CASE WHEN line_count > 0
+               THEN CAST(total_net AS DOUBLE) / line_count ELSE 0.0 END AS avg_net
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SCD2 version chains (W1 E11 E10 E13; dim_customer.sql:28-81)
+# ---------------------------------------------------------------------------
+
+def q_dim_customer_scd2(spark, sf_dir):
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    history = (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+    )
+    dim = scd2_rebuild(
+        history, "o_custkey", "o_orderdate", ["o_orderstatus", "o_orderpriority"],
+        key_alias="customer_key",
+    )
+    return dim.select(
+        "o_custkey", "version_number", "valid_from", "valid_to", "is_current",
+        "change_hash", "customer_key",
+    )
+
+
+SQL_DIM_SCD2 = """
+WITH h AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey) AS rn
+  FROM orders),
+hh AS (
+  SELECT o_custkey, o_orderdate,
+         sha256(concat(coalesce(CAST(o_orderstatus AS VARCHAR), ''),
+                       coalesce(CAST(o_orderpriority AS VARCHAR), ''))) AS change_hash
+  FROM h WHERE rn = 1),
+d AS (
+  SELECT *, lag(change_hash) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+            AS prev_hash
+  FROM hh),
+f AS (SELECT * FROM d WHERE prev_hash IS NULL OR change_hash <> prev_hash),
+v AS (
+  SELECT o_custkey, change_hash,
+         CAST(row_number() OVER w AS INTEGER) AS version_number,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to
+  FROM f WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+SELECT o_custkey, version_number, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current, change_hash,
+       md5(concat_ws('-', coalesce(CAST(o_custkey AS VARCHAR), ''),
+                          coalesce(CAST(version_number AS VARCHAR), ''))) AS customer_key
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. SSIS expression compiler — strings (E1 E2 E3 E7 E8 F3)
+# ---------------------------------------------------------------------------
+
+def q_expr_strings_customer(spark, sf_dir):
+    c = _t(spark, sf_dir)["customer"]
+    cols = {"c_name": T.StringType(), "c_mktsegment": T.StringType()}
+
+    def e(expr):
+        return compile_ssis_expression(expr, columns=cols)
+
+    return c.select(
+        F.col("c_custkey"),
+        e('[c_name] + "-" + [c_mktsegment]').alias("name_seg"),
+        e('[c_acctbal] < 0 ? "DEBT" : "OK"').alias("acct_flag"),
+        e('UPPER(LEFT([c_mktsegment], 3))').alias("seg3"),
+        e('SUBSTRING([c_name], FINDSTRING([c_name], "#", 1) + 1, LEN([c_name]))').alias(
+            "cust_num"
+        ),
+        e('(DT_WSTR,10)[c_name]').alias("short_name"),
+        e('ISNULL(NULL(DT_WSTR), [c_mktsegment])').alias("seg_defaulted"),
+    )
+
+
+SQL_EXPR_STRINGS = """
+SELECT c_custkey,
+       c_name || '-' || c_mktsegment AS name_seg,
+       CASE WHEN c_acctbal < 0 THEN 'DEBT' ELSE 'OK' END AS acct_flag,
+       upper(substring(c_mktsegment, 1, 3)) AS seg3,
+       substring(c_name, strpos(c_name, '#') + 1, length(c_name)) AS cust_num,
+       substring(c_name, 1, 10) AS short_name,
+       coalesce(NULL, c_mktsegment) AS seg_defaulted
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5b. SSIS expression compiler — dates (E9 F3 DATEADD/DATEDIFF/DATEPART)
+# ---------------------------------------------------------------------------
+
+def q_expr_dates_orders(spark, sf_dir):
+    o = _t(spark, sf_dir)["orders"]
+    pinned = "1999-01-01 00:00:00"
+
+    def e(expr):
+        return compile_ssis_expression(expr, now=pinned)
+
+    return o.select(
+        "o_orderkey",
+        e("DATEADD(day, 3, [o_orderdate])").alias("plus3"),
+        e("DATEADD(month, 2, [o_orderdate])").alias("plus2mo"),
+        e('DATEDIFF("day", [o_orderdate], GETDATE())').cast("int").alias("days_to_ref"),
+        e("DATEDIFF(month, [o_orderdate], GETDATE())").cast("int").alias("months_to_ref"),
+        e("DATEPART(month, [o_orderdate])").cast("int").alias("month_num"),
+        e("DATEPART(quarter, [o_orderdate])").cast("int").alias("quarter_num"),
+        e("GETDATE()").alias("loaded_at"),
+    )
+
+
+SQL_EXPR_DATES = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 DAY AS plus3,
+       o_orderdate + INTERVAL 2 MONTH AS plus2mo,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS INTEGER) AS days_to_ref,
+       CAST(date_diff('month', o_orderdate, TIMESTAMP '1999-01-01') AS INTEGER) AS months_to_ref,
+       CAST(month(o_orderdate) AS INTEGER) AS month_num,
+       CAST(quarter(o_orderdate) AS INTEGER) AS quarter_num,
+       TIMESTAMP '1999-01-01' AS loaded_at
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Conditional split, single-pass tagged (M1 E4)
+# ---------------------------------------------------------------------------
+
+def q_conditional_split_sizes(spark, sf_dir):
+    p = _t(spark, sf_dir)["part"]
+    routed = conditional_split_tagged(
+        p,
+        [("small", F.col("p_size") <= 10), ("medium", F.col("p_size") <= 25)],
+        default_name="large",
+        route_col="size_class",
+    )
+    return routed.select("p_partkey", "p_size", "size_class")
+
+
+SQL_SPLIT_SIZES = """
+SELECT p_partkey, p_size,
+       CASE WHEN p_size <= 10 THEN 'small'
+            WHEN p_size <= 25 THEN 'medium'
+            ELSE 'large' END AS size_class
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. TOP k ORDER BY DESC (O2 O3)
+# ---------------------------------------------------------------------------
+
+def q_top_events(spark, sf_dir):
+    e = _t(spark, sf_dir)["events"]
+    return e.orderBy(F.desc("ts"), F.col("event_id")).limit(10).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+SQL_TOP_EVENTS = """
+SELECT event_id, ts, event_type, value
+FROM events ORDER BY ts DESC, event_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. UnionAll + Merge(sorted) (U1 U2 O1)
+# ---------------------------------------------------------------------------
+
+def q_union_merge_segments(spark, sf_dir):
+    c = _t(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY")
+    merged = merge_sorted(
+        a.select("c_custkey", "c_name", "c_mktsegment"),
+        b.select("c_custkey", "c_name", "c_mktsegment"),
+        ["c_custkey"],
+    )
+    return merged
+
+
+SQL_UNION_MERGE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. IN-subquery semi-join (J5)
+# ---------------------------------------------------------------------------
+
+def q_orders_semi_join(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    recent = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return semi_join(t["orders"], recent, on=["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+SQL_SEMI = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1998-06-01')
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. FK relationship violations via anti-join (J6 V4)
+# ---------------------------------------------------------------------------
+
+def q_fk_violations_current(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    current_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    viol = relationship_violations(
+        t["lineitem"], current_orders, fk="l_orderkey", pk="o_orderkey"
+    )
+    return viol.select("l_orderkey", "l_linenumber")
+
+
+SQL_FK_VIOL = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Duplicate detection HAVING COUNT(*) > 1 (A7)
+# ---------------------------------------------------------------------------
+
+def q_duplicate_order_days(spark, sf_dir):
+    o = _t(spark, sf_dir)["orders"]
+    return duplicate_keys(o, ["o_custkey", "o_orderdate"])
+
+
+SQL_DUP_DAYS = """
+SELECT o_custkey, o_orderdate, COUNT(*) AS dup_count
+FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Watermark incremental scan (S8 A8 ST1 ST2)
+# ---------------------------------------------------------------------------
+
+def q_watermark_incremental_events(spark, sf_dir):
+    e = _t(spark, sf_dir)["events"]
+    target = e.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    wm = max_watermark(target, "ts")
+    delta = watermark_filter(e, "ts", wm)
+    return delta.select("event_id", "ts", "event_type")
+
+
+SQL_WATERMARK = """
+SELECT event_id, ts, event_type FROM events
+WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-15')
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Scalar aggregates / checksums / bounds (A4 A5 A6 A10 D7)
+# ---------------------------------------------------------------------------
+
+def q_validation_scalars(spark, sf_dir):
+    o = _t(spark, sf_dir)["orders"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.sum(F.col("o_totalprice").cast(_D182)).cast(_D182).alias("sum_totalprice"),
+        F.min(F.when(F.col("o_orderstatus") == "O", F.col("o_orderdate"))).alias(
+            "min_open_date"
+        ),
+        F.max("o_orderkey").alias("max_orderkey"),
+    ).withColumn(
+        "avg_totalprice",
+        F.col("sum_totalprice").cast("double") / F.col("n_orders"),
+    )
+
+
+SQL_VALIDATION_SCALARS = """
+WITH a AS (
+  SELECT COUNT(*) AS n_orders,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_totalprice,
+         MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS min_open_date,
+         MAX(o_orderkey) AS max_orderkey
+  FROM orders)
+SELECT *, CAST(sum_totalprice AS DOUBLE) / n_orders AS avg_totalprice FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. Incremental merge materialization (D3 ST1)
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def q_incremental_merge_orders(spark, sf_dir):
+    o = _t(spark, sf_dir)["orders"].select(*_ORDER_COLS)
+    target = o.filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    ).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("0-STALE")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return incremental_merge(target, o, keys=["o_orderkey"], watermark_col="o_orderdate")
+
+
+SQL_INCR_MERGE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 7 = 0 THEN '0-STALE' ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderdate > (SELECT max(o_orderdate) FROM target)),
+kept AS (
+  SELECT * FROM target
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta))
+SELECT * FROM kept UNION ALL SELECT * FROM delta
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. Quality report — V1-V4 violation counts in one row
+# ---------------------------------------------------------------------------
+
+def q_quality_report(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    a = not_null_violations(o, "o_custkey").agg(
+        F.count(F.lit(1)).alias("null_custkey")
+    )
+    b = duplicate_keys(o, ["o_custkey", "o_orderdate"]).agg(
+        F.count(F.lit(1)).alias("dup_cust_days")
+    )
+    c = relationship_violations(
+        li, o.filter(F.col("o_orderstatus") == "F"), fk="l_orderkey", pk="o_orderkey"
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    d = accepted_values_violations(o, "o_orderstatus", ["O", "F"]).agg(
+        F.count(F.lit(1)).alias("bad_status")
+    )
+    e = between_violations(li, "l_discount", 0.0, 0.05).agg(
+        F.count(F.lit(1)).alias("high_discount")
+    )
+    return a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e)
+
+
+SQL_QUALITY = """
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkey,
+  (SELECT COUNT(*) FROM (SELECT o_custkey, o_orderdate FROM orders
+                         GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS dup_cust_days,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_orderkey IS NOT NULL
+     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                            WHERE o_orderstatus = 'F')) AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')) AS bad_status,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_discount IS NULL OR NOT (l_discount BETWEEN 0.0 AND 0.05)) AS high_discount
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. Exact dedup groups on documents (extension: dedup)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return exact_duplicate_groups(docs)
+
+
+SQL_EXACT_DEDUP = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. Text analysis on documents (extension: token count / lang id / quality)
+# ---------------------------------------------------------------------------
+
+def q_text_analysis_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(txt).alias("n_tokens"),
+        regex_token_count(txt).alias("n_bpe"),
+        language_id(txt).alias("lang_pred"),
+        quality_score(txt).alias("q_score"),
+        document_fingerprint(txt).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_ANALYSIS = r"""
+WITH b AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS s_es,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alpha
+  FROM documents)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_bpe AS INTEGER) AS n_bpe,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  (least(n_chars / 1000.0, 1.0)
+   + CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END
+   + CASE WHEN n_tokens > 0
+          THEN least(CAST(s_en AS DOUBLE) / n_tokens / 0.2, 1.0) ELSE 0.0 END) / 3.0
+    AS q_score,
+  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. Exact n-gram Jaccard via inverted index (extension: dedup)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(docs, min_jaccard=0.2)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+sh2 AS (SELECT * FROM sh
+        WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 1000)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isz
+  FROM sh2 a JOIN sh2 b USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(isz AS DOUBLE) / (sa.n_sh + sb.n_sh - isz) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(isz AS DOUBLE) / (sa.n_sh + sb.n_sh - isz) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19/20. MinHash-LSH + SimHash candidates (rows-only: xxhash64 has no DuckDB
+# counterpart, so the driver records the weaker rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return minhash_candidates(docs)
+
+
+def q_simhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return simhash_candidates(docs, band_bits=16).filter(
+        F.col("hamming_distance") <= 12
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. Brute-force cosine top-k over embeddings (extension: similarity)
+# ---------------------------------------------------------------------------
+
+def q_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = brute_force_topk(emb, list(qvec), k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_TOPK_EMB = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CASE WHEN sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_inner_product(q.qv, q.qv)) > 0
+              THEN list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cosine
+  FROM embeddings e, q)
+SELECT vec_id, round(cosine, 6) AS cosine_r
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22. LSH-bucketed approximate top-k (rows-only: xxhash64-derived planes)
+# ---------------------------------------------------------------------------
+
+def q_lsh_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = lsh_topk(emb, list(qvec), k=10, num_planes=4)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+# ---------------------------------------------------------------------------
+# 23. k-NN join: 3 queries x top-5 (extension: similarity)
+# ---------------------------------------------------------------------------
+
+def q_knn_join_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(queries, emb, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+SQL_KNN_JOIN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CASE WHEN sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_inner_product(q.qv, q.qv)) > 0
+              THEN list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cosine
+  FROM embeddings e, q)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine_r
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. Tumbling windows over events (ST4)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling_10min(spark, sf_dir):
+    e = _t(spark, sf_dir)["events"]
+    win = tumbling_window(
+        e,
+        "ts",
+        "10 minutes",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast(_D184)).cast(_D184),
+        },
+    )
+    return win
+
+
+SQL_TUMBLING = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+         AS window_start,
+       make_timestamp((CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) + 600) * 1000000)
+         AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25. Session windows over events (ST4)
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir)["events"]
+    return session_window(
+        e, "ts", "30 minutes", keys=["user_id"],
+        aggs={"n_events": F.count(F.lit(1))},
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# 26. 3-model pipeline DAG in topo order (C1 C3 C4 C6 S6 S7 D4)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_dag(spark, sf_dir):
+    t = _t(spark, sf_dir)
+
+    def stg_orders(frames, vars):
+        return frames["orders"].filter(
+            F.col("o_orderdate") >= F.lit(vars["cutoff"]).cast("timestamp")
+        ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+    def stg_lineitem(frames, vars):
+        return frames["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast(_D184)
+            .alias("net_amount"),
+        )
+
+    def fct_priority_sales(frames, vars):
+        joined = merge_join(
+            frames["stg_lineitem"], frames["stg_orders"], on=["o_orderkey"], how="inner"
+        )
+        return joined.groupBy("o_orderpriority").agg(
+            F.sum("net_amount").cast(_D184).alias("total_net"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    pipe = Pipeline(spark, vars={"cutoff": "1998-01-01"})
+    pipe.add(Model("stg_orders", stg_orders, deps=[]))
+    pipe.add(Model("stg_lineitem", stg_lineitem, deps=[]))
+    pipe.add(
+        Model("fct_priority_sales", fct_priority_sales,
+              deps=["stg_orders", "stg_lineitem"])
+    )
+    frames = pipe.run({"orders": t["orders"], "lineitem": t["lineitem"]})
+    return frames["fct_priority_sales"]
+
+
+SQL_PIPELINE_DAG = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS total_net,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 27. SCD2 MERGE upsert, join-based (J4 D6 E11)
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert_customers(spark, sf_dir):
+    c = _t(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
+    target = scd2_snapshot(
+        c.filter(F.col("c_custkey") % 3 != 0).withColumn(
+            "eff_date", F.lit("1995-01-01").cast("date")
+        ),
+        natural_key="c_custkey",
+        hash_cols=["c_mktsegment"],
+        effective_date_col="eff_date",
+    )
+    source = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("WHOLESALE")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).withColumn("eff_date", F.lit("1996-06-01").cast("date"))
+    return merge_upsert(
+        target, source, natural_key="c_custkey", hash_cols=["c_mktsegment"],
+        effective_date_col="eff_date",
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH src AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'WHOLESALE' ELSE c_mktsegment END
+           AS c_mktsegment,
+         DATE '1996-06-01' AS eff_date
+  FROM customer),
+tgt AS (
+  SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS eff_date
+  FROM customer WHERE c_custkey % 3 <> 0),
+src2 AS (
+  SELECT c_custkey, c_mktsegment, eff_date,
+         md5(coalesce(CAST(c_custkey AS VARCHAR), '')) AS c_custkey_key,
+         sha256(coalesce(c_mktsegment, '')) AS change_hash,
+         TRUE AS is_current, eff_date AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM src),
+tgt2 AS (
+  SELECT c_custkey, c_mktsegment, eff_date,
+         md5(coalesce(CAST(c_custkey AS VARCHAR), '')) AS c_custkey_key,
+         sha256(coalesce(c_mktsegment, '')) AS change_hash,
+         TRUE AS is_current, eff_date AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM tgt),
+unchanged AS (
+  SELECT t.* FROM tgt2 t LEFT JOIN src2 s USING (c_custkey)
+  WHERE s.c_custkey IS NULL OR t.change_hash = s.change_hash),
+closed AS (
+  SELECT t.c_custkey, t.c_mktsegment, t.eff_date, t.c_custkey_key, t.change_hash,
+         FALSE AS is_current, t.valid_from, s.eff_date AS valid_to
+  FROM tgt2 t JOIN src2 s USING (c_custkey)
+  WHERE t.change_hash <> s.change_hash),
+incoming AS (
+  SELECT s.* FROM src2 s LEFT JOIN tgt2 t USING (c_custkey)
+  WHERE t.c_custkey IS NULL OR s.change_hash <> t.change_hash)
+SELECT * FROM unchanged
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM incoming
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "stg_sales_transactions": q_stg_sales_transactions,
+    "fct_sales_star": q_fct_sales_star,
+    "agg_daily_sales": q_agg_daily_sales,
+    "dim_customer_scd2": q_dim_customer_scd2,
+    "expr_strings_customer": q_expr_strings_customer,
+    "expr_dates_orders": q_expr_dates_orders,
+    "conditional_split_sizes": q_conditional_split_sizes,
+    "top_events": q_top_events,
+    "union_merge_segments": q_union_merge_segments,
+    "orders_semi_join": q_orders_semi_join,
+    "fk_violations_current": q_fk_violations_current,
+    "duplicate_order_days": q_duplicate_order_days,
+    "watermark_incremental_events": q_watermark_incremental_events,
+    "validation_scalars": q_validation_scalars,
+    "incremental_merge_orders": q_incremental_merge_orders,
+    "quality_report": q_quality_report,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "text_analysis_docs": q_text_analysis_docs,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "minhash_pairs_docs": q_minhash_pairs_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "topk_embeddings": q_topk_embeddings,
+    "lsh_topk_embeddings": q_lsh_topk_embeddings,
+    "knn_join_embeddings": q_knn_join_embeddings,
+    "events_tumbling_10min": q_events_tumbling_10min,
+    "events_sessionize": q_events_sessionize,
+    "pipeline_dag": q_pipeline_dag,
+    "merge_upsert_customers": q_merge_upsert_customers,
+}
+
+ORACLES = {
+    "stg_sales_transactions": SQL_STG_SALES,
+    "fct_sales_star": SQL_FCT_SALES,
+    "agg_daily_sales": SQL_AGG_DAILY,
+    "dim_customer_scd2": SQL_DIM_SCD2,
+    "expr_strings_customer": SQL_EXPR_STRINGS,
+    "expr_dates_orders": SQL_EXPR_DATES,
+    "conditional_split_sizes": SQL_SPLIT_SIZES,
+    "top_events": SQL_TOP_EVENTS,
+    "union_merge_segments": SQL_UNION_MERGE,
+    "orders_semi_join": SQL_SEMI,
+    "fk_violations_current": SQL_FK_VIOL,
+    "duplicate_order_days": SQL_DUP_DAYS,
+    "watermark_incremental_events": SQL_WATERMARK,
+    "validation_scalars": SQL_VALIDATION_SCALARS,
+    "incremental_merge_orders": SQL_INCR_MERGE,
+    "quality_report": SQL_QUALITY,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "text_analysis_docs": SQL_TEXT_ANALYSIS,
+    "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
+    "topk_embeddings": SQL_TOPK_EMB,
+    "knn_join_embeddings": SQL_KNN_JOIN,
+    "events_tumbling_10min": SQL_TUMBLING,
+    "events_sessionize": SQL_SESSIONIZE,
+    "pipeline_dag": SQL_PIPELINE_DAG,
+    "merge_upsert_customers": SQL_MERGE_UPSERT,
+    # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
+    # xxhash64-based — no DuckDB counterpart; driver records rows-only checks.
+}

@@ -260,11 +260,13 @@ class SSISExpressionCompiler:
             if upper == "FALSE":
                 return F.lit(False), False
             if upper == "NULL":
-                if self._peek() and self._peek().text == "(":
-                    self._expect("(")
-                    cast_tok = self._next()  # NULL(DT_I4) typed null
-                    self._expect(")")
-                    dt = ssis_to_spark_type(cast_tok.text.strip("()").split(",")[0])
+                nxt = self._peek()
+                # NULL(DT_WSTR) / NULL(DT_I4): the tokenizer lexes "(DT_X)"
+                # as a single cast token, so a typed null shows up as NULL
+                # followed immediately by a cast token.
+                if nxt and nxt.kind == "cast":
+                    self._next()
+                    dt = ssis_to_spark_type(nxt.text.strip("()").split(",")[0])
                     return F.lit(None).cast(dt), isinstance(dt, T.StringType)
                 return F.lit(None), False
             return self._function(upper)

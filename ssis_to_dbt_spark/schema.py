@@ -179,10 +179,14 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    # cannot map to TimestampType at all — it is read as raw nanos (LongType,
+    # requires spark.sql.legacy.parquet.nanosAsLong=true) and converted to a
+    # microsecond timestamp in sources.readers.testdata().
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

@@ -138,7 +138,17 @@ def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     correctness oracle) naive-timestamp arithmetic.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return {
+    # events.ts is parquet TIMESTAMP(NANOS) — unreadable as TimestampType;
+    # read raw nanos and truncate to microseconds (what DuckDB's microsecond
+    # TIMESTAMP does on the same file, keeping the oracle aligned).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {
         name: read_parquet(spark, f"{sf_dir}/{name}.parquet", schema)
         for name, schema in TESTDATA_SCHEMAS.items()
     }
+    from pyspark.sql import functions as F
+
+    out["events"] = out["events"].withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return out

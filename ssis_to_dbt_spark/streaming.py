@@ -1,0 +1,150 @@
+"""Streaming / windowed operators (SURVEY §2.12, operators ST1-ST4).
+
+The reference is batch-only; its incremental machinery (watermark variables in
+etl.SyncLog, ``WHERE ModifiedDate >= ?`` scans, processed-flag queues —
+/root/reference/samples/ssis_packages/InventorySync.dtsx:34-65,118,269 and
+CustomerDataLoad.dtsx:69-78) is the micro-batch analog of Structured
+Streaming.  This module supplies both:
+
+- the mandated window aggregations over ``events`` — tumbling / sliding
+  (``F.window``) and session (``F.session_window``) — written so the SAME
+  function works on a batch DataFrame (correctness-checkable against a SQL
+  oracle) and on a ``readStream`` DataFrame (production path);
+- watermark + exactly-once plumbing: ``with_watermark`` for late-data bounds,
+  ``streaming_dedup`` (dropDuplicates within the watermark), and
+  ``read_events_stream``/``write_stream`` wiring with checkpointed offsets —
+  the checkpoint replaces the reference's etl.SyncLog high-water mark, and
+  sink idempotence replaces its ProcessedFlag queue (ST3).
+
+Scale notes: windowed aggregation shuffles on (window, keys) exactly once;
+session windows keep per-key state bounded by the watermark delay.  No
+``mapGroupsWithState`` is used — built-in operators keep state management in
+Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """ST1: late-data bound. On a batch DataFrame this is a no-op passthrough
+    (batch has no late data), so window functions stay batch/stream agnostic."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST4: tumbling-window aggregate; output carries window_start/window_end.
+
+    Windows align to the epoch (Spark's ``F.window`` origin), so a SQL oracle
+    can reproduce bucket starts with ``floor(epoch(ts)/seconds)*seconds``.
+    """
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    aggs = aggs or {"event_count": F.count(F.lit(1))}
+    out = df.groupBy(F.window(ts_col, duration), *(keys or [])).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def sliding_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST4: sliding (hopping) window — each event lands in duration/slide
+    overlapping windows."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    aggs = aggs or {"event_count": F.count(F.lit(1))}
+    out = df.groupBy(F.window(ts_col, duration, slide), *(keys or [])).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def session_window(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: dict[str, Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST4: session windows — per-key activity bursts separated by >= ``gap``
+    of silence.  ``session_end`` = last event + gap (Spark's semantics)."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    aggs = aggs or {"event_count": F.count(F.lit(1))}
+    out = df.groupBy(F.session_window(ts_col, gap), *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: list[str], ts_col: str | None = None, delay: str = "1 hour"
+) -> DataFrame:
+    """ST3 (stateful dedup): dropDuplicates keyed on ``keys``; on a stream the
+    watermark bounds the dedup state so it cannot grow without limit."""
+    if ts_col is not None:
+        df = with_watermark(df, ts_col, delay)
+        return df.dropDuplicatesWithinWatermark(keys) if df.isStreaming else df.dropDuplicates(keys)
+    return df.dropDuplicates(keys)
+
+
+def read_events_stream(spark, path: str, schema) -> DataFrame:
+    """ST2: micro-batch source — the streaming analog of the reference's
+    incremental predicate scan; checkpointed offsets replace etl.SyncLog."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    trigger_available_now: bool = True,
+):
+    """ST3: exactly-once parquet sink. The checkpoint directory carries the
+    committed offsets (no ProcessedFlag column needed); AvailableNow drains
+    the backlog then stops — the reference's scheduled-batch cadence."""
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
