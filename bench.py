@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full computation of
+every output column, no collect-to-driver cost, no result pruning shortcuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ssis_to_dbt_spark import catalog  # noqa: E402
+from ssis_to_dbt_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "stg_sales_transactions",
+    "fct_sales_star",
+    "agg_daily_sales",
+    "dim_customer_scd2",
+    "orders_semi_join",
+    "incremental_merge_orders",
+    "merge_upsert_customers",
+    "events_tumbling_10min",
+    "events_sessionize",
+    "exact_dedup_docs",
+    "text_analysis_docs",
+    "minhash_pairs_docs",
+    "topk_embeddings",
+    "knn_join_embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+    spark = build_session(
+        app_name="ssis_to_dbt_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the measured window
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

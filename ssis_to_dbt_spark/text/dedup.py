@@ -77,20 +77,30 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """K-permutation minhash signature as an array<bigint> column.
+    """K-permutation minhash signatures: (id_col, minhash array<bigint>).
 
-    Each permutation i is xxhash64(i, shingle); the signature component is
-    the min over the doc's shingles — all inside one projection.
+    Shape matters here: explode the shingle set ONCE, then take num_hashes
+    ``min(xxhash64(i, shingle))`` aggregates in a single groupBy(id).  The
+    earlier all-in-one-projection formulation re-inlined the whole shingle
+    expression (regex split + slices) into every one of the 64 signature
+    lambdas — Catalyst does not CSE across higher-order-function lambdas —
+    making it ~100x slower.  This version computes shingles once per doc and
+    shuffles once on the doc id (which LSH banding needs anyway).
     """
-    sh = shingle(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(i, s))
-        ),
+    sh = df.select(
+        F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("_sh")
     )
-    return df.withColumn("minhash", sig)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
 
 
 def minhash_candidates(
@@ -112,9 +122,7 @@ def minhash_candidates(
     fraction of matching signature components.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col), "minhash"
-    )
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, id_col)
     banded = sigs.select(
         id_col,
         "minhash",
