@@ -1,0 +1,194 @@
+"""Operator tests: lookup policies, splits, set ops, SCD2, incremental,
+quality tolerances, update_flag durability."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssis_to_dbt_spark.operators import (
+    LookupNoMatch,
+    conditional_split,
+    conditional_split_tagged,
+    duplicate_keys,
+    fk_violations,
+    incremental_merge,
+    lookup,
+    max_watermark,
+    merge_upsert,
+    row_count_compare,
+    scd2_rebuild,
+    top_k_latest,
+    union_all,
+    watermark_filter,
+)
+from ssis_to_dbt_spark.operators.quality import preflight_guard
+from ssis_to_dbt_spark.sources.writers import update_flag
+
+
+@pytest.fixture()
+def fact(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+
+
+class TestLookup:
+    def test_ignore_null_extends(self, spark, fact):
+        dim = spark.createDataFrame([(1, "x")], "k int, attr string")
+        out = lookup(fact, dim, ["k"], {"attr": "attr"}, no_match=LookupNoMatch.IGNORE)
+        rows = {r["k"]: r["attr"] for r in out.collect()}
+        assert rows == {1: "x", 2: None, 3: None}
+
+    def test_fail_raises_on_unmatched(self, spark, fact):
+        dim = spark.createDataFrame([(1, "x")], "k int, attr string")
+        with pytest.raises(ValueError, match="FailComponent"):
+            lookup(fact, dim, ["k"], {"attr": "attr"}, no_match=LookupNoMatch.FAIL)
+
+    def test_fail_tolerates_null_attr_on_matched_row(self, spark, fact):
+        dim = spark.createDataFrame(
+            [(1, None), (2, "y"), (3, "z")], "k int, attr string"
+        )
+        out = lookup(fact, dim, ["k"], {"attr": "attr"}, no_match=LookupNoMatch.FAIL)
+        assert out.count() == 3
+        assert "_matched" not in out.columns
+
+    def test_inner_drops_unmatched(self, spark, fact):
+        dim = spark.createDataFrame([(1, "x")], "k int, attr string")
+        out = lookup(fact, dim, ["k"], {"attr": "attr"}, no_match=LookupNoMatch.INNER)
+        assert out.count() == 1
+
+    def test_dim_filter_prunes_build_side(self, spark, fact):
+        dim = spark.createDataFrame(
+            [(1, "x", 0), (1, "cur", 1)], "k int, attr string, is_current int"
+        )
+        out = lookup(
+            fact, dim, ["k"], {"attr": "attr"},
+            dim_filter=F.col("is_current") == 1,
+        )
+        assert {r["attr"] for r in out.filter("k = 1").collect()} == {"cur"}
+
+
+class TestSplitsAndSets:
+    def test_tagged_first_match_wins(self, spark):
+        df = spark.createDataFrame([(5,), (15,), (50,)], "n int")
+        out = conditional_split_tagged(
+            df, [("lo", F.col("n") <= 10), ("mid", F.col("n") <= 20)], "hi"
+        )
+        assert {r["n"]: r["route"] for r in out.collect()} == {
+            5: "lo", 15: "mid", 50: "hi"
+        }
+
+    def test_multiframe_routes_disjoint(self, spark):
+        df = spark.createDataFrame([(5,), (15,), (50,)], "n int")
+        outs = conditional_split(
+            df, [("lo", F.col("n") <= 10), ("mid", F.col("n") <= 20)], "hi"
+        )
+        assert outs["lo"].count() + outs["mid"].count() + outs["hi"].count() == 3
+
+    def test_union_all_by_name(self, spark):
+        a = spark.createDataFrame([(1, "x")], "k int, v string")
+        b = spark.createDataFrame([("y", 2)], "v string, k int")
+        assert union_all(a, b).count() == 2
+
+    def test_top_k_latest(self, spark):
+        df = spark.createDataFrame([(1, 10), (2, 30), (3, 20)], "id int, ts int")
+        top = top_k_latest(df, [F.desc("ts"), F.col("id")], k=1).collect()
+        assert top[0]["id"] == 2
+
+
+class TestSCD2:
+    def test_rebuild_collapses_unchanged_and_versions(self, spark):
+        hist = spark.createDataFrame(
+            [
+                (1, "2020-01-01", "A"),
+                (1, "2020-02-01", "A"),   # unchanged -> collapses
+                (1, "2020-03-01", "B"),   # change -> version 2
+                (2, "2020-01-15", "Z"),
+            ],
+            "ck int, ts string, attr string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        dim = scd2_rebuild(hist, "ck", "ts", ["attr"])
+        rows = {(r["ck"], r["version_number"]): r for r in dim.collect()}
+        assert len(rows) == 3
+        assert rows[(1, 1)]["is_current"] is False
+        assert str(rows[(1, 1)]["valid_to"]) == "2020-03-01"
+        assert rows[(1, 2)]["is_current"] is True
+        assert rows[(2, 1)]["is_current"] is True
+
+    def test_merge_upsert_closes_and_inserts(self, spark):
+        from ssis_to_dbt_spark.operators.scd import scd2_snapshot
+        base = spark.createDataFrame(
+            [(1, "A"), (2, "B")], "ck int, attr string"
+        ).withColumn("eff", F.lit("2020-01-01").cast("date"))
+        target = scd2_snapshot(base, "ck", ["attr"], "eff")
+        source = spark.createDataFrame(
+            [(1, "A"), (2, "CHANGED"), (3, "NEW")], "ck int, attr string"
+        ).withColumn("eff", F.lit("2021-01-01").cast("date"))
+        out = merge_upsert(target, source, "ck", ["attr"], "eff")
+        rows = out.collect()
+        assert len(rows) == 4  # 1 unchanged, 2-closed, 2-new, 3-new
+        current = {r["ck"] for r in rows if r["is_current"]}
+        assert current == {1, 2, 3}
+        closed = [r for r in rows if not r["is_current"]]
+        assert len(closed) == 1 and closed[0]["ck"] == 2
+
+
+class TestIncremental:
+    def test_watermark_roundtrip(self, spark):
+        tgt = spark.createDataFrame([(1, 10), (2, 20)], "k int, ts int")
+        src = spark.createDataFrame([(2, 20), (3, 30)], "k int, ts int")
+        wm = max_watermark(tgt, "ts")
+        assert wm == 20
+        assert watermark_filter(src, "ts", wm).count() == 1
+        # None watermark (first run) -> full scan
+        assert watermark_filter(src, "ts", None).count() == 2
+
+    def test_incremental_merge_replaces_keys(self, spark):
+        tgt = spark.createDataFrame([(1, 10, "old"), (2, 20, "old")], "k int, ts int, v string")
+        src = spark.createDataFrame(
+            [(2, 25, "new"), (3, 30, "new")], "k int, ts int, v string"
+        )
+        out = incremental_merge(tgt, src, ["k"], "ts")
+        rows = {r["k"]: r["v"] for r in out.collect()}
+        assert rows == {1: "old", 2: "new", 3: "new"}
+
+
+class TestQuality:
+    def test_row_count_exact_passes(self, spark):
+        a = spark.range(100)
+        assert row_count_compare(a, spark.range(100)).status == "pass"
+
+    def test_half_percent_drift_fails(self, spark):
+        # reference validator.py:106-115 fails at >= 0.01%
+        assert row_count_compare(spark.range(1000), spark.range(995)).status == "fail"
+
+    def test_tiny_drift_warns(self, spark):
+        res = row_count_compare(spark.range(100000), spark.range(99999))
+        assert res.status == "warning" and res.ok
+
+    def test_duplicate_keys(self, spark):
+        df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+        dups = duplicate_keys(df, ["k"]).collect()
+        assert len(dups) == 1 and dups[0]["dup_count"] == 2
+
+    def test_fk_violations(self, spark):
+        child = spark.createDataFrame([(1,), (9,)], "fk int")
+        parent = spark.createDataFrame([(1,)], "fk int")
+        assert fk_violations(child, parent, "fk").collect()[0]["fk"] == 9
+
+    def test_preflight_guard(self, spark):
+        preflight_guard(spark.range(5), min_rows=1)
+        with pytest.raises(RuntimeError, match="preflight"):
+            preflight_guard(spark.range(5).filter("id < 0"), min_rows=1)
+
+
+class TestUpdateFlag:
+    def test_double_flip_no_data_loss(self, spark, tmp_path):
+        p = os.path.join(str(tmp_path), "tbl")
+        spark.createDataFrame([(i, 0) for i in range(20)], "id int, flag int").write.parquet(p)
+        update_flag(spark, p, "flag", lambda df: df["id"] < 10, 1)
+        update_flag(spark, p, "flag", lambda df: df["id"] >= 10, 2)
+        counts = {
+            r["flag"]: r["count"]
+            for r in spark.read.parquet(p).groupBy("flag").count().collect()
+        }
+        assert counts == {1: 10, 2: 10}

@@ -1,0 +1,118 @@
+"""Type-map and snake_case tests, mirroring the assertions of
+/root/reference/tests/test_type_mappings.py:14-155 against our Spark types."""
+
+import pytest
+from pyspark.sql import types as T
+
+from ssis_to_dbt_spark.naming import to_snake_case, validate_identifier
+from ssis_to_dbt_spark.schema import (
+    SSIS_TO_SPARK_TYPE_MAP,
+    VARIABLE_TYPE_CODES,
+    ssis_to_spark_type,
+)
+
+
+class TestTypeMap:
+    def test_common_string_types(self):
+        assert ssis_to_spark_type("DT_WSTR") == T.StringType()
+        assert ssis_to_spark_type("DT_STR") == T.StringType()
+        assert ssis_to_spark_type("wstr") == T.StringType()
+        assert ssis_to_spark_type("str") == T.StringType()
+
+    def test_integer_types(self):
+        assert ssis_to_spark_type("DT_I4") == T.IntegerType()
+        assert ssis_to_spark_type("DT_I8") == T.LongType()
+        assert ssis_to_spark_type("i4") == T.IntegerType()
+        assert ssis_to_spark_type("i8") == T.LongType()
+        assert ssis_to_spark_type("DT_I1") == T.ByteType()
+        assert ssis_to_spark_type("DT_I2") == T.ShortType()
+
+    def test_unsigned_widening(self):
+        # next-wider signed (reference maps DT_UI8 -> NUMERIC(20,0))
+        assert ssis_to_spark_type("DT_UI1") == T.ShortType()
+        assert ssis_to_spark_type("DT_UI2") == T.IntegerType()
+        assert ssis_to_spark_type("DT_UI4") == T.LongType()
+        assert ssis_to_spark_type("DT_UI8") == T.DecimalType(20, 0)
+
+    def test_datetime_types(self):
+        assert ssis_to_spark_type("DT_DBTIMESTAMP") == T.TimestampType()
+        assert ssis_to_spark_type("DT_DBDATE") == T.DateType()
+        assert ssis_to_spark_type("dbTimeStamp") == T.TimestampType()
+
+    def test_boolean_type(self):
+        assert ssis_to_spark_type("DT_BOOL") == T.BooleanType()
+        assert ssis_to_spark_type("bool") == T.BooleanType()
+
+    def test_numeric_types_with_precision(self):
+        assert ssis_to_spark_type("DT_NUMERIC", precision=18, scale=2) == T.DecimalType(18, 2)
+        assert ssis_to_spark_type("DT_DECIMAL", precision=10, scale=0) == T.DecimalType(10, 0)
+        assert ssis_to_spark_type("DT_CY") == T.DecimalType(19, 4)  # MONEY
+
+    def test_numeric_default_precision(self):
+        assert ssis_to_spark_type("DT_NUMERIC") == T.DecimalType(18, 2)
+
+    def test_float_types(self):
+        assert ssis_to_spark_type("DT_R4") == T.FloatType()
+        assert ssis_to_spark_type("DT_R8") == T.DoubleType()
+
+    def test_binary_types(self):
+        assert ssis_to_spark_type("DT_BYTES") == T.BinaryType()
+        assert ssis_to_spark_type("DT_IMAGE") == T.BinaryType()
+
+    def test_unknown_type_falls_back_to_string(self):
+        # reference falls back to NVARCHAR(MAX) (type_mappings.py:83)
+        assert ssis_to_spark_type("UNKNOWN_TYPE") == T.StringType()
+
+    def test_integer_ignores_length(self):
+        assert ssis_to_spark_type("DT_I4", length=10) == T.IntegerType()
+
+    def test_variable_type_codes(self):
+        # reference: src/parser/constants.py:42-51
+        assert VARIABLE_TYPE_CODES["3"] == "DT_I4"
+        assert VARIABLE_TYPE_CODES["7"] == "DT_DATE"
+        assert VARIABLE_TYPE_CODES["8"] == "DT_WSTR"
+
+    def test_map_has_both_name_families(self):
+        for outer, inner in [("DT_WSTR", "wstr"), ("DT_I4", "i4"), ("DT_BOOL", "bool")]:
+            assert outer in SSIS_TO_SPARK_TYPE_MAP
+            assert inner in SSIS_TO_SPARK_TYPE_MAP
+
+
+class TestSnakeCase:
+    def test_camel_case(self):
+        assert to_snake_case("CustomerID") == "customer_id"
+        assert to_snake_case("FirstName") == "first_name"
+
+    def test_pascal_case(self):
+        assert to_snake_case("OrderDate") == "order_date"
+
+    def test_already_snake_case(self):
+        assert to_snake_case("customer_id") == "customer_id"
+
+    def test_all_caps_acronyms(self):
+        assert to_snake_case("HTTPRequest") == "http_request"
+        assert to_snake_case("XMLParser") == "xml_parser"
+
+    def test_mixed_case_with_numbers(self):
+        assert to_snake_case("Order2Customer") == "order2_customer"
+
+    def test_single_word(self):
+        assert to_snake_case("name") == "name"
+        assert to_snake_case("ID") == "id"
+
+    def test_spaces_and_hyphens(self):
+        assert to_snake_case("Order Date") == "order_date"
+        assert to_snake_case("order-date") == "order_date"
+
+
+class TestIdentifierValidation:
+    def test_accepts_clean_identifier(self):
+        assert validate_identifier("customer_id") == "customer_id"
+
+    def test_rejects_sql_injection(self):
+        with pytest.raises(ValueError):
+            validate_identifier("'; DROP TABLE users;--")
+
+    def test_rejects_spaces(self):
+        with pytest.raises(ValueError):
+            validate_identifier("column name")

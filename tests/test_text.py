@@ -1,0 +1,115 @@
+"""Text extension tests: dedup families, similarity search, analysis."""
+
+from pyspark.sql import functions as F
+
+import ssis_to_dbt_spark.text as tx
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestExactDedup:
+    def test_whitespace_case_normalized(self, spark):
+        df = docs_df(spark, [(1, "Hello  World"), (2, "hello world "), (3, "other")])
+        out = tx.exact_dedup(df)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+    def test_groups(self, spark):
+        df = docs_df(spark, [(1, "a b"), (2, "a b"), (3, "c")])
+        groups = {r["canonical_doc_id"]: r["n_docs"] for r in tx.exact_duplicate_groups(df).collect()}
+        assert groups == {1: 2, 3: 1}
+
+
+class TestMinhash:
+    def test_identical_docs_pair(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        df = docs_df(spark, [(1, text), (2, text), (3, "completely different words here nothing shared at all ok")])
+        pairs = tx.minhash_candidates(df).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+        assert pairs[0]["est_jaccard"] == 1.0
+
+    def test_short_docs_do_not_collapse(self, spark):
+        # regression: empty shingle sets used to give all-null signatures
+        df = docs_df(spark, [(1, "hello world"), (2, "foo bar"), (3, "hello world")])
+        pairs = [(r["doc_a"], r["doc_b"]) for r in tx.minhash_candidates(df).collect()]
+        assert pairs == [(1, 3)]
+
+
+class TestSimhash:
+    def test_identical_fingerprints(self, spark):
+        text = "one two three four five six seven eight nine ten"
+        df = docs_df(spark, [(1, text), (2, text)])
+        out = tx.simhash_candidates(df).collect()
+        assert len(out) == 1 and out[0]["hamming_distance"] == 0
+
+
+class TestNgramJaccard:
+    def test_exact_similarity(self, spark):
+        df = docs_df(spark, [
+            (1, "a b c d e"), (2, "a b c d e"), (3, "z z z z z"),
+        ])
+        pairs = tx.ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+class TestSimilarity:
+    def test_brute_force_self_top1(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1])],
+            "vec_id int, embedding array<float>",
+        )
+        top = tx.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+        assert top[0]["vec_id"] == 1 and abs(top[0]["cosine"] - 1.0) < 1e-9
+        assert top[1]["vec_id"] == 3
+
+    def test_knn_join_topk_per_query(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id int, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(100, [9.0, 1.0])], "query_id int, query_vec array<float>"
+        )
+        out = tx.knn_join(queries, corpus, k=3).collect()
+        assert len(out) == 3
+        assert out[0]["vec_id"] == 9
+
+    def test_lsh_bucket_is_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.5, -0.2, 0.8])], "vec_id int, embedding array<float>"
+        )
+        a = df.select(tx.hyperplane_bucket(F.col("embedding"), 8).alias("b")).first()["b"]
+        b = df.select(tx.hyperplane_bucket(F.col("embedding"), 8).alias("b")).first()["b"]
+        assert a == b
+
+
+class TestAnalysis:
+    def test_token_count(self, spark):
+        df = docs_df(spark, [(1, "one two  three"), (2, ""), (3, "   ")])
+        out = {r["doc_id"]: r["n"] for r in df.select(
+            "doc_id", tx.token_count(F.col("text")).alias("n")).collect()}
+        assert out == {1: 3, 2: 0, 3: 0}
+
+    def test_language_id_markers(self, spark):
+        df = docs_df(spark, [
+            (1, "the cat and the dog is a pet"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy plugh qwerty"),
+        ])
+        out = {r["doc_id"]: r["lang"] for r in df.select(
+            "doc_id", tx.language_id(F.col("text")).alias("lang")).collect()}
+        assert out == {1: "en", 2: "de", 3: "und"}
+
+    def test_quality_score_bounds(self, spark):
+        df = docs_df(spark, [(1, "the quick brown fox and the hen"), (2, "")])
+        scores = {r["doc_id"]: r["q"] for r in df.select(
+            "doc_id", tx.quality_score(F.col("text")).alias("q")).collect()}
+        assert 0.0 <= scores[1] <= 1.0
+        assert scores[2] == 0.0
+
+    def test_fingerprint_matches_dedup_normalization(self, spark):
+        df = docs_df(spark, [(1, "A  b"), (2, "a b")])
+        fps = [r["fp"] for r in df.select(
+            tx.document_fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1]
