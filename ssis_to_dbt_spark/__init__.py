@@ -15,11 +15,12 @@ Layout (see SURVEY.md §7.1):
   schema.py         SSIS type system -> Spark types + testdata schemas
   expressions.py    SSIS expression language -> pyspark Column compiler
   sources/          readers (parquet/csv/json/excel-shim/rest-stub) + writers
-  operators/        project/lookup/joins/aggregate/split/setops/scd/incremental/quality
+  operators/        project/lookup/joins/aggregate/split/setops/scd/incremental/
+                    quality/script (pandas escape hatch)
   text/             dedup, similarity search, text analysis, multimodal plumbing
-  streaming/        tumbling/sliding/session windows, watermark incremental
-  plans/            model DAG, topo order, materializations, vars
+  streaming.py      tumbling/sliding/session windows, watermark incremental
+  pipeline.py       model DAG, topo order, materializations, vars
   catalog.py        query registry backing __spark_entry__.py
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

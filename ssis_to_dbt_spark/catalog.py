@@ -982,6 +982,64 @@ UNION ALL SELECT * FROM incoming
 
 
 # ---------------------------------------------------------------------------
+# 28. Script-task escape hatch via Arrow-batched pandas (F1)
+# ---------------------------------------------------------------------------
+
+def q_script_escape_hatch(spark, sf_dir):
+    from .operators.script import script_map
+
+    li = _t(spark, sf_dir)["lineitem"]
+
+    def compute(batches):
+        for pdf in batches:
+            out = pdf[["l_orderkey", "l_linenumber"]].copy()
+            out["net_amount"] = pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+            yield out
+
+    return script_map(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        compute,
+        "l_orderkey bigint, l_linenumber int, net_amount double",
+    )
+
+
+SQL_SCRIPT_HATCH = """
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_amount
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 29. Multimodal binary-column plumbing (extension; decode backend stubbed)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    from .text.multimodal import attach_metadata, decode_image_features
+
+    docs = _t(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    media = attach_metadata(media, modality="image", fmt="fake")
+    feats = decode_image_features(media, backend="fake")
+    return feats.select(
+        "media_id",
+        F.size("features").cast("int").alias("n_features"),
+        "n_bytes",
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS n_features,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1014,6 +1072,8 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "pipeline_dag": q_pipeline_dag,
     "merge_upsert_customers": q_merge_upsert_customers,
+    "script_escape_hatch": q_script_escape_hatch,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -1042,6 +1102,8 @@ ORACLES = {
     "events_sessionize": SQL_SESSIONIZE,
     "pipeline_dag": SQL_PIPELINE_DAG,
     "merge_upsert_customers": SQL_MERGE_UPSERT,
+    "script_escape_hatch": SQL_SCRIPT_HATCH,
+    "multimodal_features": SQL_MULTIMODAL,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
     # xxhash64-based — no DuckDB counterpart; driver records rows-only checks.
 }

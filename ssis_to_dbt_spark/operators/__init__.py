@@ -18,6 +18,7 @@ from .incremental import (
     scalar_bound,
     watermark_filter,
 )
+from .script import pandas_scalar_udf, script_apply_grouped, script_map
 from .quality import (
     accepted_values_violations,
     between_violations,
@@ -40,6 +41,7 @@ __all__ = [
     "union_all", "merge_sorted", "sort",
     "scd2_rebuild", "scd2_snapshot", "merge_upsert",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
+    "pandas_scalar_udf", "script_map", "script_apply_grouped",
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",
     "accepted_values_violations", "between_violations", "preflight_guard",

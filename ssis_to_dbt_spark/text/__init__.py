@@ -16,6 +16,12 @@ from .dedup import (
     simhash,
     simhash_candidates,
 )
+from .multimodal import (
+    attach_metadata,
+    content_fingerprint,
+    decode_image_features,
+    sample_frames,
+)
 from .similarity import (
     brute_force_topk,
     cosine_similarity,
@@ -46,4 +52,8 @@ __all__ = [
     "regex_token_count",
     "rolling_hash",
     "document_fingerprint",
+    "attach_metadata",
+    "content_fingerprint",
+    "decode_image_features",
+    "sample_frames",
 ]

@@ -1,0 +1,184 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+Design for a 100 TB training-data pipeline:
+
+- media payloads are **opaque ``binary`` columns** with a typed metadata
+  struct (modality, format, width/height/duration, byte size) — Spark never
+  interprets the bytes except inside explicitly-declared Pandas-UDF stages;
+- decode / feature-extract / resize / frame-sample run via ``mapInPandas``
+  over Arrow batches, so the JVM↔Python boundary moves whole columns of
+  bytes, not rows, and the stage parallelizes per input partition with no
+  shuffle;
+- batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  — decoding never materializes a partition of raw media at once.
+
+The actual codec calls are STUBBED here (this container ships no
+image/audio libraries): ``decode_image_features`` computes a deterministic
+fake feature vector from the bytes (so the plumbing — schema, batching, UDF
+signature, partitioning — is real and testable), and raises
+``NotImplementedError`` when asked for a real decoder backend.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),    # image | audio | video
+        T.StructField("format", T.StringType()),      # jpeg | png | wav | mp4 ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_METADATA),
+    ]
+)
+
+
+def attach_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    modality: str = "image",
+    fmt: str = "unknown",
+) -> DataFrame:
+    """Stamp the typed metadata struct onto a binary column (n_bytes computed;
+    dimensional fields NULL until a decode stage fills them)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(content_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def content_fingerprint(content: Column) -> Column:
+    """Content-addressed identity for exact media dedup (same pattern as the
+    text content hash): md5 over the raw bytes, computed JVM-side."""
+    return F.md5(content)
+
+
+_FEATURE_DIM = 8
+
+
+def _fake_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real image/audio feature extractor:
+    sha256-derived floats in [0, 1).  Stable across runs and engines."""
+    out = []
+    h = hashlib.sha256(data or b"")
+    for i in range(dim):
+        hi = hashlib.sha256(h.digest() + bytes([i])).digest()
+        out.append(int.from_bytes(hi[:8], "big") / 2**64)
+    return out
+
+
+def decode_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    backend: str = "fake",
+    feature_dim: int = _FEATURE_DIM,
+) -> DataFrame:
+    """Decode + feature-extract stage over ``mapInPandas``.
+
+    Output: (id_col, features array<double>, n_bytes).  ``backend='fake'``
+    runs the deterministic stub; any real backend name raises until the codec
+    libraries are provisioned (mirroring the reference's manual-review flag on
+    Script Tasks, src/parser/models.py:133-142).
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"media decode backend {backend!r} requires image/audio libraries "
+            "not present in this environment; plumbing tested via backend='fake'"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            content = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        _fake_features(b if b is not None else b"", feature_dim)
+                        for b in content
+                    ],
+                    "n_bytes": [len(b) if b is not None else 0 for b in content],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    backend: str = "fake",
+) -> DataFrame:
+    """Video frame-sampling stage (one output row per sampled frame).
+
+    The fake backend emits one deterministic pseudo-frame per
+    ``duration_ms // every_ms`` (duration taken from the metadata struct), so
+    the explode-shaped output contract is exercised without a video codec.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            "video decode requires codec libraries not present here"
+        )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_fingerprint", T.StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for mid, content, dur in zip(
+                pdf[id_col], pdf[content_col], pdf["duration_ms"]
+            ):
+                n = max(int((dur or 0) // every_ms), 1)
+                data = content if content is not None else b""
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    fps.append(hashlib.sha256(data + bytes([i % 256])).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_fingerprint": fps}
+            )
+
+    return df.select(
+        id_col, content_col, F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(sample, schema=schema)

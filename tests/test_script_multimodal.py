@@ -1,0 +1,104 @@
+"""Script-task escape hatch (F1) and multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssis_to_dbt_spark.operators import (
+    pandas_scalar_udf,
+    script_apply_grouped,
+    script_map,
+)
+from ssis_to_dbt_spark.text import (
+    attach_metadata,
+    content_fingerprint,
+    decode_image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"img-bytes-1")), (2, bytearray(b"img2")), (3, None)],
+        "media_id long, content binary",
+    )
+    return attach_metadata(df, modality="image", fmt="fake")
+
+
+class TestScriptHatch:
+    def test_pandas_scalar_udf(self, spark):
+        plus_vat = pandas_scalar_udf(lambda s: s * 1.2, "double")
+        df = spark.createDataFrame([(10.0,), (20.0,)], "amt double")
+        vals = sorted(r["v"] for r in df.select(plus_vat("amt").alias("v")).collect())
+        assert vals == [12.0, 24.0]
+
+    def test_script_map_schema_contract(self, spark):
+        df = spark.createDataFrame([(1, 2), (3, 4)], "a int, b int")
+
+        def fn(batches):
+            for pdf in batches:
+                out = pdf[["a"]].copy()
+                out["total"] = pdf["a"] + pdf["b"]
+                yield out
+
+        out = script_map(df, fn, "a int, total int")
+        assert {r["a"]: r["total"] for r in out.collect()} == {1: 3, 3: 7}
+
+    def test_script_apply_grouped(self, spark):
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 2), ("y", 5)], "g string, n int"
+        )
+
+        def fn(pdf):
+            return pdf.groupby("g", as_index=False).agg(total=("n", "sum"))
+
+        out = script_apply_grouped(df, ["g"], fn, "g string, total long")
+        assert {r["g"]: r["total"] for r in out.collect()} == {"x": 3, "y": 5}
+
+
+class TestMultimodal:
+    def test_metadata_struct(self, media):
+        row = media.filter("media_id = 1").first()
+        assert row["meta"]["modality"] == "image"
+        assert row["meta"]["n_bytes"] == 11
+        assert row["meta"]["width"] is None
+
+    def test_fake_decode_is_deterministic(self, media):
+        a = decode_image_features(media).collect()
+        b = decode_image_features(media).collect()
+        fa = {r["media_id"]: r["features"] for r in a}
+        fb = {r["media_id"]: r["features"] for r in b}
+        assert fa == fb
+        assert len(fa[1]) == 8
+        assert all(0.0 <= x < 1.0 for x in fa[1])
+
+    def test_null_content_handled(self, media):
+        rows = {r["media_id"]: r["n_bytes"] for r in decode_image_features(media).collect()}
+        assert rows[3] == 0
+
+    def test_real_backend_refuses(self, media):
+        with pytest.raises(NotImplementedError, match="backend"):
+            decode_image_features(media, backend="pillow")
+
+    def test_content_fingerprint_dedups(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"same")), (2, bytearray(b"same")), (3, bytearray(b"diff"))],
+            "media_id long, content binary",
+        )
+        fps = [
+            r["fp"]
+            for r in df.select(content_fingerprint(F.col("content")).alias("fp")).collect()
+        ]
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_frame_sampling_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"vid"))], "media_id long, content binary"
+        )
+        vid = attach_metadata(df, modality="video", fmt="fake").withColumn(
+            "meta",
+            F.col("meta").withField("duration_ms", F.lit(3500).cast("long")),
+        )
+        frames = sample_frames(vid, every_ms=1000).collect()
+        assert len(frames) == 3
+        assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
