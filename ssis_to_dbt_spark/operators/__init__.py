@@ -19,6 +19,7 @@ from .incremental import (
     watermark_filter,
 )
 from .script import pandas_scalar_udf, script_apply_grouped, script_map
+from .skew import salted_aggregate, salted_join, top_keys
 from .quality import (
     accepted_values_violations,
     between_violations,
@@ -42,6 +43,7 @@ __all__ = [
     "scd2_rebuild", "scd2_snapshot", "merge_upsert",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
+    "salted_aggregate", "salted_join", "top_keys",
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",
     "accepted_values_violations", "between_violations", "preflight_guard",

@@ -90,6 +90,32 @@ def update_flag(
     shutil.rmtree(old)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table write for co-located joins (SURVEY §7 scale posture).
+
+    Two tables bucketed identically on their join key shuffle ZERO bytes when
+    joined — the sort-merge join reads matching buckets directly; with
+    ``sort_cols`` the per-bucket sort is also pre-done.  This is the 100 TB
+    answer for repeated fact⋈fact joins that broadcast can't handle.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_json(df: DataFrame, path: str) -> None:
     """S10: JSON export sink (ssis_parser.py:620-639)."""
     df.write.mode("overwrite").json(path)
