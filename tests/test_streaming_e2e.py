@@ -1,0 +1,107 @@
+"""End-to-end Structured Streaming: file source -> watermarked tumbling
+window -> checkpointed parquet sink with availableNow trigger (ST1-ST3).
+
+Append-mode windowed aggregation only emits a window once the watermark
+passes its end, and the watermark a batch USES is the one computed from the
+PREVIOUS batch — so these tests drive multiple availableNow runs over the
+same checkpoint, exactly how a scheduled micro-batch pipeline (the
+reference's InventorySync cadence) runs in production.  The checkpoint
+replaces etl.SyncLog; re-listing the source must not reprocess old files.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssis_to_dbt_spark.streaming import (
+    read_events_stream,
+    tumbling_window,
+    write_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("append").parquet(path)
+
+
+def run_once(spark, src, out, ckpt):
+    stream = read_events_stream(spark, src, SCHEMA)
+    windowed = tumbling_window(
+        stream, "ts", "10 minutes",
+        keys=["event_type"],
+        aggs={"n": F.count(F.lit(1))},
+        watermark="1 second",
+    )
+    q = write_stream(windowed, out, ckpt, mode="append")
+    q.awaitTermination(120)
+
+
+def read_out(spark, out):
+    try:
+        return {
+            (r["window_start"].isoformat(), r["event_type"]): r["n"]
+            for r in spark.read.parquet(out).collect()
+        }
+    except Exception:
+        return {}
+
+
+class TestStreamingEndToEnd:
+    def test_micro_batch_cadence_emits_closed_windows(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        write_batch(spark, src, [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (2, "2024-01-01 00:04:00", "a", 2.0),
+            (3, "2024-01-01 00:11:00", "b", 3.0),
+            (4, "2024-01-01 00:25:00", "a", 4.0),
+        ])
+        run_once(spark, src, out, ckpt)
+        # availableNow runs a finalizing batch after ingesting: the watermark
+        # (max ts - 1s = 00:24:59) closes the first two windows; the 00:20
+        # window stays open awaiting later data
+        assert read_out(spark, out) == {
+            ("2024-01-01T00:00:00", "a"): 2,
+            ("2024-01-01T00:10:00", "b"): 1,
+        }
+
+        # next micro-batch arrives -> watermark 00:59:59 closes 00:20
+        write_batch(spark, src, [(5, "2024-01-01 01:00:00", "a", 5.0)])
+        run_once(spark, src, out, ckpt)
+        assert read_out(spark, out) == {
+            ("2024-01-01T00:00:00", "a"): 2,
+            ("2024-01-01T00:10:00", "b"): 1,
+            ("2024-01-01T00:20:00", "a"): 1,
+        }
+
+    def test_checkpoint_prevents_reprocessing(self, spark, tmp_path):
+        src = str(tmp_path / "src2")
+        out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+        write_batch(spark, src, [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (2, "2024-01-01 00:30:00", "a", 2.0),
+        ])
+        run_once(spark, src, out, ckpt)
+        write_batch(spark, src, [(3, "2024-01-01 01:00:00", "a", 3.0)])
+        run_once(spark, src, out, ckpt)
+        after_two = read_out(spark, out)
+        assert after_two == {
+            ("2024-01-01T00:00:00", "a"): 1,
+            ("2024-01-01T00:30:00", "a"): 1,
+        }
+        # re-run with NO new input over the same checkpoint: exactly-once,
+        # nothing reprocessed, output unchanged
+        run_once(spark, src, out, ckpt)
+        assert read_out(spark, out) == after_two
