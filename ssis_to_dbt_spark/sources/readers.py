@@ -88,7 +88,11 @@ def read_rest_api(spark: SparkSession, url: str, schema: T.StructType) -> DataFr
             "REST ingestion is an out-of-band job (reference flags it manual); "
             "point read_rest_api at the landed JSON/parquet path instead"
         )
-    if url.endswith(".parquet") or os.path.isdir(url):
+    is_parquet = url.endswith(".parquet") or (
+        os.path.isdir(url)
+        and any(f.endswith(".parquet") for f in os.listdir(url))
+    )
+    if is_parquet:
         return read_parquet(spark, url, schema)
     return read_json(spark, url, schema)
 
