@@ -234,6 +234,10 @@ FROM a
 
 def q_dim_customer_scd2(spark, sf_dir):
     o = _t(spark, sf_dir)["orders"]
+    # One shuffle for the whole SCD build: partitioning on the natural key
+    # alone satisfies the finer (key, date) clustering of the dedupe window,
+    # so the dedupe AND the version-chain windows all reuse this exchange.
+    o = o.repartition("o_custkey")
     w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
     history = (
         o.withColumn("_rn", F.row_number().over(w))

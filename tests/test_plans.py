@@ -1,0 +1,77 @@
+"""Plan-shape regression tests — the 100 TB performance contract.
+
+These assert the PHYSICAL plan properties the engine's scale story depends
+on; a change that silently turns a broadcast join into a shuffle join or
+un-pushes a filter fails here, not in production.
+"""
+
+import pytest
+
+from ssis_to_dbt_spark import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name, mode="formatted"):
+    df = catalog.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+class TestPlanShapes:
+    def test_staging_filter_pushed_to_scan(self, spark):
+        plan = plan_of(spark, "stg_sales_transactions")
+        assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,N)]" in plan
+
+    def test_staging_single_codegen_stage(self, spark):
+        # scan -> filter -> project collapses into one codegen pipeline
+        plan = plan_of(spark, "stg_sales_transactions", "simple")
+        # "*(1)" markers = codegen stage ids; exactly one stage, id 1
+        assert "*(1) Project" in plan and "*(2)" not in plan
+
+    def test_star_join_broadcasts_dims_fact_never_shuffles(self, spark):
+        plan = plan_of(spark, "fct_sales_star", "simple")
+        assert plan.count("BroadcastHashJoin") == 3
+        assert "Exchange hashpartitioning" not in plan
+        # dim filters pushed into the dim scans, not applied post-join
+        assert "GreaterThan(c_acctbal,0.0)" in plan
+
+    def test_star_join_prunes_dim_columns_before_broadcast(self, spark):
+        plan = plan_of(spark, "fct_sales_star")
+        # customer scan must read only the 3 needed columns, not all 5
+        assert "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,c_mktsegment:string>" in plan
+
+    def test_aggregate_has_mapside_partial(self, spark):
+        plan = plan_of(spark, "agg_daily_sales", "simple")
+        assert "partial_sum" in plan
+        assert plan.count("Exchange") == 1  # exactly one shuffle, on group keys
+
+    def test_topk_uses_take_ordered_not_global_sort(self, spark):
+        plan = plan_of(spark, "top_events", "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [" not in plan  # no full sort of the table
+
+    def test_semi_join_stays_semi(self, spark):
+        plan = plan_of(spark, "orders_semi_join", "simple")
+        assert "LeftSemi" in plan
+
+    def test_scd2_single_shuffle_on_natural_key(self, spark):
+        # window partitionBy o_custkey: dedupe + lag + row_number + lead all
+        # reuse one hash partitioning on the natural key
+        plan = plan_of(spark, "dim_customer_scd2", "simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_lookup_no_python_udfs_anywhere_on_hot_paths(self, spark):
+        for name in ["stg_sales_transactions", "fct_sales_star", "agg_daily_sales",
+                     "dim_customer_scd2", "events_tumbling_10min"]:
+            plan = plan_of(spark, name, "simple")
+            assert "BatchEvalPython" not in plan, name
+            assert "PythonUDF" not in plan, name
+
+    def test_minhash_is_single_agg_shuffle_then_band_join(self, spark):
+        plan = plan_of(spark, "minhash_pairs_docs", "simple")
+        # signature build: one explode + one aggregate on doc_id; banding is
+        # an equi-join (SMJ or shuffled hash on band hash) — NO cartesian
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
