@@ -90,6 +90,40 @@ def update_flag(
     shutil.rmtree(old)
 
 
+def update_flag_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    flag_col: str,
+    where,
+    new_value,
+) -> None:
+    """D6 at scale: flag flip touching ONLY the partitions that contain
+    matching rows.
+
+    The 100 TB answer to ``UPDATE ... WHERE``: find the affected partition
+    values (a pruned aggregate), re-read just those partitions, recompute the
+    flag, and dynamic-partition-overwrite them back.  Unaffected partitions —
+    at scale, almost all of them — are never read or written.
+    """
+    df = spark.read.parquet(path)
+    affected = df.filter(where(df)).select(*partition_cols).distinct()
+    hit = df.join(F.broadcast(affected), on=partition_cols, how="left_semi")
+    updated = hit.withColumn(
+        flag_col, F.when(where(hit), F.lit(new_value)).otherwise(F.col(flag_col))
+    )
+    staging = path.rstrip("/") + "__flag_staging"
+    updated.write.mode("overwrite").parquet(staging)
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    shutil.rmtree(staging)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -128,3 +128,24 @@ class TestContainers:
         out = pipe.run({"src": kv}, parallel_tables=True)
         assert out["t1"].count() == 2
         assert out["t2"].count() == 1
+
+
+class TestUpdateFlagPartitioned:
+    def test_touches_only_affected_partitions(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.writers import update_flag_partitioned
+
+        p = str(tmp_path / "flags")
+        df = spark.createDataFrame(
+            [(d, i, 0) for d in ("d1", "d2", "d3") for i in range(10)],
+            "part string, id int, flag int",
+        )
+        df.write.partitionBy("part").parquet(p)
+        # flip flags only where part='d2' and id < 5
+        update_flag_partitioned(
+            spark, p, ["part"], "flag",
+            lambda f: (f["part"] == "d2") & (f["id"] < 5), 1,
+        )
+        back = spark.read.parquet(p)
+        assert back.count() == 30
+        flipped = {(r["part"], r["id"]) for r in back.filter("flag = 1").collect()}
+        assert flipped == {("d2", i) for i in range(5)}
