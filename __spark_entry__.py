@@ -12,7 +12,11 @@ operator family from SURVEY.md §2 plus the LLM-pipeline extensions
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
