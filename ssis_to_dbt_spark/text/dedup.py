@@ -144,20 +144,25 @@ def minhash_candidates(
         ).alias("band"),
     ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
 
+    # Pair generation joins on IDS ONLY — carrying the 64-component signature
+    # arrays through the band join and the pair dedup would multiply the
+    # shuffle width by ~2x64x8 bytes/row.  Signatures re-attach afterwards,
+    # once per deduped pair.
     left = banded.select(
-        F.col("band_idx"), F.col("band_hash"),
-        F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"),
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_a")
     )
     right = banded.select(
-        F.col("band_idx"), F.col("band_hash"),
-        F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"),
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_b")
     )
     pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    paired = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
     est = (
         F.size(
             F.filter(
@@ -167,7 +172,7 @@ def minhash_candidates(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return paired.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def simhash(text: Column, bits: int = 48) -> Column:
