@@ -28,13 +28,21 @@ def _tokens(text: Column) -> Column:
 
 
 def shingle(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct) of lowercased text."""
+    """Word n-gram shingles (distinct) of lowercased text.
+
+    Built as ``zip_with`` over n shifted slices of the token array rather
+    than ``transform(sequence(...), i -> slice(toks, i, n))``: higher-order
+    lambdas are interpreted (no codegen, no subexpression elimination), so an
+    expression captured INSIDE a lambda — here the regex tokenizer — would
+    re-evaluate once per gram.  The slice formulation evaluates the tokenizer
+    n times per document instead of once per gram (~sequence-length times).
+    """
     toks = _tokens(text)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = F.slice(toks, 1, k)
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, k)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     # Docs shorter than n tokens get ONE shingle = the whole normalized text.
     # An empty shingle set would give every short doc an all-null minhash
     # signature, collapsing all of them into a single quadratic LSH bucket;
