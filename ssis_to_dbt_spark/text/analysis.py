@@ -109,9 +109,14 @@ def rolling_hash(text: Column, window: int = 8) -> Column:
     as a cheap containment signal between documents; xxhash64 keeps it inside
     codegen."""
     toks = _ws_tokens(text)
-    k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
-    slices = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
-    )
-    return F.array_min(slices)
+    k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
+    # zip_with over shifted slices, not transform(sequence, i -> slice(...)):
+    # an expression captured inside an interpreted HOF lambda (the tokenizer)
+    # would re-evaluate once per window position (see text/dedup.py:shingle)
+    grams = F.slice(toks, 1, k)
+    for i in range(1, window):
+        shifted = F.slice(toks, i + 1, k)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # docs shorter than the window hash as a single whole-text gram
+    grams = F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
