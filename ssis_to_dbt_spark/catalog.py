@@ -40,6 +40,7 @@ from .operators import (
     duplicate_keys,
     incremental_merge,
     lookup,
+    lookup_chain,
     merge_join,
     merge_sorted,
     merge_upsert,
@@ -137,16 +138,22 @@ def q_fct_sales_star(spark, sf_dir):
     cust = t["customer"].select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"
     )
-    fact = lookup(
-        fact,
-        cust,
-        on=["o_custkey"],
-        select={"c_mktsegment": "mkt_segment"},
-        dim_filter=F.col("c_acctbal") > 0,
-        no_match=LookupNoMatch.IGNORE,
-    )
     part_dim = t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand")
-    fact = lookup(fact, part_dim, on=["l_partkey"], select={"p_brand": "brand"})
+    # J2: sequential CTE-style lookup chain — one Catalyst plan, N broadcast
+    # hash joins, the fact side never shuffles
+    fact = lookup_chain(
+        fact,
+        [
+            dict(
+                dim=cust,
+                on=["o_custkey"],
+                select={"c_mktsegment": "mkt_segment"},
+                dim_filter=F.col("c_acctbal") > 0,
+                no_match=LookupNoMatch.IGNORE,
+            ),
+            dict(dim=part_dim, on=["l_partkey"], select={"p_brand": "brand"}),
+        ],
+    )
     return fact.select(
         surrogate_key(F.col("l_orderkey"), F.col("l_linenumber")).alias("sales_key"),
         F.col("l_orderkey").alias("order_key"),
