@@ -1051,6 +1051,100 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# 30. Dataset profile (QA stats, one aggregation pass per column)
+# ---------------------------------------------------------------------------
+
+def q_dataset_profile(spark, sf_dir):
+    from .operators.profile import dataset_profile
+
+    o = _t(spark, sf_dir)["orders"]
+    return dataset_profile(o, ["o_orderstatus", "o_custkey", "o_totalprice"])
+
+
+SQL_DATASET_PROFILE = """
+SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS n_null,
+       COUNT(DISTINCT o_orderstatus) AS n_distinct,
+       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       COUNT(*) FILTER (WHERE o_custkey IS NULL),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# 31. Corpus curation — the full training-data story in one plan:
+#     exact dedup -> language/quality/token filters -> curated manifest
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation(spark, sf_dir):
+    from .text import exact_dedup
+
+    docs = _t(spark, sf_dir)["documents"]
+    deduped = exact_dedup(docs)
+    txt = F.col("text")
+    enriched = deduped.select(
+        "doc_id",
+        token_count(txt).alias("n_tokens"),
+        language_id(txt).alias("lang_pred"),
+        quality_score(txt).alias("q_score"),
+        document_fingerprint(txt).alias("fingerprint"),
+    )
+    return enriched.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("q_score") >= 0.45)
+        & F.col("n_tokens").between(10, 1000)
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+b AS (
+  SELECT d.doc_id, d.text,
+    CASE WHEN trim(d.text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(lower(d.text), '\b(the|and|of|to|is|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(d.text), '\b(der|die|und|das|ist|nicht)\b')) AS s_de,
+    len(regexp_extract_all(lower(d.text), '\b(le|la|et|les|des|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(d.text), '\b(el|los|las|es|una|y)\b')) AS s_es,
+    length(d.text) AS n_chars,
+    length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alpha
+  FROM documents d JOIN canon USING (doc_id)),
+scored AS (
+  SELECT doc_id,
+    CAST(n_tokens AS INTEGER) AS n_tokens,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS lang_pred,
+    (least(n_chars / 1000.0, 1.0)
+     + CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END
+     + CASE WHEN n_tokens > 0
+            THEN least(CAST(s_en AS DOUBLE) / n_tokens / 0.2, 1.0) ELSE 0.0 END) / 3.0
+      AS q_score,
+    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM b)
+SELECT * FROM scored
+WHERE lang_pred = 'en' AND q_score >= 0.45 AND n_tokens BETWEEN 10 AND 1000
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1085,6 +1179,8 @@ QUERIES = {
     "merge_upsert_customers": q_merge_upsert_customers,
     "script_escape_hatch": q_script_escape_hatch,
     "multimodal_features": q_multimodal_features,
+    "dataset_profile": q_dataset_profile,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLES = {
@@ -1115,6 +1211,8 @@ ORACLES = {
     "merge_upsert_customers": SQL_MERGE_UPSERT,
     "script_escape_hatch": SQL_SCRIPT_HATCH,
     "multimodal_features": SQL_MULTIMODAL,
+    "dataset_profile": SQL_DATASET_PROFILE,
+    "corpus_curation": SQL_CORPUS_CURATION,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
     # xxhash64-based — no DuckDB counterpart; driver records rows-only checks.
 }

@@ -192,3 +192,26 @@ class TestUpdateFlag:
             for r in spark.read.parquet(p).groupBy("flag").count().collect()
         }
         assert counts == {1: 10, 2: 10}
+
+
+class TestDatasetProfile:
+    def test_profile_stats(self, spark):
+        from ssis_to_dbt_spark.operators.profile import dataset_profile
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], "k int, v string"
+        )
+        prof = {r["column"]: r for r in dataset_profile(df, ["k", "v"]).collect()}
+        assert prof["k"]["n_rows"] == 3
+        assert prof["k"]["n_null"] == 0
+        assert prof["k"]["n_distinct"] == 2
+        assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "2"
+        assert prof["v"]["n_null"] == 1
+        assert prof["v"]["n_distinct"] == 2  # distinct ignores NULL
+
+    def test_approximate_mode_runs(self, spark):
+        from ssis_to_dbt_spark.operators.profile import dataset_profile
+
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        prof = dataset_profile(df, ["k"], approximate=True).first()
+        assert abs(prof["n_distinct"] - 1000) < 100
