@@ -845,6 +845,34 @@ FROM events GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# 24b. Sliding (hopping) windows over events (ST4)
+# ---------------------------------------------------------------------------
+
+def q_events_sliding_30min(spark, sf_dir):
+    from .streaming import sliding_window
+
+    e = _t(spark, sf_dir)["events"]
+    return sliding_window(
+        e, "ts", "30 minutes", "10 minutes",
+        keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1))},
+    )
+
+
+SQL_SLIDING = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 - k * 600 AS start_epoch
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+SELECT make_timestamp(start_epoch * 1000000) AS window_start,
+       make_timestamp((start_epoch + 1800) * 1000000) AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM e GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 25. Session windows over events (ST4)
 # ---------------------------------------------------------------------------
 
@@ -1174,6 +1202,7 @@ QUERIES = {
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
     "knn_join_embeddings": q_knn_join_embeddings,
     "events_tumbling_10min": q_events_tumbling_10min,
+    "events_sliding_30min": q_events_sliding_30min,
     "events_sessionize": q_events_sessionize,
     "pipeline_dag": q_pipeline_dag,
     "merge_upsert_customers": q_merge_upsert_customers,
@@ -1206,6 +1235,7 @@ ORACLES = {
     "topk_embeddings": SQL_TOPK_EMB,
     "knn_join_embeddings": SQL_KNN_JOIN,
     "events_tumbling_10min": SQL_TUMBLING,
+    "events_sliding_30min": SQL_SLIDING,
     "events_sessionize": SQL_SESSIONIZE,
     "pipeline_dag": SQL_PIPELINE_DAG,
     "merge_upsert_customers": SQL_MERGE_UPSERT,
