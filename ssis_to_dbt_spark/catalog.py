@@ -1173,6 +1173,55 @@ WHERE lang_pred = 'en' AND q_score >= 0.45 AND n_tokens BETWEEN 10 AND 1000
 
 
 # ---------------------------------------------------------------------------
+# 32. Deterministic content-hash train/test split (extension: sampling)
+# ---------------------------------------------------------------------------
+
+def q_hash_split_docs(spark, sf_dir):
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir)["documents"]
+    return hash_split(docs, "doc_id", test_pct=10).select("doc_id", "split")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 33. Deterministic token-budget sampling (extension: sampling)
+# ---------------------------------------------------------------------------
+
+def q_token_budget_docs(spark, sf_dir):
+    from .operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir)["documents"]
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_sample(with_tokens, "n_tokens", budget=8000, key_col="doc_id")
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY substr(h, 1, 1) ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, n_tokens FROM c WHERE cum <= 8000 / 16.0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1210,6 +1259,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "dataset_profile": q_dataset_profile,
     "corpus_curation": q_corpus_curation,
+    "hash_split_docs": q_hash_split_docs,
+    "token_budget_docs": q_token_budget_docs,
 }
 
 ORACLES = {
@@ -1243,6 +1294,8 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL,
     "dataset_profile": SQL_DATASET_PROFILE,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "hash_split_docs": SQL_HASH_SPLIT,
+    "token_budget_docs": SQL_TOKEN_BUDGET,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
     # xxhash64-based — no DuckDB counterpart; driver records rows-only checks.
 }

@@ -1,0 +1,98 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+Reproducibility is the constraint: a train/test assignment must not change
+when the job reruns, when partitioning changes, or when rows arrive in a
+different order.  Everything here is CONTENT-ADDRESSED (md5 of a key), never
+``rand()`` — the same row lands in the same split on any engine, which also
+makes the operators oracle-checkable.
+
+All bucket logic compares fixed-width lowercase HEX PREFIXES of the hash as
+strings: equal-width hex strings order exactly like their numeric values, and
+string comparison is portable across engines (no hex→int builtin needed).
+
+- ``hash_split``: stable percentage split on the 2-hex-char (256-bucket)
+  prefix.
+- ``stratified_sample``: per-stratum fractions on the 4-hex-char
+  (65536-bucket) prefix.
+- ``token_budget_sample``: deterministic subset whose token counts fill a
+  budget.  The scale-safe shape: the first hex char splits rows into 16
+  buckets, each bucket gets budget/16 and runs its own cumulative-sum window
+  — windows partition by bucket, so no single-partition global sort exists at
+  any data size (a global ``ORDER BY hash`` cumsum would serialize 100 TB
+  through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_hex(key: Column) -> Column:
+    return F.md5(key.cast("string"))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    test_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Stable train/test split: 2-hex-char prefix of md5(key) under the
+    threshold.  Realized fraction is exact over 256 buckets
+    (10% -> 25/256 ≈ 9.77%)."""
+    threshold = f"{(256 * test_pct) // 100:02x}"
+    prefix = F.substring(_hash_hex(F.col(key_col)), 1, 2)
+    return df.withColumn(
+        split_col,
+        F.when(prefix < threshold, F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row when its 4-hex-char
+    hash prefix falls under the stratum's fraction of the 65536 buckets."""
+    def hex4(frac: float) -> str:
+        return f"{min(int(frac * 65536), 65536):04x}"
+
+    prefix = F.substring(_hash_hex(F.col(key_col)), 1, 4)
+    threshold = F.lit(hex4(default_fraction))
+    for value, f in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(hex4(float(f)))
+        ).otherwise(threshold)
+    return df.filter(prefix < threshold)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic subset whose summed ``token_col`` fills ``budget``.
+
+    Rows order by content hash within 16 first-hex-char buckets; each bucket
+    admits rows while its cumulative token count stays within budget/16.
+    Deterministic, engine-independent, and parallel (cumsum windows partition
+    by bucket)."""
+    h = _hash_hex(F.col(key_col))
+    per_bucket = budget / 16.0
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_bucket", F.substring(F.col("_h"), 1, 1))
+        .withColumn("_cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("_cum") <= per_bucket)
+        .drop("_h", "_bucket", "_cum")
+    )

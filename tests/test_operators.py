@@ -215,3 +215,41 @@ class TestDatasetProfile:
         df = spark.range(1000).withColumnRenamed("id", "k")
         prof = dataset_profile(df, ["k"], approximate=True).first()
         assert abs(prof["n_distinct"] - 1000) < 100
+
+
+class TestSampling:
+    def test_hash_split_stable_and_disjoint(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import hash_split
+
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = {r["k"]: r["split"] for r in hash_split(df, "k", 10).collect()}
+        b = {r["k"]: r["split"] for r in hash_split(df, "k", 10).collect()}
+        assert a == b  # deterministic across runs
+        test_frac = sum(1 for v in a.values() if v == "test") / 1000
+        assert 0.05 < test_frac < 0.15  # ~25/256
+
+    def test_stratified_sample_fractions(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(2000)], "k int, s string"
+        )
+        out = stratified_sample(df, "s", {"a": 0.5, "b": 0.1}, key_col="k")
+        counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+        assert 400 < counts["a"] < 600
+        assert 50 < counts.get("b", 0) < 150
+
+    def test_token_budget_under_budget_and_stable(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import token_budget_sample
+
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(1000)], "k int, n_tokens int"
+        )
+        out = token_budget_sample(df, "n_tokens", budget=1600, key_col="k")
+        total = out.agg(F.sum("n_tokens")).first()[0]
+        assert total <= 1600
+        assert total >= 1200  # buckets fill close to their share
+        again = token_budget_sample(df, "n_tokens", budget=1600, key_col="k")
+        assert sorted(r["k"] for r in out.collect()) == sorted(
+            r["k"] for r in again.collect()
+        )
