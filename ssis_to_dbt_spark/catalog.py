@@ -28,7 +28,6 @@ from pyspark.sql import types as T
 from .expressions import (
     compile_ssis_expression,
     nullif_trim,
-    safe_divide,
     surrogate_key,
 )
 from .operators import (
@@ -39,7 +38,6 @@ from .operators import (
     conditional_split_tagged,
     duplicate_keys,
     incremental_merge,
-    lookup,
     lookup_chain,
     merge_join,
     merge_sorted,
@@ -50,7 +48,6 @@ from .operators import (
     scd2_snapshot,
     semi_join,
     typed_project,
-    union_all,
     watermark_filter,
 )
 from .operators.incremental import max_watermark
