@@ -1219,6 +1219,32 @@ SELECT doc_id, n_tokens FROM c WHERE cum <= 8000 / 16.0
 
 
 # ---------------------------------------------------------------------------
+# 34. ExecuteSQLTask: the same SQL text runs on Spark SQL and on the DuckDB
+# oracle — pricing-summary (TPC-H Q1 shaped) over registered views
+# ---------------------------------------------------------------------------
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_task_pricing(spark, sf_dir):
+    from .operators.sql_task import execute_sql, register_views
+
+    register_views(spark, {"lineitem": _t(spark, sf_dir)["lineitem"]})
+    return execute_sql(spark, SQL_PRICING_SUMMARY, result_set="Full")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1258,6 +1284,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
+    "sql_task_pricing": q_sql_task_pricing,
 }
 
 ORACLES = {
@@ -1293,6 +1320,7 @@ ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
+    "sql_task_pricing": SQL_PRICING_SUMMARY,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
     # xxhash64-based — no DuckDB counterpart; driver records rows-only checks.
 }

@@ -253,3 +253,18 @@ class TestSampling:
         assert sorted(r["k"] for r in out.collect()) == sorted(
             r["k"] for r in again.collect()
         )
+
+
+class TestSqlTask:
+    def test_result_set_contracts(self, spark):
+        from ssis_to_dbt_spark.operators.sql_task import execute_sql, register_views
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        register_views(spark, {"tbl": df})
+        full = execute_sql(spark, "SELECT * FROM tbl WHERE k = 2")
+        assert full.count() == 1
+        row = execute_sql(
+            spark, "SELECT max(k) AS mx FROM tbl", result_set="SingleRow"
+        )
+        assert row["mx"] == 2
+        assert execute_sql(spark, "SELECT 1", result_set="None") is None
