@@ -134,13 +134,24 @@ class SourceRegistry:
         return self.models[name]
 
 
+_TESTDATA_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's test tables with explicit schemas, UTC session tz.
 
     The session timezone matters: the parquet timestamps are naive; pinning
     UTC makes Spark's instant->date extraction agree with DuckDB's (the
     correctness oracle) naive-timestamp arithmetic.
+
+    DataFrames are memoized per (session, dir): re-reading creates a fresh
+    file index (a directory listing) per table per call, which dominates
+    small-query latency when many queries run in one session.
     """
+    cache_key = (id(spark), sf_dir)
+    cached = _TESTDATA_CACHE.get(cache_key)
+    if cached is not None:
+        return dict(cached)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.ts is parquet TIMESTAMP(NANOS) — unreadable as TimestampType;
     # read raw nanos and truncate to microseconds (what DuckDB's microsecond
@@ -155,4 +166,5 @@ def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out["events"] = out["events"].withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
-    return out
+    _TESTDATA_CACHE[cache_key] = out
+    return dict(out)
