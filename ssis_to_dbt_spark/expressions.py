@@ -315,6 +315,18 @@ class SSISExpressionCompiler:
             if len(args) == 1:
                 return args[0].isNull(), False
             return F.coalesce(args[0], args[1]), arg_str[0] or arg_str[1]
+        if name == "CONCAT":
+            # T-SQL CONCAT treats NULL as '' (unlike SSIS `+`)
+            return tsql_concat(*args), True
+        if name == "COALESCE":
+            return F.coalesce(*args), any(arg_str)
+        if name == "NULLIF":
+            return F.when(args[0] == args[1], F.lit(None)).otherwise(args[0]), arg_str[0]
+        if name == "IIF":
+            return F.when(args[0], args[1]).otherwise(args[2]), arg_str[1] or arg_str[2]
+        if name == "CHARINDEX":
+            # T-SQL argument order: CHARINDEX(find, str) — FINDSTRING reversed
+            return F.instr(args[1], args[0]), False
         if name == "SUBSTRING":
             return F.substring(args[0], args[1], args[2]), True
         if name == "LEFT":

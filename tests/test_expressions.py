@@ -182,3 +182,27 @@ class TestVariables:
     def test_unbound_variable_raises(self):
         with pytest.raises(ValueError, match="unbound variable"):
             compile_ssis_expression("@[User::Missing] + 1")
+
+
+class TestTsqlScalarNames:
+    def test_concat_null_as_empty(self, spark):
+        c = compile_ssis_expression('CONCAT([first], "-", [last])', columns=STR_COLS)
+        assert one(spark, c, first="a", last=None) == "a-"
+
+    def test_coalesce(self, spark):
+        c = compile_ssis_expression('COALESCE([first], [last], "z")', columns=STR_COLS)
+        assert one(spark, c, first=None, last=None) == "z"
+
+    def test_nullif(self, spark):
+        c = compile_ssis_expression('NULLIF([first], "x")', columns=STR_COLS)
+        assert one(spark, c, first="x") is None
+        assert one(spark, c, first="y") == "y"
+
+    def test_iif(self, spark):
+        c = compile_ssis_expression('IIF([n] > 5, "big", "small")')
+        assert one(spark, c, n=9) == "big"
+
+    def test_charindex_arg_order(self, spark):
+        # CHARINDEX(find, str) vs FINDSTRING(str, find)
+        c = compile_ssis_expression('CHARINDEX("@", [first])', columns=STR_COLS)
+        assert one(spark, c, first="a@b") == 2
