@@ -58,8 +58,10 @@ def main():
     import __spark_entry__ as mod
     from ssis_to_dbt_spark.session import build_session
 
+    import os
+
     spark = build_session(
-        shuffle_partitions=16,
+        shuffle_partitions=int(os.environ.get("CHECK_SHUFFLE", "16")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
