@@ -60,11 +60,14 @@ from .text import (
     knn_join,
     language_id,
     lsh_topk,
+    lsh_topk_md5,
     minhash_candidates,
+    minhash_candidates_md5,
     ngram_jaccard_pairs,
     quality_score,
     regex_token_count,
     simhash_candidates,
+    simhash_md5_candidates,
     token_count,
 )
 from .text.analysis import document_fingerprint
@@ -735,6 +738,80 @@ def q_simhash_pairs_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 19b/20b. Portable md5 twins of the xxhash64 dedup ops — identical plan
+# shapes (explode -> min-agg -> banded equi-join), but every hash is md5 so
+# the DuckDB oracle reproduces the EXACT pair sets and signatures.  The
+# xxhash64 entries above stay as the production/bench path (cheaper hash);
+# these prove the algorithms correct end-to-end.
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs_md5(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return minhash_candidates_md5(docs, num_hashes=8, bands=4)
+
+
+SQL_MINHASH_MD5 = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0),
+perms AS (SELECT range AS perm FROM range(8)),
+sig AS (SELECT doc_id, perm, min(md5(perm || ':' || sh)) AS sig
+        FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+band AS (SELECT doc_id, perm // 2 AS band_idx,
+                md5(string_agg(sig, '|' ORDER BY perm)) AS band_hash
+         FROM sig GROUP BY doc_id, perm // 2),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM band a JOIN band b USING (band_idx, band_hash)
+          WHERE a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+GROUP BY p.doc_a, p.doc_b
+"""
+
+
+def q_simhash_pairs_md5(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return simhash_md5_candidates(docs, bits=32, band_bits=16)
+
+
+SQL_SIMHASH_MD5 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks),
+votes AS (SELECT doc_id, j.range AS j,
+                 SUM(CASE WHEN (h >> CAST(j.range AS INTEGER)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN range(32) j GROUP BY doc_id, j.range),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN v > 0
+                            THEN 1::BIGINT << CAST(j AS INTEGER)
+                            ELSE 0 END) AS BIGINT) AS simhash
+       FROM votes GROUP BY doc_id),
+band AS (SELECT doc_id, simhash, b.range AS band_idx,
+                (simhash >> CAST(b.range * 16 AS INTEGER)) & 65535 AS band_val
+         FROM fp CROSS JOIN range(2) b)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming_distance
+FROM band a JOIN band b USING (band_idx, band_val)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 21. Brute-force cosine top-k over embeddings (extension: similarity)
 # ---------------------------------------------------------------------------
 
@@ -772,6 +849,48 @@ def q_lsh_topk_embeddings(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     top = lsh_topk(emb, list(qvec), k=10, num_planes=4)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+def q_lsh_topk_md5(spark, sf_dir):
+    """Oracle-reproducible LSH top-k: md5-derived hyperplanes, so DuckDB
+    computes the identical bucket ids and candidate set (fixture dim = 64)."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = lsh_topk_md5(emb, list(qvec), k=10, num_planes=4)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_LSH_TOPK_MD5 = r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT p.range AS p,
+         list(CASE WHEN CAST('0x' || substr(md5(p.range || ',' || j.range), 1, 15)
+                             AS BIGINT) & 1 = 1
+                   THEN 1.0 ELSE -1.0 END ORDER BY j.range) AS pl
+  FROM range(4) p CROSS JOIN range(64) j
+  GROUP BY p.range),
+bk AS (SELECT e.vec_id,
+              CAST(SUM(CASE WHEN list_inner_product(e.v, planes.pl) > 0
+                            THEN 1::BIGINT << CAST(planes.p AS INTEGER)
+                            ELSE 0 END) AS BIGINT) AS bucket
+       FROM e CROSS JOIN planes GROUP BY e.vec_id),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.v
+         FROM e JOIN bk USING (vec_id), qb
+         WHERE bk.bucket = qb.qbucket),
+scored AS (
+  SELECT cand.vec_id,
+         CASE WHEN sqrt(list_inner_product(cand.v, cand.v))
+                   * sqrt(list_inner_product(q.qv, q.qv)) > 0
+              THEN list_inner_product(cand.v, q.qv)
+                   / (sqrt(list_inner_product(cand.v, cand.v))
+                      * sqrt(list_inner_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cosine
+  FROM cand, q)
+SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1270,8 +1389,11 @@ QUERIES = {
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
+    "minhash_pairs_md5": q_minhash_pairs_md5,
+    "simhash_pairs_md5": q_simhash_pairs_md5,
     "topk_embeddings": q_topk_embeddings,
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
+    "lsh_topk_md5": q_lsh_topk_md5,
     "knn_join_embeddings": q_knn_join_embeddings,
     "events_tumbling_10min": q_events_tumbling_10min,
     "events_sliding_30min": q_events_sliding_30min,
@@ -1321,6 +1443,11 @@ ORACLES = {
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "sql_task_pricing": SQL_PRICING_SUMMARY,
+    "minhash_pairs_md5": SQL_MINHASH_MD5,
+    "simhash_pairs_md5": SQL_SIMHASH_MD5,
+    "lsh_topk_md5": SQL_LSH_TOPK_MD5,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
-    # xxhash64-based — no DuckDB counterpart; driver records rows-only checks.
+    # xxhash64-based production paths — no DuckDB counterpart; driver records
+    # rows-only checks.  Their md5 twins above carry the full value-hash
+    # oracle for the same algorithms (same plan shape, portable hash).
 }

@@ -183,6 +183,168 @@ def minhash_candidates(
     return paired.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
+def minhash_signatures_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Portable minhash: permutation ``i`` hashes a shingle as
+    ``md5(i || ':' || shingle)`` and takes the MIN over the lowercase-hex
+    STRING.  Lexicographic order on fixed-width hex equals numeric order on
+    the 128-bit value, so the string min is a valid minhash.
+
+    This exists for cross-engine reproducibility (md5 is everywhere; the
+    DuckDB oracle runs the identical computation).  The xxhash64-based
+    :func:`minhash_signatures` is the production hot path — same plan shape,
+    ~4x cheaper hash.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh")))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_candidates_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs on the portable md5 signatures — same
+    banded equi-join shape as :func:`minhash_candidates` (no all-pairs),
+    fully reproducible on any engine with md5."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws("|", F.slice("minhash", b * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    left = banded.select("band_idx", "band_hash", F.col(id_col).alias("doc_a"))
+    right = banded.select("band_idx", "band_hash", F.col(id_col).alias("doc_b"))
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    paired = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda m: m)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return paired.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT (15 hex chars — the
+    widest prefix that fits a signed 64-bit int on every engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_md5_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Portable SimHash: per-token md5-derived 60-bit hash, per-bit ±1 votes
+    summed over tokens (duplicates counted), fingerprint bit b set when the
+    vote is strictly positive.  One explode + one groupBy(id) with ``bits``
+    integer aggregates — a single shuffle, exactly reproducible in SQL.
+    Production path is :func:`simhash` (xxhash64, 48 bits, no explode)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
+    )
+    h = _md5_long(F.col("_tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_md5_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Hamming-ball blocking on the portable md5 SimHash: docs sharing any
+    ``band_bits``-wide band of the fingerprint pair up via an equi-join on
+    the band value (same cost shape as :func:`simhash_candidates`)."""
+    n_bands = bits // band_bits
+    sh = simhash_md5_fingerprints(df, id_col, text_col, bits)
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    left = banded.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    right = banded.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming_distance"))
+    )
+
+
 def simhash(text: Column, bits: int = 48) -> Column:
     """SimHash fingerprint (<=62 bits so the value fits a signed BIGINT).
 

@@ -113,6 +113,86 @@ def hyperplane_bucket(vec: Column, num_planes: int = 16, seed: int = 0) -> Colum
     )
 
 
+def hyperplane_bucket_md5(vec: Column, num_planes: int = 4) -> Column:
+    """Sign-LSH bucket id with md5-derived hyperplanes.
+
+    Plane ``p``'s component ``j`` is ±1 from bit 0 of
+    ``md5(p || ',' || j)`` — portable to any engine with md5, so an external
+    oracle can reproduce bucket assignments exactly.  Production path is
+    :func:`hyperplane_bucket` (xxhash64 — same Rademacher construction,
+    ~4x cheaper per component)."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        dims,
+                        lambda j: F.when(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ",",
+                                            p.cast("string"),
+                                            j.cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            )
+                            .cast("long")
+                            .bitwiseAND(F.lit(1))
+                            == 1,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda b, p: b * F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_topk_md5(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k restricted to the query's md5-LSH bucket — the
+    oracle-reproducible twin of :func:`lsh_topk`."""
+    spark = df.sparkSession
+    qdf = spark.range(1).select(_query_literal(query_vec).alias("q"))
+    q_bucket = qdf.select(
+        hyperplane_bucket_md5(F.col("q"), num_planes).alias("b")
+    ).first()["b"]
+    candidates = df.filter(
+        hyperplane_bucket_md5(F.col(vec_col), num_planes) == F.lit(q_bucket)
+    )
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

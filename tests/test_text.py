@@ -113,3 +113,40 @@ class TestAnalysis:
         fps = [r["fp"] for r in df.select(
             tx.document_fingerprint(F.col("text")).alias("fp")).collect()]
         assert fps[0] == fps[1]
+
+
+class TestMd5Twins:
+    """Portable md5 variants must behave like their xxhash64 production twins
+    (the cross-engine value equality itself is proven by the DuckDB oracle)."""
+
+    def test_minhash_md5_identical_docs_pair(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        df = docs_df(spark, [(1, text), (2, text), (3, "completely different words here nothing shared at all ok")])
+        pairs = tx.minhash_candidates_md5(df).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+        assert pairs[0]["est_jaccard"] == 1.0
+
+    def test_minhash_md5_short_docs_do_not_collapse(self, spark):
+        df = docs_df(spark, [(1, "hello world"), (2, "foo bar"), (3, "hello world")])
+        pairs = [(r["doc_a"], r["doc_b"]) for r in tx.minhash_candidates_md5(df).collect()]
+        assert pairs == [(1, 3)]
+
+    def test_simhash_md5_identical_fingerprints(self, spark):
+        text = "one two three four five six seven eight nine ten"
+        df = docs_df(spark, [(1, text), (2, text)])
+        fps = {r["doc_id"]: r["simhash"] for r in tx.simhash_md5_fingerprints(df).collect()}
+        assert fps[1] == fps[2]
+        assert 0 <= fps[1] < (1 << 32)
+        out = tx.simhash_md5_candidates(df).collect()
+        assert len(out) == 1 and out[0]["hamming_distance"] == 0
+
+    def test_lsh_md5_bucket_matches_query_to_itself(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.5]), (1, [1.0, 0.01, 0.5]), (2, [-1.0, 0.2, -0.5])],
+            "vec_id int, embedding array<float>",
+        )
+        q = [1.0, 0.0, 0.5]
+        top = tx.lsh_topk_md5(df, q, k=3).collect()
+        ids = [r["vec_id"] for r in top]
+        assert ids[0] == 0  # the query vector itself wins its own bucket
+        assert abs(top[0]["cosine"] - 1.0) < 1e-12
