@@ -1364,6 +1364,64 @@ def q_sql_task_pricing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 34. Window-function family (W: ranking / offsets / running / moving)
+# ---------------------------------------------------------------------------
+
+def q_window_customer_orders(spark, sf_dir):
+    """Per-customer order timeline: row_number, running spend (decimal-exact),
+    days since previous order (lag), trailing-3-order spend.  All four window
+    expressions share one (partition, order) spec, so Catalyst collapses them
+    into a single Window node behind one hash exchange on o_custkey."""
+    from .operators.window import (
+        moving_aggregate,
+        offset_compare,
+        ranked,
+        running_aggregate,
+    )
+
+    orders = _t(spark, sf_dir)["orders"]
+    df = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_ts"),
+        F.col("o_totalprice").cast(_D182).alias("total"),
+    )
+    part, order = ["o_custkey"], ["order_ts", "o_orderkey"]
+    df = ranked(df, part, order, out_col="rn")
+    df = running_aggregate(df, part, order, "total", out_col="running_spend")
+    df = offset_compare(df, part, order, "order_ts", out_col="prev_ts")
+    df = moving_aggregate(df, part, order, "total", 3, out_col="moving3_spend")
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        "rn",
+        "running_spend",
+        F.datediff(F.to_date("order_ts"), F.to_date("prev_ts"))
+        .cast("int")
+        .alias("gap_days"),
+        "moving3_spend",
+    )
+
+
+SQL_WINDOW_ORDERS = """
+SELECT o_custkey, o_orderkey,
+  row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS rn,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+  CAST(date_diff('day',
+                 CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_spend
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1407,6 +1465,7 @@ QUERIES = {
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "sql_task_pricing": q_sql_task_pricing,
+    "window_customer_orders": q_window_customer_orders,
 }
 
 ORACLES = {
@@ -1446,6 +1505,7 @@ ORACLES = {
     "minhash_pairs_md5": SQL_MINHASH_MD5,
     "simhash_pairs_md5": SQL_SIMHASH_MD5,
     "lsh_topk_md5": SQL_LSH_TOPK_MD5,
+    "window_customer_orders": SQL_WINDOW_ORDERS,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
     # xxhash64-based production paths — no DuckDB counterpart; driver records
     # rows-only checks.  Their md5 twins above carry the full value-hash

@@ -19,6 +19,14 @@ from .incremental import (
     watermark_filter,
 )
 from .script import pandas_scalar_udf, script_apply_grouped, script_map
+from .window import (
+    moving_aggregate,
+    ntile_buckets,
+    offset_compare,
+    ranked,
+    running_aggregate,
+    window_spec,
+)
 from .skew import salted_aggregate, salted_join, top_keys
 from .quality import (
     accepted_values_violations,
@@ -43,6 +51,8 @@ __all__ = [
     "scd2_rebuild", "scd2_snapshot", "merge_upsert",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
+    "ranked", "offset_compare", "running_aggregate", "moving_aggregate",
+    "ntile_buckets", "window_spec",
     "salted_aggregate", "salted_join", "top_keys",
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",

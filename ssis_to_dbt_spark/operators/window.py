@@ -1,0 +1,126 @@
+"""General window-function operators: ranking, offsets, running & moving
+aggregates.
+
+The reference's generated dbt SQL leans on window functions for SCD2
+versioning (``row_number``/``lead`` — ``dbt_project/models/core/
+dim_customer.sql:28-81``); this module exposes the rest of the family so
+migrated models that rank, compare to a prior row, or accumulate running
+measures stay declarative and compile to a single Window exchange.
+
+100 TB shape: each helper is ONE hash-partition exchange on
+``partition_by`` plus an in-partition sort — Catalyst collapses multiple
+window expressions over the SAME (partition, order) spec into a single
+Window physical node, so composing these helpers with one spec adds no
+extra shuffles.  The only scale hazard is a skewed partition key (one
+customer with a billion rows serializes its partition); pathological keys
+should be pre-split upstream (see ``operators/skew.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+_RANKERS = {
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+}
+
+
+def window_spec(
+    partition_by: Sequence[str | Column], order_by: Sequence[str | Column]
+) -> WindowSpec:
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    method: str = "row_number",
+    out_col: str = "rn",
+) -> DataFrame:
+    """Add a ranking column (``row_number`` | ``rank`` | ``dense_rank``).
+
+    ``order_by`` should totally order each partition (add a unique tiebreak
+    key) when the rank feeds deterministic downstream logic.
+    """
+    if method not in _RANKERS:
+        raise ValueError(f"unknown rank method {method!r}; use {sorted(_RANKERS)}")
+    return df.withColumn(
+        out_col, _RANKERS[method]().over(window_spec(partition_by, order_by))
+    )
+
+
+def offset_compare(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    value_col: str | Column,
+    out_col: str = "prev_value",
+    offset: int = 1,
+    lead: bool = False,
+) -> DataFrame:
+    """Attach ``lag`` (default) or ``lead`` of ``value_col`` — the prior/next
+    row's value within the partition; NULL at partition edges."""
+    fn = F.lead if lead else F.lag
+    return df.withColumn(
+        out_col, fn(value_col, offset).over(window_spec(partition_by, order_by))
+    )
+
+
+def running_aggregate(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    value_col: str | Column,
+    out_col: str = "running_sum",
+    agg=F.sum,
+) -> DataFrame:
+    """Cumulative aggregate over ROWS UNBOUNDED PRECEDING..CURRENT ROW.
+
+    The frame is ROWS (not the RANGE default) so peer rows — duplicates in
+    ``order_by`` — accumulate one at a time; pair with a unique tiebreak in
+    ``order_by`` for fully deterministic output.  Cast measures to DECIMAL
+    first when exact accumulation matters (double running sums are
+    order-dependent in the last ulp).
+    """
+    w = window_spec(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, agg(value_col).over(w))
+
+
+def moving_aggregate(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    value_col: str | Column,
+    window_rows: int,
+    out_col: str = "moving_agg",
+    agg=F.sum,
+) -> DataFrame:
+    """Trailing-window aggregate over the last ``window_rows`` rows
+    (ROWS ``window_rows - 1`` PRECEDING..CURRENT ROW)."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = window_spec(partition_by, order_by).rowsBetween(
+        -(window_rows - 1), Window.currentRow
+    )
+    return df.withColumn(out_col, agg(value_col).over(w))
+
+
+def ntile_buckets(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    n: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency bucketing (``ntile(n)``) within each partition."""
+    return df.withColumn(
+        out_col, F.ntile(n).over(window_spec(partition_by, order_by))
+    )

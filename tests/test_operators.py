@@ -268,3 +268,49 @@ class TestSqlTask:
         )
         assert row["mx"] == 2
         assert execute_sql(spark, "SELECT 1", result_set="None") is None
+
+
+class TestWindowOps:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+            "k string, seq int, v double",
+        )
+
+    def test_ranked_and_running(self, spark):
+        from ssis_to_dbt_spark.operators import ranked, running_aggregate
+
+        df = self._df(spark)
+        out = running_aggregate(
+            ranked(df, ["k"], ["seq"], out_col="rn"),
+            ["k"], ["seq"], "v", out_col="run",
+        )
+        rows = {(r["k"], r["seq"]): (r["rn"], r["run"]) for r in out.collect()}
+        assert rows[("a", 3)] == (3, 60.0)
+        assert rows[("b", 1)] == (1, 5.0)
+
+    def test_offset_and_moving(self, spark):
+        from ssis_to_dbt_spark.operators import moving_aggregate, offset_compare
+
+        df = self._df(spark)
+        out = moving_aggregate(
+            offset_compare(df, ["k"], ["seq"], "v", out_col="prev"),
+            ["k"], ["seq"], "v", 2, out_col="mv2",
+        )
+        rows = {(r["k"], r["seq"]): (r["prev"], r["mv2"]) for r in out.collect()}
+        assert rows[("a", 1)] == (None, 10.0)   # lag NULL at partition edge
+        assert rows[("a", 3)] == (20.0, 50.0)   # trailing-2 window
+
+    def test_ntile_and_bad_args(self, spark):
+        import pytest as _pytest
+
+        from ssis_to_dbt_spark.operators import moving_aggregate, ntile_buckets, ranked
+
+        df = self._df(spark)
+        buckets = {r["seq"]: r["bucket"] for r in
+                   ntile_buckets(df.filter("k = 'a'"), ["k"], ["seq"], 2).collect()}
+        assert buckets == {1: 1, 2: 1, 3: 2}
+        with _pytest.raises(ValueError):
+            ranked(df, ["k"], ["seq"], method="percentile")
+        with _pytest.raises(ValueError):
+            moving_aggregate(df, ["k"], ["seq"], "v", 0)

@@ -75,3 +75,12 @@ class TestPlanShapes:
         # an equi-join (SMJ or shuffled hash on band hash) — NO cartesian
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_window_family_collapses_to_one_exchange(self, spark):
+        # four window expressions (rank, running sum, lag, moving sum) over
+        # one (partition, order) spec must share a single Window node behind
+        # a single hash exchange — the W-family scale contract
+        plan = plan_of(spark, "window_customer_orders", "simple")
+        assert plan.count("Window") == 1
+        assert plan.count("Exchange") == 1
+        assert plan.count("Sort") == 1
