@@ -1364,6 +1364,53 @@ def q_sql_task_pricing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 33b. Embedding-cosine near-dup pairs via md5-LSH blocking (extension:
+# dedup over the embeddings table; production twin = lsh_bucket_candidates)
+# ---------------------------------------------------------------------------
+
+def q_embedding_neardup(spark, sf_dir):
+    from .text import embedding_neardup_pairs_md5
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    # 0.3 is tuned to the synthetic fixture (random-ish vectors, max pair
+    # cosine ~0.49 — no planted near-dups); real corpora use 0.9+.
+    out = embedding_neardup_pairs_md5(emb, min_cosine=0.3, num_planes=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_EMB_NEARDUP = r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT p.range AS p,
+         list(CASE WHEN CAST('0x' || substr(md5(p.range || ',' || j.range), 1, 15)
+                             AS BIGINT) & 1 = 1
+                   THEN 1.0 ELSE -1.0 END ORDER BY j.range) AS pl
+  FROM range(4) p CROSS JOIN range(64) j
+  GROUP BY p.range),
+bk AS (SELECT e.vec_id, e.v,
+              CAST(SUM(CASE WHEN list_inner_product(e.v, planes.pl) > 0
+                            THEN 1::BIGINT << CAST(planes.p AS INTEGER)
+                            ELSE 0 END) AS BIGINT) AS bucket
+       FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM bk a JOIN bk b USING (bucket)
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN sqrt(list_inner_product(va, va))
+                   * sqrt(list_inner_product(vb, vb)) > 0
+              THEN list_inner_product(va, vb)
+                   / (sqrt(list_inner_product(va, va))
+                      * sqrt(list_inner_product(vb, vb)))
+              ELSE 0.0 END AS cosine
+  FROM pairs)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM scored WHERE cosine >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 34. Window-function family (W: ranking / offsets / running / moving)
 # ---------------------------------------------------------------------------
 
@@ -1465,6 +1512,7 @@ QUERIES = {
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "sql_task_pricing": q_sql_task_pricing,
+    "embedding_neardup": q_embedding_neardup,
     "window_customer_orders": q_window_customer_orders,
 }
 
@@ -1505,6 +1553,7 @@ ORACLES = {
     "minhash_pairs_md5": SQL_MINHASH_MD5,
     "simhash_pairs_md5": SQL_SIMHASH_MD5,
     "lsh_topk_md5": SQL_LSH_TOPK_MD5,
+    "embedding_neardup": SQL_EMB_NEARDUP,
     "window_customer_orders": SQL_WINDOW_ORDERS,
     # minhash_pairs_docs / simhash_pairs_docs / lsh_topk_embeddings:
     # xxhash64-based production paths — no DuckDB counterpart; driver records

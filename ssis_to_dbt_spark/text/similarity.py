@@ -255,6 +255,47 @@ def lsh_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def embedding_neardup_pairs_md5(
+    df: DataFrame,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via md5-LSH bucket blocking.
+
+    Vectors sharing a sign-LSH bucket pair up through an equi-join on the
+    bucket id (shuffle linear in corpus size, never all-pairs), then exact
+    cosine filters to ``>= min_cosine``.  md5-derived hyperplanes make the
+    bucket assignment — and therefore the full pair set — reproducible by an
+    external oracle; :func:`lsh_bucket_candidates` is the xxhash64 production
+    twin.  Recall tuning: fewer planes = bigger buckets = higher recall.
+    """
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket_md5(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    left = bucketed.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    right = bucketed.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(
+                _as_double(F.col("vec_a")), _as_double(F.col("vec_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

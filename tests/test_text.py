@@ -150,3 +150,13 @@ class TestMd5Twins:
         ids = [r["vec_id"] for r in top]
         assert ids[0] == 0  # the query vector itself wins its own bucket
         assert abs(top[0]["cosine"] - 1.0) < 1e-12
+
+    def test_embedding_neardup_md5_blocks_then_filters(self, spark):
+        # two near-identical vectors must pair; an opposite vector must not
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.5]), (2, [0.99, 0.01, 0.5]), (3, [-1.0, 0.0, -0.5])],
+            "vec_id int, embedding array<float>",
+        )
+        pairs = tx.embedding_neardup_pairs_md5(df, min_cosine=0.9).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+        assert pairs[0]["cosine"] > 0.99
