@@ -123,6 +123,48 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) that persists across micro-batches in the state
+    store — the escape hatch for operators the built-in windowed aggs can't
+    express (lifetime-to-date counters, custom decay, cross-batch ML state).
+
+    Emits one row per key per micro-batch with the updated lifetime totals
+    (output mode ``update``).  State is a tiny (long, double) tuple per key:
+    bounded by key cardinality, not event volume, so a 1000-executor
+    deployment shards it by the groupBy hash with no growth over time.
+    Arrow-batched (Pandas) — the state function sees whole key-batches,
+    never row-at-a-time Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    key_type = dict(zip(df.schema.names, df.schema))[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        f"{key_col} {key_type}, n_events long, total_value double",
+        "n long, total double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_events_stream(spark, path: str, schema) -> DataFrame:
     """ST2: micro-batch source — the streaming analog of the reference's
     incremental predicate scan; checkpointed offsets replace etl.SyncLog."""
@@ -143,6 +185,34 @@ def write_stream(
         df.writeStream.format("parquet")
         .outputMode(mode)
         .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_update(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Update-mode sink for stateful operators: the parquet sink only
+    supports append, so updated rows land via ``foreachBatch`` — each
+    micro-batch appends with its (checkpoint-monotonic) batch id, and
+    readers take the max-``_batch_id`` row per key for current state.
+    Unlike the memory sink, foreachBatch recovers from the checkpoint, so
+    scheduled availableNow runs keep exactly-once semantics."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint)
     )
     if trigger_available_now:

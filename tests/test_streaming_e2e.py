@@ -105,3 +105,45 @@ class TestStreamingEndToEnd:
         # nothing reprocessed, output unchanged
         run_once(spark, src, out, ckpt)
         assert read_out(spark, out) == after_two
+
+
+class TestStatefulRunningTotals:
+    """applyInPandasWithState: per-key lifetime totals must ACCUMULATE across
+    separate availableNow runs through the state-store checkpoint."""
+
+    def _run(self, spark, src, out, ckpt):
+        from ssis_to_dbt_spark.streaming import (
+            read_events_stream,
+            stateful_running_totals,
+            write_stream_update,
+        )
+
+        stream = read_events_stream(spark, src, SCHEMA)
+        totals = stateful_running_totals(stream, "event_type", "value")
+        q = write_stream_update(totals, out, ckpt)
+        q.awaitTermination(120)
+        # current state = max-batch-id row per key
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows:
+            k = r["event_type"]
+            if k not in latest or r["_batch_id"] > latest[k]["_batch_id"]:
+                latest[k] = r
+        return {k: (r["n_events"], r["total_value"]) for k, r in latest.items()}
+
+    def test_state_accumulates_across_runs(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        write_batch(spark, src, [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (2, "2024-01-01 00:02:00", "a", 2.0),
+            (3, "2024-01-01 00:03:00", "b", 10.0),
+        ])
+        out = str(tmp_path / "out")
+        first = self._run(spark, src, out, ckpt)
+        assert first == {"a": (2, 3.0), "b": (1, 10.0)}
+
+        write_batch(spark, src, [(4, "2024-01-01 00:10:00", "a", 4.0)])
+        second = self._run(spark, src, out, ckpt)
+        # only 'a' got new data this run (update mode emits touched keys);
+        # its lifetime totals include run 1 via the state store
+        assert second["a"] == (3, 7.0)
