@@ -35,6 +35,8 @@ HEADLINE = [
     "minhash_pairs_docs",
     "topk_embeddings",
     "knn_join_embeddings",
+    "window_customer_orders",
+    "embedding_neardup",
 ]
 
 

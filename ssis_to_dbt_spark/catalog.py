@@ -1374,7 +1374,7 @@ def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir)["embeddings"]
     # 0.3 is tuned to the synthetic fixture (random-ish vectors, max pair
     # cosine ~0.49 — no planted near-dups); real corpora use 0.9+.
-    out = embedding_neardup_pairs_md5(emb, min_cosine=0.3, num_planes=4)
+    out = embedding_neardup_pairs_md5(emb, min_cosine=0.3, num_planes=4, dims=64)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 

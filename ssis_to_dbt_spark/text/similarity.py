@@ -113,14 +113,48 @@ def hyperplane_bucket(vec: Column, num_planes: int = 16, seed: int = 0) -> Colum
     )
 
 
-def hyperplane_bucket_md5(vec: Column, num_planes: int = 4) -> Column:
+def _md5_sign(p: int, j: int) -> float:
+    """±1 from bit 0 of the first 60 bits of md5(f"{p},{j}") — computed with
+    hashlib, which agrees with every SQL engine's md5 on ASCII input."""
+    import hashlib
+
+    h = hashlib.md5(f"{p},{j}".encode()).hexdigest()
+    return 1.0 if int(h[:15], 16) & 1 == 1 else -1.0
+
+
+def hyperplane_bucket_md5(
+    vec: Column, num_planes: int = 4, dims: int | None = None
+) -> Column:
     """Sign-LSH bucket id with md5-derived hyperplanes.
 
     Plane ``p``'s component ``j`` is ±1 from bit 0 of
     ``md5(p || ',' || j)`` — portable to any engine with md5, so an external
     oracle can reproduce bucket assignments exactly.  Production path is
     :func:`hyperplane_bucket` (xxhash64 — same Rademacher construction,
-    ~4x cheaper per component)."""
+    ~4x cheaper per component).
+
+    When ``dims`` is known, the sign matrix is a compile-time constant:
+    hashlib md5 equals any engine's md5 on ASCII, so the planes become
+    literal arrays and the Spark plan computes ZERO hashes per row — just
+    ``num_planes`` sequential dot products (the identical IEEE expression
+    tree the expression fallback evaluates, so results are bit-equal).
+    """
+    if dims is not None:
+        total = None
+        for p in range(num_planes):
+            # one array literal per plane (a single py4j call — element-wise
+            # F.lit would cost dims round-trips per plane at plan-build time)
+            plane = F.lit([_md5_sign(p, j) for j in range(dims)])
+            dot = F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            total = term if total is None else total + term
+        return total
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
@@ -183,12 +217,14 @@ def lsh_topk_md5(
     """Approximate top-k restricted to the query's md5-LSH bucket — the
     oracle-reproducible twin of :func:`lsh_topk`."""
     spark = df.sparkSession
+    dims = len(query_vec)
     qdf = spark.range(1).select(_query_literal(query_vec).alias("q"))
     q_bucket = qdf.select(
-        hyperplane_bucket_md5(F.col("q"), num_planes).alias("b")
+        hyperplane_bucket_md5(F.col("q"), num_planes, dims).alias("b")
     ).first()["b"]
     candidates = df.filter(
-        hyperplane_bucket_md5(F.col(vec_col), num_planes) == F.lit(q_bucket)
+        hyperplane_bucket_md5(F.col(vec_col), num_planes, dims)
+        == F.lit(q_bucket)
     )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
@@ -261,6 +297,7 @@ def embedding_neardup_pairs_md5(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 4,
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via md5-LSH bucket blocking.
 
@@ -271,27 +308,35 @@ def embedding_neardup_pairs_md5(
     external oracle; :func:`lsh_bucket_candidates` is the xxhash64 production
     twin.  Recall tuning: fewer planes = bigger buckets = higher recall.
     """
+    # Norms are computed ONCE per vector before the pair join (the per-value
+    # expression tree — sqrt of the sequential self-dot — is identical to
+    # computing it per pair, so cosine results are bit-equal), cutting the
+    # per-pair work to a single dot product.
     bucketed = df.select(
         F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket_md5(F.col(vec_col), num_planes).alias("bucket"),
-    )
+        _as_double(F.col(vec_col)).alias("_v"),
+        hyperplane_bucket_md5(F.col(vec_col), num_planes, dims).alias("bucket"),
+    ).withColumn("_norm", l2_norm(F.col("_v")))
     left = bucketed.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("vec_a"),
+        F.col("_norm").alias("norm_a"),
     )
     right = bucketed.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("vec_b"),
+        F.col("_norm").alias("norm_b"),
     )
+    denom = F.col("norm_a") * F.col("norm_b")
+    cosine = F.when(
+        denom > 0, dot_product(F.col("vec_a"), F.col("vec_b")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(
-                _as_double(F.col("vec_a")), _as_double(F.col("vec_b"))
-            ).alias("cosine"),
-        )
+        .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
 
