@@ -349,21 +349,42 @@ def knn_join(
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Exact k-NN join of a (small, broadcastable) query set against the
-    corpus: broadcast the queries, score every (query, corpus) pair on the
-    corpus partitions, keep top-k per query with a window rank.  The corpus —
-    the 100 TB side — never shuffles; only (n_queries * k) rows survive."""
+    corpus, two-phase so no task ever holds a corpus-sized partition.
+
+    Phase 1 scores every (query, corpus) pair on the corpus partitions
+    (broadcast queries — the big side is scanned in place) and keeps the
+    top-k per ``(query, salt)`` where ``salt = xxhash64(corpus_id) %
+    salt_buckets``; the one full-width shuffle carries only the narrow
+    ``(query_id, corpus_id, cosine)`` triples and spreads them over
+    ``n_queries * salt_buckets`` evenly-sized groups instead of funnelling
+    the whole corpus into ``n_queries`` monster partitions.  Phase 2 ranks
+    the ``<= n_queries * salt_buckets * k`` survivors, so the final
+    per-query exchange carries ``salt_buckets * k`` rows per query — never
+    the corpus.  The per-salt top-k is a superset of the global top-k and
+    ties break on ``corpus_id``, so results are exact and deterministic.
+    """
     pairs = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
         cosine_similarity(
             _as_double(F.col(corpus_vec)), _as_double(F.col(query_vec))
         ).alias("cosine"),
+        F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(salt_buckets)).alias("_salt"),
+    )
+    w_local = Window.partitionBy(query_id, "_salt").orderBy(
+        F.desc("cosine"), F.col(corpus_id)
+    )
+    survivors = (
+        pairs.withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_lrank", "_salt")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("rank")
     )

@@ -76,6 +76,22 @@ class TestPlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_knn_join_two_phase_topk(self, spark):
+        # phase 1 must rank within (query_id, _salt) so the full scored pair
+        # set never funnels into n_queries partitions; phase 2 ranks only the
+        # rank-filtered survivors — two Window nodes, and the salt key present
+        # in a hash exchange
+        plan = plan_of(spark, "knn_join_embeddings", "simple")
+        assert plan.count("+- Window ") == 2
+        assert "_salt" in plan
+        # the corpus side itself is never hash-exchanged before scoring: the
+        # only exchanges are the two window ones
+        assert plan.count("Exchange hashpartitioning") == 2
+        # Spark inserts Partial WindowGroupLimit before each exchange, so a
+        # map task emits at most k rows per (query, salt) group — the shuffle
+        # never carries the full scored pair set
+        assert plan.count("row_number(), 5, Partial") == 2
+
     def test_window_family_collapses_to_one_exchange(self, spark):
         # four window expressions (rank, running sum, lag, moving sum) over
         # one (partition, order) spec must share a single Window node behind
