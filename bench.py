@@ -33,10 +33,13 @@ HEADLINE = [
     "exact_dedup_docs",
     "text_analysis_docs",
     "minhash_pairs_docs",
+    "simhash_pairs_docs",
     "topk_embeddings",
+    "lsh_topk_embeddings",
     "knn_join_embeddings",
     "window_customer_orders",
     "embedding_neardup",
+    "events_sliding_30min",
 ]
 
 

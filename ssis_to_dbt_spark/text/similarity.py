@@ -71,13 +71,103 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 16, seed: int = 0) -> Column:
+def _literal_plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from compile-time constant ±1 hyperplanes: ``num_planes``
+    sequential dot products against literal arrays — ZERO hash evaluations
+    per row, and the identical IEEE expression tree the expression fallbacks
+    evaluate, so bucket ids are bit-equal to theirs."""
+    total = None
+    for p, plane in enumerate(planes):
+        # one array literal per plane (a single py4j call — element-wise
+        # F.lit would cost dims round-trips per plane at plan-build time)
+        dot = F.aggregate(
+            F.zip_with(vec, F.lit(plane), lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def _py_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side bucket id for a known query vector: the same sequential
+    ``acc + x*s`` fold `_literal_plane_bucket` runs, in Python doubles —
+    IEEE arithmetic in the identical order, so it is bit-equal to the Spark
+    expression and saves a one-row Spark job per query."""
+    b = 0
+    for p, plane in enumerate(planes):
+        acc = 0.0
+        for x, s in zip(vec, plane):
+            acc = acc + float(x) * s
+        if acc > 0:
+            b |= 1 << p
+    return b
+
+
+_XXHASH_PLANES_CACHE: dict[tuple[int, int, int], list[list[float]]] = {}
+
+
+def _xxhash_sign_planes(num_planes: int, dims: int, seed: int) -> list[list[float]]:
+    """Materialize the xxhash64 Rademacher sign matrix once per
+    (num_planes, dims, seed) via one tiny Spark job (num_planes*dims rows —
+    e.g. 16x64 = 1024), then cache driver-side.  ``xxhash64`` is
+    deterministic for fixed input types, so the literal matrix reproduces the
+    expression path exactly; ``p``/``j`` are cast to INT to match the
+    ``sequence()``-typed operands of the fallback."""
+    from pyspark.sql import SparkSession
+
+    key = (num_planes, dims, seed)
+    planes = _XXHASH_PLANES_CACHE.get(key)
+    if planes is None:
+        spark = SparkSession.getActiveSession()
+        rows = (
+            spark.range(num_planes * dims)
+            .select(
+                F.floor(F.col("id") / dims).cast("int").alias("p"),
+                (F.col("id") % dims).cast("int").alias("j"),
+            )
+            .select(
+                "p",
+                "j",
+                F.when(
+                    F.xxhash64(F.lit(seed), F.col("p"), F.col("j")).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    F.lit(1.0),
+                )
+                .otherwise(F.lit(-1.0))
+                .alias("s"),
+            )
+            .collect()
+        )
+        planes = [[0.0] * dims for _ in range(num_planes)]
+        for r in rows:
+            planes[r["p"]][r["j"]] = r["s"]
+        _XXHASH_PLANES_CACHE[key] = planes
+    return planes
+
+
+def hyperplane_bucket(
+    vec: Column, num_planes: int = 16, seed: int = 0, dims: int | None = None
+) -> Column:
     """Sign-LSH bucket id (one bit per hyperplane, packed into a BIGINT).
 
     Hyperplane ``p``'s component ``j`` is a deterministic ±1 derived from
     ``xxhash64(seed, p, j)`` — a Rademacher random projection that needs no
     stored model and is reproducible across jobs and engines.
+
+    When ``dims`` is known the sign matrix is materialized once by one tiny
+    Spark job and embedded as literal arrays — the fallback expression path
+    below evaluates ``num_planes * dims`` xxhash64 calls per ROW inside
+    interpreted HOF lambdas (no codegen, no subexpression elimination), which
+    is the scale-killing path; the literal path evaluates zero.
     """
+    if dims is not None:
+        return _literal_plane_bucket(vec, _xxhash_sign_planes(num_planes, dims, seed))
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
@@ -140,21 +230,10 @@ def hyperplane_bucket_md5(
     tree the expression fallback evaluates, so results are bit-equal).
     """
     if dims is not None:
-        total = None
-        for p in range(num_planes):
-            # one array literal per plane (a single py4j call — element-wise
-            # F.lit would cost dims round-trips per plane at plan-build time)
-            plane = F.lit([_md5_sign(p, j) for j in range(dims)])
-            dot = F.aggregate(
-                F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            total = term if total is None else total + term
-        return total
+        return _literal_plane_bucket(
+            vec,
+            [[_md5_sign(p, j) for j in range(dims)] for p in range(num_planes)],
+        )
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
@@ -216,15 +295,11 @@ def lsh_topk_md5(
 ) -> DataFrame:
     """Approximate top-k restricted to the query's md5-LSH bucket — the
     oracle-reproducible twin of :func:`lsh_topk`."""
-    spark = df.sparkSession
     dims = len(query_vec)
-    qdf = spark.range(1).select(_query_literal(query_vec).alias("q"))
-    q_bucket = qdf.select(
-        hyperplane_bucket_md5(F.col("q"), num_planes, dims).alias("b")
-    ).first()["b"]
+    planes = [[_md5_sign(p, j) for j in range(dims)] for p in range(num_planes)]
+    q_bucket = _py_bucket(query_vec, planes)
     candidates = df.filter(
-        hyperplane_bucket_md5(F.col(vec_col), num_planes, dims)
-        == F.lit(q_bucket)
+        _literal_plane_bucket(F.col(vec_col), planes) == F.lit(q_bucket)
     )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
@@ -235,16 +310,19 @@ def lsh_bucket_candidates(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 0,
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-neighbor candidate pairs = vectors sharing an LSH bucket.
 
     Equi-join keyed on the bucket id: shuffle is proportional to corpus size,
-    pair output to the bucket sizes — never an all-pairs comparison.
+    pair output to the bucket sizes — never an all-pairs comparison.  Pass
+    ``dims`` whenever the embedding width is known so bucketing uses literal
+    hyperplanes instead of per-row xxhash64 in interpreted lambdas.
     """
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), num_planes, seed).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), num_planes, seed, dims).alias("bucket"),
     )
     left = bucketed.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
@@ -273,20 +351,22 @@ def lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 0,
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only the query's LSH bucket.
 
     With ``num_planes`` bits the corpus is cut ~``2**num_planes``-fold before
     any distance math — the IVF-style scale path.  Recall is tuned by lowering
     ``num_planes`` (bigger buckets) or unioning several ``seed`` probes.
+    ``dims`` (the known embedding width) switches bucketing to literal
+    hyperplanes — zero per-row hashing.
     """
-    spark = df.sparkSession
-    qdf = spark.range(1).select(_query_literal(query_vec).alias("q"))
-    q_bucket = qdf.select(
-        hyperplane_bucket(F.col("q"), num_planes, seed).alias("b")
-    ).first()["b"]
+    if dims is None:
+        dims = len(query_vec)
+    planes = _xxhash_sign_planes(num_planes, dims, seed)
+    q_bucket = _py_bucket(query_vec, planes)
     candidates = df.filter(
-        hyperplane_bucket(F.col(vec_col), num_planes, seed) == F.lit(q_bucket)
+        _literal_plane_bucket(F.col(vec_col), planes) == F.lit(q_bucket)
     )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
