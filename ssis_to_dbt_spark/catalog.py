@@ -1501,6 +1501,204 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# 36. Write-path round-trips (S3 S4 S10 D1 D2 D5 D6)
+#
+# Each query drives a SINK operator end-to-end: transform -> write via the
+# writer op -> read back -> return the frame.  The oracle is the same
+# transform with no write, so a green hash proves the sink preserves every
+# value, type, and row through the storage format — the driver-verifiable
+# evidence the write ops otherwise can't have.  Reference sink semantics:
+# SalesFactETL.dtsx:266-280 (fast-load append), CustomerDataLoad.dtsx:45-53
+# (truncate+reload), SalesFactETL.dtsx:293-306 (DELETE range + INSERT),
+# InventorySync.dtsx:266-269 (audit insert + flag update).
+# ---------------------------------------------------------------------------
+
+
+def _rt_tmpdir(name: str) -> str:
+    """Fresh per-call scratch dir.  NOT cleaned up inside the query function:
+    the returned DataFrame is lazy and the driver collects it after we
+    return, so the files must outlive the call (tmpfs reaps them)."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"ssis_rt_{name}_")
+
+
+def q_roundtrip_append(spark, sf_dir):
+    """S3: OLE DB fast-load append — two batch appends must equal the union."""
+    from .sources import writers
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    path = _rt_tmpdir("append")
+    writers.append(o.filter(F.col("status") == "F"), path)
+    writers.append(o.filter(F.col("status") != "F"), path)
+    return spark.read.parquet(path)
+
+
+SQL_RT_APPEND = """
+SELECT o_orderkey AS order_key,
+       o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS total
+FROM orders
+"""
+
+
+def q_roundtrip_overwrite(spark, sf_dir):
+    """D1: TRUNCATE + reload — a stale load then a full overwrite; only the
+    reload survives."""
+    from .sources import writers
+
+    c = _t(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("acct_bal"),
+    )
+    path = _rt_tmpdir("overwrite")
+    writers.overwrite(c.limit(7), path)  # stale previous load
+    writers.overwrite(c, path)  # truncate + reload
+    return spark.read.parquet(path)
+
+
+SQL_RT_OVERWRITE = """
+SELECT c_custkey AS customer_key,
+       c_mktsegment AS segment,
+       CAST(c_acctbal AS DOUBLE) AS acct_bal
+FROM customer
+"""
+
+
+def q_roundtrip_partition_overwrite(spark, sf_dir):
+    """D2: DELETE range + INSERT — dynamic partition overwrite replaces only
+    the '1-URGENT' partition (totals bumped by 1.0); every other partition's
+    files are untouched."""
+    from .sources import writers
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    path = _rt_tmpdir("dpo")
+    writers.partition_overwrite(o, path, ["priority"])
+    revised = o.filter(F.col("priority") == "1-URGENT").withColumn(
+        "total", F.col("total") + F.lit(1.0)
+    )
+    writers.partition_overwrite(revised, path, ["priority"])
+    return spark.read.parquet(path)
+
+
+SQL_RT_DPO = """
+SELECT o_orderkey AS order_key,
+       CAST(o_totalprice + (CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS total,
+       o_orderpriority AS priority
+FROM orders
+"""
+
+
+def q_roundtrip_csv(spark, sf_dir):
+    """S4: FlatFile CSV destination + source — header write, schema'd read;
+    doubles survive via Java shortest-round-trip rendering."""
+    from .sources import writers
+
+    s = _t(spark, sf_dir)["supplier"].select(
+        F.col("s_suppkey").cast("int").alias("supplier_key"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_nationkey").cast("int").alias("nation_key"),
+        F.col("s_acctbal").cast("double").alias("acct_bal"),
+    )
+    path = _rt_tmpdir("csv")
+    writers.write_csv(s, path)
+    return (
+        spark.read.schema(
+            "supplier_key int, supplier_name string, nation_key int, acct_bal double"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+SQL_RT_CSV = """
+SELECT CAST(s_suppkey AS INTEGER) AS supplier_key,
+       s_name AS supplier_name,
+       CAST(s_nationkey AS INTEGER) AS nation_key,
+       CAST(s_acctbal AS DOUBLE) AS acct_bal
+FROM supplier
+"""
+
+
+def q_roundtrip_json(spark, sf_dir):
+    """S10: JSON export sink read back with an explicit schema."""
+    from .sources import writers
+
+    p = _t(spark, sf_dir)["part"].select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").cast("double").alias("retail_price"),
+    )
+    path = _rt_tmpdir("json")
+    writers.write_json(p, path)
+    return spark.read.schema(
+        "part_key bigint, brand string, retail_price double"
+    ).json(path)
+
+
+SQL_RT_JSON = """
+SELECT p_partkey AS part_key,
+       p_brand AS brand,
+       CAST(p_retailprice AS DOUBLE) AS retail_price
+FROM part
+"""
+
+
+def q_roundtrip_audit_update(spark, sf_dir):
+    """D5 + D6: full load, UPDATE-flag post-process (negative balances ->
+    'Y'), then a single-row audit INSERT — the InventorySync.dtsx:266-269
+    epilogue as a verifiable round-trip."""
+    from .sources import writers
+
+    s = (
+        _t(spark, sf_dir)["supplier"]
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("s_nationkey").alias("nation_key"),
+            F.col("s_acctbal").cast("double").alias("acct_bal"),
+        )
+        .withColumn("processed", F.lit("N"))
+    )
+    path = _rt_tmpdir("audit")
+    writers.overwrite(s, path)
+    writers.update_flag(
+        spark, path, "processed", lambda df: df["acct_bal"] < 0.0, "Y"
+    )
+    writers.audit_append(
+        spark,
+        path,
+        {
+            "supplier_key": -1,
+            "nation_key": -1,
+            "acct_bal": 0.0,
+            "processed": "AUDIT",
+        },
+    )
+    return spark.read.parquet(path)
+
+
+SQL_RT_AUDIT = """
+SELECT s_suppkey AS supplier_key,
+       s_nationkey AS nation_key,
+       CAST(s_acctbal AS DOUBLE) AS acct_bal,
+       CASE WHEN s_acctbal < 0.0 THEN 'Y' ELSE 'N' END AS processed
+FROM supplier
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE), 'AUDIT'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1546,6 +1744,12 @@ QUERIES = {
     "sql_task_pricing": q_sql_task_pricing,
     "embedding_neardup": q_embedding_neardup,
     "window_customer_orders": q_window_customer_orders,
+    "roundtrip_append": q_roundtrip_append,
+    "roundtrip_overwrite": q_roundtrip_overwrite,
+    "roundtrip_partition_overwrite": q_roundtrip_partition_overwrite,
+    "roundtrip_csv": q_roundtrip_csv,
+    "roundtrip_json": q_roundtrip_json,
+    "roundtrip_audit_update": q_roundtrip_audit_update,
 }
 
 ORACLES = {
@@ -1590,6 +1794,12 @@ ORACLES = {
     "simhash_pairs_md5": SQL_SIMHASH_MD5,
     "lsh_topk_md5": SQL_LSH_TOPK_MD5,
     "embedding_neardup": SQL_EMB_NEARDUP,
+    "roundtrip_append": SQL_RT_APPEND,
+    "roundtrip_overwrite": SQL_RT_OVERWRITE,
+    "roundtrip_partition_overwrite": SQL_RT_DPO,
+    "roundtrip_csv": SQL_RT_CSV,
+    "roundtrip_json": SQL_RT_JSON,
+    "roundtrip_audit_update": SQL_RT_AUDIT,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),
