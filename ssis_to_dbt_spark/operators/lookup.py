@@ -53,10 +53,15 @@ def lookup(
             *on,
             *[F.col(c).alias(a) for c, a in select.items() if c not in on],
         )
+    marker = None
     if need_marker:
         # A matched dim row may legitimately carry NULL output columns, so
-        # match detection needs a dedicated always-non-null marker.
-        build = build.withColumn("_matched", F.lit(1))
+        # match detection needs a dedicated always-non-null marker — named to
+        # dodge any column the fact side already carries.
+        marker = "__lookup_matched__"
+        while marker in fact.columns or marker in build.columns:
+            marker = "_" + marker
+        build = build.withColumn(marker, F.lit(1))
 
     if broadcast:
         build = F.broadcast(build)
@@ -65,12 +70,12 @@ def lookup(
     joined = fact.join(build, on=on, how=how)
 
     if need_marker:
-        unmatched = joined.filter(F.col("_matched").isNull()).limit(1).count()
+        unmatched = joined.filter(F.col(marker).isNull()).limit(1).count()
         if unmatched:
             raise ValueError(
                 f"Lookup FailComponent: unmatched rows on keys {on}"
             )
-        joined = joined.drop("_matched")
+        joined = joined.drop(marker)
     return joined
 
 

@@ -41,6 +41,12 @@ def hash_split(
     """Stable train/test split: 2-hex-char prefix of md5(key) under the
     threshold.  Realized fraction is exact over 256 buckets
     (10% -> 25/256 ≈ 9.77%)."""
+    # test_pct >= 100 would render a 3-char threshold ("100") that orders
+    # BELOW every 2-char hex prefix — short-circuit the degenerate splits
+    if test_pct >= 100:
+        return df.withColumn(split_col, F.lit("test"))
+    if test_pct <= 0:
+        return df.withColumn(split_col, F.lit("train"))
     threshold = f"{(256 * test_pct) // 100:02x}"
     prefix = F.substring(_hash_hex(F.col(key_col)), 1, 2)
     return df.withColumn(
@@ -59,7 +65,12 @@ def stratified_sample(
     """Deterministic per-stratum sampling: keep a row when its 4-hex-char
     hash prefix falls under the stratum's fraction of the 65536 buckets."""
     def hex4(frac: float) -> str:
-        return f"{min(int(frac * 65536), 65536):04x}"
+        # fraction >= 1.0 would render a 5-char threshold ("10000") that
+        # orders BELOW most 4-char prefixes; "zzzz" sorts above every hex
+        # prefix, so such strata keep ALL rows
+        if frac >= 1.0:
+            return "zzzz"
+        return f"{max(int(frac * 65536), 0):04x}"
 
     prefix = F.substring(_hash_hex(F.col(key_col)), 1, 4)
     threshold = F.lit(hex4(default_fraction))

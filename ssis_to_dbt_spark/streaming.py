@@ -200,15 +200,16 @@ def write_stream_update(
 ):
     """Update-mode sink for stateful operators: the parquet sink only
     supports append, so updated rows land via ``foreachBatch`` — each
-    micro-batch appends with its (checkpoint-monotonic) batch id, and
-    readers take the max-``_batch_id`` row per key for current state.
-    Unlike the memory sink, foreachBatch recovers from the checkpoint, so
-    scheduled availableNow runs keep exactly-once semantics."""
+    micro-batch OVERWRITES its own ``batch_id=N`` subdirectory (partition
+    discovery exposes ``batch_id`` as a column), and readers take the
+    max-``batch_id`` row per key for current state.  foreachBatch alone is
+    at-least-once — a batch replayed after a failure between write and
+    checkpoint commit runs again — but the keyed overwrite makes the replay
+    idempotent, restoring end-to-end exactly-once.  (The subdirectory is NOT
+    ``_batch_id=N``: Hadoop path filters hide ``_``-prefixed dirs.)"""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(path)
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     writer = (
         df.writeStream.foreachBatch(_write)

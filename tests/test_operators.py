@@ -51,6 +51,18 @@ class TestLookup:
         assert out.count() == 3
         assert "_matched" not in out.columns
 
+    def test_fail_marker_dodges_fact_column_collision(self, spark):
+        # a fact that already carries the marker name must not break match
+        # detection (ambiguous-column AnalysisException) nor be consumed
+        fact = spark.createDataFrame(
+            [(1, "keepme")], "k int, __lookup_matched__ string"
+        )
+        dim = spark.createDataFrame([(1, "x")], "k int, attr string")
+        out = lookup(fact, dim, ["k"], {"attr": "attr"}, no_match=LookupNoMatch.FAIL)
+        row = out.first()
+        assert row["__lookup_matched__"] == "keepme"
+        assert row["attr"] == "x"
+
     def test_inner_drops_unmatched(self, spark, fact):
         dim = spark.createDataFrame([(1, "x")], "k int, attr string")
         out = lookup(fact, dim, ["k"], {"attr": "attr"}, no_match=LookupNoMatch.INNER)
@@ -238,6 +250,30 @@ class TestSampling:
         counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
         assert 400 < counts["a"] < 600
         assert 50 < counts.get("b", 0) < 150
+
+    def test_hash_split_degenerate_percentages(self, spark):
+        # test_pct >= 100 used to render a 3-char threshold that ordered
+        # below every 2-char hex prefix, silently routing all rows to train
+        from ssis_to_dbt_spark.operators.sampling import hash_split
+
+        df = spark.range(100).withColumnRenamed("id", "k")
+        all100 = {r["split"] for r in hash_split(df, "k", 100).collect()}
+        assert all100 == {"test"}
+        all0 = {r["split"] for r in hash_split(df, "k", 0).collect()}
+        assert all0 == {"train"}
+
+    def test_stratified_sample_full_keep_fraction(self, spark):
+        # fraction >= 1.0 used to render the 5-char "10000" threshold which
+        # kept only ~1/16 of the stratum
+        from ssis_to_dbt_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(200)], "k int, s string"
+        )
+        out = stratified_sample(df, "s", {"a": 1.0}, key_col="k")
+        counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+        assert counts["a"] == 100  # ALL of stratum a
+        assert "b" not in counts  # default fraction 0
 
     def test_token_budget_under_budget_and_stable(self, spark):
         from ssis_to_dbt_spark.operators.sampling import token_budget_sample

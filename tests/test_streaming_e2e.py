@@ -127,7 +127,7 @@ class TestStatefulRunningTotals:
         latest = {}
         for r in rows:
             k = r["event_type"]
-            if k not in latest or r["_batch_id"] > latest[k]["_batch_id"]:
+            if k not in latest or r["batch_id"] > latest[k]["batch_id"]:
                 latest[k] = r
         return {k: (r["n_events"], r["total_value"]) for k, r in latest.items()}
 
