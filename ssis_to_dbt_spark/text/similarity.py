@@ -304,6 +304,26 @@ def lsh_topk_md5(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _cap_bucket_size(
+    bucketed: DataFrame, id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """Deterministically truncate each bucket to its first ``max_bucket_size``
+    members (ordered by id), bounding a degenerate bucket's pair output at
+    ``cap^2/2`` instead of quadratic in the corpus (e.g. a million identical
+    vectors would otherwise put 5e11 pairs through one join task).  Truncation
+    — not bucket dropping like the hot-shingle cap in dedup — because a
+    single-band LSH pair has no second chance: an oversized bucket is exactly
+    where the duplicates are, and the kept prefix still surfaces them."""
+    if max_bucket_size is None:
+        return bucketed
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return (
+        bucketed.withColumn("_bn", F.row_number().over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -311,6 +331,7 @@ def lsh_bucket_candidates(
     num_planes: int = 8,
     seed: int = 0,
     dims: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-neighbor candidate pairs = vectors sharing an LSH bucket.
 
@@ -318,12 +339,14 @@ def lsh_bucket_candidates(
     pair output to the bucket sizes — never an all-pairs comparison.  Pass
     ``dims`` whenever the embedding width is known so bucketing uses literal
     hyperplanes instead of per-row xxhash64 in interpreted lambdas.
+    ``max_bucket_size`` caps degenerate buckets (see :func:`_cap_bucket_size`).
     """
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), num_planes, seed, dims).alias("bucket"),
     )
+    bucketed = _cap_bucket_size(bucketed, id_col, max_bucket_size)
     left = bucketed.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -378,6 +401,7 @@ def embedding_neardup_pairs_md5(
     vec_col: str = "embedding",
     num_planes: int = 4,
     dims: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via md5-LSH bucket blocking.
 
@@ -397,6 +421,7 @@ def embedding_neardup_pairs_md5(
         _as_double(F.col(vec_col)).alias("_v"),
         hyperplane_bucket_md5(F.col(vec_col), num_planes, dims).alias("bucket"),
     ).withColumn("_norm", l2_norm(F.col("_v")))
+    bucketed = _cap_bucket_size(bucketed, id_col, max_bucket_size)
     left = bucketed.select(
         "bucket",
         F.col(id_col).alias("id_a"),

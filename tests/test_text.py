@@ -160,3 +160,23 @@ class TestMd5Twins:
         pairs = tx.embedding_neardup_pairs_md5(df, min_cosine=0.9).collect()
         assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
         assert pairs[0]["cosine"] > 0.99
+
+    def test_bucket_size_cap_bounds_degenerate_corpus(self, spark):
+        # 1000 identical vectors land in ONE bucket; uncapped that is
+        # 1000*999/2 = 499500 pairs — the cap must truncate the bucket to its
+        # first N members so the pair count is bounded at N*(N-1)/2
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.5, 0.25]) for i in range(1000)],
+            "vec_id int, embedding array<float>",
+        )
+        pairs = tx.embedding_neardup_pairs_md5(
+            df, min_cosine=0.9, max_bucket_size=50
+        )
+        assert pairs.count() == 50 * 49 // 2
+        # kept members are the deterministic id-ordered prefix
+        ids = pairs.agg(F.max("id_b")).first()[0]
+        assert ids == 49
+        capped = tx.lsh_bucket_candidates(
+            df, num_planes=4, dims=3, max_bucket_size=50
+        )
+        assert capped.count() == 50 * 49 // 2
