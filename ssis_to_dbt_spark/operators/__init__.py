@@ -39,6 +39,7 @@ from .quality import (
     checksum_compare,
     unique_violations,
 )
+from .report import ModelValidation, ValidationReport
 
 __all__ = [
     "typed_project", "ColumnSpec",
@@ -57,4 +58,5 @@ __all__ = [
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",
     "accepted_values_violations", "between_violations", "preflight_guard",
+    "ModelValidation", "ValidationReport",
 ]

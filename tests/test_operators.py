@@ -350,3 +350,71 @@ class TestWindowOps:
             ranked(df, ["k"], ["seq"], method="percentile")
         with _pytest.raises(ValueError):
             moving_aggregate(df, ["k"], ["seq"], "v", 0)
+
+
+class TestValidationReport:
+    def _report(self, spark):
+        from ssis_to_dbt_spark.operators import (
+            ModelValidation,
+            ValidationReport,
+            pk_integrity,
+            row_count_compare,
+        )
+
+        ok = spark.range(10).withColumnRenamed("id", "k")
+        drifted = spark.range(2000).withColumnRenamed("id", "k")
+        near = spark.createDataFrame(
+            [(i,) for i in range(19_999)], "k long"
+        )
+        dup = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        base = spark.createDataFrame([(i,) for i in range(20_000)], "k long")
+
+        return (
+            ValidationReport()
+            .add_model(
+                ModelValidation("dim_ok").add(row_count_compare(ok, ok)).add(
+                    pk_integrity(ok, ["k"])
+                )
+            )
+            .add_model(
+                # 1-row drift over 20k = 0.005% < the 0.01% warn tolerance
+                ModelValidation("fct_warn").add(row_count_compare(base, near))
+            )
+            .add_model(
+                ModelValidation("stg_fail").add(row_count_compare(ok, drifted)).add(
+                    pk_integrity(dup, ["k"])
+                )
+            )
+        )
+
+    def test_rollup_counts_and_worst_wins(self, spark):
+        rep = self._report(spark)
+        assert (rep.total_models, rep.models_passed, rep.models_warning,
+                rep.models_failed) == (3, 1, 1, 1)
+        assert rep.overall_status == "fail"
+        statuses = {m.model_name: m.overall_status for m in rep.model_validations}
+        assert statuses == {
+            "dim_ok": "pass", "fct_warn": "warning", "stg_fail": "fail",
+        }
+
+    def test_json_and_markdown_artifacts(self, spark, tmp_path):
+        import json as _json
+
+        rep = self._report(spark)
+        log = rep.export_json(tmp_path / "validation_log.json")
+        data = _json.loads(log.read_text())
+        assert data["overall_status"] == "fail"
+        assert data["total_models"] == 3
+        assert [m["model_name"] for m in data["model_validations"]] == [
+            "dim_ok", "fct_warn", "stg_fail",
+        ]
+        checks = data["model_validations"][2]["checks"]
+        assert {c["check"] for c in checks} == {"row_count", "pk_integrity"}
+        assert all("detail" in c for c in checks)
+
+        md = rep.generate_report(tmp_path / "validation_report.md").read_text()
+        assert "# Migration Validation Report" in md
+        assert "| Overall Status | **FAIL** |" in md
+        assert "### dim_ok ✅" in md
+        assert "### fct_warn ⚠️" in md
+        assert "### stg_fail ❌" in md
