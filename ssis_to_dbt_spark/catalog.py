@@ -1226,6 +1226,61 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# 29b. REAL image decode (BMP backend): each document synthesizes a solid-
+# color 24bpp BMP whose dimensions/color are pure doc_id arithmetic, the real
+# decoder (text/multimodal.py decode_bmp) parses the actual pixel bytes back
+# out over mapInPandas, and the oracle recomputes the arithmetic — a solid
+# fill makes the channel means exact integers, so the value hash covers the
+# full encode->Arrow->decode pipeline bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q_bmp_decode_stats(spark, sf_dir):
+    from .text.multimodal import decode_bmp_stats, encode_bmp
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        encode_bmp(
+                            int(1 + i % 7),
+                            int(1 + i % 5),
+                            (int(i % 256), int(i * 7 % 256), int(i * 13 % 256)),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode, schema="media_id long, content binary"
+    )
+    return decode_bmp_stats(media).select(
+        "media_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+SQL_BMP_STATS = """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 7 AS INTEGER) AS width,
+       CAST(1 + doc_id % 5 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # 30. Dataset profile (QA stats, one aggregation pass per column)
 # ---------------------------------------------------------------------------
 
@@ -1737,6 +1792,7 @@ QUERIES = {
     "merge_upsert_customers": q_merge_upsert_customers,
     "script_escape_hatch": q_script_escape_hatch,
     "multimodal_features": q_multimodal_features,
+    "bmp_decode_stats": q_bmp_decode_stats,
     "dataset_profile": q_dataset_profile,
     "corpus_curation": q_corpus_curation,
     "hash_split_docs": q_hash_split_docs,
@@ -1785,6 +1841,7 @@ ORACLES = {
     "merge_upsert_customers": SQL_MERGE_UPSERT,
     "script_escape_hatch": SQL_SCRIPT_HATCH,
     "multimodal_features": SQL_MULTIMODAL,
+    "bmp_decode_stats": SQL_BMP_STATS,
     "dataset_profile": SQL_DATASET_PROFILE,
     "corpus_curation": SQL_CORPUS_CURATION,
     "hash_split_docs": SQL_HASH_SPLIT,

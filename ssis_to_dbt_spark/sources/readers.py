@@ -18,6 +18,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schema import TESTDATA_SCHEMAS
@@ -59,18 +60,108 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
-def read_excel(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """S5: ExcelSource analog (src/parser/constants.py:37).
+_XLSX_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_XLSX_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
-    No Excel reader ships in this container; Excel files are staged to CSV by
-    an out-of-band step (mirroring how the reference flags Excel connections
-    for manual review) and read through the CSV path.  If handed a real
-    .xlsx we fail loudly rather than guess.
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'C3' -> 2, 'AA7' -> 26 (letters only matter)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx_rows(path: str, sheet: str | None = None) -> list[list]:
+    """Minimal dependency-free .xlsx reader: an xlsx is a zip of XML parts,
+    so stdlib ``zipfile`` + ``ElementTree`` cover the standard layout
+    (workbook sheet registry, workbook rels, shared/inline strings, sparse
+    cells placed by their ``r`` reference).  Returns the raw cell grid of
+    ``sheet`` (default: first sheet) as strings/None."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    m = lambda tag: f"{{{_XLSX_NS}}}{tag}"  # noqa: E731
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_map = {r.get("Id"): r.get("Target") for r in rels}
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in ss.findall(m("si")):
+                shared.append("".join(t.text or "" for t in si.iter(m("t"))))
+        sheets = []
+        for sh in wb.find(m("sheets")):
+            target = rel_map[sh.get(f"{{{_XLSX_REL_NS}}}id")]
+            if not target.startswith("xl/"):
+                target = "xl/" + target.lstrip("/")
+            sheets.append((sh.get("name"), target))
+        if sheet is not None:
+            sheets = [s for s in sheets if s[0] == sheet]
+            if not sheets:
+                raise ValueError(f"sheet {sheet!r} not found in {path}")
+        ws = ET.fromstring(z.read(sheets[0][1]))
+        rows: list[list] = []
+        for row in ws.iter(m("row")):
+            cells: list = []
+            for c in row:
+                t = c.get("t")
+                if t == "inlineStr":
+                    v = "".join(tt.text or "" for tt in c.iter(m("t")))
+                else:
+                    ve = c.find(m("v"))
+                    v = ve.text if ve is not None else None
+                    if t == "s" and v is not None:
+                        v = shared[int(v)]
+                ref = c.get("r")
+                idx = _xlsx_col_index(ref) if ref else len(cells)
+                while len(cells) < idx:
+                    cells.append(None)
+                cells.append(v)
+            rows.append(cells)
+        return rows
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sheet: str | None = None,
+) -> DataFrame:
+    """S5: ExcelSource (src/parser/constants.py:37).
+
+    ``.xlsx`` is parsed DRIVER-SIDE by :func:`read_xlsx_rows` (row 1 =
+    header, remaining rows matched to ``schema`` columns by header name and
+    cast to the declared types) — correct for Excel's actual role as a
+    small-dimension source; at scale the sheet should be staged to parquet
+    out-of-band.  Legacy binary ``.xls`` still fails loudly, and CSV-staged
+    paths keep flowing through the CSV reader.
     """
-    if path.endswith((".xlsx", ".xls")):
+    if path.endswith(".xls"):
         raise NotImplementedError(
-            "Excel decode requires an out-of-band conversion to CSV; "
+            "legacy binary .xls decode is unsupported; save as .xlsx or "
             "stage the sheet as CSV and call read_excel on that path"
+        )
+    if path.endswith(".xlsx"):
+        grid = read_xlsx_rows(path, sheet)
+        if not grid:
+            return spark.createDataFrame([], schema)
+        header, data = grid[0], grid[1:]
+        width = len(header)
+        normalized = [
+            tuple((row + [None] * width)[:width]) for row in data
+        ]
+        raw = spark.createDataFrame(
+            normalized,
+            T.StructType(
+                [T.StructField(str(h), T.StringType()) for h in header]
+            ),
+        )
+        return raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
     return read_csv(spark, path, schema)
 

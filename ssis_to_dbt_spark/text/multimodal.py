@@ -75,6 +75,103 @@ def content_fingerprint(content: Column) -> Column:
     return F.md5(content)
 
 
+# --- BMP codec: the one dependency-free real decoder ---------------------
+#
+# 24-bit uncompressed BMP is fully specified by two fixed-layout headers and
+# needs no codec library, so it serves as the REAL decode backend proving the
+# Arrow-batch plumbing end-to-end; JPEG/PNG/WebP stay behind
+# NotImplementedError until their libraries are provisioned.
+
+
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24bpp bottom-up BMP writer (solid color) — the test/fixture
+    twin of :func:`decode_bmp_stats`, also handy for synthesizing media
+    columns in oracle-checked pipelines."""
+    import struct
+
+    row = bytes(bytes((rgb[2], rgb[1], rgb[0])) * width)  # BGR order
+    pad = (4 - len(row) % 4) % 4
+    pixels = (row + b"\x00" * pad) * height
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + dib + pixels
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, float, float, float]:
+    """Parse a 24bpp uncompressed BMP: (width, height, channels, mean_r,
+    mean_g, mean_b).  Raises ValueError on anything that isn't one."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    tr = tg = tb = 0
+    for y in range(height):
+        base = pixel_off + y * stride
+        rowbytes = data[base : base + width * 3]
+        tb += sum(rowbytes[0::3])
+        tg += sum(rowbytes[1::3])
+        tr += sum(rowbytes[2::3])
+    n = width * height or 1
+    del bottom_up  # orientation irrelevant for whole-image channel means
+    return width, height, 3, tr / n, tg / n, tb / n
+
+
+def decode_bmp_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Real image decode over the standard ``mapInPandas`` Arrow batch path:
+    width / height / channel count / per-channel means from actual BMP
+    pixels.  Undecodable payloads yield NULL stats rather than failing the
+    batch (the quarantine-not-crash contract of a 100 TB media scan)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                data = data if data is not None else b""
+                try:
+                    w, h, ch, mr, mg, mb = decode_bmp(data)
+                except ValueError:
+                    w = h = ch = mr = mg = mb = None
+                rows.append((mid, w, h, ch, mr, mg, mb, len(data)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "n_bytes",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
+
+
 _FEATURE_DIM = 8
 
 
@@ -99,14 +196,17 @@ def decode_image_features(
     """Decode + feature-extract stage over ``mapInPandas``.
 
     Output: (id_col, features array<double>, n_bytes).  ``backend='fake'``
-    runs the deterministic stub; any real backend name raises until the codec
-    libraries are provisioned (mirroring the reference's manual-review flag on
-    Script Tasks, src/parser/models.py:133-142).
+    runs the deterministic stub; ``backend='bmp'`` really decodes 24bpp BMP
+    payloads (:func:`decode_bmp`) into [width, height, channels, mean_r,
+    mean_g, mean_b, mean_luma, n_pixels]; other backend names raise until the
+    codec libraries are provisioned (mirroring the reference's manual-review
+    flag on Script Tasks, src/parser/models.py:133-142).
     """
-    if backend != "fake":
+    if backend not in ("fake", "bmp"):
         raise NotImplementedError(
             f"media decode backend {backend!r} requires image/audio libraries "
-            "not present in this environment; plumbing tested via backend='fake'"
+            "not present in this environment; use 'bmp' (real, dependency-"
+            "free) or 'fake' (deterministic stub)"
         )
 
     schema = T.StructType(
@@ -117,17 +217,24 @@ def decode_image_features(
         ]
     )
 
+    def _bmp_features(data: bytes) -> list[float]:
+        w, h, ch, mr, mg, mb = decode_bmp(data)
+        luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        return [float(w), float(h), float(ch), mr, mg, mb, luma, float(w * h)]
+
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        featurize = _bmp_features if backend == "bmp" else (
+            lambda b: _fake_features(b, feature_dim)
+        )
         for pdf in batches:
             content = pdf[content_col]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "features": [
-                        _fake_features(b if b is not None else b"", feature_dim)
-                        for b in content
+                        featurize(b if b is not None else b"") for b in content
                     ],
                     "n_bytes": [len(b) if b is not None else 0 for b in content],
                 }

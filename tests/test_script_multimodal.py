@@ -80,6 +80,45 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="backend"):
             decode_image_features(media, backend="pillow")
 
+    def test_bmp_roundtrip_pure_python(self):
+        from ssis_to_dbt_spark.text.multimodal import decode_bmp, encode_bmp
+
+        # width 3 forces row padding (3*3=9 bytes -> stride 12)
+        data = encode_bmp(3, 2, (200, 100, 50))
+        assert decode_bmp(data) == (3, 2, 3, 200.0, 100.0, 50.0)
+        with pytest.raises(ValueError, match="BMP"):
+            decode_bmp(b"not an image")
+
+    def test_bmp_stats_over_arrow_batches(self, spark):
+        from ssis_to_dbt_spark.text.multimodal import decode_bmp_stats, encode_bmp
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_bmp(4, 3, (10, 20, 30)))),
+                (2, bytearray(encode_bmp(7, 1, (0, 255, 128)))),
+                (3, bytearray(b"garbage")),  # quarantined, not fatal
+            ],
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r for r in decode_bmp_stats(df).collect()}
+        assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (4, 3, 3)
+        assert (rows[1]["mean_r"], rows[1]["mean_g"], rows[1]["mean_b"]) == (
+            10.0, 20.0, 30.0,
+        )
+        assert (rows[2]["width"], rows[2]["mean_g"]) == (7, 255.0)
+        assert rows[3]["width"] is None and rows[3]["n_bytes"] == 7
+
+    def test_bmp_backend_in_feature_path(self, spark):
+        from ssis_to_dbt_spark.text.multimodal import encode_bmp
+
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(2, 2, (8, 16, 32))))],
+            "media_id long, content binary",
+        )
+        feats = decode_image_features(df, backend="bmp").first()["features"]
+        assert feats[:6] == [2.0, 2.0, 3.0, 8.0, 16.0, 32.0]
+        assert feats[7] == 4.0  # n_pixels
+
     def test_content_fingerprint_dedups(self, spark):
         df = spark.createDataFrame(
             [(1, bytearray(b"same")), (2, bytearray(b"same")), (3, bytearray(b"diff"))],

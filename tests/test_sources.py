@@ -48,9 +48,110 @@ class TestReaders:
         back = read_json(spark, p, SCHEMA)
         assert back.count() == 2
 
-    def test_excel_shim_refuses_real_xlsx(self, spark):
-        with pytest.raises(NotImplementedError, match="CSV"):
-            read_excel(spark, "/tmp/book.xlsx", SCHEMA)
+    @staticmethod
+    def _write_xlsx(path, sheets):
+        """Minimal hand-built .xlsx (zip of XML parts, inline strings) —
+        fixture generator for the dependency-free reader."""
+        import zipfile
+
+        def ws_xml(grid):
+            ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+            rows = []
+            for ri, row in enumerate(grid, start=1):
+                cells = []
+                for ci, v in enumerate(row):
+                    if v is None:
+                        continue
+                    col = chr(ord("A") + ci)
+                    if isinstance(v, (int, float)):
+                        cells.append(f'<c r="{col}{ri}"><v>{v}</v></c>')
+                    else:
+                        cells.append(
+                            f'<c r="{col}{ri}" t="inlineStr"><is><t>{v}</t></is></c>'
+                        )
+                rows.append(f'<row r="{ri}">{"".join(cells)}</row>')
+            return (
+                f'<worksheet xmlns="{ns}"><sheetData>'
+                + "".join(rows)
+                + "</sheetData></worksheet>"
+            )
+
+        m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        ct = "http://schemas.openxmlformats.org/package/2006/content-types"
+        pr = "http://schemas.openxmlformats.org/package/2006/relationships"
+        sheet_tags = "".join(
+            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, name in enumerate(sheets)
+        )
+        rel_tags = "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{r}/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        overrides = "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(len(sheets))
+        )
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr(
+                "[Content_Types].xml",
+                f'<Types xmlns="{ct}">'
+                '<Default Extension="xml" ContentType="application/xml"/>'
+                '<Default Extension="rels" ContentType="application/vnd.'
+                'openxmlformats-package.relationships+xml"/>'
+                '<Override PartName="/xl/workbook.xml" ContentType='
+                '"application/vnd.openxmlformats-officedocument.'
+                'spreadsheetml.sheet.main+xml"/>'
+                f"{overrides}</Types>",
+            )
+            z.writestr(
+                "_rels/.rels",
+                f'<Relationships xmlns="{pr}">'
+                f'<Relationship Id="rId1" Type="{r}/officeDocument" '
+                'Target="xl/workbook.xml"/></Relationships>',
+            )
+            z.writestr(
+                "xl/workbook.xml",
+                f'<workbook xmlns="{m}" xmlns:r="{r}">'
+                f"<sheets>{sheet_tags}</sheets></workbook>",
+            )
+            z.writestr(
+                "xl/_rels/workbook.xml.rels",
+                f'<Relationships xmlns="{pr}">{rel_tags}</Relationships>',
+            )
+            for i, name in enumerate(sheets):
+                z.writestr(f"xl/worksheets/sheet{i + 1}.xml", ws_xml(sheets[name]))
+
+    def test_excel_reads_real_xlsx(self, spark, tmp_path):
+        p = str(tmp_path / "book.xlsx")
+        self._write_xlsx(
+            p,
+            {
+                "inventory": [
+                    ["k", "v"],
+                    [1, "a"],
+                    [2, "b"],
+                    [3, None],  # sparse row: cell B4 absent entirely
+                ],
+                "other": [["k", "v"], [99, "zz"]],
+            },
+        )
+        out = read_excel(spark, p, SCHEMA)
+        assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+            (1, "a"), (2, "b"), (3, None),
+        ]
+        assert out.schema == SCHEMA  # declared types, not strings
+        other = read_excel(spark, p, SCHEMA, sheet="other")
+        assert [(r["k"], r["v"]) for r in other.collect()] == [(99, "zz")]
+        with pytest.raises(ValueError, match="not found"):
+            read_excel(spark, p, SCHEMA, sheet="missing")
+
+    def test_excel_shim_refuses_legacy_xls(self, spark):
+        with pytest.raises(NotImplementedError, match="xlsx"):
+            read_excel(spark, "/tmp/book.xls", SCHEMA)
 
     def test_rest_refuses_live_urls(self, spark):
         with pytest.raises(NotImplementedError, match="out-of-band"):
