@@ -350,18 +350,26 @@ def simhash(text: Column, bits: int = 48) -> Column:
 
     Per token: xxhash64; per bit b: +1 if bit set else -1, summed over
     tokens; fingerprint bit b is 1 when the sum is positive.
+
+    The token hash is hoisted into its own ``transform`` so each token is
+    xxhashed ONCE — a lambda body referencing the captured token expression
+    would re-evaluate the hash per bit (``bits``× the work; HOF lambdas run
+    interpreted with no subexpression elimination).  Prefer
+    :func:`simhash_fingerprints` on DataFrames: explode + codegen'd integer
+    aggregates beat interpreted array folds.
     """
-    toks = _tokens(text)
+    # one xxhash per token; lambda vars are plain variable reads afterwards
+    hashes = F.transform(_tokens(text), lambda t: F.xxhash64(t))
     # bit positions are Python ints (shiftright requires literal shift widths)
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for b in range(bits)
@@ -381,6 +389,37 @@ def simhash(text: Column, bits: int = 48) -> Column:
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+) -> DataFrame:
+    """Production SimHash over a DataFrame: explode tokens, xxhash each ONCE,
+    sum per-bit ±1 votes with ``bits`` codegen'd integer aggregates behind a
+    single doc_id shuffle — the whole-stage-codegen shape of
+    :func:`simhash_md5_fingerprints`, identical votes to :func:`simhash`."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
+    )
+    h = F.xxhash64(F.col("_tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -391,7 +430,7 @@ def simhash_candidates(
     """SimHash near-dup candidates: docs sharing any ``band_bits``-wide band
     of the fingerprint (Hamming-ball blocking, equi-join on band value)."""
     n_bands = bits // band_bits
-    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    sh = simhash_fingerprints(df, id_col, text_col, bits)
     banded = sh.select(
         id_col,
         "simhash",
