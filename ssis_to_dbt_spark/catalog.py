@@ -1718,8 +1718,11 @@ def q_roundtrip_audit_update(spark, sf_dir):
     s = (
         _t(spark, sf_dir)["supplier"]
         .select(
-            F.col("s_suppkey").alias("supplier_key"),
-            F.col("s_nationkey").alias("nation_key"),
+            F.col("s_suppkey").cast("long").alias("supplier_key"),
+            # s_nationkey is INT32 in the source parquet; widen to match the
+            # audit row's INT64 — mixed-width files under one path make the
+            # read-back schema depend on which file inference lands on
+            F.col("s_nationkey").cast("long").alias("nation_key"),
             F.col("s_acctbal").cast("double").alias("acct_bal"),
         )
         .withColumn("processed", F.lit("N"))
@@ -1743,8 +1746,8 @@ def q_roundtrip_audit_update(spark, sf_dir):
 
 
 SQL_RT_AUDIT = """
-SELECT s_suppkey AS supplier_key,
-       s_nationkey AS nation_key,
+SELECT CAST(s_suppkey AS BIGINT) AS supplier_key,
+       CAST(s_nationkey AS BIGINT) AS nation_key,
        CAST(s_acctbal AS DOUBLE) AS acct_bal,
        CASE WHEN s_acctbal < 0.0 THEN 'Y' ELSE 'N' END AS processed
 FROM supplier

@@ -58,6 +58,8 @@ def audit_append(spark: SparkSession, path: str, row: dict) -> None:
     """D5: INSERT INTO ... VALUES single-row audit log append
     (InventorySync.dtsx:266-267)."""
     spark.createDataFrame([row]).write.mode("append").parquet(path)
+    # invalidate any cached listing of `path` so readers see the new file
+    spark.catalog.refreshByPath(path)
 
 
 def update_flag(
@@ -88,6 +90,9 @@ def update_flag(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    # the swap replaced every file under `path`; drop any cached file listing
+    # so a later read doesn't resolve to the deleted originals
+    spark.catalog.refreshByPath(path)
 
 
 def update_flag_partitioned(
@@ -122,6 +127,7 @@ def update_flag_partitioned(
         .parquet(path)
     )
     shutil.rmtree(staging)
+    spark.catalog.refreshByPath(path)
 
 
 def write_bucketed(
