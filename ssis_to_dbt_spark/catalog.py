@@ -1745,6 +1745,179 @@ def q_roundtrip_audit_update(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+def q_salted_agg_events(spark, sf_dir):
+    """Skew machinery driven end-to-end: two-phase salted aggregation over
+    the low-cardinality event_type key (phase 1 groups on key+salt, phase 2
+    merges partials on the key alone) must equal a plain GROUP BY — decimal
+    partials make the split exact regardless of how rows spread over salts."""
+    from .operators import salted_aggregate
+
+    e = _t(spark, sf_dir)["events"]
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        partial_aggs={
+            "sum_value": F.sum(F.col("value").cast(_D184)).cast(_D184),
+            "n_events": F.count(F.lit(1)),
+        },
+        merge_aggs={
+            "sum_value": F.sum("sum_value").cast(_D184),
+            "n_events": F.sum("n_events"),
+        },
+        salt_col="event_id",
+    )
+    return _final_double(out, ["sum_value"])
+
+
+SQL_SALTED_AGG = """
+SELECT event_type,
+       CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)), 6)
+            AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_foreach_segments(spark, sf_dir):
+    """C2: ForEachLoop container — the pipeline re-runs once per variable
+    value (segment), each iteration var-binding its filter; the unioned
+    iteration outputs must equal one segment-grouped aggregate."""
+    from .operators import union_all
+    from .pipeline import foreach_partition_values
+
+    t = _t(spark, sf_dir)
+
+    def seg_orders(frames, vars):
+        cust = frames["customer"].filter(
+            F.col("c_mktsegment") == F.lit(vars["segment"])
+        )
+        joined = frames["orders"].join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D182)).cast(_D182).alias("total"),
+        )
+
+    pipe = Pipeline(spark, vars={"segment": ""})
+    pipe.add(Model("seg_orders", seg_orders, deps=[]))
+    segments = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    runs = foreach_partition_values(
+        pipe, {"orders": t["orders"], "customer": t["customer"]},
+        "segment", segments,
+    )
+    frames = [runs[s]["seg_orders"] for s in segments]
+    out = frames[0]
+    for f in frames[1:]:
+        out = union_all(out, f)
+    return _final_double(out, ["total"])
+
+
+SQL_FOREACH = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)), 6) AS DOUBLE) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_bucketed_join_orders(spark, sf_dir):
+    """Bucketed co-located join driven end-to-end: both sides written with
+    write_bucketed on the join key (16 buckets), read back through the table
+    catalog, joined (zero-exchange on a cluster; plan shape pinned in
+    test_skew_bucketing.py), and aggregated.  Oracle = the plain join+agg,
+    proving bucketed storage changes the plan, never the values."""
+    import uuid
+
+    from .sources.writers import write_bucketed
+
+    t = _t(spark, sf_dir)
+    sfx = uuid.uuid4().hex[:8]
+    base = _rt_tmpdir("bucketed")
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        f"bt_orders_{sfx}", f"{base}/o", ["o_orderkey"], num_buckets=16,
+    )
+    write_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").cast(_D182).alias("price"),
+        ),
+        f"bt_lineitem_{sfx}", f"{base}/l", ["o_orderkey"], num_buckets=16,
+    )
+    joined = spark.table(f"bt_lineitem_{sfx}").join(
+        spark.table(f"bt_orders_{sfx}"), "o_orderkey"
+    )
+    out = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("price").cast(_D182).alias("total_price"),
+    )
+    return _final_double(out, ["total_price"])
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)), 6) AS DOUBLE) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_streaming_roundtrip(spark, sf_dir):
+    """ST2 + ST3 driven end-to-end: stage events to a file source, run a real
+    checkpointed availableNow micro-batch stream (watermarked tumbling window
+    in append mode) into a parquet sink, and read the sink back.  Append mode
+    emits exactly the windows whose end <= the final watermark (max event
+    time, delay 0), which the oracle reproduces with a max(ts) bound — so the
+    driver's value hash covers the streaming engine's actual output."""
+    from .streaming import write_stream
+
+    e = _t(spark, sf_dir)["events"].select("event_id", "ts", "event_type", "value")
+    base = _rt_tmpdir("stream")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    e.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    win = tumbling_window(
+        stream,
+        "ts",
+        "10 minutes",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast(_D184)).cast(_D184),
+        },
+        watermark="0 seconds",
+    )
+    q = write_stream(win, sink, ckpt, mode="append")
+    q.awaitTermination()
+    return _final_double(spark.read.parquet(sink), ["sum_value"])
+
+
+SQL_STREAMING_RT = """
+WITH agg AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+           AS window_start,
+         make_timestamp((CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) + 600) * 1000000)
+           AS window_end,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)), 6)
+              AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+"""
+
+
 SQL_RT_AUDIT = """
 SELECT CAST(s_suppkey AS BIGINT) AS supplier_key,
        CAST(s_nationkey AS BIGINT) AS nation_key,
@@ -1809,6 +1982,10 @@ QUERIES = {
     "roundtrip_csv": q_roundtrip_csv,
     "roundtrip_json": q_roundtrip_json,
     "roundtrip_audit_update": q_roundtrip_audit_update,
+    "streaming_roundtrip": q_streaming_roundtrip,
+    "salted_agg_events": q_salted_agg_events,
+    "foreach_segments": q_foreach_segments,
+    "bucketed_join_orders": q_bucketed_join_orders,
 }
 
 ORACLES = {
@@ -1860,6 +2037,10 @@ ORACLES = {
     "roundtrip_csv": SQL_RT_CSV,
     "roundtrip_json": SQL_RT_JSON,
     "roundtrip_audit_update": SQL_RT_AUDIT,
+    "streaming_roundtrip": SQL_STREAMING_RT,
+    "salted_agg_events": SQL_SALTED_AGG,
+    "foreach_segments": SQL_FOREACH,
+    "bucketed_join_orders": SQL_BUCKETED_JOIN,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),
