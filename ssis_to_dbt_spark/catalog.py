@@ -1825,6 +1825,72 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_validation_rollup(spark, sf_dir):
+    """V1 + V3 + report rollup driven end-to-end: the distributed checks
+    (row-count compare, PK integrity, checksum variance) run for real, roll
+    up through ValidationReport, and the flattened (model, check, status,
+    counts) table is value-checked — the counts come from the actual
+    distributed aggregates, the statuses from the real tolerance logic."""
+    from .operators import (
+        ModelValidation,
+        ValidationReport,
+        checksum_compare,
+        pk_integrity,
+        row_count_compare,
+    )
+
+    t = _t(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    rc = row_count_compare(o, o)
+    cs = checksum_compare(o, o, ["o_totalprice"])
+    pk = pk_integrity(li, ["l_orderkey", "l_linenumber"])
+    rep = (
+        ValidationReport()
+        .add_model(ModelValidation("orders").add(rc).add(cs))
+        .add_model(ModelValidation("lineitem").add(pk))
+    )
+    rows = [
+        ("orders", "row_count", rc.status,
+         rc.detail["legacy"], rc.detail["migrated"]),
+        ("orders", "checksum", cs.status, None, None),
+        ("lineitem", "pk_integrity", pk.status,
+         pk.detail["null_keys"], pk.detail["dup_keys"]),
+        ("__report__", "overall", rep.overall_status,
+         rep.models_passed, rep.models_failed),
+    ]
+    return spark.createDataFrame(
+        rows, "model string, check_name string, status string, "
+              "value_a bigint, value_b bigint",
+    )
+
+
+SQL_VALIDATION_ROLLUP = """
+WITH pkc AS (
+  SELECT (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS nulls,
+         (SELECT COUNT(*) FROM (
+            SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+            HAVING COUNT(*) > 1) _d) AS dups
+)
+SELECT 'orders' AS model, 'row_count' AS check_name, 'pass' AS status,
+       (SELECT COUNT(*) FROM orders) AS value_a,
+       (SELECT COUNT(*) FROM orders) AS value_b
+UNION ALL
+SELECT 'orders', 'checksum', 'pass', NULL, NULL
+UNION ALL
+SELECT 'lineitem', 'pk_integrity',
+       CASE WHEN nulls = 0 AND dups = 0 THEN 'pass' ELSE 'fail' END,
+       nulls, dups
+FROM pkc
+UNION ALL
+SELECT '__report__', 'overall',
+       CASE WHEN nulls = 0 AND dups = 0 THEN 'pass' ELSE 'fail' END,
+       1 + CASE WHEN nulls = 0 AND dups = 0 THEN 1 ELSE 0 END,
+       CASE WHEN nulls = 0 AND dups = 0 THEN 0 ELSE 1 END
+FROM pkc
+"""
+
+
 def q_bucketed_join_orders(spark, sf_dir):
     """Bucketed co-located join driven end-to-end: both sides written with
     write_bucketed on the join key (16 buckets), read back through the table
@@ -1986,6 +2052,7 @@ QUERIES = {
     "salted_agg_events": q_salted_agg_events,
     "foreach_segments": q_foreach_segments,
     "bucketed_join_orders": q_bucketed_join_orders,
+    "validation_rollup": q_validation_rollup,
 }
 
 ORACLES = {
@@ -2041,6 +2108,7 @@ ORACLES = {
     "salted_agg_events": SQL_SALTED_AGG,
     "foreach_segments": SQL_FOREACH,
     "bucketed_join_orders": SQL_BUCKETED_JOIN,
+    "validation_rollup": SQL_VALIDATION_ROLLUP,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),
