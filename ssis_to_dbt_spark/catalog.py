@@ -1825,6 +1825,63 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_parallel_table_dag(spark, sf_dir):
+    """C6 + D7 driven end-to-end: two INDEPENDENT table models materialize
+    concurrently (parallel_tables=True submits both parquet writes from a
+    thread pool; Spark's scheduler interleaves the jobs), after a D7
+    preflight guard admits the inputs; a view model then joins the re-read
+    tables.  Oracle = the same two aggregates joined."""
+    from .operators.quality import preflight_guard
+
+    t = _t(spark, sf_dir)
+    preflight_guard(t["orders"], min_rows=1, name="orders_preflight")
+    preflight_guard(t["customer"], min_rows=1, name="customer_preflight")
+    base = _rt_tmpdir("pdag")
+
+    def cust_orders(frames, vars):
+        return frames["orders"].groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D182)).cast(_D182).alias("spend"),
+        )
+
+    def cust_dim(frames, vars):
+        return frames["customer"].select(
+            "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("acctbal")
+        )
+
+    def cust_report(frames, vars):
+        return frames["cust_dim"].join(
+            frames["cust_orders"],
+            F.col("c_custkey") == F.col("o_custkey"),
+        ).select("c_custkey", "c_mktsegment", "acctbal", "n_orders", "spend")
+
+    pipe = Pipeline(spark)
+    pipe.add(Model("cust_orders", cust_orders, deps=[],
+                   materialization="table", path=f"{base}/cust_orders"))
+    pipe.add(Model("cust_dim", cust_dim, deps=[],
+                   materialization="table", path=f"{base}/cust_dim"))
+    pipe.add(Model("cust_report", cust_report, deps=["cust_orders", "cust_dim"]))
+    frames = pipe.run(
+        {"orders": t["orders"], "customer": t["customer"]},
+        parallel_tables=True,
+    )
+    return _final_double(frames["cust_report"], ["spend"])
+
+
+SQL_PARALLEL_DAG = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       o.n_orders,
+       CAST(round(o.spend, 6) AS DOUBLE) AS spend
+FROM customer c
+JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS spend
+      FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
 def q_validation_rollup(spark, sf_dir):
     """V1 + V3 + report rollup driven end-to-end: the distributed checks
     (row-count compare, PK integrity, checksum variance) run for real, roll
@@ -2053,6 +2110,7 @@ QUERIES = {
     "foreach_segments": q_foreach_segments,
     "bucketed_join_orders": q_bucketed_join_orders,
     "validation_rollup": q_validation_rollup,
+    "parallel_table_dag": q_parallel_table_dag,
 }
 
 ORACLES = {
@@ -2109,6 +2167,7 @@ ORACLES = {
     "foreach_segments": SQL_FOREACH,
     "bucketed_join_orders": SQL_BUCKETED_JOIN,
     "validation_rollup": SQL_VALIDATION_ROLLUP,
+    "parallel_table_dag": SQL_PARALLEL_DAG,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),
