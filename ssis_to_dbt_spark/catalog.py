@@ -2020,7 +2020,11 @@ def q_streaming_roundtrip(spark, sf_dir):
         watermark="0 seconds",
     )
     q = write_stream(win, sink, ckpt, mode="append")
-    q.awaitTermination()
+    # availableNow terminates on its own; the timeout only bounds a hung
+    # stream so one bad run can't stall the whole verification pass
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_roundtrip: stream did not drain in 600s")
     return _final_double(spark.read.parquet(sink), ["sum_value"])
 
 
