@@ -2056,6 +2056,203 @@ SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE), 'AUDIT'
 """
 
 
+def q_roundtrip_excel(spark, sf_dir):
+    """S5 both directions: the nation dimension exported to a real ``.xlsx``
+    (stdlib OOXML writer) and read back through the dependency-free Excel
+    source under a declared schema — Excel's actual role in the reference
+    (small dimension/report sheets, src/parser/constants.py:37-38)."""
+    import os
+
+    from .sources import readers, writers
+
+    n = _t(spark, sf_dir)["nation"]
+    rows = [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in n.collect()  # 25-row dimension: driver-side by design
+    ]
+    path = os.path.join(_rt_tmpdir("excel"), "nations.xlsx")
+    writers.write_xlsx(["nation_key", "nation_name", "region_key"], rows, path)
+    schema = T.StructType(
+        [
+            T.StructField("nation_key", T.IntegerType()),
+            T.StructField("nation_name", T.StringType()),
+            T.StructField("region_key", T.IntegerType()),
+        ]
+    )
+    return readers.read_excel(spark, path, schema)
+
+
+SQL_RT_EXCEL = """
+SELECT CAST(n_nationkey AS INTEGER) AS nation_key,
+       n_name AS nation_name,
+       CAST(n_regionkey AS INTEGER) AS region_key
+FROM nation
+"""
+
+
+def q_rest_landing(spark, sf_dir):
+    """S9: REST API source contract — an out-of-band job lands the API
+    payload as JSON; ``read_rest_api`` reads the landed path under a declared
+    schema (the reference flags the live-HTTP Script Task manual_review,
+    src/parser/models.py:133-142)."""
+    from .sources import readers, writers
+
+    r = _t(spark, sf_dir)["region"].select(
+        F.col("r_regionkey").cast("int").alias("region_key"),
+        F.col("r_name").alias("region_name"),
+    )
+    path = _rt_tmpdir("rest")
+    writers.write_json(r, path)
+    schema = T.StructType(
+        [
+            T.StructField("region_key", T.IntegerType()),
+            T.StructField("region_name", T.StringType()),
+        ]
+    )
+    return readers.read_rest_api(spark, path, schema)
+
+
+SQL_REST_LANDING = """
+SELECT CAST(r_regionkey AS INTEGER) AS region_key,
+       r_name AS region_name
+FROM region
+"""
+
+
+def q_stratified_docs(spark, sf_dir):
+    """Deterministic stratified sampling over documents: per-language keep
+    fractions on the 4-hex-char md5 prefix (content-addressed — rerun-,
+    partitioning- and engine-stable; the oracle reproduces the exact rows)."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir)["documents"]
+    samp = stratified_sample(
+        d,
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25},
+        key_col="doc_id",
+        default_fraction=0.1,
+    )
+    return samp.select("doc_id", "lang", "source")
+
+
+# hex4 thresholds: 0.5*65536=32768='8000', 0.25*65536=16384='4000',
+# 0.1*65536=6553='1999' — same fixed-width lowercase hex compare as Spark
+SQL_STRATIFIED = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000'
+                WHEN 'de' THEN '4000'
+                ELSE '1999' END
+"""
+
+
+def q_stateful_totals(spark, sf_dir):
+    """ST+: the custom stateful operator (``applyInPandasWithState`` lifetime
+    per-key totals) driven end-to-end — events staged to a file stream, state
+    updated across micro-batches, update-mode foreachBatch sink (idempotent
+    batch_id=N overwrite), final state read back.  Values are exact at any
+    summation order: the measure is pre-quantized to integer ten-thousandths
+    via DECIMAL(18,4)*10000 -> BIGINT (int sums are associative, so pandas'
+    per-batch accumulation equals the oracle's single GROUP BY regardless of
+    row order or batch boundaries)."""
+    from .streaming import stateful_running_totals, write_stream_update
+
+    e = _t(spark, sf_dir)["events"].select(
+        "event_id",
+        "ts",
+        "event_type",
+        (F.col("value").cast(_D184) * 10000).cast("long").alias("value_units"),
+    )
+    base = _rt_tmpdir("stateful")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    e.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value_units bigint"
+    ).parquet(src)
+    totals = stateful_running_totals(stream, "event_type", "value_units")
+    q = write_stream_update(totals, sink, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stateful_totals: stream did not drain in 600s")
+    out = spark.read.parquet(sink)  # partition discovery exposes batch_id
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("long").alias("total_units"),
+        )
+    )
+
+
+SQL_STATEFUL_TOTALS = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+            AS BIGINT) AS total_units
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
+    the 8 lowest-id embeddings — deterministic, model-free 'training'), route
+    the query driver-side with the same IEEE fold, brute-force only the 2
+    probed cells.  Complements LSH: cells adapt to the data distribution."""
+    from .text.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = ivf_topk(emb, list(qvec), k=10, n_cells=8, nprobe=2)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(e.v, cent.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qcells AS (SELECT cid FROM scored WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 2),
+cand AS (SELECT a.vec_id, a.v FROM assign a
+         WHERE a.cid IN (SELECT cid FROM qcells)),
+fin AS (
+  SELECT cand.vec_id,
+         CASE WHEN sqrt(list_inner_product(cand.v, cand.v))
+                   * sqrt(list_inner_product(q.qv, q.qv)) > 0
+              THEN list_inner_product(cand.v, q.qv)
+                   / (sqrt(list_inner_product(cand.v, cand.v))
+                      * sqrt(list_inner_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cosine
+  FROM cand, q)
+SELECT vec_id, round(cosine, 6) AS cosine_r
+FROM fin ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2115,6 +2312,11 @@ QUERIES = {
     "bucketed_join_orders": q_bucketed_join_orders,
     "validation_rollup": q_validation_rollup,
     "parallel_table_dag": q_parallel_table_dag,
+    "roundtrip_excel": q_roundtrip_excel,
+    "rest_landing": q_rest_landing,
+    "stratified_docs": q_stratified_docs,
+    "stateful_totals": q_stateful_totals,
+    "ivf_topk_embeddings": q_ivf_topk,
 }
 
 ORACLES = {
@@ -2172,6 +2374,11 @@ ORACLES = {
     "bucketed_join_orders": SQL_BUCKETED_JOIN,
     "validation_rollup": SQL_VALIDATION_ROLLUP,
     "parallel_table_dag": SQL_PARALLEL_DAG,
+    "roundtrip_excel": SQL_RT_EXCEL,
+    "rest_landing": SQL_REST_LANDING,
+    "stratified_docs": SQL_STRATIFIED,
+    "stateful_totals": SQL_STATEFUL_TOTALS,
+    "ivf_topk_embeddings": SQL_IVF_TOPK,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

@@ -164,3 +164,85 @@ def write_json(df: DataFrame, path: str) -> None:
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """S4: FlatFileDestination (src/parser/constants.py:36)."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_xlsx(
+    header: list[str], rows: list[list], path: str, sheet: str = "Sheet1"
+) -> None:
+    """S5: ExcelDestination (src/parser/constants.py:38) — dependency-free
+    .xlsx writer (stdlib zipfile + hand-built OOXML parts, inline strings),
+    the write-side twin of ``readers.read_xlsx_rows``.
+
+    Driver-side by design: Excel's role in the reference is small dimension /
+    report sheets, never fact data; at scale the frame is staged to parquet
+    and exported out-of-band.  Values render via ``str()`` (None -> empty
+    cell) and read back under a declared schema's casts.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def row_xml(r: int, cells: list) -> str:
+        parts = [f'<row r="{r}">']
+        for i, v in enumerate(cells):
+            if v is None:
+                continue
+            col = ""
+            n = i + 1
+            while n:
+                n, rem = divmod(n - 1, 26)
+                col = chr(ord("A") + rem) + col
+            parts.append(
+                f'<c r="{col}{r}" t="inlineStr"><is><t>'
+                f"{escape(str(v))}</t></is></c>"
+            )
+        parts.append("</row>")
+        return "".join(parts)
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct_ns = "http://schemas.openxmlformats.org/package/2006/content-types"
+    all_rows = [header] + rows
+    sheet_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
+        + "</sheetData></worksheet>"
+    )
+    workbook_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="{rel_ns}"><sheets>'
+        f'<sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/>'
+        f"</sheets></workbook>"
+    )
+    workbook_rels = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_rel_ns}">'
+        f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" '
+        f'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_rel_ns}">'
+        f'<Relationship Id="rId1" '
+        f'Type="{rel_ns}/officeDocument" Target="xl/workbook.xml"/>'
+        f"</Relationships>"
+    )
+    content_types = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{ct_ns}">'
+        f'<Default Extension="rels" '
+        f'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        f'<Default Extension="xml" ContentType="application/xml"/>'
+        f'<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        f'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        f'<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application'
+        f'/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        f"</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook_xml)
+        z.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)

@@ -17,6 +17,8 @@ All vector math uses built-in higher-order functions (``zip_with`` /
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -493,3 +495,122 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize into centroid cells, probe a few
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF "training": the centroid of cell ``c`` is the
+    embedding with the ``c``-th lowest id.  A real deployment would run
+    k-means here; id-seeded centroids keep the index reproducible with no
+    stored model (same property the LSH planes have) and are exactly
+    reproducible by an external SQL oracle.  Collects ``n_cells`` rows —
+    a bounded scalar-sized fetch, like a MIN/MAX watermark, not a data scan.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    return [
+        (c, [float(x) for x in row[vec_col]]) for c, row in enumerate(rows)
+    ]
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the same sequential fold order as
+    :func:`cosine_similarity` (IEEE-identical, used for query routing)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+        na = na + float(x) * float(x)
+        nb = nb + float(y) * float(y)
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom > 0 else 0.0
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties -> lowest
+    cell id).  Centroids are embedded as LITERAL arrays, so assignment is a
+    map-only linear scan — no shuffle, no per-row hashing; at 100 TB the
+    assigned frame is written partitioned/bucketed by ``cell`` so a probe
+    becomes partition pruning instead of a filter scan.
+
+    Each centroid similarity is projected ONCE as a real column before the
+    argmax fold (interpreted HOF lambdas would otherwise re-evaluate every
+    dot product per comparison).
+    """
+    v = _as_double(F.col(vec_col))
+    df = df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
+    sim_cols = []
+    for cid, cvec in centroids:
+        cnorm = 0.0
+        for x in cvec:
+            cnorm = cnorm + float(x) * float(x)
+        cnorm = math.sqrt(cnorm)
+        denom = F.col("_norm") * F.lit(cnorm)
+        sim = F.when(
+            denom > 0,
+            dot_product(F.col("_v"), F.lit([float(x) for x in cvec])) / denom,
+        ).otherwise(F.lit(0.0))
+        sim_cols.append(sim.alias(f"_sim{cid}"))
+    df = df.select("*", *sim_cols)
+    # argmax via max-of-structs: (sim, -cell) compares field-by-field, so the
+    # max is the highest sim with the LOWEST cell id on exact ties — linear
+    # plan size (a chained when-fold would double the tree per centroid)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_sim{cid}").alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, _ in centroids
+            ]
+        )
+    )
+    out = df.withColumn(cell_col, -best.getField("nc"))
+    return out.drop("_v", "_norm", *[f"_sim{cid}" for cid, _ in centroids])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: brute-force cosine restricted to the ``nprobe``
+    cells whose centroids are closest to the query.
+
+    The query is routed driver-side with the same sequential-fold cosine the
+    cluster runs (bit-identical, zero extra jobs), then the scan prunes to
+    ``~nprobe/n_cells`` of the corpus and finishes with
+    ``TakeOrderedAndProject``.  Complements :func:`lsh_topk`: IVF cells adapt
+    to the data distribution (centroids are data points), LSH buckets are
+    data-independent.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, id_col, vec_col)
+    ranked = sorted(
+        ((_py_cosine(query_vec, cvec), cid) for cid, cvec in centroids),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    candidates = assigned.filter(F.col("cell").isin(probe))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

@@ -250,3 +250,30 @@ class TestUpdateFlagPartitioned:
         assert back.count() == 30
         flipped = {(r["part"], r["id"]) for r in back.filter("flag = 1").collect()}
         assert flipped == {("d2", i) for i in range(5)}
+
+
+class TestWriteXlsx:
+    def test_write_then_read_roundtrip(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        p = str(tmp_path / "out.xlsx")
+        write_xlsx(
+            ["k", "v"],
+            [[1, "a&<b>"], [2, None], [3, "c"]],
+            p,
+        )
+        out = read_excel(spark, p, SCHEMA)
+        assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+            (1, "a&<b>"), (2, None), (3, "c"),
+        ]
+        assert out.schema == SCHEMA
+
+    def test_sheet_name_respected(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import read_xlsx_rows
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        p = str(tmp_path / "named.xlsx")
+        write_xlsx(["k"], [[7]], p, sheet="inventory")
+        assert read_xlsx_rows(p, sheet="inventory") == [["k"], ["7"]]
+        with pytest.raises(ValueError, match="not found"):
+            read_xlsx_rows(p, sheet="missing")

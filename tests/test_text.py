@@ -180,3 +180,55 @@ class TestMd5Twins:
             df, num_planes=4, dims=3, max_bucket_size=50
         )
         assert capped.count() == 50 * 49 // 2
+
+
+class TestIVF:
+    def _corpus(self, spark):
+        # 2-D so cell geometry is obvious: ids 0,1 are the centroids
+        # (x-axis and y-axis); the rest cluster around one of them
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.1, 0.9]),
+            (4, [0.8, 0.2]),
+            (5, [-1.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_centroids_are_lowest_ids(self, spark):
+        cents = tx.ivf_centroids(self._corpus(spark), n_cells=2)
+        assert [c for c, _ in cents] == [0, 1]
+        assert cents[0][1] == [1.0, 0.0] and cents[1][1] == [0.0, 1.0]
+
+    def test_assignment_nearest_centroid(self, spark):
+        df = self._corpus(spark)
+        cents = tx.ivf_centroids(df, n_cells=2)
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in tx.ivf_assign(df, cents).collect()
+        }
+        assert cells[0] == 0 and cells[2] == 0 and cells[4] == 0
+        assert cells[1] == 1 and cells[3] == 1
+        assert cells[5] == 1  # cos(-x, x)=-1 < cos(-x, y)=0
+
+    def test_assignment_tie_takes_lowest_cell(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+            "vec_id int, embedding array<float>",
+        )
+        cents = tx.ivf_centroids(df, n_cells=2)
+        cells = {r["vec_id"]: r["cell"] for r in tx.ivf_assign(df, cents).collect()}
+        assert cells[2] == 0  # equidistant from both centroids
+
+    def test_topk_probes_only_nearest_cells(self, spark):
+        df = self._corpus(spark)
+        out = tx.ivf_topk(df, [1.0, 0.05], k=10, n_cells=2, nprobe=1).collect()
+        got = [r["vec_id"] for r in out]
+        # nprobe=1 probes only the x-axis cell: y-cluster ids never scored
+        assert set(got) <= {0, 2, 4}
+        assert got[0] == 0  # best cosine first
+        # nprobe=2 covers everything -> exact brute-force result
+        full = tx.ivf_topk(df, [1.0, 0.05], k=10, n_cells=2, nprobe=2).collect()
+        brute = tx.brute_force_topk(df, [1.0, 0.05], k=10).collect()
+        assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
