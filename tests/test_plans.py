@@ -100,3 +100,25 @@ class TestPlanShapes:
         assert plan.count("Window") == 1
         assert plan.count("Exchange") == 1
         assert plan.count("Sort") == 1
+
+    def test_ivf_assignment_is_mapside_only(self, spark):
+        # cell assignment must be a pure linear scan: literal centroids,
+        # argmax projection, zero exchanges — the property that lets a
+        # cell-partitioned rewrite turn probes into partition pruning
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import ivf_assign, ivf_centroids
+
+        emb = testdata(spark, SF)["embeddings"]
+        cents = ivf_centroids(emb, n_cells=4)
+        plan = ivf_assign(emb, cents)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ivf_topk_probe_ends_in_take_ordered(self, spark):
+        plan = plan_of(spark, "ivf_topk_embeddings", "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange hashpartitioning" not in plan
