@@ -40,6 +40,7 @@ HEADLINE = [
     "window_customer_orders",
     "embedding_neardup",
     "events_sliding_30min",
+    "ivf_topk_embeddings",
 ]
 
 

@@ -781,8 +781,10 @@ def q_minhash_pairs_md5(spark, sf_dir):
     return minhash_candidates_md5(docs, num_hashes=8, bands=4)
 
 
-SQL_MINHASH_MD5 = r"""
-WITH toks AS (
+# Shared pair-generation CTE text: SQL_MINHASH_MD5 and SQL_NEARDUP_CLUSTERS
+# must derive the pair set from the byte-identical SQL or the cluster oracle
+# would drift from the pair oracle.
+_MINHASH_MD5_CTES = r"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents),
 sh0 AS (
@@ -801,7 +803,10 @@ band AS (SELECT doc_id, perm // 2 AS band_idx,
          FROM sig GROUP BY doc_id, perm // 2),
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM band a JOIN band b USING (band_idx, band_hash)
-          WHERE a.doc_id < b.doc_id)
+          WHERE a.doc_id < b.doc_id)"""
+
+SQL_MINHASH_MD5 = f"""
+WITH {_MINHASH_MD5_CTES}
 SELECT p.doc_a, p.doc_b,
        CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
          AS est_jaccard
@@ -2199,6 +2204,47 @@ GROUP BY event_type
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: minhash-LSH candidate pairs grouped into
+    connected components, each labeled by its canonical (minimum) doc_id —
+    the keep-one-per-cluster step a dedup pipeline runs after pair
+    generation.  The iterative min-label propagation's fixpoint is
+    order-independent, so a SQL transitive-closure oracle reproduces it
+    exactly."""
+    from .text.dedup import connected_components
+
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_MD5_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS canonical_id
+         FROM reach GROUP BY node)
+SELECT c.doc_id, c.canonical_id, cs.cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+      FROM comp GROUP BY canonical_id) cs USING (canonical_id)
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2317,6 +2363,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "stateful_totals": q_stateful_totals,
     "ivf_topk_embeddings": q_ivf_topk,
+    "neardup_clusters": q_neardup_clusters,
 }
 
 ORACLES = {
@@ -2379,6 +2426,7 @@ ORACLES = {
     "stratified_docs": SQL_STRATIFIED,
     "stateful_totals": SQL_STATEFUL_TOTALS,
     "ivf_topk_embeddings": SQL_IVF_TOPK,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

@@ -512,3 +512,64 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: ``(node, label)`` where
+    ``label`` is the minimum id in the node's connected component — the
+    step after candidate generation that picks one canonical document per
+    duplicate cluster (keep ``node == label``, drop the rest).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — each round every node takes ``min(own label, neighbors' labels)``
+    (one shuffle on node id per round) until a fixpoint, reached in
+    graph-diameter rounds.  Near-dup clusters are shallow (diameter 2-4), so
+    this is 2-5 rounds in practice; a graph suspected of long chains wants
+    the large-star/small-star variant, same per-round shape.  Lineage is
+    truncated every round with ``localCheckpoint`` so the plan does not grow
+    unboundedly with iterations.  The fixpoint is iteration-order
+    independent (min is idempotent/commutative), which is what makes the
+    result reproducible by a SQL transitive-closure oracle.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(unexpectedly deep duplicate chains — raise max_iter or switch to "
+        "the large-star/small-star variant)"
+    )

@@ -232,3 +232,32 @@ class TestIVF:
         full = tx.ivf_topk(df, [1.0, 0.05], k=10, n_cells=2, nprobe=2).collect()
         brute = tx.brute_force_topk(df, [1.0, 0.05], k=10).collect()
         assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+
+
+class TestConnectedComponents:
+    def test_two_components_min_label(self, spark):
+        # chain 1-2-3 (diameter 2, needs >1 round) and isolated pair 10-11
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = {r["node"]: r["label"]
+               for r in tx.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        # path graph 0-1-2-...-9: worst-case diameter for label propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        )
+        out = {r["node"]: r["label"]
+               for r in tx.connected_components(pairs).collect()}
+        assert set(out.values()) == {0} and len(out) == 10
+
+    def test_nonconvergence_raises(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="converge"):
+            tx.connected_components(pairs, max_iter=2)
