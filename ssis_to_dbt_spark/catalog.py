@@ -2245,6 +2245,50 @@ JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
 """
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join: every click event attributed to the user's LATEST prior
+    (or simultaneous) purchase — the classic event-attribution query Spark
+    has no built-in operator for.  Purchases are first deduped per
+    (user, ts) (max event_id wins) so the as-of match is well-defined; the
+    union+window implementation costs one shuffle on user_id.  DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    from .operators.joins import asof_join
+
+    e = _t(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["purchase_id", "purchase_value"],
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS ts_asof, p.purchase_id, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2364,6 +2408,7 @@ QUERIES = {
     "stateful_totals": q_stateful_totals,
     "ivf_topk_embeddings": q_ivf_topk,
     "neardup_clusters": q_neardup_clusters,
+    "asof_attribution": q_asof_attribution,
 }
 
 ORACLES = {
@@ -2427,6 +2472,7 @@ ORACLES = {
     "stateful_totals": SQL_STATEFUL_TOTALS,
     "ivf_topk_embeddings": SQL_IVF_TOPK,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "asof_attribution": SQL_ASOF_ATTRIBUTION,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

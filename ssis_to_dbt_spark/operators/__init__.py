@@ -1,6 +1,6 @@
 from .project import typed_project, ColumnSpec
 from .lookup import lookup, lookup_chain, LookupNoMatch
-from .joins import merge_join, semi_join, anti_join, fk_violations
+from .joins import asof_join, merge_join, semi_join, anti_join, fk_violations
 from .aggregate import (
     checksum_aggregates,
     duplicate_keys,
@@ -44,7 +44,7 @@ from .report import ModelValidation, ValidationReport
 __all__ = [
     "typed_project", "ColumnSpec",
     "lookup", "lookup_chain", "LookupNoMatch",
-    "merge_join", "semi_join", "anti_join", "fk_violations",
+    "asof_join", "merge_join", "semi_join", "anti_join", "fk_violations",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion",

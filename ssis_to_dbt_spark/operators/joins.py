@@ -45,3 +45,77 @@ def fk_violations(
     pk = pk or fk
     parent_keys = parent.select(parent[pk].alias(fk)).distinct()
     return child.join(parent_keys, on=fk, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the payload of the
+    LATEST right row with ``right_ts <= left_ts`` for the same keys (left
+    rows with no prior right row keep NULL payloads).
+
+    Spark has no ASOF JOIN operator; the naive rewrite — a range join plus a
+    per-left-row max — explodes into an O(n_left × n_right) cross product per
+    key.  This is the scalable union+window form instead: tag both sides,
+    union by name, and run ``last(payload, ignorenulls=True)`` over one
+    window per key ordered by (ts, side) — right rows sort BEFORE left rows
+    at equal timestamps, making the match inclusive.  Cost: ONE shuffle+sort
+    of n_left + n_right rows on the join keys, no pair blowup at any skew.
+
+    Right rows must be unique per (keys, right_ts) — equal-timestamp
+    duplicates make every as-of semantics ambiguous; callers dedup first
+    (e.g. keep the max-id row).  Raises on payload/key column collisions
+    rather than silently shadowing.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_payload = {p: f"{p}{suffix}" if p in left.columns else p for p in payload}
+    ts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
+    clash = [c for c in out_payload.values() if c in left.columns]
+    if clash:
+        raise ValueError(f"asof payload columns collide with left: {clash}")
+
+    # The whole right row's payload travels as ONE struct: per-column
+    # last(ignorenulls) would skip back to an OLDER row for any payload field
+    # that is NULL in the matched row, silently stitching fields from
+    # different rows.  A struct is non-null whenever the right row exists, so
+    # the match stays row-atomic; NULL payload fields survive as NULLs.
+    l_tagged = left.withColumn("_asof_side", F.lit(1)).withColumn(
+        "_asof_ts", F.col(left_ts)
+    )
+    r_tagged = right.select(
+        *on,
+        F.lit(0).alias("_asof_side"),
+        F.col(right_ts).alias("_asof_ts"),
+        F.struct(
+            F.col(right_ts).alias(ts_out),
+            *[F.col(p).alias(a) for p, a in out_payload.items()],
+        ).alias("_asof_payload"),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "_asof_payload", F.last(F.col("_asof_payload"), ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("_asof_side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col(f"_asof_payload.{c}").alias(c)
+                for c in [ts_out, *out_payload.values()]
+            ],
+        )
+    )

@@ -418,3 +418,42 @@ class TestValidationReport:
         assert "### dim_ok ✅" in md
         assert "### fct_warn ⚠️" in md
         assert "### stg_fail ❌" in md
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+            "id long, key long, t long",
+        )
+        right = spark.createDataFrame(
+            [(10, 100, "a", 1.0), (10, 200, "b", None), (20, 150, "c", 3.0)],
+            "key long, t long, tag string, v double",
+        )
+        return left, right
+
+    def test_backward_inclusive_match(self, spark):
+        from ssis_to_dbt_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["id"]: (r["t_asof"], r["tag"], r["v"])
+            for r in asof_join(
+                left, right, ["key"], "t", "t", ["tag", "v"]
+            ).collect()
+        }
+        assert out[1] == (100, "a", 1.0)  # equal ts matches (inclusive)
+        assert out[2] == (200, "b", None)  # latest prior row, its NULL field
+        # survives as NULL instead of stitching v=1.0 from the older row
+        assert out[3] == (None, None, None)  # nothing at or before t=50
+        assert out[4] == (None, None, None)  # key 20's row is later (t=150)
+
+    def test_payload_collision_raises(self, spark):
+        from ssis_to_dbt_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(
+                left, right.withColumnRenamed("tag", "id"),
+                ["key"], "t", "t", ["id"], suffix="",
+            )
