@@ -2289,6 +2289,144 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_range_join_sessions(spark, sf_dir):
+    """Range (interval-containment) join: every error event attributed to
+    the click-session of the same user that contains it.  Sessions come from
+    the session_window operator (green-oracled family); the bucketized
+    equi-join replaces the BroadcastNestedLoopJoin Spark would run for a raw
+    inequality join."""
+    from .operators.joins import range_join
+
+    e = _t(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click")
+    sessions = session_window(
+        clicks,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs={"n_clicks": F.count(F.lit(1))},
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join(
+        errors,
+        "ts",
+        sessions,
+        "session_start",
+        "session_end",
+        on=["user_id"],
+        bucket_seconds=1800,
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH cl AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+e2 AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM cl WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e2),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_clicks
+  FROM s GROUP BY user_id, sid),
+err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT err.event_id, err.user_id, err.ts,
+       sess.session_start, sess.session_end, sess.n_clicks
+FROM err JOIN sess
+  ON err.user_id = sess.user_id
+ AND err.ts >= sess.session_start AND err.ts < sess.session_end
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable rollup: per-(day, hour), per-day, and grand-total event
+    aggregates from ONE pass (Spark ROLLUP computes every grain inside the
+    same single shuffle a plain GROUP BY costs)."""
+    from .operators.aggregate import rollup_aggregate
+
+    e = _t(spark, sf_dir)["events"].select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.col("value").cast(_D184).alias("v"),
+    )
+    out = rollup_aggregate(
+        e,
+        ["day", "hr"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum("v").cast(_D184),
+        },
+    )
+    return _final_double(out, ["sum_value"])
+
+
+SQL_EVENTS_ROLLUP = _oracle_double(
+    """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events)
+SELECT day, hr,
+       CAST(GROUPING(day, hr) AS INTEGER) AS grouping_level,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(18,4)) AS sum_value
+FROM e GROUP BY ROLLUP (day, hr)
+""",
+    ["sum_value"],
+)
+
+
+def q_kmv_shingles(spark, sf_dir):
+    """KMV distinct-count sketch vs ground truth: estimate the number of
+    distinct 3-gram shingles across the corpus from the 64 smallest md5
+    values, next to the exact COUNT(DISTINCT) for accuracy inspection.
+    Content-addressed, so the DuckDB oracle reproduces the estimate to the
+    bit — an HLL sketch could never be checked this way."""
+    from .operators.aggregate import kmv_distinct
+    from .text.dedup import shingle
+
+    docs = _t(spark, sf_dir)["documents"]
+    sh = docs.select(F.explode(shingle(F.col("text"), 3)).alias("sh"))
+    est = kmv_distinct(sh, "sh", k=64)
+    exact = sh.agg(F.countDistinct("sh").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
+SQL_KMV_SHINGLES = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0),
+h AS (SELECT DISTINCT md5(sh) AS h FROM sh),
+kth AS (SELECT max(h) AS hk, COUNT(*) AS kmv_k
+        FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+ex AS (SELECT COUNT(DISTINCT sh) AS n_exact FROM sh)
+SELECT kth.kmv_k,
+       round(CASE WHEN kth.kmv_k < 64 THEN CAST(kth.kmv_k AS DOUBLE)
+                  ELSE 63.0 / (CAST(CAST('0x' || substr(kth.hk, 1, 15) AS BIGINT)
+                                    AS DOUBLE) / 1152921504606846976.0)
+             END, 6) AS kmv_estimate,
+       ex.n_exact
+FROM kth, ex
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2409,6 +2547,9 @@ QUERIES = {
     "ivf_topk_embeddings": q_ivf_topk,
     "neardup_clusters": q_neardup_clusters,
     "asof_attribution": q_asof_attribution,
+    "range_join_sessions": q_range_join_sessions,
+    "events_rollup": q_events_rollup,
+    "kmv_shingles": q_kmv_shingles,
 }
 
 ORACLES = {
@@ -2473,6 +2614,9 @@ ORACLES = {
     "ivf_topk_embeddings": SQL_IVF_TOPK,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "asof_attribution": SQL_ASOF_ATTRIBUTION,
+    "range_join_sessions": SQL_RANGE_JOIN,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "kmv_shingles": SQL_KMV_SHINGLES,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

@@ -78,3 +78,48 @@ def top_k_latest(
     """O2/O3: SELECT TOP k ... ORDER BY ... DESC. Pass fully-deterministic
     sort keys (include a unique tiebreaker) so results are stable."""
     return df.orderBy(*order_by).limit(k)
+
+
+def rollup_aggregate(
+    df: DataFrame, levels: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass emits the
+    aggregate at every prefix granularity of ``levels`` (e.g. [day, hour] ->
+    per-hour, per-day, and grand-total rows) plus ``grouping_level`` (the
+    GROUPING_ID bitmask) to tell the grains apart.  Spark's partial
+    aggregation computes all grains map-side in the same single shuffle a
+    plain GROUP BY would use — strictly cheaper than materializing each
+    grain with its own scan, which is what a continuous-aggregate table
+    per grain costs."""
+    return df.rollup(*levels).agg(
+        F.grouping_id().cast("int").alias("grouping_level"),
+        *[c.alias(n) for n, c in aggs.items()],
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch: keep the ``k`` smallest
+    DISTINCT md5 values of ``col``; the k-th smallest, read as a fraction of
+    the hash space, estimates the cardinality as ``(k-1) / fraction``
+    (Bar-Yossef et al., the mergeable-sketch classic).  Content-addressed
+    (md5, never rand), so the estimate is deterministic and cross-engine
+    reproducible — unlike HLL-based approx_count_distinct, whose register
+    layout is engine-private.  When fewer than ``k`` distinct values exist,
+    the sketch IS the exact count and returns it.
+
+    Plan shape: distinct on the 32-char hash, then TakeOrdered(k) — the only
+    full-width shuffle is the distinct, whose payload is the hash alone.
+    Returns one row: (kmv_k, kmv_estimate)."""
+    h = df.select(F.md5(F.col(col).cast("string")).alias("_h")).distinct()
+    kth = (
+        h.orderBy("_h")
+        .limit(k)
+        .agg(F.max("_h").alias("_hk"), F.count(F.lit(1)).alias("kmv_k"))
+    )
+    frac = F.conv(F.substring("_hk", 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    est = F.when(
+        F.col("kmv_k") < k, F.col("kmv_k").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    return kth.select("kmv_k", F.round(est, 6).alias("kmv_estimate"))

@@ -119,3 +119,50 @@ def asof_join(
             ],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    left_ts: str,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    on: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval containment join: left rows paired with the right intervals
+    satisfying ``start <= left_ts < end`` (half-open) on matching keys.
+
+    Spark executes a raw inequality join as BroadcastNestedLoopJoin — every
+    left row against every right interval, the classic range-join scale
+    trap.  This bucketizes time instead: each right interval explodes into
+    the coarse buckets it covers (~interval/bucket_seconds rows, pick
+    ``bucket_seconds`` near the typical interval length), each left row
+    computes its single bucket, and the join becomes a hash equi-join on
+    (keys..., bucket) refined by the exact BETWEEN predicate.  A left row
+    has exactly one bucket, so no dedup is needed no matter how many buckets
+    an interval spans.
+    """
+    from pyspark.sql import functions as F
+
+    b = F.lit(int(bucket_seconds)).cast("long")
+    lb = left.withColumn(
+        "_rj_bucket", F.floor(F.col(left_ts).cast("long") / b).cast("long")
+    )
+    rb = right.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / b).cast("long"),
+                F.floor(F.col(end_col).cast("long") / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, [*on, "_rj_bucket"])
+        .filter(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) < F.col(end_col))
+        )
+        .drop("_rj_bucket")
+    )

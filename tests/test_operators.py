@@ -457,3 +457,75 @@ class TestAsofJoin:
                 left, right.withColumnRenamed("tag", "id"),
                 ["key"], "t", "t", ["id"], suffix="",
             )
+
+
+class TestRangeJoin:
+    def test_containment_and_bucket_crossing(self, spark):
+        from datetime import datetime as dt
+
+        from ssis_to_dbt_spark.operators.joins import range_join
+
+        left = spark.createDataFrame(
+            [
+                (1, 10, dt(2024, 1, 1, 0, 30)),   # inside iv1
+                (2, 10, dt(2024, 1, 1, 5, 0)),    # inside iv2 (crosses buckets)
+                (3, 10, dt(2024, 1, 1, 2, 0)),    # == iv1 end: half-open, out
+                (4, 20, dt(2024, 1, 1, 0, 30)),   # right key, no interval
+            ],
+            "id long, key long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 2, 0), "iv1"),
+                (10, dt(2024, 1, 1, 3, 0), dt(2024, 1, 1, 9, 0), "iv2"),
+            ],
+            "key long, s timestamp, e timestamp, tag string",
+        )
+        out = range_join(left, "ts", right, "s", "e", ["key"], bucket_seconds=3600)
+        got = {(r["id"], r["tag"]) for r in out.collect()}
+        assert got == {(1, "iv1"), (2, "iv2")}
+        # start boundary is inclusive
+        left2 = spark.createDataFrame(
+            [(9, 10, dt(2024, 1, 1, 3, 0))], "id long, key long, ts timestamp"
+        )
+        assert [
+            r["tag"] for r in range_join(
+                left2, "ts", right, "s", "e", ["key"], bucket_seconds=3600
+            ).collect()
+        ] == ["iv2"]
+
+
+class TestRollupKmv:
+    def test_rollup_emits_every_grain(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import rollup_aggregate
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)],
+            "d string, h int, v double",
+        )
+        out = rollup_aggregate(df, ["d", "h"], {"s": F.sum("v")})
+        rows = {(r["d"], r["h"], r["grouping_level"]): r["s"]
+                for r in out.collect()}
+        assert rows[("a", 1, 0)] == 10.0 and rows[("a", 2, 0)] == 20.0
+        assert rows[("a", None, 1)] == 30.0 and rows[("b", None, 1)] == 5.0
+        assert rows[(None, None, 3)] == 35.0
+        assert len(rows) == 6
+
+    def test_kmv_exact_below_k(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import kmv_distinct
+
+        df = spark.createDataFrame([(i % 10,) for i in range(100)], "x int")
+        r = kmv_distinct(df, "x", k=64).first()
+        assert r["kmv_k"] == 10 and r["kmv_estimate"] == 10.0
+
+    def test_kmv_estimate_within_tolerance(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import kmv_distinct
+
+        n = 5000
+        df = spark.createDataFrame([(i,) for i in range(n)], "x long")
+        r = kmv_distinct(df, "x", k=256).first()
+        # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(r["kmv_estimate"] - n) / n < 0.25
+        # deterministic: same input, same estimate
+        r2 = kmv_distinct(df, "x", k=256).first()
+        assert r2["kmv_estimate"] == r["kmv_estimate"]
