@@ -122,3 +122,19 @@ class TestPlanShapes:
         plan = plan_of(spark, "ivf_topk_embeddings", "simple")
         assert "TakeOrderedAndProject" in plan
         assert "Exchange hashpartitioning" not in plan
+
+    def test_range_join_is_hash_join_not_bnlj(self, spark):
+        # the whole point of the bucketized rewrite: the inequality join must
+        # NOT plan as BroadcastNestedLoopJoin (per-key pair blowup)
+        plan = plan_of(spark, "range_join_sessions", "simple")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_asof_join_single_exchange_no_pair_blowup(self, spark):
+        # union+window form: NO join operator exists at all — the only
+        # exchanges are the query's own purchase dedup agg (user_id, ts) and
+        # the single window shuffle on user_id that implements the as-of
+        plan = plan_of(spark, "asof_attribution", "simple")
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "last(_asof_payload" in plan
