@@ -2427,6 +2427,31 @@ FROM kth, ex
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization, exploded to scalar rows so every
+    quantized value is exactly verified (fixture dim = 64)."""
+    from .text.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    return quantize_embeddings(emb)
+
+
+SQL_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e),
+x AS (SELECT vec_id, CAST(i.range AS INTEGER) AS dim,
+             v[CAST(i.range AS INTEGER) + 1] AS xv, scale
+      FROM m CROSS JOIN range(64) i)
+SELECT vec_id, dim,
+       CASE WHEN scale > 0 THEN CAST(round(xv / scale * 127) AS INTEGER)
+            ELSE 0 END AS q,
+       scale
+FROM x
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2550,6 +2575,7 @@ QUERIES = {
     "range_join_sessions": q_range_join_sessions,
     "events_rollup": q_events_rollup,
     "kmv_shingles": q_kmv_shingles,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 ORACLES = {
@@ -2617,6 +2643,7 @@ ORACLES = {
     "range_join_sessions": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "kmv_shingles": SQL_KMV_SHINGLES,
+    "quantize_embeddings": SQL_QUANTIZE,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

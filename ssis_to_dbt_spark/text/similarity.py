@@ -614,3 +614,42 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     candidates = assigned.filter(F.col("cell").isin(probe))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-compression step
+    an embedding corpus runs before archiving (4x smaller than float32,
+    ~1e-2 cosine error at dim 64): ``q_i = round(x_i / max_abs * 127)``.
+
+    Output is EXPLODED to ``(id, dim, q, scale)`` scalar rows: per-element
+    arithmetic is pure per-row double math (bit-identical across engines),
+    so the quantized values verify exactly where packed-array outputs would
+    be hostage to engine array rendering.  A production sink would
+    re-assemble with ``collect_list`` over dim or write fixed-size binary.
+    Map-only — no shuffle at any corpus size.
+    """
+    v = _as_double(F.col(vec_col))
+    base = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("scale"),
+    )
+    return base.select(
+        id_col,
+        F.posexplode("_v").alias("dim", "_x"),
+        "scale",
+    ).select(
+        id_col,
+        "dim",
+        F.when(
+            F.col("scale") > 0,
+            F.round(F.col("_x") / F.col("scale") * 127).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("q"),
+        "scale",
+    )

@@ -261,3 +261,19 @@ class TestConnectedComponents:
 
         with _pytest.raises(RuntimeError, match="converge"):
             tx.connected_components(pairs, max_iter=2)
+
+
+class TestQuantize:
+    def test_int8_symmetric_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id int, embedding array<float>",
+        )
+        rows = {(r["vec_id"], r["dim"]): (r["q"], r["scale"])
+                for r in tx.quantize_embeddings(df).collect()}
+        assert rows[(1, 0)] == (127, 1.0)    # max_abs element -> ±127
+        assert rows[(1, 1)] == (-64, 1.0)    # round(-63.5) away from zero
+        assert rows[(1, 2)] == (32, 1.0)
+        assert rows[(1, 3)] == (0, 1.0)
+        assert rows[(2, 0)] == (0, 0.0)      # zero vector: q=0, no NaN
+        assert len(rows) == 8
