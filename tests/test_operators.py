@@ -529,3 +529,69 @@ class TestRollupKmv:
         # deterministic: same input, same estimate
         r2 = kmv_distinct(df, "x", k=256).first()
         assert r2["kmv_estimate"] == r["kmv_estimate"]
+
+
+class TestJoinDifferential:
+    """Seeded randomized differential tests: the scalable join rewrites must
+    agree with brute-force reference implementations on dense random data
+    (many key collisions, boundary timestamps, multi-bucket intervals)."""
+
+    def test_asof_matches_bruteforce(self, spark):
+        import random
+
+        rnd = random.Random(42)
+        left = [(i, rnd.randint(0, 4), rnd.randint(0, 60)) for i in range(120)]
+        rts = sorted({(rnd.randint(0, 4), rnd.randint(0, 60))
+                      for _ in range(80)})
+        right = [(k, t, f"p{k}_{t}") for k, t in rts]  # unique (key, ts)
+
+        from ssis_to_dbt_spark.operators.joins import asof_join
+
+        out = asof_join(
+            spark.createDataFrame(left, "id long, key long, t long"),
+            spark.createDataFrame(right, "key long, t long, tag string"),
+            ["key"], "t", "t", ["tag"],
+        ).collect()
+        got = {r["id"]: (r["t_asof"], r["tag"]) for r in out}
+        assert len(got) == len(left)
+        for i, k, t in left:
+            cand = [(rt, tag) for rk, rt, tag in right if rk == k and rt <= t]
+            expect = max(cand) if cand else (None, None)
+            assert got[i] == expect, (i, k, t, got[i], expect)
+
+    def test_range_matches_bruteforce(self, spark):
+        import random
+        from datetime import datetime, timedelta
+
+        rnd = random.Random(7)
+        base = datetime(2024, 1, 1)
+        left = [
+            (i, rnd.randint(0, 3), base + timedelta(minutes=rnd.randint(0, 600)))
+            for i in range(100)
+        ]
+        right = []
+        for j in range(40):
+            s = rnd.randint(0, 550)
+            right.append(
+                (j, rnd.randint(0, 3), base + timedelta(minutes=s),
+                 base + timedelta(minutes=s + rnd.randint(1, 240)))
+            )
+
+        from ssis_to_dbt_spark.operators.joins import range_join
+
+        out = range_join(
+            spark.createDataFrame(left, "id long, key long, ts timestamp"),
+            "ts",
+            spark.createDataFrame(
+                right, "iv long, key long, s timestamp, e timestamp"
+            ),
+            "s", "e", ["key"], bucket_seconds=3600,
+        ).collect()
+        got = {(r["id"], r["iv"]) for r in out}
+        expect = {
+            (i, j)
+            for i, lk, t in left
+            for j, rk, s, e in right
+            if lk == rk and s <= t < e
+        }
+        assert got == expect
