@@ -1,10 +1,12 @@
 from .project import typed_project, ColumnSpec
 from .lookup import lookup, lookup_chain, LookupNoMatch
-from .joins import asof_join, merge_join, semi_join, anti_join, fk_violations
+from .joins import asof_join, range_join, merge_join, semi_join, anti_join, fk_violations
 from .aggregate import (
     checksum_aggregates,
     duplicate_keys,
     grouped_aggregate,
+    kmv_distinct,
+    rollup_aggregate,
     row_count,
     scalar_aggregate,
     top_k_latest,
@@ -44,7 +46,8 @@ from .report import ModelValidation, ValidationReport
 __all__ = [
     "typed_project", "ColumnSpec",
     "lookup", "lookup_chain", "LookupNoMatch",
-    "asof_join", "merge_join", "semi_join", "anti_join", "fk_violations",
+    "asof_join", "range_join", "merge_join", "semi_join", "anti_join",
+    "fk_violations", "kmv_distinct", "rollup_aggregate",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion",

@@ -104,3 +104,27 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE bucket_a")
             spark.sql("DROP TABLE bucket_b")
+
+
+class TestIvfPartitionedProbe:
+    def test_probe_prunes_cell_partitions(self, spark, tmp_path):
+        # the 100 TB IVF layout: assignment written partitionBy(cell) turns an
+        # nprobe-cell probe into partition PRUNING — unprobed cells' files are
+        # never listed into the scan
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import ivf_assign, ivf_centroids
+
+        emb = testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+        cents = ivf_centroids(emb, n_cells=4)
+        path = str(tmp_path / "ivf")
+        ivf_assign(emb, cents).write.partitionBy("cell").parquet(path)
+
+        probed = spark.read.parquet(path).filter("cell IN (0, 2)")
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan.replace("#", " ").replace(
+            "IN (0,2)", ""
+        ) or "PartitionFilters" in plan
+        # the filter must be a partition filter, not a post-scan data filter
+        assert "PushedFilters: []" in plan or "DataFilters: []" in plan
+        got = {r["cell"] for r in probed.select("cell").distinct().collect()}
+        assert got <= {0, 2}
