@@ -2452,6 +2452,77 @@ FROM x
 """
 
 
+def q_pivot_order_matrix(spark, sf_dir):
+    """SSIS Pivot transform: order totals as a (priority x status) matrix —
+    explicit pivot-value list keeps the schema static and skips the
+    distinct-collection job."""
+    from .operators.split import pivot_aggregate
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast(_D184).alias("v"),
+    )
+    piv = pivot_aggregate(
+        o, ["priority"], "status", ["F", "O", "P"], F.sum("v").cast(_D184)
+    )
+    piv = piv.select(
+        "priority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+    return _final_double(piv, ["total_f", "total_o", "total_p"])
+
+
+SQL_PIVOT_MATRIX = _oracle_double(
+    """
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+            AS DECIMAL(18,4)) AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+            AS DECIMAL(18,4)) AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+            AS DECIMAL(18,4)) AS total_p
+FROM orders GROUP BY o_orderpriority
+""",
+    ["total_f", "total_o", "total_p"],
+)
+
+
+def q_unpivot_order_matrix(spark, sf_dir):
+    """SSIS Unpivot transform: the pivoted matrix melted back to long form
+    (absent combinations drop) — proves pivot -> unpivot round-trips to the
+    plain two-key aggregate."""
+    from .operators.split import pivot_aggregate, unpivot
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast(_D184).alias("v"),
+    )
+    piv = pivot_aggregate(
+        o, ["priority"], "status", ["F", "O", "P"], F.sum("v").cast(_D184)
+    )
+    long = unpivot(piv, ["priority"], ["F", "O", "P"], "status", "total")
+    long = long.filter(F.col("total").isNotNull())
+    return _final_double(long, ["total"])
+
+
+SQL_UNPIVOT_MATRIX = _oracle_double(
+    """
+SELECT o_orderpriority AS priority,
+       o_orderstatus AS status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+""",
+    ["total"],
+)
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2576,6 +2647,8 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "kmv_shingles": q_kmv_shingles,
     "quantize_embeddings": q_quantize_embeddings,
+    "pivot_order_matrix": q_pivot_order_matrix,
+    "unpivot_order_matrix": q_unpivot_order_matrix,
 }
 
 ORACLES = {
@@ -2644,6 +2717,8 @@ ORACLES = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "kmv_shingles": SQL_KMV_SHINGLES,
     "quantize_embeddings": SQL_QUANTIZE,
+    "pivot_order_matrix": SQL_PIVOT_MATRIX,
+    "unpivot_order_matrix": SQL_UNPIVOT_MATRIX,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

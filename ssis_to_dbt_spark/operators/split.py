@@ -56,3 +56,44 @@ def data_conversion(df: DataFrame, conversions: dict[str, tuple[str, object]]) -
     for new_col, (src, dtype) in conversions.items():
         out = out.withColumn(new_col, F.col(src).cast(dtype))
     return out
+
+
+def pivot_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """SSIS Pivot transform analog: rows keyed by ``pivot_col`` become one
+    column per value in ``pivot_values``.
+
+    ``pivot_values`` is REQUIRED, not inferred: Spark-side, an explicit value
+    list skips the extra distinct-collection job and keeps the output schema
+    static (a pivot whose width depends on the data is a schema-drift bug
+    waiting at scale); it also mirrors SSIS, where the pivot key set is
+    declared in the component.  One shuffle on ``group_cols`` — the pivot
+    itself is map-side CASE dispatch inside the same hash aggregate."""
+    return (
+        df.groupBy(*group_cols)
+        .pivot(pivot_col, pivot_values)
+        .agg(agg)
+    )
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "name",
+    value_name: str = "value",
+) -> DataFrame:
+    """SSIS Unpivot transform analog (melt): ``value_cols`` become
+    (``var_name``, ``value_name``) rows — pure map-side row expansion, no
+    shuffle at any size."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

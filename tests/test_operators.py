@@ -595,3 +595,33 @@ class TestJoinDifferential:
             if lk == rk and s <= t < e
         }
         assert got == expect
+
+
+class TestPivotUnpivot:
+    def test_pivot_static_schema_and_values(self, spark):
+        from ssis_to_dbt_spark.operators.split import pivot_aggregate
+
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0),
+             ("a", "x", 4.0), ("a", "z", 9.0)],  # 'z' not in declared values
+            "g string, k string, v double",
+        )
+        out = pivot_aggregate(df, ["g"], "k", ["x", "y"], F.sum("v"))
+        assert out.columns == ["g", "x", "y"]  # static, 'z' excluded
+        rows = {r["g"]: (r["x"], r["y"]) for r in out.collect()}
+        assert rows["a"] == (5.0, 2.0)
+        assert rows["b"] == (3.0, None)
+
+    def test_unpivot_roundtrip(self, spark):
+        from ssis_to_dbt_spark.operators.split import pivot_aggregate, unpivot
+
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("b", "y", 2.0)], "g string, k string, v double"
+        )
+        piv = pivot_aggregate(df, ["g"], "k", ["x", "y"], F.sum("v"))
+        long = unpivot(piv, ["g"], ["x", "y"], "k", "v").filter(
+            F.col("v").isNotNull()
+        )
+        assert {(r["g"], r["k"], r["v"]) for r in long.collect()} == {
+            ("a", "x", 1.0), ("b", "y", 2.0),
+        }
