@@ -2523,6 +2523,31 @@ FROM orders GROUP BY o_orderpriority, o_orderstatus
 )
 
 
+def q_median_order_totals(spark, sf_dir):
+    """Exact discrete median order total per priority — windowed median,
+    scalable where Spark's exact percentile aggregate buffers whole groups."""
+    from .operators.aggregate import grouped_median_disc
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    return grouped_median_disc(o, ["priority"], "total", "median_total")
+
+
+SQL_MEDIAN_TOTALS = """
+WITH r AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT priority, v AS median_total
+FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2649,6 +2674,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "pivot_order_matrix": q_pivot_order_matrix,
     "unpivot_order_matrix": q_unpivot_order_matrix,
+    "median_order_totals": q_median_order_totals,
 }
 
 ORACLES = {
@@ -2719,6 +2745,7 @@ ORACLES = {
     "quantize_embeddings": SQL_QUANTIZE,
     "pivot_order_matrix": SQL_PIVOT_MATRIX,
     "unpivot_order_matrix": SQL_UNPIVOT_MATRIX,
+    "median_order_totals": SQL_MEDIAN_TOTALS,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

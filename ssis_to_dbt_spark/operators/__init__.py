@@ -5,6 +5,7 @@ from .aggregate import (
     checksum_aggregates,
     duplicate_keys,
     grouped_aggregate,
+    grouped_median_disc,
     kmv_distinct,
     rollup_aggregate,
     row_count,
@@ -47,7 +48,7 @@ __all__ = [
     "typed_project", "ColumnSpec",
     "lookup", "lookup_chain", "LookupNoMatch",
     "asof_join", "range_join", "merge_join", "semi_join", "anti_join",
-    "fk_violations", "kmv_distinct", "rollup_aggregate",
+    "fk_violations", "kmv_distinct", "rollup_aggregate", "grouped_median_disc",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion",

@@ -123,3 +123,28 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.col("kmv_k") < k, F.col("kmv_k").cast("double")
     ).otherwise(F.lit(float(k - 1)) / frac)
     return kth.select("kmv_k", F.round(est, 6).alias("kmv_estimate"))
+
+
+def grouped_median_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "median",
+) -> DataFrame:
+    """Exact discrete (lower) median per group: the value at sorted position
+    ``ceil(n/2)``.  Windowed — one shuffle+sort per group key — where
+    Spark's exact ``percentile`` aggregate instead buffers every group's
+    values inside a single aggregation buffer (OOM-prone for hot groups).
+    Equal values make the position's VALUE well-defined no matter how
+    row_number breaks their tie, so the result is deterministic and
+    engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wc = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
+        .select(*group_cols, F.col(value_col).alias(out_col))
+    )

@@ -625,3 +625,18 @@ class TestPivotUnpivot:
         assert {(r["g"], r["k"], r["v"]) for r in long.collect()} == {
             ("a", "x", 1.0), ("b", "y", 2.0),
         }
+
+
+class TestGroupedMedian:
+    def test_lower_median_odd_even_and_ties(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import grouped_median_disc
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 5.0), ("a", 3.0),          # odd: median 3
+             ("b", 2.0), ("b", 4.0),                      # even: lower median 2
+             ("c", 7.0), ("c", 7.0), ("c", 9.0), ("c", 7.0)],  # ties: 7
+            "g string, v double",
+        )
+        out = {r["g"]: r["m"]
+               for r in grouped_median_disc(df, ["g"], "v", "m").collect()}
+        assert out == {"a": 3.0, "b": 2.0, "c": 7.0}
