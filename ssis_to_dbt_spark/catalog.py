@@ -2548,6 +2548,49 @@ FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub driven with KNOWN planted PII: a deterministic fake email +
+    phone (built from doc_id) is appended to every document on BOTH engines,
+    then redacted — so the oracle verifies actual replacements on every row,
+    not a pass-through.  Also strips planted markup around the email."""
+    from .text.analysis import redact_pii, strip_markup
+
+    d = _t(spark, sf_dir)["documents"]
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" <b>contact</b>: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel: +1 (555) 000-"),
+        F.col("doc_id").cast("string"),
+        F.lit("9"),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(strip_markup(planted)).alias("clean_text"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' <b>contact</b>: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel: +1 (555) 000-'
+              || CAST(doc_id AS VARCHAR) || '9' AS t
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM planted)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM stripped
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2675,6 +2718,7 @@ QUERIES = {
     "pivot_order_matrix": q_pivot_order_matrix,
     "unpivot_order_matrix": q_unpivot_order_matrix,
     "median_order_totals": q_median_order_totals,
+    "pii_redaction": q_pii_redaction,
 }
 
 ORACLES = {
@@ -2746,6 +2790,7 @@ ORACLES = {
     "pivot_order_matrix": SQL_PIVOT_MATRIX,
     "unpivot_order_matrix": SQL_UNPIVOT_MATRIX,
     "median_order_totals": SQL_MEDIAN_TOTALS,
+    "pii_redaction": SQL_PII_REDACTION,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

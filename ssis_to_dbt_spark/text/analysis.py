@@ -120,3 +120,26 @@ def rolling_hash(text: Column, window: int = 8) -> Column:
     # docs shorter than the window hash as a single whole-text gram
     grams = F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+# PII / markup scrubbing patterns are deliberately written with EXPLICIT
+# character classes (no \w, no lookaround) so Java regex (Spark) and RE2
+# (DuckDB, Go tooling) agree byte-for-byte — the property that makes a
+# redaction pass auditable by an external engine.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Corpus-curation PII scrub: emails -> ``<EMAIL>``, phone-shaped digit
+    runs -> ``<PHONE>``.  Pure ``regexp_replace`` projections — codegen'd,
+    map-only, no UDF."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+
+
+def strip_markup(text: Column) -> Column:
+    """Drop HTML/XML tags and collapse the leftover whitespace — the
+    boilerplate-removal step before quality scoring web-scraped text."""
+    no_tags = F.regexp_replace(text, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))

@@ -277,3 +277,19 @@ class TestQuantize:
         assert rows[(1, 3)] == (0, 1.0)
         assert rows[(2, 0)] == (0, 0.0)      # zero vector: q=0, no NaN
         assert len(rows) == 8
+
+
+class TestPiiRedaction:
+    def test_email_phone_and_markup(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Write to john.doe+x@corp.example.org or call +1 (555) 123-4567 now"),
+             (2, "<p>hello   <b>world</b></p>"),
+             (3, "no pii here")],
+            "id int, t string",
+        )
+        out = {r["id"]: r["c"] for r in df.select(
+            "id", tx.redact_pii(tx.strip_markup(F.col("t"))).alias("c")
+        ).collect()}
+        assert out[1] == "Write to <EMAIL> or call <PHONE> now"
+        assert out[2] == "hello world"
+        assert out[3] == "no pii here"
