@@ -2591,6 +2591,32 @@ FROM stripped
 """
 
 
+def q_fuzzy_part_names(spark, sf_dir):
+    """SSIS Fuzzy Grouping: near-duplicate part names (edit distance 1-3)
+    found by first-token blocking + exact Levenshtein refine — exact
+    duplicates excluded (they are exact_dedup's job)."""
+    from .operators.joins import fuzzy_pairs
+
+    p = _t(spark, sf_dir)["part"].select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ")[0].alias("blk"),
+    )
+    return fuzzy_pairs(
+        p, "p_partkey", "p_name", "blk", max_distance=3, min_distance=1
+    )
+
+
+SQL_FUZZY_PARTS = """
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2719,6 +2745,7 @@ QUERIES = {
     "unpivot_order_matrix": q_unpivot_order_matrix,
     "median_order_totals": q_median_order_totals,
     "pii_redaction": q_pii_redaction,
+    "fuzzy_part_names": q_fuzzy_part_names,
 }
 
 ORACLES = {
@@ -2791,6 +2818,7 @@ ORACLES = {
     "unpivot_order_matrix": SQL_UNPIVOT_MATRIX,
     "median_order_totals": SQL_MEDIAN_TOTALS,
     "pii_redaction": SQL_PII_REDACTION,
+    "fuzzy_part_names": SQL_FUZZY_PARTS,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

@@ -166,3 +166,46 @@ def range_join(
         )
         .drop("_rj_bucket")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_distance: int,
+    min_distance: int = 0,
+) -> DataFrame:
+    """SSIS Fuzzy Grouping analog: near-match candidate pairs within a
+    blocking key, refined by exact Levenshtein distance.
+
+    The self-join is an equi-join on ``block_col`` (a caller-chosen coarse
+    key: first token, soundex, prefix...), NEVER all-pairs — the same
+    blocking discipline as the LSH dedup family, with edit distance as the
+    refine step instead of cosine.  Levenshtein is deterministic and
+    identically defined across engines, so the whole pair set is
+    oracle-checkable.  ``min_distance=1`` excludes exact duplicates (those
+    belong to exact dedup)."""
+    from pyspark.sql import functions as F
+
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.col(text_col),
+    )
+    left = b.select(
+        "_blk", F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    )
+    right = b.select(
+        "_blk", F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.cast("int").alias("distance"))
+        .filter(
+            (F.col("distance") >= min_distance)
+            & (F.col("distance") <= max_distance)
+        )
+    )

@@ -640,3 +640,19 @@ class TestGroupedMedian:
         out = {r["g"]: r["m"]
                for r in grouped_median_disc(df, ["g"], "v", "m").collect()}
         assert out == {"a": 3.0, "b": 2.0, "c": 7.0}
+
+
+class TestFuzzyPairs:
+    def test_blocked_levenshtein_pairs(self, spark):
+        from ssis_to_dbt_spark.operators.joins import fuzzy_pairs
+
+        df = spark.createDataFrame(
+            [(1, "red widget", "red"), (2, "red widgit", "red"),
+             (3, "red widget", "red"), (4, "blue widget", "blue")],
+            "id long, name string, blk string",
+        )
+        out = {(r["id_a"], r["id_b"]): r["distance"]
+               for r in fuzzy_pairs(df, "id", "name", "blk",
+                                    max_distance=3, min_distance=1).collect()}
+        # exact dup (1,3) excluded by min_distance; cross-block (4) never pairs
+        assert out == {(1, 2): 1, (2, 3): 1}
