@@ -656,3 +656,48 @@ class TestFuzzyPairs:
                                     max_distance=3, min_distance=1).collect()}
         # exact dup (1,3) excluded by min_distance; cross-block (4) never pairs
         assert out == {(1, 2): 1, (2, 3): 1}
+
+
+class TestEmptyInputs:
+    """New operators must degrade to empty/identity results on empty inputs,
+    not throw — a pipeline stage upstream can legitimately filter to zero."""
+
+    def test_asof_empty_right_keeps_left_with_nulls(self, spark):
+        from ssis_to_dbt_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 10, 5)], "id long, key long, t long")
+        right = spark.createDataFrame([], "key long, t long, tag string")
+        out = asof_join(left, right, ["key"], "t", "t", ["tag"]).collect()
+        assert len(out) == 1 and out[0]["tag"] is None
+
+    def test_range_join_empty_right_is_empty(self, spark):
+        from datetime import datetime as dt
+
+        from ssis_to_dbt_spark.operators.joins import range_join
+
+        left = spark.createDataFrame(
+            [(1, 10, dt(2024, 1, 1))], "id long, key long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [], "key long, s timestamp, e timestamp"
+        )
+        assert range_join(left, "ts", right, "s", "e", ["key"]).count() == 0
+
+    def test_connected_components_empty_pairs(self, spark):
+        from ssis_to_dbt_spark.text.dedup import connected_components
+
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert connected_components(pairs).count() == 0
+
+    def test_kmv_empty_estimates_zero(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import kmv_distinct
+
+        df = spark.createDataFrame([], "x long")
+        r = kmv_distinct(df, "x", k=16).first()
+        assert r["kmv_k"] == 0 and r["kmv_estimate"] == 0.0
+
+    def test_fuzzy_pairs_empty(self, spark):
+        from ssis_to_dbt_spark.operators.joins import fuzzy_pairs
+
+        df = spark.createDataFrame([], "id long, name string, blk string")
+        assert fuzzy_pairs(df, "id", "name", "blk", 3).count() == 0
