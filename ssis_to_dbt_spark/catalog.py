@@ -2607,14 +2607,76 @@ def q_fuzzy_part_names(spark, sf_dir):
     )
 
 
-SQL_FUZZY_PARTS = """
-WITH p AS (
-  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
-SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
-FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+# Shared with SQL_PAGERANK_PARTS — the PageRank oracle must walk the
+# byte-identical pair set.
+_FUZZY_PAIR_CTES = """p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part),
+fpairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3)"""
+
+SQL_FUZZY_PARTS = f"""
+WITH {_FUZZY_PAIR_CTES}
+SELECT id_a, id_b, distance FROM fpairs
 """
+
+
+def q_pagerank_parts(spark, sf_dir):
+    """PageRank over the fuzzy part-name similarity graph (3 iterations,
+    damping 0.85) — an ITERATIVE algorithm verified exactly: decimal-summed
+    contributions make each iteration bit-reproducible, so the unrolled SQL
+    oracle reproduces every rank to the bit."""
+    from .operators.graph import pagerank
+    from .operators.joins import fuzzy_pairs
+
+    p = _t(spark, sf_dir)["part"].select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ")[0].alias("blk"),
+    )
+    pairs = fuzzy_pairs(
+        p, "p_partkey", "p_name", "blk", max_distance=3, min_distance=1
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part_key"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, 4):
+        iters.append(f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(r.rank / deg.d AS DECIMAL(28,18))) AS DOUBLE) AS s
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         + CAST(0.85 AS DOUBLE) * COALESCE(c{i}.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN c{i} USING (node))""")
+        prev = f"r{i}"
+    steps = ",\n".join(iters)
+    return f"""
+WITH {_FUZZY_PAIR_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+          UNION ALL SELECT id_b, id_a FROM fpairs),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) AS rank FROM nodes),
+{steps}
+SELECT node AS part_key, round(rank, 6) AS pagerank FROM r3
+"""
+
+
+SQL_PAGERANK_PARTS = _pagerank_sql()
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -2746,6 +2808,7 @@ QUERIES = {
     "median_order_totals": q_median_order_totals,
     "pii_redaction": q_pii_redaction,
     "fuzzy_part_names": q_fuzzy_part_names,
+    "pagerank_parts": q_pagerank_parts,
 }
 
 ORACLES = {
@@ -2819,6 +2882,7 @@ ORACLES = {
     "median_order_totals": SQL_MEDIAN_TOTALS,
     "pii_redaction": SQL_PII_REDACTION,
     "fuzzy_part_names": SQL_FUZZY_PARTS,
+    "pagerank_parts": SQL_PAGERANK_PARTS,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

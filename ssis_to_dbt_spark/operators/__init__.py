@@ -1,5 +1,6 @@
 from .project import typed_project, ColumnSpec
 from .lookup import lookup, lookup_chain, LookupNoMatch
+from .graph import pagerank
 from .joins import asof_join, fuzzy_pairs, range_join, merge_join, semi_join, anti_join, fk_violations
 from .aggregate import (
     checksum_aggregates,
@@ -47,7 +48,7 @@ from .report import ModelValidation, ValidationReport
 __all__ = [
     "typed_project", "ColumnSpec",
     "lookup", "lookup_chain", "LookupNoMatch",
-    "asof_join", "fuzzy_pairs", "range_join", "merge_join", "semi_join", "anti_join",
+    "asof_join", "fuzzy_pairs", "pagerank", "range_join", "merge_join", "semi_join", "anti_join",
     "fk_violations", "kmv_distinct", "rollup_aggregate", "grouped_median_disc",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",

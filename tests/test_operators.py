@@ -701,3 +701,31 @@ class TestEmptyInputs:
 
         df = spark.createDataFrame([], "id long, name string, blk string")
         assert fuzzy_pairs(df, "id", "name", "blk", 3).count() == 0
+
+
+class TestPageRank:
+    def test_one_iteration_hand_values_and_mass(self, spark):
+        from ssis_to_dbt_spark.operators.graph import pagerank
+
+        # path graph 1-2-3, symmetrized; degrees 1,2,1
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 2)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        r = {x["node"]: x["rank"]
+             for x in pagerank(edges, iterations=1).collect()}
+        assert abs(r[1] - 0.575) < 1e-12
+        assert abs(r[2] - 1.85) < 1e-12
+        assert abs(r[3] - 0.575) < 1e-12
+        assert abs(sum(r.values()) - 3.0) < 1e-9  # no dangling: mass conserved
+
+    def test_partition_count_invariance(self, spark):
+        from ssis_to_dbt_spark.operators.graph import pagerank
+
+        pairs = [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+        a = {x["node"]: x["rank"] for x in
+             pagerank(edges.repartition(1), iterations=3).collect()}
+        b = {x["node"]: x["rank"] for x in
+             pagerank(edges.repartition(13), iterations=3).collect()}
+        assert a == b  # decimal-summed contributions: bit-equal at any layout
