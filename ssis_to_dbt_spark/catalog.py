@@ -2679,6 +2679,164 @@ SELECT node AS part_key, round(rank, 6) AS pagerank FROM r3
 SQL_PAGERANK_PARTS = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# 47. Semi-structured JSON extraction (events.props payload)
+# ---------------------------------------------------------------------------
+
+def q_json_props_events(spark, sf_dir):
+    """Typed JSON payload extraction: parse ``events.props`` with a declared
+    schema (``from_json`` — JVM-side, codegen'd, no Python UDF) and aggregate
+    the extracted measure per event type.  The reference parses payload
+    columns with Script-component code (``src/parser/constants.py`` Script
+    task surface); Spark makes it a typed projection the optimizer can prune.
+    All outputs are ints, so the oracle is exact without re-rendering."""
+    ev = _t(spark, sf_dir)["events"]
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k INT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_even_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events) _p
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 48. RANGE-frame rolling aggregate (trailing 7 calendar days per customer)
+# ---------------------------------------------------------------------------
+
+def q_rolling_revenue_7d(spark, sf_dir):
+    """Value-based rolling window: per-customer trailing-7-day spend and
+    order count.  ``day_idx`` (days since epoch) gives the numeric RANGE
+    ordering, so calendar gaps shrink the window — a ROWS frame cannot
+    express this.  Both window expressions share one (partition, order,
+    frame) spec → a single Window node behind one o_custkey exchange.
+    Decimal sum internally, one round(x,6)-double re-render at the edge."""
+    from .operators.window import range_aggregate
+
+    orders = _t(spark, sf_dir)["orders"]
+    df = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+        F.col("o_totalprice").cast(_D182).alias("total"),
+    )
+    df = range_aggregate(
+        df, ["o_custkey"], "day_idx", "total", preceding=6, out_col="spend_7d"
+    )
+    df = range_aggregate(
+        df, ["o_custkey"], "day_idx", F.lit(1), preceding=6,
+        out_col="n_7d", agg=F.count,
+    )
+    out = df.select("o_custkey", "o_orderkey", "day_idx", "n_7d", "spend_7d")
+    return _final_double(out, ["spend_7d"])
+
+
+SQL_ROLLING_7D = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS INTEGER) AS day_idx,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total
+  FROM orders)
+SELECT o_custkey, o_orderkey, day_idx,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       SUM(total) OVER w AS spend_7d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 49. CDC snapshot diff (SSIS CDC Splitter semantics: I/U/D streams)
+# ---------------------------------------------------------------------------
+
+def q_cdc_orders_diff(spark, sf_dir):
+    """CDC snapshot diff: 'yesterday' drops every 7th order and carries a
+    stale status for every 5th; 'today' drops every 10th.  One full-outer
+    sort-merge join on the key classifies each key as I/U/D; unchanged keys
+    vanish.  Both snapshot transforms are pure column arithmetic, so the
+    DuckDB oracle replays them exactly."""
+    from .operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir)["orders"]
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(_D182).alias("total"),
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    new = base.filter(F.col("o_orderkey") % 10 != 0)
+    out = snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "total"])
+    out = out.select(
+        "o_orderkey",
+        "change_type",
+        "old_o_orderstatus",
+        "new_o_orderstatus",
+        "old_total",
+        "new_total",
+    )
+    return _final_double(out, ["old_total", "new_total"])
+
+
+SQL_CDC_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total
+  FROM orders),
+old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         total
+  FROM base WHERE o_orderkey % 7 <> 0),
+new AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_orderstatus AS old_o_orderstatus,
+         n.o_orderstatus AS new_o_orderstatus,
+         o.total AS old_total, n.total AS new_total
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'I'
+            WHEN NOT in_new THEN 'D'
+            ELSE 'U' END AS change_type,
+       old_o_orderstatus, new_o_orderstatus, old_total, new_total
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+   OR old_total IS DISTINCT FROM new_total
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2809,6 +2967,9 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "fuzzy_part_names": q_fuzzy_part_names,
     "pagerank_parts": q_pagerank_parts,
+    "json_props_events": q_json_props_events,
+    "rolling_revenue_7d": q_rolling_revenue_7d,
+    "cdc_orders_diff": q_cdc_orders_diff,
 }
 
 ORACLES = {
@@ -2883,6 +3044,11 @@ ORACLES = {
     "pii_redaction": SQL_PII_REDACTION,
     "fuzzy_part_names": SQL_FUZZY_PARTS,
     "pagerank_parts": SQL_PAGERANK_PARTS,
+    "json_props_events": SQL_JSON_PROPS,
+    "rolling_revenue_7d": _oracle_double(SQL_ROLLING_7D, ["spend_7d"]),
+    "cdc_orders_diff": _oracle_double(
+        SQL_CDC_DIFF, ["old_total", "new_total"]
+    ),
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

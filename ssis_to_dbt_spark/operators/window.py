@@ -113,6 +113,36 @@ def moving_aggregate(
     return df.withColumn(out_col, agg(value_col).over(w))
 
 
+def range_aggregate(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_numeric: str | Column,
+    value_col: str | Column,
+    preceding: int,
+    out_col: str = "range_agg",
+    agg=F.sum,
+) -> DataFrame:
+    """Value-based trailing-window aggregate (RANGE ``preceding``
+    PRECEDING..CURRENT ROW over a numeric ordering column).
+
+    Unlike :func:`moving_aggregate` (ROWS frame = physical row offsets), a
+    RANGE frame bounds the window by the *value* of ``order_numeric`` — e.g.
+    a rolling 7-day revenue uses a day-index order column with
+    ``preceding=6``, and days with no rows simply contribute nothing.  Peer
+    rows (equal order values) always share one frame, so the result is
+    deterministic without a tiebreak key.  Same 100 TB shape as the rest of
+    the module: one hash exchange on ``partition_by`` + in-partition sort.
+    """
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_numeric)
+        .rangeBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, agg(value_col).over(w))
+
+
 def ntile_buckets(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -729,3 +729,74 @@ class TestPageRank:
         b = {x["node"]: x["rank"] for x in
              pagerank(edges.repartition(13), iterations=3).collect()}
         assert a == b  # decimal-summed contributions: bit-equal at any layout
+
+
+class TestSnapshotDiff:
+    def test_classifies_insert_update_delete(self, spark):
+        from ssis_to_dbt_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+            "k long, status string, amt double",
+        )
+        new = spark.createDataFrame(
+            [(2, "B2", 20.0), (3, "C", 30.0), (4, "D", 40.0)],
+            "k long, status string, amt double",
+        )
+        out = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, ["k"], ["status", "amt"]).collect()
+        }
+        # 1 deleted, 2 updated (status), 3 unchanged -> absent, 4 inserted
+        assert out == {1: "D", 2: "U", 4: "I"}
+
+    def test_null_safe_comparison_not_a_change(self, spark):
+        from ssis_to_dbt_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "k long, status string")
+        new = spark.createDataFrame([(1, None)], "k long, status string")
+        assert snapshot_diff(old, new, ["k"], ["status"]).count() == 0
+        # NULL -> value IS a change
+        new2 = spark.createDataFrame([(1, "S")], "k long, status string")
+        rows = snapshot_diff(old, new2, ["k"], ["status"]).collect()
+        assert len(rows) == 1 and rows[0]["change_type"] == "U"
+
+    def test_empty_old_is_all_inserts(self, spark):
+        from ssis_to_dbt_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([], "k long, status string")
+        new = spark.createDataFrame([(1, "A")], "k long, status string")
+        rows = snapshot_diff(old, new, ["k"], ["status"]).collect()
+        assert len(rows) == 1 and rows[0]["change_type"] == "I"
+
+
+class TestRangeAggregate:
+    def test_range_frame_bounds_by_value_not_rows(self, spark):
+        from ssis_to_dbt_spark.operators.window import range_aggregate
+
+        # days 0, 1, 10: the day-10 window must NOT include days 0/1
+        df = spark.createDataFrame(
+            [(1, 0, 5.0), (1, 1, 7.0), (1, 10, 11.0)],
+            "g long, day int, v double",
+        )
+        out = {
+            r["day"]: r["s"]
+            for r in range_aggregate(
+                df, ["g"], "day", "v", preceding=6, out_col="s"
+            ).collect()
+        }
+        assert out == {0: 5.0, 1: 12.0, 10: 11.0}
+
+    def test_peer_rows_share_frame(self, spark):
+        from ssis_to_dbt_spark.operators.window import range_aggregate
+
+        df = spark.createDataFrame(
+            [(1, 5, 1.0), (1, 5, 2.0)], "g long, day int, v double"
+        )
+        vals = [
+            r["s"]
+            for r in range_aggregate(
+                df, ["g"], "day", "v", preceding=0, out_col="s"
+            ).collect()
+        ]
+        assert vals == [3.0, 3.0]
