@@ -2837,6 +2837,136 @@ WHERE NOT in_old OR NOT in_new
 """
 
 
+# ---------------------------------------------------------------------------
+# 50. Shingle containment (doc-inside-doc near-dup, directional)
+# ---------------------------------------------------------------------------
+
+def q_containment_docs(spark, sf_dir):
+    """Directional shingle containment: |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.5
+    flags a document embedded inside a larger one — the near-dup case
+    Jaccard's union-normalization suppresses.  Same inverted-index join
+    shape (and hot-shingle cap) as ngram_jaccard_docs."""
+    from .text.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir)["documents"]
+    return containment_pairs(docs, min_containment=0.5)
+
+
+SQL_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+sh2 AS (SELECT * FROM sh
+        WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 1000)),
+inter AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS isz
+  FROM sh2 a JOIN sh2 b USING (sh)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT contained_id, container_id,
+       CAST(isz AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = contained_id
+WHERE CAST(isz AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 51. REAL audio decode (WAV backend) — same encode->Arrow->decode pattern
+# as bmp_decode_stats: each document synthesizes a PCM16 mono WAV whose
+# parameters are pure doc_id arithmetic, decode_wav parses the actual RIFF
+# bytes back out over mapInPandas, and the oracle recomputes the arithmetic
+# (constant amplitude -> integer-exact mean |amplitude|).
+# ---------------------------------------------------------------------------
+
+def q_wav_decode_stats(spark, sf_dir):
+    from .text.multimodal import decode_wav_stats, encode_wav
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        encode_wav(
+                            int(8 + i % 16),
+                            int(8000 + (i % 4) * 4000),
+                            int(i * 37 % 20000),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return decode_wav_stats(media).select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        "mean_abs", "duration_ms",
+    )
+
+
+SQL_WAV_STATS = """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(8 + doc_id % 16 AS INTEGER) AS n_samples,
+       CAST(doc_id * 37 % 20000 AS DOUBLE) AS mean_abs,
+       CAST(8 + doc_id % 16 AS DOUBLE) * 1000.0
+         / (8000 + (doc_id % 4) * 4000) AS duration_ms
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 52. TF-IDF top terms per document (corpus-level term weighting)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc.  ln() differs between JVM and libm in the
+    last ulp on ~8% of inputs, so the score is quantized (round 6) BEFORE
+    the ranking window — both engines rank the identical rounded doubles."""
+    from .text.analysis import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir)["documents"]
+    return tf_idf_top_terms(docs, top_k=3)
+
+
+SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df_t,
+         round(CAST(tf AS DOUBLE)
+               * ln(CAST(n_docs AS DOUBLE) / CAST(df_t AS DOUBLE)), 6)
+           AS tfidf_r
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df_t, tfidf_r, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_r DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize the corpus into 8 centroid cells (centroids =
     the 8 lowest-id embeddings — deterministic, model-free 'training'), route
@@ -2970,6 +3100,9 @@ QUERIES = {
     "json_props_events": q_json_props_events,
     "rolling_revenue_7d": q_rolling_revenue_7d,
     "cdc_orders_diff": q_cdc_orders_diff,
+    "containment_docs": q_containment_docs,
+    "wav_decode_stats": q_wav_decode_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -3049,6 +3182,9 @@ ORACLES = {
     "cdc_orders_diff": _oracle_double(
         SQL_CDC_DIFF, ["old_total", "new_total"]
     ),
+    "containment_docs": SQL_CONTAINMENT,
+    "wav_decode_stats": SQL_WAV_STATS,
+    "tfidf_top_terms": SQL_TFIDF,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

@@ -14,7 +14,7 @@ Operators (driver extension surface alongside SURVEY.md §2):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish tokenizer: word pieces OR single non-space punctuation marks.
@@ -143,3 +143,51 @@ def strip_markup(text: Column) -> Column:
     boilerplate-removal step before quality scoring web-scraped text."""
     no_tags = F.regexp_replace(text, r"<[^>]+>", " ")
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — corpus-level term weighting in three
+    shuffles, all on bounded keys.
+
+    tf = per-(doc, term) occurrence count; df_t = number of docs containing
+    the term (distinct by construction, since tf is already one row per
+    doc-term); idf = ln(N / df_t).  N reaches the score via a broadcast
+    1-row crossJoin, so the big tf relation never re-shuffles for the
+    scalar.  Ranking and output use ``round(tfidf, 6)`` — the score is
+    quantized BEFORE the per-doc top-k window so an engine whose ``ln``
+    differs in the last ulp (observed: JVM vs libm, ~8% of inputs) still
+    ranks identically; ``term`` breaks exact ties.
+
+    100 TB shape: two hash aggs (doc-term, then term) + one broadcast + one
+    window partitioned by doc — no global sort, no driver state.  Hot terms
+    (stopwords) concentrate in df_t counting, which is a plain int agg with
+    map-side partial aggregation, so skew stays in the combiner.
+    """
+    from .dedup import _tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+    scored = scored.withColumn(
+        "tfidf_r",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_t").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf_r").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(id_col, "term", "tf", "df_t", "tfidf_r", "rn")
+    )

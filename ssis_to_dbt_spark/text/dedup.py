@@ -514,6 +514,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Jaccard misses the doc-inside-doc case (a page quoted verbatim inside a
+    much larger page scores a tiny union-normalized similarity); containment
+    normalizes by |A| alone, so a small doc fully embedded in a big one
+    scores 1.0.  Same inverted-index shape as :func:`ngram_jaccard_pairs` —
+    explode → shingle equi-join → per-pair count — but the pair is emitted
+    directionally (contained_id, container_id), both directions when mutual.
+    The ``max_shingle_docs`` hot-shingle cap bounds the worst bucket, so no
+    join bucket goes quadratic at corpus scale.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_docs is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_docs)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
+    a = sh.select(F.col("sh"), F.col(id_col).alias("contained_id"))
+    b = sh.select(F.col("sh"), F.col(id_col).alias("container_id"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("contained_id"), F.col("n_sh").alias("n_contained")
+    )
+    cont = F.col("intersection").cast("double") / F.col("n_contained").cast(
+        "double"
+    )
+    return (
+        inter.join(sa, "contained_id")
+        .select("contained_id", "container_id", cont.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

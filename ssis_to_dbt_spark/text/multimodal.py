@@ -172,6 +172,98 @@ def decode_bmp_stats(
     return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
 
 
+def encode_wav(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
+    """Minimal PCM16 mono RIFF/WAVE writer (stdlib struct only): ``n_samples``
+    constant-amplitude samples.  Test/fixture twin of
+    :func:`decode_wav_stats` for synthesizing audio columns in
+    oracle-checked pipelines (constant amplitude → integer-exact mean)."""
+    import struct
+
+    if not -32768 <= amplitude <= 32767:
+        raise ValueError("amplitude out of int16 range")
+    pcm = struct.pack(f"<{n_samples}h", *([amplitude] * n_samples))
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, float]:
+    """Parse a PCM16 RIFF/WAVE payload: (sample_rate, channels, n_samples,
+    mean_abs amplitude).  Walks the chunk list (fmt may not be first);
+    raises ValueError on anything that isn't uncompressed PCM16."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, channels, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only uncompressed PCM16 supported")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(pcm) // 2
+    samples = struct.unpack(f"<{n}h", pcm[: n * 2])
+    n_frames = n // channels
+    mean_abs = sum(abs(s) for s in samples) / n if n else 0.0
+    return sample_rate, channels, n_frames, mean_abs
+
+
+def decode_wav_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Real audio decode over the standard ``mapInPandas`` Arrow batch path:
+    sample rate / channels / frame count / mean |amplitude| / duration from
+    actual PCM bytes.  Undecodable payloads yield NULL stats rather than
+    failing the batch (quarantine-not-crash, same contract as
+    :func:`decode_bmp_stats`)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("mean_abs", T.DoubleType()),
+            T.StructField("duration_ms", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                data = data if data is not None else b""
+                try:
+                    rate, ch, n, mean_abs = decode_wav(data)
+                    dur = n * 1000.0 / rate if rate else None
+                except ValueError:
+                    rate = ch = n = mean_abs = dur = None
+                rows.append((mid, rate, ch, n, mean_abs, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "channels", "n_samples",
+                    "mean_abs", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
+
+
 _FEATURE_DIM = 8
 
 

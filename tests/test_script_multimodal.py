@@ -141,3 +141,33 @@ class TestMultimodal:
         frames = sample_frames(vid, every_ms=1000).collect()
         assert len(frames) == 3
         assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
+
+
+class TestWavDecode:
+    def test_roundtrip_exact(self):
+        from ssis_to_dbt_spark.text.multimodal import decode_wav, encode_wav
+
+        rate, ch, n, mean_abs = decode_wav(encode_wav(16, 8000, 1234))
+        assert (rate, ch, n, mean_abs) == (8000, 1, 16, 1234.0)
+
+    def test_rejects_non_wav_and_float_pcm(self):
+        import pytest
+
+        from ssis_to_dbt_spark.text.multimodal import decode_wav
+
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFFxxxxJUNK")
+        with pytest.raises(ValueError):
+            decode_wav(b"not audio at all")
+
+    def test_stats_quarantines_bad_payloads(self, spark):
+        from ssis_to_dbt_spark.text.multimodal import decode_wav_stats, encode_wav
+
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(8, 16000, 100))), (2, bytearray(b"garbage"))],
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r for r in decode_wav_stats(df).collect()}
+        assert rows[1]["sample_rate"] == 16000
+        assert rows[1]["duration_ms"] == 8 * 1000.0 / 16000
+        assert rows[2]["sample_rate"] is None

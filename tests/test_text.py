@@ -293,3 +293,48 @@ class TestPiiRedaction:
         assert out[1] == "Write to <EMAIL> or call <PHONE> now"
         assert out[2] == "hello world"
         assert out[3] == "no pii here"
+
+
+class TestContainment:
+    def test_small_doc_inside_big_scores_one(self, spark):
+        small = "alpha beta gamma delta"
+        big = small + " epsilon zeta eta theta iota kappa"
+        df = docs_df(spark, [(1, small), (2, big), (3, "unrelated words only here")])
+        from ssis_to_dbt_spark.text.dedup import containment_pairs
+
+        out = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in containment_pairs(df, min_containment=0.5).collect()
+        }
+        # every shingle of doc 1 appears in doc 2 -> containment 1.0
+        assert out[(1, 2)] == 1.0
+        # the reverse direction is diluted by doc 2's extra shingles
+        assert (2, 1) not in out
+        assert all(k[0] != 3 and k[1] != 3 for k in out)
+
+    def test_empty_corpus(self, spark):
+        from ssis_to_dbt_spark.text.dedup import containment_pairs
+
+        df = spark.createDataFrame([], "doc_id int, text string")
+        assert containment_pairs(df).count() == 0
+
+
+class TestTfIdf:
+    def test_rare_term_outranks_common(self, spark):
+        from ssis_to_dbt_spark.text.analysis import tf_idf_top_terms
+
+        df = docs_df(
+            spark,
+            [
+                (1, "shared shared rareword"),
+                (2, "shared common text"),
+                (3, "shared common text"),
+            ],
+        )
+        top = {
+            (r["doc_id"], r["rn"]): (r["term"], r["df_t"])
+            for r in tf_idf_top_terms(df, top_k=2).collect()
+        }
+        # 'shared' is in all 3 docs -> idf ln(1) = 0; 'rareword' df=1 wins
+        assert top[(1, 1)][0] == "rareword"
+        assert top[(1, 1)][1] == 1
