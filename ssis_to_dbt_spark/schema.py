@@ -179,14 +179,15 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    # cannot map to TimestampType at all — it is read as raw nanos (LongType,
-    # requires spark.sql.legacy.parquet.nanosAsLong=true) and converted to a
-    # microsecond timestamp in sources.readers.testdata().
+    # events.ts is parquet TIMESTAMP(MICROS) in the current fixtures and maps
+    # directly to TimestampType.  Older fixture generations wrote
+    # TIMESTAMP(NANOS); sources.readers.testdata() probes the parquet footer
+    # and, only for a nanos file, reads raw int64 under
+    # spark.sql.legacy.parquet.nanosAsLong and truncates to microseconds.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

@@ -225,7 +225,75 @@ class SourceRegistry:
         return self.models[name]
 
 
-_TESTDATA_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TESTDATA_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+# Declared-vs-footer compatibility for the drift guard: the declared read
+# schema is valid for a footer type if the footer type is in this set (or
+# equals the declared type).  Everything else is a fixture regeneration we
+# have not audited -> fail loudly instead of silently mis-reading values.
+_FOOTER_COMPAT: dict[str, set[str]] = {
+    # TIMESTAMP(MICROS)/TIMESTAMP(NANOS) footers are both handled (nanos via
+    # the legacy raw-int64 path); anything else timestampy is unexpected.
+    "timestamp": {"timestamp[us]", "timestamp[ns]", "timestamp[ms]"},
+    "int": {"int32"},
+    "bigint": {"int64"},
+    "double": {"double"},
+    "string": {"string", "large_string"},
+    "date": {"date32[day]"},
+    "binary": {"binary", "large_binary"},
+    "array<float>": {"list<element: float>", "list<item: float>"},
+    "array<double>": {"list<element: double>", "list<item: double>"},
+}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer: True iff ``ts`` is TIMESTAMP(NANOS).
+
+    Current driver fixtures write TIMESTAMP(MICROS) (verified at all scale
+    factors), which Spark reads directly as TimestampType.  Older fixture
+    generations wrote TIMESTAMP(NANOS), which Spark's vectorized reader can
+    only surface as raw int64 under spark.sql.legacy.parquet.nanosAsLong.
+    Footer-probing (a metadata read, no data scan) keeps both generations
+    correct instead of hard-coding either.
+    """
+    import pyarrow.parquet as pq
+
+    f = path if os.path.isfile(path) else next(
+        os.path.join(path, n) for n in sorted(os.listdir(path))
+        if n.endswith(".parquet")
+    )
+    ts_type = pq.read_schema(f).field("ts").type
+    return str(ts_type).startswith("timestamp[ns")
+
+
+def _check_schema_drift(path: str, declared: T.StructType, table: str) -> None:
+    """V-family guard on our own inputs: fail loudly if a regenerated fixture
+    no longer matches the declared read schema (names, order, or an
+    incompatible physical type), instead of silently corrupting values the
+    way a stale workaround would."""
+    import pyarrow.parquet as pq
+
+    f = path if os.path.isfile(path) else next(
+        os.path.join(path, n) for n in sorted(os.listdir(path))
+        if n.endswith(".parquet")
+    )
+    footer = pq.read_schema(f)
+    declared_names = [fld.name for fld in declared.fields]
+    if list(footer.names) != declared_names:
+        raise ValueError(
+            f"schema drift in {table}: fixture columns {list(footer.names)} "
+            f"!= declared {declared_names} ({path})"
+        )
+    for fld in declared.fields:
+        actual = str(footer.field(fld.name).type)
+        want = fld.dataType.simpleString()
+        ok = _FOOTER_COMPAT.get(want)
+        if ok is not None and actual not in ok and actual != want:
+            raise ValueError(
+                f"schema drift in {table}.{fld.name}: fixture type {actual} "
+                f"is not a known encoding of declared {want} ({path}) — "
+                "audit the read path before trusting results"
+            )
 
 
 def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -233,29 +301,42 @@ def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     The session timezone matters: the parquet timestamps are naive; pinning
     UTC makes Spark's instant->date extraction agree with DuckDB's (the
-    correctness oracle) naive-timestamp arithmetic.
+    correctness oracle) naive-timestamp arithmetic.  The tz conf is
+    (re-)applied on every call — including cache hits — so a caller that
+    reset the session conf can never silently skew date extraction.
 
-    DataFrames are memoized per (session, dir): re-reading creates a fresh
-    file index (a directory listing) per table per call, which dominates
-    small-query latency when many queries run in one session.
+    DataFrames are memoized per (applicationId, dir): re-reading creates a
+    fresh file index per table per call, which dominates small-query latency
+    when many queries run in one session.  ``applicationId`` (not ``id()``)
+    keys the cache: a garbage-collected session's id() can be reused by a
+    new JVM-backed session, which would hand back frames bound to a dead
+    context.
     """
-    cache_key = (id(spark), sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TESTDATA_CACHE.get(cache_key)
     if cached is not None:
         return dict(cached)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS) — unreadable as TimestampType;
-    # read raw nanos and truncate to microseconds (what DuckDB's microsecond
-    # TIMESTAMP does on the same file, keeping the oracle aligned).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_path = f"{sf_dir}/events.parquet"
+    events_nanos = _events_ts_is_nanos(events_path)
+    schemas = dict(TESTDATA_SCHEMAS)
+    if events_nanos:
+        # Legacy fixture generation: surface raw nanos as int64, convert below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        legacy_fields = [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in schemas["events"].fields
+        ]
+        schemas["events"] = T.StructType(legacy_fields)
+    for name, schema in TESTDATA_SCHEMAS.items():
+        _check_schema_drift(f"{sf_dir}/{name}.parquet", schema, name)
     out = {
         name: read_parquet(spark, f"{sf_dir}/{name}.parquet", schema)
-        for name, schema in TESTDATA_SCHEMAS.items()
+        for name, schema in schemas.items()
     }
-    from pyspark.sql import functions as F
-
-    out["events"] = out["events"].withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    if events_nanos:
+        out["events"] = out["events"].withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
     _TESTDATA_CACHE[cache_key] = out
     return dict(out)

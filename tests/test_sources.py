@@ -174,8 +174,51 @@ class TestReaders:
     def test_testdata_loads_all_tables(self, spark):
         t = load_testdata(spark, "/root/testdata/sf0.001")
         assert set(t) >= {"lineitem", "orders", "customer", "events", "documents"}
-        # events.ts converted from raw nanos to a usable timestamp
         assert dict(t["events"].dtypes)["ts"] == "timestamp"
+
+    def test_testdata_events_ts_values_are_current_era(self, spark):
+        # Regression for the r4 1000x-too-small bug: fixtures are
+        # TIMESTAMP(MICROS); a stale nanos DIV-1000 conversion lands in 1970.
+        t = load_testdata(spark, "/root/testdata/sf0.001")
+        row = t["events"].selectExpr("min(year(ts)) y").first()
+        assert row.y >= 2000, f"events.ts decoded into the wrong era: {row.y}"
+
+    def test_testdata_cache_keys_by_application_id(self, spark):
+        from ssis_to_dbt_spark.sources import readers
+
+        load_testdata(spark, "/root/testdata/sf0.001")
+        app_id = spark.sparkContext.applicationId
+        assert any(k[0] == app_id for k in readers._TESTDATA_CACHE)
+        # id()-reuse by a recycled session must miss: no key uses id(spark)
+        assert all(k[0] != id(spark) for k in readers._TESTDATA_CACHE)
+
+    def test_testdata_reapplies_timezone_on_cache_hit(self, spark):
+        load_testdata(spark, "/root/testdata/sf0.001")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load_testdata(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    def test_schema_drift_guard_raises_on_mismatch(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from ssis_to_dbt_spark.sources.readers import _check_schema_drift
+
+        p = str(tmp_path / "drift")
+        spark.range(3).selectExpr("id", "cast(id as string) s").write.parquet(p)
+        good = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+        )
+        _check_schema_drift(p, good, "drift")  # matching schema passes
+        renamed = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("t", T.StringType())]
+        )
+        with pytest.raises(ValueError, match="schema drift"):
+            _check_schema_drift(p, renamed, "drift")
+        retyped = T.StructType(
+            [T.StructField("id", T.TimestampType()), T.StructField("s", T.StringType())]
+        )
+        with pytest.raises(ValueError, match="schema drift"):
+            _check_schema_drift(p, retyped, "drift")
 
 
 class TestWriters:
