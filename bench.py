@@ -41,6 +41,8 @@ HEADLINE = [
     "embedding_neardup",
     "events_sliding_30min",
     "ivf_topk_embeddings",
+    "asof_attribution",
+    "range_join_sessions",
 ]
 
 
@@ -67,7 +69,7 @@ def main() -> None:
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = catalog.QUERIES[name]
+        fn = catalog.ALL_QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0

@@ -3022,10 +3022,621 @@ FROM fin ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# Registry
+# Merged driver-window suites.
+#
+# The driver records verdicts for at most 50 ``queries()`` entries
+# (CORRECTNESS_r04 held exactly the first 50 of 77, leaving 27 queries with
+# no driver verdict).  To give EVERY operator a driver-hashed verdict, same-
+# family queries are packaged as one entry each: the component queries run
+# unchanged and their outputs are projected into a shared tagged slot schema
+# (every original column lands in some explicitly-cast slot, so the merged
+# value hash is exactly as sensitive as the per-query hashes were), then
+# UNION ALL'd.  The oracle applies the identical projection to each
+# component's existing oracle SQL.  Individual queries stay registered in
+# ALL_QUERIES for pytest / bench / plan assertions.
 # ---------------------------------------------------------------------------
 
-QUERIES = {
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_NULL_BIGINT = "CAST(NULL AS BIGINT)"
+_NULL_INT = "CAST(NULL AS INTEGER)"
+_NULL_DOUBLE = "CAST(NULL AS DOUBLE)"
+_NULL_STR = "CAST(NULL AS VARCHAR)"
+_NULL_TS = "CAST(NULL AS TIMESTAMP)"
+
+
+def _nul(t: str):
+    return F.lit(None).cast(t)
+
+
+# --- quality_validation_report: quality_report (V1-V4 counts, unpivoted to
+# long form) + validation_rollup (V1 V3 report rollup) --------------------
+
+def q_quality_validation_report(spark, sf_dir):
+    qr = q_quality_report(spark, sf_dir)
+    q_rows = qr.select(
+        F.expr(
+            "stack(5, 'null_custkey', null_custkey, 'dup_cust_days', dup_cust_days, "
+            "'orphan_lineitems', orphan_lineitems, 'bad_status', bad_status, "
+            "'high_discount', high_discount) as (check_name, value_a)"
+        )
+    ).select(
+        F.lit("quality_report").alias("model"),
+        F.col("check_name").cast("string").alias("check_name"),
+        F.lit("info").alias("status"),
+        F.col("value_a").cast("long").alias("value_a"),
+        _nul("long").alias("value_b"),
+    )
+    vr = q_validation_rollup(spark, sf_dir).select(
+        F.col("model").cast("string"),
+        F.col("check_name").cast("string"),
+        F.col("status").cast("string"),
+        F.col("value_a").cast("long"),
+        F.col("value_b").cast("long"),
+    )
+    return _union_all([q_rows, vr])
+
+
+SQL_QUALITY_VALIDATION = f"""
+WITH q AS ({SQL_QUALITY})
+SELECT 'quality_report' AS model, 'null_custkey' AS check_name, 'info' AS status,
+       CAST(null_custkey AS BIGINT) AS value_a, {_NULL_BIGINT} AS value_b FROM q
+UNION ALL SELECT 'quality_report', 'dup_cust_days', 'info',
+       CAST(dup_cust_days AS BIGINT), {_NULL_BIGINT} FROM q
+UNION ALL SELECT 'quality_report', 'orphan_lineitems', 'info',
+       CAST(orphan_lineitems AS BIGINT), {_NULL_BIGINT} FROM q
+UNION ALL SELECT 'quality_report', 'bad_status', 'info',
+       CAST(bad_status AS BIGINT), {_NULL_BIGINT} FROM q
+UNION ALL SELECT 'quality_report', 'high_discount', 'info',
+       CAST(high_discount AS BIGINT), {_NULL_BIGINT} FROM q
+UNION ALL
+SELECT CAST(model AS VARCHAR), CAST(check_name AS VARCHAR), CAST(status AS VARCHAR),
+       CAST(value_a AS BIGINT), CAST(value_b AS BIGINT)
+FROM ({SQL_VALIDATION_ROLLUP}) _v
+"""
+
+
+# --- containment_kmv_docs: shingle containment pairs + KMV distinct sketch --
+
+def q_containment_kmv_docs(spark, sf_dir):
+    c = q_containment_docs(spark, sf_dir).select(
+        F.lit("containment").alias("component"),
+        F.col("contained_id").cast("long").alias("id_a"),
+        F.col("container_id").cast("long").alias("id_b"),
+        F.col("containment").cast("double").alias("v1"),
+    )
+    k = q_kmv_shingles(spark, sf_dir).select(
+        F.lit("kmv").alias("component"),
+        F.col("kmv_k").cast("long").alias("id_a"),
+        F.col("n_exact").cast("long").alias("id_b"),
+        F.col("kmv_estimate").cast("double").alias("v1"),
+    )
+    return _union_all([c, k])
+
+
+SQL_CONTAINMENT_KMV = f"""
+SELECT 'containment' AS component, CAST(contained_id AS BIGINT) AS id_a,
+       CAST(container_id AS BIGINT) AS id_b, CAST(containment AS DOUBLE) AS v1
+FROM ({SQL_CONTAINMENT}) _c
+UNION ALL
+SELECT 'kmv', CAST(kmv_k AS BIGINT), CAST(n_exact AS BIGINT),
+       CAST(kmv_estimate AS DOUBLE)
+FROM ({SQL_KMV_SHINGLES}) _k
+"""
+
+
+# --- ann_topk_suite: exact cosine top-k + md5-LSH top-k + IVF top-k + int8
+# quantization, all over the embeddings table ------------------------------
+
+def q_ann_topk_suite(spark, sf_dir):
+    def topk_slots(df, tag):
+        return df.select(
+            F.lit(tag).alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _nul("int").alias("dim"),
+            _nul("int").alias("q"),
+            F.col("cosine_r").cast("double").alias("score"),
+        )
+
+    parts = [
+        topk_slots(q_topk_embeddings(spark, sf_dir), "brute_force"),
+        topk_slots(q_lsh_topk_md5(spark, sf_dir), "lsh_md5"),
+        topk_slots(q_ivf_topk(spark, sf_dir), "ivf"),
+        q_quantize_embeddings(spark, sf_dir).select(
+            F.lit("quantize").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("q").cast("int").alias("q"),
+            F.col("scale").cast("double").alias("score"),
+        ),
+    ]
+    return _union_all(parts)
+
+
+SQL_ANN_TOPK_SUITE = f"""
+SELECT 'brute_force' AS component, CAST(vec_id AS BIGINT) AS vec_id,
+       {_NULL_INT} AS dim, {_NULL_INT} AS q, CAST(cosine_r AS DOUBLE) AS score
+FROM ({SQL_TOPK_EMB}) _b
+UNION ALL
+SELECT 'lsh_md5', CAST(vec_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
+       CAST(cosine_r AS DOUBLE)
+FROM ({SQL_LSH_TOPK_MD5}) _l
+UNION ALL
+SELECT 'ivf', CAST(vec_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
+       CAST(cosine_r AS DOUBLE)
+FROM ({SQL_IVF_TOPK}) _i
+UNION ALL
+SELECT 'quantize', CAST(vec_id AS BIGINT), CAST(dim AS INTEGER),
+       CAST(q AS INTEGER), CAST(scale AS DOUBLE)
+FROM ({SQL_QUANTIZE}) _q
+"""
+
+
+# --- events_windows: tumbling + sliding + hypertable rollup (ST4 family) ----
+
+def q_events_windows(spark, sf_dir):
+    tum = q_events_tumbling_10min(spark, sf_dir).select(
+        F.lit("tumbling").alias("component"),
+        F.col("window_start").cast("timestamp").alias("ws"),
+        F.col("window_end").cast("timestamp").alias("we"),
+        F.col("event_type").cast("string").alias("k1"),
+        _nul("int").alias("grp"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    sli = q_events_sliding_30min(spark, sf_dir).select(
+        F.lit("sliding").alias("component"),
+        F.col("window_start").cast("timestamp").alias("ws"),
+        F.col("window_end").cast("timestamp").alias("we"),
+        F.col("event_type").cast("string").alias("k1"),
+        _nul("int").alias("grp"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    rol = q_events_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("component"),
+        F.col("day").cast("timestamp").alias("ws"),
+        _nul("timestamp").alias("we"),
+        F.col("hr").cast("string").alias("k1"),
+        F.col("grouping_level").cast("int").alias("grp"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    return _union_all([tum, sli, rol])
+
+
+SQL_EVENTS_WINDOWS = f"""
+SELECT 'tumbling' AS component, CAST(window_start AS TIMESTAMP) AS ws,
+       CAST(window_end AS TIMESTAMP) AS we, CAST(event_type AS VARCHAR) AS k1,
+       {_NULL_INT} AS grp, CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum_value AS DOUBLE) AS sum_value
+FROM ({_oracle_double(SQL_TUMBLING, ["sum_value"])}) _t
+UNION ALL
+SELECT 'sliding', CAST(window_start AS TIMESTAMP), CAST(window_end AS TIMESTAMP),
+       CAST(event_type AS VARCHAR), {_NULL_INT}, CAST(n_events AS BIGINT),
+       {_NULL_DOUBLE}
+FROM ({SQL_SLIDING}) _s
+UNION ALL
+SELECT 'rollup', CAST(day AS TIMESTAMP), {_NULL_TS}, CAST(hr AS VARCHAR),
+       CAST(grouping_level AS INTEGER), CAST(n_events AS BIGINT),
+       CAST(sum_value AS DOUBLE)
+FROM ({SQL_EVENTS_ROLLUP}) _r
+"""
+
+
+# --- events_totals_suite: salted two-phase aggregation + stateful streaming
+# per-type lifetime totals (both must equal a plain GROUP BY on events) ------
+
+def q_events_totals_suite(spark, sf_dir):
+    sal = q_salted_agg_events(spark, sf_dir).select(
+        F.lit("salted").alias("component"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _nul("long").alias("total_units"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    sta = q_stateful_totals(spark, sf_dir).select(
+        F.lit("stateful").alias("component"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_units").cast("long").alias("total_units"),
+        _nul("double").alias("sum_value"),
+    )
+    return _union_all([sal, sta])
+
+
+SQL_EVENTS_TOTALS_SUITE = f"""
+SELECT 'salted' AS component, CAST(event_type AS VARCHAR) AS event_type,
+       CAST(n_events AS BIGINT) AS n_events, {_NULL_BIGINT} AS total_units,
+       CAST(sum_value AS DOUBLE) AS sum_value
+FROM ({SQL_SALTED_AGG}) _a
+UNION ALL
+SELECT 'stateful', CAST(event_type AS VARCHAR), CAST(n_events AS BIGINT),
+       CAST(total_units AS BIGINT), {_NULL_DOUBLE}
+FROM ({SQL_STATEFUL_TOTALS}) _b
+"""
+
+
+# --- asof_range_joins: as-of attribution + interval-containment range join --
+
+def q_asof_range_joins(spark, sf_dir):
+    asof = q_asof_attribution(spark, sf_dir).select(
+        F.lit("asof").alias("component"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("ts_asof").cast("timestamp").alias("t1"),
+        _nul("timestamp").alias("t2"),
+        F.col("purchase_id").cast("long").alias("k"),
+        F.col("purchase_value").cast("double").alias("v"),
+    )
+    rng = q_range_join_sessions(spark, sf_dir).select(
+        F.lit("range").alias("component"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("session_start").cast("timestamp").alias("t1"),
+        F.col("session_end").cast("timestamp").alias("t2"),
+        F.col("n_clicks").cast("long").alias("k"),
+        _nul("double").alias("v"),
+    )
+    return _union_all([asof, rng])
+
+
+SQL_ASOF_RANGE_JOINS = f"""
+SELECT 'asof' AS component, CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(ts_asof AS TIMESTAMP) AS t1, {_NULL_TS} AS t2,
+       CAST(purchase_id AS BIGINT) AS k, CAST(purchase_value AS DOUBLE) AS v
+FROM ({SQL_ASOF_ATTRIBUTION}) _a
+UNION ALL
+SELECT 'range', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+       CAST(ts AS TIMESTAMP), CAST(session_start AS TIMESTAMP),
+       CAST(session_end AS TIMESTAMP), CAST(n_clicks AS BIGINT), {_NULL_DOUBLE}
+FROM ({SQL_RANGE_JOIN}) _r
+"""
+
+
+# --- orchestration_dag: ForEach container + parallel table materialization --
+
+def q_orchestration_dag(spark, sf_dir):
+    fe = q_foreach_segments(spark, sf_dir).select(
+        F.lit("foreach").alias("component"),
+        _nul("long").alias("c_custkey"),
+        F.col("c_mktsegment").cast("string").alias("segment"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total").cast("double").alias("v1"),
+        _nul("double").alias("v2"),
+    )
+    pd_ = q_parallel_table_dag(spark, sf_dir).select(
+        F.lit("parallel").alias("component"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_mktsegment").cast("string").alias("segment"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("acctbal").cast("double").alias("v1"),
+        F.col("spend").cast("double").alias("v2"),
+    )
+    return _union_all([fe, pd_])
+
+
+SQL_ORCHESTRATION_DAG = f"""
+SELECT 'foreach' AS component, {_NULL_BIGINT} AS c_custkey,
+       CAST(c_mktsegment AS VARCHAR) AS segment, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(total AS DOUBLE) AS v1, {_NULL_DOUBLE} AS v2
+FROM ({SQL_FOREACH}) _f
+UNION ALL
+SELECT 'parallel', CAST(c_custkey AS BIGINT), CAST(c_mktsegment AS VARCHAR),
+       CAST(n_orders AS BIGINT), CAST(acctbal AS DOUBLE), CAST(spend AS DOUBLE)
+FROM ({SQL_PARALLEL_DAG}) _p
+"""
+
+
+# --- multimodal_decode: metadata plumbing + real BMP decode + real WAV decode
+
+def q_multimodal_decode(spark, sf_dir):
+    feats = q_multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("component"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("n_features").cast("int").alias("i1"),
+        _nul("int").alias("i2"),
+        _nul("int").alias("i3"),
+        F.col("n_bytes").cast("long").alias("n1"),
+        _nul("double").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    bmp = q_bmp_decode_stats(spark, sf_dir).select(
+        F.lit("bmp").alias("component"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").cast("int").alias("i1"),
+        F.col("height").cast("int").alias("i2"),
+        F.col("channels").cast("int").alias("i3"),
+        _nul("long").alias("n1"),
+        F.col("mean_r").cast("double").alias("v1"),
+        F.col("mean_g").cast("double").alias("v2"),
+        F.col("mean_b").cast("double").alias("v3"),
+    )
+    wav = q_wav_decode_stats(spark, sf_dir).select(
+        F.lit("wav").alias("component"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("sample_rate").cast("int").alias("i1"),
+        F.col("channels").cast("int").alias("i2"),
+        F.col("n_samples").cast("int").alias("i3"),
+        _nul("long").alias("n1"),
+        F.col("mean_abs").cast("double").alias("v1"),
+        F.col("duration_ms").cast("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([feats, bmp, wav])
+
+
+SQL_MULTIMODAL_DECODE = f"""
+SELECT 'features' AS component, CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_features AS INTEGER) AS i1, {_NULL_INT} AS i2, {_NULL_INT} AS i3,
+       CAST(n_bytes AS BIGINT) AS n1, {_NULL_DOUBLE} AS v1, {_NULL_DOUBLE} AS v2,
+       {_NULL_DOUBLE} AS v3
+FROM ({SQL_MULTIMODAL}) _f
+UNION ALL
+SELECT 'bmp', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
+       CAST(height AS INTEGER), CAST(channels AS INTEGER), {_NULL_BIGINT},
+       CAST(mean_r AS DOUBLE), CAST(mean_g AS DOUBLE), CAST(mean_b AS DOUBLE)
+FROM ({SQL_BMP_STATS}) _b
+UNION ALL
+SELECT 'wav', CAST(media_id AS BIGINT), CAST(sample_rate AS INTEGER),
+       CAST(channels AS INTEGER), CAST(n_samples AS INTEGER), {_NULL_BIGINT},
+       CAST(mean_abs AS DOUBLE), CAST(duration_ms AS DOUBLE), {_NULL_DOUBLE}
+FROM ({SQL_WAV_STATS}) _w
+"""
+
+
+# --- sampling_splits: content-hash train/test split + stratified sampling ---
+
+def q_sampling_splits(spark, sf_dir):
+    hs = q_hash_split_docs(spark, sf_dir).select(
+        F.lit("hash_split").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    st = q_stratified_docs(spark, sf_dir).select(
+        F.lit("stratified").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("s1"),
+        F.col("source").cast("string").alias("s2"),
+    )
+    return _union_all([hs, st])
+
+
+SQL_SAMPLING_SPLITS = f"""
+SELECT 'hash_split' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(split AS VARCHAR) AS s1, {_NULL_STR} AS s2
+FROM ({SQL_HASH_SPLIT}) _h
+UNION ALL
+SELECT 'stratified', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR),
+       CAST(source AS VARCHAR)
+FROM ({SQL_STRATIFIED}) _s
+"""
+
+
+# --- pii_tfidf_docs: planted-PII redaction + TF-IDF top terms ---------------
+
+def q_pii_tfidf_docs(spark, sf_dir):
+    pii = q_pii_redaction(spark, sf_dir).select(
+        F.lit("pii").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("clean_text").cast("string").alias("s1"),
+        _nul("long").alias("n1"),
+        _nul("long").alias("n2"),
+        _nul("double").alias("v"),
+        _nul("int").alias("rn"),
+    )
+    tfidf = q_tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("term").cast("string").alias("s1"),
+        F.col("tf").cast("long").alias("n1"),
+        F.col("df_t").cast("long").alias("n2"),
+        F.col("tfidf_r").cast("double").alias("v"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf])
+
+
+SQL_PII_TFIDF = f"""
+SELECT 'pii' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(clean_text AS VARCHAR) AS s1, {_NULL_BIGINT} AS n1,
+       {_NULL_BIGINT} AS n2, {_NULL_DOUBLE} AS v, {_NULL_INT} AS rn
+FROM ({SQL_PII_REDACTION}) _p
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS BIGINT), CAST(term AS VARCHAR),
+       CAST(tf AS BIGINT), CAST(df_t AS BIGINT), CAST(tfidf_r AS DOUBLE),
+       CAST(rn AS INTEGER)
+FROM ({SQL_TFIDF}) _t
+"""
+
+
+# --- pivot_unpivot_orders: Pivot matrix + Unpivot melt of the same matrix ---
+
+def q_pivot_unpivot_orders(spark, sf_dir):
+    piv = q_pivot_order_matrix(spark, sf_dir).select(
+        F.lit("pivot").alias("component"),
+        F.col("priority").cast("string").alias("priority"),
+        _nul("string").alias("status"),
+        F.col("total_f").cast("double").alias("v1"),
+        F.col("total_o").cast("double").alias("v2"),
+        F.col("total_p").cast("double").alias("v3"),
+    )
+    unp = q_unpivot_order_matrix(spark, sf_dir).select(
+        F.lit("unpivot").alias("component"),
+        F.col("priority").cast("string").alias("priority"),
+        F.col("status").cast("string").alias("status"),
+        F.col("total").cast("double").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([piv, unp])
+
+
+SQL_PIVOT_UNPIVOT = f"""
+SELECT 'pivot' AS component, CAST(priority AS VARCHAR) AS priority,
+       {_NULL_STR} AS status, CAST(total_f AS DOUBLE) AS v1,
+       CAST(total_o AS DOUBLE) AS v2, CAST(total_p AS DOUBLE) AS v3
+FROM ({SQL_PIVOT_MATRIX}) _p
+UNION ALL
+SELECT 'unpivot', CAST(priority AS VARCHAR), CAST(status AS VARCHAR),
+       CAST(total AS DOUBLE), {_NULL_DOUBLE}, {_NULL_DOUBLE}
+FROM ({SQL_UNPIVOT_MATRIX}) _u
+"""
+
+
+# --- median_rolling_orders: exact windowed median + RANGE-frame rolling -----
+
+def q_median_rolling_orders(spark, sf_dir):
+    med = q_median_order_totals(spark, sf_dir).select(
+        F.lit("median").alias("component"),
+        _nul("long").alias("o_custkey"),
+        _nul("long").alias("o_orderkey"),
+        F.col("priority").cast("string").alias("priority"),
+        _nul("int").alias("day_idx"),
+        _nul("long").alias("n"),
+        F.col("median_total").cast("double").alias("v"),
+    )
+    rol = q_rolling_revenue_7d(spark, sf_dir).select(
+        F.lit("rolling").alias("component"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        _nul("string").alias("priority"),
+        F.col("day_idx").cast("int").alias("day_idx"),
+        F.col("n_7d").cast("long").alias("n"),
+        F.col("spend_7d").cast("double").alias("v"),
+    )
+    return _union_all([med, rol])
+
+
+SQL_MEDIAN_ROLLING = f"""
+SELECT 'median' AS component, {_NULL_BIGINT} AS o_custkey,
+       {_NULL_BIGINT} AS o_orderkey, CAST(priority AS VARCHAR) AS priority,
+       {_NULL_INT} AS day_idx, {_NULL_BIGINT} AS n,
+       CAST(median_total AS DOUBLE) AS v
+FROM ({SQL_MEDIAN_TOTALS}) _m
+UNION ALL
+SELECT 'rolling', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+       {_NULL_STR}, CAST(day_idx AS INTEGER), CAST(n_7d AS BIGINT),
+       CAST(spend_7d AS DOUBLE)
+FROM ({_oracle_double(SQL_ROLLING_7D, ["spend_7d"])}) _r
+"""
+
+
+# --- parts_fuzzy_pagerank: fuzzy-grouping pairs + PageRank over that graph --
+
+def q_parts_fuzzy_pagerank(spark, sf_dir):
+    fz = q_fuzzy_part_names(spark, sf_dir).select(
+        F.lit("fuzzy").alias("component"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("int").alias("distance"),
+        _nul("double").alias("score"),
+    )
+    pr = q_pagerank_parts(spark, sf_dir).select(
+        F.lit("pagerank").alias("component"),
+        F.col("part_key").cast("long").alias("id_a"),
+        _nul("long").alias("id_b"),
+        _nul("int").alias("distance"),
+        F.col("pagerank").cast("double").alias("score"),
+    )
+    return _union_all([fz, pr])
+
+
+SQL_PARTS_FUZZY_PAGERANK = f"""
+SELECT 'fuzzy' AS component, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, CAST(distance AS INTEGER) AS distance,
+       {_NULL_DOUBLE} AS score
+FROM ({SQL_FUZZY_PARTS}) _f
+UNION ALL
+SELECT 'pagerank', CAST(part_key AS BIGINT), {_NULL_BIGINT}, {_NULL_INT},
+       CAST(pagerank AS DOUBLE)
+FROM ({SQL_PAGERANK_PARTS}) _p
+"""
+
+
+# --- roundtrip_sinks: every batch sink/source round-trip in one entry
+# (S3 S4 S5 S9 S10 D1 D2 D5 D6) ---------------------------------------------
+
+def q_roundtrip_sinks(spark, sf_dir):
+    def slots(df, tag, k1, s1, v1=None, k2=None):
+        return df.select(
+            F.lit(tag).alias("component"),
+            F.col(k1).cast("long").alias("k1"),
+            (F.col(k2).cast("long") if k2 else _nul("long")).alias("k2"),
+            F.col(s1).cast("string").alias("s1"),
+            (F.col(v1).cast("double") if v1 else _nul("double")).alias("v1"),
+        )
+
+    parts = [
+        slots(q_roundtrip_append(spark, sf_dir), "append",
+              "order_key", "status", "total"),
+        slots(q_roundtrip_overwrite(spark, sf_dir), "overwrite",
+              "customer_key", "segment", "acct_bal"),
+        slots(q_roundtrip_partition_overwrite(spark, sf_dir), "dpo",
+              "order_key", "priority", "total"),
+        slots(q_roundtrip_audit_update(spark, sf_dir), "audit",
+              "supplier_key", "processed", "acct_bal", k2="nation_key"),
+        slots(q_roundtrip_csv(spark, sf_dir), "csv",
+              "supplier_key", "supplier_name", "acct_bal", k2="nation_key"),
+        slots(q_roundtrip_json(spark, sf_dir), "json",
+              "part_key", "brand", "retail_price"),
+        slots(q_roundtrip_excel(spark, sf_dir), "excel",
+              "nation_key", "nation_name", k2="region_key"),
+        slots(q_rest_landing(spark, sf_dir), "rest",
+              "region_key", "region_name"),
+    ]
+    return _union_all(parts)
+
+
+def _rt_branch(tag, sql, k1, s1, v1=None, k2=None):
+    k2e = f"CAST({k2} AS BIGINT)" if k2 else _NULL_BIGINT
+    v1e = f"CAST({v1} AS DOUBLE)" if v1 else _NULL_DOUBLE
+    return (
+        f"SELECT '{tag}' AS component, CAST({k1} AS BIGINT) AS k1, "
+        f"{k2e} AS k2, CAST({s1} AS VARCHAR) AS s1, {v1e} AS v1 "
+        f"FROM ({sql}) _{tag}"
+    )
+
+
+SQL_ROUNDTRIP_SINKS = "\nUNION ALL\n".join(
+    [
+        _rt_branch("append", SQL_RT_APPEND, "order_key", "status", "total"),
+        _rt_branch("overwrite", SQL_RT_OVERWRITE, "customer_key", "segment",
+                   "acct_bal"),
+        _rt_branch("dpo", SQL_RT_DPO, "order_key", "priority", "total"),
+        _rt_branch("audit", SQL_RT_AUDIT, "supplier_key", "processed",
+                   "acct_bal", k2="nation_key"),
+        _rt_branch("csv", SQL_RT_CSV, "supplier_key", "supplier_name",
+                   "acct_bal", k2="nation_key"),
+        _rt_branch("json", SQL_RT_JSON, "part_key", "brand", "retail_price"),
+        _rt_branch("excel", SQL_RT_EXCEL, "nation_key", "nation_name",
+                   k2="region_key"),
+        _rt_branch("rest", SQL_REST_LANDING, "region_key", "region_name"),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Registry.
+#
+# ALL_QUERIES holds every individual query (used by pytest, bench.py, and
+# plan assertions).  QUERIES — the driver contract — is the 50-entry window
+# built below from _DRIVER_WINDOW: individual queries plus the merged suites,
+# sized so the driver's 50-entry verdict cap covers every operator.
+# ---------------------------------------------------------------------------
+
+ALL_QUERIES = {
     "stg_sales_transactions": q_stg_sales_transactions,
     "fct_sales_star": q_fct_sales_star,
     "agg_daily_sales": q_agg_daily_sales,
@@ -3103,9 +3714,24 @@ QUERIES = {
     "containment_docs": q_containment_docs,
     "wav_decode_stats": q_wav_decode_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    # merged driver-window suites
+    "quality_validation_report": q_quality_validation_report,
+    "containment_kmv_docs": q_containment_kmv_docs,
+    "ann_topk_suite": q_ann_topk_suite,
+    "events_windows": q_events_windows,
+    "events_totals_suite": q_events_totals_suite,
+    "asof_range_joins": q_asof_range_joins,
+    "orchestration_dag": q_orchestration_dag,
+    "multimodal_decode": q_multimodal_decode,
+    "sampling_splits": q_sampling_splits,
+    "pii_tfidf_docs": q_pii_tfidf_docs,
+    "pivot_unpivot_orders": q_pivot_unpivot_orders,
+    "median_rolling_orders": q_median_rolling_orders,
+    "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
+    "roundtrip_sinks": q_roundtrip_sinks,
 }
 
-ORACLES = {
+ALL_ORACLES = {
     "stg_sales_transactions": _oracle_double(
         SQL_STG_SALES, ["gross_amount", "net_amount", "discount_pct"]
     ),
@@ -3192,4 +3818,83 @@ ORACLES = {
     # xxhash64-based production paths — no DuckDB counterpart; driver records
     # rows-only checks.  Their md5 twins above carry the full value-hash
     # oracle for the same algorithms (same plan shape, portable hash).
+    # merged driver-window suites
+    "quality_validation_report": SQL_QUALITY_VALIDATION,
+    "containment_kmv_docs": SQL_CONTAINMENT_KMV,
+    "ann_topk_suite": SQL_ANN_TOPK_SUITE,
+    "events_windows": SQL_EVENTS_WINDOWS,
+    "events_totals_suite": SQL_EVENTS_TOTALS_SUITE,
+    "asof_range_joins": SQL_ASOF_RANGE_JOINS,
+    "orchestration_dag": SQL_ORCHESTRATION_DAG,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "sampling_splits": SQL_SAMPLING_SPLITS,
+    "pii_tfidf_docs": SQL_PII_TFIDF,
+    "pivot_unpivot_orders": SQL_PIVOT_UNPIVOT,
+    "median_rolling_orders": SQL_MEDIAN_ROLLING,
+    "parts_fuzzy_pagerank": SQL_PARTS_FUZZY_PAGERANK,
+    "roundtrip_sinks": SQL_ROUNDTRIP_SINKS,
+}
+
+# The 50 entries the driver verifies — every SURVEY §2 family and every
+# LLM-pipeline operator has a value-hashed row inside the window.  The three
+# xxhash64 rows-only entries are replaced by their fully-oracled md5 twins
+# (the xxhash paths stay pytest-covered and on the bench HEADLINE).
+_DRIVER_WINDOW = [
+    "stg_sales_transactions",
+    "fct_sales_star",
+    "agg_daily_sales",
+    "dim_customer_scd2",
+    "expr_strings_customer",
+    "expr_dates_orders",
+    "conditional_split_sizes",
+    "top_events",
+    "union_merge_segments",
+    "orders_semi_join",
+    "fk_violations_current",
+    "duplicate_order_days",
+    "watermark_incremental_events",
+    "validation_scalars",
+    "incremental_merge_orders",
+    "quality_validation_report",
+    "exact_dedup_docs",
+    "text_analysis_docs",
+    "ngram_jaccard_docs",
+    "minhash_pairs_md5",
+    "simhash_pairs_md5",
+    "neardup_clusters",
+    "containment_kmv_docs",
+    "ann_topk_suite",
+    "knn_join_embeddings",
+    "embedding_neardup",
+    "events_windows",
+    "events_sessionize",
+    "streaming_roundtrip",
+    "events_totals_suite",
+    "asof_range_joins",
+    "pipeline_dag",
+    "merge_upsert_customers",
+    "script_escape_hatch",
+    "orchestration_dag",
+    "bucketed_join_orders",
+    "multimodal_decode",
+    "dataset_profile",
+    "corpus_curation",
+    "sampling_splits",
+    "token_budget_docs",
+    "pii_tfidf_docs",
+    "sql_task_pricing",
+    "window_customer_orders",
+    "pivot_unpivot_orders",
+    "median_rolling_orders",
+    "cdc_orders_diff",
+    "parts_fuzzy_pagerank",
+    "json_props_events",
+    "roundtrip_sinks",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+
+QUERIES = {name: ALL_QUERIES[name] for name in _DRIVER_WINDOW}
+ORACLES = {
+    name: ALL_ORACLES[name] for name in _DRIVER_WINDOW if name in ALL_ORACLES
 }

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name, mode="formatted"):
-    df = catalog.QUERIES[name](spark, SF)
+    df = catalog.ALL_QUERIES[name](spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
