@@ -671,6 +671,15 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_text_analysis_docs(spark, sf_dir):
+    from .text import (
+        digit_fraction,
+        dup_token_fraction,
+        max_token_run,
+        mean_token_length,
+        symbol_fraction,
+        top_token_fraction,
+    )
+
     docs = _t(spark, sf_dir)["documents"]
     txt = F.col("text")
     return docs.select(
@@ -680,12 +689,19 @@ def q_text_analysis_docs(spark, sf_dir):
         language_id(txt).alias("lang_pred"),
         quality_score(txt).alias("q_score"),
         document_fingerprint(txt).alias("fingerprint"),
+        mean_token_length(txt).alias("mean_tok_len"),
+        dup_token_fraction(txt).alias("dup_tok_frac"),
+        top_token_fraction(txt).alias("top_tok_frac"),
+        max_token_run(txt).cast("int").alias("max_run"),
+        symbol_fraction(txt).alias("symbol_frac"),
+        digit_fraction(txt).alias("digit_frac"),
     )
 
 
 SQL_TEXT_ANALYSIS = r"""
 WITH b AS (
   SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\s+') AS t,
     CASE WHEN trim(text) = '' THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
     len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe,
@@ -694,9 +710,21 @@ WITH b AS (
     len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS s_fr,
     len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|y)\b')) AS s_es,
     length(text) AS n_chars,
-    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alpha
-  FROM documents)
-SELECT doc_id,
+    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nospace,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_sym,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+  FROM documents),
+runs AS (
+  SELECT doc_id, MAX(runlen) AS max_run FROM (
+    SELECT doc_id, tok, grp, COUNT(*) AS runlen FROM (
+      SELECT doc_id, tok, i,
+             i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+      FROM (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+            FROM b WHERE n_tokens > 0))
+    GROUP BY doc_id, tok, grp)
+  GROUP BY doc_id)
+SELECT b.doc_id,
   CAST(n_tokens AS INTEGER) AS n_tokens,
   CAST(n_bpe AS INTEGER) AS n_bpe,
   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -709,8 +737,23 @@ SELECT doc_id,
    + CASE WHEN n_tokens > 0
           THEN least(CAST(s_en AS DOUBLE) / n_tokens / 0.2, 1.0) ELSE 0.0 END) / 3.0
     AS q_score,
-  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-FROM b
+  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+  CASE WHEN n_tokens > 0 THEN CAST(n_nospace AS DOUBLE) / n_tokens
+       ELSE 0.0 END AS mean_tok_len,
+  CASE WHEN n_tokens > 0
+       THEN CAST(n_tokens - len(list_distinct(t)) AS DOUBLE) / n_tokens
+       ELSE 0.0 END AS dup_tok_frac,
+  CASE WHEN n_tokens > 0
+       THEN CAST(list_max(list_transform(list_distinct(t),
+                          d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+            / n_tokens
+       ELSE 0.0 END AS top_tok_frac,
+  CAST(COALESCE(runs.max_run, 0) AS INTEGER) AS max_run,
+  CASE WHEN n_chars > 0 THEN CAST(n_sym AS DOUBLE) / n_chars
+       ELSE 0.0 END AS symbol_frac,
+  CASE WHEN n_chars > 0 THEN CAST(n_dig AS DOUBLE) / n_chars
+       ELSE 0.0 END AS digit_frac
+FROM b LEFT JOIN runs ON runs.doc_id = b.doc_id
 """
 
 

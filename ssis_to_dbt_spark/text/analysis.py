@@ -42,14 +42,16 @@ def token_count(text: Column) -> Column:
 
 
 def regex_token_count(text: Column) -> Column:
-    """BPE-ish token estimate: word pieces + individual punctuation marks."""
-    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_PATTERN), 0))
+    """BPE-ish token estimate: word pieces + individual punctuation marks.
+    ``regexp_count`` (not ``size(regexp_extract_all(...))``) — same value,
+    no throwaway match-array materialization per row."""
+    return F.regexp_count(text, F.lit(_TOKEN_PATTERN))
 
 
 def _marker_hits(text_lower: Column, words: list[str]) -> Column:
     """Count of marker-stopword occurrences (word-bounded) in the text."""
     pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(text_lower, F.lit(pattern), 0))
+    return F.regexp_count(text_lower, F.lit(pattern))
 
 
 def language_id(text: Column, default: str = "und") -> Column:
@@ -82,7 +84,7 @@ def quality_score(text: Column) -> Column:
     bit-identical doubles.
     """
     n_chars = F.length(text)
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z0-9 ]"))
     toks = token_count(text)
     stop_hits = _marker_hits(F.lower(text), _LANG_MARKERS["en"])
     length_factor = F.least(n_chars.cast("double") / F.lit(1000.0), F.lit(1.0))
@@ -94,6 +96,91 @@ def quality_score(text: Column) -> Column:
         F.least(stop_hits.cast("double") / toks / F.lit(0.2), F.lit(1.0)),
     ).otherwise(F.lit(0.0))
     return (length_factor + alpha_ratio + stop_factor) / F.lit(3.0)
+
+
+def mean_token_length(text: Column) -> Column:
+    """Mean non-whitespace characters per whitespace token (a Gopher-style
+    quality signal: machine-generated or OCR-damaged text skews short or
+    long).  Pure expression — integer counts divided as doubles, so any
+    engine evaluating the same tree produces bit-identical values."""
+    n_tok = token_count(text)
+    n_chars = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    return F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total) — the cheapest repetition signal; boilerplate and
+    keyword-stuffed documents score high."""
+    t = _ws_tokens(text)
+    n = token_count(text)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(t))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def _max_equal_run(arr: Column) -> Column:
+    """Longest run of consecutive equal elements — one linear ``F.aggregate``
+    pass with a (prev, run, best) struct accumulator.  HOF lambdas are
+    interpreted (not codegen'd), so keeping this to ONE pass of ~3 ops per
+    element is what makes the per-document signals affordable at scale; a
+    transform-with-nested-filter formulation is O(distinct x n) interpreted
+    ops and benched ~4x slower over the whole query."""
+
+    def step(acc, x):
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(arr, zero, step).getField("best")
+
+
+def top_token_fraction(text: Column) -> Column:
+    """Share of the document taken by its single most frequent token — the
+    expression-only analog of Gopher's 'fraction of chars in the most common
+    n-gram' rule.  Max multiplicity = longest equal-run of the SORTED token
+    array, so this reuses the linear run scan instead of a quadratic
+    count-per-distinct-token pass; no shuffle, map-only."""
+    n = token_count(text)
+    best = _max_equal_run(F.array_sort(_ws_tokens(text)))
+    return F.when(n > 0, best.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def max_token_run(text: Column) -> Column:
+    """Length of the longest run of consecutively repeated tokens ('spam spam
+    spam' -> 3) — catches degenerate generation loops that global frequency
+    signals miss.  Single linear pass, map-only."""
+    return F.when(
+        token_count(text) > 0, _max_equal_run(_ws_tokens(text))
+    ).otherwise(F.lit(0))
+
+
+def symbol_fraction(text: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace —
+    high values flag markup soup, encoding damage, or ASCII art."""
+    n_chars = F.length(text)
+    n_sym = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    return F.when(n_chars > 0, n_sym.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+
+
+def digit_fraction(text: Column) -> Column:
+    """Fraction of characters that are digits — tables/logs dumped as prose
+    score high and usually belong in a different pipeline branch."""
+    n_chars = F.length(text)
+    n_dig = F.regexp_count(text, F.lit(r"[0-9]"))
+    return F.when(n_chars > 0, n_dig.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
 
 
 def document_fingerprint(text: Column) -> Column:

@@ -114,6 +114,47 @@ class TestAnalysis:
             tx.document_fingerprint(F.col("text")).alias("fp")).collect()]
         assert fps[0] == fps[1]
 
+    def test_mean_token_length(self, spark):
+        df = docs_df(spark, [(1, "ab cdef"), (2, "")])
+        out = {r["doc_id"]: r["m"] for r in df.select(
+            "doc_id", tx.mean_token_length(F.col("text")).alias("m")).collect()}
+        assert out == {1: 3.0, 2: 0.0}
+
+    def test_dup_token_fraction(self, spark):
+        df = docs_df(spark, [(1, "a b a a"), (2, "x y z"), (3, "")])
+        out = {r["doc_id"]: r["d"] for r in df.select(
+            "doc_id", tx.dup_token_fraction(F.col("text")).alias("d")).collect()}
+        assert out == {1: 0.5, 2: 0.0, 3: 0.0}
+
+    def test_top_token_fraction(self, spark):
+        df = docs_df(spark, [(1, "a b a c"), (2, "spam spam spam spam"), (3, "")])
+        out = {r["doc_id"]: r["t"] for r in df.select(
+            "doc_id", tx.top_token_fraction(F.col("text")).alias("t")).collect()}
+        assert out == {1: 0.5, 2: 1.0, 3: 0.0}
+
+    def test_max_token_run(self, spark):
+        df = docs_df(spark, [
+            (1, "spam spam spam ok"),
+            (2, "a b a b"),
+            (3, ""),
+            (4, "x"),
+        ])
+        out = {r["doc_id"]: r["r"] for r in df.select(
+            "doc_id", tx.max_token_run(F.col("text")).alias("r")).collect()}
+        assert out == {1: 3, 2: 1, 3: 0, 4: 1}
+
+    def test_symbol_and_digit_fractions(self, spark):
+        df = docs_df(spark, [(1, "ab 12 !?"), (2, "")])
+        row = df.filter("doc_id = 1").select(
+            tx.symbol_fraction(F.col("text")).alias("s"),
+            tx.digit_fraction(F.col("text")).alias("d"),
+        ).first()
+        assert row["s"] == 0.25  # "!?" over 8 chars
+        assert row["d"] == 0.25  # "12" over 8 chars
+        empty = df.filter("doc_id = 2").select(
+            tx.symbol_fraction(F.col("text")).alias("s")).first()
+        assert empty["s"] == 0.0
+
 
 class TestMd5Twins:
     """Portable md5 variants must behave like their xxhash64 production twins
