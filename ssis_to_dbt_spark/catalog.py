@@ -2138,6 +2138,34 @@ FROM nation
 """
 
 
+def q_roundtrip_xls(spark, sf_dir):
+    """S5 legacy path: the nation dimension exported to a real binary
+    BIFF8 ``.xls`` (dependency-free MS-CFB + BIFF8 writer) and read back
+    through the ``.xls`` Excel source under a declared schema — proves the
+    legacy-workbook decode end-to-end against the same oracle as the
+    ``.xlsx`` twin."""
+    import os
+
+    from .sources import readers
+    from .sources.xls import write_xls
+
+    n = _t(spark, sf_dir)["nation"]
+    rows = [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in n.collect()  # 25-row dimension: driver-side by design
+    ]
+    path = os.path.join(_rt_tmpdir("xls"), "nations.xls")
+    write_xls(["nation_key", "nation_name", "region_key"], rows, path)
+    schema = T.StructType(
+        [
+            T.StructField("nation_key", T.IntegerType()),
+            T.StructField("nation_name", T.StringType()),
+            T.StructField("region_key", T.IntegerType()),
+        ]
+    )
+    return readers.read_excel(spark, path, schema)
+
+
 def q_rest_landing(spark, sf_dir):
     """S9: REST API source contract — an out-of-band job lands the API
     payload as JSON; ``read_rest_api`` reads the landed path under a declared
@@ -3636,6 +3664,8 @@ def q_roundtrip_sinks(spark, sf_dir):
               "part_key", "brand", "retail_price"),
         slots(q_roundtrip_excel(spark, sf_dir), "excel",
               "nation_key", "nation_name", k2="region_key"),
+        slots(q_roundtrip_xls(spark, sf_dir), "excel_xls",
+              "nation_key", "nation_name", k2="region_key"),
         slots(q_rest_landing(spark, sf_dir), "rest",
               "region_key", "region_name"),
     ]
@@ -3664,6 +3694,8 @@ SQL_ROUNDTRIP_SINKS = "\nUNION ALL\n".join(
                    "acct_bal", k2="nation_key"),
         _rt_branch("json", SQL_RT_JSON, "part_key", "brand", "retail_price"),
         _rt_branch("excel", SQL_RT_EXCEL, "nation_key", "nation_name",
+                   k2="region_key"),
+        _rt_branch("excel_xls", SQL_RT_EXCEL, "nation_key", "nation_name",
                    k2="region_key"),
         _rt_branch("rest", SQL_REST_LANDING, "region_key", "region_name"),
     ]
@@ -3735,6 +3767,7 @@ ALL_QUERIES = {
     "validation_rollup": q_validation_rollup,
     "parallel_table_dag": q_parallel_table_dag,
     "roundtrip_excel": q_roundtrip_excel,
+    "roundtrip_xls": q_roundtrip_xls,
     "rest_landing": q_rest_landing,
     "stratified_docs": q_stratified_docs,
     "stateful_totals": q_stateful_totals,
@@ -3830,6 +3863,7 @@ ALL_ORACLES = {
     "validation_rollup": SQL_VALIDATION_ROLLUP,
     "parallel_table_dag": SQL_PARALLEL_DAG,
     "roundtrip_excel": SQL_RT_EXCEL,
+    "roundtrip_xls": SQL_RT_EXCEL,
     "rest_landing": SQL_REST_LANDING,
     "stratified_docs": SQL_STRATIFIED,
     "stateful_totals": SQL_STATEFUL_TOTALS,

@@ -133,20 +133,21 @@ def read_excel(
 ) -> DataFrame:
     """S5: ExcelSource (src/parser/constants.py:37).
 
-    ``.xlsx`` is parsed DRIVER-SIDE by :func:`read_xlsx_rows` (row 1 =
-    header, remaining rows matched to ``schema`` columns by header name and
-    cast to the declared types) — correct for Excel's actual role as a
+    Both ``.xlsx`` (:func:`read_xlsx_rows`, stdlib zip+XML) and legacy
+    binary ``.xls`` (:func:`sources.xls.read_xls_rows`, dependency-free
+    MS-CFB + BIFF8 parser) are parsed DRIVER-SIDE (row 1 = header,
+    remaining rows matched to ``schema`` columns by header name and cast to
+    the declared types) — correct for Excel's actual role as a
     small-dimension source; at scale the sheet should be staged to parquet
-    out-of-band.  Legacy binary ``.xls`` still fails loudly, and CSV-staged
-    paths keep flowing through the CSV reader.
+    out-of-band.  CSV-staged paths keep flowing through the CSV reader.
     """
-    if path.endswith(".xls"):
-        raise NotImplementedError(
-            "legacy binary .xls decode is unsupported; save as .xlsx or "
-            "stage the sheet as CSV and call read_excel on that path"
-        )
-    if path.endswith(".xlsx"):
-        grid = read_xlsx_rows(path, sheet)
+    if path.endswith((".xls", ".xlsx")):
+        if path.endswith(".xls"):
+            from .xls import read_xls_rows
+
+            grid = read_xls_rows(path, sheet)
+        else:
+            grid = read_xlsx_rows(path, sheet)
         if not grid:
             return spark.createDataFrame([], schema)
         header, data = grid[0], grid[1:]

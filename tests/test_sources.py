@@ -149,9 +149,109 @@ class TestReaders:
         with pytest.raises(ValueError, match="not found"):
             read_excel(spark, p, SCHEMA, sheet="missing")
 
-    def test_excel_shim_refuses_legacy_xls(self, spark):
-        with pytest.raises(NotImplementedError, match="xlsx"):
-            read_excel(spark, "/tmp/book.xls", SCHEMA)
+    def test_legacy_xls_roundtrip_mini_stream(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.xls import write_xls
+
+        p = str(tmp_path / "small.xls")
+        write_xls(["k", "v"], [[1, "aa"], [2, "bb"]], p)
+        out = read_excel(spark, p, SCHEMA)
+        assert [(r["k"], r["v"]) for r in sorted(out.collect())] == [
+            (1, "aa"), (2, "bb"),
+        ]
+
+    def test_legacy_xls_roundtrip_regular_fat(self, spark, tmp_path):
+        # >4096-byte workbook stream exercises the non-mini CFB chain
+        from ssis_to_dbt_spark.sources.xls import write_xls
+
+        p = str(tmp_path / "big.xls")
+        rows = [[i, f"val_{i}"] for i in range(500)]
+        write_xls(["k", "v"], rows, p)
+        out = read_excel(spark, p, SCHEMA)
+        assert out.count() == 500
+        assert out.filter("k = 499").first()["v"] == "val_499"
+
+    def test_legacy_xls_sheet_selection(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.xls import read_xls_rows, write_xls
+
+        p = str(tmp_path / "named.xls")
+        write_xls(["k", "v"], [[7, "x"]], p, sheet="dims")
+        assert read_xls_rows(p, "dims")[1] == ["7", "x"]
+        with pytest.raises(ValueError, match="not found"):
+            read_xls_rows(p, "missing")
+
+    def test_legacy_xls_rk_and_mulrk_records(self, tmp_path):
+        # Hand-crafted RK/MULRK cells (Excel's compact number encodings our
+        # writer never emits): int-flag, div-100, and IEEE-high-bits forms.
+        import struct
+
+        from ssis_to_dbt_spark.sources import xls as X
+
+        cells = (
+            X._rec(X._R_RK, struct.pack("<HHHI", 1, 0, 0, (7 << 2) | 0x02))
+            + X._rec(X._R_RK, struct.pack("<HHHI", 1, 1, 0, (725 << 2) | 0x03))
+            + X._rec(
+                X._R_MULRK,
+                struct.pack("<HH", 2, 0)
+                + struct.pack(
+                    "<HI", 0,
+                    (struct.unpack("<Q", struct.pack("<d", 2.5))[0] >> 32)
+                    & 0xFFFFFFFC,
+                )
+                + struct.pack("<HI", 0, (9 << 2) | 0x02)
+                + struct.pack("<H", 1),
+            )
+        )
+        stream = X._biff_workbook(["a", "b"], [], "Sheet1")
+        # splice the records in before the sheet's EOF
+        stream = stream[: -4] + cells + X._rec(X._R_EOF, b"")
+        p = str(tmp_path / "rk.xls")
+        with open(p, "wb") as f:
+            f.write(X._cfb_container(stream))
+        grid = X.read_xls_rows(p)
+        assert grid[1] == ["7", "7.25"]
+        assert grid[2] == ["2.5", "9"]
+
+    def test_legacy_xls_sst_continue_records(self, tmp_path):
+        # SST spanning a CONTINUE record: string character data crosses the
+        # record boundary and the continuation restates the compression flag.
+        import struct
+
+        from ssis_to_dbt_spark.sources import xls as X
+
+        long_a, long_b = "a" * 5000, "b" * 4000
+        sst1 = struct.pack("<II", 2, 2) + struct.pack("<HB", 5000, 0)
+        sst1 += long_a.encode("latin-1")[:3000]
+        cont = b"\x00" + long_a.encode("latin-1")[3000:]
+        cont += struct.pack("<HB", 4000, 0) + long_b.encode("latin-1")
+        bof = struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0x0600)
+        sheet_bof = struct.pack(
+            "<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0x0600
+        )
+        name = b"Sheet1"
+        globals_part = (
+            X._rec(X._R_BOF, bof)
+            + X._rec(X._R_BOUNDSHEET, struct.pack("<IHBB", 0, 0, 6, 0) + name)
+            + X._rec(X._R_SST, sst1)
+            + X._rec(X._R_CONTINUE, cont)
+            + X._rec(X._R_EOF, b"")
+        )
+        bs_off = len(X._rec(X._R_BOF, bof)) + 4
+        globals_part = (
+            globals_part[:bs_off]
+            + struct.pack("<I", len(globals_part))
+            + globals_part[bs_off + 4 :]
+        )
+        sheet_part = (
+            X._rec(X._R_BOF, sheet_bof)
+            + X._rec(X._R_LABELSST, struct.pack("<HHHI", 0, 0, 0, 0))
+            + X._rec(X._R_LABELSST, struct.pack("<HHHI", 0, 1, 0, 1))
+            + X._rec(X._R_EOF, b"")
+        )
+        p = str(tmp_path / "cont.xls")
+        with open(p, "wb") as f:
+            f.write(X._cfb_container(globals_part + sheet_part))
+        grid = X.read_xls_rows(p)
+        assert grid[0] == [long_a, long_b]
 
     def test_rest_refuses_live_urls(self, spark):
         with pytest.raises(NotImplementedError, match="out-of-band"):
