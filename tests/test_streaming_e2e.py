@@ -147,3 +147,40 @@ class TestStatefulRunningTotals:
         # only 'a' got new data this run (update mode emits touched keys);
         # its lifetime totals include run 1 via the state store
         assert second["a"] == (3, 7.0)
+
+
+class TestStreamingDedupE2E:
+    """dropDuplicatesWithinWatermark on a REAL stream: duplicate event_ids
+    arriving within the watermark horizon are dropped by the state store,
+    both inside one micro-batch run and across checkpointed runs."""
+
+    def _run(self, spark, src, out, ckpt):
+        from ssis_to_dbt_spark.streaming import streaming_dedup, write_stream
+
+        stream = read_events_stream(spark, src, SCHEMA)
+        deduped = streaming_dedup(stream, ["event_id"], "ts", delay="1 hour")
+        q = write_stream(deduped, out, ckpt, mode="append")
+        q.awaitTermination(120)
+        return sorted(
+            (r["event_id"], r["value"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    def test_duplicates_dropped_within_run_and_across_runs(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "dsrc"), str(tmp_path / "dckpt")
+        out = str(tmp_path / "dout")
+        write_batch(spark, src, [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (1, "2024-01-01 00:01:30", "a", 1.0),   # dup within the batch
+            (2, "2024-01-01 00:02:00", "b", 2.0),
+        ])
+        first = self._run(spark, src, out, ckpt)
+        assert [e for e, _ in first] == [1, 2]
+
+        # replayed dup of event 2 within the horizon + one new event
+        write_batch(spark, src, [
+            (2, "2024-01-01 00:05:00", "b", 2.0),
+            (3, "2024-01-01 00:06:00", "a", 3.0),
+        ])
+        second = self._run(spark, src, out, ckpt)
+        assert [e for e, _ in second] == [1, 2, 3]
