@@ -118,6 +118,14 @@ class TestPlanShapes:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_text_analysis_is_mapside_only(self, spark):
+        # all twelve signals (incl. the round-5 repetition/quality columns)
+        # must stay one shuffle-free projection over the document scan —
+        # the property that makes the curation pass linear in bytes at 100 TB
+        plan = plan_of(spark, "text_analysis_docs", "simple")
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_ivf_topk_probe_ends_in_take_ordered(self, spark):
         plan = plan_of(spark, "ivf_topk_embeddings", "simple")
         assert "TakeOrderedAndProject" in plan
