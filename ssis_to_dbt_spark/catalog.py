@@ -1472,6 +1472,41 @@ SELECT doc_id, n_tokens FROM c WHERE cum <= 8000 / 16.0
 
 
 # ---------------------------------------------------------------------------
+# 33c. Document chunking (context-window preparation for training pipelines)
+# ---------------------------------------------------------------------------
+
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-size overlapping token chunks (64 tokens, 8 overlap) — every
+    chunk's full text is value-hashed, so the oracle verifies the exact
+    slicing, ordering, and overlap semantics."""
+    from .text import chunk_documents
+
+    docs = _t(spark, sf_dir)["documents"]
+    return chunk_documents(docs, chunk_tokens=64, overlap_tokens=8)
+
+
+# stride = 64 - 8 = 56; a start is generated while it adds unseen tokens
+SQL_CHUNK_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+c AS (
+  SELECT doc_id, t,
+         1 + GREATEST(CAST(ceil((len(t) - 64) / CAST(56 AS DOUBLE)) AS INTEGER),
+                      0) AS n_chunks
+  FROM toks),
+x AS (SELECT doc_id, t, CAST(unnest(range(n_chunks)) AS INTEGER) AS chunk_idx
+      FROM c)
+SELECT doc_id, chunk_idx,
+       array_to_string(t[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ')
+         AS chunk_text,
+       CAST(len(t[chunk_idx * 56 + 1 : chunk_idx * 56 + 64]) AS INTEGER)
+         AS chunk_len
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
 # 34. ExecuteSQLTask: the same SQL text runs on Spark SQL and on the DuckDB
 # oracle — pricing-summary (TPC-H Q1 shaped) over registered views
 # ---------------------------------------------------------------------------
@@ -3495,6 +3530,39 @@ FROM ({SQL_STRATIFIED}) _s
 """
 
 
+# --- token_ops_docs: deterministic token-budget sampling + context-window
+# chunking (the two token-count-driven pipeline steps) -----------------------
+
+def q_token_ops_docs(spark, sf_dir):
+    tb = q_token_budget_docs(spark, sf_dir).select(
+        F.lit("budget").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _nul("int").alias("chunk_idx"),
+        _nul("string").alias("chunk_text"),
+        F.col("n_tokens").cast("int").alias("n_tok"),
+    )
+    ch = q_chunk_docs(spark, sf_dir).select(
+        F.lit("chunk").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_text").cast("string").alias("chunk_text"),
+        F.col("chunk_len").cast("int").alias("n_tok"),
+    )
+    return _union_all([tb, ch])
+
+
+SQL_TOKEN_OPS = f"""
+SELECT 'budget' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       {_NULL_INT} AS chunk_idx, {_NULL_STR} AS chunk_text,
+       CAST(n_tokens AS INTEGER) AS n_tok
+FROM ({SQL_TOKEN_BUDGET}) _b
+UNION ALL
+SELECT 'chunk', CAST(doc_id AS BIGINT), CAST(chunk_idx AS INTEGER),
+       CAST(chunk_text AS VARCHAR), CAST(chunk_len AS INTEGER)
+FROM ({SQL_CHUNK_DOCS}) _c
+"""
+
+
 # --- pii_tfidf_docs: planted-PII redaction + TF-IDF top terms ---------------
 
 def q_pii_tfidf_docs(spark, sf_dir):
@@ -3751,6 +3819,8 @@ ALL_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
+    "chunk_docs": q_chunk_docs,
+    "token_ops_docs": q_token_ops_docs,
     "sql_task_pricing": q_sql_task_pricing,
     "embedding_neardup": q_embedding_neardup,
     "window_customer_orders": q_window_customer_orders,
@@ -3845,6 +3915,8 @@ ALL_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "token_ops_docs": SQL_TOKEN_OPS,
     "sql_task_pricing": SQL_PRICING_SUMMARY,
     "minhash_pairs_md5": SQL_MINHASH_MD5,
     "simhash_pairs_md5": SQL_SIMHASH_MD5,
@@ -3957,7 +4029,7 @@ _DRIVER_WINDOW = [
     "dataset_profile",
     "corpus_curation",
     "sampling_splits",
-    "token_budget_docs",
+    "token_ops_docs",
     "pii_tfidf_docs",
     "sql_task_pricing",
     "window_customer_orders",

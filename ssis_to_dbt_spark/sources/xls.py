@@ -369,8 +369,11 @@ def _biff_workbook(header: list[str], rows: list[list], sheet: str) -> bytes:
 
     sst_payload = struct.pack("<II", n_refs, len(strings))
     for s in strings:
-        enc = s.encode("latin-1", errors="replace")
-        sst_payload += struct.pack("<HB", len(s), 0) + enc
+        try:
+            enc, grbit = s.encode("latin-1"), 0  # compressed 8-bit
+        except UnicodeEncodeError:
+            enc, grbit = s.encode("utf-16-le"), 1  # 16-bit characters
+        sst_payload += struct.pack("<HB", len(s), grbit) + enc
     if len(sst_payload) > 8000:
         raise ValueError(
             "write_xls: SST would need CONTINUE records; stage large sheets "

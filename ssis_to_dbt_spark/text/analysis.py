@@ -232,6 +232,52 @@ def strip_markup(text: Column) -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preparation step of a training pipeline (each chunk
+    carries ``overlap_tokens`` of trailing context from its predecessor).
+
+    Chunk starts step by ``stride = chunk_tokens - overlap_tokens``; the
+    final chunk may be short, and a start is only generated while it adds
+    unseen tokens, so no chunk is fully contained in its predecessor.
+
+    100 TB shape: tokenize -> ``sequence``/``transform``/``slice`` ->
+    ``posexplode``, all narrow operations — a map-only pass whose output
+    rows stay in the parent partition (no shuffle, no UDF).  Row count
+    grows by ~n_tokens/stride per doc, which is the irreducible output of
+    chunking, not plan overhead.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    t = _ws_tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.lit(1) + F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)).cast(
+            "int"
+        ),
+        F.lit(0),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(t, k * stride + 1, chunk_tokens),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_arr")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", "_arr").alias("chunk_text"),
+        F.size("_arr").cast("int").alias("chunk_len"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

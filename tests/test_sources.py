@@ -170,6 +170,16 @@ class TestReaders:
         assert out.count() == 500
         assert out.filter("k = 499").first()["v"] == "val_499"
 
+    def test_legacy_xls_unicode_strings(self, tmp_path):
+        # non-Latin-1 text must round-trip via 16-bit SST strings
+        from ssis_to_dbt_spark.sources.xls import read_xls_rows, write_xls
+
+        p = str(tmp_path / "uni.xls")
+        write_xls(["k", "v"], [[1, "héllo"], [2, "日本語テキスト"]], p)
+        grid = read_xls_rows(p)
+        assert grid[1][1] == "héllo"
+        assert grid[2][1] == "日本語テキスト"
+
     def test_legacy_xls_sheet_selection(self, spark, tmp_path):
         from ssis_to_dbt_spark.sources.xls import read_xls_rows, write_xls
 

@@ -1,5 +1,6 @@
 """Text extension tests: dedup families, similarity search, analysis."""
 
+import pytest
 from pyspark.sql import functions as F
 
 import ssis_to_dbt_spark.text as tx
@@ -379,3 +380,40 @@ class TestTfIdf:
         # 'shared' is in all 3 docs -> idf ln(1) = 0; 'rareword' df=1 wins
         assert top[(1, 1)][0] == "rareword"
         assert top[(1, 1)][1] == 1
+
+
+class TestChunking:
+    def test_overlapping_chunks(self, spark):
+        df = docs_df(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+        out = sorted(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_len"])
+            for r in tx.chunk_documents(
+                df, chunk_tokens=4, overlap_tokens=1
+            ).collect()
+        )
+        assert out == [
+            (0, "t0 t1 t2 t3", 4),
+            (1, "t3 t4 t5 t6", 4),
+            (2, "t6 t7 t8 t9", 4),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        df = docs_df(spark, [(1, "a b"), (2, "x")])
+        out = {r["doc_id"]: (r["chunk_idx"], r["chunk_text"])
+               for r in tx.chunk_documents(df, chunk_tokens=4,
+                                           overlap_tokens=1).collect()}
+        assert out == {1: (0, "a b"), 2: (0, "x")}
+
+    def test_rejects_overlap_ge_chunk(self, spark):
+        df = docs_df(spark, [(1, "a b c")])
+        with pytest.raises(ValueError, match="overlap"):
+            tx.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+    def test_chunking_is_mapside_only(self, spark):
+        df = docs_df(spark, [(1, "a b c d e f")])
+        plan = tx.chunk_documents(df)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "Exchange" not in plan
