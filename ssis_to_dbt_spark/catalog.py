@@ -3530,6 +3530,39 @@ FROM ({SQL_STRATIFIED}) _s
 """
 
 
+# --- bigram surprisal (perplexity-style corpus-LM quality score) ------------
+
+def q_surprisal_docs(spark, sf_dir):
+    from .text import bigram_surprisal
+
+    docs = _t(spark, sf_dir)["documents"]
+    return bigram_surprisal(docs)
+
+
+SQL_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+unic AS (
+  SELECT tok, COUNT(*) AS c_uni
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+bg AS (
+  SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS bigram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks) _x),
+bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram),
+sc AS (
+  SELECT doc_id,
+         CAST(round(-ln(CAST(c_bg AS DOUBLE) / CAST(c_uni AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS s
+  FROM bg JOIN bgc USING (bigram) JOIN unic ON unic.tok = bg.w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(CAST(SUM(s) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*), 6)
+         AS surprisal_r
+FROM sc GROUP BY doc_id
+"""
+
+
 # --- token_ops_docs: deterministic token-budget sampling + context-window
 # chunking (the two token-count-driven pipeline steps) -----------------------
 
@@ -3584,7 +3617,16 @@ def q_pii_tfidf_docs(spark, sf_dir):
         F.col("tfidf_r").cast("double").alias("v"),
         F.col("rn").cast("int").alias("rn"),
     )
-    return _union_all([pii, tfidf])
+    sur = q_surprisal_docs(spark, sf_dir).select(
+        F.lit("surprisal").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _nul("string").alias("s1"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        _nul("long").alias("n2"),
+        F.col("surprisal_r").cast("double").alias("v"),
+        _nul("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur])
 
 
 SQL_PII_TFIDF = f"""
@@ -3597,6 +3639,11 @@ SELECT 'tfidf', CAST(doc_id AS BIGINT), CAST(term AS VARCHAR),
        CAST(tf AS BIGINT), CAST(df_t AS BIGINT), CAST(tfidf_r AS DOUBLE),
        CAST(rn AS INTEGER)
 FROM ({SQL_TFIDF}) _t
+UNION ALL
+SELECT 'surprisal', CAST(doc_id AS BIGINT), {_NULL_STR},
+       CAST(n_bigrams AS BIGINT), {_NULL_BIGINT}, CAST(surprisal_r AS DOUBLE),
+       {_NULL_INT}
+FROM ({SQL_SURPRISAL}) _s
 """
 
 
@@ -3820,6 +3867,7 @@ ALL_QUERIES = {
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
+    "surprisal_docs": q_surprisal_docs,
     "token_ops_docs": q_token_ops_docs,
     "sql_task_pricing": q_sql_task_pricing,
     "embedding_neardup": q_embedding_neardup,
@@ -3916,6 +3964,7 @@ ALL_ORACLES = {
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "surprisal_docs": SQL_SURPRISAL,
     "token_ops_docs": SQL_TOKEN_OPS,
     "sql_task_pricing": SQL_PRICING_SUMMARY,
     "minhash_pairs_md5": SQL_MINHASH_MD5,

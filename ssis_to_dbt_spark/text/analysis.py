@@ -278,6 +278,64 @@ def chunk_documents(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram surprisal against the corpus's own bigram
+    statistics — a perplexity-style quality filter (no external LM): for
+    each bigram, s = -ln(C(w1 w2) / C(w1)); a document of improbable
+    transitions (shuffled text, gibberish) scores high, repeated
+    boilerplate scores near 0.  Token-boundary convention: C(w1) counts ALL
+    corpus occurrences of w1 (doc-final included) — a heuristic scorer, not
+    a normalized LM.
+
+    Determinism: each bigram's surprisal is round(x, 6)-quantized (kills
+    last-ulp ln() differences between engines, as in tf_idf_top_terms) and
+    summed as DECIMAL(18,6) — exact and order-independent, so Spark's
+    parallel partial aggregation equals the oracle's sequential scan.
+
+    100 TB shape: two token-keyed hash aggs (bigram, unigram vocab) + two
+    shuffle joins on token keys + one per-doc agg.  Stopword-heavy keys skew
+    the count aggs, which stay in the map-side combiner; the count tables
+    are broadcastable when the vocabulary is bounded.
+    """
+    from pyspark.sql import types as T
+
+    t = _ws_tokens(F.col(text_col))
+    k = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(t, 1, k),
+        F.slice(t, 2, k),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bigram")
+        ),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram")
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = (
+        df.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    scored = bg.join(bgc, "bigram").join(uni, bg["w1"] == uni["tok"])
+    s = F.round(
+        -F.log(F.col("c_bg").cast("double") / F.col("c_uni").cast("double")), 6
+    ).cast(T.DecimalType(18, 6))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(s).cast(T.DecimalType(28, 6)).alias("_sum_s"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            F.col("_sum_s").cast("double") / F.col("n_bigrams"), 6
+        ).alias("surprisal_r"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

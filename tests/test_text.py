@@ -417,3 +417,19 @@ class TestChunking:
             )
         )
         assert "Exchange" not in plan
+
+
+class TestBigramSurprisal:
+    def test_known_corpus(self, spark):
+        # unigrams: a:3 b:3 x:1; bigrams: "a b":3, "b a":1, "b x":1
+        # doc1 = [0, -ln(1/3), 0] -> mean 1.098612/3; doc2 = [0, -ln(1/3)]/2
+        df = docs_df(spark, [(1, "a b a b"), (2, "a b x")])
+        out = {r["doc_id"]: (r["n_bigrams"], r["surprisal_r"])
+               for r in tx.bigram_surprisal(df).collect()}
+        assert out[1] == (3, 0.366204)
+        assert out[2] == (2, 0.549306)
+
+    def test_single_token_docs_have_no_row(self, spark):
+        df = docs_df(spark, [(1, "only"), (2, "two tokens")])
+        ids = [r["doc_id"] for r in tx.bigram_surprisal(df).collect()]
+        assert ids == [2]
