@@ -43,6 +43,8 @@ HEADLINE = [
     "ivf_topk_embeddings",
     "asof_attribution",
     "range_join_sessions",
+    "chunk_docs",
+    "surprisal_docs",
 ]
 
 

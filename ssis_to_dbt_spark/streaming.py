@@ -123,6 +123,44 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right events with
+    the same keys whose timestamp lies in ``[left_ts - max_delay, left_ts]``
+    (e.g. a purchase joined to the clicks that preceded it).
+
+    Both sides get a ``max_delay`` watermark, and the time-bound join
+    condition is what lets Spark EXPIRE join state: without it a
+    stream-stream join buffers both streams forever.  State size is
+    O(arrival rate x max_delay) per key.  On batch frames the same
+    expression degrades to a plain range-condition join (oracle-checkable).
+    """
+    lw = with_watermark(left, left_ts, max_delay)
+    rw = with_watermark(right, right_ts, max_delay)
+    cond = None
+    for k in on:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    dup = set(on)
+    rcols = [rw[c].alias(c if c not in dup else f"_r_{c}") for c in rw.columns
+             if c not in dup]
+    return lw.join(rw, cond, how).select(
+        *[lw[c] for c in lw.columns], *rcols
+    )
+
+
 def stateful_running_totals(
     df: DataFrame,
     key_col: str = "event_type",

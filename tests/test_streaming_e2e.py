@@ -184,3 +184,74 @@ class TestStreamingDedupE2E:
         ])
         second = self._run(spark, src, out, ckpt)
         assert [e for e, _ in second] == [1, 2, 3]
+
+
+class TestStreamStreamJoin:
+    """Interval stream-stream join: purchases match the clicks of the same
+    event_type in the trailing window; the watermark + time-bound condition
+    lets Spark expire join state instead of buffering both streams forever."""
+
+    def test_streaming_matches_batch_semantics(self, spark, tmp_path):
+        from ssis_to_dbt_spark.streaming import stream_stream_join
+
+        clicks = [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (2, "2024-01-01 00:05:00", "a", 2.0),
+            (3, "2024-01-01 00:02:00", "b", 3.0),
+            (4, "2024-01-01 01:30:00", "a", 4.0),  # too old for purchase 11
+        ]
+        purchases = [
+            (10, "2024-01-01 00:06:00", "a", 9.0),   # matches clicks 1, 2
+            (11, "2024-01-01 01:45:00", "a", 8.0),   # matches click 4 only
+            (12, "2024-01-01 00:20:00", "b", 7.0),   # matches click 3
+        ]
+        csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        write_batch(spark, csrc, clicks)
+        write_batch(spark, psrc, purchases)
+
+        def run(left, right):
+            out = stream_stream_join(
+                left.withColumnRenamed("event_id", "purchase_id")
+                    .withColumnRenamed("ts", "p_ts")
+                    .withColumnRenamed("value", "p_value"),
+                right.withColumnRenamed("event_id", "click_id")
+                     .withColumnRenamed("ts", "c_ts")
+                     .withColumnRenamed("value", "c_value"),
+                on=["event_type"],
+                left_ts="p_ts",
+                right_ts="c_ts",
+                max_delay="30 minutes",
+            )
+            return out
+
+        # batch reference semantics
+        batch = run(
+            spark.read.parquet(psrc), spark.read.parquet(csrc)
+        )
+        expected = sorted(
+            (r["purchase_id"], r["click_id"]) for r in batch.collect()
+        )
+        assert expected == [(10, 1), (10, 2), (11, 4), (12, 3)]
+
+        # real checkpointed stream -> parquet sink
+        pstream = read_events_stream(spark, psrc, SCHEMA) \
+            .withColumnRenamed("event_id", "purchase_id") \
+            .withColumnRenamed("ts", "p_ts") \
+            .withColumnRenamed("value", "p_value")
+        cstream = read_events_stream(spark, csrc, SCHEMA) \
+            .withColumnRenamed("event_id", "click_id") \
+            .withColumnRenamed("ts", "c_ts") \
+            .withColumnRenamed("value", "c_value")
+        from ssis_to_dbt_spark.streaming import stream_stream_join as ssj
+        joined = ssj(pstream, cstream, on=["event_type"],
+                     left_ts="p_ts", right_ts="c_ts",
+                     max_delay="30 minutes")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        from ssis_to_dbt_spark.streaming import write_stream
+        q = write_stream(joined, out, ckpt, mode="append")
+        q.awaitTermination(120)
+        got = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == expected
