@@ -3533,10 +3533,13 @@ FROM ({SQL_STRATIFIED}) _s
 # --- bigram surprisal (perplexity-style corpus-LM quality score) ------------
 
 def q_surprisal_docs(spark, sf_dir):
+    """Exact-integer micro-unit sum is the hashed value; the convenience
+    mean is dropped here because its final division can land on a rounding
+    midpoint where engines' double rounding disagrees."""
     from .text import bigram_surprisal
 
     docs = _t(spark, sf_dir)["documents"]
-    return bigram_surprisal(docs)
+    return bigram_surprisal(docs).select("doc_id", "n_bigrams", "surprisal_units")
 
 
 SQL_SURPRISAL = r"""
@@ -3553,12 +3556,11 @@ bg AS (
 bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram),
 sc AS (
   SELECT doc_id,
-         CAST(round(-ln(CAST(c_bg AS DOUBLE) / CAST(c_uni AS DOUBLE)), 6)
-              AS DECIMAL(18,6)) AS s
+         CAST(CAST(round(-ln(CAST(c_bg AS DOUBLE) / CAST(c_uni AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s_units
   FROM bg JOIN bgc USING (bigram) JOIN unic ON unic.tok = bg.w1)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       round(CAST(CAST(SUM(s) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*), 6)
-         AS surprisal_r
+       CAST(SUM(s_units) AS BIGINT) AS surprisal_units
 FROM sc GROUP BY doc_id
 """
 
@@ -3622,8 +3624,8 @@ def q_pii_tfidf_docs(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         _nul("string").alias("s1"),
         F.col("n_bigrams").cast("long").alias("n1"),
-        _nul("long").alias("n2"),
-        F.col("surprisal_r").cast("double").alias("v"),
+        F.col("surprisal_units").cast("long").alias("n2"),
+        _nul("double").alias("v"),
         _nul("int").alias("rn"),
     )
     return _union_all([pii, tfidf, sur])
@@ -3641,8 +3643,8 @@ SELECT 'tfidf', CAST(doc_id AS BIGINT), CAST(term AS VARCHAR),
 FROM ({SQL_TFIDF}) _t
 UNION ALL
 SELECT 'surprisal', CAST(doc_id AS BIGINT), {_NULL_STR},
-       CAST(n_bigrams AS BIGINT), {_NULL_BIGINT}, CAST(surprisal_r AS DOUBLE),
-       {_NULL_INT}
+       CAST(n_bigrams AS BIGINT), CAST(surprisal_units AS BIGINT),
+       {_NULL_DOUBLE}, {_NULL_INT}
 FROM ({SQL_SURPRISAL}) _s
 """
 

@@ -290,9 +290,14 @@ def bigram_surprisal(
     a normalized LM.
 
     Determinism: each bigram's surprisal is round(x, 6)-quantized (kills
-    last-ulp ln() differences between engines, as in tf_idf_top_terms) and
-    summed as DECIMAL(18,6) — exact and order-independent, so Spark's
-    parallel partial aggregation equals the oracle's sequential scan.
+    last-ulp ln() differences between engines, as in tf_idf_top_terms),
+    converted to exact integer micro-units (x 1e6 in decimal arithmetic),
+    and summed as BIGINT — exact and order-independent, so Spark's parallel
+    partial aggregation equals the oracle's sequential scan bit-for-bit.
+    ``surprisal_units`` (the integer sum) is the value to hash/compare;
+    ``surprisal_mean`` is a convenience double whose final division can
+    land on a rounding midpoint and is therefore NOT cross-engine stable
+    at the last printed digit.
 
     100 TB shape: two token-keyed hash aggs (bigram, unigram vocab) + two
     shuffle joins on token keys + one per-doc agg.  Stopword-heavy keys skew
@@ -320,19 +325,26 @@ def bigram_surprisal(
         .agg(F.count(F.lit(1)).alias("c_uni"))
     )
     scored = bg.join(bgc, "bigram").join(uni, bg["w1"] == uni["tok"])
-    s = F.round(
-        -F.log(F.col("c_bg").cast("double") / F.col("c_uni").cast("double")), 6
-    ).cast(T.DecimalType(18, 6))
+    s_units = (
+        F.round(
+            -F.log(F.col("c_bg").cast("double") / F.col("c_uni").cast("double")),
+            6,
+        ).cast(T.DecimalType(18, 6))
+        * 1_000_000
+    ).cast("long")
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum(s).cast(T.DecimalType(28, 6)).alias("_sum_s"),
+        F.sum(s_units).alias("surprisal_units"),
     )
     return per_doc.select(
         id_col,
         "n_bigrams",
-        F.round(
-            F.col("_sum_s").cast("double") / F.col("n_bigrams"), 6
-        ).alias("surprisal_r"),
+        "surprisal_units",
+        (
+            F.col("surprisal_units").cast("double")
+            / F.col("n_bigrams")
+            / F.lit(1_000_000.0)
+        ).alias("surprisal_mean"),
     )
 
 

@@ -424,10 +424,15 @@ class TestBigramSurprisal:
         # unigrams: a:3 b:3 x:1; bigrams: "a b":3, "b a":1, "b x":1
         # doc1 = [0, -ln(1/3), 0] -> mean 1.098612/3; doc2 = [0, -ln(1/3)]/2
         df = docs_df(spark, [(1, "a b a b"), (2, "a b x")])
-        out = {r["doc_id"]: (r["n_bigrams"], r["surprisal_r"])
+        out = {r["doc_id"]: (r["n_bigrams"], r["surprisal_units"])
                for r in tx.bigram_surprisal(df).collect()}
-        assert out[1] == (3, 0.366204)
-        assert out[2] == (2, 0.549306)
+        # -ln(1/3) = 1.098612 -> 1098612 micro-units; "a b" bigrams score 0
+        assert out[1] == (3, 1098612)
+        assert out[2] == (2, 1098612)
+        means = {r["doc_id"]: r["surprisal_mean"]
+                 for r in tx.bigram_surprisal(df).collect()}
+        assert abs(means[1] - 1.098612 / 3) < 1e-9
+        assert abs(means[2] - 1.098612 / 2) < 1e-9
 
     def test_single_token_docs_have_no_row(self, spark):
         df = docs_df(spark, [(1, "only"), (2, "two tokens")])
