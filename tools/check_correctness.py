@@ -73,6 +73,19 @@ def main():
         )
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if only:
+        # names outside the driver window fall back to the full individual
+        # registry (ALL_QUERIES) instead of being silently skipped
+        from ssis_to_dbt_spark import catalog
+
+        unknown = only - set(qs) - set(catalog.ALL_QUERIES)
+        if unknown:
+            print(f"ERROR unknown query names: {sorted(unknown)}")
+            sys.exit(2)
+        for name in only - set(qs):
+            qs[name] = catalog.ALL_QUERIES[name]
+            if name in catalog.ALL_ORACLES:
+                oracles[name] = catalog.ALL_ORACLES[name]
     passed = failed = rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
