@@ -3223,7 +3223,25 @@ def q_containment_kmv_docs(spark, sf_dir):
         F.col("n_exact").cast("long").alias("id_b"),
         F.col("kmv_estimate").cast("double").alias("v1"),
     )
-    return _union_all([c, k])
+    # mergeability proof: per-language sketches merged must reproduce the
+    # direct whole-corpus estimate BIT-EXACTLY (KMV union-merge is lossless),
+    # so this component's oracle is the same SQL as the direct sketch
+    from .operators import kmv_merge_estimate, kmv_sketch_grouped
+    from .text.dedup import shingle
+
+    docs = _t(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "lang", F.explode(shingle(F.col("text"), 3)).alias("sh")
+    )
+    sketches = kmv_sketch_grouped(sh, ["lang"], "sh", k=64)
+    merged = kmv_merge_estimate(sketches, k=64)
+    m = merged.select(
+        F.lit("kmv_merged").alias("component"),
+        F.col("kmv_k").cast("long").alias("id_a"),
+        _nul("long").alias("id_b"),
+        F.col("kmv_estimate").cast("double").alias("v1"),
+    )
+    return _union_all([c, k, m])
 
 
 SQL_CONTAINMENT_KMV = f"""
@@ -3234,6 +3252,10 @@ UNION ALL
 SELECT 'kmv', CAST(kmv_k AS BIGINT), CAST(n_exact AS BIGINT),
        CAST(kmv_estimate AS DOUBLE)
 FROM ({SQL_KMV_SHINGLES}) _k
+UNION ALL
+SELECT 'kmv_merged', CAST(kmv_k AS BIGINT), {_NULL_BIGINT},
+       CAST(kmv_estimate AS DOUBLE)
+FROM ({SQL_KMV_SHINGLES}) _m
 """
 
 

@@ -8,6 +8,8 @@ from .aggregate import (
     grouped_aggregate,
     grouped_median_disc,
     kmv_distinct,
+    kmv_merge_estimate,
+    kmv_sketch_grouped,
     rollup_aggregate,
     row_count,
     scalar_aggregate,
@@ -49,7 +51,7 @@ __all__ = [
     "typed_project", "ColumnSpec",
     "lookup", "lookup_chain", "LookupNoMatch",
     "asof_join", "fuzzy_pairs", "pagerank", "range_join", "merge_join", "semi_join", "anti_join",
-    "fk_violations", "kmv_distinct", "rollup_aggregate", "grouped_median_disc",
+    "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion",

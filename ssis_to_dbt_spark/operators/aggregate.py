@@ -111,6 +111,12 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     full-width shuffle is the distinct, whose payload is the hash alone.
     Returns one row: (kmv_k, kmv_estimate)."""
     h = df.select(F.md5(F.col(col).cast("string")).alias("_h")).distinct()
+    return _kmv_estimate_from_hashes(h, k)
+
+
+def _kmv_estimate_from_hashes(h: DataFrame, k: int) -> DataFrame:
+    """Shared KMV tail: given a frame of distinct hash strings ``_h``, keep
+    the k smallest and turn the k-th into a cardinality estimate."""
     kth = (
         h.orderBy("_h")
         .limit(k)
@@ -123,6 +129,46 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.col("kmv_k") < k, F.col("kmv_k").cast("double")
     ).otherwise(F.lit(float(k - 1)) / frac)
     return kth.select("kmv_k", F.round(est, 6).alias("kmv_estimate"))
+
+
+def kmv_sketch_grouped(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: for each group, the (up to) ``k`` smallest
+    distinct md5 values of ``col`` as a sorted array — the mergeable form
+    of the sketch.  At 100 TB this is the map-side pattern: sketch each
+    partition/day/group independently, persist the tiny arrays, and merge
+    downstream (``kmv_merge_estimate``) without touching raw data again.
+
+    Plan shape: distinct on (group, hash) then one window per group keeping
+    k rows — state per group is bounded by k."""
+    from pyspark.sql import Window
+
+    h = df.select(
+        *group_cols, F.md5(F.col(col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv_sketch"))
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame, sketch_col: str = "kmv_sketch", k: int = 64
+) -> DataFrame:
+    """Merge per-group KMV sketches into one union-cardinality estimate.
+
+    KMV merging is LOSSLESS for the union: any hash among the k smallest of
+    the union is among the k smallest of its own group's sketch, so the
+    merged k-min set — and therefore the estimate — is bit-identical to
+    sketching the union directly (the property the driver oracle verifies)."""
+    h = sketches.select(
+        F.explode(sketch_col).alias("_h")
+    ).distinct()
+    return _kmv_estimate_from_hashes(h, k)
 
 
 def grouped_median_disc(

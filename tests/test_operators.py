@@ -530,6 +530,42 @@ class TestRollupKmv:
         r2 = kmv_distinct(df, "x", k=256).first()
         assert r2["kmv_estimate"] == r["kmv_estimate"]
 
+    def test_kmv_merge_is_lossless(self, spark):
+        # merging per-group sketches must reproduce the direct union
+        # estimate bit-exactly (any global k-min hash is in its group's
+        # k-min set) — the property that makes KMV a map-side sketch
+        from ssis_to_dbt_spark.operators.aggregate import (
+            kmv_distinct,
+            kmv_merge_estimate,
+            kmv_sketch_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 5, i % 700) for i in range(3000)], "g int, x long"
+        )
+        direct = kmv_distinct(df, "x", k=64).first()
+        sketches = kmv_sketch_grouped(df, ["g"], "x", k=64)
+        assert sketches.count() == 5
+        merged = kmv_merge_estimate(sketches, k=64).first()
+        assert merged["kmv_k"] == direct["kmv_k"]
+        assert merged["kmv_estimate"] == direct["kmv_estimate"]
+
+    def test_kmv_grouped_sketch_bounded_by_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.operators.aggregate import kmv_sketch_grouped
+
+        df = spark.createDataFrame(
+            [(i % 2, i) for i in range(500)], "g int, x long"
+        )
+        sizes = {
+            r["g"]: r["n"]
+            for r in kmv_sketch_grouped(df, ["g"], "x", k=16)
+            .select("g", F.size("kmv_sketch").alias("n"))
+            .collect()
+        }
+        assert sizes == {0: 16, 1: 16}
+
 
 class TestJoinDifferential:
     """Seeded randomized differential tests: the scalable join rewrites must
