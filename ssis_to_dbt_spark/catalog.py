@@ -3414,7 +3414,27 @@ def q_asof_range_joins(spark, sf_dir):
         F.col("n_clicks").cast("long").alias("k"),
         _nul("double").alias("v"),
     )
-    return _union_all([asof, rng])
+    # SCD2 point-in-time lookup: each order picks the customer-dim VERSION
+    # valid on its order date — the star schema's temporal join
+    from .operators import scd2_point_in_time_join
+
+    t = _t(spark, sf_dir)
+    dim = q_dim_customer_scd2(spark, sf_dir).select(
+        "o_custkey", "version_number", "valid_from", "valid_to"
+    )
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    pit = scd2_point_in_time_join(orders, dim, on="o_custkey", ts_col="o_orderdate")
+    pit = pit.select(
+        F.lit("scd2_pit").alias("component"),
+        F.col("o_orderkey").cast("long").alias("event_id"),
+        F.col("o_custkey").cast("long").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("valid_from").cast("timestamp").alias("t1"),
+        F.col("valid_to").cast("timestamp").alias("t2"),
+        F.col("version_number").cast("long").alias("k"),
+        _nul("double").alias("v"),
+    )
+    return _union_all([asof, rng, pit])
 
 
 SQL_ASOF_RANGE_JOINS = f"""
@@ -3428,6 +3448,16 @@ SELECT 'range', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
        CAST(ts AS TIMESTAMP), CAST(session_start AS TIMESTAMP),
        CAST(session_end AS TIMESTAMP), CAST(n_clicks AS BIGINT), {_NULL_DOUBLE}
 FROM ({SQL_RANGE_JOIN}) _r
+UNION ALL
+SELECT 'scd2_pit', CAST(o.o_orderkey AS BIGINT), CAST(o.o_custkey AS BIGINT),
+       CAST(o.o_orderdate AS TIMESTAMP), CAST(d.valid_from AS TIMESTAMP),
+       CAST(d.valid_to AS TIMESTAMP), CAST(d.version_number AS BIGINT),
+       {_NULL_DOUBLE}
+FROM orders o
+JOIN ({SQL_DIM_SCD2}) d
+  ON d.o_custkey = o.o_custkey
+ AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+ AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
 """
 
 

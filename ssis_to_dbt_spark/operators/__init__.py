@@ -17,7 +17,7 @@ from .aggregate import (
 )
 from .split import conditional_split, conditional_split_tagged, data_conversion
 from .setops import merge_sorted, sort, union_all
-from .scd import merge_upsert, scd2_rebuild, scd2_snapshot
+from .scd import merge_upsert, scd2_point_in_time_join, scd2_rebuild, scd2_snapshot
 from .incremental import (
     incremental_merge,
     max_watermark,
@@ -56,7 +56,7 @@ __all__ = [
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion",
     "union_all", "merge_sorted", "sort",
-    "scd2_rebuild", "scd2_snapshot", "merge_upsert",
+    "scd2_rebuild", "scd2_snapshot", "merge_upsert", "scd2_point_in_time_join",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
     "ranked", "offset_compare", "running_aggregate", "moving_aggregate",

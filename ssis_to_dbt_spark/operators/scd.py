@@ -146,3 +146,35 @@ def merge_upsert(
     return tgt_closed.unionByName(unchanged).unionByName(closed_out).unionByName(
         incoming.select(*target.columns)
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension VERSION whose
+    ``[valid_from, valid_to)`` validity covers the fact's date — the star
+    schema's temporal lookup (dbt snapshot joins; Kimball type-2 dim usage).
+    ``valid_to IS NULL`` marks the current version (open interval).
+
+    100 TB shape: a plain equi-join on the natural key with the validity
+    predicate folded into the join condition — per-key version counts are
+    small, so there is no interval-bucketization blowup and Catalyst is free
+    to broadcast the dimension; never a nested-loop join.  Comparisons are
+    at DATE granularity on both sides, matching how the version chain is
+    built."""
+    fact_day = F.to_date(facts[ts_col])
+    cond = (
+        (facts[on] == dim[on])
+        & (fact_day >= dim[valid_from])
+        & (dim[valid_to].isNull() | (fact_day < dim[valid_to]))
+    )
+    dim_cols = [dim[c].alias(c) for c in dim.columns if c != on]
+    return facts.join(dim, cond, how).select(
+        *[facts[c] for c in facts.columns], *dim_cols
+    )

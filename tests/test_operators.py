@@ -126,6 +126,63 @@ class TestSCD2:
         assert rows[(1, 2)]["is_current"] is True
         assert rows[(2, 1)]["is_current"] is True
 
+    def test_point_in_time_join_picks_covering_version(self, spark):
+        from ssis_to_dbt_spark.operators.scd import (
+            scd2_point_in_time_join,
+            scd2_rebuild,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "2020-01-01", "A"), (1, "2020-03-01", "B")],
+            "ck int, ts string, attr string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        dim = scd2_rebuild(hist, "ck", "ts", ["attr"])
+        facts = spark.createDataFrame(
+            [
+                (10, 1, "2020-02-15"),  # inside version 1
+                (11, 1, "2020-03-01"),  # boundary day -> NEW version
+                (12, 1, "2020-06-01"),  # open current version
+                (13, 1, "2019-12-01"),  # before any version
+                (14, 9, "2020-02-01"),  # unknown key
+            ],
+            "fid int, ck int, fts string",
+        ).withColumn("fts", F.col("fts").cast("timestamp"))
+        inner = {
+            r["fid"]: r["version_number"]
+            for r in scd2_point_in_time_join(facts, dim, "ck", "fts").collect()
+        }
+        assert inner == {10: 1, 11: 2, 12: 2}
+        left = {
+            r["fid"]: r["version_number"]
+            for r in scd2_point_in_time_join(
+                facts, dim, "ck", "fts", how="left"
+            ).collect()
+        }
+        assert left == {10: 1, 11: 2, 12: 2, 13: None, 14: None}
+
+    def test_point_in_time_join_is_not_nested_loop(self, spark):
+        from ssis_to_dbt_spark.operators.scd import (
+            scd2_point_in_time_join,
+            scd2_rebuild,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "2020-01-01", "A")], "ck int, ts string, attr string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        dim = scd2_rebuild(hist, "ck", "ts", ["attr"])
+        facts = spark.createDataFrame(
+            [(10, 1, "2020-02-15")], "fid int, ck int, fts string"
+        ).withColumn("fts", F.col("fts").cast("timestamp"))
+        plan = scd2_point_in_time_join(
+            facts, dim, "ck", "fts"
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_merge_upsert_closes_and_inserts(self, spark):
         from ssis_to_dbt_spark.operators.scd import scd2_snapshot
         base = spark.createDataFrame(
