@@ -3376,7 +3376,38 @@ def q_events_totals_suite(spark, sf_dir):
         F.col("total_units").cast("long").alias("total_units"),
         _nul("double").alias("sum_value"),
     )
-    return _union_all([sal, sta])
+    # salted JOIN equivalence: the skew-safe fact-salt + dim-explode join
+    # (hot-key split path included) must equal a plain join + GROUP BY
+    from .operators import salted_join, top_keys
+
+    e = _t(spark, sf_dir)["events"].select("event_type", "value")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type").cast("int"))
+    )
+    hot = top_keys(e, ["event_type"], n=2)
+    joined = salted_join(
+        e, dim, on=["event_type"], salt_col="value", salt_buckets=8,
+        how="inner", hot_keys=hot,
+    )
+    sj = (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value").cast(_D184) * F.col("w")).cast(_D184)
+            ).cast(_D184).alias("wsum"),
+        )
+        .select(
+            F.lit("salted_join").alias("component"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("n_events").cast("long").alias("n_events"),
+            _nul("long").alias("total_units"),
+            F.round(F.col("wsum"), 6).cast("double").alias("sum_value"),
+        )
+    )
+    return _union_all([sal, sta, sj])
 
 
 SQL_EVENTS_TOTALS_SUITE = f"""
@@ -3388,6 +3419,20 @@ UNION ALL
 SELECT 'stateful', CAST(event_type AS VARCHAR), CAST(n_events AS BIGINT),
        CAST(total_units AS BIGINT), {_NULL_DOUBLE}
 FROM ({SQL_STATEFUL_TOTALS}) _b
+UNION ALL
+SELECT 'salted_join', CAST(event_type AS VARCHAR), CAST(n_events AS BIGINT),
+       {_NULL_BIGINT}, CAST(sum_value AS DOUBLE)
+FROM (
+  SELECT e.event_type, COUNT(*) AS n_events,
+         CAST(round(CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,4))
+                                  * d.w AS DECIMAL(18,4)))
+                         AS DECIMAL(18,4)), 6) AS DOUBLE) AS sum_value
+  FROM events e
+  JOIN (SELECT event_type, CAST(length(event_type) AS INTEGER) AS w
+        FROM (SELECT DISTINCT event_type FROM events)) d
+    ON d.event_type = e.event_type
+  GROUP BY e.event_type
+) _c
 """
 
 
