@@ -399,6 +399,11 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 def q_conditional_split_sizes(spark, sf_dir):
+    """M1 routing + M2 error-output semantics in one pass: every 7th part
+    carries an unparseable planted value, whose try_cast failure routes the
+    row to the error output with the failing column recorded."""
+    from .operators import data_conversion_with_errors
+
     p = _t(spark, sf_dir)["part"]
     routed = conditional_split_tagged(
         p,
@@ -406,15 +411,32 @@ def q_conditional_split_sizes(spark, sf_dir):
         default_name="large",
         route_col="size_class",
     )
-    return routed.select("p_partkey", "p_size", "size_class")
+    routed = routed.withColumn(
+        "planted",
+        F.when(F.col("p_partkey") % 7 == 0, F.col("p_name")).otherwise(
+            F.col("p_size").cast("string")
+        ),
+    )
+    routed = data_conversion_with_errors(routed, {"conv_size": ("planted", "INT")})
+    return routed.select(
+        "p_partkey", "p_size", "size_class", "conv_size", "conv_route",
+        "conv_error_col",
+    )
 
 
 SQL_SPLIT_SIZES = """
 SELECT p_partkey, p_size,
        CASE WHEN p_size <= 10 THEN 'small'
             WHEN p_size <= 25 THEN 'medium'
-            ELSE 'large' END AS size_class
-FROM part
+            ELSE 'large' END AS size_class,
+       TRY_CAST(planted AS INTEGER) AS conv_size,
+       CASE WHEN planted IS NOT NULL AND TRY_CAST(planted AS INTEGER) IS NULL
+            THEN 'error' ELSE 'converted' END AS conv_route,
+       CASE WHEN planted IS NOT NULL AND TRY_CAST(planted AS INTEGER) IS NULL
+            THEN 'planted' ELSE NULL END AS conv_error_col
+FROM (SELECT *, CASE WHEN p_partkey % 7 = 0 THEN p_name
+                     ELSE CAST(p_size AS VARCHAR) END AS planted
+      FROM part) _p
 """
 
 

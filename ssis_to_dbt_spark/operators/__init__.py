@@ -15,7 +15,7 @@ from .aggregate import (
     scalar_aggregate,
     top_k_latest,
 )
-from .split import conditional_split, conditional_split_tagged, data_conversion
+from .split import conditional_split, conditional_split_tagged, data_conversion, data_conversion_with_errors
 from .setops import merge_sorted, sort, union_all
 from .scd import merge_upsert, scd2_point_in_time_join, scd2_rebuild, scd2_snapshot
 from .incremental import (
@@ -54,7 +54,7 @@ __all__ = [
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
-    "conditional_split", "conditional_split_tagged", "data_conversion",
+    "conditional_split", "conditional_split_tagged", "data_conversion", "data_conversion_with_errors",
     "union_all", "merge_sorted", "sort",
     "scd2_rebuild", "scd2_snapshot", "merge_upsert", "scd2_point_in_time_join",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",

@@ -58,6 +58,41 @@ def data_conversion(df: DataFrame, conversions: dict[str, tuple[str, object]]) -
     return out
 
 
+def data_conversion_with_errors(
+    df: DataFrame,
+    conversions: dict[str, tuple[str, str]],
+    route_col: str = "conv_route",
+    error_col: str = "conv_error_col",
+    ok_name: str = "converted",
+    error_name: str = "error",
+) -> DataFrame:
+    """M2 with SSIS error-output semantics: every SSIS dataflow component
+    routes rows whose conversion FAILS to an error output carrying the
+    failing column (ErrorColumn).  Spark-first single-pass shape:
+    ``try_cast`` each conversion, tag the row's route, and record the FIRST
+    failing source column — a failure is a non-null input whose cast came
+    back null (a null input is a legitimate null, not an error).  Route the
+    tagged frame with a partitioned write (or filter) downstream; the 100 TB
+    input is scanned once, not once per output."""
+    out = df
+    err_expr = None
+    first_err = None
+    for new_col, (src, dtype) in conversions.items():
+        out = out.withColumn(new_col, F.expr(f"try_cast({src} AS {dtype})"))
+        this_err = F.col(src).isNotNull() & F.col(new_col).isNull()
+        err_expr = this_err if err_expr is None else (err_expr | this_err)
+        first_err = (
+            F.when(this_err, F.lit(src))
+            if first_err is None
+            else first_err.when(this_err, F.lit(src))
+        )
+    out = out.withColumn(
+        route_col,
+        F.when(err_expr, F.lit(error_name)).otherwise(F.lit(ok_name)),
+    )
+    return out.withColumn(error_col, first_err.otherwise(F.lit(None)))
+
+
 def pivot_aggregate(
     df: DataFrame,
     group_cols: list[str],

@@ -101,6 +101,26 @@ class TestSplitsAndSets:
         b = spark.createDataFrame([("y", 2)], "v string, k int")
         assert union_all(a, b).count() == 2
 
+    def test_data_conversion_error_output_routing(self, spark):
+        from ssis_to_dbt_spark.operators import data_conversion_with_errors
+
+        df = spark.createDataFrame(
+            [(1, "42", "1.5"), (2, "oops", "2.5"), (3, None, "bad"), (4, "7", None)],
+            "id int, a string, b string",
+        )
+        out = {
+            r["id"]: (r["conv_route"], r["conv_error_col"], r["ia"], r["db"])
+            for r in data_conversion_with_errors(
+                df, {"ia": ("a", "INT"), "db": ("b", "DOUBLE")}
+            ).collect()
+        }
+        assert out[1] == ("converted", None, 42, 1.5)
+        # failed cast of non-null input -> error route, failing column named
+        assert out[2] == ("error", "a", None, 2.5)
+        assert out[3] == ("error", "b", None, None)
+        # null input is a legitimate null, not an error
+        assert out[4] == ("converted", None, 7, None)
+
     def test_top_k_latest(self, spark):
         df = spark.createDataFrame([(1, 10), (2, 30), (3, 20)], "id int, ts int")
         top = top_k_latest(df, [F.desc("ts"), F.col("id")], k=1).collect()
