@@ -3823,7 +3823,40 @@ def q_median_rolling_orders(spark, sf_dir):
         F.col("n_7d").cast("long").alias("n"),
         F.col("spend_7d").cast("double").alias("v"),
     )
-    return _union_all([med, rol])
+    # mergeable histogram quantile: per-priority sketches merged, then the
+    # p50 estimate — the scale path where per-group exact medians are too
+    # heavy; merge is lossless so the oracle histograms the union directly
+    from .operators import (
+        histogram_merge,
+        histogram_quantile,
+        histogram_sketch_grouped,
+    )
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    sketches = histogram_sketch_grouped(o, ["priority"], "total", 10000.0)
+    merged = histogram_merge(sketches)
+    hist = merged.select(
+        F.lit("histogram").alias("component"),
+        _nul("long").alias("o_custkey"),
+        _nul("long").alias("o_orderkey"),
+        _nul("string").alias("priority"),
+        F.col("bin").cast("int").alias("day_idx"),
+        F.col("n").cast("long").alias("n"),
+        _nul("double").alias("v"),
+    )
+    p50 = histogram_quantile(merged, 0.5, 10000.0).select(
+        F.lit("hist_p50").alias("component"),
+        _nul("long").alias("o_custkey"),
+        _nul("long").alias("o_orderkey"),
+        _nul("string").alias("priority"),
+        _nul("int").alias("day_idx"),
+        F.col("total_n").cast("long").alias("n"),
+        F.col("quantile_estimate").cast("double").alias("v"),
+    )
+    return _union_all([med, rol, hist, p50])
 
 
 SQL_MEDIAN_ROLLING = f"""
@@ -3837,6 +3870,29 @@ SELECT 'rolling', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
        {_NULL_STR}, CAST(day_idx AS INTEGER), CAST(n_7d AS BIGINT),
        CAST(spend_7d AS DOUBLE)
 FROM ({_oracle_double(SQL_ROLLING_7D, ["spend_7d"])}) _r
+UNION ALL
+SELECT 'histogram', {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_STR},
+       CAST(bin AS INTEGER), CAST(n AS BIGINT), {_NULL_DOUBLE}
+FROM (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 10000.0) AS BIGINT)
+         AS bin, COUNT(*) AS n
+      FROM orders GROUP BY 1) _h
+UNION ALL
+SELECT 'hist_p50', {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_STR}, {_NULL_INT},
+       CAST(total_n AS BIGINT), CAST(quantile_estimate AS DOUBLE)
+FROM (
+  WITH hb AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 10000.0)
+                  AS BIGINT) AS bin, COUNT(*) AS n
+              FROM orders GROUP BY 1),
+  c AS (SELECT bin, SUM(n) OVER (ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hb),
+  t AS (SELECT SUM(n) AS total_n FROM hb)
+  SELECT t.total_n,
+         CAST(MIN(c.bin) * 10000.0 AS DOUBLE) AS quantile_estimate
+  FROM c, t
+  WHERE c.cum >= CAST(ceil(0.5 * t.total_n) AS BIGINT)
+  GROUP BY t.total_n
+) _q
 """
 
 

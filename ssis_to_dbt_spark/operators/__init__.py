@@ -7,6 +7,9 @@ from .aggregate import (
     duplicate_keys,
     grouped_aggregate,
     grouped_median_disc,
+    histogram_merge,
+    histogram_quantile,
+    histogram_sketch_grouped,
     kmv_distinct,
     kmv_merge_estimate,
     kmv_sketch_grouped,
@@ -52,6 +55,7 @@ __all__ = [
     "lookup", "lookup_chain", "LookupNoMatch",
     "asof_join", "fuzzy_pairs", "pagerank", "range_join", "merge_join", "semi_join", "anti_join",
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
+    "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion", "data_conversion_with_errors",

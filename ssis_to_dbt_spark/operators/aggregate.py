@@ -171,6 +171,58 @@ def kmv_merge_estimate(
     return _kmv_estimate_from_hashes(h, k)
 
 
+def histogram_sketch_grouped(
+    df: DataFrame, group_cols: list[str], col: str, bin_width: float
+) -> DataFrame:
+    """Fixed-width histogram sketch per group: ``bin = floor(col/width)`` →
+    count.  The deterministic, mergeable quantile path for 100 TB — one
+    map-side combinable aggregation; per-group state is the (bounded) bin
+    count, and merging sketches is a plain count sum (lossless, unlike
+    t-digest whose centroids depend on merge order)."""
+    b = F.floor(F.col(col) / F.lit(float(bin_width))).cast("long")
+    return df.groupBy(*group_cols, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def histogram_merge(h: DataFrame) -> DataFrame:
+    """Merge per-group histogram sketches into one global histogram — a
+    count sum per bin, exactly equal to histogramming the union directly."""
+    return h.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantile(
+    h: DataFrame, q: float, bin_width: float
+) -> DataFrame:
+    """Quantile estimate from a histogram: the lower bound of the first bin
+    whose cumulative count reaches ``ceil(q * total)``.  Deterministic
+    integer logic — both the rank target and the cumulative sums are exact
+    counts.  The cumulative window runs over the BIN relation (bounded
+    cardinality, already aggregated), so the single-partition sort is over
+    dozens of rows, not data."""
+    from pyspark.sql import Window
+
+    total = h.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("_cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    target = F.ceil(F.lit(q) * F.col("_total")).cast("long")
+    return (
+        cum.filter(F.col("_cum") >= target)
+        .agg(
+            F.min("bin").alias("_qbin"),
+            F.max("_total").alias("total_n"),
+        )
+        .select(
+            "total_n",
+            (F.col("_qbin") * F.lit(float(bin_width)))
+            .cast("double")
+            .alias("quantile_estimate"),
+        )
+    )
+
+
 def grouped_median_disc(
     df: DataFrame,
     group_cols: list[str],

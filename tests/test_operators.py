@@ -627,6 +627,28 @@ class TestRollupKmv:
         assert merged["kmv_k"] == direct["kmv_k"]
         assert merged["kmv_estimate"] == direct["kmv_estimate"]
 
+    def test_histogram_merge_is_lossless_and_quantile_deterministic(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import (
+            histogram_merge,
+            histogram_quantile,
+            histogram_sketch_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(100)], "g int, x double"
+        )
+        grouped = histogram_sketch_grouped(df, ["g"], "x", 10.0)
+        merged = {r["bin"]: r["n"] for r in histogram_merge(grouped).collect()}
+        direct = {
+            r["bin"]: r["n"]
+            for r in histogram_sketch_grouped(df, [], "x", 10.0).collect()
+        }
+        assert merged == direct  # lossless merge
+        assert merged == {b: 10 for b in range(10)}
+        q = histogram_quantile(histogram_merge(grouped), 0.5, 10.0).first()
+        # rank target ceil(0.5*100)=50 lands in bin 4 -> lower bound 40.0
+        assert q["total_n"] == 100 and q["quantile_estimate"] == 40.0
+
     def test_kmv_grouped_sketch_bounded_by_k(self, spark):
         from pyspark.sql import functions as F
 
