@@ -164,7 +164,13 @@ def kmv_merge_estimate(
     KMV merging is LOSSLESS for the union: any hash among the k smallest of
     the union is among the k smallest of its own group's sketch, so the
     merged k-min set — and therefore the estimate — is bit-identical to
-    sketching the union directly (the property the driver oracle verifies)."""
+    sketching the union directly (the property the driver oracle verifies).
+
+    Constraint: ``k`` must NOT exceed the ``k`` the sketches were BUILT
+    with.  Built-k cannot be recovered from the data (a short sketch may
+    just mean a small group), so a larger merge-k silently under-estimates:
+    the union's (built_k+1)-th..k-th smallest hashes were truncated away.
+    Merging with a smaller k than built is always valid (re-truncation)."""
     h = sketches.select(
         F.explode(sketch_col).alias("_h")
     ).distinct()
@@ -214,6 +220,9 @@ def histogram_quantile(
             F.min("bin").alias("_qbin"),
             F.max("_total").alias("total_n"),
         )
+        # empty histogram -> zero rows (not one all-NULL row), matching the
+        # GROUP-BY-shaped SQL oracle on empty input
+        .filter(F.col("_qbin").isNotNull())
         .select(
             "total_n",
             (F.col("_qbin") * F.lit(float(bin_width)))

@@ -74,23 +74,41 @@ def data_conversion_with_errors(
     back null (a null input is a legitimate null, not an error).  Route the
     tagged frame with a partitioned write (or filter) downstream; the 100 TB
     input is scanned once, not once per output."""
-    out = df
+    if not conversions:
+        return df.withColumn(route_col, F.lit(ok_name)).withColumn(
+            error_col, F.lit(None).cast("string")
+        )
+    # One single select: every expression (casts, error tests) is evaluated
+    # against the INPUT frame, so an in-place conversion (new_col == src)
+    # still error-tests the ORIGINAL value, not its own null cast output.
+    cast_expr = {
+        new: F.expr(f"try_cast({src} AS {dtype})")
+        for new, (src, dtype) in conversions.items()
+    }
     err_expr = None
     first_err = None
-    for new_col, (src, dtype) in conversions.items():
-        out = out.withColumn(new_col, F.expr(f"try_cast({src} AS {dtype})"))
-        this_err = F.col(src).isNotNull() & F.col(new_col).isNull()
+    for new, (src, _dtype) in conversions.items():
+        this_err = F.col(src).isNotNull() & cast_expr[new].isNull()
         err_expr = this_err if err_expr is None else (err_expr | this_err)
         first_err = (
             F.when(this_err, F.lit(src))
             if first_err is None
             else first_err.when(this_err, F.lit(src))
         )
-    out = out.withColumn(
-        route_col,
-        F.when(err_expr, F.lit(error_name)).otherwise(F.lit(ok_name)),
+    targets = set(conversions)
+    cols = [
+        cast_expr[c].alias(c) if c in targets else F.col(c) for c in df.columns
+    ]
+    cols += [
+        cast_expr[new].alias(new) for new in conversions if new not in df.columns
+    ]
+    return df.select(
+        *cols,
+        F.when(err_expr, F.lit(error_name))
+        .otherwise(F.lit(ok_name))
+        .alias(route_col),
+        first_err.otherwise(F.lit(None)).alias(error_col),
     )
-    return out.withColumn(error_col, first_err.otherwise(F.lit(None)))
 
 
 def pivot_aggregate(

@@ -226,7 +226,7 @@ class SourceRegistry:
         return self.models[name]
 
 
-_TESTDATA_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_TESTDATA_CACHE: dict[tuple[str, int, str], dict[str, DataFrame]] = {}
 
 # Declared-vs-footer compatibility for the drift guard: the declared read
 # schema is valid for a footer type if the footer type is in this set (or
@@ -247,6 +247,23 @@ _FOOTER_COMPAT: dict[str, set[str]] = {
 }
 
 
+def _first_parquet_file(path: str) -> str:
+    """Resolve a fixture path (file or directory) to one parquet part file,
+    failing with an actionable error — not a bare StopIteration — when a
+    directory holds no parquet parts (e.g. only _SUCCESS after a cleanup)."""
+    if os.path.isfile(path):
+        return path
+    parts = sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    ) if os.path.isdir(path) else []
+    if not parts:
+        raise ValueError(
+            f"no parquet files under {path} — fixture missing or "
+            "partially generated; cannot probe its schema"
+        )
+    return os.path.join(path, parts[0])
+
+
 def _events_ts_is_nanos(path: str) -> bool:
     """Probe the parquet footer: True iff ``ts`` is TIMESTAMP(NANOS).
 
@@ -259,11 +276,7 @@ def _events_ts_is_nanos(path: str) -> bool:
     """
     import pyarrow.parquet as pq
 
-    f = path if os.path.isfile(path) else next(
-        os.path.join(path, n) for n in sorted(os.listdir(path))
-        if n.endswith(".parquet")
-    )
-    ts_type = pq.read_schema(f).field("ts").type
+    ts_type = pq.read_schema(_first_parquet_file(path)).field("ts").type
     return str(ts_type).startswith("timestamp[ns")
 
 
@@ -274,11 +287,7 @@ def _check_schema_drift(path: str, declared: T.StructType, table: str) -> None:
     way a stale workaround would."""
     import pyarrow.parquet as pq
 
-    f = path if os.path.isfile(path) else next(
-        os.path.join(path, n) for n in sorted(os.listdir(path))
-        if n.endswith(".parquet")
-    )
-    footer = pq.read_schema(f)
+    footer = pq.read_schema(_first_parquet_file(path))
     declared_names = [fld.name for fld in declared.fields]
     if list(footer.names) != declared_names:
         raise ValueError(
@@ -306,15 +315,17 @@ def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     (re-)applied on every call — including cache hits — so a caller that
     reset the session conf can never silently skew date extraction.
 
-    DataFrames are memoized per (applicationId, dir): re-reading creates a
-    fresh file index per table per call, which dominates small-query latency
-    when many queries run in one session.  ``applicationId`` (not ``id()``)
-    keys the cache: a garbage-collected session's id() can be reused by a
-    new JVM-backed session, which would hand back frames bound to a dead
-    context.
+    DataFrames are memoized per (applicationId, session id, dir): re-reading
+    creates a fresh file index per table per call, which dominates
+    small-query latency when many queries run in one session.  The key needs
+    BOTH parts: ``applicationId`` alone would conflate sibling sessions of
+    one SparkContext (``spark.newSession()``), handing session B frames
+    bound to session A's conf; ``id(spark)`` alone could in principle be
+    reused after GC — though the cached frames pin their session alive, the
+    applicationId component makes the key robust to that too.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     cached = _TESTDATA_CACHE.get(cache_key)
     if cached is not None:
         return dict(cached)

@@ -142,22 +142,34 @@ def stream_stream_join(
     O(arrival rate x max_delay) per key.  On batch frames the same
     expression degrades to a plain range-condition join (oracle-checkable).
     """
-    lw = with_watermark(left, left_ts, max_delay)
-    rw = with_watermark(right, right_ts, max_delay)
+    # alias both sides so the join works even when left and right are the
+    # SAME frame (self-join on one stream) — unqualified refs would trip
+    # Spark's ambiguous-self-join detection
+    lw = with_watermark(left, left_ts, max_delay).alias("_ssj_l")
+    rw = with_watermark(right, right_ts, max_delay).alias("_ssj_r")
+    lcol = lambda c: F.col(f"_ssj_l.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"_ssj_r.{c}")  # noqa: E731
     cond = None
     for k in on:
-        c = lw[k] == rw[k]
+        c = lcol(k) == rcol(k)
         cond = c if cond is None else cond & c
     cond = (
         cond
-        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_delay}"))
-        & (rw[right_ts] <= lw[left_ts])
+        & (rcol(right_ts) >= lcol(left_ts) - F.expr(f"INTERVAL {max_delay}"))
+        & (rcol(right_ts) <= lcol(left_ts))
     )
-    dup = set(on)
-    rcols = [rw[c].alias(c if c not in dup else f"_r_{c}") for c in rw.columns
-             if c not in dup]
+    # output: all left columns as-is; right side drops the join keys
+    # (identical to left's) and renames any other name collision to
+    # _r_<name>, so the result never carries ambiguous duplicates (two
+    # same-schema streams is the norm)
+    left_names = set(left.columns)
+    rcols = [
+        rcol(c).alias(c if c not in left_names else f"_r_{c}")
+        for c in right.columns
+        if c not in set(on)
+    ]
     return lw.join(rw, cond, how).select(
-        *[lw[c] for c in lw.columns], *rcols
+        *[lcol(c).alias(c) for c in left.columns], *rcols
     )
 
 

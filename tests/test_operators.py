@@ -121,6 +121,31 @@ class TestSplitsAndSets:
         # null input is a legitimate null, not an error
         assert out[4] == ("converted", None, 7, None)
 
+    def test_data_conversion_in_place_keeps_error_routing(self, spark):
+        # regression: converting a column onto ITSELF must still error-test
+        # the original value, not its own null cast output
+        from ssis_to_dbt_spark.operators import data_conversion_with_errors
+
+        df = spark.createDataFrame(
+            [(1, "42"), (2, "oops")], "id int, a string"
+        )
+        out = {
+            r["id"]: (r["a"], r["conv_route"], r["conv_error_col"])
+            for r in data_conversion_with_errors(
+                df, {"a": ("a", "INT")}
+            ).collect()
+        }
+        assert out[1] == (42, "converted", None)
+        assert out[2] == (None, "error", "a")
+
+    def test_data_conversion_empty_dict_passes_through(self, spark):
+        from ssis_to_dbt_spark.operators import data_conversion_with_errors
+
+        df = spark.createDataFrame([(1,)], "id int")
+        row = data_conversion_with_errors(df, {}).first()
+        assert row["conv_route"] == "converted"
+        assert row["conv_error_col"] is None
+
     def test_top_k_latest(self, spark):
         df = spark.createDataFrame([(1, 10), (2, 30), (3, 20)], "id int, ts int")
         top = top_k_latest(df, [F.desc("ts"), F.col("id")], k=1).collect()
@@ -648,6 +673,9 @@ class TestRollupKmv:
         q = histogram_quantile(histogram_merge(grouped), 0.5, 10.0).first()
         # rank target ceil(0.5*100)=50 lands in bin 4 -> lower bound 40.0
         assert q["total_n"] == 100 and q["quantile_estimate"] == 40.0
+        # empty histogram -> zero rows, not one all-NULL row
+        empty = histogram_sketch_grouped(df.filter("x < 0"), [], "x", 10.0)
+        assert histogram_quantile(empty, 0.5, 10.0).count() == 0
 
     def test_kmv_grouped_sketch_bounded_by_k(self, spark):
         from pyspark.sql import functions as F

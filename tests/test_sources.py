@@ -293,14 +293,27 @@ class TestReaders:
         row = t["events"].selectExpr("min(year(ts)) y").first()
         assert row.y >= 2000, f"events.ts decoded into the wrong era: {row.y}"
 
-    def test_testdata_cache_keys_by_application_id(self, spark):
+    def test_testdata_cache_keys_by_application_and_session(self, spark):
         from ssis_to_dbt_spark.sources import readers
 
         load_testdata(spark, "/root/testdata/sf0.001")
         app_id = spark.sparkContext.applicationId
-        assert any(k[0] == app_id for k in readers._TESTDATA_CACHE)
-        # id()-reuse by a recycled session must miss: no key uses id(spark)
-        assert all(k[0] != id(spark) for k in readers._TESTDATA_CACHE)
+        assert (app_id, id(spark), "/root/testdata/sf0.001") in readers._TESTDATA_CACHE
+        # sibling sessions share the applicationId but must NOT share cache
+        # entries (frames are bound to their creating session's conf)
+        sibling = spark.newSession()
+        load_testdata(sibling, "/root/testdata/sf0.001")
+        assert (app_id, id(sibling), "/root/testdata/sf0.001") in readers._TESTDATA_CACHE
+        assert id(sibling) != id(spark)
+
+    def test_schema_probe_missing_fixture_fails_loudly(self, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import _first_parquet_file
+
+        empty = tmp_path / "events.parquet"
+        empty.mkdir()
+        (empty / "_SUCCESS").touch()
+        with pytest.raises(ValueError, match="no parquet files"):
+            _first_parquet_file(str(empty))
 
     def test_testdata_reapplies_timezone_on_cache_hit(self, spark):
         load_testdata(spark, "/root/testdata/sf0.001")

@@ -255,3 +255,28 @@ class TestStreamStreamJoin:
             for r in spark.read.parquet(out).collect()
         )
         assert got == expected
+
+
+class TestStreamStreamJoinCollisions:
+    def test_same_schema_streams_get_renamed_right_columns(self, spark, tmp_path):
+        # two same-schema sides must NOT produce ambiguous duplicate names:
+        # right-side collisions (beyond the join keys) are renamed _r_<name>
+        from ssis_to_dbt_spark.streaming import stream_stream_join
+
+        src = str(tmp_path / "ev")
+        write_batch(spark, src, [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (2, "2024-01-01 00:02:00", "a", 2.0),
+        ])
+        df = spark.read.parquet(src)
+        out = stream_stream_join(
+            df, df, on=["event_type"], left_ts="ts", right_ts="ts",
+            max_delay="30 minutes",
+        )
+        assert sorted(out.columns) == sorted(
+            ["event_id", "ts", "event_type", "value",
+             "_r_event_id", "_r_ts", "_r_value"]
+        )
+        # downstream name-based selection works (would previously raise
+        # AMBIGUOUS_REFERENCE)
+        assert out.select("ts", "_r_ts").count() == 3  # (1,1),(2,1),(2,2)
