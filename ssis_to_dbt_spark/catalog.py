@@ -3501,7 +3501,38 @@ def q_asof_range_joins(spark, sf_dir):
         F.col("version_number").cast("long").alias("k"),
         _nul("double").alias("v"),
     )
-    return _union_all([asof, rng, pit])
+    # funnel detection: per user the earliest view -> first later click ->
+    # first later purchase chain, one conditional-min aggregation per stage,
+    # every shuffle on the same user_id key
+    ev = _t(spark, sf_dir)["events"]
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"), F.count(F.lit(1)).alias("n_purch"))
+    )
+    fun = p.select(
+        F.lit("funnel").alias("component"),
+        _nul("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("view_ts").cast("timestamp").alias("ts"),
+        F.col("click_ts").cast("timestamp").alias("t1"),
+        F.col("purchase_ts").cast("timestamp").alias("t2"),
+        F.col("n_purch").cast("long").alias("k"),
+        _nul("double").alias("v"),
+    )
+    return _union_all([asof, rng, pit, fun])
 
 
 SQL_ASOF_RANGE_JOINS = f"""
@@ -3525,6 +3556,23 @@ JOIN ({SQL_DIM_SCD2}) d
   ON d.o_custkey = o.o_custkey
  AND CAST(o.o_orderdate AS DATE) >= d.valid_from
  AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+UNION ALL
+SELECT 'funnel', {_NULL_BIGINT}, CAST(user_id AS BIGINT),
+       CAST(view_ts AS TIMESTAMP), CAST(click_ts AS TIMESTAMP),
+       CAST(purchase_ts AS TIMESTAMP), CAST(n_purch AS BIGINT), {_NULL_DOUBLE}
+FROM (
+  WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+  c AS (SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        GROUP BY e.user_id, v.view_ts)
+  SELECT e.user_id, c.view_ts, c.click_ts,
+         MIN(e.ts) AS purchase_ts, COUNT(*) AS n_purch
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id, c.view_ts, c.click_ts
+) _f
 """
 
 

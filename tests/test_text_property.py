@@ -102,3 +102,39 @@ class TestSignalProperties:
             strides = [idx * 3 for idx, _, _ in got]
             for s, (_, _, n) in zip(strides[1:], got[1:]):
                 assert s < max(len(toks), 1)
+
+
+class TestXlsRoundtripProperty:
+    """Hypothesis round-trips through the BIFF8 writer/reader: arbitrary
+    strings (incl. non-Latin-1 -> 16-bit SST) and numbers must survive."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-10**9, max_value=10**9),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=32, max_codepoint=0x2FFF,
+                        blacklist_categories=("Cs",),
+                    ),
+                    max_size=40,
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_roundtrip(self, rows, tmp_path_factory):
+        import os
+
+        from ssis_to_dbt_spark.sources.xls import read_xls_rows, write_xls
+
+        p = os.path.join(str(tmp_path_factory.mktemp("xlsprop")), "t.xls")
+        write_xls(["k", "v"], [[k, v] for k, v in rows], p)
+        grid = read_xls_rows(p)
+        assert grid[0] == ["k", "v"]
+        got = grid[1:]
+        for (k, v), row in zip(rows, got):
+            assert row[0] == str(k)
+            assert (row[1] or "") == v  # empty cell reads back as None/''
