@@ -1814,6 +1814,32 @@ FROM part
 """
 
 
+def q_roundtrip_orc(spark, sf_dir):
+    """ORC sink/source round-trip — the second Spark-native columnar format
+    (schema travels in the file; filter/column pushdown at the scan like
+    parquet)."""
+    from .sources import readers, writers
+
+    s = _t(spark, sf_dir)["supplier"].select(
+        F.col("s_suppkey").alias("supplier_key"),
+        F.col("s_nationkey").alias("nation_key"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_acctbal").cast("double").alias("acct_bal"),
+    )
+    path = _rt_tmpdir("orc")
+    writers.write_orc(s, path)
+    return readers.read_orc(spark, path)
+
+
+SQL_RT_ORC = """
+SELECT s_suppkey AS supplier_key,
+       s_nationkey AS nation_key,
+       s_name AS supplier_name,
+       CAST(s_acctbal AS DOUBLE) AS acct_bal
+FROM supplier
+"""
+
+
 def q_roundtrip_audit_update(spark, sf_dir):
     """D5 + D6: full load, UPDATE-flag post-process (negative balances ->
     'Y'), then a single-row audit INSERT — the InventorySync.dtsx:266-269
@@ -2097,6 +2123,73 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_bloom_orders(spark, sf_dir):
+    """Bloom-prefiltered semi-join: a 4096-bit filter built from BUILDING-
+    segment customer keys broadcasts to every orders task; the exact match
+    count and false-positive count are measured against the true semi-join.
+    No false negatives by construction (n_true = the exact semi-join count),
+    and the fact table never shuffles — the 100 TB probe-side pattern."""
+    from .operators.joins import bloom_build, bloom_prefilter
+
+    t = _t(spark, sf_dir)
+    dim = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = bloom_build(dim, "c_custkey", m=4096, k=3)
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    passed = bloom_prefilter(orders, "o_custkey", bloom, m=4096, k=3)
+    truth = dim.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "_m", F.lit(1)
+    )
+    flagged = passed.join(F.broadcast(truth), "o_custkey", "left")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+# Bit positions replicate _bloom_positions exactly: three non-overlapping
+# 8-hex-char md5 slices mod 4096 (all values positive, so % == pmod).
+SQL_BLOOM_ORDERS = """
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                             1 + 8 * i, 8) AS BIGINT) % 4096 AS p
+  FROM dim, (SELECT unnest([0, 1, 2]) AS i) _i),
+bm AS (SELECT list(p ORDER BY p) AS bits FROM pos),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 4096 AS p0,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8)
+              AS BIGINT) % 4096 AS p1,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 8)
+              AS BIGINT) % 4096 AS p2
+  FROM orders),
+passed AS (
+  SELECT p.o_custkey
+  FROM probe p, bm
+  WHERE list_contains(bm.bits, p.p0) AND list_contains(bm.bits, p.p1)
+        AND list_contains(bm.bits, p.p2))
+SELECT COUNT(*) AS n_pass,
+       CAST(SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM passed LEFT JOIN dim d ON d.c_custkey = passed.o_custkey
+"""
+
+
+
+
 def q_streaming_roundtrip(spark, sf_dir):
     """ST2 + ST3 driven end-to-end: stage events to a file source, run a real
     checkpointed availableNow micro-batch stream (watermarked tumbling window
@@ -2278,6 +2371,38 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
       CASE lang WHEN 'en' THEN '8000'
                 WHEN 'de' THEN '4000'
                 ELSE '1999' END
+"""
+
+
+def q_mixture_docs(spark, sf_dir):
+    """Domain reweighting: resample the corpus to a target source mixture.
+    All threshold arithmetic is integer/decimal (see mixture_sample), so the
+    kept set is engine-exact and the oracle reproduces it row for row."""
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir)["documents"]
+    samp = mixture_sample(
+        d, "lang", {"en": 4, "de": 2, "fr": 1}, key_col="doc_id"
+    )
+    return samp.select("doc_id", "lang")
+
+
+# Same integer algebra as mixture_sample: W=7; T = min_g floor(n_g*7/w_g);
+# admit_g = floor(65536*T*w_g / (7*n_g)); keep when int(hex4 prefix) < admit.
+SQL_MIXTURE = """
+WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('fr', 1)),
+n AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+j AS (SELECT n.lang, CAST(n.n_g AS HUGEINT) AS n_g,
+             CAST(w.wt AS HUGEINT) AS wt
+      FROM n JOIN w USING (lang)),
+t AS (SELECT MIN(n_g * 7 // wt) AS t_total FROM j),
+adm AS (SELECT j.lang,
+               CAST(65536 * t.t_total * j.wt // (7 * j.n_g) AS BIGINT) AS admit
+        FROM j, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN adm USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      < adm.admit
 """
 
 
@@ -3230,7 +3355,83 @@ FROM ({SQL_VALIDATION_ROLLUP}) _v
 """
 
 
-# --- containment_kmv_docs: shingle containment pairs + KMV distinct sketch --
+# --- join_strategies: bucketed co-located join + bloom-prefiltered semi-join
+# (the two scale-path join rewrites, equivalence-checked) --------------------
+
+def q_join_strategies(spark, sf_dir):
+    bk = q_bucketed_join_orders(spark, sf_dir).select(
+        F.lit("bucketed").alias("component"),
+        F.col("o_orderpriority").cast("string").alias("s1"),
+        F.col("n_lines").cast("long").alias("n1"),
+        _nul("long").alias("n2"),
+        _nul("long").alias("n3"),
+        F.col("total_price").cast("double").alias("v1"),
+    )
+    bl = q_bloom_orders(spark, sf_dir).select(
+        F.lit("bloom").alias("component"),
+        F.lit("BUILDING").cast("string").alias("s1"),
+        F.col("n_pass").cast("long").alias("n1"),
+        F.col("n_true").cast("long").alias("n2"),
+        F.col("n_false_pos").cast("long").alias("n3"),
+        _nul("double").alias("v1"),
+    )
+    return _union_all([bk, bl])
+
+
+SQL_JOIN_STRATEGIES = f"""
+SELECT 'bucketed' AS component, CAST(o_orderpriority AS VARCHAR) AS s1,
+       CAST(n_lines AS BIGINT) AS n1, {_NULL_BIGINT} AS n2,
+       {_NULL_BIGINT} AS n3, CAST(total_price AS DOUBLE) AS v1
+FROM ({SQL_BUCKETED_JOIN}) _b
+UNION ALL
+SELECT 'bloom', 'BUILDING', CAST(n_pass AS BIGINT), CAST(n_true AS BIGINT),
+       CAST(n_false_pos AS BIGINT), {_NULL_DOUBLE}
+FROM ({SQL_BLOOM_ORDERS}) _f
+"""
+
+
+# --- benchmark decontamination: n-gram overlap vs the held-out eval split ---
+
+def q_decontam_docs(spark, sf_dir):
+    """Training docs sharing any 5-token shingle with the eval split (the
+    hash_split 10% test set) — the n-gram-overlap contamination check run
+    before a data release.  The eval shingle set broadcasts; the training
+    side never shuffles (map-side semi-join + one count aggregation)."""
+    from .operators.sampling import hash_split
+    from .text import decontaminate
+
+    docs = _t(spark, sf_dir)["documents"]
+    split = hash_split(docs, "doc_id", test_pct=10)
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "test")
+    return decontaminate(train, ev, shingle_n=5).select("doc_id", "n_shared")
+
+
+SQL_DECONTAM = r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+              THEN 'test' ELSE 'train' END AS split,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh0 AS (
+  SELECT doc_id, split,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(t[i:i+4], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM s),
+sh AS (SELECT doc_id, split, unnest(shingles) AS sh FROM sh0),
+ev AS (SELECT DISTINCT sh FROM sh WHERE split = 'test')
+SELECT t.doc_id, COUNT(*) AS n_shared
+FROM sh t JOIN ev USING (sh)
+WHERE t.split = 'train'
+GROUP BY t.doc_id
+"""
+
+
+# --- containment_kmv_docs: shingle containment pairs + KMV distinct sketch
+# + benchmark decontamination (the shingle-overlap family) -------------------
 
 def q_containment_kmv_docs(spark, sf_dir):
     c = q_containment_docs(spark, sf_dir).select(
@@ -3263,7 +3464,13 @@ def q_containment_kmv_docs(spark, sf_dir):
         _nul("long").alias("id_b"),
         F.col("kmv_estimate").cast("double").alias("v1"),
     )
-    return _union_all([c, k, m])
+    dc = q_decontam_docs(spark, sf_dir).select(
+        F.lit("decontam").alias("component"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("n_shared").cast("long").alias("id_b"),
+        _nul("double").alias("v1"),
+    )
+    return _union_all([c, k, m, dc])
 
 
 SQL_CONTAINMENT_KMV = f"""
@@ -3278,6 +3485,10 @@ UNION ALL
 SELECT 'kmv_merged', CAST(kmv_k AS BIGINT), {_NULL_BIGINT},
        CAST(kmv_estimate AS DOUBLE)
 FROM ({SQL_KMV_SHINGLES}) _m
+UNION ALL
+SELECT 'decontam', CAST(doc_id AS BIGINT), CAST(n_shared AS BIGINT),
+       {_NULL_DOUBLE}
+FROM ({SQL_DECONTAM}) _d
 """
 
 
@@ -3683,7 +3894,13 @@ def q_sampling_splits(spark, sf_dir):
         F.col("lang").cast("string").alias("s1"),
         F.col("source").cast("string").alias("s2"),
     )
-    return _union_all([hs, st])
+    mx = q_mixture_docs(spark, sf_dir).select(
+        F.lit("mixture").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -3694,6 +3911,9 @@ UNION ALL
 SELECT 'stratified', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR),
        CAST(source AS VARCHAR)
 FROM ({SQL_STRATIFIED}) _s
+UNION ALL
+SELECT 'mixture', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR), {_NULL_STR}
+FROM ({SQL_MIXTURE}) _m
 """
 
 
@@ -3733,7 +3953,42 @@ FROM sc GROUP BY doc_id
 
 
 # --- token_ops_docs: deterministic token-budget sampling + context-window
-# chunking (the two token-count-driven pipeline steps) -----------------------
+# chunking + sequence packing (the token-count-driven pipeline steps) --------
+
+def q_pack_docs(spark, sf_dir):
+    """Concat-and-chop sequence packing: every document lands at a stable
+    (seq_id, start_tok, end_tok) in 512-token training sequences; windows
+    partition by hash bucket so no global sort exists (see pack_sequences)."""
+    from .text import pack_sequences
+
+    docs = _t(spark, sf_dir)["documents"]
+    dd = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(dd, "n_tok", seq_tokens=512, key_col="doc_id")
+
+
+SQL_PACK_DOCS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tok, h,
+         CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
+  FROM t),
+c AS (
+  SELECT doc_id, n_tok, bucket,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b)
+SELECT doc_id,
+       CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT) AS seq_id,
+       CAST(cum - n_tok AS BIGINT) AS start_tok,
+       CAST(cum AS BIGINT) AS end_tok
+FROM c
+"""
+
 
 def q_token_ops_docs(spark, sf_dir):
     tb = q_token_budget_docs(spark, sf_dir).select(
@@ -3742,6 +3997,9 @@ def q_token_ops_docs(spark, sf_dir):
         _nul("int").alias("chunk_idx"),
         _nul("string").alias("chunk_text"),
         F.col("n_tokens").cast("int").alias("n_tok"),
+        _nul("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
     )
     ch = q_chunk_docs(spark, sf_dir).select(
         F.lit("chunk").alias("component"),
@@ -3749,19 +4007,40 @@ def q_token_ops_docs(spark, sf_dir):
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.col("chunk_text").cast("string").alias("chunk_text"),
         F.col("chunk_len").cast("int").alias("n_tok"),
+        _nul("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
     )
-    return _union_all([tb, ch])
+    pk = q_pack_docs(spark, sf_dir).select(
+        F.lit("pack").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _nul("int").alias("chunk_idx"),
+        _nul("string").alias("chunk_text"),
+        _nul("int").alias("n_tok"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+    )
+    return _union_all([tb, ch, pk])
 
 
 SQL_TOKEN_OPS = f"""
 SELECT 'budget' AS component, CAST(doc_id AS BIGINT) AS doc_id,
        {_NULL_INT} AS chunk_idx, {_NULL_STR} AS chunk_text,
-       CAST(n_tokens AS INTEGER) AS n_tok
+       CAST(n_tokens AS INTEGER) AS n_tok,
+       {_NULL_BIGINT} AS seq_id, {_NULL_BIGINT} AS start_tok,
+       {_NULL_BIGINT} AS end_tok
 FROM ({SQL_TOKEN_BUDGET}) _b
 UNION ALL
 SELECT 'chunk', CAST(doc_id AS BIGINT), CAST(chunk_idx AS INTEGER),
-       CAST(chunk_text AS VARCHAR), CAST(chunk_len AS INTEGER)
+       CAST(chunk_text AS VARCHAR), CAST(chunk_len AS INTEGER),
+       {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BIGINT}
 FROM ({SQL_CHUNK_DOCS}) _c
+UNION ALL
+SELECT 'pack', CAST(doc_id AS BIGINT), {_NULL_INT}, {_NULL_STR}, {_NULL_INT},
+       CAST(seq_id AS BIGINT), CAST(start_tok AS BIGINT),
+       CAST(end_tok AS BIGINT)
+FROM ({SQL_PACK_DOCS}) _p
 """
 
 
@@ -4002,6 +4281,8 @@ def q_roundtrip_sinks(spark, sf_dir):
               "supplier_key", "supplier_name", "acct_bal", k2="nation_key"),
         slots(q_roundtrip_json(spark, sf_dir), "json",
               "part_key", "brand", "retail_price"),
+        slots(q_roundtrip_orc(spark, sf_dir), "orc",
+              "supplier_key", "supplier_name", "acct_bal", k2="nation_key"),
         slots(q_roundtrip_excel(spark, sf_dir), "excel",
               "nation_key", "nation_name", k2="region_key"),
         slots(q_roundtrip_xls(spark, sf_dir), "excel_xls",
@@ -4033,6 +4314,8 @@ SQL_ROUNDTRIP_SINKS = "\nUNION ALL\n".join(
         _rt_branch("csv", SQL_RT_CSV, "supplier_key", "supplier_name",
                    "acct_bal", k2="nation_key"),
         _rt_branch("json", SQL_RT_JSON, "part_key", "brand", "retail_price"),
+        _rt_branch("orc", SQL_RT_ORC, "supplier_key", "supplier_name",
+                   "acct_bal", k2="nation_key"),
         _rt_branch("excel", SQL_RT_EXCEL, "nation_key", "nation_name",
                    k2="region_key"),
         _rt_branch("excel_xls", SQL_RT_EXCEL, "nation_key", "nation_name",
@@ -4111,6 +4394,7 @@ ALL_QUERIES = {
     "parallel_table_dag": q_parallel_table_dag,
     "roundtrip_excel": q_roundtrip_excel,
     "roundtrip_xls": q_roundtrip_xls,
+    "roundtrip_orc": q_roundtrip_orc,
     "rest_landing": q_rest_landing,
     "stratified_docs": q_stratified_docs,
     "stateful_totals": q_stateful_totals,
@@ -4133,6 +4417,10 @@ ALL_QUERIES = {
     "containment_docs": q_containment_docs,
     "wav_decode_stats": q_wav_decode_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "mixture_docs": q_mixture_docs,
+    "pack_docs": q_pack_docs,
+    "decontam_docs": q_decontam_docs,
+    "bloom_orders": q_bloom_orders,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -4148,6 +4436,7 @@ ALL_QUERIES = {
     "median_rolling_orders": q_median_rolling_orders,
     "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
     "roundtrip_sinks": q_roundtrip_sinks,
+    "join_strategies": q_join_strategies,
 }
 
 ALL_ORACLES = {
@@ -4234,6 +4523,11 @@ ALL_ORACLES = {
     "containment_docs": SQL_CONTAINMENT,
     "wav_decode_stats": SQL_WAV_STATS,
     "tfidf_top_terms": SQL_TFIDF,
+    "mixture_docs": SQL_MIXTURE,
+    "pack_docs": SQL_PACK_DOCS,
+    "decontam_docs": SQL_DECONTAM,
+    "bloom_orders": SQL_BLOOM_ORDERS,
+    "roundtrip_orc": SQL_RT_ORC,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),
@@ -4256,6 +4550,7 @@ ALL_ORACLES = {
     "median_rolling_orders": SQL_MEDIAN_ROLLING,
     "parts_fuzzy_pagerank": SQL_PARTS_FUZZY_PAGERANK,
     "roundtrip_sinks": SQL_ROUNDTRIP_SINKS,
+    "join_strategies": SQL_JOIN_STRATEGIES,
 }
 
 # The 50 entries the driver verifies — every SURVEY §2 family and every
@@ -4298,7 +4593,7 @@ _DRIVER_WINDOW = [
     "merge_upsert_customers",
     "script_escape_hatch",
     "orchestration_dag",
-    "bucketed_join_orders",
+    "join_strategies",
     "multimodal_decode",
     "dataset_profile",
     "corpus_curation",

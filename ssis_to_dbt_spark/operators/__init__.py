@@ -1,7 +1,18 @@
 from .project import typed_project, ColumnSpec
 from .lookup import lookup, lookup_chain, LookupNoMatch
 from .graph import pagerank
-from .joins import asof_join, fuzzy_pairs, range_join, merge_join, semi_join, anti_join, fk_violations
+from .joins import (
+    anti_join,
+    asof_join,
+    bloom_build,
+    bloom_prefilter,
+    fk_violations,
+    fuzzy_pairs,
+    merge_join,
+    range_join,
+    semi_join,
+)
+from .sampling import hash_split, mixture_sample, stratified_sample, token_budget_sample
 from .aggregate import (
     checksum_aggregates,
     duplicate_keys,
@@ -54,6 +65,8 @@ __all__ = [
     "typed_project", "ColumnSpec",
     "lookup", "lookup_chain", "LookupNoMatch",
     "asof_join", "fuzzy_pairs", "pagerank", "range_join", "merge_join", "semi_join", "anti_join",
+    "bloom_build", "bloom_prefilter",
+    "hash_split", "mixture_sample", "stratified_sample", "token_budget_sample",
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",

@@ -168,6 +168,67 @@ def range_join(
     )
 
 
+def _bloom_positions(key: Column, m: int, k: int) -> list[Column]:
+    """k bit positions in [0, m) from non-overlapping 8-hex-char slices of
+    md5(key) — portable integer hashing (same values in any engine that has
+    md5)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 yields four 32-bit slices)")
+    h = F.md5(key.cast("string"))
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"), F.lit(m)
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(dim: DataFrame, key_col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over ``dim[key_col]`` as a 1-row DataFrame with a
+    sorted array of set bit positions (column ``bloom_bits``).
+
+    The array form (≤ m integers) is broadcast-friendly and mergeable —
+    unioning two filters is ``array_union`` — and avoids opaque binary
+    bitmaps so the filter itself is oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    pos = dim.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias("_p")
+    )
+    return pos.agg(F.sort_array(F.collect_set("_p")).alias("bloom_bits"))
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    bloom: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Pre-filter ``fact`` rows through a Bloom filter built by
+    :func:`bloom_build` — keeps a row iff ALL k of its key's bit positions
+    are set (no false negatives; false-positive rate ~(1-e^{-kn/m})^k).
+
+    The 100 TB pattern this encodes: when the build side of a semi-join is
+    small but the probe side is the full fact table, shipping a few-KB bit
+    set to every task and filtering map-side is far cheaper than shuffling
+    the fact table for an exact semi-join — the exact join then runs over
+    the tiny surviving fraction.  Plan: 1-row broadcast crossJoin (the same
+    shape as the tf-idf corpus-constant join), then a map-side
+    ``array_contains`` conjunction; the fact table never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    probe = _bloom_positions(F.col(fact_key), m, k)
+    cond = F.lit(True)
+    for p in probe:
+        cond = cond & F.array_contains(F.col("bloom_bits"), p)
+    return fact.crossJoin(F.broadcast(bloom)).filter(cond).drop("bloom_bits")
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,

@@ -81,6 +81,73 @@ def stratified_sample(
     return df.filter(prefix < threshold)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int],
+    key_col: str,
+) -> DataFrame:
+    """Resample a corpus to a target group mixture (domain reweighting).
+
+    Given INTEGER target weights per group (e.g. ``{"en": 6, "de": 3,
+    "other": 1}``), keeps the LARGEST subset whose group proportions match
+    the weights: the binding group (smallest ``n_g / w_g``) is kept whole
+    and every other group is down-sampled to match.  Groups absent from
+    ``weights`` are dropped.
+
+    Everything is integer/decimal arithmetic so the kept set is
+    engine-reproducible:
+
+    - feasible total  ``T = min_g floor(n_g * W / w_g)`` with ``W = sum(w)``;
+    - per-group admit buckets ``b_g = floor(65536 * T * w_g / (W * n_g))``
+      (DECIMAL(38,0) products — no bigint overflow at any corpus size);
+    - a row is kept when the integer value of its 4-hex-char md5(key) prefix
+      is ``< b_g`` — the same content-addressed rule as ``stratified_sample``,
+      so membership never depends on partitioning or row order.
+
+    Plan shape: one small groupBy for counts, a 1-row scalar min, then the
+    per-group thresholds broadcast back onto the corpus — no driver collect,
+    no extra shuffle of the data itself (the filter is map-side under the
+    broadcast join).
+    """
+    total_w = int(sum(weights.values()))
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"))
+        .withColumn(
+            "_w",
+            F.coalesce(
+                *[
+                    F.when(F.col(group_col) == g, F.lit(int(w)))
+                    for g, w in weights.items()
+                ]
+                + [F.lit(None)]
+            ).cast("decimal(38,0)"),
+        )
+        .filter(F.col("_w").isNotNull())
+    )
+    feasible = counts.agg(
+        F.min(F.expr(f"_n * {total_w} DIV _w")).cast("decimal(38,0)").alias("_t")
+    )
+    thresholds = (
+        counts.crossJoin(F.broadcast(feasible))
+        .withColumn(
+            "_admit",
+            F.expr(f"CAST(65536 * _t * _w AS DECIMAL(38,0)) DIV ({total_w} * _n)")
+            .cast("long"),
+        )
+        .select(group_col, "_admit")
+    )
+    prefix_int = F.conv(
+        F.substring(_hash_hex(F.col(key_col)), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(prefix_int < F.col("_admit"))
+        .drop("_admit")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     token_col: str,

@@ -60,6 +60,13 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (counterpart of ``writers.write_orc``) — ORC files carry
+    their own schema and Spark pushes filters/column pruning into the scan
+    exactly as with parquet."""
+    return spark.read.orc(path)
+
+
 _XLSX_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _XLSX_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 

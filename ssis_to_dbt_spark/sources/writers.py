@@ -166,6 +166,13 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — Spark-native columnar alternative to parquet (same
+    predicate-pushdown / column-pruning story at the scan; zlib by default).
+    Rounds out the destination surface for warehouses standardized on ORC."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_xlsx(
     header: list[str], rows: list[list], path: str, sheet: str = "Sheet1"
 ) -> None:

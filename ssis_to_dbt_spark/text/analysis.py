@@ -278,6 +278,61 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    seq_tokens: int,
+    key_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-size training sequences (concat-and-chop
+    packing): documents are laid end-to-end in a deterministic
+    content-hash order and the token stream is cut every ``seq_tokens``
+    tokens, so each document lands at a stable (sequence, offset).
+
+    Deterministic, partition-order-independent, and parallel: the corpus
+    splits into ``n_buckets`` streams by the first hex char of md5(key)
+    (16 buckets; documents are interchangeable across a packing run, so
+    independent per-bucket streams are semantically equivalent to one
+    global stream), each bucket runs its own cumulative-sum window, and
+    the global ``seq_id`` interleaves bucket-local sequence numbers with
+    the bucket index.  No global sort exists at any scale — the window
+    partitions by bucket, exactly like ``token_budget_sample``.
+
+    Output: (key, seq_id, start_tok, end_tok) where start/end are offsets
+    in the bucket's concatenated token stream; a document straddling a cut
+    (``floor(start/seq) != floor((end-1)/seq)``) continues into the next
+    sequence, which is the standard LM-pretraining chop.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn(
+            "_bucket",
+            F.pmod(F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"),
+                   F.lit(n_buckets)),
+        )
+        .withColumn("_cum", F.sum(F.col(token_col)).over(w).cast("long"))
+        .select(
+            key_col,
+            # integral DIV, not floor(double /): bucket token streams can
+            # exceed 2^53 at corpus scale, where double division drops ulps
+            (
+                F.expr(f"(_cum - {token_col}) DIV {int(seq_tokens)}")
+                * n_buckets
+                + F.col("_bucket")
+            ).cast("long").alias("seq_id"),
+            (F.col("_cum") - F.col(token_col)).cast("long").alias("start_tok"),
+            F.col("_cum").alias("end_tok"),
+        )
+    )
+
+
 def bigram_surprisal(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

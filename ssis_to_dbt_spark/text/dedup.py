@@ -566,6 +566,48 @@ def containment_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``shingle_n``-gram with an evaluation/benchmark set (the GPT-3 /
+    PaLM-style n-gram-overlap contamination check a training pipeline must
+    run before every data release).
+
+    Returns one row per contaminated training document:
+    (id, n_shared = number of distinct training-side shingles that also
+    occur anywhere in the eval set).
+
+    Scale shape: the eval set is tiny relative to 100 TB of training data,
+    so its DISTINCT shingle set is broadcast (``broadcast_eval=True``) and
+    the check is a map-side semi-join over the exploded training shingles —
+    the training corpus itself never shuffles.  With a large eval side,
+    disable the hint and the same plan runs as a shuffled equi-join on the
+    shingle key (inverted-index shape, like every dedup join here).
+    Documents shorter than ``shingle_n`` tokens fall back to a whole-text
+    shingle (see :func:`shingle`), i.e. short docs are flagged only on an
+    exact normalized-text match.
+    """
+    tr = train.select(
+        F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("sh")
+    )
+    ev = eval_set.select(
+        F.explode(shingle(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

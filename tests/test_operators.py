@@ -393,6 +393,76 @@ class TestSampling:
         )
 
 
+class TestMixtureSample:
+    def _df(self, spark):
+        rows = (
+            [(i, "a") for i in range(1000)]
+            + [(i + 1000, "b") for i in range(150)]
+            + [(i + 2000, "c") for i in range(50)]
+            + [(i + 3000, "d") for i in range(30)]
+        )
+        return spark.createDataFrame(rows, "k int, g string")
+
+    def test_binding_group_kept_whole_others_downsampled(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark)
+        out = mixture_sample(df, "g", {"a": 6, "b": 3, "c": 1}, key_col="k")
+        counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+        # W=10; T = min(1000*10/6, 150*10/3, 50*10/1) = 500
+        # targets: a=300 (hash-approximate), b=150 (admit=65536, exact),
+        # c=50 (exact); d is not in the weights -> dropped entirely
+        assert counts["b"] == 150
+        assert counts["c"] == 50
+        assert 240 <= counts["a"] <= 360
+        assert "d" not in counts
+
+    def test_deterministic_across_runs_and_partitionings(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark)
+        w = {"a": 6, "b": 3, "c": 1}
+        first = sorted(r["k"] for r in mixture_sample(df, "g", w, "k").collect())
+        again = sorted(
+            r["k"]
+            for r in mixture_sample(df.repartition(7), "g", w, "k").collect()
+        )
+        assert first == again
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_false_positives(self, spark):
+        from ssis_to_dbt_spark.operators.joins import bloom_build, bloom_prefilter
+
+        dim = spark.range(100).withColumnRenamed("id", "key")
+        fact = spark.range(2000).withColumnRenamed("id", "key")
+        bloom = bloom_build(dim, "key", m=4096, k=3)
+        passed = {r["key"] for r in bloom_prefilter(fact, "key", bloom).collect()}
+        assert set(range(100)) <= passed  # a Bloom filter never drops members
+        # ~300 bits set of 4096 -> per-probe FP rate (300/4096)^3 ~ 0.04%
+        assert len(passed) <= 120
+
+    def test_bloom_bits_deterministic_and_mergeable_shape(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.operators.joins import bloom_build
+
+        dim = spark.range(50).withColumnRenamed("id", "key")
+        a = bloom_build(dim, "key").first()["bloom_bits"]
+        b = bloom_build(dim.repartition(5), "key").first()["bloom_bits"]
+        assert a == b  # content-addressed: partitioning never changes the bits
+        assert a == sorted(set(a))
+
+    def test_k_out_of_range_raises(self, spark):
+        import pytest
+
+        from ssis_to_dbt_spark.operators.joins import bloom_build
+
+        dim = spark.range(5).withColumnRenamed("id", "key")
+        with pytest.raises(ValueError):
+            bloom_build(dim, "key", k=5)
+
+
 class TestSqlTask:
     def test_result_set_contracts(self, spark):
         from ssis_to_dbt_spark.operators.sql_task import execute_sql, register_views

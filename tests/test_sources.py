@@ -443,3 +443,21 @@ class TestWriteXlsx:
         assert read_xlsx_rows(p, sheet="inventory") == [["k"], ["7"]]
         with pytest.raises(ValueError, match="not found"):
             read_xlsx_rows(p, sheet="missing")
+
+
+class TestOrcRoundtrip:
+    def test_write_read_preserves_rows_and_schema(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import read_orc
+        from ssis_to_dbt_spark.sources.writers import write_orc
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (3, None, -2.25)],
+            "k long, s string, v double",
+        )
+        path = str(tmp_path / "orc_rt")
+        write_orc(df, path)
+        back = read_orc(spark, path)
+        assert back.schema == df.schema  # ORC carries its own schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        )

@@ -438,3 +438,82 @@ class TestBigramSurprisal:
         df = docs_df(spark, [(1, "only"), (2, "two tokens")])
         ids = [r["doc_id"] for r in tx.bigram_surprisal(df).collect()]
         assert ids == [2]
+
+
+class TestDecontaminate:
+    def _frames(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (2, "completely different words with no overlap whatsoever here"),
+                (3, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [
+                (100, "intro alpha beta gamma delta epsilon zeta eta theta outro"),
+                (101, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        return train, eval_set
+
+    def test_flags_ngram_overlap_and_short_doc_exact_match(self, spark):
+        train, eval_set = self._frames(spark)
+        out = {
+            r["doc_id"]: r["n_shared"]
+            for r in tx.decontaminate(train, eval_set, shingle_n=8).collect()
+        }
+        # doc 1 shares 8-gram windows of "alpha..theta" (one 8-gram);
+        # doc 3 (< 8 tokens) falls back to whole-text exact match with 101
+        assert out.get(1, 0) >= 1
+        assert out.get(3) == 1
+        assert 2 not in out
+
+    def test_clean_corpus_flags_nothing(self, spark):
+        train, _ = self._frames(spark)
+        eval_set = spark.createDataFrame(
+            [(200, "unrelated benchmark sentence nine words long for the test")],
+            "doc_id long, text string",
+        )
+        assert tx.decontaminate(train, eval_set, shingle_n=8).count() == 0
+
+
+class TestPackSequences:
+    def _packed(self, spark, seq=100):
+        df = spark.createDataFrame(
+            [(i, 10 + (i % 7)) for i in range(300)], "doc_id long, n_tok int"
+        )
+        return df, tx.pack_sequences(df, "n_tok", seq, key_col="doc_id")
+
+    def test_every_doc_placed_once_with_conserved_tokens(self, spark):
+        df, packed = self._packed(spark)
+        rows = packed.collect()
+        assert len(rows) == 300
+        spans = {r["doc_id"]: r["end_tok"] - r["start_tok"] for r in rows}
+        toks = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+        assert spans == toks
+
+    def test_streams_are_contiguous_and_seq_ids_consistent(self, spark):
+        _, packed = self._packed(spark, seq=100)
+        by_bucket: dict[int, list] = {}
+        for r in packed.collect():
+            by_bucket.setdefault(r["seq_id"] % 16, []).append(r)
+        for bucket, rows in by_bucket.items():
+            rows.sort(key=lambda r: r["start_tok"])
+            pos = 0
+            for r in rows:
+                assert r["start_tok"] == pos  # no gaps, no overlaps
+                assert r["seq_id"] == (r["start_tok"] // 100) * 16 + bucket
+                pos = r["end_tok"]
+
+    def test_deterministic_under_repartitioning(self, spark):
+        df, packed = self._packed(spark)
+        again = tx.pack_sequences(
+            df.repartition(13), "n_tok", 100, key_col="doc_id"
+        )
+        key = lambda r: r["doc_id"]
+        assert sorted(map(tuple, packed.collect()), key=lambda t: t[0]) == sorted(
+            map(tuple, again.collect()), key=lambda t: t[0]
+        )
