@@ -45,6 +45,10 @@ HEADLINE = [
     "range_join_sessions",
     "chunk_docs",
     "surprisal_docs",
+    "decontam_docs",
+    "pack_docs",
+    "mixture_docs",
+    "bloom_orders",
 ]
 
 

@@ -3787,7 +3787,78 @@ FROM (
 """
 
 
-# --- orchestration_dag: ForEach container + parallel table materialization --
+# --- orchestrator retry/diagnose loop (C5, engine-scope) --------------------
+
+def q_retry_dag(spark, sf_dir):
+    """C5: the execute→validate→diagnose→retry state machine driven
+    end-to-end — a model fails transiently and succeeds on retry, a
+    permanently-broken branch exhausts its budget and its dependents are
+    skipped, while the healthy branch completes.  Data rows prove the final
+    output; the meta rows pin every model's (status, attempts), so the
+    driver hash covers the state machine itself, not just the happy path.
+    Reference: src/agents/orchestrator.py:126-166 (phase loop),
+    src/agents/context.py:128-134 (retry budget)."""
+    from .pipeline import Model, Pipeline, run_with_retries
+
+    t = _t(spark, sf_dir)
+    state = {"failed_once": False}
+
+    def seg_counts(frames, _vars):
+        if not state["failed_once"]:
+            state["failed_once"] = True
+            raise RuntimeError("simulated transient source failure")
+        return frames["customer"].groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_cust")
+        )
+
+    def top_seg(frames, vars_):
+        return frames["seg_counts"].filter(F.col("n_cust") >= vars_["min_cust"])
+
+    def always_bad(_frames, _vars):
+        raise RuntimeError("permanent failure")
+
+    def bad_child(frames, _vars):
+        return frames["always_bad"]
+
+    pipe = (
+        Pipeline(spark, vars={"min_cust": 1})
+        .add(Model("seg_counts", seg_counts))
+        .add(Model("top_seg", top_seg, deps=["seg_counts"]))
+        .add(Model("always_bad", always_bad))
+        .add(Model("bad_child", bad_child, deps=["always_bad"]))
+    )
+    frames, report = run_with_retries(
+        pipe, {"customer": t["customer"]}, max_retries=2
+    )
+    data = frames["top_seg"].select(
+        F.lit("retry").alias("component"),
+        F.col("c_mktsegment").cast("string").alias("segment"),
+        F.col("n_cust").cast("long").alias("n1"),
+    )
+    meta = spark.createDataFrame(
+        [(f"{n}:{r.status}:{r.attempts}",) for n, r in sorted(report.runs.items())],
+        "segment string",
+    ).select(
+        F.lit("retry_meta").alias("component"),
+        F.col("segment").cast("string").alias("segment"),
+        F.lit(None).cast("long").alias("n1"),
+    )
+    return data.unionByName(meta)
+
+
+SQL_RETRY_DAG = """
+SELECT 'retry' AS component, c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n1
+FROM customer GROUP BY c_mktsegment HAVING COUNT(*) >= 1
+UNION ALL
+SELECT 'retry_meta', v, CAST(NULL AS BIGINT)
+FROM (VALUES ('always_bad:failed:3'), ('bad_child:skipped:0'),
+             ('seg_counts:success:2'), ('top_seg:success:1')) _m(v)
+"""
+
+
+# --- orchestration_dag: ForEach container + parallel table materialization
+# + C5 retry/diagnose loop ----------------------------------------------------
 
 def q_orchestration_dag(spark, sf_dir):
     fe = q_foreach_segments(spark, sf_dir).select(
@@ -3806,7 +3877,15 @@ def q_orchestration_dag(spark, sf_dir):
         F.col("acctbal").cast("double").alias("v1"),
         F.col("spend").cast("double").alias("v2"),
     )
-    return _union_all([fe, pd_])
+    rt = q_retry_dag(spark, sf_dir).select(
+        F.col("component"),
+        _nul("long").alias("c_custkey"),
+        F.col("segment").cast("string").alias("segment"),
+        F.col("n1").cast("long").alias("n_orders"),
+        _nul("double").alias("v1"),
+        _nul("double").alias("v2"),
+    )
+    return _union_all([fe, pd_, rt])
 
 
 SQL_ORCHESTRATION_DAG = f"""
@@ -3818,6 +3897,10 @@ UNION ALL
 SELECT 'parallel', CAST(c_custkey AS BIGINT), CAST(c_mktsegment AS VARCHAR),
        CAST(n_orders AS BIGINT), CAST(acctbal AS DOUBLE), CAST(spend AS DOUBLE)
 FROM ({SQL_PARALLEL_DAG}) _p
+UNION ALL
+SELECT component, {_NULL_BIGINT}, segment, CAST(n1 AS BIGINT), {_NULL_DOUBLE},
+       {_NULL_DOUBLE}
+FROM ({SQL_RETRY_DAG}) _r
 """
 
 
@@ -4421,6 +4504,7 @@ ALL_QUERIES = {
     "pack_docs": q_pack_docs,
     "decontam_docs": q_decontam_docs,
     "bloom_orders": q_bloom_orders,
+    "retry_dag": q_retry_dag,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -4528,6 +4612,7 @@ ALL_ORACLES = {
     "decontam_docs": SQL_DECONTAM,
     "bloom_orders": SQL_BLOOM_ORDERS,
     "roundtrip_orc": SQL_RT_ORC,
+    "retry_dag": SQL_RETRY_DAG,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

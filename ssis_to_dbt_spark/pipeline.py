@@ -137,6 +137,101 @@ class Pipeline:
             frames[name] = self.spark.read.parquet(path)
 
 
+@dataclass
+class ModelRun:
+    """Outcome of one model inside a retry-loop run (C5)."""
+
+    name: str
+    status: str = "pending"  # success | failed | skipped | pending
+    attempts: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+@dataclass
+class RunReport:
+    """Pipeline-level outcome of :meth:`Pipeline.run_with_retries` —
+    the engine-scope analog of the reference orchestrator's migration
+    context summary (src/agents/orchestrator.py:100-123 phase loop,
+    src/agents/context.py:128-134 retry budget)."""
+
+    runs: dict[str, ModelRun] = field(default_factory=dict)
+    phase: str = "complete"  # complete | failed
+
+    def failed(self) -> list[str]:
+        return [n for n, r in self.runs.items() if r.status == "failed"]
+
+    def skipped(self) -> list[str]:
+        return [n for n, r in self.runs.items() if r.status == "skipped"]
+
+
+def run_with_retries(
+    pipeline: Pipeline,
+    inputs: dict[str, DataFrame],
+    max_retries: int = 2,
+    validate: dict[str, Callable[[DataFrame], None]] | None = None,
+    on_diagnose: Callable[[str, Exception, int], Callable | None] | None = None,
+) -> tuple[dict[str, DataFrame], RunReport]:
+    """C5: the orchestrator's execute→validate→diagnose→retry state machine,
+    scoped to the engine (no agents/LLM — the reference's diagnose step is an
+    LLM refiner; here it is a caller hook that may return a REPLACEMENT build
+    for the failing model, which is exactly the refiner's contract).
+
+    Per model, in topo order:
+    - build (and materialize, for table models) under a try;
+    - run the model's ``validate`` check if given (the VALIDATING phase) —
+      a validation error re-enters the retry loop like a build error
+      (VALIDATION_FAILED -> DIAGNOSING -> retry while the budget allows,
+      orchestrator.py:126-166);
+    - on failure, call ``on_diagnose(name, exc, attempt)``; if it returns a
+      callable, that becomes the model's build for the retry;
+    - a model that exhausts ``max_retries`` is marked failed and every
+      transitive dependent is SKIPPED (precedence-constraint semantics) —
+      independent branches still run to completion.
+
+    Returns (frames, report).  Never raises for model failures; the report
+    carries per-model status/attempts/errors and the pipeline phase.
+    """
+    report = RunReport()
+    frames: dict[str, DataFrame] = dict(inputs)
+    order = topo_order(pipeline.models)
+    dead: set[str] = set()
+
+    for name in order:
+        m = pipeline.models[name]
+        run = report.runs[name] = ModelRun(name)
+        if set(m.deps) & dead:
+            run.status = "skipped"
+            dead.add(name)
+            continue
+        build = m.build
+        while run.attempts <= max_retries:
+            run.attempts += 1
+            try:
+                df = build(frames, pipeline.vars)
+                if m.materialization == "table":
+                    if not m.path:
+                        raise ValueError(f"table model {name} needs a path")
+                    df.write.mode("overwrite").parquet(m.path)
+                    df = pipeline.spark.read.parquet(m.path)
+                if validate and name in validate:
+                    validate[name](df)
+                frames[name] = df
+                run.status = "success"
+                break
+            except Exception as exc:  # noqa: BLE001 — budget loop owns it
+                run.errors.append(f"{type(exc).__name__}: {exc}")
+                if on_diagnose is not None and run.attempts <= max_retries:
+                    replacement = on_diagnose(name, exc, run.attempts)
+                    if replacement is not None:
+                        build = replacement
+        if run.status != "success":
+            run.status = "failed"
+            dead.add(name)
+    if dead:
+        report.phase = "failed"
+    return frames, report
+
+
 def foreach_partition_values(
     pipeline: Pipeline,
     inputs: dict[str, DataFrame],

@@ -123,3 +123,109 @@ class TestWindows:
     def test_streaming_dedup_batch(self, spark, events):
         dup = events.unionByName(events)
         assert streaming_dedup(dup, ["event_id"], "ts").count() == events.count()
+
+
+class TestRunWithRetries:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k int, g string"
+        )
+
+    def test_transient_failure_retries_to_success(self, spark):
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        state = {"first": True}
+
+        def flaky(frames, _v):
+            if state["first"]:
+                state["first"] = False
+                raise RuntimeError("transient")
+            return frames["src"].groupBy("g").count()
+
+        pipe = Pipeline(spark).add(Model("agg", flaky))
+        frames, report = run_with_retries(
+            pipe, {"src": self._base(spark)}, max_retries=2
+        )
+        assert report.phase == "complete"
+        assert report.runs["agg"].status == "success"
+        assert report.runs["agg"].attempts == 2
+        assert frames["agg"].count() == 2
+
+    def test_exhausted_budget_fails_and_skips_dependents_only(self, spark):
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        def bad(_f, _v):
+            raise RuntimeError("permanent")
+
+        pipe = (
+            Pipeline(spark)
+            .add(Model("bad", bad))
+            .add(Model("child", lambda f, _v: f["bad"], deps=["bad"]))
+            .add(Model("healthy", lambda f, _v: f["src"].filter("k > 1")))
+        )
+        frames, report = run_with_retries(
+            pipe, {"src": self._base(spark)}, max_retries=1
+        )
+        assert report.phase == "failed"
+        assert report.runs["bad"].status == "failed"
+        assert report.runs["bad"].attempts == 2  # initial + 1 retry
+        assert len(report.runs["bad"].errors) == 2
+        assert report.runs["child"].status == "skipped"
+        assert report.runs["healthy"].status == "success"
+        assert frames["healthy"].count() == 2
+
+    def test_diagnose_hook_can_replace_the_build(self, spark):
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        def bad(_f, _v):
+            raise RuntimeError("wrong column")
+
+        def fixed(frames, _v):
+            return frames["src"].filter("g = 'a'")
+
+        seen = []
+
+        def diagnose(name, exc, attempt):
+            seen.append((name, str(exc), attempt))
+            return fixed
+
+        pipe = Pipeline(spark).add(Model("m", bad))
+        frames, report = run_with_retries(
+            pipe, {"src": self._base(spark)}, max_retries=1,
+            on_diagnose=diagnose,
+        )
+        assert report.runs["m"].status == "success"
+        assert seen == [("m", "wrong column", 1)]
+        assert frames["m"].count() == 2
+
+    def test_validation_failure_enters_retry_loop(self, spark):
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        calls = {"n": 0}
+
+        def check(df):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise AssertionError("row count drifted")
+
+        pipe = Pipeline(spark).add(Model("m", lambda f, _v: f["src"]))
+        _, report = run_with_retries(
+            pipe, {"src": self._base(spark)}, max_retries=2,
+            validate={"m": check},
+        )
+        assert report.runs["m"].status == "success"
+        assert report.runs["m"].attempts == 2
+        assert "AssertionError" in report.runs["m"].errors[0]
+
+    def test_table_model_materializes_inside_the_loop(self, spark, tmp_path):
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        path = str(tmp_path / "m_tbl")
+        pipe = Pipeline(spark).add(
+            Model("m", lambda f, _v: f["src"], materialization="table",
+                  path=path)
+        )
+        frames, report = run_with_retries(pipe, {"src": self._base(spark)})
+        assert report.runs["m"].status == "success"
+        assert spark.read.parquet(path).count() == 3
+        assert frames["m"].count() == 3
