@@ -1840,6 +1840,59 @@ FROM supplier
 """
 
 
+def q_roundtrip_compact(spark, sf_dir):
+    """Small-file compaction round-trip: orders written as 64 fragments,
+    compacted to 4 files (coalesce — no shuffle), read back intact.  The
+    oracle proves compaction is row-preserving; the file-count assertion
+    lives in test_sources.py."""
+    from .sources import writers
+
+    o = _t(spark, sf_dir)["orders"].select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    path = _rt_tmpdir("compact")
+    o.repartition(64).write.mode("overwrite").parquet(path)
+    writers.compact(spark, path, target_partitions=4)
+    return spark.read.parquet(path)
+
+
+SQL_RT_COMPACT = """
+SELECT o_orderkey AS order_key,
+       o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS total
+FROM orders
+"""
+
+
+def q_roundtrip_evolve(spark, sf_dir):
+    """Schema-evolution round-trip: an old batch written WITHOUT a column,
+    a new batch appended WITH it, read back under mergeSchema — old rows
+    surface the added column as NULL.  The append-only schema-widening
+    contract every long-lived lakehouse table relies on."""
+    base = _t(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("nation_key"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("region_key"),
+    )
+    path = _rt_tmpdir("evolve")
+    # v1 of the table had no region_key
+    base.filter(F.col("nation_key") < 12).drop("region_key").write.mode(
+        "append"
+    ).parquet(path)
+    base.filter(F.col("nation_key") >= 12).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+SQL_RT_EVOLVE = """
+SELECT n_nationkey AS nation_key,
+       n_name AS nation_name,
+       CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS region_key
+FROM nation
+"""
+
+
 def q_roundtrip_audit_update(spark, sf_dir):
     """D5 + D6: full load, UPDATE-flag post-process (negative balances ->
     'Y'), then a single-row audit INSERT — the InventorySync.dtsx:266-269
@@ -3311,6 +3364,38 @@ def _nul(t: str):
 # --- quality_validation_report: quality_report (V1-V4 counts, unpivoted to
 # long form) + validation_rollup (V1 V3 report rollup) --------------------
 
+def q_iqr_outlier_docs(spark, sf_dir):
+    """Per-language Tukey-fence length-outlier counts over documents — the
+    distribution-drift QA check of a corpus pipeline (two-pass: tiny
+    percentile agg + broadcast bounds, map-side test)."""
+    from .operators.quality import iqr_outliers
+
+    docs = _t(spark, sf_dir)["documents"]
+    out = iqr_outliers(docs, "n_chars", ["lang"], k=1.5)
+    return out.select(
+        "lang",
+        "n_rows",
+        "n_outliers",
+        F.round(F.col("p25"), 6).cast("double").alias("p25"),
+        F.round(F.col("p75"), 6).cast("double").alias("p75"),
+    )
+
+
+SQL_IQR_OUTLIERS = """
+WITH s AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25,
+                  quantile_cont(n_chars, 0.75) AS p75
+           FROM documents GROUP BY lang)
+SELECT d.lang, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN d.n_chars < s.p25 - 1.5 * (s.p75 - s.p25)
+                       OR d.n_chars > s.p75 + 1.5 * (s.p75 - s.p25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(round(s.p25, 6) AS DOUBLE) AS p25,
+       CAST(round(s.p75, 6) AS DOUBLE) AS p75
+FROM documents d JOIN s USING (lang)
+GROUP BY d.lang, s.p25, s.p75
+"""
+
+
 def q_quality_validation_report(spark, sf_dir):
     qr = q_quality_report(spark, sf_dir)
     q_rows = qr.select(
@@ -3333,7 +3418,14 @@ def q_quality_validation_report(spark, sf_dir):
         F.col("value_a").cast("long"),
         F.col("value_b").cast("long"),
     )
-    return _union_all([q_rows, vr])
+    iq = q_iqr_outlier_docs(spark, sf_dir).select(
+        F.lit("documents").alias("model"),
+        F.concat(F.lit("iqr_nchars:"), F.col("lang")).alias("check_name"),
+        F.lit("info").alias("status"),
+        F.col("n_outliers").cast("long").alias("value_a"),
+        F.col("n_rows").cast("long").alias("value_b"),
+    )
+    return _union_all([q_rows, vr, iq])
 
 
 SQL_QUALITY_VALIDATION = f"""
@@ -3352,6 +3444,10 @@ UNION ALL
 SELECT CAST(model AS VARCHAR), CAST(check_name AS VARCHAR), CAST(status AS VARCHAR),
        CAST(value_a AS BIGINT), CAST(value_b AS BIGINT)
 FROM ({SQL_VALIDATION_ROLLUP}) _v
+UNION ALL
+SELECT 'documents', 'iqr_nchars:' || lang, 'info',
+       CAST(n_outliers AS BIGINT), CAST(n_rows AS BIGINT)
+FROM ({SQL_IQR_OUTLIERS}) _i
 """
 
 
@@ -4366,6 +4462,10 @@ def q_roundtrip_sinks(spark, sf_dir):
               "part_key", "brand", "retail_price"),
         slots(q_roundtrip_orc(spark, sf_dir), "orc",
               "supplier_key", "supplier_name", "acct_bal", k2="nation_key"),
+        slots(q_roundtrip_compact(spark, sf_dir), "compact",
+              "order_key", "status", "total"),
+        slots(q_roundtrip_evolve(spark, sf_dir), "evolve",
+              "nation_key", "nation_name", k2="region_key"),
         slots(q_roundtrip_excel(spark, sf_dir), "excel",
               "nation_key", "nation_name", k2="region_key"),
         slots(q_roundtrip_xls(spark, sf_dir), "excel_xls",
@@ -4399,6 +4499,9 @@ SQL_ROUNDTRIP_SINKS = "\nUNION ALL\n".join(
         _rt_branch("json", SQL_RT_JSON, "part_key", "brand", "retail_price"),
         _rt_branch("orc", SQL_RT_ORC, "supplier_key", "supplier_name",
                    "acct_bal", k2="nation_key"),
+        _rt_branch("compact", SQL_RT_COMPACT, "order_key", "status", "total"),
+        _rt_branch("evolve", SQL_RT_EVOLVE, "nation_key", "nation_name",
+                   k2="region_key"),
         _rt_branch("excel", SQL_RT_EXCEL, "nation_key", "nation_name",
                    k2="region_key"),
         _rt_branch("excel_xls", SQL_RT_EXCEL, "nation_key", "nation_name",
@@ -4478,6 +4581,8 @@ ALL_QUERIES = {
     "roundtrip_excel": q_roundtrip_excel,
     "roundtrip_xls": q_roundtrip_xls,
     "roundtrip_orc": q_roundtrip_orc,
+    "roundtrip_compact": q_roundtrip_compact,
+    "roundtrip_evolve": q_roundtrip_evolve,
     "rest_landing": q_rest_landing,
     "stratified_docs": q_stratified_docs,
     "stateful_totals": q_stateful_totals,
@@ -4505,6 +4610,7 @@ ALL_QUERIES = {
     "decontam_docs": q_decontam_docs,
     "bloom_orders": q_bloom_orders,
     "retry_dag": q_retry_dag,
+    "iqr_outlier_docs": q_iqr_outlier_docs,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -4613,6 +4719,9 @@ ALL_ORACLES = {
     "bloom_orders": SQL_BLOOM_ORDERS,
     "roundtrip_orc": SQL_RT_ORC,
     "retry_dag": SQL_RETRY_DAG,
+    "iqr_outlier_docs": SQL_IQR_OUTLIERS,
+    "roundtrip_compact": SQL_RT_COMPACT,
+    "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(
         SQL_WINDOW_ORDERS, ["running_spend", "moving3_spend"]
     ),

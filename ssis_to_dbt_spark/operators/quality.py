@@ -125,6 +125,44 @@ def between_violations(df: DataFrame, col: str, lo, hi) -> DataFrame:
     return df.filter(~F.col(col).between(lo, hi) | F.col(col).isNull())
 
 
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier detection: rows outside
+    ``[p25 - k*IQR, p75 + k*IQR]`` of their group's ``value_col``
+    distribution — the distribution-drift guard a corpus QA pass runs on
+    doc lengths / token counts per source.
+
+    Scale shape: exact percentiles via ONE aggregation on the (small)
+    group keys, bounds broadcast back, outlier test map-side; the final
+    count shuffles only per-partition partial aggregates (n_groups rows
+    per task), never the data (same two-pass pattern as mixture_sample).
+    Returns one row per group: (groups..., n_rows, n_outliers, p25, p75).
+    Percentile interpolation is the standard linear rule on both engines,
+    and int-valued inputs at quartile fractions make the bounds exact
+    binary doubles — deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("p25"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("p75"),
+    )
+    bounded = df.join(F.broadcast(stats), group_cols)
+    iqr = F.col("p75") - F.col("p25")
+    is_out = (v < F.col("p25") - k * iqr) | (v > F.col("p75") + k * iqr)
+    return bounded.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        F.first("p25").alias("p25"),
+        F.first("p75").alias("p75"),
+    )
+
+
 def preflight_guard(df: DataFrame, min_rows: int = 1, name: str = "preflight") -> int:
     """D7: RAISERROR analog — abort the pipeline when a required input is
     empty/short (SalesFactETL.dtsx:54-61). Uses a LIMIT'd count so the guard

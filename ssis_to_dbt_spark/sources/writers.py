@@ -130,6 +130,35 @@ def update_flag_partitioned(
     spark.catalog.refreshByPath(path)
 
 
+def compact(spark: SparkSession, path: str, target_partitions: int) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_partitions`` files, preserving every row.
+
+    The operational pass a 100 TB lakehouse runs continuously — streaming
+    sinks and dynamic partition overwrites accrete thousands of KB-sized
+    files whose open/footer costs eventually dominate scans.  Uses the same
+    staging-sibling + atomic directory swap as ``update_flag`` (parquet
+    cannot safely overwrite a path it is lazily reading), and ``coalesce``
+    rather than ``repartition`` when shrinking: coalesce merges existing
+    partitions WITHOUT a shuffle.  Returns the number of data files after
+    compaction.
+    """
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact_staging"
+    df.coalesce(target_partitions).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    return sum(
+        1 for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

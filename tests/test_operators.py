@@ -294,6 +294,19 @@ class TestQuality:
         with pytest.raises(RuntimeError, match="preflight"):
             preflight_guard(spark.range(5).filter("id < 0"), min_rows=1)
 
+    def test_iqr_outliers_tukey_fences(self, spark):
+        from ssis_to_dbt_spark.operators.quality import iqr_outliers
+
+        # group "a": 1..11 plus one extreme value -> exactly one outlier;
+        # group "b": constant values -> IQR 0, nothing outside the fences
+        rows = [(v, "a") for v in range(1, 12)] + [(1000, "a")]
+        rows += [(5, "b")] * 6
+        df = spark.createDataFrame(rows, "v int, g string")
+        out = {r["g"]: r for r in iqr_outliers(df, "v", ["g"]).collect()}
+        assert out["a"]["n_rows"] == 12 and out["a"]["n_outliers"] == 1
+        assert out["b"]["n_rows"] == 6 and out["b"]["n_outliers"] == 0
+        assert out["b"]["p25"] == 5.0 and out["b"]["p75"] == 5.0
+
 
 class TestUpdateFlag:
     def test_double_flip_no_data_loss(self, spark, tmp_path):

@@ -146,3 +146,44 @@ class TestPlanShapes:
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 2, plan
         assert "last(_asof_payload" in plan
+
+    def test_bloom_prefilter_fact_side_never_shuffles(self, spark):
+        # the bit-set rides a 1-row broadcast; the orders scan must reach the
+        # filter through map-side ops only (no Exchange hashpartitioning of
+        # the fact table anywhere before aggregation)
+        plan = plan_of(spark, "bloom_orders", "simple")
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row bit-set crossJoin
+        # zero hash shuffles anywhere: the only exchanges are the two scalar
+        # single-partition aggs (bloom build, final metrics) + broadcasts
+        assert "Exchange hashpartitioning" not in plan
+        assert plan.count("Exchange SinglePartition") == 2
+
+    def test_decontaminate_eval_shingles_broadcast(self, spark):
+        # training side must meet the eval set in a BroadcastHashJoin — a
+        # shuffled join here would move the whole exploded training corpus
+        plan = plan_of(spark, "decontam_docs", "simple")
+        assert "BroadcastHashJoin" in plan
+        # exactly two hash shuffles, NEITHER moving the training corpus: the
+        # eval-side shingle distinct (tiny by construction) and the final
+        # n_shared groupBy on doc_id (post-join survivors only)
+        assert plan.count("Exchange hashpartitioning(sh") == 1
+        assert plan.count("Exchange hashpartitioning(doc_id") == 1
+        assert plan.count("Exchange hashpartitioning") == 2
+
+    def test_pack_sequences_windows_partition_by_bucket(self, spark):
+        # one shuffle total, keyed by the 16-way hash bucket — NO
+        # single-partition global sort (the serialize-everything trap)
+        plan = plan_of(spark, "pack_docs", "simple")
+        assert plan.count("Exchange hashpartitioning(_bucket") == 1
+        assert "Exchange SinglePartition" not in plan
+
+    def test_mixture_sample_corpus_filter_is_mapside(self, spark):
+        # per-group thresholds broadcast back; the documents scan reaches its
+        # filter without being hash-shuffled (only the tiny counts agg may
+        # shuffle)
+        plan = plan_of(spark, "mixture_docs", "simple")
+        assert "BroadcastHashJoin" in plan
+        # the only hashpartitioning exchanges operate on the counts agg
+        # (grouping by lang), never on doc_id
+        for frag in plan.split("Exchange hashpartitioning"):
+            assert not frag.startswith("(doc_id")

@@ -461,3 +461,31 @@ class TestOrcRoundtrip:
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, df.collect())
         )
+
+
+class TestCompact:
+    def test_compaction_shrinks_files_and_preserves_rows(self, spark, tmp_path):
+        import os
+
+        from ssis_to_dbt_spark.sources.writers import compact
+
+        path = str(tmp_path / "frag")
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        df.repartition(32).write.parquet(path)
+        before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        assert before >= 16
+        n_files = compact(spark, path, target_partitions=2)
+        assert n_files <= 2
+        back = spark.read.parquet(path)
+        assert back.count() == 1000
+        assert sorted(r["k"] for r in back.collect()) == list(range(1000))
+
+    def test_compaction_is_idempotent(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.writers import compact
+
+        path = str(tmp_path / "frag2")
+        spark.range(100).write.parquet(path)
+        compact(spark, path, target_partitions=1)
+        n = compact(spark, path, target_partitions=1)
+        assert n == 1
+        assert spark.read.parquet(path).count() == 100
