@@ -49,6 +49,7 @@ HEADLINE = [
     "pack_docs",
     "mixture_docs",
     "bloom_orders",
+    "semdedup_embeddings",
 ]
 
 

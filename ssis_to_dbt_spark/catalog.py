@@ -3327,6 +3327,66 @@ FROM fin ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): centroid-cell clustering + within-cell
+    cosine pruning — a vector is a semantic duplicate when a lower-id
+    cell-mate is >= tau cosine-similar.  The quadratic term is confined to a
+    cell (one shuffle on cell); n_cells scales with the corpus the way
+    production SemDeDup scales its k-means k."""
+    from .text.similarity import semdedup
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    out = semdedup(emb, n_cells=8, tau=0.3)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+        F.col("max_cos_r").cast("double").alias("max_cos_r"),
+    )
+
+
+SQL_SEMDEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(e.v, cent.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS ida, y.vec_id AS idb,
+         CASE WHEN sqrt(list_inner_product(x.v, x.v))
+                   * sqrt(list_inner_product(y.v, y.v)) > 0
+              THEN list_inner_product(x.v, y.v)
+                   / (sqrt(list_inner_product(x.v, x.v))
+                      * sqrt(list_inner_product(y.v, y.v)))
+              ELSE 0.0 END AS cos
+  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+),
+dup AS (SELECT idb, MIN(ida) AS dup_of, round(MAX(cos), 6) AS max_cos_r
+        FROM pairs WHERE cos >= 0.3 GROUP BY idb)
+SELECT a.vec_id AS vec_id, CAST(a.cid AS INTEGER) AS cell,
+       CAST(dup.dup_of AS BIGINT) AS dup_of,
+       CAST(dup.max_cos_r AS DOUBLE) AS max_cos_r
+FROM assign a LEFT JOIN dup ON dup.idb = a.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Merged driver-window suites.
 #
@@ -3598,6 +3658,7 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("vec_id").cast("long").alias("vec_id"),
             _nul("int").alias("dim"),
             _nul("int").alias("q"),
+            _nul("long").alias("id_b"),
             F.col("cosine_r").cast("double").alias("score"),
         )
 
@@ -3610,7 +3671,16 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("dim").cast("int").alias("dim"),
             F.col("q").cast("int").alias("q"),
+            _nul("long").alias("id_b"),
             F.col("scale").cast("double").alias("score"),
+        ),
+        q_semdedup_embeddings(spark, sf_dir).select(
+            F.lit("semdedup").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("dim"),
+            _nul("int").alias("q"),
+            F.col("dup_of").cast("long").alias("id_b"),
+            F.col("max_cos_r").cast("double").alias("score"),
         ),
     ]
     return _union_all(parts)
@@ -3618,20 +3688,25 @@ def q_ann_topk_suite(spark, sf_dir):
 
 SQL_ANN_TOPK_SUITE = f"""
 SELECT 'brute_force' AS component, CAST(vec_id AS BIGINT) AS vec_id,
-       {_NULL_INT} AS dim, {_NULL_INT} AS q, CAST(cosine_r AS DOUBLE) AS score
+       {_NULL_INT} AS dim, {_NULL_INT} AS q, {_NULL_BIGINT} AS id_b,
+       CAST(cosine_r AS DOUBLE) AS score
 FROM ({SQL_TOPK_EMB}) _b
 UNION ALL
 SELECT 'lsh_md5', CAST(vec_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
-       CAST(cosine_r AS DOUBLE)
+       {_NULL_BIGINT}, CAST(cosine_r AS DOUBLE)
 FROM ({SQL_LSH_TOPK_MD5}) _l
 UNION ALL
 SELECT 'ivf', CAST(vec_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
-       CAST(cosine_r AS DOUBLE)
+       {_NULL_BIGINT}, CAST(cosine_r AS DOUBLE)
 FROM ({SQL_IVF_TOPK}) _i
 UNION ALL
 SELECT 'quantize', CAST(vec_id AS BIGINT), CAST(dim AS INTEGER),
-       CAST(q AS INTEGER), CAST(scale AS DOUBLE)
+       CAST(q AS INTEGER), {_NULL_BIGINT}, CAST(scale AS DOUBLE)
 FROM ({SQL_QUANTIZE}) _q
+UNION ALL
+SELECT 'semdedup', CAST(vec_id AS BIGINT), CAST(cell AS INTEGER),
+       {_NULL_INT}, CAST(dup_of AS BIGINT), CAST(max_cos_r AS DOUBLE)
+FROM ({SQL_SEMDEDUP}) _s
 """
 
 
@@ -4611,6 +4686,7 @@ ALL_QUERIES = {
     "bloom_orders": q_bloom_orders,
     "retry_dag": q_retry_dag,
     "iqr_outlier_docs": q_iqr_outlier_docs,
+    "semdedup_embeddings": q_semdedup_embeddings,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -4720,6 +4796,7 @@ ALL_ORACLES = {
     "roundtrip_orc": SQL_RT_ORC,
     "retry_dag": SQL_RETRY_DAG,
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
+    "semdedup_embeddings": SQL_SEMDEDUP,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(

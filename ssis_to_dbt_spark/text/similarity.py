@@ -653,3 +653,73 @@ def quantize_embeddings(
         .alias("q"),
         "scale",
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus into centroid cells, compare
+    embeddings only WITHIN a cell, and mark a vector as a semantic duplicate
+    when some lower-id cell-mate is >= ``tau`` cosine-similar to it.
+
+    Output: one row per input vector —
+    ``(id_col, cell, dup_of, max_cos_r)`` where ``dup_of`` is the LOWEST id
+    of any qualifying cell-mate (NULL = kept / cluster representative) and
+    ``max_cos_r`` is the highest qualifying cosine, rounded to 6 places.
+    ``dup_of IS NULL`` is the keep-filter a curation pipeline applies.
+
+    Scale shape: the only quadratic term is the within-cell self-join — one
+    shuffle on ``cell`` — so cost is sum(|cell|^2), bounded by scaling
+    ``n_cells`` with the corpus exactly as production SemDeDup scales its
+    k-means k (the paper uses ~100k clusters; centroid assignment stays a
+    map-only scan of literal centroids either way).  No all-pairs join, no
+    driver-side data collect (``ivf_centroids`` fetches n_cells rows, a
+    bounded model-sized fetch).  The dup summary re-joins on ``id_col``;
+    AQE turns it into a broadcast join when few duplicates qualify.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, id_col, vec_col)
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    base = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_norm", l2_norm(F.col("_v")))
+    a = base.select(
+        F.col(id_col).alias("_ida"),
+        "cell",
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("_idb"),
+        "cell",
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(
+        denom > 0, dot_product(F.col("_va"), F.col("_vb")) / denom
+    ).otherwise(F.lit(0.0))
+    dup = (
+        a.join(b, on="cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= F.lit(float(tau)))
+        .groupBy("_idb")
+        .agg(
+            F.min("_ida").alias("dup_of"),
+            F.round(F.max("_cos"), 6).alias("max_cos_r"),
+        )
+    )
+    return base.select(id_col, "cell").join(
+        dup.withColumnRenamed("_idb", id_col), on=id_col, how="left"
+    )

@@ -276,6 +276,59 @@ class TestIVF:
         assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
 
 
+class TestSemDeDup:
+    def _corpus(self, spark):
+        # ids 0,1 seed the two cells (x-axis / y-axis); 2 and 4 are near-dups
+        # of 0's direction, 3 clusters with 1, 5 is an isolated direction
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.99, 0.01]),
+            (3, [0.5, 0.6]),   # cell 1, but cos(3,1)=0.768 < tau
+            (4, [0.98, 0.02]),
+            (5, [-1.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_dup_marks_lowest_cellmate(self, spark):
+        out = {
+            r["vec_id"]: (r["cell"], r["dup_of"])
+            for r in tx.semdedup(self._corpus(spark), n_cells=2, tau=0.95).collect()
+        }
+        assert len(out) == 6  # one row per input vector
+        assert out[0] == (0, None)  # representative: lowest id in its dup set
+        assert out[2] == (0, 0) and out[4] == (0, 0)  # near-dups of 0
+        assert out[1] == (1, None)
+        assert out[3][1] is None  # cos(3,1)=0.768 < tau
+        assert out[5][1] is None  # negative direction: no dup
+
+    def test_dups_confined_to_cell(self, spark):
+        # identical vectors in DIFFERENT cells are never compared: 6 mirrors
+        # 2 but is pushed into cell 1 by construction being closer to y-axis
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.6, 0.8]),   # cell 1 (cos to y = .8 > cos to x = .6)
+            (3, [0.6, 0.8]),   # identical to 2, same cell -> dup_of=2
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        out = {r["vec_id"]: r["dup_of"] for r in tx.semdedup(df, n_cells=2, tau=0.999).collect()}
+        assert out[3] == 2 and out[2] is None
+
+    def test_keep_filter_drops_only_dups(self, spark):
+        out = tx.semdedup(self._corpus(spark), n_cells=2, tau=0.95)
+        kept = sorted(
+            r["vec_id"] for r in out.filter(out.dup_of.isNull()).collect()
+        )
+        assert kept == [0, 1, 3, 5]
+
+    def test_max_cos_reported_for_dups(self, spark):
+        out = {r["vec_id"]: r["max_cos_r"]
+               for r in tx.semdedup(self._corpus(spark), n_cells=2, tau=0.95).collect()}
+        assert out[2] is not None and out[2] > 0.99
+        assert out[0] is None
+
+
 class TestConnectedComponents:
     def test_two_components_min_label(self, spark):
         # chain 1-2-3 (diameter 2, needs >1 round) and isolated pair 10-11
