@@ -50,6 +50,7 @@ HEADLINE = [
     "mixture_docs",
     "bloom_orders",
     "semdedup_embeddings",
+    "cdc_apply_orders",
 ]
 
 

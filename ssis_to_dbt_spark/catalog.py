@@ -3143,6 +3143,76 @@ WHERE NOT in_old OR NOT in_new
 """
 
 
+def q_cdc_apply_orders(spark, sf_dir):
+    """CDC APPLY (inverse of snapshot_diff; Delta 'APPLY CHANGES INTO'
+    analog): a four-batch changelog — U(seq 1) on %5 keys, D(seq 2) on %7,
+    I(seq 3) re-inserting the %10 keys missing from the snapshot, and a
+    superseding U(seq 4) on %20 — collapses to its highest-seq change per
+    key and is applied to the snapshot.  Keys divisible by 35 see U then D
+    (delete wins); by 70 see U,D,I (re-insert wins); by 20 see I then U
+    (the later update wins) — every last-wins path is exercised."""
+    from .operators.cdc import apply_changes
+
+    orders = _t(spark, sf_dir)["orders"]
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(_D182).alias("total"),
+    )
+    snap = base.filter(F.col("o_orderkey") % 10 != 0)
+
+    def batch(mod, status, op, seq):
+        df = base.filter(F.col("o_orderkey") % mod == 0)
+        if status is not None:
+            df = df.withColumn("o_orderstatus", F.lit(status))
+        return df.withColumn("change_type", F.lit(op)).withColumn(
+            "seq", F.lit(seq)
+        )
+
+    changes = (
+        batch(5, "U1", "U", 1)
+        .unionByName(batch(7, None, "D", 2))
+        .unionByName(batch(10, "NEW", "I", 3))
+        .unionByName(batch(20, "U2", "U", 4))
+    )
+    out = apply_changes(snap, changes, ["o_orderkey"], "seq", "change_type")
+    return _final_double(
+        out.select("o_orderkey", "o_orderstatus", "total"), ["total"]
+    )
+
+
+SQL_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total
+  FROM orders),
+snap AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+changes AS (
+  SELECT o_orderkey, 'U1' AS o_orderstatus, total, 'U' AS op, 1 AS seq
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, total, 'D', 2
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'NEW', total, 'I', 3
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U2', total, 'U', 4
+  FROM base WHERE o_orderkey % 20 = 0),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC, op) AS rn
+    FROM changes) _r
+  WHERE rn = 1)
+SELECT s.o_orderkey, s.o_orderstatus, s.total
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.o_orderkey = s.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, total FROM last WHERE op <> 'D'
+"""
+
+
 # ---------------------------------------------------------------------------
 # 50. Shingle containment (doc-inside-doc near-dup, directional)
 # ---------------------------------------------------------------------------
@@ -3707,6 +3777,44 @@ UNION ALL
 SELECT 'semdedup', CAST(vec_id AS BIGINT), CAST(cell AS INTEGER),
        {_NULL_INT}, CAST(dup_of AS BIGINT), CAST(max_cos_r AS DOUBLE)
 FROM ({SQL_SEMDEDUP}) _s
+"""
+
+
+# --- cdc_orders: snapshot diff (I/U/D classification) + changelog apply ----
+
+def q_cdc_orders(spark, sf_dir):
+    d = q_cdc_orders_diff(spark, sf_dir).select(
+        F.lit("diff").alias("component"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("change_type").cast("string").alias("k1"),
+        F.col("old_o_orderstatus").cast("string").alias("s_old"),
+        F.col("new_o_orderstatus").cast("string").alias("s_new"),
+        F.col("old_total").cast("double").alias("v1"),
+        F.col("new_total").cast("double").alias("v2"),
+    )
+    a = q_cdc_apply_orders(spark, sf_dir).select(
+        F.lit("apply").alias("component"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderstatus").cast("string").alias("k1"),
+        _nul("string").alias("s_old"),
+        _nul("string").alias("s_new"),
+        F.col("total").cast("double").alias("v1"),
+        _nul("double").alias("v2"),
+    )
+    return _union_all([d, a])
+
+
+SQL_CDC_ORDERS = f"""
+SELECT 'diff' AS component, CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(change_type AS VARCHAR) AS k1,
+       CAST(old_o_orderstatus AS VARCHAR) AS s_old,
+       CAST(new_o_orderstatus AS VARCHAR) AS s_new,
+       CAST(old_total AS DOUBLE) AS v1, CAST(new_total AS DOUBLE) AS v2
+FROM ({_oracle_double(SQL_CDC_DIFF, ["old_total", "new_total"])}) _d
+UNION ALL
+SELECT 'apply', CAST(o_orderkey AS BIGINT), CAST(o_orderstatus AS VARCHAR),
+       {_NULL_STR}, {_NULL_STR}, CAST(total AS DOUBLE), {_NULL_DOUBLE}
+FROM ({_oracle_double(SQL_CDC_APPLY, ["total"])}) _a
 """
 
 
@@ -4677,6 +4785,8 @@ ALL_QUERIES = {
     "json_props_events": q_json_props_events,
     "rolling_revenue_7d": q_rolling_revenue_7d,
     "cdc_orders_diff": q_cdc_orders_diff,
+    "cdc_apply_orders": q_cdc_apply_orders,
+    "cdc_orders": q_cdc_orders,
     "containment_docs": q_containment_docs,
     "wav_decode_stats": q_wav_decode_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4786,6 +4896,8 @@ ALL_ORACLES = {
     "cdc_orders_diff": _oracle_double(
         SQL_CDC_DIFF, ["old_total", "new_total"]
     ),
+    "cdc_apply_orders": _oracle_double(SQL_CDC_APPLY, ["total"]),
+    "cdc_orders": SQL_CDC_ORDERS,
     "containment_docs": SQL_CONTAINMENT,
     "wav_decode_stats": SQL_WAV_STATS,
     "tfidf_top_terms": SQL_TFIDF,
@@ -4875,7 +4987,7 @@ _DRIVER_WINDOW = [
     "window_customer_orders",
     "pivot_unpivot_orders",
     "median_rolling_orders",
-    "cdc_orders_diff",
+    "cdc_orders",
     "parts_fuzzy_pagerank",
     "json_props_events",
     "roundtrip_sinks",

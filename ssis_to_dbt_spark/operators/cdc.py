@@ -66,3 +66,45 @@ def snapshot_diff(
         .filter(F.col(CHANGE_COL).isNotNull())
         .drop("__in_old__", "__in_new__")
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = CHANGE_COL,
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot (the inverse of
+    :func:`snapshot_diff`; the Spark-first analog of Delta's
+    ``APPLY CHANGES INTO`` / T-SQL MERGE fed from a CDC stream).
+
+    ``changes`` carries the key columns, every snapshot payload column,
+    ``op_col`` in {'I','U','D'} and a monotonically increasing ``seq_col``.
+    Per key, only the HIGHEST-``seq_col`` change wins (late-arriving earlier
+    changes are superseded); on an exact seq tie the op ordering
+    'D' < 'I' < 'U' breaks deterministically in favor of 'D'.  A winning
+    'D' removes the key; a winning 'I'/'U' upserts the change row.
+
+    Scale shape: one shuffle on ``keys`` for the last-change window, then a
+    key anti-join against the snapshot — rank state is per-key, never
+    global.  With snapshot and changelog both bucketed by the key the
+    anti-join needs no exchange; the changelog side is usually a small
+    fraction of the snapshot, so AQE broadcasts it.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(seq_col).desc(), F.col(op_col)
+    )
+    last = (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    payload = [c for c in snapshot.columns]
+    upserts = last.filter(F.col(op_col) != "D").select(*payload)
+    untouched = snapshot.join(last.select(*keys), list(keys), "left_anti")
+    return untouched.unionByName(upserts)

@@ -1016,6 +1016,82 @@ class TestSnapshotDiff:
         assert len(rows) == 1 and rows[0]["change_type"] == "I"
 
 
+class TestApplyChanges:
+    def _snap(self, spark):
+        return spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+            "k long, status string, amt double",
+        )
+
+    def test_last_change_per_key_wins(self, spark):
+        from ssis_to_dbt_spark.operators.cdc import apply_changes
+
+        changes = spark.createDataFrame(
+            [
+                (1, "A1", 11.0, "U", 1),
+                (2, "B1", 21.0, "D", 1),
+                (4, "D0", 40.0, "I", 1),
+                (4, "D1", 41.0, "U", 2),  # supersedes the insert
+            ],
+            "k long, status string, amt double, change_type string, seq int",
+        )
+        out = {
+            r["k"]: (r["status"], r["amt"])
+            for r in apply_changes(self._snap(spark), changes, ["k"], "seq").collect()
+        }
+        # 1 updated, 2 deleted, 3 untouched, 4 inserted-then-updated
+        assert out == {1: ("A1", 11.0), 3: ("C", 30.0), 4: ("D1", 41.0)}
+
+    def test_seq_tie_breaks_toward_delete(self, spark):
+        from ssis_to_dbt_spark.operators.cdc import apply_changes
+
+        changes = spark.createDataFrame(
+            [(3, "C9", 99.0, "U", 5), (3, None, 0.0, "D", 5)],
+            "k long, status string, amt double, change_type string, seq int",
+        )
+        out = apply_changes(self._snap(spark), changes, ["k"], "seq")
+        assert sorted(r["k"] for r in out.collect()) == [1, 2]
+
+    def test_delete_then_reinsert(self, spark):
+        from ssis_to_dbt_spark.operators.cdc import apply_changes
+
+        changes = spark.createDataFrame(
+            [(2, None, 0.0, "D", 1), (2, "B9", 29.0, "I", 2)],
+            "k long, status string, amt double, change_type string, seq int",
+        )
+        out = {
+            r["k"]: r["status"]
+            for r in apply_changes(self._snap(spark), changes, ["k"], "seq").collect()
+        }
+        assert out == {1: "A", 2: "B9", 3: "C"}
+
+    def test_roundtrip_with_snapshot_diff(self, spark):
+        """apply_changes(old, diff-as-changelog) reconstructs the new
+        snapshot — the two CDC operators are mutual inverses."""
+        from ssis_to_dbt_spark.operators.cdc import apply_changes, snapshot_diff
+        from pyspark.sql import functions as F
+
+        old = self._snap(spark)
+        new = spark.createDataFrame(
+            [(2, "B2", 20.0), (3, "C", 30.0), (4, "D", 40.0)],
+            "k long, status string, amt double",
+        )
+        diff = snapshot_diff(old, new, ["k"], ["status", "amt"])
+        changes = diff.select(
+            "k",
+            F.col("new_status").alias("status"),
+            F.col("new_amt").alias("amt"),
+            "change_type",
+            F.lit(1).alias("seq"),
+        )
+        got = sorted(
+            (r["k"], r["status"], r["amt"])
+            for r in apply_changes(old, changes, ["k"], "seq").collect()
+        )
+        want = sorted((r["k"], r["status"], r["amt"]) for r in new.collect())
+        assert got == want
+
+
 class TestRangeAggregate:
     def test_range_frame_bounds_by_value_not_rows(self, spark):
         from ssis_to_dbt_spark.operators.window import range_aggregate
