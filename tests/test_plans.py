@@ -177,6 +177,38 @@ class TestPlanShapes:
         assert plan.count("Exchange hashpartitioning(_bucket") == 1
         assert "Exchange SinglePartition" not in plan
 
+    def test_semdedup_pairs_confined_to_cell_equijoin(self, spark):
+        # the within-cell self-join must be an equi-join keyed on the cell id
+        # (hash exchange on cell) — never an all-pairs cartesian/BNLJ; cell
+        # assignment itself is map-only (asserted separately for ivf_assign)
+        plan = plan_of(spark, "semdedup_embeddings", "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # keyed on cell whether Spark picks broadcast (small side) or a
+        # cell-hash shuffle (at scale) — never an unkeyed pair join
+        assert (
+            "Join [cell" in plan
+            or "BroadcastHashJoin [cell" in plan
+            or "SortMergeJoin [cell" in plan
+            or "ShuffledHashJoin [cell" in plan
+        ), plan
+
+    def test_apply_changes_snapshot_never_shuffles(self, spark):
+        # the snapshot meets the collapsed changelog in a key anti-join
+        # (broadcast here: the changelog is the small side); the only hash
+        # exchanges are the changelog's own last-change windows — the
+        # changelog subtree is evaluated once per consumer (keys for the
+        # anti-join, payload for the upserts), which re-windows the SMALL
+        # side twice rather than ever shuffling the big snapshot
+        plan = plan_of(spark, "cdc_apply_orders", "simple")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+        # WindowGroupLimit caps each map task at 1 row per key before the
+        # exchange, so even the changelog shuffle carries ~|keys| rows
+        assert "WindowGroupLimit" in plan
+
     def test_mixture_sample_corpus_filter_is_mapside(self, spark):
         # per-group thresholds broadcast back; the documents scan reaches its
         # filter without being hash-shuffled (only the tiny counts agg may
