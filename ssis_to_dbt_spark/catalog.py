@@ -4352,6 +4352,56 @@ FROM c
 """
 
 
+def q_dedup_lines_docs(spark, sf_dir):
+    """Within-document repeated-line removal (C4/Gopher curation rule).
+    The fixture docs are single-line, so the query PLANTS a duplicate by
+    construction — line1\\nline2\\nline1 from the document's own substrings
+    — and the operator must keep exactly the first two lines, in order.
+    Map-only expression fold; md5 of the deduped text keeps long strings
+    out of the value hash without losing sensitivity."""
+    from .text.analysis import dedup_lines
+
+    docs = _t(spark, sf_dir)["documents"]
+    line1 = F.substring("text", 1, 100)
+    line2 = F.substring("text", 101, 100)
+    lined = docs.select(
+        "doc_id", F.concat_ws("\n", line1, line2, line1).alias("_t")
+    )
+    deduped = dedup_lines(F.col("_t"))
+    return lined.select(
+        "doc_id",
+        F.size(F.split(F.col("_t"), "\n")).alias("n_lines"),
+        F.size(F.split(deduped, "\n")).alias("n_kept"),
+        F.md5(deduped).alias("dedup_md5"),
+    )
+
+
+SQL_DEDUP_LINES = """
+WITH lined AS (
+  SELECT doc_id,
+         substr(text, 1, 100) || chr(10) || substr(text, 101, 100)
+           || chr(10) || substr(text, 1, 100) AS t
+  FROM documents),
+arrs AS (SELECT doc_id, t, string_split(t, chr(10)) AS arr FROM lined),
+flat AS (
+  SELECT doc_id, CAST(r.range AS INTEGER) AS ord,
+         arr[CAST(r.range AS INTEGER)] AS line
+  FROM arrs CROSS JOIN range(1, 4) r
+  WHERE r.range <= len(arr)),
+firsts AS (
+  SELECT doc_id, line, MIN(ord) AS first_ord
+  FROM flat GROUP BY doc_id, line),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY first_ord) AS deduped,
+         COUNT(*) AS n_kept
+  FROM firsts GROUP BY doc_id)
+SELECT a.doc_id, CAST(len(arrs.arr) AS INTEGER) AS n_lines,
+       CAST(a.n_kept AS INTEGER) AS n_kept, md5(a.deduped) AS dedup_md5
+FROM agg a JOIN arrs USING (doc_id)
+"""
+
+
 def q_token_ops_docs(spark, sf_dir):
     tb = q_token_budget_docs(spark, sf_dir).select(
         F.lit("budget").alias("component"),
@@ -4383,7 +4433,17 @@ def q_token_ops_docs(spark, sf_dir):
         F.col("start_tok").cast("long").alias("start_tok"),
         F.col("end_tok").cast("long").alias("end_tok"),
     )
-    return _union_all([tb, ch, pk])
+    dl = q_dedup_lines_docs(spark, sf_dir).select(
+        F.lit("dedup_lines").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_kept").cast("int").alias("chunk_idx"),
+        F.col("dedup_md5").cast("string").alias("chunk_text"),
+        F.col("n_lines").cast("int").alias("n_tok"),
+        _nul("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
+    )
+    return _union_all([tb, ch, pk, dl])
 
 
 SQL_TOKEN_OPS = f"""
@@ -4403,6 +4463,11 @@ SELECT 'pack', CAST(doc_id AS BIGINT), {_NULL_INT}, {_NULL_STR}, {_NULL_INT},
        CAST(seq_id AS BIGINT), CAST(start_tok AS BIGINT),
        CAST(end_tok AS BIGINT)
 FROM ({SQL_PACK_DOCS}) _p
+UNION ALL
+SELECT 'dedup_lines', CAST(doc_id AS BIGINT), CAST(n_kept AS INTEGER),
+       CAST(dedup_md5 AS VARCHAR), CAST(n_lines AS INTEGER),
+       {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BIGINT}
+FROM ({SQL_DEDUP_LINES}) _dl
 """
 
 
@@ -4797,6 +4862,7 @@ ALL_QUERIES = {
     "retry_dag": q_retry_dag,
     "iqr_outlier_docs": q_iqr_outlier_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "dedup_lines_docs": q_dedup_lines_docs,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -4909,6 +4975,7 @@ ALL_ORACLES = {
     "retry_dag": SQL_RETRY_DAG,
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
     "semdedup_embeddings": SQL_SEMDEDUP,
+    "dedup_lines_docs": SQL_DEDUP_LINES,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(

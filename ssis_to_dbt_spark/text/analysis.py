@@ -225,6 +225,26 @@ def redact_pii(text: Column) -> Column:
     return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
 
 
+def dedup_lines(text: Column) -> Column:
+    """Within-document repeated-line removal (the C4/Gopher curation rule:
+    every repeat of an earlier identical line in the same document is
+    dropped, first occurrence kept in order).  Pure expression — split on
+    newline, linear first-occurrence fold, re-join — so the pass stays
+    map-only with no shuffle and no UDF at any corpus size.  The fold is
+    O(lines * kept) interpreted HOF ops per document, right for prose-sized
+    line counts; a corpus of pathological million-line documents should
+    explode to (doc, line_no) rows and window on (doc, line) instead."""
+    lines = F.split(text, "\n")
+    kept = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
 def strip_markup(text: Column) -> Column:
     """Drop HTML/XML tags and collapse the leftover whitespace — the
     boilerplate-removal step before quality scoring web-scraped text."""

@@ -435,6 +435,27 @@ class TestTfIdf:
         assert top[(1, 1)][1] == 1
 
 
+class TestDedupLines:
+    def _run(self, spark, text):
+        from ssis_to_dbt_spark.text.analysis import dedup_lines
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(dedup_lines(F.col("text")).alias("out")).first()["out"]
+
+    def test_repeats_dropped_first_kept_in_order(self, spark):
+        assert self._run(spark, "a\nb\na\nc\nb\na") == "a\nb\nc"
+
+    def test_no_repeats_is_identity(self, spark):
+        assert self._run(spark, "x\ny\nz") == "x\ny\nz"
+
+    def test_empty_lines_dedupe_too(self, spark):
+        assert self._run(spark, "a\n\nb\n\na") == "a\n\nb"
+
+    def test_single_line_untouched(self, spark):
+        assert self._run(spark, "only line") == "only line"
+
+
 class TestChunking:
     def test_overlapping_chunks(self, spark):
         df = docs_df(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
