@@ -269,3 +269,54 @@ def write_stream_update(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_apply_changes(
+    changes: DataFrame,
+    target_path: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "change_type",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC merge sink: each micro-batch of changelog rows is
+    applied to the parquet target with :func:`operators.cdc.apply_changes`
+    (last-seq-wins upsert/delete), written to a staging sibling, and
+    atomically directory-swapped in — the streaming analog of Delta's
+    ``APPLY CHANGES INTO`` with plain parquet as the table format.
+
+    foreachBatch is at-least-once, but replaying a batch is idempotent:
+    re-upserting the same payload and re-deleting an absent key both leave
+    the target unchanged, so the swap restores end-to-end exactly-once.
+    The batch is applied against the CURRENT target (read inside the batch
+    function), so sequential micro-batches compose: batch N sees the state
+    batch N-1 committed.
+    """
+    import os
+    import shutil
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from .operators.cdc import apply_changes
+
+        spark = batch_df.sparkSession
+        target = spark.read.parquet(target_path)
+        # apply_changes unions the payload columns of the target schema
+        merged = apply_changes(target, batch_df, keys, seq_col, op_col)
+        staging = target_path.rstrip("/") + "__cdc_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        backup = target_path.rstrip("/") + "__cdc_old"
+        os.rename(target_path, backup)
+        os.rename(staging, target_path)
+        shutil.rmtree(backup)
+        spark.catalog.clearCache()
+
+    writer = (
+        changes.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

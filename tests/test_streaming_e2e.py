@@ -186,6 +186,60 @@ class TestStreamingDedupE2E:
         assert [e for e, _ in second] == [1, 2, 3]
 
 
+class TestStreamingApplyChanges:
+    """Streaming CDC merge sink: changelog micro-batches applied to a
+    parquet target through apply_changes inside foreachBatch, with an
+    atomic directory swap per batch.  Batch N must see the state batch N-1
+    committed, and the checkpoint must prevent reprocessing."""
+
+    CHANGES = (
+        "k long, status string, amt double, change_type string, seq long"
+    )
+
+    def _target(self, spark, path):
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+            "k long, status string, amt double",
+        ).write.mode("overwrite").parquet(path)
+
+    def _run(self, spark, src, target, ckpt):
+        from ssis_to_dbt_spark.streaming import write_stream_apply_changes
+
+        schema = T.StructType.fromDDL(self.CHANGES)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = write_stream_apply_changes(
+            stream, target, ["k"], "seq", "change_type", checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+        return {
+            r["k"]: (r["status"], r["amt"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    def test_batches_compose_and_checkpoint_skips_replay(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "csrc"), str(tmp_path / "cckpt")
+        target = str(tmp_path / "ctarget")
+        self._target(spark, target)
+
+        spark.createDataFrame(
+            [(1, "A1", 11.0, "U", 1), (2, None, 0.0, "D", 2)], self.CHANGES
+        ).write.mode("append").parquet(src)
+        state = self._run(spark, src, target, ckpt)
+        assert state == {1: ("A1", 11.0), 3: ("C", 30.0)}
+
+        # second run: update the row batch 1 upserted + re-insert key 2;
+        # the checkpoint must not re-apply batch 1's delete after the insert
+        spark.createDataFrame(
+            [(1, "A2", 12.0, "U", 3), (2, "B9", 29.0, "I", 4)], self.CHANGES
+        ).write.mode("append").parquet(src)
+        state = self._run(spark, src, target, ckpt)
+        assert state == {
+            1: ("A2", 12.0),
+            2: ("B9", 29.0),
+            3: ("C", 30.0),
+        }
+
+
 class TestStreamStreamJoin:
     """Interval stream-stream join: purchases match the clicks of the same
     event_type in the trailing window; the watermark + time-bound condition
