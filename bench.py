@@ -51,6 +51,7 @@ HEADLINE = [
     "bloom_orders",
     "semdedup_embeddings",
     "cdc_apply_orders",
+    "incremental_rollup_sales",
 ]
 
 

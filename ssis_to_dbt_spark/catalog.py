@@ -225,30 +225,60 @@ LEFT JOIN part p ON l.l_partkey = p.p_partkey
 # 3. Grouped aggregate + guarded measure (A1 A2 A3 E6; agg_daily_sales.sql)
 # ---------------------------------------------------------------------------
 
+def _daily_sales_agg(li):
+    return li.groupBy(
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_returnflag").alias("return_flag"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast(_D182)).cast(_D182).alias("total_quantity"),
+        F.sum(F.col("l_extendedprice").cast(_D182)).cast(_D182).alias("total_gross"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(_D184)
+        ).cast(_D184).alias("total_net"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+def _daily_sales_avg(agg):
+    return agg.withColumn(
+        "avg_net",
+        F.when(
+            F.col("line_count") > 0,
+            F.col("total_net").cast("double") / F.col("line_count"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def q_agg_daily_sales(spark, sf_dir):
     li = _t(spark, sf_dir)["lineitem"]
-    agg = (
-        li.groupBy(
-            F.to_date("l_shipdate").alias("ship_date"),
-            F.col("l_returnflag").alias("return_flag"),
-        )
-        .agg(
-            F.sum(F.col("l_quantity").cast(_D182)).cast(_D182).alias("total_quantity"),
-            F.sum(F.col("l_extendedprice").cast(_D182)).cast(_D182).alias("total_gross"),
-            F.sum(
-                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(_D184)
-            ).cast(_D184).alias("total_net"),
-            F.count(F.lit(1)).alias("line_count"),
-        )
-        .withColumn(
-            "avg_net",
-            F.when(
-                F.col("line_count") > 0,
-                F.col("total_net").cast("double") / F.col("line_count"),
-            ).otherwise(F.lit(0.0)),
-        )
-    )
+    agg = _daily_sales_avg(_daily_sales_agg(li))
     return _final_double(agg, ["total_quantity", "total_gross", "total_net"])
+
+
+def q_incremental_rollup_sales(spark, sf_dir):
+    """Incremental rollup maintenance (merge_aggregate): the fact table is
+    split on l_orderkey parity — orthogonal to the group keys, so every
+    (ship_date, return_flag) group exists on BOTH sides and the merge
+    genuinely combines partial sums — then the two partial aggregates merge
+    via SUM-of-SUMs.  Decimal sums make the merged rollup bit-identical to
+    a full recompute, so the oracle IS the full agg_daily_sales SQL: the
+    strongest possible equivalence proof for the maintenance path."""
+    from .operators.aggregate import merge_aggregate
+
+    li = _t(spark, sf_dir)["lineitem"]
+    existing = _daily_sales_agg(li.filter(F.col("l_orderkey") % 2 == 0))
+    delta = _daily_sales_agg(li.filter(F.col("l_orderkey") % 2 != 0))
+    merged = merge_aggregate(
+        existing,
+        delta,
+        ["ship_date", "return_flag"],
+        sum_cols=["total_quantity", "total_gross", "total_net", "line_count"],
+    )
+    out = _daily_sales_avg(merged).select(
+        "ship_date", "return_flag", "total_quantity", "total_gross",
+        "total_net", "line_count", "avg_net",
+    )
+    return _final_double(out, ["total_quantity", "total_gross", "total_net"])
 
 
 SQL_AGG_DAILY = """
@@ -3780,6 +3810,51 @@ FROM ({SQL_SEMDEDUP}) _s
 """
 
 
+# --- agg_daily_rollup: full daily rollup + incremental merge-maintenance
+# equivalence (both components must hash identically except for the tag) ---
+
+def q_agg_daily_rollup(spark, sf_dir):
+    def tag(df, t):
+        return df.select(
+            F.lit(t).alias("component"),
+            F.col("ship_date").cast("date").alias("ship_date"),
+            F.col("return_flag").cast("string").alias("return_flag"),
+            F.col("total_quantity").cast("double").alias("total_quantity"),
+            F.col("total_gross").cast("double").alias("total_gross"),
+            F.col("total_net").cast("double").alias("total_net"),
+            F.col("line_count").cast("long").alias("line_count"),
+            F.col("avg_net").cast("double").alias("avg_net"),
+        )
+
+    return _union_all(
+        [
+            tag(q_agg_daily_sales(spark, sf_dir), "full"),
+            tag(q_incremental_rollup_sales(spark, sf_dir), "incr"),
+        ]
+    )
+
+
+def _sql_agg_daily_tagged(t: str) -> str:
+    inner = _oracle_double(
+        SQL_AGG_DAILY, ["total_quantity", "total_gross", "total_net"]
+    )
+    return f"""
+SELECT '{t}' AS component, CAST(ship_date AS DATE) AS ship_date,
+       CAST(return_flag AS VARCHAR) AS return_flag,
+       CAST(total_quantity AS DOUBLE) AS total_quantity,
+       CAST(total_gross AS DOUBLE) AS total_gross,
+       CAST(total_net AS DOUBLE) AS total_net,
+       CAST(line_count AS BIGINT) AS line_count,
+       CAST(avg_net AS DOUBLE) AS avg_net
+FROM ({inner}) _{t}
+"""
+
+
+SQL_AGG_DAILY_ROLLUP = (
+    _sql_agg_daily_tagged("full") + "UNION ALL" + _sql_agg_daily_tagged("incr")
+)
+
+
 # --- cdc_orders: snapshot diff (I/U/D classification) + changelog apply ----
 
 def q_cdc_orders(spark, sf_dir):
@@ -4863,6 +4938,8 @@ ALL_QUERIES = {
     "iqr_outlier_docs": q_iqr_outlier_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
+    "incremental_rollup_sales": q_incremental_rollup_sales,
+    "agg_daily_rollup": q_agg_daily_rollup,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -4976,6 +5053,10 @@ ALL_ORACLES = {
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
+    "incremental_rollup_sales": _oracle_double(
+        SQL_AGG_DAILY, ["total_quantity", "total_gross", "total_net"]
+    ),
+    "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(
@@ -5010,7 +5091,7 @@ ALL_ORACLES = {
 _DRIVER_WINDOW = [
     "stg_sales_transactions",
     "fct_sales_star",
-    "agg_daily_sales",
+    "agg_daily_rollup",
     "dim_customer_scd2",
     "expr_strings_customer",
     "expr_dates_orders",

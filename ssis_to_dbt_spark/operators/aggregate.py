@@ -57,6 +57,37 @@ def checksum_aggregates(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def merge_aggregate(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Incremental rollup maintenance: merge a same-schema delta aggregate
+    into an existing aggregate table by re-aggregating their union —
+    SUM-of-SUMs (counts are sums too), MIN-of-MINs and MAX-of-MAXs are
+    exact for algebraic aggregates; AVG derives as sum/count downstream.
+
+    This is the 100 TB pattern for keeping a daily rollup current: the
+    nightly delta aggregates only the new partition (linear in NEW bytes),
+    and the merge shuffles two aggregate tables — O(distinct keys), never
+    the fact history.  With decimal sums the merged values are bit-identical
+    to a full recompute at any partitioning, which is exactly what the
+    catalog query's oracle asserts.  Aggregate columns keep their
+    ``existing`` dtypes (Spark widens decimal sums; they are cast back).
+    """
+    types = {f.name: f.dataType for f in existing.schema.fields}
+    merged = existing.unionByName(delta)
+    aggs = (
+        [F.sum(c).cast(types[c]).alias(c) for c in sum_cols]
+        + [F.min(c).cast(types[c]).alias(c) for c in min_cols]
+        + [F.max(c).cast(types[c]).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)
+
+
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """A7: GROUP BY pk HAVING COUNT(*) > 1 (sql_server.py:237-245)."""
     return (

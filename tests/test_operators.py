@@ -1092,6 +1092,67 @@ class TestApplyChanges:
         assert got == want
 
 
+class TestMergeAggregate:
+    def test_sum_min_max_merge_exactly(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import merge_aggregate
+
+        from decimal import Decimal as D
+
+        schema = "k string, s decimal(18,2), n long, lo double, hi double"
+        existing = spark.createDataFrame(
+            [("a", D("10.50"), 2, 1.0, 9.0), ("b", D("5.25"), 1, 2.0, 2.0)],
+            schema,
+        )
+        delta = spark.createDataFrame(
+            [("a", D("0.75"), 3, 0.5, 4.0), ("c", D("7.00"), 1, 3.0, 3.0)],
+            schema,
+        )
+        out = {
+            r["k"]: (str(r["s"]), r["n"], r["lo"], r["hi"])
+            for r in merge_aggregate(
+                existing, delta, ["k"],
+                sum_cols=["s", "n"], min_cols=["lo"], max_cols=["hi"],
+            ).collect()
+        }
+        assert out == {
+            "a": ("11.25", 5, 0.5, 9.0),
+            "b": ("5.25", 1, 2.0, 2.0),
+            "c": ("7.00", 1, 3.0, 3.0),
+        }
+
+    def test_dtypes_preserved_after_merge(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import merge_aggregate
+
+        from decimal import Decimal as D
+
+        schema = "k string, s decimal(18,2), n long"
+        existing = spark.createDataFrame([("a", D("1.00"), 1)], schema)
+        delta = spark.createDataFrame([("a", D("2.00"), 2)], schema)
+        out = merge_aggregate(existing, delta, ["k"], sum_cols=["s", "n"])
+        # Spark widens decimal sums to (28,2); the merge must cast back so
+        # repeated maintenance cycles keep a stable schema
+        got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert got == {"k": "string", "s": "decimal(18,2)", "n": "bigint"}
+
+    def test_merge_equals_full_recompute(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import merge_aggregate
+        from pyspark.sql import functions as F
+
+        rows = [(i % 4, float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, "k int, v double")
+        agg = lambda d: d.groupBy("k").agg(  # noqa: E731
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        full = {(r["k"]): (str(r["s"]), r["n"]) for r in agg(df).collect()}
+        merged = merge_aggregate(
+            agg(df.filter("v < 37")), agg(df.filter("v >= 37")),
+            ["k"], sum_cols=["s", "n"],
+        )
+        got = {(r["k"]): (str(r["s"]), r["n"]) for r in merged.collect()}
+        assert got == full
+
+
 class TestRangeAggregate:
     def test_range_frame_bounds_by_value_not_rows(self, spark):
         from ssis_to_dbt_spark.operators.window import range_aggregate
