@@ -2763,6 +2763,82 @@ FROM kth, ex
 """
 
 
+_CMS_PROBES = ["table", "spark", "key", "value", "row", "zzz_absent"]
+
+
+def q_cms_tokens_docs(spark, sf_dir):
+    """Count-min frequency sketch over corpus tokens (Cormode &
+    Muthukrishnan 2005) vs exact counts, plus the merged-shard sketch
+    (docs split by doc_id parity, sketches summed bucket-wise) whose
+    estimates must equal the direct sketch exactly — the lossless-merge
+    property that makes CMS the distributable frequency path.  md5
+    bucketing keeps every bucket — and therefore every estimate — bit-
+    reproducible by the DuckDB oracle."""
+    from .operators.aggregate import cms_estimate, cms_merge, cms_sketch
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    probes = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CMS_PROBES)], "probe_idx int, tok string"
+    )
+    direct = cms_sketch(toks, "tok")
+    shard_a = cms_sketch(toks.filter(F.col("doc_id") % 2 == 0), "tok")
+    shard_b = cms_sketch(toks.filter(F.col("doc_id") % 2 != 0), "tok")
+    merged = cms_merge(shard_a.unionByName(shard_b))
+    est = cms_estimate(direct, probes, "tok")
+    est_m = cms_estimate(merged, probes, "tok").withColumnRenamed(
+        "cms_est", "cms_est_merged"
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        probes.join(est, "tok")
+        .join(est_m, "tok")
+        .join(exact, "tok", "left")
+        .select(
+            "probe_idx",
+            "tok",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("cms_est_merged").cast("long").alias("cms_est_merged"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
+
+
+SQL_CMS_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+probes(probe_idx, tok) AS (VALUES
+  (0, 'table'), (1, 'spark'), (2, 'key'),
+  (3, 'value'), (4, 'row'), (5, 'zzz_absent')),
+entries AS (
+  SELECT r.range AS cms_row, t.tok,
+         CAST('0x' || substr(md5(r.range || ':' || t.tok), 1, 15) AS BIGINT)
+           % 256 AS bucket
+  FROM toks t CROSS JOIN range(3) r),
+sketch AS (
+  SELECT cms_row, bucket, COUNT(*) AS n
+  FROM entries GROUP BY cms_row, bucket),
+probe_entries AS (
+  SELECT p.probe_idx, p.tok, r.range AS cms_row,
+         CAST('0x' || substr(md5(r.range || ':' || p.tok), 1, 15) AS BIGINT)
+           % 256 AS bucket
+  FROM probes p CROSS JOIN range(3) r),
+est AS (
+  SELECT pe.probe_idx, pe.tok, MIN(COALESCE(s.n, 0)) AS cms_est
+  FROM probe_entries pe LEFT JOIN sketch s USING (cms_row, bucket)
+  GROUP BY pe.probe_idx, pe.tok),
+ex AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+SELECT CAST(e.probe_idx AS INTEGER) AS probe_idx, e.tok,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est AS BIGINT) AS cms_est_merged,
+       CAST(COALESCE(ex.n, 0) AS BIGINT) AS n_exact
+FROM est e LEFT JOIN ex ON ex.tok = e.tok
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization, exploded to scalar rows so every
     quantized value is exactly verified (fixture dim = 64)."""
@@ -3726,7 +3802,23 @@ def q_containment_kmv_docs(spark, sf_dir):
         F.col("n_shared").cast("long").alias("id_b"),
         _nul("double").alias("v1"),
     )
-    return _union_all([c, k, m, dc])
+    # count-min frequency sketch: direct + merged-shard estimates per probe
+    # token next to the exact count (merge is a lossless bucket-wise sum, so
+    # the merged component's oracle is the direct-sketch SQL)
+    cm = q_cms_tokens_docs(spark, sf_dir)
+    cms_direct = cm.select(
+        F.lit("cms").alias("component"),
+        F.col("probe_idx").cast("long").alias("id_a"),
+        F.col("cms_est").cast("long").alias("id_b"),
+        F.col("n_exact").cast("double").alias("v1"),
+    )
+    cms_merged = cm.select(
+        F.lit("cms_merged").alias("component"),
+        F.col("probe_idx").cast("long").alias("id_a"),
+        F.col("cms_est_merged").cast("long").alias("id_b"),
+        _nul("double").alias("v1"),
+    )
+    return _union_all([c, k, m, dc, cms_direct, cms_merged])
 
 
 SQL_CONTAINMENT_KMV = f"""
@@ -3745,6 +3837,14 @@ UNION ALL
 SELECT 'decontam', CAST(doc_id AS BIGINT), CAST(n_shared AS BIGINT),
        {_NULL_DOUBLE}
 FROM ({SQL_DECONTAM}) _d
+UNION ALL
+SELECT 'cms', CAST(probe_idx AS BIGINT), CAST(cms_est AS BIGINT),
+       CAST(n_exact AS DOUBLE)
+FROM ({SQL_CMS_TOKENS}) _cm
+UNION ALL
+SELECT 'cms_merged', CAST(probe_idx AS BIGINT), CAST(cms_est_merged AS BIGINT),
+       {_NULL_DOUBLE}
+FROM ({SQL_CMS_TOKENS}) _cmm
 """
 
 
@@ -4939,6 +5039,7 @@ ALL_QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
     "incremental_rollup_sales": q_incremental_rollup_sales,
+    "cms_tokens_docs": q_cms_tokens_docs,
     "agg_daily_rollup": q_agg_daily_rollup,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
@@ -5056,6 +5157,7 @@ ALL_ORACLES = {
     "incremental_rollup_sales": _oracle_double(
         SQL_AGG_DAILY, ["total_quantity", "total_gross", "total_net"]
     ),
+    "cms_tokens_docs": SQL_CMS_TOKENS,
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,

@@ -18,6 +18,9 @@ from .aggregate import (
     duplicate_keys,
     grouped_aggregate,
     grouped_median_disc,
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
     histogram_merge,
     histogram_quantile,
     histogram_sketch_grouped,
@@ -69,6 +72,7 @@ __all__ = [
     "hash_split", "mixture_sample", "stratified_sample", "token_budget_sample",
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",
+    "cms_sketch", "cms_merge", "cms_estimate",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion", "data_conversion_with_errors",

@@ -222,6 +222,109 @@ def histogram_sketch_grouped(
     )
 
 
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Count-min sketch build (Cormode & Muthukrishnan 2005): for each of
+    ``depth`` independent md5-derived hash rows, count values per bucket.
+    Returns ``(cms_row, bucket, n)`` — at most depth*width rows regardless
+    of input size.  The frequency sketch completes the mergeable-sketch
+    family (KMV = distincts, histogram = quantiles, CMS = point
+    frequencies); two shards' sketches merge by summing ``n`` bucket-wise
+    (:func:`cms_merge`), losslessly.
+
+    Scale shape: one projection + one explode (depth entries per value) +
+    one aggregation whose state is bounded by depth*width — the shuffle
+    carries at most depth*width rows per map partition.  md5 bucketing
+    (never xxhash/rand) keeps the sketch bit-reproducible by an external
+    SQL engine.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cms_row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit(str(i)),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(int(width))
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    flat = df.select(F.explode(entries).alias("_e")).select(
+        F.col("_e.cms_row").alias("cms_row"), F.col("_e.bucket").alias("bucket")
+    )
+    return flat.groupBy("cms_row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built over disjoint shards: a plain count
+    sum per (cms_row, bucket) — exactly equal to sketching the union."""
+    return sketches.groupBy("cms_row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each probe
+    value, the MIN over hash rows of its bucket count (an absent bucket
+    counts 0).  CMS guarantees estimate >= true frequency; the probe side
+    is tiny, so the sketch join broadcasts."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cms_row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit(str(i)),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(int(width))
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_rows = probes.select(
+        F.col(col), F.explode(entries).alias("_e")
+    ).select(
+        col, F.col("_e.cms_row").alias("cms_row"), F.col("_e.bucket").alias("bucket")
+    )
+    joined = probe_rows.join(sketch, ["cms_row", "bucket"], "left").select(
+        col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
+    )
+    return joined.groupBy(col).agg(F.min("_n").alias("cms_est"))
+
+
 def histogram_merge(h: DataFrame) -> DataFrame:
     """Merge per-group histogram sketches into one global histogram — a
     count sum per bin, exactly equal to histogramming the union directly."""

@@ -1092,6 +1092,57 @@ class TestApplyChanges:
         assert got == want
 
 
+class TestCountMinSketch:
+    def _toks(self, spark):
+        vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1 + [f"x{i}" for i in range(50)]
+        return spark.createDataFrame([(v,) for v in vals], "tok string")
+
+    def test_estimate_never_undercounts(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import cms_estimate, cms_sketch
+
+        toks = self._toks(spark)
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("absent",)], "tok string"
+        )
+        sk = cms_sketch(toks, "tok", depth=3, width=64)
+        est = {r["tok"]: r["cms_est"]
+               for r in cms_estimate(sk, probes, "tok", depth=3, width=64).collect()}
+        truth = {"a": 5, "b": 3, "c": 1, "absent": 0}
+        for tok, t in truth.items():
+            assert est[tok] >= t, tok
+
+    def test_merged_shards_equal_direct(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import (
+            cms_estimate,
+            cms_merge,
+            cms_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        toks = self._toks(spark).withColumn(
+            "half", (F.length("tok") % 2 == 0).cast("int")
+        )
+        probes = spark.createDataFrame([("a",), ("b",), ("x7",)], "tok string")
+        direct = cms_sketch(toks, "tok", depth=3, width=64)
+        merged = cms_merge(
+            cms_sketch(toks.filter("half = 0"), "tok", depth=3, width=64)
+            .unionByName(cms_sketch(toks.filter("half = 1"), "tok", depth=3, width=64))
+        )
+        d = {r["tok"]: r["cms_est"]
+             for r in cms_estimate(direct, probes, "tok", depth=3, width=64).collect()}
+        m = {r["tok"]: r["cms_est"]
+             for r in cms_estimate(merged, probes, "tok", depth=3, width=64).collect()}
+        assert d == m
+
+    def test_sketch_size_bounded_by_depth_width(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import cms_sketch
+
+        sk = cms_sketch(self._toks(spark), "tok", depth=3, width=16)
+        assert sk.count() <= 3 * 16
+        rows = sk.select("cms_row").distinct().collect()
+        assert sorted(r["cms_row"] for r in rows) == [0, 1, 2]
+
+
 class TestMergeAggregate:
     def test_sum_min_max_merge_exactly(self, spark):
         from ssis_to_dbt_spark.operators.aggregate import merge_aggregate
