@@ -4623,6 +4623,69 @@ FROM agg a JOIN arrs USING (doc_id)
 """
 
 
+def q_bpe_merges_docs(spark, sf_dir):
+    """Distributed BPE merge discovery (Sennrich et al. 2016), 3 rounds over
+    the corpus vocabulary-frequency table: the corpus is aggregated ONCE
+    into (word, count); each round is an explode + weighted hash aggregate
+    over the (small) vocabulary, a 1-row argmax collect (model-sized, like
+    a watermark), and a map-only merge replace.  Deterministic tiebreak
+    (count desc, pair asc); the learned merge table is bit-reproduced by a
+    3-round unrolled SQL oracle."""
+    from .text.bpe import bpe_train
+
+    docs = _t(spark, sf_dir)["documents"]
+    merges, _ = bpe_train(docs, rounds=3)
+    return spark.createDataFrame(
+        merges, "round int, pair string, weight long"
+    )
+
+
+def _bpe_round_sql(prev_v: str, p: str, b: str, v: str) -> str:
+    """One unrolled BPE round: weighted pair counts over {prev_v}, argmax
+    with (count desc, pair asc) tiebreak, merge applied via replace."""
+    return f"""
+{p} AS (
+  SELECT pr, SUM(n) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[CAST(i AS INTEGER)] || ' ' ||
+                       t[CAST(i AS INTEGER) + 1])) AS pr, n
+    FROM (SELECT regexp_split_to_array(trim(sym), ' ') AS t, n FROM {prev_v})
+    WHERE len(t) >= 2)
+  GROUP BY pr),
+{b} AS (SELECT pr, c FROM {p} ORDER BY c DESC, pr LIMIT 1),
+{v} AS (
+  SELECT replace(sym,
+                 ' ' || (SELECT pr FROM {b}) || ' ',
+                 ' ' || (SELECT replace(pr, ' ', '~') FROM {b}) || ' ')
+           AS sym, n
+  FROM {prev_v})"""
+
+
+SQL_BPE_MERGES = (
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents),
+vocab AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+v0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, len(w) + 1),
+                          i -> substr(w, CAST(i AS INTEGER), 1)), ' ')
+       || ' ' AS sym, n
+  FROM vocab),"""
+    + _bpe_round_sql("v0", "p1", "b1", "v1")
+    + ","
+    + _bpe_round_sql("v1", "p2", "b2", "v2")
+    + ","
+    + _bpe_round_sql("v2", "p3", "b3", "v3")
+    + """
+SELECT 1 AS round, pr AS pair, CAST(c AS BIGINT) AS weight FROM b1
+UNION ALL SELECT 2, pr, CAST(c AS BIGINT) FROM b2
+UNION ALL SELECT 3, pr, CAST(c AS BIGINT) FROM b3
+"""
+)
+
+
 def q_token_ops_docs(spark, sf_dir):
     tb = q_token_budget_docs(spark, sf_dir).select(
         F.lit("budget").alias("component"),
@@ -4664,7 +4727,17 @@ def q_token_ops_docs(spark, sf_dir):
         _nul("long").alias("start_tok"),
         _nul("long").alias("end_tok"),
     )
-    return _union_all([tb, ch, pk, dl])
+    bp = q_bpe_merges_docs(spark, sf_dir).select(
+        F.lit("bpe").alias("component"),
+        F.col("round").cast("long").alias("doc_id"),
+        _nul("int").alias("chunk_idx"),
+        F.col("pair").cast("string").alias("chunk_text"),
+        _nul("int").alias("n_tok"),
+        F.col("weight").cast("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
+    )
+    return _union_all([tb, ch, pk, dl, bp])
 
 
 SQL_TOKEN_OPS = f"""
@@ -4689,6 +4762,11 @@ SELECT 'dedup_lines', CAST(doc_id AS BIGINT), CAST(n_kept AS INTEGER),
        CAST(dedup_md5 AS VARCHAR), CAST(n_lines AS INTEGER),
        {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BIGINT}
 FROM ({SQL_DEDUP_LINES}) _dl
+UNION ALL
+SELECT 'bpe', CAST(round AS BIGINT), {_NULL_INT},
+       CAST(pair AS VARCHAR), {_NULL_INT},
+       CAST(weight AS BIGINT), {_NULL_BIGINT}, {_NULL_BIGINT}
+FROM ({SQL_BPE_MERGES}) _bp
 """
 
 
@@ -5087,6 +5165,7 @@ ALL_QUERIES = {
     "incremental_rollup_sales": q_incremental_rollup_sales,
     "cms_tokens_docs": q_cms_tokens_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "bpe_merges_docs": q_bpe_merges_docs,
     "agg_daily_rollup": q_agg_daily_rollup,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
@@ -5206,6 +5285,7 @@ ALL_ORACLES = {
     ),
     "cms_tokens_docs": SQL_CMS_TOKENS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+    "bpe_merges_docs": SQL_BPE_MERGES,
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,

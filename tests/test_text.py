@@ -435,6 +435,57 @@ class TestTfIdf:
         assert top[(1, 1)][1] == 1
 
 
+class TestBpeTrain:
+    def _docs(self, spark, text):
+        return spark.createDataFrame([(text,)], "text string")
+
+    def test_learns_most_frequent_pairs_in_order(self, spark):
+        from ssis_to_dbt_spark.text.bpe import bpe_train
+
+        merges, vocab = bpe_train(self._docs(spark, "aa aa ab"), rounds=3)
+        # vocabulary-frequency training: 'aa' counts ONCE with weight 2, so
+        # 'a a' wins round 1 at weight 2; 'a b' (weight 1) wins round 2;
+        # round 3 finds no pairs left and training stops early
+        assert merges == [(1, "a a", 2), (2, "a b", 1)]
+
+    def test_merge_applies_to_vocab(self, spark):
+        from ssis_to_dbt_spark.text.bpe import bpe_train
+
+        _, vocab = bpe_train(self._docs(spark, "aa aa ab"), rounds=2)
+        syms = {r["w"]: r["sym"].strip() for r in vocab.collect()}
+        assert syms["aa"] == "a~a" and syms["ab"] == "a~b"
+
+    def test_segment_uses_merges_in_training_order(self, spark):
+        from ssis_to_dbt_spark.text.bpe import bpe_segment, bpe_train
+        from pyspark.sql import functions as F
+
+        merges, _ = bpe_train(self._docs(spark, "aa aa ab"), rounds=2)
+        probe = spark.createDataFrame([("aab",), ("ba",)], "w string")
+        segs = {
+            r["w"]: r["seg"]
+            for r in probe.select(
+                "w", bpe_segment(F.col("w"), merges).alias("seg")
+            ).collect()
+        }
+        # 'a a' merges first (greedy left-to-right), then 'a b' no longer
+        # matches because its left 'a' was consumed
+        assert segs["aab"] == "a~a b"
+        assert segs["ba"] == "b a"  # no learned pair applies
+
+    def test_overlapping_runs_merge_single_pass(self, spark):
+        from ssis_to_dbt_spark.text.bpe import bpe_segment
+
+        from pyspark.sql import functions as F
+
+        probe = spark.createDataFrame([("aaa",)], "w string")
+        seg = probe.select(
+            bpe_segment(F.col("w"), [(1, "a a", 9)]).alias("s")
+        ).first()["s"]
+        # left-to-right non-overlapping with consumed boundaries: ONE merge
+        # per pass, the same greedy both engines implement
+        assert seg == "a~a a"
+
+
 class TestDedupLines:
     def _run(self, spark, text):
         from ssis_to_dbt_spark.text.analysis import dedup_lines
