@@ -1,0 +1,139 @@
+"""Property-based tests: round-5 operators against Python model oracles.
+
+apply_changes is modeled by a dict replay; merge_aggregate by a full
+recompute; dedup_lines by an ordered-set fold.  One Spark job per example
+keeps runtime bounded (mirrors test_text_property.py).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=6)
+amounts = st.integers(min_value=-100, max_value=100)
+
+snapshot_rows = st.dictionaries(keys, amounts, min_size=0, max_size=5)
+change_entries = st.lists(
+    st.tuples(keys, amounts, st.sampled_from(["I", "U", "D"])),
+    min_size=0,
+    max_size=12,
+)
+
+
+class TestApplyChangesProperty:
+    @given(snap=snapshot_rows, changes=change_entries)
+    @settings(**SETTINGS)
+    def test_matches_dict_replay(self, spark, snap, changes):
+        from ssis_to_dbt_spark.operators.cdc import apply_changes
+
+        snap_df = spark.createDataFrame(
+            [(k, float(v)) for k, v in snap.items()], "k long, amt double"
+        )
+        # seq = list position: strictly increasing, so last-in-list wins —
+        # exactly the dict replay below
+        chg_df = spark.createDataFrame(
+            [
+                (k, float(v), op, i)
+                for i, (k, v, op) in enumerate(changes)
+            ],
+            "k long, amt double, change_type string, seq long",
+        )
+        got = {
+            r["k"]: r["amt"]
+            for r in apply_changes(
+                snap_df, chg_df, ["k"], "seq", "change_type"
+            ).collect()
+        }
+        model = {k: float(v) for k, v in snap.items()}
+        for k, v, op in changes:  # replay in seq order
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = float(v)
+        assert got == model
+
+    @given(snap=snapshot_rows, changes=change_entries)
+    @settings(**SETTINGS)
+    def test_replay_is_idempotent(self, spark, snap, changes):
+        """Applying the same changelog to the already-applied state changes
+        nothing — the property the streaming foreachBatch sink's
+        exactly-once story rests on."""
+        from ssis_to_dbt_spark.operators.cdc import apply_changes
+
+        snap_df = spark.createDataFrame(
+            [(k, float(v)) for k, v in snap.items()], "k long, amt double"
+        )
+        chg_df = spark.createDataFrame(
+            [(k, float(v), op, i) for i, (k, v, op) in enumerate(changes)],
+            "k long, amt double, change_type string, seq long",
+        )
+        once = apply_changes(snap_df, chg_df, ["k"], "seq", "change_type")
+        twice = apply_changes(once, chg_df, ["k"], "seq", "change_type")
+        a = sorted((r["k"], r["amt"]) for r in once.collect())
+        b = sorted((r["k"], r["amt"]) for r in twice.collect())
+        assert a == b
+
+
+class TestMergeAggregateProperty:
+    @given(
+        rows=st.lists(
+            st.tuples(keys, st.integers(min_value=0, max_value=50)),
+            min_size=0,
+            max_size=20,
+        ),
+        pivot=st.integers(min_value=0, max_value=50),
+    )
+    @settings(**SETTINGS)
+    def test_any_split_merges_to_full_recompute(self, spark, rows, pivot):
+        from ssis_to_dbt_spark.operators.aggregate import merge_aggregate
+
+        df = spark.createDataFrame(
+            [(k, v) for k, v in rows], "k long, v long"
+        )
+        agg = lambda d: d.groupBy("k").agg(  # noqa: E731
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        full = {(r["k"]): (r["s"], r["n"]) for r in agg(df).collect()}
+        merged = merge_aggregate(
+            agg(df.filter(F.col("v") < pivot)),
+            agg(df.filter(F.col("v") >= pivot)),
+            ["k"],
+            sum_cols=["s", "n"],
+        )
+        got = {(r["k"]): (r["s"], r["n"]) for r in merged.collect()}
+        assert got == full
+
+
+class TestDedupLinesProperty:
+    lines = st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+
+    @given(docs=st.lists(lines, min_size=1, max_size=6))
+    @settings(**SETTINGS)
+    def test_matches_ordered_set_fold(self, spark, docs):
+        from ssis_to_dbt_spark.text.analysis import dedup_lines
+
+        df = spark.createDataFrame(
+            [(i, "\n".join(d)) for i, d in enumerate(docs)],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]: r["out"]
+            for r in df.select(
+                "doc_id", dedup_lines(F.col("text")).alias("out")
+            ).collect()
+        }
+        for i, d in enumerate(docs):
+            assert got[i] == "\n".join(dict.fromkeys(d))
