@@ -3993,6 +3993,61 @@ FROM ({_oracle_double(SQL_CDC_APPLY, ["total"])}) _a
 """
 
 
+def q_gap_fill_events(spark, sf_dir):
+    """Time-series regularization: rare events (value > 97) bucketed hourly
+    leave most grid hours empty; gap_fill joins the sparse series onto each
+    type's dense hourly grid and carries the last rendered sum forward
+    (LOCF).  One span aggregate + key/bucket equi-join + one window shuffle
+    on event_type — linear in grid size at any history length."""
+    from .operators.window import gap_fill
+
+    ev = _t(spark, sf_dir)["events"]
+    obs = (
+        ev.filter(F.col("value") > 97)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum(F.col("value").cast(_D182)), 6)
+            .cast("double")
+            .alias("sum_value_ff"),
+        )
+    )
+    out = gap_fill(
+        obs, ["event_type"], "hour", ["sum_value_ff"], step="1 hour"
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        F.col("sum_value_ff").cast("double").alias("sum_value_ff"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+SQL_GAP_FILL = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_obs,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 6) AS DOUBLE) AS sv
+  FROM events WHERE value > 97 GROUP BY 1, 2),
+spans AS (SELECT event_type, MIN(hour) AS t0, MAX(hour) AS t1
+          FROM obs GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+         FROM spans),
+j AS (SELECT g.event_type, g.hour, o.n_obs, o.sv
+      FROM grid g LEFT JOIN obs o USING (event_type, hour))
+SELECT event_type, hour, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+       last_value(sv IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS sum_value_ff,
+       CAST(n_obs IS NULL AS INTEGER) AS is_gap
+FROM j
+"""
+
+
 # --- events_windows: tumbling + sliding + hypertable rollup (ST4 family) ----
 
 def q_events_windows(spark, sf_dir):
@@ -4023,7 +4078,16 @@ def q_events_windows(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
-    return _union_all([tum, sli, rol])
+    gf = q_gap_fill_events(spark, sf_dir).select(
+        F.lit("gap_fill").alias("component"),
+        F.col("hour").cast("timestamp").alias("ws"),
+        _nul("timestamp").alias("we"),
+        F.col("event_type").cast("string").alias("k1"),
+        F.col("is_gap").cast("int").alias("grp"),
+        F.col("n_obs").cast("long").alias("n_events"),
+        F.col("sum_value_ff").cast("double").alias("sum_value"),
+    )
+    return _union_all([tum, sli, rol, gf])
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -4042,6 +4106,11 @@ SELECT 'rollup', CAST(day AS TIMESTAMP), {_NULL_TS}, CAST(hr AS VARCHAR),
        CAST(grouping_level AS INTEGER), CAST(n_events AS BIGINT),
        CAST(sum_value AS DOUBLE)
 FROM ({SQL_EVENTS_ROLLUP}) _r
+UNION ALL
+SELECT 'gap_fill', CAST(hour AS TIMESTAMP), {_NULL_TS},
+       CAST(event_type AS VARCHAR), CAST(is_gap AS INTEGER),
+       CAST(n_obs AS BIGINT), CAST(sum_value_ff AS DOUBLE)
+FROM ({SQL_GAP_FILL}) _gf
 """
 
 
@@ -5166,6 +5235,7 @@ ALL_QUERIES = {
     "cms_tokens_docs": q_cms_tokens_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
+    "gap_fill_events": q_gap_fill_events,
     "agg_daily_rollup": q_agg_daily_rollup,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
@@ -5286,6 +5356,7 @@ ALL_ORACLES = {
     "cms_tokens_docs": SQL_CMS_TOKENS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "bpe_merges_docs": SQL_BPE_MERGES,
+    "gap_fill_events": SQL_GAP_FILL,
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,

@@ -154,3 +154,67 @@ def ntile_buckets(
     return df.withColumn(
         out_col, F.ntile(n).over(window_spec(partition_by, order_by))
     )
+
+
+def fill_forward(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward per key: each NULL in ``cols`` takes
+    the latest preceding non-null value in ``ts_col`` order.  One shuffle on
+    ``keys`` (the unbounded-preceding frame runs per key, never globally) —
+    the standard time-series LOCF primitive."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def time_grid(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key dense timestamp grid from the key's first to last observed
+    bucket: one tiny min/max aggregate per key, then a map-side
+    ``sequence`` explode — grid size is (span / step) rows per key, never a
+    function of the observation count."""
+    spans = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    return spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    fill_cols: Sequence[str],
+    step: str = "1 hour",
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Regularize a sparse per-key time series: left-join the observations
+    onto the dense :func:`time_grid` and carry ``fill_cols`` forward with
+    :func:`fill_forward`.  Grid buckets with no observation get
+    ``gap_col=1``.  Shape: one small span aggregate + a key/bucket
+    equi-join + one window shuffle on ``keys`` — linear in grid size."""
+    grid = time_grid(df, keys, ts_col, step)
+    joined = grid.join(df, [*keys, ts_col], "left")
+    marked = joined.withColumn(
+        gap_col,
+        F.when(F.col(fill_cols[0]).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return fill_forward(marked, keys, ts_col, fill_cols)

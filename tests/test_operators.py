@@ -1141,6 +1141,60 @@ class TestApplyChanges:
         assert got == want
 
 
+class TestGapFill:
+    def _obs(self, spark):
+        # key 'a': hours 0, 3 observed (gap at 1, 2); key 'b': hour 1 only
+        rows = [
+            ("a", "2024-01-01 00:00:00", 10.0),
+            ("a", "2024-01-01 03:00:00", 30.0),
+            ("b", "2024-01-01 01:00:00", 99.0),
+        ]
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "k string, hour string, v double"
+        ).withColumn("hour", F.col("hour").cast("timestamp"))
+
+    def test_fill_forward_carries_last_non_null(self, spark):
+        from ssis_to_dbt_spark.operators.window import fill_forward
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+             ("b", 1, None)],
+            "k string, i int, v double",
+        )
+        out = {(r["k"], r["i"]): r["v"]
+               for r in fill_forward(df, ["k"], "i", ["v"]).collect()}
+        assert out == {("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0,
+                       ("a", 4): 40.0, ("b", 1): None}
+
+    def test_grid_spans_min_to_max_per_key(self, spark):
+        from ssis_to_dbt_spark.operators.window import time_grid
+
+        grid = time_grid(self._obs(spark), ["k"], "hour", "1 hour")
+        per_key = {}
+        for r in grid.collect():
+            per_key.setdefault(r["k"], []).append(r["hour"].hour)
+        assert sorted(per_key["a"]) == [0, 1, 2, 3]
+        assert per_key["b"] == [1]
+
+    def test_gaps_marked_and_filled(self, spark):
+        from ssis_to_dbt_spark.operators.window import gap_fill
+
+        out = {
+            (r["k"], r["hour"].hour): (r["v"], r["is_gap"])
+            for r in gap_fill(
+                self._obs(spark), ["k"], "hour", ["v"], "1 hour"
+            ).collect()
+        }
+        assert out[("a", 0)] == (10.0, 0)
+        assert out[("a", 1)] == (10.0, 1)  # gap carries hour 0 forward
+        assert out[("a", 2)] == (10.0, 1)
+        assert out[("a", 3)] == (30.0, 0)
+        assert out[("b", 1)] == (99.0, 0)
+
+
 class TestCountMinSketch:
     def _toks(self, spark):
         vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1 + [f"x{i}" for i in range(50)]
