@@ -173,6 +173,21 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: every micro-batch joins against the static
+    dimension frame — the streaming analog of the J1 broadcast Lookup (the
+    dimension is pinned broadcast, so the stream side never shuffles).  The
+    static plan re-evaluates per micro-batch; state-free, unlike a
+    stream-stream join.  Works identically on batch frames (oracle path).
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stateful_running_totals(
     df: DataFrame,
     key_col: str = "event_type",

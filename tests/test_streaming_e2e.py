@@ -186,6 +186,38 @@ class TestStreamingDedupE2E:
         assert [e for e, _ in second] == [1, 2, 3]
 
 
+class TestStreamStaticEnrich:
+    """Stream-static broadcast enrichment: micro-batches join against a
+    static dimension with no streaming state; unmatched keys null-extend
+    under the default left join (the J1 Lookup IGNORE policy)."""
+
+    def test_stream_enriched_against_static_dim(self, spark, tmp_path):
+        from ssis_to_dbt_spark.streaming import (
+            stream_static_enrich,
+            write_stream,
+        )
+
+        src, ckpt = str(tmp_path / "esrc"), str(tmp_path / "eckpt")
+        out = str(tmp_path / "eout")
+        write_batch(spark, src, [
+            (1, "2024-01-01 00:01:00", "a", 1.0),
+            (2, "2024-01-01 00:02:00", "b", 2.0),
+            (3, "2024-01-01 00:03:00", "zz", 3.0),  # no dim row
+        ])
+        dim = spark.createDataFrame(
+            [("a", "alpha"), ("b", "beta")], "event_type string, label string"
+        )
+        stream = read_events_stream(spark, src, SCHEMA)
+        enriched = stream_static_enrich(stream, dim, ["event_type"])
+        q = write_stream(enriched, out, ckpt, mode="append")
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: r["label"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {1: "alpha", 2: "beta", 3: None}
+
+
 class TestStreamingApplyChanges:
     """Streaming CDC merge sink: changelog micro-batches applied to a
     parquet target through apply_changes inside foreachBatch, with an
