@@ -282,3 +282,103 @@ def write_xlsx(
         z.writestr("xl/workbook.xml", workbook_xml)
         z.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
         z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
+MANIFEST_NAME = "_table_manifest.json"
+
+
+def _content_checksum(df: DataFrame) -> tuple[int, int]:
+    """(row_count, order-independent content checksum): SUM over rows of the
+    first-60-bits-of-md5 of the '|'-joined rendered row.  A sum is
+    partitioning- and order-independent, so the checksum is stable across
+    rewrites that preserve content and catches any dropped / duplicated /
+    altered row.  One map-side pass + a scalar aggregate."""
+    row_hash = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in df.columns]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        # 60-bit hashes overflow a BIGINT sum within ~16 rows; an exact
+        # DECIMAL(38,0) sum holds ~1e20 rows of headroom
+        .cast("decimal(38,0)")
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(row_hash).alias("chk")
+    ).first()
+    return int(agg["n"]), int(agg["chk"] or 0)
+
+
+def write_manifest(spark: SparkSession, path: str) -> dict:
+    """Write an integrity manifest next to a parquet table: row count,
+    order-independent content checksum, column list, and the parquet part
+    inventory (name + size).  The handoff contract for a 100 TB table — a
+    downstream consumer can prove the table it reads is the table that was
+    written without re-deriving it."""
+    import json
+
+    df = spark.read.parquet(path)
+    n, chk = _content_checksum(df)
+    parts = sorted(
+        (name, os.path.getsize(os.path.join(path, name)))
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+    )
+    manifest = {
+        "rows": n,
+        "checksum": chk,
+        "columns": df.columns,
+        "files": [{"name": p, "bytes": b} for p, b in parts],
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(spark: SparkSession, path: str) -> dict:
+    """Re-derive the manifest facts and diff them against the stored
+    manifest.  Returns {'ok': bool, 'mismatches': [...]} — rows/checksum
+    mismatches mean content drift; file-inventory mismatches mean the
+    directory was rewritten (e.g. compacted) since the manifest, which is
+    only a failure if content ALSO drifted, so files are reported
+    separately and do not flip 'ok' on their own."""
+    import json
+
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        stored = json.load(f)
+    df = spark.read.parquet(path)
+    n, chk = _content_checksum(df)
+    mismatches = []
+    if n != stored["rows"]:
+        mismatches.append(f"rows: stored {stored['rows']} != actual {n}")
+    if chk != stored["checksum"]:
+        mismatches.append(
+            f"checksum: stored {stored['checksum']} != actual {chk}"
+        )
+    if df.columns != stored["columns"]:
+        mismatches.append(
+            f"columns: stored {stored['columns']} != actual {df.columns}"
+        )
+    actual_files = sorted(
+        (name, os.path.getsize(os.path.join(path, name)))
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+    )
+    stored_files = sorted(
+        (f["name"], f["bytes"]) for f in stored.get("files", [])
+    )
+    files_changed = actual_files != stored_files
+    return {
+        "ok": not mismatches,
+        "mismatches": mismatches,
+        "files_changed": files_changed,
+    }
