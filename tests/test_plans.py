@@ -209,6 +209,23 @@ class TestPlanShapes:
         # exchange, so even the changelog shuffle carries ~|keys| rows
         assert "WindowGroupLimit" in plan
 
+    def test_gap_fill_single_window_no_cartesian(self, spark):
+        # grid generation is a span agg + map-side sequence explode; the
+        # carry-forward is exactly ONE window (one shuffle on the keys)
+        plan = plan_of(spark, "gap_fill_events", "simple")
+        assert plan.count("Window") == 1
+        assert "Generate explode" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_weighted_sample_take_ordered(self, spark):
+        # ticket generation is map-only; selection must be
+        # TakeOrderedAndProject (k per partition + k-row driver merge),
+        # never a global sort
+        plan = plan_of(spark, "weighted_sample_docs", "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange hashpartitioning" not in plan
+
     def test_mixture_sample_corpus_filter_is_mapside(self, spark):
         # per-group thresholds broadcast back; the documents scan reaches its
         # filter without being hash-shuffled (only the tiny counts agg may
