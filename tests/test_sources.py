@@ -463,6 +463,69 @@ class TestOrcRoundtrip:
         )
 
 
+class TestExcelDataSource:
+    """spark.read.format('excel'): the Spark 4 Python DataSource wrapping
+    the dependency-free parsers — one input partition per workbook, so a
+    landing directory of sheets parses on executors in parallel."""
+
+    def _register(self, spark):
+        from ssis_to_dbt_spark.sources.excel_datasource import register
+
+        register(spark)
+
+    def test_directory_reads_one_partition_per_file(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        d = str(tmp_path / "sheets")
+        import os
+
+        os.makedirs(d)
+        write_xlsx(["id", "name"], [[1, "a"], [2, "b"]], f"{d}/one.xlsx")
+        write_xlsx(["id", "name"], [[3, "c"]], f"{d}/two.xlsx")
+        self._register(spark)
+        out = spark.read.format("excel").schema("id int, name string").load(d)
+        assert out.rdd.getNumPartitions() == 2
+        assert sorted((r["id"], r["name"]) for r in out.collect()) == [
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        ]
+
+    def test_header_maps_columns_by_name(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        p = str(tmp_path / "reordered.xlsx")
+        # sheet column order differs from the declared schema order
+        write_xlsx(["name", "id"], [["x", 7]], p)
+        self._register(spark)
+        out = spark.read.format("excel").schema("id int, name string").load(p)
+        row = out.first()
+        assert (row["id"], row["name"]) == (7, "x")
+
+    def test_legacy_xls_reads_through_format(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.xls import write_xls
+
+        p = str(tmp_path / "legacy.xls")
+        write_xls(["k", "v"], [[1, "a"], [2, "b"]], p)
+        self._register(spark)
+        out = spark.read.format("excel").schema("k int, v string").load(p)
+        assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+
+    def test_schema_is_required(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        p = str(tmp_path / "noschema.xlsx")
+        write_xlsx(["a"], [[1]], p)
+        self._register(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="explicit .schema"):
+            spark.read.format("excel").load(p).collect()
+
+
 class TestManifest:
     def _write_table(self, spark, path, rows):
         spark.createDataFrame(rows, "k long, v string").write.mode(
