@@ -28,7 +28,13 @@ from decimal import Decimal
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def _convert(value, dtype: T.DataType):
@@ -115,6 +121,63 @@ class ExcelReader(DataSourceReader):
             )
 
 
+class _ExcelCommit(WriterCommitMessage):
+    def __init__(self, staged: str | None):
+        self.staged = staged
+
+
+class ExcelWriter(DataSourceWriter):
+    """df.write.format("excel").save(dir): each partition writes its own
+    ``part-NNNNN.xlsx`` staging file on its executor (embarrassingly
+    parallel — the write-side twin of the per-file read partitions), then
+    the driver's commit renames the staged parts in; abort removes them.
+    Not a transactional table format — the parquet sinks are the engine's
+    durable path; this is the bulk report-export surface."""
+
+    def __init__(self, options: dict, schema: T.StructType, overwrite: bool):
+        self.options = options
+        self.schema_ = schema
+        self.overwrite = overwrite
+        self.sheet = options.get("sheet", "Sheet1")
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        rows = [list(r) for r in iterator]
+        if not rows:
+            return _ExcelCommit(None)
+        pid = TaskContext.get().partitionId()
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        staged = os.path.join(
+            path, f"_staged-{uuid.uuid4().hex}-part-{pid:05d}.xlsx"
+        )
+        write_xlsx([f.name for f in self.schema_.fields], rows, staged,
+                   sheet=self.sheet)
+        return _ExcelCommit(staged)
+
+    def commit(self, messages):
+        path = self.options["path"]
+        if self.overwrite:
+            for name in os.listdir(path):
+                if name.endswith(".xlsx") and not name.startswith("_staged-"):
+                    os.remove(os.path.join(path, name))
+        for m in messages:
+            if m.staged is not None:
+                final = os.path.join(
+                    path, os.path.basename(m.staged).split("-", 2)[2]
+                )
+                os.replace(m.staged, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m.staged is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class ExcelDataSource(DataSource):
     """spark.read.format("excel") — schema is REQUIRED (Excel carries no
     types; the engine never infers on a correctness path)."""
@@ -131,6 +194,9 @@ class ExcelDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> ExcelReader:
         return ExcelReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> ExcelWriter:
+        return ExcelWriter(self.options, schema, overwrite)
 
 
 def register(spark: SparkSession) -> None:

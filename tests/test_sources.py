@@ -514,6 +514,24 @@ class TestExcelDataSource:
             (2, "b"),
         ]
 
+    def test_write_format_roundtrip_and_overwrite(self, spark, tmp_path):
+        import os
+
+        d = str(tmp_path / "xout")
+        self._register(spark)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "id int, name string"
+        ).repartition(3)
+        df.write.format("excel").mode("append").save(d)
+        parts = [n for n in os.listdir(d) if n.endswith(".xlsx")]
+        assert len(parts) == 3  # one sheet per partition, written in parallel
+        back = spark.read.format("excel").schema("id int, name string").load(d)
+        assert sorted(r["id"] for r in back.collect()) == list(range(10))
+        # overwrite replaces previous committed parts
+        df.limit(2).write.format("excel").mode("overwrite").save(d)
+        back2 = spark.read.format("excel").schema("id int, name string").load(d)
+        assert back2.count() == 2
+
     def test_schema_is_required(self, spark, tmp_path):
         from ssis_to_dbt_spark.sources.writers import write_xlsx
 
