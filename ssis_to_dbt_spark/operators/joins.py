@@ -216,17 +216,43 @@ def bloom_prefilter(
     small but the probe side is the full fact table, shipping a few-KB bit
     set to every task and filtering map-side is far cheaper than shuffling
     the fact table for an exact semi-join — the exact join then runs over
-    the tiny surviving fraction.  Plan: 1-row broadcast crossJoin (the same
-    shape as the tf-idf corpus-constant join), then a map-side
-    ``array_contains`` conjunction; the fact table never shuffles.
+    the tiny surviving fraction.  Plan: the sorted position array is first
+    densified into ceil(m/64) 64-bit words (ONE pass over the 1-row build
+    side), then a 1-row broadcast crossJoin (the same shape as the tf-idf
+    corpus-constant join) and a map-side O(1) word-index + bit-mask test per
+    probe; the fact table never shuffles.  An ``array_contains`` conjunction
+    would linear-scan the position array per fact row (m/2 compares per
+    probe); the bitmap probe replaces that with two ``element_at`` lookups.
     """
     from pyspark.sql import functions as F
 
-    probe = _bloom_positions(F.col(fact_key), m, k)
+    n_words = (m + 63) // 64
+    # 64 literal single-bit masks: element_at(masks, b+1) == 1 << b without
+    # needing a column-valued shift (F.shiftleft takes only literal counts).
+    masks = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.filter(F.col("bloom_bits"), lambda p: F.floor(p / 64) == w),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(
+                F.element_at(masks, (p % 64 + 1).cast("int"))
+            ),
+        ),
+    )
+    bloom_words = bloom.select(words.alias("_bloom_words"))
     cond = F.lit(True)
-    for p in probe:
-        cond = cond & F.array_contains(F.col("bloom_bits"), p)
-    return fact.crossJoin(F.broadcast(bloom)).filter(cond).drop("bloom_bits")
+    for p in _bloom_positions(F.col(fact_key), m, k):
+        word = F.element_at(
+            F.col("_bloom_words"), (F.floor(p / 64) + 1).cast("int")
+        )
+        mask = F.element_at(masks, (p % 64 + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return fact.crossJoin(F.broadcast(bloom_words)).filter(cond).drop(
+        "_bloom_words"
+    )
 
 
 def fuzzy_pairs(
