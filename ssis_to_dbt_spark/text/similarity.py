@@ -655,6 +655,104 @@ def quantize_embeddings(
     )
 
 
+def _np_stack_f64(series) -> "object":
+    """Stack a pandas Series of float32 list-values into an (n, d) float64
+    matrix.  float32 -> float64 widening is exact, so this is the Arrow twin
+    of ``_as_double``'s per-element cast."""
+    import numpy as np
+
+    return np.stack([np.asarray(x, dtype=np.float64) for x in series])
+
+
+def _np_fold_dot(a, b):
+    """Row-wise dot product as a SEQUENTIAL left fold over dimensions,
+    vectorized across rows: ``acc = acc + a[:, j] * b[:, j]`` for j ascending.
+
+    IEEE 754 ops are deterministic given evaluation order, and this is the
+    exact order of :func:`dot_product`'s ``F.aggregate(zip_with(a, b, *),
+    0.0, +)`` fold and of DuckDB's ``list_inner_product`` — so the Arrow
+    kernels below are BIT-EXACT with the expression path and the SQL oracle,
+    not merely close.  (A numpy ``a @ b`` matmul would be ~the same speed
+    here but sums in BLAS-defined order, which breaks the hash oracle.)
+    """
+    import numpy as np
+
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of :func:`ivf_assign`: nearest centroid
+    by cosine, ties to the lowest cell id, zero-norm vectors scoring 0.0
+    against every centroid.  Same float math in the same order (sequential
+    dimension fold, python-float centroid norms), so the assigned cell ids
+    are bit-identical to the expression path — pytest asserts this.
+
+    Still map-only (one ArrowEvalPython stage, no shuffle); exists because
+    interpreted HOF lambdas cost ~1 µs per expression node, which makes the
+    k-cosine argmax the dominant cost of the expression formulation, while
+    this kernel is k vectorized folds per Arrow batch.  The expression path
+    remains the right one where the plan must stay pure-JVM (the IVF probe's
+    partition-pruning rewrite); assignment feeding a grouped-map stage (the
+    SemDeDup pipeline) already crosses the Arrow boundary anyway.
+
+    Finite inputs assumed (fixtures are): NaN sims would tie-break
+    differently from Spark's NaN-is-largest ordering.
+    """
+    import numpy as np
+
+    cids = [cid for cid, _ in centroids]
+    cvecs = [np.asarray(c, dtype=np.float64) for _, c in centroids]
+    cnorms = []
+    for c in cvecs:
+        s = 0.0
+        for x in c:  # scalar sequential fold — mirrors ivf_assign's cnorm
+            s = s + float(x) * float(x)
+        cnorms.append(math.sqrt(s))
+    from pyspark.sql import types as T
+
+    # fresh StructType — .add() mutates the instance cached on the DataFrame
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(cell_col, T.IntegerType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _np_stack_f64(pdf[vec_col])
+            nrm = np.sqrt(_np_fold_dot(v, v))
+            best_s = None
+            best_c = None
+            for cid, c, cn in zip(cids, cvecs, cnorms):
+                acc = np.zeros(len(v), dtype=np.float64)
+                for j in range(v.shape[1]):
+                    acc = acc + v[:, j] * c[j]
+                den = nrm * cn
+                sim = np.divide(
+                    acc, den, out=np.zeros_like(acc), where=den > 0
+                )
+                if best_s is None:
+                    best_s, best_c = sim, np.full(len(v), cid, dtype=np.int64)
+                else:
+                    take = sim > best_s  # strict: ties keep the lowest cid
+                    best_s = np.where(take, sim, best_s)
+                    best_c = np.where(take, cid, best_c)
+            out = pdf.copy()
+            out[cell_col] = best_c.astype("int32")
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def semdedup(
     df: DataFrame,
     n_cells: int = 8,
@@ -662,6 +760,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus into centroid cells, compare
@@ -680,11 +779,30 @@ def semdedup(
     k-means k (the paper uses ~100k clusters; centroid assignment stays a
     map-only scan of literal centroids either way).  No all-pairs join, no
     driver-side data collect (``ivf_centroids`` fetches n_cells rows, a
-    bounded model-sized fetch).  The dup summary re-joins on ``id_col``;
-    AQE turns it into a broadcast join when few duplicates qualify.
+    bounded model-sized fetch).
+
+    Two engines with bit-identical output (pytest-asserted):
+
+    - ``engine="arrow"`` (default) — map-only Arrow cell assignment
+      (:func:`assign_cells_arrow`), then ONE hash shuffle on ``cell`` into a
+      grouped ``applyInPandas`` kernel that generates the within-cell pairs
+      and reduces them to per-member (dup_of, max_cos) in numpy.  This is
+      literally the production SemDeDup shape — per-cluster pairwise on a
+      vectorized backend — and all float math is the sequential fold of
+      :func:`_np_fold_dot`, so the SQL oracle still hash-matches.  Pairs
+      never materialize as Spark rows.
+    - ``engine="expr"`` — pure-JVM formulation: ``ivf_assign`` + a self
+      equi-join on ``cell`` with HOF cosine scoring.  Same plan family, no
+      Python boundary, ~20x slower at equal output (interpreted lambdas);
+      kept as the differential-testing twin and for Arrow-less deployments.
+
+    The dup summary in the expr path re-joins on ``id_col``; AQE turns it
+    into a broadcast join when few duplicates qualify.
     """
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, id_col, vec_col)
+    if engine == "arrow":
+        return _semdedup_arrow(df, tau, id_col, vec_col, centroids)
     assigned = ivf_assign(
         df.select(id_col, vec_col), centroids, id_col, vec_col
     )
@@ -722,4 +840,80 @@ def semdedup(
     )
     return base.select(id_col, "cell").join(
         dup.withColumnRenamed("_idb", id_col), on=id_col, how="left"
+    )
+
+
+def _semdedup_arrow(
+    df: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    max_pairs_chunk: int = 2_000_000,
+) -> DataFrame:
+    """Arrow engine for :func:`semdedup`: grouped per-cell pair reduction.
+
+    Each cell's members arrive as one pandas group (cells are bounded by
+    scaling n_cells with the corpus, so a group always fits a task); pair
+    indices come from ``np.triu_indices`` over the id-ascending order (so
+    a < b), folded dots chunked at ``max_pairs_chunk`` pairs to bound the
+    (pairs, dim) temporaries.  Per-member reduction uses ``np.minimum.at`` /
+    ``np.maximum.at`` — comparison-only ops, order-independent, so the
+    min/max match ``F.min``/``F.max`` exactly.  Rounding stays on the Spark
+    side (``F.round`` half-up; ``np.round`` is half-even — the one op the
+    kernel must NOT do).
+    """
+    import numpy as np
+    import pandas as pd
+
+    tau_f = float(tau)
+
+    def kern(pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = len(ids)
+        cell_val = int(pdf["cell"].iloc[0])
+        best_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        best_cos = np.full(n, -np.inf, dtype=np.float64)
+        has = np.zeros(n, dtype=bool)
+        if n >= 2:
+            v = _np_stack_f64(pdf[vec_col])[order]
+            nrm = np.sqrt(_np_fold_dot(v, v))
+            ii, jj = np.triu_indices(n, 1)
+            for s in range(0, len(ii), max_pairs_chunk):
+                ic, jc = ii[s : s + max_pairs_chunk], jj[s : s + max_pairs_chunk]
+                dot = _np_fold_dot(v[ic], v[jc])
+                den = nrm[ic] * nrm[jc]
+                cos = np.divide(
+                    dot, den, out=np.zeros_like(dot), where=den > 0
+                )
+                q = cos >= tau_f
+                iq, jq, cq = ic[q], jc[q], cos[q]
+                np.minimum.at(best_min, jq, ids[iq])
+                np.maximum.at(best_cos, jq, cq)
+                has[jq] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(n, cell_val, dtype=np.int32),
+                "dup_of": pd.array(
+                    [int(best_min[i]) if has[i] else None for i in range(n)],
+                    dtype="Int64",
+                ),
+                "max_cos_r": pd.array(
+                    [float(best_cos[i]) if has[i] else None for i in range(n)],
+                    dtype="Float64",
+                ),
+            }
+        )
+
+    assigned = assign_cells_arrow(
+        df.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    res = assigned.groupBy("cell").applyInPandas(
+        kern, schema=f"{id_col} long, cell int, dup_of long, max_cos_r double"
+    )
+    return res.select(
+        id_col, "cell", "dup_of", F.round("max_cos_r", 6).alias("max_cos_r")
     )

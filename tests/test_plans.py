@@ -177,15 +177,32 @@ class TestPlanShapes:
         assert plan.count("Exchange hashpartitioning(_bucket") == 1
         assert "Exchange SinglePartition" not in plan
 
-    def test_semdedup_pairs_confined_to_cell_equijoin(self, spark):
-        # the within-cell self-join must be an equi-join keyed on the cell id
-        # (hash exchange on cell) — never an all-pairs cartesian/BNLJ; cell
-        # assignment itself is map-only (asserted separately for ivf_assign)
+    def test_semdedup_pairs_confined_to_cell_group(self, spark):
+        # arrow engine: map-only Arrow assignment, then exactly ONE hash
+        # exchange keyed on the cell id into the grouped per-cell pair
+        # kernel — never an all-pairs cartesian/BNLJ, and pairs never
+        # materialize as Spark rows at all
         plan = plan_of(spark, "semdedup_embeddings", "simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # keyed on cell whether Spark picks broadcast (small side) or a
-        # cell-hash shuffle (at scale) — never an unkeyed pair join
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "Exchange hashpartitioning(cell" in plan, plan
+
+    def test_semdedup_expr_engine_pairs_confined_to_cell_equijoin(self, spark):
+        # expr engine (the differential twin): the within-cell self-join must
+        # be an equi-join keyed on the cell id — never an unkeyed pair join
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text.similarity import semdedup
+
+        emb = testdata(spark, SF)["embeddings"]
+        plan = semdedup(emb, n_cells=4, engine="expr")._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
         assert (
             "Join [cell" in plan
             or "BroadcastHashJoin [cell" in plan

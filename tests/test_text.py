@@ -328,6 +328,25 @@ class TestSemDeDup:
         assert out[2] is not None and out[2] > 0.99
         assert out[0] is None
 
+    def test_arrow_and_expr_engines_bit_identical(self, spark):
+        # the Arrow kernels fold dimensions in the same sequential order as
+        # the F.aggregate expression path, so the two engines must agree
+        # BIT-exactly (same cells, same dup_of, same max_cos doubles) — on
+        # the synthetic corpus and on the real fixture
+        from ssis_to_dbt_spark.sources.readers import testdata
+
+        fixture = testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+        for df in (self._corpus(spark), fixture):
+            a = {
+                (r["vec_id"], r["cell"], r["dup_of"], r["max_cos_r"])
+                for r in tx.semdedup(df, n_cells=4, tau=0.3, engine="arrow").collect()
+            }
+            e = {
+                (r["vec_id"], r["cell"], r["dup_of"], r["max_cos_r"])
+                for r in tx.semdedup(df, n_cells=4, tau=0.3, engine="expr").collect()
+            }
+            assert a == e
+
 
 class TestConnectedComponents:
     def test_two_components_min_label(self, spark):
