@@ -4692,6 +4692,44 @@ FROM agg a JOIN arrs USING (doc_id)
 """
 
 
+def q_dup_spans_docs(spark, sf_dir):
+    """Exact substring-duplication detection (Lee et al. 2021 ExactSubstr):
+    every 8-token window fingerprinted, a window occurring >= 2 times
+    anywhere in the corpus marks a duplicated span; per-document span
+    stats with the earliest duplicated position.  Inverted-index shape:
+    one shuffle on the window fingerprint, one fold back onto doc_id."""
+    from .text.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir)["documents"]
+    out = duplicate_spans(docs, w=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("first_dup_pos").cast("int").alias("first_dup_pos"),
+    )
+
+
+SQL_DUP_SPANS = r"""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+           FROM documents),
+sp AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         md5(array_to_string(tk[i:i+7], ' ')) AS h
+  FROM t, UNNEST(range(1, len(tk) - 6)) AS u(i)
+  WHERE len(tk) >= 8),
+c AS (SELECT h, COUNT(*) AS n_occ FROM sp GROUP BY h)
+SELECT sp.doc_id AS doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(MIN(CASE WHEN n_occ >= 2 THEN pos END) AS INTEGER)
+         AS first_dup_pos
+FROM sp JOIN c USING (h)
+GROUP BY sp.doc_id
+"""
+
+
 def q_bpe_merges_docs(spark, sf_dir):
     """Distributed BPE merge discovery (Sennrich et al. 2016), 3 rounds over
     the corpus vocabulary-frequency table: the corpus is aggregated ONCE
@@ -4806,7 +4844,17 @@ def q_token_ops_docs(spark, sf_dir):
         _nul("long").alias("start_tok"),
         _nul("long").alias("end_tok"),
     )
-    return _union_all([tb, ch, pk, dl, bp])
+    ds = q_dup_spans_docs(spark, sf_dir).select(
+        F.lit("dup_spans").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("first_dup_pos").cast("int").alias("chunk_idx"),
+        _nul("string").alias("chunk_text"),
+        F.col("n_spans").cast("int").alias("n_tok"),
+        F.col("n_dup_spans").cast("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
+    )
+    return _union_all([tb, ch, pk, dl, bp, ds])
 
 
 SQL_TOKEN_OPS = f"""
@@ -4836,6 +4884,11 @@ SELECT 'bpe', CAST(round AS BIGINT), {_NULL_INT},
        CAST(pair AS VARCHAR), {_NULL_INT},
        CAST(weight AS BIGINT), {_NULL_BIGINT}, {_NULL_BIGINT}
 FROM ({SQL_BPE_MERGES}) _bp
+UNION ALL
+SELECT 'dup_spans', CAST(doc_id AS BIGINT), CAST(first_dup_pos AS INTEGER),
+       {_NULL_STR}, CAST(n_spans AS INTEGER),
+       CAST(n_dup_spans AS BIGINT), {_NULL_BIGINT}, {_NULL_BIGINT}
+FROM ({SQL_DUP_SPANS}) _ds
 """
 
 
@@ -5231,6 +5284,7 @@ ALL_QUERIES = {
     "iqr_outlier_docs": q_iqr_outlier_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
+    "dup_spans_docs": q_dup_spans_docs,
     "incremental_rollup_sales": q_incremental_rollup_sales,
     "cms_tokens_docs": q_cms_tokens_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
@@ -5350,6 +5404,7 @@ ALL_ORACLES = {
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
+    "dup_spans_docs": SQL_DUP_SPANS,
     "incremental_rollup_sales": _oracle_double(
         SQL_AGG_DAILY, ["total_quantity", "total_gross", "total_net"]
     ),

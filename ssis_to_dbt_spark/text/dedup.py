@@ -608,6 +608,65 @@ def decontaminate(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication detection (the ExactSubstr variant of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, re-expressed for Spark): fingerprint every
+    ``w``-token window of every document; a window whose fingerprint occurs
+    ``>= min_count`` times anywhere in the corpus — other documents OR the
+    same document — marks a duplicated span.  Any duplicated substring of
+    length >= w tokens necessarily contains a duplicated window, so
+    stride-1 windows give exact w-gram coverage.
+
+    This is distinct from the pairwise doc-similarity family (minhash /
+    jaccard / containment): it localizes WHICH spans are duplicated, the
+    per-span removal signal an LLM curation pipeline applies.
+
+    Returns one row per document that has at least one window (>= w
+    tokens): ``(id_col, n_spans, n_dup_spans, first_dup_pos)`` with
+    ``first_dup_pos`` the 0-based token index of the earliest duplicated
+    window (NULL when the document has none).
+
+    Scale shape: suffix arrays don't distribute; the rolling fingerprint
+    table is the standard scalable formulation.  Windows are built with the
+    same zip_with-over-shifted-slices trick as :func:`shingle` (the
+    tokenizer evaluates w times per document, not once per window), then
+    ONE shuffle groups identical fingerprints to count occurrences
+    (inverted-index shape, like the jaccard family) and a second groupBy on
+    ``id_col`` folds the flags into per-document stats — both keyed
+    aggregations, never all-pairs.  Fingerprints are md5 of the window text
+    (engine-portable, so the span table is oracle-checkable); swap xxhash64
+    for production-scale runs where the oracle twin is not needed.
+    """
+    toks = _tokens(F.col(text_col))
+    k = F.greatest(F.size(toks) - F.lit(w - 1), F.lit(0))
+    grams = F.slice(toks, 1, k)
+    for i in range(1, w):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, k), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    sp = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
+    ).select(id_col, "pos", F.md5(F.col("_gram")).alias("_h"))
+    counts = sp.groupBy("_h").agg(F.count(F.lit(1)).alias("_n_occ"))
+    dup = F.col("_n_occ") >= min_count
+    return (
+        sp.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_spans"),
+            F.min(F.when(dup, F.col("pos"))).alias("first_dup_pos"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

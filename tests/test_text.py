@@ -624,6 +624,59 @@ class TestDecontaminate:
         assert tx.decontaminate(train, eval_set, shingle_n=8).count() == 0
 
 
+class TestDuplicateSpans:
+    def _docs(self, spark):
+        shared = "one two three four five six seven eight"  # 8 tokens
+        return spark.createDataFrame(
+            [
+                (1, f"{shared} unique tail for document one"),
+                (2, f"prefix words here {shared} and a different tail"),
+                (3, "entirely distinct content with no repeated windows at all"),
+                (4, "short doc"),  # < w tokens: no windows, no output row
+                (5, "rep rep rep rep rep rep rep rep rep rep"),  # self-dup
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_cross_doc_span_flagged_with_position(self, spark):
+        out = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["first_dup_pos"])
+            for r in tx.duplicate_spans(self._docs(spark), w=8).collect()
+        }
+        # doc 1: 13 tokens -> 6 windows; the shared 8-gram starts at pos 0
+        assert out[1][1] >= 1 and out[1][2] == 0
+        # doc 2: shared 8-gram starts after the 3-token prefix
+        assert out[2][1] >= 1 and out[2][2] == 3
+        # doc 3: windows exist but none duplicated
+        assert out[3][1] == 0 and out[3][2] is None
+        # doc 4: shorter than w -> no row at all
+        assert 4 not in out
+
+    def test_within_document_repetition_counts(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in tx.duplicate_spans(self._docs(spark), w=8).collect()
+        }
+        # doc 5: ten identical tokens -> 3 windows, all the same fingerprint,
+        # duplicated against EACH OTHER (within one document)
+        r = out[5]
+        assert r["n_spans"] == 3
+        assert r["n_dup_spans"] == 3
+        assert r["first_dup_pos"] == 0
+
+    def test_higher_min_count_demotes_pairs(self, spark):
+        out = {
+            r["doc_id"]: r["n_dup_spans"]
+            for r in tx.duplicate_spans(
+                self._docs(spark), w=8, min_count=3
+            ).collect()
+        }
+        # the cross-doc span occurs exactly twice -> not duplicated at >= 3;
+        # doc 5's window occurs 3 times -> still flagged
+        assert out[1] == 0 and out[2] == 0
+        assert out[5] == 3
+
+
 class TestPackSequences:
     def _packed(self, spark, seq=100):
         df = spark.createDataFrame(
