@@ -3131,6 +3131,101 @@ GROUP BY event_type
 """
 
 
+def q_zorder_events(spark, sf_dir):
+    """Z-order layout stats over events on (user_id, event-second): Morton
+    keys from exact-integer range scaling, folded into 256 curve-bucket
+    rectangles (count + min/max of both dimensions) — the footer-stats
+    metadata a two-dimensional pruning reader consults, proving the layout
+    localizes user AND time ranges.  One scalar-bounds aggregate broadcast
+    as one row, one hash aggregation on the bucket id; the curve key itself
+    is codegen'd shift/mask arithmetic, oracle-checkable bit for bit."""
+    from .operators.layout import zorder_stats
+
+    ev = _t(spark, sf_dir)["events"].select(
+        F.col("user_id").alias("x"),
+        F.unix_timestamp(F.col("ts")).alias("y"),
+    )
+    st = zorder_stats(ev, "x", "y", bits=16, bucket_bits=8)
+    return st.select(
+        F.col("z_bucket").cast("long").alias("z_bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("x_min").cast("long").alias("x_min"),
+        F.col("x_max").cast("long").alias("x_max"),
+        F.col("y_min").cast("long").alias("y_min"),
+        F.col("y_max").cast("long").alias("y_max"),
+    )
+
+
+def _sql_morton(xs: str, ys: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({xs}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({ys}) >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+SQL_ZORDER_EVENTS = f"""
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS x,
+         epoch_us(ts) // 1000000 AS y
+  FROM events),
+b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+             MIN(y) AS ymin, MAX(y) AS ymax FROM base),
+scaled AS (
+  SELECT x, y,
+         CASE WHEN xmax > xmin
+              THEN ((x - xmin) * 65535) // (xmax - xmin) ELSE 0 END AS sx,
+         CASE WHEN ymax > ymin
+              THEN ((y - ymin) * 65535) // (ymax - ymin) ELSE 0 END AS sy
+  FROM base CROSS JOIN b),
+z AS (SELECT x, y, CAST({_sql_morton("sx", "sy")} AS BIGINT) AS zv
+      FROM scaled)
+SELECT zv >> 24 AS z_bucket, COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY zv >> 24
+"""
+
+
+# --- events_payload_layout: typed JSON payload extraction + Z-order layout
+# rectangles (the events enrichment + physical-layout family) ----------------
+
+def q_events_payload_layout(spark, sf_dir):
+    jp = q_json_props_events(spark, sf_dir).select(
+        F.lit("json").alias("component"),
+        F.col("event_type").cast("string").alias("key"),
+        F.col("n_events").cast("long").alias("n1"),
+        F.col("sum_k").cast("long").alias("n2"),
+        F.col("min_k").cast("long").alias("n3"),
+        F.col("max_k").cast("long").alias("n4"),
+        F.col("n_even_k").cast("long").alias("n5"),
+    )
+    zo = q_zorder_events(spark, sf_dir).select(
+        F.lit("zorder").alias("component"),
+        F.col("z_bucket").cast("string").alias("key"),
+        F.col("n_rows").alias("n1"),
+        F.col("x_min").alias("n2"),
+        F.col("x_max").alias("n3"),
+        F.col("y_min").alias("n4"),
+        F.col("y_max").alias("n5"),
+    )
+    return _union_all([jp, zo])
+
+
+SQL_EVENTS_PAYLOAD_LAYOUT = f"""
+SELECT 'json' AS component, CAST(event_type AS VARCHAR) AS key,
+       CAST(n_events AS BIGINT) AS n1, CAST(sum_k AS BIGINT) AS n2,
+       CAST(min_k AS BIGINT) AS n3, CAST(max_k AS BIGINT) AS n4,
+       CAST(n_even_k AS BIGINT) AS n5
+FROM ({SQL_JSON_PROPS}) _j
+UNION ALL
+SELECT 'zorder', CAST(z_bucket AS VARCHAR), CAST(n_rows AS BIGINT),
+       CAST(x_min AS BIGINT), CAST(x_max AS BIGINT),
+       CAST(y_min AS BIGINT), CAST(y_max AS BIGINT)
+FROM ({SQL_ZORDER_EVENTS}) _z
+"""
+
+
 # ---------------------------------------------------------------------------
 # 48. RANGE-frame rolling aggregate (trailing 7 calendar days per customer)
 # ---------------------------------------------------------------------------
@@ -5269,6 +5364,8 @@ ALL_QUERIES = {
     "fuzzy_part_names": q_fuzzy_part_names,
     "pagerank_parts": q_pagerank_parts,
     "json_props_events": q_json_props_events,
+    "zorder_events": q_zorder_events,
+    "events_payload_layout": q_events_payload_layout,
     "rolling_revenue_7d": q_rolling_revenue_7d,
     "cdc_orders_diff": q_cdc_orders_diff,
     "cdc_apply_orders": q_cdc_apply_orders,
@@ -5386,6 +5483,8 @@ ALL_ORACLES = {
     "fuzzy_part_names": SQL_FUZZY_PARTS,
     "pagerank_parts": SQL_PAGERANK_PARTS,
     "json_props_events": SQL_JSON_PROPS,
+    "zorder_events": SQL_ZORDER_EVENTS,
+    "events_payload_layout": SQL_EVENTS_PAYLOAD_LAYOUT,
     "rolling_revenue_7d": _oracle_double(SQL_ROLLING_7D, ["spend_7d"]),
     "cdc_orders_diff": _oracle_double(
         SQL_CDC_DIFF, ["old_total", "new_total"]
@@ -5493,7 +5592,7 @@ _DRIVER_WINDOW = [
     "median_rolling_orders",
     "cdc_orders",
     "parts_fuzzy_pagerank",
-    "json_props_events",
+    "events_payload_layout",
     "roundtrip_sinks",
 ]
 

@@ -50,6 +50,7 @@ from .window import (
     running_aggregate,
     window_spec,
 )
+from .layout import morton_interleave, zorder_key, zorder_stats, zorder_write
 from .skew import salted_aggregate, salted_join, top_keys
 from .quality import (
     accepted_values_violations,
@@ -83,6 +84,7 @@ __all__ = [
     "ranked", "offset_compare", "running_aggregate", "moving_aggregate",
     "ntile_buckets", "window_spec",
     "salted_aggregate", "salted_join", "top_keys",
+    "morton_interleave", "zorder_key", "zorder_stats", "zorder_write",
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",
     "accepted_values_violations", "between_violations", "preflight_guard",

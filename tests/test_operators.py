@@ -492,6 +492,62 @@ class TestMixtureSample:
         assert first == again
 
 
+class TestZorderLayout:
+    def test_morton_interleave_known_values(self, spark):
+        from ssis_to_dbt_spark.operators import morton_interleave
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+        )
+        out = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", morton_interleave(F.col("x"), F.col("y")).alias("z")
+            ).collect()
+        }
+        assert out[(0, 0)] == 0
+        assert out[(1, 0)] == 1       # x -> even bits
+        assert out[(0, 1)] == 2       # y -> odd bits
+        # x=3 (0b11) -> bits 0,2 = 5; y=5 (0b101) -> bits 1,5 = 34
+        assert out[(3, 5)] == 5 | 34
+        assert out[(65535, 65535)] == (1 << 32) - 1
+
+    def test_zorder_key_scaling_and_constant_dim(self, spark):
+        from ssis_to_dbt_spark.operators import zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 7), (100, 7), (50, 7)], "x long, y long"
+        )
+        rows = {r["x"]: r["_z"] for r in zorder_key(df, "x", "y").collect()}
+        # y is constant -> scales to 0 -> z is the interleave of x alone
+        assert rows[0] == 0
+        assert rows[100] > rows[50] > rows[0]
+
+    def test_zorder_write_clusters_both_dims(self, spark, tmp_path):
+        from ssis_to_dbt_spark.operators import zorder_write
+
+        # a grid: row-major order localizes only y; z-order localizes both
+        grid = [(x, y) for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(grid, "x long, y long").repartition(4)
+        path = os.path.join(str(tmp_path), "zorder")
+        zorder_write(df, path, "x", "y", n_files=16)
+        back = spark.read.parquet(path)
+        assert back.count() == 4096
+        spans = (
+            back.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .collect()
+        )
+        # every file's rectangle must be narrow in BOTH dimensions: a
+        # 4096-row grid over 16 files -> each file ~256 rows; a linear sort
+        # would give dx=63 (full span) on the minor dimension
+        assert all(r["dx"] <= 32 and r["dy"] <= 32 for r in spans), spans
+
+
 class TestBloomFilter:
     def test_no_false_negatives_and_bounded_false_positives(self, spark):
         from ssis_to_dbt_spark.operators.joins import bloom_build, bloom_prefilter
