@@ -52,6 +52,8 @@ HEADLINE = [
     "semdedup_embeddings",
     "cdc_apply_orders",
     "incremental_rollup_sales",
+    "dup_spans_docs",
+    "zorder_events",
 ]
 
 
