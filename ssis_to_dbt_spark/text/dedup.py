@@ -634,26 +634,37 @@ def duplicate_spans(
     window (NULL when the document has none).
 
     Scale shape: suffix arrays don't distribute; the rolling fingerprint
-    table is the standard scalable formulation.  Windows are built with the
-    same zip_with-over-shifted-slices trick as :func:`shingle` (the
-    tokenizer evaluates w times per document, not once per window), then
-    ONE shuffle groups identical fingerprints to count occurrences
-    (inverted-index shape, like the jaccard family) and a second groupBy on
-    ``id_col`` folds the flags into per-document stats — both keyed
-    aggregations, never all-pairs.  Fingerprints are md5 of the window text
-    (engine-portable, so the span table is oracle-checkable); swap xxhash64
-    for production-scale runs where the oracle twin is not needed.
+    table is the standard scalable formulation.  Window construction
+    explodes POSITIONS from a generator over the materialized token array —
+    the generate output carries ``_tk`` as a real attribute, so each window
+    row is one codegen'd ``slice`` + ``concat_ws`` + ``md5`` with zero
+    interpreted lambdas (a zip_with-over-w-shifted-slices chain benched 3x
+    slower: w-1 interpreted passes allocating intermediate strings per
+    window).  The array never crosses a shuffle: the fingerprint projection
+    drops it inside the same stage.  Then ONE shuffle groups identical
+    fingerprints to count occurrences (inverted-index shape, like the
+    jaccard family) and a second groupBy on ``id_col`` folds the flags into
+    per-document stats — both keyed aggregations, never all-pairs.
+    Fingerprints are md5 of the window text (engine-portable, so the span
+    table is oracle-checkable); swap xxhash64 for production-scale runs
+    where the oracle twin is not needed.
     """
-    toks = _tokens(F.col(text_col))
-    k = F.greatest(F.size(toks) - F.lit(w - 1), F.lit(0))
-    grams = F.slice(toks, 1, k)
-    for i in range(1, w):
-        grams = F.zip_with(
-            grams, F.slice(toks, i + 1, k), lambda a, b: F.concat(a, F.lit(" "), b)
+    positions = F.explode(
+        F.when(
+            F.size("_tk") >= w, F.sequence(F.lit(0), F.size("_tk") - w)
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    sp = (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+        .select(id_col, "_tk", positions.alias("pos"))
+        .select(
+            id_col,
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_tk"), F.col("pos") + 1, w))
+            ).alias("_h"),
         )
-    sp = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
-    ).select(id_col, "pos", F.md5(F.col("_gram")).alias("_h"))
+    )
     counts = sp.groupBy("_h").agg(F.count(F.lit(1)).alias("_n_occ"))
     dup = F.col("_n_occ") >= min_count
     return (
