@@ -80,8 +80,10 @@ def main() -> None:
     # Python/Arrow worker warmup (daemon fork + Arrow serializer init costs
     # ~8 s once per session; the Arrow-engine queries should be measured at
     # steady state, same as the JVM JIT above)
-    spark.range(8).mapInArrow(lambda it: it, "id long").collect()
-    spark.range(8).groupBy("id").applyInPandas(
+    spark.range(256, numPartitions=64).mapInArrow(
+        lambda it: it, "id long"
+    ).collect()
+    spark.range(256, numPartitions=64).groupBy("id").applyInPandas(
         lambda pdf: pdf, "id long"
     ).collect()
 
