@@ -277,11 +277,17 @@ def simhash_md5_fingerprints(
     summed over tokens (duplicates counted), fingerprint bit b set when the
     vote is strictly positive.  One explode + one groupBy(id) with ``bits``
     integer aggregates — a single shuffle, exactly reproducible in SQL.
-    Production path is :func:`simhash` (xxhash64, 48 bits, no explode)."""
+    Production path is :func:`simhash` (xxhash64, 48 bits, no explode).
+
+    The token hash is materialized as a projection column BEFORE the
+    aggregation: embedding it in each of the ``bits`` aggregate inputs
+    leaves md5+conv re-evaluated per aggregate (codegen CSE does not span
+    hash-aggregate function inputs; measured ~18% on the cheaper xxhash
+    variant, more here since md5 is costlier)."""
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
-    )
-    h = _md5_long(F.col("_tok"))
+    ).select(id_col, _md5_long(F.col("_tok")).alias("_h"))
+    h = F.col("_h")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -398,11 +404,16 @@ def simhash_fingerprints(
     """Production SimHash over a DataFrame: explode tokens, xxhash each ONCE,
     sum per-bit ±1 votes with ``bits`` codegen'd integer aggregates behind a
     single doc_id shuffle — the whole-stage-codegen shape of
-    :func:`simhash_md5_fingerprints`, identical votes to :func:`simhash`."""
+    :func:`simhash_md5_fingerprints`, identical votes to :func:`simhash`.
+
+    ``xxhash64`` is materialized in the projection before the aggregation:
+    referencing it inside each of the ``bits`` aggregate inputs re-evaluates
+    the hash per aggregate (no CSE across hash-aggregate function inputs —
+    measured 1.77 s -> 1.45 s at sf0.1, identical fingerprints)."""
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
-    )
-    h = F.xxhash64(F.col("_tok"))
+    ).select(id_col, F.xxhash64(F.col("_tok")).alias("_h"))
+    h = F.col("_h")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
