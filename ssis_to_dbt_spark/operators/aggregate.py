@@ -216,6 +216,8 @@ def histogram_sketch_grouped(
     map-side combinable aggregation; per-group state is the (bounded) bin
     count, and merging sketches is a plain count sum (lossless, unlike
     t-digest whose centroids depend on merge order)."""
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
     b = F.floor(F.col(col) / F.lit(float(bin_width))).cast("long")
     return df.groupBy(*group_cols, b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n")
@@ -340,6 +342,10 @@ def histogram_quantile(
     counts.  The cumulative window runs over the BIN relation (bounded
     cardinality, already aggregated), so the single-partition sort is over
     dozens of rows, not data."""
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
     from pyspark.sql import Window
 
     total = h.agg(F.sum("n").alias("_total"))

@@ -197,12 +197,19 @@ def weighted_sample(
     domain-mixing weights, single digits in practice); selection is
     ``orderBy().limit(k)`` = TakeOrderedAndProject, k rows per partition
     then a k-row driver merge — never a global sort.
+
+    Rows with NULL or non-positive weight hold no tickets and are filtered
+    out up front.  Left in, they would WIN instead of losing:
+    ``sequence(1, 0)`` auto-selects step -1 and yields ``[1, 0]`` (two
+    tickets), and a NULL weight yields a NULL priority, which ascending
+    sort places FIRST — an unconditional win.
     """
+    eligible = df.filter(F.col(weight_col).cast("int") >= 1)
     tickets = F.transform(
         F.sequence(F.lit(1), F.col(weight_col).cast("int")),
         lambda i: F.md5(
             F.concat_ws(":", F.col(key_col).cast("string"), i.cast("string"))
         ),
     )
-    out = df.withColumn(priority_col, F.array_min(tickets))
+    out = eligible.withColumn(priority_col, F.array_min(tickets))
     return out.orderBy(F.col(priority_col), F.col(key_col)).limit(k)

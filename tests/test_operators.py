@@ -417,19 +417,21 @@ class TestWeightedSample:
         b = [r["k"] for r in weighted_sample(df.repartition(13), "k", "w", 20).collect()]
         assert a == b and len(a) == 20
 
-    def test_zero_weight_rows_never_selected(self, spark):
+    def test_null_and_nonpositive_weight_rows_never_selected(self, spark):
         from ssis_to_dbt_spark.operators.sampling import weighted_sample
-        from pyspark.sql import functions as F  # noqa: F401
 
-        # sequence(1, 0) is empty -> array_min NULL -> sorts last (nulls
-        # last under ascending? Spark sorts NULLs FIRST asc by default), so
-        # weight-0 must be filtered by the caller; assert the documented
-        # contract holds for weight >= 1: every selected row has w >= 1
-        df = spark.createDataFrame(
-            [(i, 1 + (i % 3)) for i in range(50)], "k long, w int"
-        )
+        # Without the eligibility filter these degenerate rows would WIN:
+        # sequence(1, 0) auto-steps -1 and yields [1, 0] (two tickets), and
+        # a NULL weight yields a NULL priority, which ascending sort places
+        # first.  The operator must treat both as zero tickets.
+        rows = [(i, 1) for i in range(20)] + [(100, 0), (101, -3), (102, None)]
+        df = spark.createDataFrame(rows, "k long, w int")
         out = weighted_sample(df, "k", "w", 10).collect()
-        assert all(r["w"] >= 1 for r in out)
+        assert len(out) == 10
+        assert all(r["k"] < 100 for r in out)
+        # all-degenerate input -> empty sample, not an error
+        bad = df.filter("k >= 100")
+        assert weighted_sample(bad, "k", "w", 5).count() == 0
 
     def test_higher_weight_wins_more_often(self, spark):
         from ssis_to_dbt_spark.operators.sampling import weighted_sample
