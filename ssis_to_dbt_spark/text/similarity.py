@@ -550,7 +550,14 @@ def ivf_assign(
     Each centroid similarity is projected ONCE as a real column before the
     argmax fold (interpreted HOF lambdas would otherwise re-evaluate every
     dot product per comparison).
+
+    An empty centroid list (only possible when the corpus that trained it
+    was empty) assigns the typed sentinel cell -1 to the zero input rows —
+    the argmax over an empty struct array would otherwise be VOID-typed and
+    fail analysis downstream.
     """
+    if not centroids:
+        return df.withColumn(cell_col, F.lit(-1).cast("int"))
     v = _as_double(F.col(vec_col))
     df = df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
     sim_cols = []

@@ -347,6 +347,19 @@ class TestSemDeDup:
             }
             assert a == e
 
+    def test_empty_corpus_both_engines(self, spark):
+        # empty input -> empty centroid list; the expr path's ivf_assign
+        # must short-circuit (argmax over an empty struct array is
+        # VOID-typed and fails analysis) and both engines return 0 rows
+        from pyspark.sql import types as T
+
+        empty = spark.createDataFrame([], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]))
+        assert tx.semdedup(empty, n_cells=2, engine="arrow").count() == 0
+        assert tx.semdedup(empty, n_cells=2, engine="expr").count() == 0
+
 
 class TestConnectedComponents:
     def test_two_components_min_label(self, spark):
