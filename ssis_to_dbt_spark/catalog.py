@@ -4524,6 +4524,62 @@ FROM ({SQL_RETRY_DAG}) _r
 
 # --- multimodal_decode: metadata plumbing + real BMP decode + real WAV decode
 
+def q_resize_bmp_stats(spark, sf_dir):
+    """Real image resize over Arrow batches: the bmp component's variable-
+    size solid-color images (width 1+i%7, height 1+i%5) nearest-neighbor
+    resize to a fixed 3x2, then re-decode.  Oracle-exact: a solid color is
+    invariant under NN sampling, so the resized means equal the source
+    colors, dims equal the target, and the re-encoded payload is the
+    constant 54-byte header + 2 rows x 12-byte stride = 78 bytes."""
+    from .text.multimodal import decode_bmp_stats, encode_bmp, resize_bmp_media
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        encode_bmp(
+                            int(1 + i % 7),
+                            int(1 + i % 5),
+                            (int(i % 256), int(i * 7 % 256), int(i * 13 % 256)),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    resized = resize_bmp_media(media, 3, 2)
+    # decode_bmp_stats reports n_bytes of ITS input — the resized payload —
+    # so the whole pipeline stays one map-only chain, no join
+    return decode_bmp_stats(resized).select(
+        "media_id", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b",
+        F.col("n_bytes").alias("n_out_bytes"),
+    )
+
+
+SQL_RESIZE_BMP = """
+SELECT doc_id AS media_id,
+       CAST(3 AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+       CAST(78 AS BIGINT) AS n_out_bytes
+FROM documents
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     feats = q_multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("component"),
@@ -4558,7 +4614,18 @@ def q_multimodal_decode(spark, sf_dir):
         F.col("duration_ms").cast("double").alias("v2"),
         _nul("double").alias("v3"),
     )
-    return _union_all([feats, bmp, wav])
+    rs = q_resize_bmp_stats(spark, sf_dir).select(
+        F.lit("resize").alias("component"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").cast("int").alias("i1"),
+        F.col("height").cast("int").alias("i2"),
+        F.col("channels").cast("int").alias("i3"),
+        F.col("n_out_bytes").cast("long").alias("n1"),
+        F.col("mean_r").cast("double").alias("v1"),
+        F.col("mean_g").cast("double").alias("v2"),
+        F.col("mean_b").cast("double").alias("v3"),
+    )
+    return _union_all([feats, bmp, wav, rs])
 
 
 SQL_MULTIMODAL_DECODE = f"""
@@ -4577,6 +4644,12 @@ SELECT 'wav', CAST(media_id AS BIGINT), CAST(sample_rate AS INTEGER),
        CAST(channels AS INTEGER), CAST(n_samples AS INTEGER), {_NULL_BIGINT},
        CAST(mean_abs AS DOUBLE), CAST(duration_ms AS DOUBLE), {_NULL_DOUBLE}
 FROM ({SQL_WAV_STATS}) _w
+UNION ALL
+SELECT 'resize', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
+       CAST(height AS INTEGER), CAST(channels AS INTEGER),
+       CAST(n_out_bytes AS BIGINT),
+       CAST(mean_r AS DOUBLE), CAST(mean_g AS DOUBLE), CAST(mean_b AS DOUBLE)
+FROM ({SQL_RESIZE_BMP}) _r
 """
 
 
@@ -5372,6 +5445,7 @@ ALL_QUERIES = {
     "cdc_orders": q_cdc_orders,
     "containment_docs": q_containment_docs,
     "wav_decode_stats": q_wav_decode_stats,
+    "resize_bmp_stats": q_resize_bmp_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_docs": q_mixture_docs,
     "pack_docs": q_pack_docs,
@@ -5493,6 +5567,7 @@ ALL_ORACLES = {
     "cdc_orders": SQL_CDC_ORDERS,
     "containment_docs": SQL_CONTAINMENT,
     "wav_decode_stats": SQL_WAV_STATS,
+    "resize_bmp_stats": SQL_RESIZE_BMP,
     "tfidf_top_terms": SQL_TFIDF,
     "mixture_docs": SQL_MIXTURE,
     "pack_docs": SQL_PACK_DOCS,

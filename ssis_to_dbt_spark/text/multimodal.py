@@ -99,6 +99,118 @@ def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return header + dib + pixels
 
 
+def encode_bmp_pixels(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """24bpp bottom-up BMP from an explicit pixel grid (``rows[0]`` is the
+    TOP image row, each pixel an (r, g, b) triple).  Fixture twin of
+    :func:`resize_bmp` for asserting exact nearest-neighbor pixel
+    selection, complementing the solid-color :func:`encode_bmp`."""
+    import struct
+
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    pad = (4 - (width * 3) % 4) % 4
+    body = b"".join(
+        bytes(c for r, g, b in row for c in (b, g, r)) + b"\x00" * pad
+        for row in reversed(rows)  # bottom-up storage
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def resize_bmp(data: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resize of a 24bpp uncompressed BMP, returning a new
+    BMP.  Deterministic index mapping (``src = floor(dst * src_dim /
+    dst_dim)``, the standard NN convention), handles both bottom-up and
+    top-down source orientation, and raises ValueError on anything that
+    isn't a 24bpp uncompressed BMP — the same refusal contract as
+    :func:`decode_bmp`."""
+    import struct
+
+    if dst_w < 1 or dst_h < 1:
+        raise ValueError(f"target dims must be positive, got {dst_w}x{dst_h}")
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    if width < 1 or height < 1:
+        raise ValueError("degenerate source dimensions")
+    stride = (width * 3 + 3) & ~3
+    # source rows in IMAGE order (top first), raw BGR bytes
+    img_rows = []
+    for j in range(height):
+        y = (height - 1 - j) if bottom_up else j
+        base = pixel_off + y * stride
+        img_rows.append(data[base : base + width * 3])
+    pad = (4 - (dst_w * 3) % 4) % 4
+    out_rows = []
+    for j in range(dst_h):
+        src = img_rows[j * height // dst_h]
+        row = b"".join(
+            src[(i * width // dst_w) * 3 : (i * width // dst_w) * 3 + 3]
+            for i in range(dst_w)
+        )
+        out_rows.append(row + b"\x00" * pad)
+    body = b"".join(reversed(out_rows))  # bottom-up storage
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def resize_bmp_media(
+    df: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Batch resize over the standard ``mapInPandas`` Arrow path: every BMP
+    payload is nearest-neighbor-resized to ``dst_w`` x ``dst_h`` and
+    re-encoded; output carries the new bytes plus the new dimensions.
+    Undecodable payloads yield a NULL content/width/height row instead of
+    failing the batch (quarantine-not-crash, as in
+    :func:`decode_bmp_stats`).  Map-only — no shuffle at any corpus size;
+    batch memory is bounded by the Arrow batch size."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    out = resize_bmp(
+                        data if data is not None else b"", dst_w, dst_h
+                    )
+                    rows.append((mid, out, dst_w, dst_h, len(out)))
+                except ValueError:
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "content", "width", "height", "n_bytes"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(work, schema=schema)
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, int, float, float, float]:
     """Parse a 24bpp uncompressed BMP: (width, height, channels, mean_r,
     mean_g, mean_b).  Raises ValueError on anything that isn't one."""

@@ -108,6 +108,53 @@ class TestMultimodal:
         assert (rows[2]["width"], rows[2]["mean_g"]) == (7, 255.0)
         assert rows[3]["width"] is None and rows[3]["n_bytes"] == 7
 
+    def test_resize_bmp_exact_nearest_neighbor(self):
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_bmp, encode_bmp_pixels, resize_bmp,
+        )
+
+        # 4x2 gradient; NN mapping src_col = i * 4 // 2 picks cols 0 and 2,
+        # src_row = j * 2 // 1 picks row 0
+        top = [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+        bot = [(100, 100, 100), (110, 110, 110), (120, 120, 120), (130, 130, 130)]
+        data = encode_bmp_pixels([top, bot])
+        assert decode_bmp(data)[:2] == (4, 2)
+        small = resize_bmp(data, 2, 1)
+        # resized image = image-row 0, cols {0, 2} -> mean of 0 and 20 = 10
+        assert decode_bmp(small) == (2, 1, 3, 10.0, 10.0, 10.0)
+        # upscale 1x1 -> 3x3 replicates the single pixel
+        one = encode_bmp_pixels([[(7, 8, 9)]])
+        big = resize_bmp(one, 3, 3)
+        assert decode_bmp(big) == (3, 3, 3, 7.0, 8.0, 9.0)
+        with pytest.raises(ValueError, match="BMP"):
+            resize_bmp(b"junk", 2, 2)
+        with pytest.raises(ValueError, match="positive"):
+            resize_bmp(data, 0, 2)
+
+    def test_resize_media_over_arrow_batches(self, spark):
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_bmp_stats, encode_bmp, resize_bmp_media,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_bmp(7, 5, (10, 20, 30)))),
+                (2, bytearray(b"garbage")),  # quarantined, not fatal
+            ],
+            "media_id long, content binary",
+        )
+        out = resize_bmp_media(df, 3, 2)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+        # stride(3px) = 12 bytes -> 54 header + 24 body
+        assert rows[1]["n_bytes"] == 78
+        assert rows[2]["content"] is None and rows[2]["width"] is None
+        # resized solid color decodes to the same channel means
+        stats = decode_bmp_stats(out.filter("content is not null")).first()
+        assert (stats["mean_r"], stats["mean_g"], stats["mean_b"]) == (
+            10.0, 20.0, 30.0,
+        )
+
     def test_bmp_backend_in_feature_path(self, spark):
         from ssis_to_dbt_spark.text.multimodal import encode_bmp
 
