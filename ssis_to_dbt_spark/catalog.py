@@ -4691,6 +4691,29 @@ ORDER BY priority, doc_id LIMIT 60
 """
 
 
+def q_source_cap_docs(spark, sf_dir):
+    """Per-source document cap (the C4/Gopher per-domain cap): at most 15
+    docs per source, chosen by content-hash order — deterministic, so the
+    kept set itself is the oracle-checked value, not just its size.  One
+    window shuffle on source; per-group state is a row counter.  The cap
+    binds at every fixture scale (sources hold 25+ docs at sf0.01)."""
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "source")
+    return cap_per_group(docs, ["source"], 15, "doc_id")
+
+
+SQL_SOURCE_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) _r
+WHERE rn <= 15
+"""
+
+
 def q_sampling_splits(spark, sf_dir):
     hs = q_hash_split_docs(spark, sf_dir).select(
         F.lit("hash_split").alias("component"),
@@ -4716,7 +4739,13 @@ def q_sampling_splits(spark, sf_dir):
         F.col("lang").cast("string").alias("s1"),
         F.col("priority").cast("string").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws])
+    sc = q_source_cap_docs(spark, sf_dir).select(
+        F.lit("source_cap").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -4734,6 +4763,10 @@ UNION ALL
 SELECT 'weighted', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR),
        CAST(priority AS VARCHAR)
 FROM ({SQL_WEIGHTED_SAMPLE}) _w
+UNION ALL
+SELECT 'source_cap', CAST(doc_id AS BIGINT), CAST(source AS VARCHAR),
+       {_NULL_STR}
+FROM ({SQL_SOURCE_CAP}) _c
 """
 
 
@@ -5459,6 +5492,7 @@ ALL_QUERIES = {
     "incremental_rollup_sales": q_incremental_rollup_sales,
     "cms_tokens_docs": q_cms_tokens_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "source_cap_docs": q_source_cap_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
     "gap_fill_events": q_gap_fill_events,
     "agg_daily_rollup": q_agg_daily_rollup,
@@ -5584,6 +5618,7 @@ ALL_ORACLES = {
     ),
     "cms_tokens_docs": SQL_CMS_TOKENS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+    "source_cap_docs": SQL_SOURCE_CAP,
     "bpe_merges_docs": SQL_BPE_MERGES,
     "gap_fill_events": SQL_GAP_FILL,
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,

@@ -213,3 +213,38 @@ def weighted_sample(
     )
     out = eligible.withColumn(priority_col, F.array_min(tickets))
     return out.orderBy(F.col(priority_col), F.col(key_col)).limit(k)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    key_col: str,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group document cap (the C4/Gopher per-domain cap): keep at most
+    ``n`` rows per group, chosen deterministically by content-hash order
+    (``md5(key)``, key value as tiebreak) — never ``rand()``, so the kept
+    set is partition-order-independent and oracle-reproducible.
+
+    100 TB shape: ONE window shuffle on the group columns; per-group state
+    is a row counter.  Heavy domains (the exact rows this cap exists to
+    trim) each live in one partition of the window exchange — for a
+    pathological single domain holding a double-digit percent of the whole
+    corpus, pre-filter with a count-aggregate + broadcast threshold
+    instead.  With ``rank_col`` the cap keeps the TOP-n by that column
+    (descending; e.g. a quality score) instead of hash order — caps then
+    double as per-domain best-of selection.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    if rank_col is not None:
+        order = [F.col(rank_col).desc(), _hash_hex(F.col(key_col)).asc()]
+    else:
+        order = [_hash_hex(F.col(key_col)).asc(), F.col(key_col).asc()]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

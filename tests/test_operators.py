@@ -417,6 +417,34 @@ class TestWeightedSample:
         b = [r["k"] for r in weighted_sample(df.repartition(13), "k", "w", 20).collect()]
         assert a == b and len(a) == 20
 
+    def test_cap_per_group_deterministic_and_capped(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(100)], "doc_id long, src string"
+        )
+        a = cap_per_group(df.repartition(1), ["src"], 10, "doc_id")
+        b = cap_per_group(df.repartition(17), ["src"], 10, "doc_id")
+        ka = sorted(r["doc_id"] for r in a.collect())
+        kb = sorted(r["doc_id"] for r in b.collect())
+        assert ka == kb and len(ka) == 30  # 10 per src, partition-invariant
+        # group smaller than the cap is kept whole
+        small = df.filter("doc_id < 4")
+        assert cap_per_group(small, ["src"], 10, "doc_id").count() == 4
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="cap"):
+            cap_per_group(df, ["src"], 0, "doc_id")
+
+    def test_cap_per_group_rank_mode_keeps_top_n(self, spark):
+        from pyspark.sql import functions as F
+        from ssis_to_dbt_spark.operators.sampling import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, "s", float(i)) for i in range(20)], "doc_id long, src string, q double"
+        )
+        top = cap_per_group(df, ["src"], 5, "doc_id", rank_col="q")
+        assert sorted(r["doc_id"] for r in top.collect()) == [15, 16, 17, 18, 19]
+
     def test_null_and_nonpositive_weight_rows_never_selected(self, spark):
         from ssis_to_dbt_spark.operators.sampling import weighted_sample
 
