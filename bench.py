@@ -54,6 +54,8 @@ HEADLINE = [
     "incremental_rollup_sales",
     "dup_spans_docs",
     "zorder_events",
+    "resize_bmp_stats",
+    "source_cap_docs",
 ]
 
 
