@@ -253,3 +253,18 @@ class TestPlanShapes:
         # (grouping by lang), never on doc_id
         for frag in plan.split("Exchange hashpartitioning"):
             assert not frag.startswith("(doc_id")
+
+    def test_resize_chain_is_map_only(self, spark):
+        # encode -> resize -> decode is a single map-only mapInPandas chain:
+        # no exchange of any kind, three Python-runner stages
+        plan = plan_of(spark, "resize_bmp_stats", "simple")
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 3
+
+    def test_source_cap_single_window_exchange(self, spark):
+        # the per-domain cap is ONE window exchange on source with a
+        # row_number counter — no sort beyond the window's own, no join
+        plan = plan_of(spark, "source_cap_docs", "simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange hashpartitioning(source" in plan
+        assert "Join" not in plan
