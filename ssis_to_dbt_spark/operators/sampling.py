@@ -228,11 +228,13 @@ def cap_per_group(
     set is partition-order-independent and oracle-reproducible.
 
     100 TB shape: ONE window shuffle on the group columns; per-group state
-    is a row counter.  Heavy domains (the exact rows this cap exists to
-    trim) each live in one partition of the window exchange — for a
-    pathological single domain holding a double-digit percent of the whole
-    corpus, pre-filter with a count-aggregate + broadcast threshold
-    instead.  With ``rank_col`` the cap keeps the TOP-n by that column
+    is a row counter.  Spark's rank-limit pushdown plants a PARTIAL
+    ``WindowGroupLimit`` BEFORE the exchange (plan-asserted in
+    ``test_plans.py``), so every map task pre-trims to <= n rows per group
+    and the shuffle carries at most ``n * groups * map_partitions`` rows —
+    a pathological domain holding half the corpus still ships only n rows
+    per map task, not its full weight.  With ``rank_col`` the cap keeps
+    the TOP-n by that column
     (descending; e.g. a quality score) instead of hash order — caps then
     double as per-domain best-of selection.
     """

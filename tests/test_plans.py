@@ -263,8 +263,12 @@ class TestPlanShapes:
 
     def test_source_cap_single_window_exchange(self, spark):
         # the per-domain cap is ONE window exchange on source with a
-        # row_number counter — no sort beyond the window's own, no join
+        # row_number counter — no sort beyond the window's own, no join;
+        # rank-limit pushdown must plant a PARTIAL WindowGroupLimit BEFORE
+        # the exchange so heavy domains are trimmed map-side
         plan = plan_of(spark, "source_cap_docs", "simple")
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Exchange hashpartitioning(source" in plan
         assert "Join" not in plan
+        pre_exchange = plan.split("Exchange hashpartitioning")[1]
+        assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange
