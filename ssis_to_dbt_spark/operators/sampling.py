@@ -240,10 +240,19 @@ def cap_per_group(
     """
     if n < 1:
         raise ValueError(f"cap must be >= 1, got {n}")
+    # NULL ordering is explicit because engines disagree on the ascending
+    # default (Spark: NULLS FIRST, DuckDB: NULLS LAST) — a NULL key or rank
+    # must LOSE the cap everywhere, never win it
     if rank_col is not None:
-        order = [F.col(rank_col).desc(), _hash_hex(F.col(key_col)).asc()]
+        order = [
+            F.col(rank_col).desc_nulls_last(),
+            _hash_hex(F.col(key_col)).asc_nulls_last(),
+        ]
     else:
-        order = [_hash_hex(F.col(key_col)).asc(), F.col(key_col).asc()]
+        order = [
+            _hash_hex(F.col(key_col)).asc_nulls_last(),
+            F.col(key_col).asc_nulls_last(),
+        ]
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
