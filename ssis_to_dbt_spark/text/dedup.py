@@ -19,8 +19,44 @@ Everything is built-in Column expressions (higher-order functions, xxhash64)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cap_band_members(
+    banded: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Deterministically keep only the first ``max_bucket_size`` members
+    (ordered by id) of each LSH band bucket before pair generation.
+
+    Without this, a band bucket with m members emits m(m-1)/2 pairs through
+    a single join task — and at 100 TB the NORMAL case is duplicate-heavy
+    (boilerplate families, mirrored pages), so a hot bucket with 10^6
+    members means 5*10^11 pairs. The cap bounds any bucket's output at
+    cap^2/2. Truncation rather than bucket dropping (the hot-shingle cap's
+    policy in :func:`ngram_jaccard_pairs`): a banded LSH pair has multiple
+    chances across bands, but an oversized bucket is exactly where the
+    duplicates live, and the kept id-prefix still surfaces a canonical
+    representative of every near-dup family in it.
+
+    Cost: a row_number window partitioned on the SAME keys the band join
+    shuffles on, so the added exchange is the one the join needed anyway;
+    Spark >=3.5 plans a map-side WindowGroupLimit pre-trim for the
+    row_number<=N filter, so oversize buckets shrink before the shuffle.
+    Same contract as the embedding-LSH ``_cap_bucket_size``
+    (``text/similarity.py``).
+    """
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        banded.withColumn("_bn", F.row_number().over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
 
 
 def _tokens(text: Column) -> Column:
@@ -118,6 +154,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -125,6 +162,8 @@ def minhash_candidates(
     rows; docs agreeing on ANY full band become a candidate pair.  The pair
     generation is groupBy (band_idx, band_hash) -> intra-bucket pairing, an
     equi-join keyed on the band hash: no all-pairs comparison ever happens.
+    ``max_bucket_size`` bounds degenerate band buckets (duplicate-heavy
+    corpora) via :func:`_cap_band_members`.
 
     Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
     fraction of matching signature components.
@@ -151,6 +190,9 @@ def minhash_candidates(
             )
         ).alias("band"),
     ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
+    banded = _cap_band_members(
+        banded, id_col, ["band_idx", "band_hash"], max_bucket_size
+    )
 
     # Pair generation joins on IDS ONLY — carrying the 64-component signature
     # arrays through the band join and the pair dedup would multiply the
@@ -221,10 +263,12 @@ def minhash_candidates_md5(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs on the portable md5 signatures — same
-    banded equi-join shape as :func:`minhash_candidates` (no all-pairs),
-    fully reproducible on any engine with md5."""
+    banded equi-join shape as :func:`minhash_candidates` (no all-pairs,
+    band buckets capped via :func:`_cap_band_members`), fully reproducible
+    on any engine with md5."""
     rows = num_hashes // bands
     sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
     banded = sigs.select(
@@ -241,6 +285,9 @@ def minhash_candidates_md5(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+    banded = _cap_band_members(
+        banded, id_col, ["band_idx", "band_hash"], max_bucket_size
+    )
     left = banded.select("band_idx", "band_hash", F.col(id_col).alias("doc_a"))
     right = banded.select("band_idx", "band_hash", F.col(id_col).alias("doc_b"))
     pairs = (
@@ -311,10 +358,12 @@ def simhash_md5_candidates(
     text_col: str = "text",
     bits: int = 32,
     band_bits: int = 16,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Hamming-ball blocking on the portable md5 SimHash: docs sharing any
     ``band_bits``-wide band of the fingerprint pair up via an equi-join on
-    the band value (same cost shape as :func:`simhash_candidates`)."""
+    the band value (same cost shape as :func:`simhash_candidates`, band
+    buckets capped via :func:`_cap_band_members`)."""
     n_bands = bits // band_bits
     sh = simhash_md5_fingerprints(df, id_col, text_col, bits)
     banded = sh.select(
@@ -334,6 +383,9 @@ def simhash_md5_candidates(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    banded = _cap_band_members(
+        banded, id_col, ["band_idx", "band_val"], max_bucket_size
+    )
     left = banded.select(
         "band_idx", "band_val",
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
@@ -437,9 +489,11 @@ def simhash_candidates(
     text_col: str = "text",
     bits: int = 48,
     band_bits: int = 12,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any ``band_bits``-wide band
-    of the fingerprint (Hamming-ball blocking, equi-join on band value)."""
+    of the fingerprint (Hamming-ball blocking, equi-join on band value;
+    band buckets capped via :func:`_cap_band_members`)."""
     n_bands = bits // band_bits
     sh = simhash_fingerprints(df, id_col, text_col, bits)
     banded = sh.select(
@@ -459,6 +513,9 @@ def simhash_candidates(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    banded = _cap_band_members(
+        banded, id_col, ["band_idx", "band_val"], max_bucket_size
+    )
     left = banded.select(
         "band_idx", "band_val",
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),

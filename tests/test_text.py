@@ -727,3 +727,59 @@ class TestPackSequences:
         assert sorted(map(tuple, packed.collect()), key=lambda t: t[0]) == sorted(
             map(tuple, again.collect()), key=lambda t: t[0]
         )
+
+
+class TestBandBucketCap:
+    """The LSH band-bucket cap: a planted mega-family of duplicates must not
+    emit quadratic pairs, and on a diverse corpus the cap is a no-op."""
+
+    def _family(self, spark, n=60, extra=()):
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, text) for i in range(n)] + list(extra)
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_minhash_cap_bounds_pairs(self, spark):
+        df = self._family(spark, 60)
+        capped = tx.minhash_candidates(df, max_bucket_size=10)
+        # 60 identical docs -> every band bucket holds all 60; capped to the
+        # first 10 ids per band the distinct-pair output is exactly C(10,2).
+        assert capped.count() == 45
+        uncapped = tx.minhash_candidates(df, max_bucket_size=None)
+        assert uncapped.count() == 60 * 59 // 2
+
+    def test_minhash_cap_keeps_id_prefix(self, spark):
+        df = self._family(spark, 60)
+        pairs = tx.minhash_candidates(df, max_bucket_size=10).collect()
+        ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+        assert ids == set(range(10))  # deterministic first-N-by-id
+
+    def test_simhash_cap_bounds_pairs(self, spark):
+        df = self._family(spark, 60)
+        assert tx.simhash_candidates(df, max_bucket_size=8).count() == 28
+        assert (
+            tx.simhash_candidates(df, max_bucket_size=None).count() == 60 * 59 // 2
+        )
+
+    def test_md5_twins_cap(self, spark):
+        df = self._family(spark, 40)
+        assert tx.minhash_candidates_md5(df, max_bucket_size=5).count() == 10
+        assert tx.simhash_md5_candidates(df, max_bucket_size=5).count() == 10
+
+    def test_cap_noop_on_diverse_corpus(self, spark):
+        # distinct docs + one small dup family well under the cap: candidate
+        # sets with and without the cap must be identical (fixture recall).
+        rows = [
+            (i, f"unique document number {i} with its own words w{i} x{i} y{i}")
+            for i in range(20)
+        ] + [(100, "same same text here ok fine"), (101, "same same text here ok fine")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        for fn in (tx.minhash_candidates, tx.simhash_candidates):
+            a = sorted(
+                (r["doc_a"], r["doc_b"])
+                for r in fn(df, max_bucket_size=10_000).collect()
+            )
+            b = sorted(
+                (r["doc_a"], r["doc_b"])
+                for r in fn(df, max_bucket_size=None).collect()
+            )
+            assert a == b and (100, 101) in a
