@@ -144,6 +144,12 @@ def resize_bmp(data: bytes, dst_w: int, dst_h: int) -> bytes:
     if width < 1 or height < 1:
         raise ValueError("degenerate source dimensions")
     stride = (width * 3 + 3) & ~3
+    # header-declared extent must fit the payload: a truncated body would
+    # otherwise yield short source rows and a re-encoded BMP whose header
+    # dims exceed its pixels — silently-wrong stats instead of quarantine
+    # (trailing pad of the last row may be absent; require the pixels only)
+    if pixel_off + (height - 1) * stride + width * 3 > len(data):
+        raise ValueError("truncated BMP: declared dimensions exceed payload")
     # source rows in IMAGE order (top first), raw BGR bytes
     img_rows = []
     for j in range(height):
@@ -226,7 +232,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, float, float, float]:
         raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp})")
     bottom_up = height > 0
     height = abs(height)
+    if width < 1 or height < 1:
+        raise ValueError("degenerate source dimensions")
     stride = (width * 3 + 3) & ~3
+    if pixel_off + (height - 1) * stride + width * 3 > len(data):
+        raise ValueError("truncated BMP: declared dimensions exceed payload")
     tr = tg = tb = 0
     for y in range(height):
         base = pixel_off + y * stride

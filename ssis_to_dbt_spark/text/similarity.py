@@ -716,6 +716,10 @@ def assign_cells_arrow(
     """
     import numpy as np
 
+    if not centroids:
+        # same contract as ivf_assign: typed sentinel cell -1, never a crash
+        return df.withColumn(cell_col, F.lit(-1).cast("int"))
+
     cids = [cid for cid, _ in centroids]
     cvecs = [np.asarray(c, dtype=np.float64) for _, c in centroids]
     cnorms = []

@@ -218,3 +218,39 @@ class TestWavDecode:
         assert rows[1]["sample_rate"] == 16000
         assert rows[1]["duration_ms"] == 8 * 1000.0 / 16000
         assert rows[2]["sample_rate"] is None
+
+
+class TestTruncatedBmp:
+    """Truncated payloads must raise (-> quarantine path), never produce
+    silently-wrong stats or a re-encoded BMP bigger than its body."""
+
+    def test_decode_rejects_truncated_body(self):
+        from ssis_to_dbt_spark.text.multimodal import decode_bmp, encode_bmp
+
+        data = encode_bmp(4, 3, (10, 20, 30))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_bmp(data[:-8])
+
+    def test_resize_rejects_truncated_body(self):
+        from ssis_to_dbt_spark.text.multimodal import encode_bmp, resize_bmp
+
+        data = encode_bmp(4, 3, (10, 20, 30))
+        with pytest.raises(ValueError, match="truncated"):
+            resize_bmp(data[:-8], 2, 2)
+
+    def test_truncated_payload_quarantined_in_batch(self, spark):
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_bmp_stats, encode_bmp, resize_bmp_media,
+        )
+
+        good = encode_bmp(4, 3, (10, 20, 30))
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(good[:-8]))],
+            "media_id long, content binary",
+        )
+        stats = {r["media_id"]: r for r in decode_bmp_stats(df).collect()}
+        assert stats[1]["width"] == 4
+        assert stats[2]["width"] is None  # NULL row, not wrong means
+        resized = {r["media_id"]: r for r in resize_bmp_media(df, 2, 2).collect()}
+        assert resized[1]["width"] == 2
+        assert resized[2]["content"] is None

@@ -360,6 +360,19 @@ class TestSemDeDup:
         assert tx.semdedup(empty, n_cells=2, engine="arrow").count() == 0
         assert tx.semdedup(empty, n_cells=2, engine="expr").count() == 0
 
+    def test_empty_centroids_sentinel_both_engines(self, spark):
+        # non-empty batch + empty centroid list: both assignment paths emit
+        # the typed sentinel cell -1 instead of crashing mid-batch
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        from ssis_to_dbt_spark.text.similarity import assign_cells_arrow
+
+        for fn in (tx.ivf_assign, assign_cells_arrow):
+            out = {r["vec_id"]: r["cell"] for r in fn(df, []).collect()}
+            assert out == {1: -1, 2: -1}
+
 
 class TestConnectedComponents:
     def test_two_components_min_label(self, spark):
