@@ -56,7 +56,36 @@ HEADLINE = [
     "zorder_events",
     "resize_bmp_stats",
     "source_cap_docs",
+    "dtsx_sales_fact_etl",
 ]
+
+# Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE
+# grows as operators land, which hides the trend inside the total; this list
+# NEVER changes, and its sum is emitted as core20_wall_sec so any round can be
+# gated mechanically against any other.
+CORE20 = [
+    "stg_sales_transactions",
+    "fct_sales_star",
+    "agg_daily_sales",
+    "dim_customer_scd2",
+    "orders_semi_join",
+    "incremental_merge_orders",
+    "merge_upsert_customers",
+    "events_tumbling_10min",
+    "events_sessionize",
+    "exact_dedup_docs",
+    "text_analysis_docs",
+    "minhash_pairs_docs",
+    "simhash_pairs_docs",
+    "topk_embeddings",
+    "lsh_topk_embeddings",
+    "knn_join_embeddings",
+    "window_customer_orders",
+    "embedding_neardup",
+    "events_sliding_30min",
+    "ivf_topk_embeddings",
+]
+assert set(CORE20) <= set(HEADLINE)
 
 
 def main() -> None:
@@ -106,6 +135,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "core20_wall_sec": round(sum(times[n] for n in CORE20), 3),
                 "sf": sf,
             }
         )

@@ -5382,6 +5382,428 @@ SQL_ROUNDTRIP_SINKS = "\nUNION ALL\n".join(
 
 
 # ---------------------------------------------------------------------------
+# dtsx binder end-to-end: the reference's own sample SSIS packages parsed
+# from their actual .dtsx XML and EXECUTED by the engine on fixture-mapped
+# inputs (ssis_to_dbt_spark.dtsx).  Ground truth: SalesFactETL.dtsx:79-306,
+# CustomerDataLoad.dtsx:69-136, InventorySync.dtsx:104-258.  The oracles
+# replicate each package's dataflow (source SQL + lookups + derived-column
+# expressions) directly over the raw parquet tables.
+# ---------------------------------------------------------------------------
+
+_DTSX_DIR = "/root/reference/samples/ssis_packages"
+_DTSX_START = "1995-01-01 00:00:00"
+_DTSX_END = "1996-12-31 23:59:59"
+
+
+def q_dtsx_sales_fact_etl(spark, sf_dir):
+    """SalesFactETL.dtsx executed by the engine: OLE DB source SQL with
+    ?-bound [StartDate,EndDate], three dimension lookups (Customer/Product
+    IgnoreFailure, Date FailComponent), derived Gross/Discount/Net amounts
+    compiled from the package's own SSIS expressions."""
+    from datetime import datetime
+
+    from .dtsx import run_package
+
+    t = _t(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    tx = li.join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+        ),
+        "l_orderkey",
+    ).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("SaleID"),
+        F.col("o_custkey").cast("int").alias("CustomerID"),
+        F.col("l_partkey").cast("int").alias("ProductID"),
+        F.col("o_orderdate").cast("timestamp").alias("SaleDate"),
+        F.col("l_quantity").cast("int").alias("Quantity"),
+        F.col("l_extendedprice").cast(_D182).alias("UnitPrice"),
+        (F.col("l_discount") * F.lit(100.0)).cast(T.DecimalType(5, 2)).alias(
+            "DiscountPercent"
+        ),
+        F.col("l_suppkey").cast("int").alias("SalesRepID"),
+        (F.col("l_suppkey") % 10).cast("int").alias("StoreID"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("IsVoided"),
+    )
+    dim_customer = t["customer"].select(
+        (F.col("c_custkey") + 1000000).cast("int").alias("CustomerKey"),
+        F.col("c_custkey").cast("int").alias("CustomerID"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("IsCurrent"),
+    )
+    dim_product = t["part"].select(
+        (F.col("p_partkey") + 2000000).cast("int").alias("ProductKey"),
+        F.col("p_partkey").cast("int").alias("ProductID"),
+        F.col("p_size").cast("int").alias("CategoryID"),
+        F.lit(1).alias("IsActive"),
+    )
+    dim_date = (
+        o.select(F.col("o_orderdate").cast("timestamp").alias("FullDate"))
+        .distinct()
+        .select(
+            (
+                F.year("FullDate") * 10000
+                + F.month("FullDate") * 100
+                + F.dayofmonth("FullDate")
+            ).cast("int").alias("DateKey"),
+            "FullDate",
+        )
+    )
+    frames, _report = run_package(
+        spark,
+        f"{_DTSX_DIR}/SalesFactETL.dtsx",
+        tables={
+            "sales.Transactions": tx,
+            "dim.Customer": dim_customer,
+            "dim.Product": dim_product,
+            "dim.Date": dim_date,
+        },
+        variables={
+            "User::StartDate": datetime.fromisoformat(_DTSX_START),
+            "User::EndDate": datetime.fromisoformat(_DTSX_END),
+        },
+        param_bindings={"Sales Source": ["User::StartDate", "User::EndDate"]},
+    )
+    out = frames["Load Sales Facts"].select(
+        F.col("SaleID").alias("sale_id"),
+        F.col("CustomerKey").alias("customer_key"),
+        F.col("ProductKey").alias("product_key"),
+        F.col("CategoryID").alias("category_id"),
+        F.col("DateKey").alias("date_key"),
+        F.col("SaleDate").alias("sale_date"),
+        F.col("Quantity").alias("quantity"),
+        F.col("GrossAmount").alias("gross_amount"),
+        F.col("DiscountAmount").alias("discount_amount"),
+        F.col("NetAmount").alias("net_amount"),
+    )
+    return _final_double(out, ["gross_amount", "discount_amount", "net_amount"])
+
+
+SQL_DTSX_SALES = f"""
+WITH tx AS (
+  SELECT l.l_orderkey * 10 + l.l_linenumber AS SaleID,
+         CAST(o.o_custkey AS INTEGER) AS CustomerID,
+         CAST(l.l_partkey AS INTEGER) AS ProductID,
+         CAST(o.o_orderdate AS TIMESTAMP) AS SaleDate,
+         CAST(l.l_quantity AS INTEGER) AS Quantity,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS UnitPrice,
+         CAST(l.l_discount * 100.0 AS DECIMAL(5,2)) AS DiscountPercent,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS IsVoided
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+src AS (
+  SELECT * FROM tx
+  WHERE SaleDate BETWEEN TIMESTAMP '{_DTSX_START}' AND TIMESTAMP '{_DTSX_END}'
+    AND IsVoided = 0
+),
+cust AS (
+  SELECT CAST(c_custkey + 1000000 AS INTEGER) AS CustomerKey,
+         CAST(c_custkey AS INTEGER) AS CustomerID
+  FROM customer WHERE c_acctbal > 0
+),
+prod AS (
+  SELECT CAST(p_partkey + 2000000 AS INTEGER) AS ProductKey,
+         CAST(p_partkey AS INTEGER) AS ProductID,
+         CAST(p_size AS INTEGER) AS CategoryID
+  FROM part
+),
+dd AS (
+  SELECT DISTINCT CAST(o_orderdate AS TIMESTAMP) AS FullDate,
+         CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+              + day(o_orderdate) AS INTEGER) AS DateKey
+  FROM orders
+)
+SELECT s.SaleID AS sale_id,
+       cust.CustomerKey AS customer_key,
+       prod.ProductKey AS product_key,
+       prod.CategoryID AS category_id,
+       dd.DateKey AS date_key,
+       s.SaleDate AS sale_date,
+       s.Quantity AS quantity,
+       CAST(round(s.Quantity * s.UnitPrice, 6) AS DOUBLE) AS gross_amount,
+       CAST(round(round((s.Quantity * s.UnitPrice)
+                        * (s.DiscountPercent * 0.01), 2), 6) AS DOUBLE)
+         AS discount_amount,
+       CAST(round(round((s.Quantity * s.UnitPrice)
+                        - ((s.Quantity * s.UnitPrice)
+                           * (s.DiscountPercent * 0.01)), 2), 6) AS DOUBLE)
+         AS net_amount
+FROM src s
+LEFT JOIN cust ON s.CustomerID = cust.CustomerID
+LEFT JOIN prod ON s.ProductID = prod.ProductID
+JOIN dd ON s.SaleDate = dd.FullDate
+"""
+
+
+def q_dtsx_customer_load(spark, sf_dir):
+    """CustomerDataLoad.dtsx executed by the engine: ?-bound incremental
+    source filter, FullName / EmailDomain derived columns (the package's
+    SUBSTRING/FINDSTRING/LEN and NULL-propagating ``+`` expressions)."""
+    from datetime import datetime
+
+    from .dtsx import run_package
+
+    cust = _t(spark, sf_dir)["customer"]
+    crm = cust.select(
+        F.col("c_custkey").cast("int").alias("CustomerID"),
+        F.substring("c_name", 1, 8).alias("FirstName"),
+        F.substring("c_name", 10, 9).alias("LastName"),
+        F.concat(
+            F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")),
+            F.lit("@"),
+            F.lower(F.col("c_mktsegment")),
+            F.lit(".example.com"),
+        ).alias("Email"),
+        F.concat(
+            F.lit("555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("Phone"),
+        F.date_add(F.lit("1993-01-01").cast("date"), (F.col("c_custkey") % 900).cast("int"))
+        .cast("timestamp").alias("CreatedDate"),
+        F.date_add(F.lit("1994-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int"))
+        .cast("timestamp").alias("ModifiedDate"),
+    )
+    frames, _report = run_package(
+        spark,
+        f"{_DTSX_DIR}/CustomerDataLoad.dtsx",
+        tables={"crm.Customers": crm},
+        variables={"User::LoadDate": datetime(1994, 3, 1)},
+        param_bindings={"OLE DB Source": ["User::LoadDate"]},
+    )
+    return frames["Load Customer Data"].select(
+        F.col("CustomerID").alias("customer_id"),
+        F.col("FullName").alias("full_name"),
+        F.col("Email").alias("email"),
+        F.col("EmailDomain").alias("email_domain"),
+        F.col("Phone").alias("phone"),
+        F.col("ModifiedDate").alias("modified_date"),
+    )
+
+
+SQL_DTSX_CUSTOMER = """
+WITH crm AS (
+  SELECT CAST(c_custkey AS INTEGER) AS CustomerID,
+         substring(c_name, 1, 8) AS FirstName,
+         substring(c_name, 10, 9) AS LastName,
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@'
+           || lower(c_mktsegment) || '.example.com' AS Email,
+         '555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS Phone,
+         CAST(DATE '1994-01-01'
+              + CAST(c_custkey % 1000 AS INTEGER) AS TIMESTAMP) AS ModifiedDate
+  FROM customer
+)
+SELECT CustomerID AS customer_id,
+       FirstName || ' ' || LastName AS full_name,
+       Email AS email,
+       substring(Email, strpos(Email, '@') + 1, length(Email)) AS email_domain,
+       Phone AS phone,
+       ModifiedDate AS modified_date
+FROM crm
+WHERE ModifiedDate >= TIMESTAMP '1994-03-01 00:00:00'
+"""
+
+
+def q_dtsx_inventory_sync(spark, sf_dir):
+    """InventorySync.dtsx data flow executed by the engine: lookups with NO
+    declared <inputs> (name-inferred join mapping), nested-ternary
+    StockStatus, integer-division DaysOfSupply, decimal InventoryValue."""
+    from .dtsx import run_package
+
+    t = _t(spark, sf_dir)
+    part, nation = t["part"], t["nation"]
+    stg = part.select(
+        F.concat(F.lit("SKU-"), F.col("p_partkey").cast("string")).alias("ProductSKU"),
+        F.concat(F.lit("W"), (F.col("p_partkey") % 25).cast("string")).alias(
+            "WarehouseCode"
+        ),
+        (F.col("p_size") * 10).cast("int").alias("QuantityOnHand"),
+        (F.col("p_size") * 2).cast("int").alias("QuantityReserved"),
+        ((F.col("p_partkey") % 25) - 2).cast("int").alias("QuantityAvailable"),
+        F.date_add(
+            F.lit("1997-01-01").cast("date"), (F.col("p_partkey") % 300).cast("int")
+        ).alias("LastCountDate"),
+        (F.col("p_partkey") % 40).cast("int").alias("ReorderPoint"),
+        (F.col("p_size") * 20).cast("int").alias("MaxStockLevel"),
+        F.col("p_retailprice").cast(_D184).alias("UnitCost"),
+        (F.col("p_partkey") % 2).cast("int").alias("ProcessedFlag"),
+    )
+    dim_product = part.select(
+        (F.col("p_partkey") + 2000000).cast("int").alias("ProductKey"),
+        F.concat(F.lit("SKU-"), F.col("p_partkey").cast("string")).alias("SKU"),
+        F.when(F.col("p_size") > 5, 1).otherwise(0).alias("IsActive"),
+    )
+    dim_wh = nation.select(
+        (F.col("n_nationkey") + 500).cast("int").alias("WarehouseKey"),
+        F.concat(F.lit("W"), F.col("n_nationkey").cast("string")).alias(
+            "WarehouseCode"
+        ),
+    )
+    synclog = t["orders"].select(
+        F.max("o_orderdate").cast("timestamp").alias("LastSyncTime"),
+        F.lit("Inventory").alias("SyncType"),
+        F.lit("Success").alias("Status"),
+    )
+    frames, _report = run_package(
+        spark,
+        f"{_DTSX_DIR}/InventorySync.dtsx",
+        tables={
+            "stg.InventoryAPI": stg,
+            "dim.Product": dim_product,
+            "dim.Warehouse": dim_wh,
+            "etl.SyncLog": synclog,
+        },
+    )
+    out = frames["Load Inventory Updates"].select(
+        F.col("ProductSKU").alias("product_sku"),
+        F.col("ProductKey").alias("product_key"),
+        F.col("WarehouseKey").alias("warehouse_key"),
+        F.col("QuantityAvailable").alias("quantity_available"),
+        F.col("StockStatus").alias("stock_status"),
+        F.col("DaysOfSupply").alias("days_of_supply"),
+        F.col("InventoryValue").alias("inventory_value"),
+    )
+    return _final_double(out, ["inventory_value"])
+
+
+SQL_DTSX_INVENTORY = """
+WITH stg AS (
+  SELECT 'SKU-' || CAST(p_partkey AS VARCHAR) AS ProductSKU,
+         'W' || CAST(p_partkey % 25 AS VARCHAR) AS WarehouseCode,
+         CAST(p_size * 10 AS INTEGER) AS QuantityOnHand,
+         CAST((p_partkey % 25) - 2 AS INTEGER) AS QuantityAvailable,
+         CAST(p_partkey % 40 AS INTEGER) AS ReorderPoint,
+         CAST(p_retailprice AS DECIMAL(18,4)) AS UnitCost
+  FROM part WHERE (p_partkey % 2) = 0
+),
+prod AS (
+  SELECT CAST(p_partkey + 2000000 AS INTEGER) AS ProductKey,
+         'SKU-' || CAST(p_partkey AS VARCHAR) AS SKU
+  FROM part WHERE p_size > 5
+),
+wh AS (
+  SELECT CAST(n_nationkey + 500 AS INTEGER) AS WarehouseKey,
+         'W' || CAST(n_nationkey AS VARCHAR) AS WarehouseCode
+  FROM nation
+)
+SELECT s.ProductSKU AS product_sku,
+       prod.ProductKey AS product_key,
+       wh.WarehouseKey AS warehouse_key,
+       s.QuantityAvailable AS quantity_available,
+       CASE WHEN s.QuantityAvailable <= 0 THEN 'Out of Stock'
+            WHEN s.QuantityAvailable < s.ReorderPoint THEN 'Low Stock'
+            ELSE 'In Stock' END AS stock_status,
+       CASE WHEN s.ReorderPoint > 0
+            THEN CAST(trunc((CAST(s.QuantityAvailable AS DOUBLE)
+                             / s.ReorderPoint) * 30) AS INTEGER)
+            ELSE 0 END AS days_of_supply,
+       CAST(round(round(s.QuantityOnHand * s.UnitCost, 4), 6) AS DOUBLE)
+         AS inventory_value
+FROM stg s
+LEFT JOIN prod ON s.ProductSKU = prod.SKU
+LEFT JOIN wh ON s.WarehouseCode = wh.WarehouseCode
+"""
+
+
+def q_dtsx_packages(spark, sf_dir):
+    """Driver suite: all three reference sample packages parsed from their
+    .dtsx XML and executed end-to-end, outputs normalized and unioned."""
+    sales = q_dtsx_sales_fact_etl(spark, sf_dir).select(
+        F.lit("sales_fact").alias("component"),
+        F.col("sale_id").cast("long").alias("id"),
+        F.col("customer_key").cast("int").alias("key_a"),
+        F.col("product_key").cast("int").alias("key_b"),
+        _nul("string").alias("txt_a"),
+        _nul("string").alias("txt_b"),
+        F.col("sale_date").alias("ts"),
+        F.col("gross_amount").cast("double").alias("num_a"),
+        F.col("discount_amount").cast("double").alias("num_b"),
+        F.col("net_amount").cast("double").alias("num_c"),
+        F.col("date_key").cast("int").alias("num_i"),
+    )
+    cdl = q_dtsx_customer_load(spark, sf_dir).select(
+        F.lit("customer_load").alias("component"),
+        F.col("customer_id").cast("long").alias("id"),
+        _nul("int").alias("key_a"),
+        _nul("int").alias("key_b"),
+        F.col("full_name").alias("txt_a"),
+        F.col("email_domain").alias("txt_b"),
+        F.col("modified_date").alias("ts"),
+        _nul("double").alias("num_a"),
+        _nul("double").alias("num_b"),
+        _nul("double").alias("num_c"),
+        _nul("int").alias("num_i"),
+    )
+    inv = q_dtsx_inventory_sync(spark, sf_dir).select(
+        F.lit("inventory_sync").alias("component"),
+        _nul("long").alias("id"),
+        F.col("product_key").cast("int").alias("key_a"),
+        F.col("warehouse_key").cast("int").alias("key_b"),
+        F.col("product_sku").alias("txt_a"),
+        F.col("stock_status").alias("txt_b"),
+        _nul("timestamp").alias("ts"),
+        F.col("inventory_value").cast("double").alias("num_a"),
+        _nul("double").alias("num_b"),
+        _nul("double").alias("num_c"),
+        F.col("days_of_supply").cast("int").alias("num_i"),
+    )
+    return _union_all([sales, cdl, inv])
+
+
+_NULL_TS = "CAST(NULL AS TIMESTAMP)"
+
+SQL_DTSX_PACKAGES = f"""
+SELECT 'sales_fact' AS component, CAST(sale_id AS BIGINT) AS id,
+       CAST(customer_key AS INTEGER) AS key_a,
+       CAST(product_key AS INTEGER) AS key_b,
+       {_NULL_STR} AS txt_a, {_NULL_STR} AS txt_b, sale_date AS ts,
+       gross_amount AS num_a, discount_amount AS num_b, net_amount AS num_c,
+       CAST(date_key AS INTEGER) AS num_i
+FROM ({SQL_DTSX_SALES}) _s
+UNION ALL
+SELECT 'customer_load', CAST(customer_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
+       full_name, email_domain, modified_date, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       {_NULL_DOUBLE}, {_NULL_INT}
+FROM ({SQL_DTSX_CUSTOMER}) _c
+UNION ALL
+SELECT 'inventory_sync', {_NULL_BIGINT}, CAST(product_key AS INTEGER),
+       CAST(warehouse_key AS INTEGER), product_sku, stock_status, {_NULL_TS},
+       inventory_value, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       CAST(days_of_supply AS INTEGER)
+FROM ({SQL_DTSX_INVENTORY}) _i
+"""
+
+
+# --- pivot_median_orders: pivot/unpivot + median/rolling/histogram merged
+# into one window entry (frees a driver slot for dtsx_packages) -------------
+
+def q_pivot_median_orders(spark, sf_dir):
+    a = q_pivot_unpivot_orders(spark, sf_dir).select(
+        F.col("component"), F.col("priority"), F.col("status"),
+        _nul("long").alias("o_custkey"), _nul("long").alias("o_orderkey"),
+        _nul("int").alias("day_idx"), _nul("long").alias("n"),
+        F.col("v1"), F.col("v2"), F.col("v3"),
+    )
+    b = q_median_rolling_orders(spark, sf_dir).select(
+        F.col("component"), F.col("priority"), _nul("string").alias("status"),
+        F.col("o_custkey"), F.col("o_orderkey"), F.col("day_idx"), F.col("n"),
+        F.col("v").alias("v1"), _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([a, b])
+
+
+SQL_PIVOT_MEDIAN = f"""
+SELECT component, priority, status, {_NULL_BIGINT} AS o_custkey,
+       {_NULL_BIGINT} AS o_orderkey, {_NULL_INT} AS day_idx,
+       {_NULL_BIGINT} AS n, v1, v2, v3
+FROM ({SQL_PIVOT_UNPIVOT}) _a
+UNION ALL
+SELECT component, priority, {_NULL_STR}, o_custkey, o_orderkey, day_idx, n,
+       v AS v1, {_NULL_DOUBLE} AS v2, {_NULL_DOUBLE} AS v3
+FROM ({SQL_MEDIAN_ROLLING}) _b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 #
 # ALL_QUERIES holds every individual query (used by pytest, bench.py, and
@@ -5509,6 +5931,11 @@ ALL_QUERIES = {
     "pii_tfidf_docs": q_pii_tfidf_docs,
     "pivot_unpivot_orders": q_pivot_unpivot_orders,
     "median_rolling_orders": q_median_rolling_orders,
+    "pivot_median_orders": q_pivot_median_orders,
+    "dtsx_sales_fact_etl": q_dtsx_sales_fact_etl,
+    "dtsx_customer_load": q_dtsx_customer_load,
+    "dtsx_inventory_sync": q_dtsx_inventory_sync,
+    "dtsx_packages": q_dtsx_packages,
     "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
@@ -5647,6 +6074,11 @@ ALL_ORACLES = {
     "parts_fuzzy_pagerank": SQL_PARTS_FUZZY_PAGERANK,
     "roundtrip_sinks": SQL_ROUNDTRIP_SINKS,
     "join_strategies": SQL_JOIN_STRATEGIES,
+    "pivot_median_orders": SQL_PIVOT_MEDIAN,
+    "dtsx_sales_fact_etl": SQL_DTSX_SALES,
+    "dtsx_customer_load": SQL_DTSX_CUSTOMER,
+    "dtsx_inventory_sync": SQL_DTSX_INVENTORY,
+    "dtsx_packages": SQL_DTSX_PACKAGES,
 }
 
 # The 50 entries the driver verifies — every SURVEY §2 family and every
@@ -5698,8 +6130,8 @@ _DRIVER_WINDOW = [
     "pii_tfidf_docs",
     "sql_task_pricing",
     "window_customer_orders",
-    "pivot_unpivot_orders",
-    "median_rolling_orders",
+    "pivot_median_orders",
+    "dtsx_packages",
     "cdc_orders",
     "parts_fuzzy_pagerank",
     "events_payload_layout",
