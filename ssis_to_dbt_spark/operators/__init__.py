@@ -50,7 +50,14 @@ from .window import (
     running_aggregate,
     window_spec,
 )
-from .layout import morton_interleave, zorder_key, zorder_stats, zorder_write
+from .layout import (
+    morton_interleave,
+    zorder_key,
+    zorder_prune_files,
+    zorder_scan,
+    zorder_stats,
+    zorder_write,
+)
 from .skew import salted_aggregate, salted_join, top_keys
 from .quality import (
     accepted_values_violations,
@@ -84,7 +91,8 @@ __all__ = [
     "ranked", "offset_compare", "running_aggregate", "moving_aggregate",
     "ntile_buckets", "window_spec",
     "salted_aggregate", "salted_join", "top_keys",
-    "morton_interleave", "zorder_key", "zorder_stats", "zorder_write",
+    "morton_interleave", "zorder_key", "zorder_prune_files", "zorder_scan",
+    "zorder_stats", "zorder_write",
     "row_count_compare", "pk_integrity", "checksum_compare",
     "not_null_violations", "unique_violations", "relationship_violations",
     "accepted_values_violations", "between_violations", "preflight_guard",

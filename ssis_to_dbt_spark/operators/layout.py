@@ -123,6 +123,118 @@ def zorder_write(
     )
 
 
+def file_rectangles(files: list[str], col_x: str, col_y: str) -> list[dict]:
+    """Per-file min/max rectangles for two columns, read from the parquet
+    FOOTERS only (pyarrow metadata — no data pages touched).  A file missing
+    stats for either column gets an unbounded rectangle (never pruned
+    blind).  This is the stand-in for the stats manifest a table format
+    (Delta/Iceberg) persists at write time; footer probing is O(files)
+    metadata reads and can itself be distributed when the file count is
+    large — at 100 TB you persist the manifest once and consult it, which
+    is exactly what this list is."""
+    import pyarrow.parquet as pq
+
+    rects = []
+    for f in files:
+        local = f[7:] if f.startswith("file://") else f
+        md = pq.ParquetFile(local).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        bounds: dict[str, tuple] = {}
+        ok = True
+        for col in (col_x, col_y):
+            if col not in names:
+                ok = False
+                break
+            idx = names.index(col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                ok = False
+                break
+            bounds[col] = (lo, hi)
+        rects.append(
+            {
+                "file": f,
+                "x": bounds.get(col_x) if ok else None,
+                "y": bounds.get(col_y) if ok else None,
+            }
+        )
+    return rects
+
+
+def zorder_prune_files(
+    spark,
+    path: str,
+    col_x: str,
+    col_y: str,
+    x_range: tuple | None = None,
+    y_range: tuple | None = None,
+) -> tuple[list[str], int]:
+    """Select the files of a Z-ordered parquet layout whose footer-stats
+    rectangle intersects the query rectangle.  Ranges are inclusive
+    ``(lo, hi)``; ``None`` bounds are unbounded.  Returns
+    ``(kept_files, total_files)``.  File listing comes from Spark's own
+    file index (``inputFiles`` — metadata only, storage-agnostic)."""
+    files = list(spark.read.parquet(path).inputFiles())
+
+    def overlaps(stat: tuple | None, rng: tuple | None) -> bool:
+        if stat is None or rng is None:
+            return True  # no stats -> cannot prune; no predicate -> keep
+        lo, hi = rng
+        return (lo is None or stat[1] >= lo) and (hi is None or stat[0] <= hi)
+
+    kept = [
+        r["file"]
+        for r in file_rectangles(files, col_x, col_y)
+        if overlaps(r["x"], x_range) and overlaps(r["y"], y_range)
+    ]
+    return kept, len(files)
+
+
+def zorder_scan(
+    spark,
+    path: str,
+    col_x: str,
+    col_y: str,
+    x_range: tuple | None = None,
+    y_range: tuple | None = None,
+) -> DataFrame:
+    """Read a Z-ordered parquet layout with FILE-level pruning on a 2-D
+    range predicate: only files whose min/max rectangle intersects the
+    query rectangle enter the scan, then the exact predicate is re-applied
+    as a normal pushed filter (correctness never depends on the pruning —
+    it only shrinks the file list the way a Delta/Iceberg reader consults
+    its stats manifest).  On a layout from :func:`zorder_write`, files
+    cover narrow rectangles in BOTH dimensions, so a selective 2-D
+    predicate reads a small fraction of the files — the measurable payoff
+    of the Morton re-clustering."""
+    kept, total = zorder_prune_files(spark, path, col_x, col_y, x_range, y_range)
+    if not kept:
+        # empty result with the layout's schema (predicate excluded all files)
+        return spark.read.parquet(path).limit(0)
+    df = spark.read.parquet(*kept)
+
+    def rng_filter(col: str, rng: tuple | None):
+        conds = []
+        if rng is not None:
+            lo, hi = rng
+            if lo is not None:
+                conds.append(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                conds.append(F.col(col) <= F.lit(hi))
+        return conds
+
+    for cond in rng_filter(col_x, x_range) + rng_filter(col_y, y_range):
+        df = df.filter(cond)
+    return df
+
+
 def zorder_stats(
     df: DataFrame,
     col_x: str,

@@ -746,11 +746,77 @@ def duplicate_spans(
     )
 
 
+def _star_contraction(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round connects
+    every node's larger neighbors to its neighborhood minimum (large-star),
+    then its smaller neighbors to the minimum of the downward neighborhood
+    (small-star).  Converges to per-component stars (node -> component min)
+    in O(log^2 n) rounds on ANY graph shape — including the long chains that
+    defeat plain min-label propagation, whose round count is the graph
+    diameter.  Per-round cost: two groupBy+join pairs on node ids, same
+    shuffle shape as one min-label round.
+
+    Input/output edges are (src, dst); output rows are star edges
+    ``node -> component_min`` (roots carry no row — add them when deriving
+    labels)."""
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_md"))
+        mins = mins.select("src", F.least("_md", "src").alias("m"))
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        oriented = (
+            large.select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            oriented.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .union(smins.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            out.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(out).limit(1).count() == 0
+        )
+        cur = out
+        if converged:
+            return cur
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
+    switch_after: int = 8,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: ``(node, label)`` where
     ``label`` is the minimum id in the node's connected component — the
@@ -761,24 +827,49 @@ def connected_components(
     list — each round every node takes ``min(own label, neighbors' labels)``
     (one shuffle on node id per round) until a fixpoint, reached in
     graph-diameter rounds.  Near-dup clusters are shallow (diameter 2-4), so
-    this is 2-5 rounds in practice; a graph suspected of long chains wants
-    the large-star/small-star variant, same per-round shape.  Lineage is
+    this is 2-5 rounds in practice.  Lineage is
     truncated every round with ``localCheckpoint`` so the plan does not grow
     unboundedly with iterations.  The fixpoint is iteration-order
     independent (min is idempotent/commutative), which is what makes the
     result reproducible by a SQL transitive-closure oracle.
+
+    ``algorithm``:
+
+    - ``"min_label"`` — pure propagation; raises after ``max_iter`` rounds
+      (diameter-bounded: the right choice when clusters are known shallow).
+    - ``"star"`` — :func:`_star_contraction` from the start (O(log^2 n)
+      rounds on any shape; ~2x the per-round work).
+    - ``"auto"`` (default) — min-label for ``switch_after`` rounds, then
+      fall over to star contraction if not yet converged: shallow near-dup
+      graphs pay nothing extra, pathological chains still terminate.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+
+    def star_labels() -> DataFrame:
+        stars = _star_contraction(edges)
+        return (
+            stars.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+            .union(
+                stars.select(F.col("dst").alias("node"), F.col("dst").alias("label"))
+            )
+            .distinct()
+        )
+
+    if algorithm == "star":
+        return star_labels()
+    if algorithm not in ("auto", "min_label"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    rounds = max_iter if algorithm == "min_label" else min(switch_after, max_iter)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(rounds):
         prop = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -800,8 +891,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
+    if algorithm == "auto":
+        # deep chains: min-label would need diameter rounds — hand the
+        # symmetrized edges to the O(log^2 n) star contraction instead
+        return star_labels()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(unexpectedly deep duplicate chains — raise max_iter or switch to "
-        "the large-star/small-star variant)"
+        "(unexpectedly deep duplicate chains — use algorithm='auto'/'star' "
+        "for the large-star/small-star contraction)"
     )

@@ -577,6 +577,54 @@ class TestZorderLayout:
         # would give dx=63 (full span) on the minor dimension
         assert all(r["dx"] <= 32 and r["dy"] <= 32 for r in spans), spans
 
+    def test_zorder_scan_prunes_files(self, spark, tmp_path):
+        from ssis_to_dbt_spark.operators import (
+            zorder_prune_files, zorder_scan, zorder_write,
+        )
+
+        grid = [(x, y) for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(grid, "x long, y long").repartition(4)
+        path = os.path.join(str(tmp_path), "zscan")
+        zorder_write(df, path, "x", "y", n_files=16)
+
+        # selective 2-D rectangle: a z-ordered layout must read only the
+        # files whose footer rectangle intersects it
+        kept, total = zorder_prune_files(
+            spark, path, "x", "y", x_range=(0, 7), y_range=(0, 7)
+        )
+        assert total == 16
+        assert len(kept) < total // 2, (len(kept), total)
+
+        out = zorder_scan(
+            spark, path, "x", "y", x_range=(0, 7), y_range=(0, 7)
+        )
+        expect = sorted(
+            (x, y) for x in range(8) for y in range(8)
+        )
+        assert sorted((r["x"], r["y"]) for r in out.collect()) == expect
+
+        # pruning is an optimization, never a correctness dependency: the
+        # same result comes from the full scan with the same predicate
+        full = spark.read.parquet(path).filter("x <= 7 AND y <= 7")
+        assert sorted((r["x"], r["y"]) for r in full.collect()) == expect
+
+    def test_zorder_scan_open_ranges_and_empty(self, spark, tmp_path):
+        from ssis_to_dbt_spark.operators import zorder_scan, zorder_write
+
+        grid = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(grid, "x long, y long")
+        path = os.path.join(str(tmp_path), "zscan2")
+        zorder_write(df, path, "x", "y", n_files=4)
+        # half-open range
+        out = zorder_scan(spark, path, "x", "y", x_range=(12, None))
+        assert out.count() == 4 * 16
+        # rectangle outside the data -> empty, schema preserved
+        empty = zorder_scan(
+            spark, path, "x", "y", x_range=(100, 200), y_range=(0, 1)
+        )
+        assert empty.count() == 0
+        assert empty.columns == ["x", "y"]
+
 
 class TestBloomFilter:
     def test_no_false_negatives_and_bounded_false_positives(self, spark):

@@ -393,14 +393,40 @@ class TestConnectedComponents:
                for r in tx.connected_components(pairs).collect()}
         assert set(out.values()) == {0} and len(out) == 10
 
-    def test_nonconvergence_raises(self, spark):
+    def test_min_label_nonconvergence_raises(self, spark):
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
         )
         import pytest as _pytest
 
         with _pytest.raises(RuntimeError, match="converge"):
-            tx.connected_components(pairs, max_iter=2)
+            tx.connected_components(pairs, max_iter=2, algorithm="min_label")
+
+    def test_auto_switches_to_star_on_deep_chain(self, spark):
+        # a 1000-node path graph: diameter 999 >> any sane min-label budget;
+        # auto must fall over to star contraction and still converge
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+        )
+        out = {r["node"]: r["label"]
+               for r in tx.connected_components(pairs, switch_after=3).collect()}
+        assert len(out) == 1000 and set(out.values()) == {0}
+
+    def test_star_matches_min_label(self, spark):
+        # mixed shape: two chains, a triangle, an isolated pair
+        edges = (
+            [(i, i + 1) for i in range(5)]
+            + [(20, 21), (21, 22), (20, 22)]
+            + [(30, 31)]
+            + [(40 + i, 41 + i) for i in range(6)]
+        )
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = {(r["node"], r["label"])
+                for r in tx.connected_components(pairs, algorithm="star").collect()}
+        minl = {(r["node"], r["label"])
+                for r in tx.connected_components(
+                    pairs, algorithm="min_label").collect()}
+        assert star == minl
 
 
 class TestQuantize:
