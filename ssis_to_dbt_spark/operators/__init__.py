@@ -58,7 +58,13 @@ from .layout import (
     zorder_stats,
     zorder_write,
 )
-from .skew import salted_aggregate, salted_join, top_keys
+from .skew import (
+    auto_skew_join,
+    detect_hot_keys,
+    salted_aggregate,
+    salted_join,
+    top_keys,
+)
 from .quality import (
     accepted_values_violations,
     between_violations,
@@ -90,7 +96,8 @@ __all__ = [
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
     "ranked", "offset_compare", "running_aggregate", "moving_aggregate",
     "ntile_buckets", "window_spec",
-    "salted_aggregate", "salted_join", "top_keys",
+    "auto_skew_join", "detect_hot_keys", "salted_aggregate", "salted_join",
+    "top_keys",
     "morton_interleave", "zorder_key", "zorder_prune_files", "zorder_scan",
     "zorder_stats", "zorder_write",
     "row_count_compare", "pk_integrity", "checksum_compare",

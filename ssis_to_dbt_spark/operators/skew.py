@@ -107,6 +107,81 @@ def salted_join(
     return hot_joined.unionByName(cold_joined)
 
 
+def detect_hot_keys(
+    fact: DataFrame,
+    on: list[str],
+    skew_factor: float = 8.0,
+    min_count: int = 1000,
+    sample_fraction: float | None = None,
+    max_keys: int = 100,
+) -> DataFrame:
+    """Key values whose row count exceeds ``max(min_count, skew_factor *
+    mean_count)`` — the inputs that make a shuffled join stall on one
+    reducer.  One aggregation over the fact (or a sample: at 100 TB pass
+    ``sample_fraction`` — only the RANKING matters, and thresholds scale by
+    the fraction), a 1-row mean collect, and a ``max_keys``-bounded top-k.
+    Empty result = no skew."""
+    src = fact.select(*on)
+    scale = 1.0
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=7)
+        scale = sample_fraction
+    counts = src.groupBy(*on).agg(F.count(F.lit(1)).alias("_cnt"))
+    mean = counts.agg(F.avg("_cnt").alias("_m")).first()["_m"]
+    if mean is None:
+        return counts.select(*on).limit(0)
+    threshold = max(min_count * scale, skew_factor * float(mean))
+    return (
+        counts.filter(F.col("_cnt") >= F.lit(threshold))
+        .orderBy(F.desc("_cnt"))
+        .limit(max_keys)
+        .select(*on)
+    )
+
+
+def auto_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_col: str,
+    salt_buckets: int = 16,
+    how: str = "left",
+    skew_factor: float = 8.0,
+    min_count: int = 1000,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, str]:
+    """Route a shuffled equi-join by measured skew: when
+    :func:`detect_hot_keys` finds keys over the threshold, the join runs as
+    the hot-key-split :func:`salted_join` (hot keys salt+replicate, the cold
+    remainder joins normally); otherwise it is a plain join and pays
+    nothing.  Returns ``(joined, route)`` with route ``"salted"`` or
+    ``"plain"`` so callers/ops can assert which path engaged.
+
+    The detection pass is one counting aggregation (sampled at scale) and a
+    driver-side materialization of at most ``max_keys`` hot keys — the same
+    cost profile as a broadcast-threshold decision, run before the big
+    shuffle it protects."""
+    hot = detect_hot_keys(
+        fact, on, skew_factor, min_count, sample_fraction
+    ).cache()
+    try:
+        engaged = hot.limit(1).count() > 0
+        if not engaged:
+            return fact.join(dim, on=on, how=how), "plain"
+        # materialize the (<= max_keys)-row hot set so the routed plan
+        # broadcasts a literal key list, not a re-computed aggregation
+        hot_rows = hot.collect()
+    finally:
+        hot.unpersist()
+    hot_df = fact.sparkSession.createDataFrame(hot_rows, hot.schema)
+    return (
+        salted_join(
+            fact, dim, on, salt_col, salt_buckets, how, hot_keys=hot_df
+        ),
+        "salted",
+    )
+
+
 def top_keys(df: DataFrame, keys: list[str], n: int = 100) -> DataFrame:
     """Find the ``n`` heaviest key values — the input for ``hot_keys``.
     One aggregation + TakeOrderedAndProject; run it on a sample for huge

@@ -128,3 +128,77 @@ class TestIvfPartitionedProbe:
         assert "PushedFilters: []" in plan or "DataFilters: []" in plan
         got = {r["cell"] for r in probed.select("cell").distinct().collect()}
         assert got <= {0, 2}
+
+
+class TestAutoSkewRoute:
+    """The star join's fact-side shuffle, auto-routed by measured skew:
+    uniform fixture -> plain join plan (no salting machinery); skewed
+    fixture -> hot-key split engages (explode replication in the plan)."""
+
+    def _star_sides(self, spark, sf_dir="/root/testdata/sf0.001"):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders_dim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+        )
+        return li, orders_dim
+
+    def test_uniform_fixture_routes_plain(self, spark):
+        from ssis_to_dbt_spark.operators import auto_skew_join
+
+        li, orders_dim = self._star_sides(spark)
+        joined, route = auto_skew_join(
+            li, orders_dim, on=["l_orderkey"], salt_col="l_linenumber",
+            how="inner", min_count=100,
+        )
+        assert route == "plain"
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert "Generate explode" not in plan  # no dim replication
+        assert "_salt" not in plan
+        assert joined.count() == li.count()
+
+    def test_skewed_fixture_engages_hot_key_split(self, spark):
+        from ssis_to_dbt_spark.operators import auto_skew_join
+
+        li, orders_dim = self._star_sides(spark)
+        # skewed variant: one orderkey replicated to ~30% of the fact table
+        hot_key = li.select("l_orderkey").first()["l_orderkey"]
+        hot_rows = (
+            li.filter(F.col("l_orderkey") == hot_key)
+            .limit(1)
+            .crossJoin(spark.range(2000).select(F.col("id").alias("_r")))
+            .drop("_r")
+        )
+        skewed_li = li.unionByName(hot_rows)
+        joined, route = auto_skew_join(
+            skewed_li, orders_dim, on=["l_orderkey"], salt_col="l_linenumber",
+            how="inner", min_count=100,
+        )
+        assert route == "salted"
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert "explode" in plan  # hot dim rows replicate across salts
+        # correctness: identical to the plain join on the same skewed input
+        plain = skewed_li.join(orders_dim, on=["l_orderkey"], how="inner")
+        key = lambda r: (r["l_orderkey"], r["l_linenumber"], r["o_custkey"])
+        assert sorted(map(key, joined.collect())) == sorted(
+            map(key, plain.collect())
+        )
+
+    def test_detect_hot_keys_thresholds(self, spark):
+        from ssis_to_dbt_spark.operators import detect_hot_keys
+
+        rows = [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id int, k string")
+        hot = [r["k"] for r in detect_hot_keys(
+            df, ["k"], skew_factor=8.0, min_count=50).collect()]
+        assert hot == ["hot"]
+        # nothing over threshold on uniform data
+        uni = spark.createDataFrame(
+            [(i, f"k{i % 50}") for i in range(1000)], "id int, k string"
+        )
+        assert detect_hot_keys(uni, ["k"], min_count=100).count() == 0
+        # empty input does not crash
+        assert detect_hot_keys(uni.limit(0), ["k"]).count() == 0
