@@ -101,11 +101,24 @@ class DtsxOutputColumn:
     precision: int | None = None
     scale: int | None = None
     expression: str | None = None
+    source_column: str | None = None   # DataConversion source
+    aggregation: str | None = None     # Aggregate: group_by/sum/count/...
 
     def spark_type(self):
         return ssis_to_spark_type(
             self.data_type or "wstr", self.length, self.precision, self.scale
         )
+
+
+@dataclass
+class DtsxOutput:
+    """One declared component output: its columns plus output-level
+    properties (ConditionalSplit conditions live here, not on columns)."""
+
+    name: str
+    properties: dict = field(default_factory=dict)
+    columns: list[DtsxOutputColumn] = field(default_factory=list)
+    is_error_out: bool = False
 
 
 @dataclass
@@ -116,7 +129,14 @@ class DtsxComponent:
     properties: dict = field(default_factory=dict)
     connection_ref: str | None = None
     input_columns: list[str] = field(default_factory=list)   # cachedName order
-    output_columns: list[DtsxOutputColumn] = field(default_factory=list)
+    sort_keys: list[tuple[str, int]] = field(default_factory=list)
+    outputs: list[DtsxOutput] = field(default_factory=list)
+
+    @property
+    def output_columns(self) -> list[DtsxOutputColumn]:
+        """All declared output columns across outputs (the common
+        single-output case reads naturally)."""
+        return [c for o in self.outputs for c in o.columns]
 
 
 @dataclass
@@ -128,6 +148,7 @@ class DtsxTask:
     sql: str | None = None
     result_type: str | None = None
     components: list[DtsxComponent] = field(default_factory=list)
+    paths: list[tuple[str, str]] = field(default_factory=list)  # (startId, endId)
 
 
 @dataclass
@@ -199,6 +220,11 @@ def parse_dtsx(path: str) -> DtsxPackage:
                 comps = pipe.find("components")
                 for c in (comps.findall("component") if comps is not None else []):
                     task.components.append(_parse_component(c))
+                paths = pipe.find("paths")
+                for p in (paths.findall("path") if paths is not None else []):
+                    task.paths.append(
+                        (p.get("startId", ""), p.get("endId", ""))
+                    )
         tasks.append(task)
 
     constraints = []
@@ -216,15 +242,21 @@ def parse_dtsx(path: str) -> DtsxPackage:
     )
 
 
+def _props_of(el: ET.Element | None) -> dict:
+    out = {}
+    if el is not None:
+        for p in el.findall("property"):
+            out[p.get("name", "")] = p.text or ""
+    return out
+
+
 def _parse_component(c: ET.Element) -> DtsxComponent:
     comp = DtsxComponent(
         ref_id=c.get("refId", ""),
         class_id=c.get("componentClassID", ""),
         name=c.get("name", ""),
     )
-    props = c.find("properties")
-    for p in (props.findall("property") if props is not None else []):
-        comp.properties[p.get("name", "")] = p.text or ""
+    comp.properties = _props_of(c.find("properties"))
     conns = c.find("connections")
     if conns is not None:
         conn = conns.find("connection")
@@ -234,20 +266,34 @@ def _parse_component(c: ET.Element) -> DtsxComponent:
         cached = ic.get("cachedName")
         if cached:
             comp.input_columns.append(cached)
-    for oc in c.iter("outputColumn"):
-        col = DtsxOutputColumn(
-            name=oc.get("name", ""),
-            data_type=oc.get("dataType"),
-            length=int(oc.get("length")) if oc.get("length") else None,
-            precision=int(oc.get("precision")) if oc.get("precision") else None,
-            scale=int(oc.get("scale")) if oc.get("scale") else None,
+            skp = ic.get("sortKeyPosition")
+            if skp:
+                comp.sort_keys.append((cached, int(skp)))
+    outs = c.find("outputs")
+    for o in (outs.findall("output") if outs is not None else []):
+        out = DtsxOutput(
+            name=o.get("name", ""),
+            properties=_props_of(o.find("properties")),
+            is_error_out=(o.get("isErrorOut", "").lower() == "true"),
         )
-        p = oc.find("properties")
-        if p is not None:
-            for prop in p.findall("property"):
-                if prop.get("name") == "Expression":
-                    col.expression = prop.text or ""
-        comp.output_columns.append(col)
+        for oc in o.iter("outputColumn"):
+            col = DtsxOutputColumn(
+                name=oc.get("name", ""),
+                data_type=oc.get("dataType"),
+                length=int(oc.get("length")) if oc.get("length") else None,
+                precision=(
+                    int(oc.get("precision")) if oc.get("precision") else None
+                ),
+                scale=int(oc.get("scale")) if oc.get("scale") else None,
+            )
+            cprops = _props_of(oc.find("properties"))
+            col.expression = cprops.get("Expression")
+            col.source_column = cprops.get("SourceInputColumn") or oc.get(
+                "sourceColumn"
+            )
+            col.aggregation = cprops.get("AggregationType")
+            out.columns.append(col)
+        comp.outputs.append(out)
     return comp
 
 
@@ -435,29 +481,311 @@ def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers):
 
 
 # ---------------------------------------------------------------------------
-# Data-flow execution (components chain in document order, as in the samples)
+# Data-flow execution.
+#
+# Wiring: when the pipeline XML carries <paths> (the standard dtsx wiring:
+# startId = "...Comp.Outputs[Name]", endId = "...Comp.Inputs[Name]"), the
+# components execute as a DAG and multi-output components (ConditionalSplit,
+# Lookup's no-match output) route each named output to its consumer.  The
+# reference's own samples omit <paths>; those chain in document order,
+# each component consuming the previous one's primary output.
+#
+# Component coverage = the reference parser's full vocabulary
+# (src/parser/constants.py:22-39): OLEDB/FlatFile/Excel source+destination,
+# Lookup, DerivedColumn, ConditionalSplit, DataConversion, Sort, Aggregate,
+# RowCount, UnionAll, Merge, MergeJoin.
 # ---------------------------------------------------------------------------
 
+_PRIMARY = "__primary__"
+
+
+def _port(ref: str, kind: str) -> tuple[str, str | None]:
+    """Split "...Comp.Outputs[Name]" into (component refId, port name)."""
+    marker = f".{kind}["
+    i = ref.find(marker)
+    if i < 0:
+        return ref, None
+    return ref[:i], ref[i + len(marker):].rstrip("]")
+
+
+def _dataflow_order(task: DtsxTask) -> dict[str, list[tuple[str, str | None]]]:
+    """incoming edges per component refId; empty lists for sources."""
+    incoming: dict[str, list[tuple[str, str | None]]] = {
+        c.ref_id: [] for c in task.components
+    }
+    if task.paths:
+        for start, end in task.paths:
+            src_ref, out_name = _port(start, "Outputs")
+            dst_ref, _ = _port(end, "Inputs")
+            if src_ref not in incoming or dst_ref not in incoming:
+                raise ValueError(f"path references unknown component: {start}")
+            incoming[dst_ref].append((src_ref, out_name))
+        return incoming
+    prev: str | None = None
+    for c in task.components:
+        cls = c.class_id.rsplit(".", 1)[-1]
+        is_source = cls in ("OLEDBSource", "FlatFileSource", "ExcelSource")
+        if prev is not None and not is_source:
+            incoming[c.ref_id].append((prev, None))
+        prev = c.ref_id
+    return incoming
+
+
 def _run_dataflow(spark, pkg, task, views, vars_, param_bindings) -> DataFrame:
-    df: DataFrame | None = None
-    for comp in task.components:
-        cls = comp.class_id.rsplit(".", 1)[-1]
-        if cls == "OLEDBSource":
-            df = _bind_source(spark, comp, views, vars_, param_bindings)
-        elif cls == "Lookup":
-            df = _bind_lookup(spark, df, comp, views, vars_)
-        elif cls == "DerivedColumn":
-            df = _bind_derived(df, comp, vars_)
-        elif cls == "OLEDBDestination":
-            df = _bind_destination(spark, pkg, df, comp)
+    if not task.components:
+        raise ValueError(f"data flow {task.name} has no components")
+    incoming = _dataflow_order(task)
+    results: dict[str, dict[str, DataFrame]] = {}
+    last: dict[str, DataFrame] | None = None
+    pending = list(task.components)
+    while pending:
+        progressed = False
+        for comp in list(pending):
+            if any(src not in results for src, _ in incoming[comp.ref_id]):
+                continue
+            ins = []
+            for src, out_name in incoming[comp.ref_id]:
+                outs = results[src]
+                if out_name is not None and out_name in outs:
+                    ins.append(outs[out_name])
+                else:
+                    ins.append(outs[_PRIMARY])
+            outs = _bind_component(
+                spark, pkg, comp, ins, views, vars_, param_bindings
+            )
+            results[comp.ref_id] = outs
+            last = outs
+            pending.remove(comp)
+            progressed = True
+        if not progressed:
+            raise ValueError(
+                f"data flow {task.name}: cycle or dangling path among "
+                f"{[c.name for c in pending]}"
+            )
+    assert last is not None
+    return last[_PRIMARY]
+
+
+def _one(ins: list[DataFrame], comp: DtsxComponent) -> DataFrame:
+    if len(ins) != 1:
+        raise ValueError(
+            f"{comp.class_id.rsplit('.', 1)[-1]} {comp.name} expects exactly "
+            f"one input, got {len(ins)}"
+        )
+    return ins[0]
+
+
+def _file_path(pkg: DtsxPackage, comp: DtsxComponent) -> str:
+    """FlatFile/Excel connection managers carry the file path as their
+    connection string — the actual SSIS contract for file connections."""
+    for cm in pkg.connection_managers:
+        if cm.ref_id == comp.connection_ref:
+            if not cm.connection_string:
+                break
+            return cm.connection_string
+    raise ValueError(
+        f"{comp.name}: no connection manager with a file path "
+        f"({comp.connection_ref!r})"
+    )
+
+
+def _declared_schema(comp: DtsxComponent):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(c.name, c.spark_type())
+            for c in comp.output_columns
+        ]
+    )
+
+
+def _bind_component(
+    spark, pkg, comp, ins, views, vars_, param_bindings
+) -> dict[str, DataFrame]:
+    cls = comp.class_id.rsplit(".", 1)[-1]
+    if cls == "OLEDBSource":
+        return {_PRIMARY: _bind_source(spark, comp, views, vars_, param_bindings)}
+    if cls == "FlatFileSource":
+        from .sources.readers import read_csv
+
+        delim = comp.properties.get("ColumnDelimiter", ",")
+        header = comp.properties.get("Header", "true").lower() != "false"
+        return {
+            _PRIMARY: read_csv(
+                spark, _file_path(pkg, comp), _declared_schema(comp),
+                header=header, delimiter=delim,
+            )
+        }
+    if cls == "ExcelSource":
+        from .sources.readers import read_excel
+
+        return {
+            _PRIMARY: read_excel(
+                spark, _file_path(pkg, comp), _declared_schema(comp),
+                sheet=comp.properties.get("OpenRowset") or None,
+            )
+        }
+    if cls == "Lookup":
+        return _bind_lookup(spark, _one(ins, comp), comp, views, vars_)
+    if cls == "DerivedColumn":
+        return {_PRIMARY: _bind_derived(_one(ins, comp), comp, vars_)}
+    if cls == "ConditionalSplit":
+        return _bind_conditional_split(_one(ins, comp), comp, vars_)
+    if cls == "DataConversion":
+        return {_PRIMARY: _bind_data_conversion(_one(ins, comp), comp)}
+    if cls == "Sort":
+        from .operators.setops import sort as sort_op
+
+        if not comp.sort_keys:
+            raise ValueError(f"Sort {comp.name}: no sortKeyPosition inputs")
+        keys = [
+            F.col(name).asc() if pos > 0 else F.col(name).desc()
+            for name, pos in sorted(comp.sort_keys, key=lambda t: abs(t[1]))
+        ]
+        return {_PRIMARY: sort_op(_one(ins, comp), keys)}
+    if cls == "Aggregate":
+        return {_PRIMARY: _bind_aggregate(_one(ins, comp), comp)}
+    if cls == "RowCount":
+        # SSIS RowCount streams a count into a package variable; here the
+        # count is one action over the input (documented cost), rows pass
+        # through unchanged
+        df = _one(ins, comp)
+        var = comp.properties.get("VariableName")
+        if var:
+            vars_[var.replace("@", "").replace("[", "").replace("]", "")] = (
+                df.count()
+            )
+        return {_PRIMARY: df}
+    if cls == "UnionAll":
+        from .operators.setops import union_all
+
+        if not ins:
+            raise ValueError(f"UnionAll {comp.name} has no inputs")
+        return {_PRIMARY: union_all(*ins)}
+    if cls == "Merge":
+        from .operators.setops import merge_sorted
+
+        if len(ins) != 2:
+            raise ValueError(f"Merge {comp.name} expects two inputs")
+        keys = [
+            name for name, _ in sorted(comp.sort_keys, key=lambda t: abs(t[1]))
+        ]
+        if not keys:
+            raise ValueError(f"Merge {comp.name}: no sortKeyPosition inputs")
+        return {_PRIMARY: merge_sorted(ins[0], ins[1], keys)}
+    if cls == "MergeJoin":
+        from .operators.joins import merge_join
+
+        if len(ins) != 2:
+            raise ValueError(f"MergeJoin {comp.name} expects two inputs")
+        how = {
+            "0": "full", "1": "left", "2": "inner",
+        }.get(comp.properties.get("JoinType", "2").strip(), "inner")
+        keys_prop = comp.properties.get("JoinKeys", "")
+        keys = [k.strip() for k in keys_prop.split(",") if k.strip()] or [
+            name for name, _ in sorted(comp.sort_keys, key=lambda t: abs(t[1]))
+        ]
+        if not keys:
+            raise ValueError(f"MergeJoin {comp.name}: no join keys")
+        return {_PRIMARY: merge_join(ins[0], ins[1], on=keys, how=how)}
+    if cls in ("OLEDBDestination", "FlatFileDestination", "ExcelDestination"):
+        return {
+            _PRIMARY: _bind_destination(spark, pkg, _one(ins, comp), comp, cls)
+        }
+    raise ValueError(
+        f"unsupported data-flow component {comp.class_id} ({comp.name}) — "
+        "outside the reference parser vocabulary "
+        "(src/parser/constants.py:22-39)"
+    )
+
+
+def _bind_conditional_split(df, comp, vars_) -> dict[str, DataFrame]:
+    """First-match routing per the component's output Expressions in
+    EvaluationOrder; the output WITHOUT an expression is the default and
+    carries the chain forward (document-order mode), while every named
+    output remains addressable through <paths>."""
+    from .operators.split import conditional_split
+
+    schema_map = {f.name: f.dataType for f in df.schema.fields}
+    compiler = SSISExpressionCompiler(columns=schema_map, variables=vars_)
+    conds = []
+    default_name = "default"
+    for out in comp.outputs:
+        if out.is_error_out:
+            continue
+        expr = out.properties.get("Expression")
+        if expr:
+            order = int(out.properties.get("EvaluationOrder", len(conds)))
+            conds.append((order, out.name, compiler.compile(expr)))
+        else:
+            default_name = out.name
+    conds.sort(key=lambda t: t[0])
+    split = conditional_split(
+        df, [(name, cond) for _, name, cond in conds], default_name
+    )
+    split[_PRIMARY] = split[default_name]
+    return split
+
+
+def _bind_data_conversion(df, comp) -> DataFrame:
+    """Typed 'Copy of X' columns: source from the column's declared
+    SourceInputColumn/sourceColumn, else the SSIS naming convention."""
+    from .operators.split import data_conversion
+
+    conversions = {}
+    for c in comp.output_columns:
+        src = c.source_column
+        if not src and c.name.startswith("Copy of "):
+            src = c.name[len("Copy of "):]
+        if not src:
+            raise ValueError(
+                f"DataConversion {comp.name}: cannot infer source for "
+                f"{c.name!r} (declare SourceInputColumn)"
+            )
+        conversions[c.name] = (src, c.spark_type())
+    return data_conversion(df, conversions)
+
+
+_AGG_FUNCS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "average": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c),
+    "count_distinct": F.count_distinct,
+    "countdistinct": F.count_distinct,
+}
+
+
+def _bind_aggregate(df, comp) -> DataFrame:
+    """SSIS Aggregate: output columns whose AggregationType is group_by are
+    the keys; the rest aggregate their source column (SourceInputColumn,
+    default = own name) under the declared function."""
+    keys = []
+    aggs = []
+    for c in comp.output_columns:
+        kind = (c.aggregation or "group_by").lower()
+        src = c.source_column or c.name
+        if kind in ("group_by", "groupby"):
+            keys.append(F.col(src).alias(c.name))
+        elif kind == "count_all":
+            aggs.append(F.count(F.lit(1)).alias(c.name))
+        elif kind in _AGG_FUNCS:
+            aggs.append(_AGG_FUNCS[kind](F.col(src)).alias(c.name))
         else:
             raise ValueError(
-                f"unsupported data-flow component {comp.class_id} "
-                f"({comp.name}) — not in the reference sample vocabulary"
+                f"Aggregate {comp.name}: unsupported AggregationType "
+                f"{c.aggregation!r} for {c.name!r}"
             )
-    if df is None:
-        raise ValueError(f"data flow {task.name} has no source component")
-    return df
+    if not aggs:
+        raise ValueError(f"Aggregate {comp.name}: no aggregate columns")
+    out = df.groupBy(*keys).agg(*aggs)
+    for c in comp.output_columns:
+        if c.data_type:
+            out = out.withColumn(c.name, F.col(c.name).cast(c.spark_type()))
+    return out
 
 
 def _bind_source(spark, comp, views, vars_, param_bindings) -> DataFrame:
@@ -483,7 +811,7 @@ def _bind_source(spark, comp, views, vars_, param_bindings) -> DataFrame:
     return df
 
 
-def _bind_lookup(spark, df, comp, views, vars_) -> DataFrame:
+def _bind_lookup(spark, df, comp, views, vars_) -> dict[str, DataFrame]:
     if df is None:
         raise ValueError(f"lookup {comp.name} has no upstream source")
     dim = spark.sql(rewrite_tsql(comp.properties["SqlCommand"], views, variables=vars_))
@@ -530,7 +858,18 @@ def _bind_lookup(spark, df, comp, views, vars_) -> DataFrame:
     )
     for c in comp.output_columns:
         out = out.withColumn(c.name, F.col(c.name).cast(c.spark_type()))
-    return out
+    # the no-match output (consumable through <paths>, lazy until consumed):
+    # upstream rows with no dim partner — the SSIS redirect-no-match stream
+    no_match_rows = df.join(
+        F.broadcast(dim.select(*input_cols).distinct()),
+        on=input_cols,
+        how="left_anti",
+    )
+    return {
+        _PRIMARY: out,
+        "Lookup Match Output": out,
+        "Lookup No Match Output": no_match_rows,
+    }
 
 
 def _bind_derived(df, comp, vars_) -> DataFrame:
@@ -545,12 +884,25 @@ def _bind_derived(df, comp, vars_) -> DataFrame:
     return df
 
 
-def _bind_destination(spark, pkg, df, comp) -> DataFrame:
+def _bind_destination(
+    spark, pkg, df, comp, cls: str = "OLEDBDestination"
+) -> DataFrame:
     if df is None:
         raise ValueError(f"destination {comp.name} has no upstream source")
     table = comp.properties.get("OpenRowset", "").replace("[", "").replace("]", "")
     if table:
         df.createOrReplaceTempView(_mangle(pkg, table))
+    if cls == "FlatFileDestination":
+        # the flat-file connection manager's connection string IS the path
+        path = _file_path(pkg, comp)
+        df.write.mode("overwrite").option("header", "true").csv(path)
+        return spark.read.option("header", "true").schema(df.schema).csv(path)
+    if cls == "ExcelDestination":
+        from .sources.writers import write_xlsx
+
+        rows = [list(r) for r in df.collect()]  # driver-side by design:
+        # Excel is a small-dimension/report sink, never fact data
+        write_xlsx(df.columns, rows, _file_path(pkg, comp))
     return df
 
 

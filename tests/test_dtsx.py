@@ -282,3 +282,253 @@ class TestExecution:
         r = rows[0]
         assert r["FullName"] == "Ada Lovelace"
         assert r["EmailDomain"] == "analytical.org"
+
+
+def _write_pkg(tmp_path, body, name="Synth", conn_mgrs=""):
+    xml = f'''<?xml version="1.0"?>
+<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts"
+                xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"
+                DTS:ObjectName="{name}">
+  <DTS:ConnectionManagers>{conn_mgrs}</DTS:ConnectionManagers>
+  <DTS:Executables>
+    <DTS:Executable DTS:refId="Package\\Flow"
+                    DTS:ExecutableType="Microsoft.Pipeline"
+                    DTS:ObjectName="Flow">
+      <DTS:ObjectData><pipeline version="1">{body}</pipeline></DTS:ObjectData>
+    </DTS:Executable>
+  </DTS:Executables>
+</DTS:Executable>'''
+    p = tmp_path / f"{name}.dtsx"
+    p.write_text(xml)
+    return str(p)
+
+
+class TestExtendedComponents:
+    """The full reference-parser component vocabulary
+    (src/parser/constants.py:22-39) bound through synthetic packages, with
+    <paths>-wired branching where SSIS needs it."""
+
+    def _orders(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, Decimal("150.00"), "W"),
+                (2, Decimal("50.00"), "W"),
+                (3, Decimal("200.00"), "E"),
+                (4, Decimal("10.00"), "E"),
+            ],
+            "OrderID int, Amount decimal(18,2), Region string",
+        )
+
+    def test_conditional_split_routes_by_paths(self, spark, tmp_path):
+        body = '''<components>
+          <component refId="Package\\Flow\\Src" componentClassID="Microsoft.OLEDBSource" name="Src">
+            <properties><property name="OpenRowset">src.Orders</property></properties>
+            <outputs><output refId="Package\\Flow\\Src.Outputs[O]" name="O"><outputColumns>
+              <outputColumn name="OrderID" dataType="i4"/>
+              <outputColumn name="Amount" dataType="numeric" precision="18" scale="2"/>
+              <outputColumn name="Region" dataType="wstr" length="10"/>
+            </outputColumns></output></outputs>
+          </component>
+          <component refId="Package\\Flow\\Split" componentClassID="Microsoft.ConditionalSplit" name="Split">
+            <outputs>
+              <output refId="Package\\Flow\\Split.Outputs[Big]" name="Big">
+                <properties><property name="Expression">[Amount] &gt; 100</property>
+                <property name="EvaluationOrder">0</property></properties>
+              </output>
+              <output refId="Package\\Flow\\Split.Outputs[West]" name="West">
+                <properties><property name="Expression">[Region] == "W"</property>
+                <property name="EvaluationOrder">1</property></properties>
+              </output>
+              <output refId="Package\\Flow\\Split.Outputs[Rest]" name="Rest"/>
+            </outputs>
+          </component>
+          <component refId="Package\\Flow\\DBig" componentClassID="Microsoft.OLEDBDestination" name="DBig">
+            <properties><property name="OpenRowset">[out].[Big]</property></properties>
+          </component>
+          <component refId="Package\\Flow\\DWest" componentClassID="Microsoft.OLEDBDestination" name="DWest">
+            <properties><property name="OpenRowset">[out].[West]</property></properties>
+          </component>
+          <component refId="Package\\Flow\\DRest" componentClassID="Microsoft.OLEDBDestination" name="DRest">
+            <properties><property name="OpenRowset">[out].[Rest]</property></properties>
+          </component>
+        </components>
+        <paths>
+          <path startId="Package\\Flow\\Src.Outputs[O]" endId="Package\\Flow\\Split.Inputs[I]"/>
+          <path startId="Package\\Flow\\Split.Outputs[Big]" endId="Package\\Flow\\DBig.Inputs[I]"/>
+          <path startId="Package\\Flow\\Split.Outputs[West]" endId="Package\\Flow\\DWest.Inputs[I]"/>
+          <path startId="Package\\Flow\\Split.Outputs[Rest]" endId="Package\\Flow\\DRest.Inputs[I]"/>
+        </paths>'''
+        path = _write_pkg(tmp_path, body, "SplitPkg")
+        run_package(spark, path, tables={"src.Orders": self._orders(spark)})
+        big = {r["OrderID"] for r in spark.table("splitpkg__out_big").collect()}
+        west = {r["OrderID"] for r in spark.table("splitpkg__out_west").collect()}
+        rest = {r["OrderID"] for r in spark.table("splitpkg__out_rest").collect()}
+        assert big == {1, 3}      # first-match wins: order 1 is Big, not West
+        assert west == {2}
+        assert rest == {4}
+
+    def test_mergejoin_aggregate(self, spark, tmp_path):
+        body = '''<components>
+          <component refId="Package\\Flow\\A" componentClassID="Microsoft.OLEDBSource" name="A">
+            <properties><property name="OpenRowset">src.Orders</property></properties>
+          </component>
+          <component refId="Package\\Flow\\B" componentClassID="Microsoft.OLEDBSource" name="B">
+            <properties><property name="OpenRowset">src.Regions</property></properties>
+          </component>
+          <component refId="Package\\Flow\\MJ" componentClassID="Microsoft.MergeJoin" name="MJ">
+            <properties><property name="JoinType">2</property>
+            <property name="JoinKeys">Region</property></properties>
+          </component>
+          <component refId="Package\\Flow\\Agg" componentClassID="Microsoft.Aggregate" name="Agg">
+            <outputs><output refId="Package\\Flow\\Agg.Outputs[O]" name="O"><outputColumns>
+              <outputColumn name="RegionName" dataType="wstr" length="20">
+                <properties><property name="AggregationType">group_by</property>
+                <property name="SourceInputColumn">RegionName</property></properties>
+              </outputColumn>
+              <outputColumn name="Total" dataType="numeric" precision="18" scale="2">
+                <properties><property name="AggregationType">sum</property>
+                <property name="SourceInputColumn">Amount</property></properties>
+              </outputColumn>
+              <outputColumn name="Cnt" dataType="i4">
+                <properties><property name="AggregationType">count_all</property></properties>
+              </outputColumn>
+            </outputColumns></output></outputs>
+          </component>
+          <component refId="Package\\Flow\\D" componentClassID="Microsoft.OLEDBDestination" name="D">
+            <properties><property name="OpenRowset">[out].[Agg]</property></properties>
+          </component>
+        </components>
+        <paths>
+          <path startId="Package\\Flow\\A.Outputs[O]" endId="Package\\Flow\\MJ.Inputs[Left]"/>
+          <path startId="Package\\Flow\\B.Outputs[O]" endId="Package\\Flow\\MJ.Inputs[Right]"/>
+          <path startId="Package\\Flow\\MJ.Outputs[O]" endId="Package\\Flow\\Agg.Inputs[I]"/>
+          <path startId="Package\\Flow\\Agg.Outputs[O]" endId="Package\\Flow\\D.Inputs[I]"/>
+        </paths>'''
+        regions = spark.createDataFrame(
+            [("W", "West Coast"), ("E", "East Coast")],
+            "Region string, RegionName string",
+        )
+        path = _write_pkg(tmp_path, body, "JoinAgg")
+        frames, _ = run_package(
+            spark, path,
+            tables={"src.Orders": self._orders(spark), "src.Regions": regions},
+        )
+        got = {
+            r["RegionName"]: (float(r["Total"]), r["Cnt"])
+            for r in spark.table("joinagg__out_agg").collect()
+        }
+        assert got == {"West Coast": (200.0, 2), "East Coast": (210.0, 2)}
+
+    def test_dataconversion_sort_rowcount_linear(self, spark, tmp_path):
+        # no <paths>: document-order chaining through the new components
+        body = '''<components>
+          <component refId="Package\\Flow\\Src" componentClassID="Microsoft.OLEDBSource" name="Src">
+            <properties><property name="OpenRowset">src.Orders</property></properties>
+          </component>
+          <component refId="Package\\Flow\\Conv" componentClassID="Microsoft.DataConversion" name="Conv">
+            <outputs><output refId="Package\\Flow\\Conv.Outputs[O]" name="O"><outputColumns>
+              <outputColumn name="Copy of Amount" dataType="r8"/>
+            </outputColumns></output></outputs>
+          </component>
+          <component refId="Package\\Flow\\RC" componentClassID="Microsoft.RowCount" name="RC">
+            <properties><property name="VariableName">User::Rows</property></properties>
+          </component>
+          <component refId="Package\\Flow\\Sort" componentClassID="Microsoft.Sort" name="Sort">
+            <inputs><input refId="Package\\Flow\\Sort.Inputs[I]" name="I"><inputColumns>
+              <inputColumn cachedName="Amount" sortKeyPosition="-1"/>
+            </inputColumns></input></inputs>
+          </component>
+          <component refId="Package\\Flow\\D" componentClassID="Microsoft.OLEDBDestination" name="D">
+            <properties><property name="OpenRowset">[out].[Sorted]</property></properties>
+          </component>
+        </components>'''
+        path = _write_pkg(tmp_path, body, "ConvSort")
+        pkg = parse_dtsx(path)
+        pipe, _ = bind_package(
+            spark, pkg, tables={"src.Orders": self._orders(spark)}
+        )
+        frames = pipe.run({})
+        rows = frames["Flow"].collect()
+        assert [r["OrderID"] for r in rows] == [3, 1, 2, 4]  # Amount desc
+        assert isinstance(rows[0]["Copy of Amount"], float)
+        assert pipe.vars["User::Rows"] == 4  # RowCount -> package variable
+
+    def test_lookup_no_match_output_via_paths(self, spark, tmp_path):
+        body = '''<components>
+          <component refId="Package\\Flow\\Src" componentClassID="Microsoft.OLEDBSource" name="Src">
+            <properties><property name="OpenRowset">src.Orders</property></properties>
+          </component>
+          <component refId="Package\\Flow\\LK" componentClassID="Microsoft.Lookup" name="LK">
+            <properties><property name="SqlCommand">SELECT RegionName, Region FROM dim.Region</property>
+            <property name="NoMatchBehavior">1</property></properties>
+            <inputs><input refId="Package\\Flow\\LK.Inputs[I]" name="I"><inputColumns>
+              <inputColumn cachedName="Region"/>
+            </inputColumns></input></inputs>
+            <outputs><output refId="Package\\Flow\\LK.Outputs[Lookup Match Output]" name="Lookup Match Output"><outputColumns>
+              <outputColumn name="RegionName" dataType="wstr" length="20"/>
+            </outputColumns></output></outputs>
+          </component>
+          <component refId="Package\\Flow\\DM" componentClassID="Microsoft.OLEDBDestination" name="DM">
+            <properties><property name="OpenRowset">[out].[Matched]</property></properties>
+          </component>
+          <component refId="Package\\Flow\\DN" componentClassID="Microsoft.OLEDBDestination" name="DN">
+            <properties><property name="OpenRowset">[out].[Missed]</property></properties>
+          </component>
+        </components>
+        <paths>
+          <path startId="Package\\Flow\\Src.Outputs[O]" endId="Package\\Flow\\LK.Inputs[I]"/>
+          <path startId="Package\\Flow\\LK.Outputs[Lookup Match Output]" endId="Package\\Flow\\DM.Inputs[I]"/>
+          <path startId="Package\\Flow\\LK.Outputs[Lookup No Match Output]" endId="Package\\Flow\\DN.Inputs[I]"/>
+        </paths>'''
+        dim = spark.createDataFrame(
+            [("West Coast", "W")], "RegionName string, Region string"
+        )
+        path = _write_pkg(tmp_path, body, "NoMatch")
+        run_package(
+            spark, path,
+            tables={"src.Orders": self._orders(spark), "dim.Region": dim},
+        )
+        matched = spark.table("nomatch__out_matched")
+        missed = spark.table("nomatch__out_missed")
+        assert {r["OrderID"] for r in matched.collect()} == {1, 2, 3, 4}
+        assert {
+            r["OrderID"]: r["RegionName"] for r in matched.collect()
+        }[3] is None  # IgnoreFailure keeps E rows with NULL
+        assert {r["OrderID"] for r in missed.collect()} == {3, 4}
+
+    def test_flatfile_source_and_destination(self, spark, tmp_path):
+        src_csv = tmp_path / "in.csv"
+        src_csv.write_text("OrderID,Amount\n1,10.5\n2,20.5\n")
+        out_dir = str(tmp_path / "outcsv")
+        conn = f'''
+        <DTS:ConnectionManager DTS:refId="Package.ConnectionManagers[InFile]" DTS:ObjectName="InFile">
+          <DTS:ObjectData><DTS:ConnectionManager DTS:ConnectionString="{src_csv}"/></DTS:ObjectData>
+        </DTS:ConnectionManager>
+        <DTS:ConnectionManager DTS:refId="Package.ConnectionManagers[OutFile]" DTS:ObjectName="OutFile">
+          <DTS:ObjectData><DTS:ConnectionManager DTS:ConnectionString="{out_dir}"/></DTS:ObjectData>
+        </DTS:ConnectionManager>'''
+        body = '''<components>
+          <component refId="Package\\Flow\\FF" componentClassID="Microsoft.FlatFileSource" name="FF">
+            <connections><connection refId="c1" connectionManagerRefId="Package.ConnectionManagers[InFile]" name="FlatFile"/></connections>
+            <outputs><output refId="Package\\Flow\\FF.Outputs[O]" name="O"><outputColumns>
+              <outputColumn name="OrderID" dataType="i4"/>
+              <outputColumn name="Amount" dataType="r8"/>
+            </outputColumns></output></outputs>
+          </component>
+          <component refId="Package\\Flow\\D" componentClassID="Microsoft.FlatFileDestination" name="D">
+            <connections><connection refId="c2" connectionManagerRefId="Package.ConnectionManagers[OutFile]" name="FlatFile"/></connections>
+          </component>
+        </components>'''
+        path = _write_pkg(tmp_path, body, "FlatPkg", conn_mgrs=conn)
+        frames, report = run_package(spark, path, tables={})
+        assert {b.name: b.status for b in report}["Flow"] == "bound"
+        back = {r["OrderID"]: r["Amount"] for r in frames["Flow"].collect()}
+        assert back == {1: 10.5, 2: 20.5}
+
+    def test_unsupported_component_raises(self, spark, tmp_path):
+        body = '''<components>
+          <component refId="Package\\Flow\\X" componentClassID="Microsoft.Multicast" name="X"/>
+        </components>'''
+        path = _write_pkg(tmp_path, body, "BadPkg")
+        with pytest.raises(Exception, match="unsupported data-flow component"):
+            run_package(spark, path, tables={})
