@@ -75,6 +75,10 @@ class TestPlanShapes:
         # an equi-join (SMJ or shuffled hash on band hash) — NO cartesian
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # the band-bucket cap (round 6) must pre-trim map-side: a Partial
+        # WindowGroupLimit bounds each bucket before its rows ever shuffle
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan
 
     def test_knn_join_two_phase_topk(self, spark):
         # phase 1 must rank within (query_id, _salt) so the full scored pair
