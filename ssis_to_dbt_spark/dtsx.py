@@ -149,6 +149,14 @@ class DtsxTask:
     result_type: str | None = None
     components: list[DtsxComponent] = field(default_factory=list)
     paths: list[tuple[str, str]] = field(default_factory=list)  # (startId, endId)
+    # containers (Sequence / ForEachLoop / ForLoop)
+    children: list["DtsxTask"] = field(default_factory=list)
+    child_constraints: list[tuple[str, str]] = field(default_factory=list)
+    enumerator_items: list = field(default_factory=list)     # ForEachLoop
+    foreach_var: str | None = None
+    for_init: str | None = None                              # ForLoop
+    for_eval: str | None = None
+    for_assign: str | None = None
 
 
 @dataclass
@@ -203,29 +211,7 @@ def parse_dtsx(path: str) -> DtsxPackage:
     tasks = []
     execs = root.find(_d("Executables"))
     for ex in (execs.findall(_d("Executable")) if execs is not None else []):
-        task = DtsxTask(
-            ref_id=ex.get(_d("refId"), ""),
-            task_type=ex.get(_d("ExecutableType"), ""),
-            name=ex.get(_d("ObjectName"), ""),
-            description=ex.get(_d("Description")),
-        )
-        od = ex.find(_d("ObjectData"))
-        if od is not None:
-            sql_data = od.find(f"{{{_SQLTASK}}}SqlTaskData")
-            if sql_data is not None:
-                task.sql = sql_data.get(f"{{{_SQLTASK}}}SqlStatementSource")
-                task.result_type = sql_data.get(f"{{{_SQLTASK}}}ResultType")
-            pipe = od.find("pipeline")
-            if pipe is not None:
-                comps = pipe.find("components")
-                for c in (comps.findall("component") if comps is not None else []):
-                    task.components.append(_parse_component(c))
-                paths = pipe.find("paths")
-                for p in (paths.findall("path") if paths is not None else []):
-                    task.paths.append(
-                        (p.get("startId", ""), p.get("endId", ""))
-                    )
-        tasks.append(task)
+        tasks.append(_parse_executable(ex))
 
     constraints = []
     pcs = root.find(_d("PrecedenceConstraints"))
@@ -240,6 +226,69 @@ def parse_dtsx(path: str) -> DtsxPackage:
         tasks=tasks,
         constraints=constraints,
     )
+
+
+def _attr(el: ET.Element, name: str) -> str | None:
+    """Read an attribute that may be DTS-namespaced or plain."""
+    return el.get(_d(name)) or el.get(name)
+
+
+def _parse_executable(ex: ET.Element) -> DtsxTask:
+    """Parse one executable — a task or a container (Sequence /
+    ForEachLoop / ForLoop, whose nested Executables parse recursively).
+    The reference flattens containers with a recursive search
+    (src/parser/ssis_parser.py:205-244); keeping the nesting lets the
+    binder honor per-iteration variable bindings and container-boundary
+    precedence."""
+    task = DtsxTask(
+        ref_id=ex.get(_d("refId"), ""),
+        task_type=ex.get(_d("ExecutableType"), ""),
+        name=ex.get(_d("ObjectName"), ""),
+        description=ex.get(_d("Description")),
+    )
+    task.for_init = ex.get(_d("InitExpression"))
+    task.for_eval = ex.get(_d("EvalExpression"))
+    task.for_assign = ex.get(_d("AssignExpression"))
+    od = ex.find(_d("ObjectData"))
+    if od is not None:
+        sql_data = od.find(f"{{{_SQLTASK}}}SqlTaskData")
+        if sql_data is not None:
+            task.sql = sql_data.get(f"{{{_SQLTASK}}}SqlStatementSource")
+            task.result_type = sql_data.get(f"{{{_SQLTASK}}}ResultType")
+        pipe = od.find("pipeline")
+        if pipe is not None:
+            comps = pipe.find("components")
+            for c in (comps.findall("component") if comps is not None else []):
+                task.components.append(_parse_component(c))
+            paths = pipe.find("paths")
+            for p in (paths.findall("path") if paths is not None else []):
+                task.paths.append((p.get("startId", ""), p.get("endId", "")))
+    # ForEachLoop item enumerator + variable mapping — scoped to THIS
+    # executable's ObjectData/mappings so nested loops keep their own items
+    if od is not None:
+        for item in od.iter("FEIEItem"):
+            vals = []
+            for v in item.findall("FEIEItemValue"):
+                code = _attr(v, "DataType") or "8"
+                raw = _attr(v, "Value") or ""
+                vals.append(DtsxVariable("", "", code, raw).python_value())
+            task.enumerator_items.append(
+                vals[0] if len(vals) == 1 else tuple(vals)
+            )
+    vms = ex.find(_d("ForEachVariableMappings"))
+    for vm in (vms.findall(_d("ForEachVariableMapping")) if vms is not None else []):
+        task.foreach_var = _attr(vm, "VariableName") or task.foreach_var
+    # nested executables + their precedence constraints
+    sub = ex.find(_d("Executables"))
+    if sub is not None:
+        for child in sub.findall(_d("Executable")):
+            task.children.append(_parse_executable(child))
+        pcs = ex.find(_d("PrecedenceConstraints"))
+        for pc in (pcs.findall(_d("PrecedenceConstraint")) if pcs is not None else []):
+            task.child_constraints.append(
+                (pc.get(_d("From"), ""), pc.get(_d("To"), ""))
+            )
+    return task
 
 
 def _props_of(el: ET.Element | None) -> dict:
@@ -404,15 +453,18 @@ def bind_package(
     for t, df in tables.items():
         df.createOrReplaceTempView(views[t])
 
-    ref_to_name = {t.ref_id: t.name for t in pkg.tasks}
-    deps: dict[str, list[str]] = {t.name: [] for t in pkg.tasks}
-    for frm, to in pkg.constraints:
-        if frm in ref_to_name and to in ref_to_name:
-            deps[ref_to_name[to]].append(ref_to_name[frm])
+    # Sequence containers flatten into the pipeline; a constraint touching
+    # a container applies to every member (entering edge: all members wait;
+    # leaving edge: downstream waits for all members)
+    flat, names_of, extra_edges = _expand_containers(pkg.tasks)
+    deps: dict[str, list[str]] = {t.name: [] for t in flat}
+    for frm, to in list(pkg.constraints) + extra_edges:
+        for dst in names_of.get(to, []):
+            deps[dst].extend(names_of.get(frm, []))
 
     pipe = Pipeline(spark=spark, vars=vars_all)
     report: list[BoundTask] = []
-    for task in pkg.tasks:
+    for task in flat:
         model, bound = _bind_task(
             spark, pkg, task, views, param_bindings or {}, sql_handlers or {}
         )
@@ -420,6 +472,146 @@ def bind_package(
         pipe.add(model)
         report.append(bound)
     return pipe, report
+
+
+def _kind(task: DtsxTask) -> str:
+    """Normalize 'Microsoft.ForEachLoop' / 'STOCK:FOREACHLOOP' to
+    'FOREACHLOOP' (real packages use either form)."""
+    return task.task_type.rsplit(".", 1)[-1].rsplit(":", 1)[-1].upper()
+
+
+def _expand_containers(
+    tasks: list[DtsxTask],
+) -> tuple[list[DtsxTask], dict[str, list[str]], list[tuple[str, str]]]:
+    """Flatten Sequence containers.  Returns (flat task list, container/task
+    refId -> member model names, intra-container constraint edges).  Loop
+    containers stay single tasks (their children run inside the loop
+    model)."""
+    flat: list[DtsxTask] = []
+    names_of: dict[str, list[str]] = {}
+    edges: list[tuple[str, str]] = []
+
+    def walk(t: DtsxTask) -> list[str]:
+        if _kind(t) == "SEQUENCE":
+            members: list[str] = []
+            for c in t.children:
+                members += walk(c)
+            names_of[t.ref_id] = members
+            edges.extend(t.child_constraints)
+            return members
+        flat.append(t)
+        names_of[t.ref_id] = [t.name]
+        return [t.name]
+
+    for t in tasks:
+        walk(t)
+    return flat, names_of, edges
+
+
+def _child_order(task: DtsxTask) -> list[DtsxTask]:
+    """Topo-order a container's children by its own precedence constraints
+    (deterministic: ready children run in name order)."""
+    ref2name = {c.ref_id: c.name for c in task.children}
+    deps: dict[str, set[str]] = {c.name: set() for c in task.children}
+    for frm, to in task.child_constraints:
+        if frm in ref2name and to in ref2name:
+            deps[ref2name[to]].add(ref2name[frm])
+    order: list[str] = []
+    remaining = dict(deps)
+    while remaining:
+        ready = sorted(
+            n for n, d in remaining.items() if not (d & set(remaining))
+        )
+        if not ready:
+            raise ValueError(
+                f"cycle in container {task.name} constraints"
+            )
+        for n in ready:
+            order.append(n)
+            remaining.pop(n)
+    by_name = {c.name: c for c in task.children}
+    return [by_name[n] for n in order]
+
+
+def _forloop_values(task: DtsxTask) -> tuple[str, list[int]]:
+    """Evaluate the canonical SSIS ForLoop counter pattern:
+    Init ``@V = a``, Eval ``@V < b`` / ``@V <= b``, Assign ``@V = @V + s``.
+    """
+    m_init = re.match(
+        r"\s*@\[?([\w:]+)\]?\s*=\s*(-?\d+)\s*$", task.for_init or ""
+    )
+    m_eval = re.match(
+        r"\s*@\[?([\w:]+)\]?\s*(<=|<)\s*(-?\d+)\s*$", task.for_eval or ""
+    )
+    if not (m_init and m_eval):
+        raise ValueError(
+            f"ForLoop {task.name}: unsupported Init/Eval expressions "
+            f"({task.for_init!r}, {task.for_eval!r})"
+        )
+    m_asgn = re.search(r"\+\s*(-?\d+)", task.for_assign or "")
+    var, start = m_init.group(1), int(m_init.group(2))
+    op, bound = m_eval.group(2), int(m_eval.group(3))
+    step = int(m_asgn.group(1)) if m_asgn else 1
+    if step <= 0:
+        raise ValueError(f"ForLoop {task.name}: non-positive step {step}")
+    vals: list[int] = []
+    i = start
+    while (i < bound) if op == "<" else (i <= bound):
+        vals.append(i)
+        i += step
+        if len(vals) > 100_000:
+            raise ValueError(f"ForLoop {task.name}: more than 100k iterations")
+    return var, vals
+
+
+def _bind_loop(spark, pkg, task, views, param_bindings, sql_handlers):
+    """ForEachLoop / ForLoop container: children run once per item in
+    constraint order with the mapped variable bound (the C2 contract the
+    engine's ``foreach_partition_values`` implements for hand-built
+    pipelines).  The model's frame is the per-item union of the LAST child's
+    output when the schemas align, else a per-item status frame."""
+
+    def build(frames, vars_):
+        if _kind(task) == "FORLOOP":
+            var, items = _forloop_values(task)
+        else:
+            var, items = task.foreach_var, list(task.enumerator_items)
+        order = _child_order(task)
+        outs = []
+        for item in items:
+            if var:
+                vars_[var] = item
+            last = None
+            for child in order:
+                model, _ = _bind_task(
+                    spark, pkg, child, views, param_bindings, sql_handlers
+                )
+                last = model.build(frames, vars_)
+            if last is not None:
+                outs.append((item, last))
+        if not outs:
+            return spark.createDataFrame(
+                [(task.name, 0)], "task string, iterations int"
+            )
+        try:
+            merged = outs[0][1]
+            for _, df in outs[1:]:
+                merged = merged.unionByName(df)
+            return merged
+        except Exception:  # heterogeneous child outputs across iterations
+            return spark.createDataFrame(
+                [(task.name, str(i)) for i, _ in outs],
+                "task string, item string",
+            )
+
+    detail = (
+        f"{len(task.enumerator_items)} items"
+        if _kind(task) == "FOREACHLOOP"
+        else "counter loop"
+    ) + f", {len(task.children)} children"
+    return Model(name=task.name, build=build), BoundTask(
+        task.name, task.task_type, "bound", f"loop container ({detail})"
+    )
 
 
 def _noop_model(spark: SparkSession, task: DtsxTask, status: str) -> Model:
@@ -433,6 +625,8 @@ def _noop_model(spark: SparkSession, task: DtsxTask, status: str) -> Model:
 
 
 def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers):
+    if _kind(task) in ("FOREACHLOOP", "FORLOOP"):
+        return _bind_loop(spark, pkg, task, views, param_bindings, sql_handlers)
     if task.task_type == "Microsoft.Pipeline":
         def build(frames, vars_, _task=task):
             return _run_dataflow(spark, pkg, _task, views, vars_, param_bindings)

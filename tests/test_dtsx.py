@@ -532,3 +532,105 @@ class TestExtendedComponents:
         path = _write_pkg(tmp_path, body, "BadPkg")
         with pytest.raises(Exception, match="unsupported data-flow component"):
             run_package(spark, path, tables={})
+
+
+BS = "\\"
+
+
+class TestContainers:
+    """Sequence / ForEachLoop / ForLoop containers (the reference's
+    EXECUTABLE_TYPES vocabulary, src/parser/constants.py:11-19)."""
+
+    def _pkg_xml(self, tmp_path, executables, constraints="", name="Cont",
+                 variables=""):
+        xml = ('<?xml version="1.0"?>\n'
+               '<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" '
+               'xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask" '
+               f'DTS:ObjectName="{name}">'
+               f'<DTS:Variables>{variables}</DTS:Variables>'
+               f'<DTS:Executables>{executables}</DTS:Executables>'
+               f'<DTS:PrecedenceConstraints>{constraints}'
+               '</DTS:PrecedenceConstraints></DTS:Executable>')
+        p = tmp_path / f"{name}.dtsx"
+        p.write_text(xml)
+        return str(p)
+
+    def _sql_task(self, ref, name, sql):
+        return (f'<DTS:Executable DTS:refId="{ref}" '
+                'DTS:ExecutableType="Microsoft.ExecuteSQLTask" '
+                f'DTS:ObjectName="{name}">'
+                '<DTS:ObjectData><SQLTask:SqlTaskData SQLTask:Connection="c" '
+                f'SQLTask:SqlStatementSource="{sql}"/></DTS:ObjectData>'
+                '</DTS:Executable>')
+
+    def test_sequence_flattens_with_boundary_deps(self, spark, tmp_path):
+        pre = self._sql_task("Package" + BS + "Pre", "Pre", "SELECT 1 AS a")
+        s1 = self._sql_task("Package" + BS + "Seq" + BS + "S1", "S1",
+                            "SELECT 2 AS a")
+        s2 = self._sql_task("Package" + BS + "Seq" + BS + "S2", "S2",
+                            "SELECT 3 AS a")
+        post = self._sql_task("Package" + BS + "Post", "Post", "SELECT 4 AS a")
+        seq = (pre
+               + f'<DTS:Executable DTS:refId="Package{BS}Seq" '
+                 'DTS:ExecutableType="Microsoft.Sequence" DTS:ObjectName="Seq">'
+                 f'<DTS:Executables>{s1}{s2}</DTS:Executables>'
+                 '<DTS:PrecedenceConstraints>'
+                 f'<DTS:PrecedenceConstraint DTS:From="Package{BS}Seq{BS}S1" '
+                 f'DTS:To="Package{BS}Seq{BS}S2"/>'
+                 '</DTS:PrecedenceConstraints></DTS:Executable>'
+               + post)
+        constraints = (
+            f'<DTS:PrecedenceConstraint DTS:From="Package{BS}Pre" '
+            f'DTS:To="Package{BS}Seq"/>'
+            f'<DTS:PrecedenceConstraint DTS:From="Package{BS}Seq" '
+            f'DTS:To="Package{BS}Post"/>')
+        path = self._pkg_xml(tmp_path, seq, constraints, "SeqPkg")
+        pkg = parse_dtsx(path)
+        pipe, report = bind_package(spark, pkg, tables={})
+        # container flattened: 4 models, boundary edges expanded to members
+        assert set(pipe.models) == {"Pre", "S1", "S2", "Post"}
+        assert pipe.models["S1"].deps == ["Pre"]
+        assert sorted(pipe.models["S2"].deps) == ["Pre", "S1"]
+        assert sorted(pipe.models["Post"].deps) == ["S1", "S2"]
+        assert topo_order(pipe.models) == ["Pre", "S1", "S2", "Post"]
+        frames = pipe.run({})
+        assert frames["S2"].collect()[0]["a"] == 3
+
+    def test_foreach_loop_runs_children_per_item(self, spark, tmp_path):
+        q = self._sql_task(
+            "Package" + BS + "Loop" + BS + "Q", "Q",
+            "SELECT Segment, COUNT(*) AS n FROM src.Rows "
+            "WHERE Segment = @Seg GROUP BY Segment")
+        loop = (f'<DTS:Executable DTS:refId="Package{BS}Loop" '
+                'DTS:ExecutableType="Microsoft.ForEachLoop" '
+                'DTS:ObjectName="Loop">'
+                '<DTS:ObjectData><DTS:ForEachEnumerator><FEIEItems>'
+                '<FEIEItem><FEIEItemValue DTS:DataType="8" DTS:Value="HIGH"/></FEIEItem>'
+                '<FEIEItem><FEIEItemValue DTS:DataType="8" DTS:Value="LOW"/></FEIEItem>'
+                '</FEIEItems></DTS:ForEachEnumerator></DTS:ObjectData>'
+                '<DTS:ForEachVariableMappings>'
+                '<DTS:ForEachVariableMapping DTS:VariableName="User::Seg" '
+                'DTS:ValueIndex="0"/></DTS:ForEachVariableMappings>'
+                f'<DTS:Executables>{q}</DTS:Executables></DTS:Executable>')
+        path = self._pkg_xml(tmp_path, loop, name="FEPkg")
+        src = spark.createDataFrame(
+            [("HIGH",), ("HIGH",), ("LOW",), ("MID",)], "Segment string"
+        )
+        frames, report = run_package(spark, path, tables={"src.Rows": src})
+        got = {r["Segment"]: r["n"] for r in frames["Loop"].collect()}
+        assert got == {"HIGH": 2, "LOW": 1}  # one run per enumerator item
+        assert {b.name: b.status for b in report}["Loop"] == "bound"
+
+    def test_for_loop_counter(self, spark, tmp_path):
+        q = self._sql_task("Package" + BS + "Loop" + BS + "Q", "Q",
+                           "SELECT @Counter AS i, @Counter * 10 AS v")
+        loop = (f'<DTS:Executable DTS:refId="Package{BS}Loop" '
+                'DTS:ExecutableType="Microsoft.ForLoop" DTS:ObjectName="Loop" '
+                'DTS:InitExpression="@Counter = 0" '
+                'DTS:EvalExpression="@Counter &lt; 3" '
+                'DTS:AssignExpression="@Counter = @Counter + 1">'
+                f'<DTS:Executables>{q}</DTS:Executables></DTS:Executable>')
+        path = self._pkg_xml(tmp_path, loop, name="FLPkg")
+        frames, _ = run_package(spark, path, tables={})
+        got = sorted((r["i"], r["v"]) for r in frames["Loop"].collect())
+        assert got == [(0, 0), (1, 10), (2, 20)]
