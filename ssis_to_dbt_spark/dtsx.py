@@ -373,7 +373,12 @@ def rewrite_tsql(
     trailing ``LIMIT n``.  Raises if a ``?`` remains unbound."""
     s = sql.replace("[", "").replace("]", "").rstrip().rstrip(";")
     for t in sorted(table_views, key=len, reverse=True):
-        s = re.sub(re.escape(t), table_views[t], s, flags=re.IGNORECASE)
+        s = re.sub(
+            rf"(?<![A-Za-z0-9_.]){re.escape(t)}(?![A-Za-z0-9_.])",
+            table_views[t],
+            s,
+            flags=re.IGNORECASE,
+        )
     for qual, val in (variables or {}).items():
         bare = qual.split("::")[-1]
         s = re.sub(rf"@{re.escape(bare)}\b", _sql_literal(val), s)
@@ -382,7 +387,7 @@ def rewrite_tsql(
         s = re.sub(r"\?", lambda _m: _sql_literal(next(it)), s)
     if "?" in s:
         raise ValueError(f"unbound ? parameter in SQL: {sql[:80]}...")
-    m = re.search(r"(?i)\bTOP\s+(\d+)\b", s)
+    m = re.search(r"(?i)\bTOP\s*\(?\s*(\d+)\s*\)?", s)
     if m:
         s = s[: m.start()] + s[m.end():].lstrip()
         s = s + f" LIMIT {m.group(1)}"
@@ -457,6 +462,14 @@ def bind_package(
     # a container applies to every member (entering edge: all members wait;
     # leaving edge: downstream waits for all members)
     flat, names_of, extra_edges = _expand_containers(pkg.tasks)
+    seen: set[str] = set()
+    for t in flat:
+        if t.name in seen:
+            raise ValueError(
+                f"duplicate task name {t.name!r} after container flattening "
+                "— model names must be unique"
+            )
+        seen.add(t.name)
     deps: dict[str, list[str]] = {t.name: [] for t in flat}
     for frm, to in list(pkg.constraints) + extra_edges:
         for dst in names_of.get(to, []):

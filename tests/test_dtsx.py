@@ -88,6 +88,10 @@ class TestRewrite:
         with pytest.raises(ValueError, match="unbound"):
             rewrite_tsql("SELECT * FROM t WHERE a = ?", {})
 
+    def test_parenthesized_top(self):
+        out = rewrite_tsql("SELECT TOP (5) x FROM t", {"t": "v"})
+        assert out == "SELECT x FROM v LIMIT 5"
+
     def test_classify(self):
         assert classify_sql("SELECT 1") == "runnable"
         assert classify_sql("-- note\nSELECT a FROM b") == "runnable"
@@ -634,3 +638,10 @@ class TestContainers:
         frames, _ = run_package(spark, path, tables={})
         got = sorted((r["i"], r["v"]) for r in frames["Loop"].collect())
         assert got == [(0, 0), (1, 10), (2, 20)]
+
+    def test_duplicate_task_names_raise(self, spark, tmp_path):
+        t1 = self._sql_task("Package" + BS + "A", "T", "SELECT 1 AS a")
+        t2 = self._sql_task("Package" + BS + "B", "T", "SELECT 2 AS a")
+        path = self._pkg_xml(tmp_path, t1 + t2, name="DupPkg")
+        with pytest.raises(ValueError, match="duplicate task name"):
+            bind_package(spark, parse_dtsx(path), tables={})
