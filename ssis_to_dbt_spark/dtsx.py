@@ -69,6 +69,7 @@ class DtsxVariable:
     name: str
     type_code: str
     raw_value: str
+    expression: str | None = None   # EvaluateAsExpression variables
 
     @property
     def qualified(self) -> str:
@@ -205,6 +206,7 @@ def parse_dtsx(path: str) -> DtsxPackage:
                 name=var.get(_d("ObjectName"), ""),
                 type_code=val.get(_d("DataType"), "8") if val is not None else "8",
                 raw_value=(val.text or "") if val is not None else "",
+                expression=var.get(_d("Expression")),
             )
         )
 
@@ -454,6 +456,7 @@ def bind_package(
     """
     vars_all = pkg.variable_values()
     vars_all.update(variables or {})
+    _resolve_variable_expressions(spark, pkg, vars_all, set(variables or {}))
     views = {t: _mangle(pkg, t) for t in tables}
     for t, df in tables.items():
         df.createOrReplaceTempView(views[t])
@@ -485,6 +488,49 @@ def bind_package(
         pipe.add(model)
         report.append(bound)
     return pipe, report
+
+
+def _resolve_variable_expressions(
+    spark, pkg: DtsxPackage, vars_all: dict, overridden: set[str]
+) -> None:
+    """Evaluate EvaluateAsExpression variables (reference Variable model,
+    src/parser/models.py:53-61): each compiles through the SSIS expression
+    compiler against the other variables and collapses to a Python scalar
+    via a 1-row select.  Multi-pass so expressions may reference other
+    expression variables; caller overrides win (C3) and are not
+    re-evaluated."""
+    from .expressions import compile_ssis_expression
+
+    pending = {
+        v.qualified: v.expression
+        for v in pkg.variables
+        if v.expression and v.qualified not in overridden
+    }
+    # an unevaluated expression variable must be INVISIBLE, not its declared
+    # default: a reference to it retries next pass (dependency order), and a
+    # true cycle stalls into the error below instead of silently reading
+    # stale defaults
+    for name in pending:
+        vars_all.pop(name, None)
+    last_err: Exception | None = None
+    for _ in range(len(pending) + 1):
+        if not pending:
+            return
+        progressed = False
+        for name, expr in list(pending.items()):
+            try:
+                col = compile_ssis_expression(expr, variables=vars_all)
+                vars_all[name] = spark.range(1).select(col.alias("v")).first()["v"]
+            except Exception as exc:  # may depend on a still-pending variable
+                last_err = exc
+                continue
+            pending.pop(name)
+            progressed = True
+        if not progressed:
+            break
+    raise ValueError(
+        f"cannot evaluate variable expressions {sorted(pending)}: {last_err}"
+    )
 
 
 def _kind(task: DtsxTask) -> str:

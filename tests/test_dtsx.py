@@ -645,3 +645,67 @@ class TestContainers:
         path = self._pkg_xml(tmp_path, t1 + t2, name="DupPkg")
         with pytest.raises(ValueError, match="duplicate task name"):
             bind_package(spark, parse_dtsx(path), tables={})
+
+
+class TestVariableExpressions:
+    def test_expression_variables_evaluate_in_dependency_order(
+        self, spark, tmp_path
+    ):
+        variables = (
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="Base">'
+            '<DTS:VariableValue DTS:DataType="3">100</DTS:VariableValue>'
+            '</DTS:Variable>'
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="Limit" '
+            'DTS:Expression="@[User::Base] * 2">'
+            '<DTS:VariableValue DTS:DataType="3">0</DTS:VariableValue>'
+            '</DTS:Variable>'
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="Msg" '
+            'DTS:Expression="&quot;limit=&quot; + (DT_WSTR, 10) @[User::Limit]">'
+            '<DTS:VariableValue DTS:DataType="8"></DTS:VariableValue>'
+            '</DTS:Variable>'
+        )
+        q = TestContainers()._sql_task(
+            "Package" + BS + "Q", "Q", "SELECT @Limit AS v, @Msg AS m"
+        )
+        path = TestContainers()._pkg_xml(
+            tmp_path, q, name="VarExpr", variables=variables
+        )
+        frames, _ = run_package(spark, path, tables={})
+        row = frames["Q"].first()
+        assert row["v"] == 200
+        assert row["m"] == "limit=200"
+
+    def test_caller_override_beats_expression(self, spark, tmp_path):
+        variables = (
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="Limit" '
+            'DTS:Expression="1 + 1">'
+            '<DTS:VariableValue DTS:DataType="3">0</DTS:VariableValue>'
+            '</DTS:Variable>'
+        )
+        q = TestContainers()._sql_task("Package" + BS + "Q", "Q",
+                                       "SELECT @Limit AS v")
+        path = TestContainers()._pkg_xml(
+            tmp_path, q, name="VarOvr", variables=variables
+        )
+        frames, _ = run_package(
+            spark, path, tables={}, variables={"User::Limit": 7}
+        )
+        assert frames["Q"].first()["v"] == 7
+
+    def test_cyclic_expressions_raise(self, spark, tmp_path):
+        variables = (
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="A" '
+            'DTS:Expression="@[User::B] + 1">'
+            '<DTS:VariableValue DTS:DataType="3">0</DTS:VariableValue>'
+            '</DTS:Variable>'
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="B" '
+            'DTS:Expression="@[User::A] + 1">'
+            '<DTS:VariableValue DTS:DataType="3">0</DTS:VariableValue>'
+            '</DTS:Variable>'
+        )
+        q = TestContainers()._sql_task("Package" + BS + "Q", "Q", "SELECT 1 AS v")
+        path = TestContainers()._pkg_xml(
+            tmp_path, q, name="VarCyc", variables=variables
+        )
+        with pytest.raises(ValueError, match="variable expressions"):
+            run_package(spark, path, tables={})
