@@ -1102,12 +1102,16 @@ def _bind_lookup(spark, df, comp, views, vars_) -> dict[str, DataFrame]:
         if comp.properties.get("NoMatchBehavior", "1").strip() == "0"
         else LookupNoMatch.IGNORE
     )
+    # CacheType 0 = Full cache -> broadcast the dim (the samples' mode);
+    # Partial/None caches mean the dim is too big to hold -> shuffled join
+    full_cache = comp.properties.get("CacheType", "0").strip() == "0"
     out = lookup(
         df,
         dim,
         on=input_cols,
         select={n: n for n in out_names},
         no_match=no_match,
+        broadcast=full_cache,
     )
     for c in comp.output_columns:
         out = out.withColumn(c.name, F.col(c.name).cast(c.spark_type()))

@@ -709,3 +709,41 @@ class TestVariableExpressions:
         )
         with pytest.raises(ValueError, match="variable expressions"):
             run_package(spark, path, tables={})
+
+
+class TestLookupCacheMode:
+    def test_partial_cache_joins_without_broadcast(self, spark, tmp_path):
+        # CacheType 1 (Partial) -> dim too big to broadcast: plan must use a
+        # non-broadcast join; CacheType 0 (Full) -> BroadcastHashJoin
+        def pkg_for(cache_type):
+            body = (
+                '<components>'
+                '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+                '<properties><property name="OpenRowset">src.F</property></properties>'
+                '</component>'
+                '<component refId="P\\F\\L" componentClassID="Microsoft.Lookup" name="L">'
+                '<properties><property name="SqlCommand">SELECT V, K FROM dim.D</property>'
+                f'<property name="CacheType">{cache_type}</property>'
+                '<property name="NoMatchBehavior">1</property></properties>'
+                '<inputs><input refId="i" name="I"><inputColumns>'
+                '<inputColumn cachedName="K"/></inputColumns></input></inputs>'
+                '<outputs><output refId="o" name="Lookup Match Output"><outputColumns>'
+                '<outputColumn name="V" dataType="i4"/></outputColumns></output></outputs>'
+                '</component>'
+                '</components>'
+            )
+            return _write_pkg(tmp_path, body, f"Cache{cache_type}")
+
+        fact = spark.createDataFrame([(1,), (2,)], "K int")
+        dim = spark.createDataFrame([(10, 1), (20, 2)], "V int, K int")
+        for cache_type, want_broadcast in ((0, True), (1, False)):
+            frames, _ = run_package(
+                spark, pkg_for(cache_type),
+                tables={"src.F": fact, "dim.D": dim},
+            )
+            df = frames["Flow"]
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"))
+            assert ("BroadcastHashJoin" in plan) == want_broadcast, cache_type
+            assert {r["K"]: r["V"] for r in df.collect()} == {1: 10, 2: 20}
