@@ -74,4 +74,9 @@ def tune_for_correctness(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # map-side WindowGroupLimit pre-trim for the 10k row_number caps (LSH
+    # band buckets, per-source sampling); runtime-settable optimizer conf
+    spark.conf.set(
+        "spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 20)
+    )
     return spark

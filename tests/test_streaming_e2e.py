@@ -366,3 +366,77 @@ class TestStreamStreamJoinCollisions:
         # downstream name-based selection works (would previously raise
         # AMBIGUOUS_REFERENCE)
         assert out.select("ts", "_r_ts").count() == 3  # (1,1),(2,1),(2,2)
+
+
+class TestStreamStreamLeftOuter:
+    """Left-outer stream-stream join: unmatched left rows emit with NULL
+    right columns only after the watermark passes their join window — the
+    state-expiry semantics a click-attribution pipeline needs for
+    'purchases with no preceding click'."""
+
+    def test_unmatched_rows_emit_after_watermark_advances(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.streaming import (
+            stream_stream_join, write_stream,
+        )
+
+        csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        write_batch(spark, csrc, [(1, "2024-01-01 00:01:00", "a", 1.0)])
+        write_batch(spark, psrc, [
+            (10, "2024-01-01 00:05:00", "a", 9.0),   # matches click 1
+            (11, "2024-01-01 00:06:00", "b", 8.0),   # no click -> NULL row
+        ])
+
+        def join_frames(left, right):
+            return stream_stream_join(
+                left.withColumnRenamed("event_id", "purchase_id")
+                    .withColumnRenamed("ts", "p_ts")
+                    .withColumnRenamed("value", "p_value"),
+                right.withColumnRenamed("event_id", "click_id")
+                     .withColumnRenamed("ts", "c_ts")
+                     .withColumnRenamed("value", "c_value"),
+                on=["event_type"],
+                left_ts="p_ts",
+                right_ts="c_ts",
+                max_delay="30 minutes",
+                how="left_outer",
+            )
+
+        # batch twin first: same expression, oracle-checkable semantics
+        batch = join_frames(spark.read.parquet(psrc), spark.read.parquet(csrc))
+        expect = {(10, 1), (11, None)}
+        assert {
+            (r["purchase_id"], r["click_id"]) for r in batch.collect()
+        } == expect
+
+        def run():
+            q = write_stream(
+                join_frames(
+                    read_events_stream(spark, psrc, SCHEMA),
+                    read_events_stream(spark, csrc, SCHEMA),
+                ),
+                out, ckpt, mode="append",
+            )
+            q.awaitTermination(120)
+
+        run()
+        got1 = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (10, 1) in got1  # the match emits immediately
+
+        # unmatched row 11 emits only once BOTH watermarks pass its join
+        # window: append far-future events on each side and re-run the
+        # checkpointed query (the scheduled-micro-batch cadence)
+        write_batch(spark, csrc, [(2, "2024-01-01 03:00:00", "z", 0.0)])
+        write_batch(spark, psrc, [(12, "2024-01-01 03:00:00", "z", 0.0)])
+        run()
+        run()  # watermark computed from a batch applies to the NEXT batch
+        got2 = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (11, None) in got2, got2
