@@ -886,7 +886,7 @@ def _bind_component(
     if cls == "ConditionalSplit":
         return _bind_conditional_split(_one(ins, comp), comp, vars_)
     if cls == "DataConversion":
-        return {_PRIMARY: _bind_data_conversion(_one(ins, comp), comp)}
+        return _bind_data_conversion(_one(ins, comp), comp)
     if cls == "Sort":
         from .operators.setops import sort as sort_op
 
@@ -981,23 +981,45 @@ def _bind_conditional_split(df, comp, vars_) -> dict[str, DataFrame]:
     return split
 
 
-def _bind_data_conversion(df, comp) -> DataFrame:
+def _bind_data_conversion(df, comp) -> dict[str, DataFrame]:
     """Typed 'Copy of X' columns: source from the column's declared
-    SourceInputColumn/sourceColumn, else the SSIS naming convention."""
-    from .operators.split import data_conversion
-
+    SourceInputColumn/sourceColumn, else the SSIS naming convention.
+    A declared error output (``isErrorOut``) switches to the try_cast
+    routing form: rows whose conversion fails (non-null input, null cast)
+    flow to the error output carrying the failing source column, matching
+    the SSIS component's ErrorColumn stream."""
     conversions = {}
-    for c in comp.output_columns:
-        src = c.source_column
-        if not src and c.name.startswith("Copy of "):
-            src = c.name[len("Copy of "):]
-        if not src:
-            raise ValueError(
-                f"DataConversion {comp.name}: cannot infer source for "
-                f"{c.name!r} (declare SourceInputColumn)"
-            )
-        conversions[c.name] = (src, c.spark_type())
-    return data_conversion(df, conversions)
+    err_cols = []
+    for out in comp.outputs:
+        for c in out.columns:
+            src = c.source_column
+            if not src and c.name.startswith("Copy of "):
+                src = c.name[len("Copy of "):]
+            if not src:
+                raise ValueError(
+                    f"DataConversion {comp.name}: cannot infer source for "
+                    f"{c.name!r} (declare SourceInputColumn)"
+                )
+            conversions[c.name] = (src, c.spark_type())
+    error_outs = [o for o in comp.outputs if o.is_error_out]
+    if not error_outs:
+        from .operators.split import data_conversion
+
+        return {_PRIMARY: data_conversion(df, conversions)}
+    from .operators.split import data_conversion_with_errors
+
+    tagged = data_conversion_with_errors(
+        df,
+        {new: (src, t.simpleString()) for new, (src, t) in conversions.items()},
+    )
+    ok = tagged.filter(F.col("conv_route") == "converted").drop(
+        "conv_route", "conv_error_col"
+    )
+    err = tagged.filter(F.col("conv_route") == "error").drop("conv_route")
+    outs = {_PRIMARY: ok}
+    for o in error_outs:
+        outs[o.name] = err
+    return outs
 
 
 _AGG_FUNCS = {

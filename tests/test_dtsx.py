@@ -747,3 +747,98 @@ class TestLookupCacheMode:
                     "simple"))
             assert ("BroadcastHashJoin" in plan) == want_broadcast, cache_type
             assert {r["K"]: r["V"] for r in df.collect()} == {1: 10, 2: 20}
+
+
+class TestDataConversionErrorOutput:
+    def test_failing_casts_route_to_error_output(self, spark, tmp_path):
+        body = (
+            '<components>'
+            '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+            '<properties><property name="OpenRowset">src.Raw</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\C" componentClassID="Microsoft.DataConversion" name="C">'
+            '<outputs>'
+            '<output refId="P\\F\\C.Outputs[Data Conversion Output]" name="Data Conversion Output">'
+            '<outputColumns><outputColumn name="Copy of Amount" dataType="i4"/></outputColumns>'
+            '</output>'
+            '<output refId="P\\F\\C.Outputs[Data Conversion Error Output]" '
+            'name="Data Conversion Error Output" isErrorOut="true"/>'
+            '</outputs>'
+            '</component>'
+            '<component refId="P\\F\\DOK" componentClassID="Microsoft.OLEDBDestination" name="DOK">'
+            '<properties><property name="OpenRowset">[out].[Ok]</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\DERR" componentClassID="Microsoft.OLEDBDestination" name="DERR">'
+            '<properties><property name="OpenRowset">[out].[Err]</property></properties>'
+            '</component>'
+            '</components>'
+            '<paths>'
+            '<path startId="P\\F\\S.Outputs[O]" endId="P\\F\\C.Inputs[I]"/>'
+            '<path startId="P\\F\\C.Outputs[Data Conversion Output]" endId="P\\F\\DOK.Inputs[I]"/>'
+            '<path startId="P\\F\\C.Outputs[Data Conversion Error Output]" endId="P\\F\\DERR.Inputs[I]"/>'
+            '</paths>'
+        )
+        path = _write_pkg(tmp_path, body, "ConvErr")
+        src = spark.createDataFrame(
+            [(1, "42"), (2, "not-a-number"), (3, None)],
+            "RowID int, Amount string",
+        )
+        run_package(spark, path, tables={"src.Raw": src})
+        ok = {r["RowID"]: r["Copy of Amount"]
+              for r in spark.table("converr__out_ok").collect()}
+        err = {r["RowID"]: r["conv_error_col"]
+               for r in spark.table("converr__out_err").collect()}
+        # null input is a legitimate null, not an error (SSIS semantics)
+        assert ok == {1: 42, 3: None}
+        assert err == {2: "Amount"}
+
+
+class TestRetryLoopOverParsedPackage:
+    def test_diagnose_replaces_failing_task_build(self, spark, tmp_path):
+        # C5 over a PARSED package: the bad task fails (missing column),
+        # the diagnose hook supplies a corrected build, downstream runs
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        tc = TestContainers()
+        bad = tc._sql_task("Package" + BS + "Bad", "Bad",
+                           "SELECT NoSuchCol FROM src.T")
+        good = tc._sql_task("Package" + BS + "After", "After", "SELECT 9 AS b")
+        constraints = (
+            f'<DTS:PrecedenceConstraint DTS:From="Package{BS}Bad" '
+            f'DTS:To="Package{BS}After"/>')
+        path = tc._pkg_xml(tmp_path, bad + good, constraints, "RetryPkg")
+        src = spark.createDataFrame([(1,)], "a int")
+        pkg = parse_dtsx(path)
+        pipe, _ = bind_package(spark, pkg, tables={"src.T": src})
+
+        def diagnose(name, exc, attempt):
+            assert name == "Bad" and "NoSuchCol" in str(exc)
+            return lambda frames, vars_: spark.sql(
+                "SELECT a FROM retrypkg__src_t"
+            )
+
+        frames, report = run_with_retries(pipe, {}, on_diagnose=diagnose)
+        assert report.phase == "complete"
+        assert report.runs["Bad"].status == "success"
+        assert report.runs["Bad"].attempts == 2
+        assert frames["Bad"].collect()[0]["a"] == 1
+        assert frames["After"].collect()[0]["b"] == 9
+
+    def test_failed_task_skips_dependents(self, spark, tmp_path):
+        from ssis_to_dbt_spark.pipeline import run_with_retries
+
+        tc = TestContainers()
+        bad = tc._sql_task("Package" + BS + "Bad", "Bad", "SELECT NoSuchCol FROM src.T")
+        after = tc._sql_task("Package" + BS + "After", "After", "SELECT 9 AS b")
+        indep = tc._sql_task("Package" + BS + "Indep", "Indep", "SELECT 1 AS c")
+        constraints = (
+            f'<DTS:PrecedenceConstraint DTS:From="Package{BS}Bad" '
+            f'DTS:To="Package{BS}After"/>')
+        path = tc._pkg_xml(tmp_path, bad + after + indep, constraints, "SkipPkg")
+        src = spark.createDataFrame([(1,)], "a int")
+        pipe, _ = bind_package(spark, parse_dtsx(path), tables={"src.T": src})
+        frames, report = run_with_retries(pipe, {}, max_retries=1)
+        assert report.phase == "failed"
+        assert report.runs["Bad"].status == "failed"
+        assert report.runs["After"].status == "skipped"
+        assert report.runs["Indep"].status == "success"  # independent branch
