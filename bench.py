@@ -100,13 +100,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup + parquet footer/file-index warm (outside the
-    # measured window; measures the engine, not the first directory listing)
+    # JVM/codegen warmup + parquet warm (outside the measured window;
+    # measures the engine, not the first directory listing or a cold OS
+    # page cache — a full noop read pulls every table's pages in, which is
+    # what makes run-to-run numbers comparable across machine states)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from ssis_to_dbt_spark.sources.readers import testdata
 
     for df in testdata(spark, sf_dir).values():
-        df.limit(1).collect()
+        df.write.format("noop").mode("overwrite").save()
 
     # Python/Arrow worker warmup (daemon fork + Arrow serializer init costs
     # ~8 s once per session; the Arrow-engine queries should be measured at

@@ -48,13 +48,6 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # rank<=N filters plan a map-side WindowGroupLimit pre-trim; the
-        # default threshold (1000) is below the LSH band-bucket cap and the
-        # per-source sampling cap, which are exactly the places the pre-trim
-        # pays off — raise it so row_number<=10k caps trim before the shuffle
-        .config(
-            "spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 20)
-        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -74,9 +67,4 @@ def tune_for_correctness(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # map-side WindowGroupLimit pre-trim for the 10k row_number caps (LSH
-    # band buckets, per-source sampling); runtime-settable optimizer conf
-    spark.conf.set(
-        "spark.sql.optimizer.windowGroupLimitThreshold", str(1 << 20)
-    )
     return spark

@@ -43,11 +43,14 @@ def _cap_band_members(
     representative of every near-dup family in it.
 
     Cost: a row_number window partitioned on the SAME keys the band join
-    shuffles on, so the added exchange is the one the join needed anyway;
-    Spark >=3.5 plans a map-side WindowGroupLimit pre-trim for the
-    row_number<=N filter, so oversize buckets shrink before the shuffle.
-    Same contract as the embedding-LSH ``_cap_bucket_size``
-    (``text/similarity.py``).
+    shuffles on, so the added exchange is the one the join needed anyway.
+    The protection is the post-shuffle cap on the join input (pair output
+    <= cap^2/2 per bucket).  A map-side WindowGroupLimit pre-trim is
+    available by raising ``spark.sql.optimizer.windowGroupLimitThreshold``
+    above the cap, but is deliberately not forced: measured at sf0.1 it
+    costs ~12% on clean corpora (rank maintenance sorts every partition)
+    while trimming nothing.  Same contract as the embedding-LSH
+    ``_cap_bucket_size`` (``text/similarity.py``).
     """
     if max_bucket_size is None:
         return banded

@@ -75,10 +75,14 @@ class TestPlanShapes:
         # an equi-join (SMJ or shuffled hash on band hash) — NO cartesian
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # the band-bucket cap (round 6) must pre-trim map-side: a Partial
-        # WindowGroupLimit bounds each bucket before its rows ever shuffle
-        assert "WindowGroupLimit" in plan
-        assert "Partial" in plan
+        # the band-bucket cap (round 6): a row_number window over
+        # (band_idx, band_hash) bounds every bucket's pair generation.  A
+        # map-side WindowGroupLimit pre-trim is deliberately NOT forced via
+        # spark.sql.optimizer.windowGroupLimitThreshold: measured at sf0.1
+        # it costs ~12% on minhash (rank maintenance sorts every partition)
+        # while the scale protection — the post-shuffle cap on the join
+        # input — is this Window regardless
+        assert plan.count("row_number()") >= 2  # both band sides capped
 
     def test_knn_join_two_phase_topk(self, spark):
         # phase 1 must rank within (query_id, _salt) so the full scored pair
