@@ -1185,6 +1185,78 @@ def _bind_destination(
     return df
 
 
+def referenced_tables(pkg: DtsxPackage) -> list[str]:
+    """Every table name the package's embedded SQL / OpenRowset properties
+    reference — the caller's binding checklist (what to pass as ``tables``).
+    Heuristic over the T-SQL subset: FROM/JOIN/dotted OpenRowset targets."""
+    names: set[str] = set()
+
+    def scan_sql(sql: str | None) -> None:
+        if not sql:
+            return
+        s = sql.replace("[", "").replace("]", "")
+        for m in re.finditer(
+            r"(?i)\b(?:FROM|JOIN|INTO|UPDATE|MERGE)\s+([A-Za-z_][\w]*\.[A-Za-z_][\w]*)",
+            s,
+        ):
+            names.add(m.group(1))
+
+    def walk(task: DtsxTask) -> None:
+        scan_sql(task.sql)
+        for comp in task.components:
+            scan_sql(comp.properties.get("SqlCommand"))
+            table = comp.properties.get("OpenRowset", "")
+            table = table.replace("[", "").replace("]", "")
+            if "." in table and comp.class_id.endswith("Source"):
+                names.add(table)
+        for c in task.children:
+            walk(c)
+
+    for t in pkg.tasks:
+        walk(t)
+    return sorted(names)
+
+
+def package_report(pkg: DtsxPackage, bound: list[BoundTask]) -> str:
+    """Markdown conversion report for a bound package — the engine-side
+    analog of the reference's parsing report artifact
+    (``output/parsing_report.md``): binding status per task, the tables the
+    caller must bind, and the precedence order the pipeline will run."""
+    lines = [f"# Package binding report: {pkg.name}", ""]
+    if pkg.description:
+        lines += [f"_{pkg.description}_", ""]
+    by_status: dict[str, int] = {}
+    for b in bound:
+        by_status[b.status] = by_status.get(b.status, 0) + 1
+    lines += ["## Summary", "", "| Status | Tasks |", "|---|---|"]
+    for status in sorted(by_status):
+        lines.append(f"| {status} | {by_status[status]} |")
+    lines += ["", "## Tasks", "", "| Task | Type | Status | Detail |", "|---|---|---|---|"]
+    for b in bound:
+        lines.append(
+            f"| {b.name} | {b.task_type.rsplit('.', 1)[-1]} | {b.status} "
+            f"| {b.detail} |"
+        )
+    tables = referenced_tables(pkg)
+    lines += ["", "## Tables to bind", ""]
+    lines += [f"- `{t}`" for t in tables] or ["- (none)"]
+    ref_to_name = {t.ref_id: t.name for t in pkg.tasks}
+    if pkg.constraints:
+        lines += ["", "## Execution order", "", "```"]
+        for frm, to in pkg.constraints:
+            lines.append(
+                f"{ref_to_name.get(frm, frm)} -> {ref_to_name.get(to, to)}"
+            )
+        lines.append("```")
+    lines += [
+        "",
+        "Variables: "
+        + ", ".join(f"`{v.qualified}`" for v in pkg.variables or []),
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def run_package(
     spark: SparkSession,
     path: str,

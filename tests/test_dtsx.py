@@ -842,3 +842,46 @@ class TestRetryLoopOverParsedPackage:
         assert report.runs["Bad"].status == "failed"
         assert report.runs["After"].status == "skipped"
         assert report.runs["Indep"].status == "success"  # independent branch
+
+
+class TestPackageReport:
+    def test_referenced_tables_and_report(self, spark):
+        from ssis_to_dbt_spark.dtsx import (
+            bind_package, package_report, referenced_tables,
+        )
+
+        pkg = parse_dtsx(f"{PKG_DIR}/SalesFactETL.dtsx")
+        tables = referenced_tables(pkg)
+        # the binding checklist a reference user needs: every table the
+        # package's SQL touches
+        assert "sales.Transactions" in tables
+        assert "dim.Customer" in tables
+        assert "dim.Product" in tables
+        assert "dim.Date" in tables
+        assert "fact.Sales" in tables  # the Update Aggregates statement
+        dummy = {
+            t: spark.range(0).selectExpr("id AS X")
+            for t in ["sales.Transactions", "dim.Customer",
+                      "dim.Product", "dim.Date"]
+        }
+        _, bound = bind_package(spark, pkg, dummy)
+        md = package_report(pkg, bound)
+        assert "# Package binding report: SalesFactETL" in md
+        assert "| Load Sales Facts | Pipeline | bound |" in md
+        assert "manual_review_required | 2 |" in md
+        assert "`sales.Transactions`" in md
+        assert "Pre-ETL Validation -> Load Sales Facts" in md
+        assert "`User::StartDate`" in md
+
+    def test_report_flags_script_and_mail(self, spark):
+        from ssis_to_dbt_spark.dtsx import bind_package, package_report
+
+        pkg = parse_dtsx(f"{PKG_DIR}/InventorySync.dtsx")
+        binds = {
+            t: spark.range(0) for t in
+            ["stg.InventoryAPI", "dim.Product", "dim.Warehouse", "etl.SyncLog"]
+        }
+        _, bound = bind_package(spark, pkg, binds)
+        md = package_report(pkg, bound)
+        assert "| Call Inventory API | ScriptTask | manual_review_required" in md
+        assert "| Send Completion Email | SendMailTask | documented_only" in md
