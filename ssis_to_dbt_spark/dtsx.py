@@ -383,12 +383,32 @@ def rewrite_tsql(
         )
     for qual, val in (variables or {}).items():
         bare = qual.split("::")[-1]
-        s = re.sub(rf"@{re.escape(bare)}\b", _sql_literal(val), s)
-    if params:
-        it = iter(params)
-        s = re.sub(r"\?", lambda _m: _sql_literal(next(it)), s)
-    if "?" in s:
-        raise ValueError(f"unbound ? parameter in SQL: {sql[:80]}...")
+        s = re.sub(
+            rf"@{re.escape(bare)}\b", _sql_literal(val).replace("\\", "\\\\"), s
+        )
+    # ? placeholders substitute OUTSIDE string literals only, so a literal
+    # (pre-existing or just injected) containing '?' is never touched and
+    # never counted as unbound
+    parts = re.split(r"('(?:[^']|'')*')", s)  # odd indices = quoted literals
+    it = iter(params or [])
+    rebuilt = []
+    for i, part in enumerate(parts):
+        if i % 2 == 1:
+            rebuilt.append(part)
+            continue
+        out = []
+        for ch in part:
+            if ch == "?":
+                try:
+                    out.append(_sql_literal(next(it)))
+                except StopIteration:
+                    raise ValueError(
+                        f"unbound ? parameter in SQL: {sql[:80]}..."
+                    ) from None
+            else:
+                out.append(ch)
+        rebuilt.append("".join(out))
+    s = "".join(rebuilt)
     m = re.search(r"(?i)\bTOP\s*\(?\s*(\d+)\s*\)?", s)
     if m:
         s = s[: m.start()] + s[m.end():].lstrip()

@@ -1,0 +1,149 @@
+"""Property-based tests for round-6 surfaces: the T-SQL rewriter (pure
+Python — cheap, many examples) and the LSH band-bucket cap / star
+contraction (one Spark job per example, few examples, model oracles)."""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ssis_to_dbt_spark.dtsx import rewrite_tsql
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+dotted = st.tuples(ident, ident).map(lambda t: f"{t[0]}.{t[1]}")
+
+
+class TestRewriteProperties:
+    @given(table=dotted, col=ident, val=st.text(max_size=12))
+    @settings(max_examples=100, deadline=None)
+    def test_string_params_always_quote_safely(self, table, col, val):
+        out = rewrite_tsql(
+            f"SELECT {col} FROM {table} WHERE {col} = ?",
+            {table: "v"},
+            params=[val],
+        )
+        # no placeholder survives OUTSIDE string literals (a '?' inside the
+        # injected literal is data, not a placeholder)
+        outside = "".join(
+            p for i, p in enumerate(re.split(r"('(?:[^']|'')*')", out))
+            if i % 2 == 0
+        )
+        assert "?" not in outside
+        # the literal is balanced: stripping doubled quotes leaves exactly
+        # the two delimiters
+        assert out.count("'") - 2 * val.count("'") == 2
+
+    @given(table=dotted, n=st.integers(min_value=1, max_value=999))
+    @settings(max_examples=100, deadline=None)
+    def test_top_always_becomes_trailing_limit(self, table, n):
+        out = rewrite_tsql(f"SELECT TOP {n} a FROM [{table}]", {table: "v"})
+        assert out.endswith(f"LIMIT {n}")
+        assert "TOP" not in out.upper()
+        assert "[" not in out and "]" not in out
+
+    @given(other=dotted)
+    @settings(max_examples=100, deadline=None)
+    def test_unbound_tables_pass_through_unchanged(self, other):
+        sql = f"SELECT a FROM {other}"
+        out = rewrite_tsql(sql, {"known.table": "v"})
+        # a table we did not bind is left for Spark to resolve (or fail
+        # loudly) — never silently rewritten
+        if other.lower() != "known.table":
+            assert other in out
+
+
+class TestBandCapProperties:
+    @given(
+        texts=st.lists(
+            st.sampled_from(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "one two three four five six seven",
+                    "red green blue cyan magenta yellow",
+                ]
+            ),
+            min_size=2,
+            max_size=24,
+        ),
+        cap=st.integers(min_value=2, max_value=6),
+    )
+    @settings(**SPARK_SETTINGS)
+    def test_capped_pairs_subset_and_bounded(self, spark, texts, cap):
+        import ssis_to_dbt_spark.text as tx
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id int, text string"
+        )
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in tx.minhash_candidates_md5(
+                df, max_bucket_size=cap
+            ).collect()
+        }
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in tx.minhash_candidates_md5(
+                df, max_bucket_size=None
+            ).collect()
+        }
+        assert capped <= full
+        # the kept prefix is by id: every pair within the first `cap` ids
+        # of a duplicate family survives capping
+        by_text = {}
+        for i, t in enumerate(texts):
+            by_text.setdefault(t, []).append(i)
+        for ids in by_text.values():
+            keep = sorted(ids)[:cap]
+            for i, a in enumerate(keep):
+                for b in keep[i + 1:]:
+                    assert (a, b) in capped, (a, b)
+        # global bound: pairs never exceed what cap-sized families allow
+        n_fams = len(by_text)
+        assert len(capped) <= n_fams * cap * (cap - 1) // 2
+
+
+class TestStarContractionProperty:
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.integers(min_value=0, max_value=20),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(**SPARK_SETTINGS)
+    def test_star_labels_match_python_union_find(self, spark, edges):
+        import ssis_to_dbt_spark.text as tx
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["label"]
+            for r in tx.connected_components(df, algorithm="star").collect()
+        }
+        # model: union-find with min-label canonicalization
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want
