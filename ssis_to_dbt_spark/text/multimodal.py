@@ -78,9 +78,12 @@ def content_fingerprint(content: Column) -> Column:
 # --- BMP codec: the one dependency-free real decoder ---------------------
 #
 # 24-bit uncompressed BMP is fully specified by two fixed-layout headers and
-# needs no codec library, so it serves as the REAL decode backend proving the
-# Arrow-batch plumbing end-to-end; JPEG/PNG/WebP stay behind
-# NotImplementedError until their libraries are provisioned.
+# needs no codec library, so it serves as a REAL decode backend proving the
+# Arrow-batch plumbing end-to-end.  PNG (round 6) is also real — stdlib
+# zlib covers DEFLATE, and the five scanline filters are pure byte math —
+# supporting 8-bit grayscale / RGB / RGBA, non-interlaced (the normal
+# training-corpus shape).  JPEG/WebP stay behind NotImplementedError until
+# their libraries are provisioned.
 
 
 def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -215,6 +218,219 @@ def resize_bmp_media(
             )
 
     return df.select(id_col, content_col).mapInPandas(work, schema=schema)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA (8-bit)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    rows: list[list[tuple]], filter_type: int = 0
+) -> bytes:
+    """Minimal PNG writer from a pixel grid (``rows[0]`` = top row; pixels
+    are 1-tuples for grayscale, 3-tuples RGB, 4-tuples RGBA; 8-bit,
+    non-interlaced).  ``filter_type`` applies that scanline filter to every
+    row — the fixture twin of :func:`decode_png`'s unfiltering, letting
+    tests round-trip every filter the decoder must invert."""
+    import struct
+    import zlib
+
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    nch = len(rows[0][0]) if rows and rows[0] else 3
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter {filter_type}")
+    raw_rows = [
+        bytes(c for px in row for c in px) for row in rows
+    ]
+    filtered = bytearray()
+    prev = bytes(width * nch)
+    for raw in raw_rows:
+        filtered.append(filter_type)
+        for i, x in enumerate(raw):
+            a = raw[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) & 0xFF
+            elif filter_type == 2:
+                f = (x - b) & 0xFF
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            filtered.append(f)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, float, float, float]:
+    """Real PNG decode (stdlib zlib only): 8-bit grayscale / RGB / RGBA,
+    non-interlaced, all five scanline filters.  Returns (width, height,
+    channels, mean_r, mean_g, mean_b); grayscale reports its mean on all
+    three channels, RGBA's alpha is excluded from the means.  Raises
+    ValueError on anything outside that envelope (palette, 16-bit,
+    interlaced) — same refusal contract as :func:`decode_bmp`."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"only 8-bit gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color={color})"
+                )
+            if interlace != 0 or comp != 0 or filt != 0:
+                raise ValueError("interlaced/nonstandard PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from None
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data does not match declared dimensions")
+    prev = bytearray(stride)
+    totals = [0, 0, 0]
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1: base + 1 + stride])
+        if ftype > 4:
+            raise ValueError(f"bad PNG filter {ftype}")
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        if channels == 1:
+            s = sum(line)
+            totals[0] += s
+            totals[1] += s
+            totals[2] += s
+        else:
+            for i in range(0, stride, channels):
+                totals[0] += line[i]
+                totals[1] += line[i + 1]
+                totals[2] += line[i + 2]
+        prev = line
+    n = (width * height) or 1
+    return width, height, channels, totals[0] / n, totals[1] / n, totals[2] / n
+
+
+def decode_image(data: bytes) -> tuple[str, int, int, int, float, float, float]:
+    """Magic-byte dispatch over the real decoders: returns (format, width,
+    height, channels, mean_r, mean_g, mean_b).  Raises ValueError for
+    anything that is neither BMP nor PNG — the quarantine trigger."""
+    if data[:2] == b"BM":
+        return ("bmp", *decode_bmp(data))
+    if data[:8] == _PNG_SIG:
+        return ("png", *decode_png(data))
+    raise ValueError("unrecognized image payload (not BMP/PNG)")
+
+
+def decode_image_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Format-dispatching sibling of :func:`decode_bmp_stats`: BMP and PNG
+    payloads decode for real (magic-byte dispatch), anything else
+    quarantines as a NULL row with a NULL format.  Map-only mapInPandas —
+    the 100 TB media-scan shape."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[content_col]):
+                data = data if data is not None else b""
+                try:
+                    fmt, w, h, ch, mr, mg, mb = decode_image(data)
+                except ValueError:
+                    fmt = w = h = ch = mr = mg = mb = None
+                rows.append((mid, fmt, w, h, ch, mr, mg, mb, len(data)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "n_bytes",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=schema)
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, int, float, float, float]:

@@ -254,3 +254,68 @@ class TestTruncatedBmp:
         resized = {r["media_id"]: r for r in resize_bmp_media(df, 2, 2).collect()}
         assert resized[1]["width"] == 2
         assert resized[2]["content"] is None
+
+
+class TestPngCodec:
+    """Real stdlib-only PNG decode: every scanline filter round-trips, all
+    three supported pixel layouts, refusal contract for the rest."""
+
+    def _grid(self, w, h, nch):
+        # deterministic non-uniform pixels so filters actually do work
+        return [
+            [tuple((x * 7 + y * 13 + c * 29) % 256 for c in range(nch))
+             for x in range(w)]
+            for y in range(h)
+        ]
+
+    def test_all_filters_round_trip_rgb(self):
+        from ssis_to_dbt_spark.text.multimodal import decode_png, encode_png
+
+        rows = self._grid(5, 4, 3)
+        flat = [c for row in rows for px in row for c in px]
+        want_r = sum(flat[0::3]) / 20
+        want_g = sum(flat[1::3]) / 20
+        want_b = sum(flat[2::3]) / 20
+        for f in range(5):
+            got = decode_png(encode_png(rows, filter_type=f))
+            assert got == (5, 4, 3, want_r, want_g, want_b), f
+
+    def test_grayscale_and_rgba(self):
+        from ssis_to_dbt_spark.text.multimodal import decode_png, encode_png
+
+        gray = self._grid(3, 3, 1)
+        w, h, ch, mr, mg, mb = decode_png(encode_png(gray, filter_type=4))
+        mean = sum(px[0] for row in gray for px in row) / 9
+        assert (w, h, ch) == (3, 3, 1) and mr == mg == mb == mean
+        rgba = self._grid(4, 2, 4)
+        w, h, ch, mr, mg, mb = decode_png(encode_png(rgba, filter_type=2))
+        assert (w, h, ch) == (4, 2, 4)
+        flat = [c for row in rgba for px in row for c in px]
+        assert mr == sum(flat[0::4]) / 8  # alpha excluded from means
+
+    def test_refusals(self):
+        from ssis_to_dbt_spark.text.multimodal import decode_png, encode_png
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"BM123456789")
+        good = encode_png(self._grid(4, 4, 3))
+        with pytest.raises(ValueError, match="truncated|missing|corrupt"):
+            decode_png(good[:-20])
+
+    def test_decode_image_dispatch_and_batch(self, spark):
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_image, decode_image_stats, encode_bmp, encode_png,
+        )
+
+        png = encode_png([[(10, 20, 30), (30, 20, 10)]])
+        bmp = encode_bmp(4, 3, (10, 20, 30))
+        assert decode_image(png)[0] == "png"
+        assert decode_image(bmp)[0] == "bmp"
+        df = spark.createDataFrame(
+            [(1, bytearray(bmp)), (2, bytearray(png)), (3, bytearray(b"x"))],
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r for r in decode_image_stats(df).collect()}
+        assert rows[1]["format"] == "bmp" and rows[1]["width"] == 4
+        assert rows[2]["format"] == "png" and rows[2]["mean_r"] == 20.0
+        assert rows[3]["format"] is None and rows[3]["n_bytes"] == 1
