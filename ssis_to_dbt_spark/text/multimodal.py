@@ -293,13 +293,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, float, float, float]:
-    """Real PNG decode (stdlib zlib only): 8-bit grayscale / RGB / RGBA,
-    non-interlaced, all five scanline filters.  Returns (width, height,
-    channels, mean_r, mean_g, mean_b); grayscale reports its mean on all
-    three channels, RGBA's alpha is excluded from the means.  Raises
-    ValueError on anything outside that envelope (palette, 16-bit,
-    interlaced) — same refusal contract as :func:`decode_bmp`."""
+def _png_scanlines(data: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """Parse + unfilter a PNG into raw scanlines (top-first, ``channels``
+    bytes per pixel).  Shared by :func:`decode_png` and :func:`resize_png`.
+    """
     import struct
     import zlib
 
@@ -342,7 +339,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, float, float, float]:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data does not match declared dimensions")
     prev = bytearray(stride)
-    totals = [0, 0, 0]
+    lines: list[bytearray] = []
     for y in range(height):
         base = y * (stride + 1)
         ftype = raw[base]
@@ -361,19 +358,65 @@ def decode_png(data: bytes) -> tuple[int, int, int, float, float, float]:
                 line[i] = (line[i] + (a + b) // 2) & 0xFF
             elif ftype == 4:
                 line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        lines.append(line)
+        prev = line
+    return width, height, channels, lines
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, float, float, float]:
+    """Real PNG decode (stdlib zlib only): 8-bit grayscale / RGB / RGBA,
+    non-interlaced, all five scanline filters.  Returns (width, height,
+    channels, mean_r, mean_g, mean_b); grayscale reports its mean on all
+    three channels, RGBA's alpha is excluded from the means.  Raises
+    ValueError on anything outside that envelope (palette, 16-bit,
+    interlaced) — same refusal contract as :func:`decode_bmp`."""
+    width, height, channels, lines = _png_scanlines(data)
+    totals = [0, 0, 0]
+    for line in lines:
         if channels == 1:
             s = sum(line)
             totals[0] += s
             totals[1] += s
             totals[2] += s
         else:
-            for i in range(0, stride, channels):
+            for i in range(0, width * channels, channels):
                 totals[0] += line[i]
                 totals[1] += line[i + 1]
                 totals[2] += line[i + 2]
-        prev = line
     n = (width * height) or 1
     return width, height, channels, totals[0] / n, totals[1] / n, totals[2] / n
+
+
+def resize_png(data: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resize of a supported PNG, re-encoded as PNG
+    (filter 0).  Same index convention as :func:`resize_bmp`
+    (``src = floor(dst * src_dim / dst_dim)``)."""
+    if dst_w < 1 or dst_h < 1:
+        raise ValueError(f"target dims must be positive, got {dst_w}x{dst_h}")
+    width, height, nch, lines = _png_scanlines(data)
+    rows = []
+    for j in range(dst_h):
+        src = lines[j * height // dst_h]
+        rows.append(
+            [
+                tuple(
+                    src[(i * width // dst_w) * nch + c] for c in range(nch)
+                )
+                for i in range(dst_w)
+            ]
+        )
+    return encode_png(rows)
+
+
+def resize_image(data: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Magic-byte dispatch over the real resizers (BMP in, BMP out; PNG in,
+    PNG out); ValueError on anything else — the quarantine trigger of
+    :func:`resize_bmp_media`-style batch stages."""
+    if data[:2] == b"BM":
+        return resize_bmp(data, dst_w, dst_h)
+    if data[:8] == _PNG_SIG:
+        return resize_png(data, dst_w, dst_h)
+    raise ValueError("unrecognized image payload (not BMP/PNG)")
 
 
 def decode_image(data: bytes) -> tuple[str, int, int, int, float, float, float]:

@@ -319,3 +319,31 @@ class TestPngCodec:
         assert rows[1]["format"] == "bmp" and rows[1]["width"] == 4
         assert rows[2]["format"] == "png" and rows[2]["mean_r"] == 20.0
         assert rows[3]["format"] is None and rows[3]["n_bytes"] == 1
+
+
+class TestPngResize:
+    def test_exact_nearest_neighbor(self):
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_png, encode_png, resize_image, resize_png,
+        )
+
+        top = [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+        bot = [(100, 100, 100), (110, 110, 110), (120, 120, 120), (130, 130, 130)]
+        data = encode_png([top, bot], filter_type=4)
+        small = resize_png(data, 2, 1)
+        # dst col i -> src col i*4//2 in {0, 2}; dst row 0 -> src row 0
+        assert decode_png(small) == (2, 1, 3, 10.0, 10.0, 10.0)
+        big = resize_image(encode_png([[(7, 8, 9)]]), 3, 3)
+        assert decode_png(big) == (3, 3, 3, 7.0, 8.0, 9.0)
+        with pytest.raises(ValueError, match="unrecognized"):
+            resize_image(b"junk", 2, 2)
+
+    def test_dispatch_preserves_format(self):
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_image, encode_bmp, encode_png, resize_image,
+        )
+
+        bmp_out = resize_image(encode_bmp(4, 4, (9, 9, 9)), 2, 2)
+        png_out = resize_image(encode_png([[(9, 9, 9)] * 4] * 4), 2, 2)
+        assert decode_image(bmp_out)[0] == "bmp"
+        assert decode_image(png_out)[0] == "png"
