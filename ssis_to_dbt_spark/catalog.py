@@ -1380,6 +1380,56 @@ FROM documents
 """
 
 
+def q_png_decode_stats(spark, sf_dir):
+    """Real PNG decode, oracle-checked: every document synthesizes an
+    x-gradient PNG (pixel (x,y) = base + x per channel, no 256 wraparound)
+    whose scanline FILTER TYPE cycles through all five per doc_id, so the
+    hash only matches if Sub/Up/Average/Paeth unfiltering is exact.  Means
+    are closed-form (base + (w-1)/2), computable by the SQL oracle."""
+    from .text.multimodal import decode_image_stats, encode_png
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            content = []
+            for i in ids:
+                w, h = int(1 + i % 7), int(1 + i % 5)
+                br = int(i % 200)
+                bg = int(i * 7 % 200)
+                bb = int(i * 13 % 200)
+                rows = [
+                    [(br + x, bg + x, bb + x) for x in range(w)]
+                    for _ in range(h)
+                ]
+                content.append(encode_png(rows, filter_type=int(i % 5)))
+            yield pd.DataFrame({"media_id": ids, "content": content})
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return decode_image_stats(media).select(
+        "media_id", "format", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+SQL_PNG_STATS = """
+SELECT doc_id AS media_id,
+       'png' AS format,
+       CAST(1 + doc_id % 7 AS INTEGER) AS width,
+       CAST(1 + doc_id % 5 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(doc_id % 200 + (doc_id % 7) / 2.0 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 7) % 200 + (doc_id % 7) / 2.0 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 200 + (doc_id % 7) / 2.0 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # 30. Dataset profile (QA stats, one aggregation pass per column)
 # ---------------------------------------------------------------------------
@@ -4625,7 +4675,18 @@ def q_multimodal_decode(spark, sf_dir):
         F.col("mean_g").cast("double").alias("v2"),
         F.col("mean_b").cast("double").alias("v3"),
     )
-    return _union_all([feats, bmp, wav, rs])
+    png = q_png_decode_stats(spark, sf_dir).select(
+        F.lit("png").alias("component"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").cast("int").alias("i1"),
+        F.col("height").cast("int").alias("i2"),
+        F.col("channels").cast("int").alias("i3"),
+        _nul("long").alias("n1"),
+        F.col("mean_r").cast("double").alias("v1"),
+        F.col("mean_g").cast("double").alias("v2"),
+        F.col("mean_b").cast("double").alias("v3"),
+    )
+    return _union_all([feats, bmp, wav, rs, png])
 
 
 SQL_MULTIMODAL_DECODE = f"""
@@ -4650,6 +4711,11 @@ SELECT 'resize', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
        CAST(n_out_bytes AS BIGINT),
        CAST(mean_r AS DOUBLE), CAST(mean_g AS DOUBLE), CAST(mean_b AS DOUBLE)
 FROM ({SQL_RESIZE_BMP}) _r
+UNION ALL
+SELECT 'png', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
+       CAST(height AS INTEGER), CAST(channels AS INTEGER), {_NULL_BIGINT},
+       CAST(mean_r AS DOUBLE), CAST(mean_g AS DOUBLE), CAST(mean_b AS DOUBLE)
+FROM ({SQL_PNG_STATS}) _p
 """
 
 
@@ -5848,6 +5914,7 @@ ALL_QUERIES = {
     "script_escape_hatch": q_script_escape_hatch,
     "multimodal_features": q_multimodal_features,
     "bmp_decode_stats": q_bmp_decode_stats,
+    "png_decode_stats": q_png_decode_stats,
     "dataset_profile": q_dataset_profile,
     "corpus_curation": q_corpus_curation,
     "hash_split_docs": q_hash_split_docs,
@@ -5975,6 +6042,7 @@ ALL_ORACLES = {
     "script_escape_hatch": SQL_SCRIPT_HATCH,
     "multimodal_features": SQL_MULTIMODAL,
     "bmp_decode_stats": SQL_BMP_STATS,
+    "png_decode_stats": SQL_PNG_STATS,
     "dataset_profile": SQL_DATASET_PROFILE,
     "corpus_curation": SQL_CORPUS_CURATION,
     "hash_split_docs": SQL_HASH_SPLIT,
