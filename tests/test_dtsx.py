@@ -885,3 +885,45 @@ class TestPackageReport:
         md = package_report(pkg, bound)
         assert "| Call Inventory API | ScriptTask | manual_review_required" in md
         assert "| Send Completion Email | SendMailTask | documented_only" in md
+
+
+class TestExcelComponents:
+    def test_excel_source_to_excel_destination(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import read_xlsx_rows
+        from ssis_to_dbt_spark.sources.writers import write_xlsx
+
+        src_xlsx = str(tmp_path / "in.xlsx")
+        out_xlsx = str(tmp_path / "out.xlsx")
+        write_xlsx(["NationKey", "Name"], [[1, "FRANCE"], [2, "GERMANY"]],
+                   src_xlsx)
+        conn = (
+            '<DTS:ConnectionManager DTS:refId="Package.ConnectionManagers[In]" DTS:ObjectName="In">'
+            f'<DTS:ObjectData><DTS:ConnectionManager DTS:ConnectionString="{src_xlsx}"/></DTS:ObjectData>'
+            '</DTS:ConnectionManager>'
+            '<DTS:ConnectionManager DTS:refId="Package.ConnectionManagers[Out]" DTS:ObjectName="Out">'
+            f'<DTS:ObjectData><DTS:ConnectionManager DTS:ConnectionString="{out_xlsx}"/></DTS:ObjectData>'
+            '</DTS:ConnectionManager>'
+        )
+        body = (
+            '<components>'
+            '<component refId="P\\F\\XS" componentClassID="Microsoft.ExcelSource" name="XS">'
+            '<connections><connection refId="c1" connectionManagerRefId="Package.ConnectionManagers[In]" name="Excel"/></connections>'
+            '<outputs><output refId="o" name="O"><outputColumns>'
+            '<outputColumn name="NationKey" dataType="i4"/>'
+            '<outputColumn name="Name" dataType="wstr" length="25"/>'
+            '</outputColumns></output></outputs>'
+            '</component>'
+            '<component refId="P\\F\\XD" componentClassID="Microsoft.ExcelDestination" name="XD">'
+            '<connections><connection refId="c2" connectionManagerRefId="Package.ConnectionManagers[Out]" name="Excel"/></connections>'
+            '</component>'
+            '</components>'
+        )
+        path = _write_pkg(tmp_path, body, "XlPkg", conn_mgrs=conn)
+        frames, report = run_package(spark, path, tables={})
+        assert {b.name: b.status for b in report}["Flow"] == "bound"
+        got = {r["NationKey"]: r["Name"] for r in frames["Flow"].collect()}
+        assert got == {1: "FRANCE", 2: "GERMANY"}
+        # the destination really wrote a readable .xlsx
+        rows = read_xlsx_rows(out_xlsx)
+        assert rows[0] == ["NationKey", "Name"]
+        assert sorted(r[1] for r in rows[1:]) == ["FRANCE", "GERMANY"]
