@@ -1469,7 +1469,13 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 def q_corpus_curation(spark, sf_dir):
-    from .text import exact_dedup
+    from .text import (
+        dup_ngram_char_fraction,
+        dup_ngram_fraction,
+        exact_dedup,
+        gopher_rules,
+        top_ngram_char_fraction,
+    )
 
     docs = _t(spark, sf_dir)["documents"]
     deduped = exact_dedup(docs)
@@ -1480,6 +1486,10 @@ def q_corpus_curation(spark, sf_dir):
         language_id(txt).alias("lang_pred"),
         quality_score(txt).alias("q_score"),
         document_fingerprint(txt).alias("fingerprint"),
+        dup_ngram_fraction(txt, 2).alias("dup_2gram_frac"),
+        top_ngram_char_fraction(txt, 2).alias("top_2gram_char_frac"),
+        dup_ngram_char_fraction(txt, 5).alias("dup_5gram_char_frac"),
+        gopher_rules(txt).getField("passes").alias("gopher_pass"),
     )
     return enriched.filter(
         (F.col("lang_pred") == "en")
@@ -1519,9 +1529,169 @@ scored AS (
       AS q_score,
     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
   FROM b)
-SELECT * FROM scored
+SELECT scored.*, gq.dup_2gram_frac, gq.top_2gram_char_frac,
+       gq.dup_5gram_char_frac, gq.gopher_pass
+FROM scored JOIN (__GOPHER__) gq USING (doc_id)
 WHERE lang_pred = 'en' AND q_score >= 0.45 AND n_tokens BETWEEN 10 AND 1000
 """
+
+
+# ---------------------------------------------------------------------------
+# 31b. Gopher quality-filter rule set (extension: text quality; Rae et al.
+# 2021 §A1.1).  Repetition signals (dup/top n-gram char fractions) are pure
+# HOF expressions over the document scan — map-only, no shuffle; the oracle
+# reproduces every double bit-for-bit from the same integer counts.
+# ---------------------------------------------------------------------------
+
+def q_gopher_quality_docs(spark, sf_dir):
+    from .text import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        dup_ngram_char_fraction,
+        dup_ngram_fraction,
+        ellipsis_line_fraction,
+        gopher_rules,
+        stopword_count,
+        top_ngram_char_fraction,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        dup_ngram_fraction(txt, 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction(txt, 3).alias("dup_3gram_frac"),
+        top_ngram_char_fraction(txt, 2).alias("top_2gram_char_frac"),
+        top_ngram_char_fraction(txt, 3).alias("top_3gram_char_frac"),
+        top_ngram_char_fraction(txt, 4).alias("top_4gram_char_frac"),
+        dup_ngram_char_fraction(txt, 5).alias("dup_5gram_char_frac"),
+        bullet_line_fraction(txt).alias("bullet_line_frac"),
+        ellipsis_line_fraction(txt).alias("ellipsis_line_frac"),
+        alpha_word_fraction(txt).alias("alpha_word_frac"),
+        stopword_count(txt).cast("int").alias("stop_hits"),
+        gopher_rules(txt).getField("passes").alias("gopher_pass"),
+    )
+
+
+def _gopher_signal_sql(source: str) -> str:
+    """DuckDB replica of the Gopher signal battery over ``source`` (any
+    relation with doc_id, text) — shared by the standalone oracle and the
+    corpus-curation suite oracle.  Same integer counts, same double
+    divisions, same lex-smallest argmax tie-break as the Spark expressions."""
+    ngram_arms = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, {n} AS n,
+      unnest(list_transform(range(1, greatest(len(t) - {n} + 2, 1)),
+                            i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))) AS g
+    FROM b"""
+        for n in (2, 3, 4, 5)
+    )
+    return f"""
+WITH src AS ({source}),
+b AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS t,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) AS stop_hits,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words
+  FROM src),
+lines AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS n_lines,
+    len(list_filter(string_split(text, chr(10)),
+        l -> trim(l) <> '' AND regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+    len(list_filter(string_split(text, chr(10)),
+        l -> trim(l) <> '' AND regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS n_ellip
+  FROM src),
+gg AS (
+{ngram_arms}),
+cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gg GROUP BY doc_id, n, g),
+dup AS (
+  SELECT doc_id, n,
+    CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
+    SUM(CASE WHEN c > 1 THEN c * length(replace(g, ' ', '')) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY doc_id, n),
+top AS (
+  SELECT doc_id, n, c * length(replace(g, ' ', '')) AS top_chars FROM (
+    SELECT doc_id, n, g, c,
+           row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+    FROM cnt) WHERE rn = 1),
+dagg AS (
+  SELECT doc_id,
+    MAX(CASE WHEN n = 2 THEN dup_frac END) AS dup2,
+    MAX(CASE WHEN n = 3 THEN dup_frac END) AS dup3,
+    MAX(CASE WHEN n = 5 THEN dup_chars END) AS dupc5
+  FROM dup GROUP BY doc_id),
+tagg AS (
+  SELECT doc_id,
+    MAX(CASE WHEN n = 2 THEN top_chars END) AS top2,
+    MAX(CASE WHEN n = 3 THEN top_chars END) AS top3,
+    MAX(CASE WHEN n = 4 THEN top_chars END) AS top4
+  FROM top GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id, b.n_tokens, b.n_chars, b.n_nospace, b.n_sym, b.stop_hits,
+    COALESCE(dagg.dup2, 0.0) AS dup_2gram_frac,
+    COALESCE(dagg.dup3, 0.0) AS dup_3gram_frac,
+    CASE WHEN b.n_nospace > 0
+         THEN COALESCE(CAST(tagg.top2 AS DOUBLE) / b.n_nospace, 0.0)
+         ELSE 0.0 END AS top_2gram_char_frac,
+    CASE WHEN b.n_nospace > 0
+         THEN COALESCE(CAST(tagg.top3 AS DOUBLE) / b.n_nospace, 0.0)
+         ELSE 0.0 END AS top_3gram_char_frac,
+    CASE WHEN b.n_nospace > 0
+         THEN COALESCE(CAST(tagg.top4 AS DOUBLE) / b.n_nospace, 0.0)
+         ELSE 0.0 END AS top_4gram_char_frac,
+    CASE WHEN b.n_nospace > 0
+         THEN COALESCE(CAST(dagg.dupc5 AS DOUBLE) / b.n_nospace, 0.0)
+         ELSE 0.0 END AS dup_5gram_char_frac,
+    CASE WHEN lines.n_lines > 0
+         THEN CAST(lines.n_bullet AS DOUBLE) / lines.n_lines
+         ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN lines.n_lines > 0
+         THEN CAST(lines.n_ellip AS DOUBLE) / lines.n_lines
+         ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN b.n_tokens > 0
+         THEN CAST(b.alpha_words AS DOUBLE) / b.n_tokens
+         ELSE 0.0 END AS alpha_word_frac,
+    CASE WHEN b.n_tokens > 0
+         THEN CAST(b.n_nospace AS DOUBLE) / b.n_tokens
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN b.n_chars > 0
+         THEN CAST(b.n_sym AS DOUBLE) / b.n_chars
+         ELSE 0.0 END AS symbol_frac
+  FROM b LEFT JOIN dagg USING (doc_id)
+         LEFT JOIN tagg USING (doc_id)
+         JOIN lines USING (doc_id))
+SELECT doc_id,
+  dup_2gram_frac, dup_3gram_frac,
+  top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+  dup_5gram_char_frac, bullet_line_frac, ellipsis_line_frac,
+  alpha_word_frac,
+  CAST(stop_hits AS INTEGER) AS stop_hits,
+  (n_tokens BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_frac <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND stop_hits >= 2
+   AND top_2gram_char_frac <= 0.20
+   AND top_3gram_char_frac <= 0.18
+   AND top_4gram_char_frac <= 0.16
+   AND dup_5gram_char_frac <= 0.15) AS gopher_pass
+FROM sig"""
+
+
+SQL_GOPHER_QUALITY = _gopher_signal_sql("SELECT doc_id, text FROM documents")
+
+# The curation suite joins the same signal battery (per-doc values are
+# identical whether computed pre- or post-dedup, so the oracle reuses the
+# all-documents battery and lets the join restrict it).
+SQL_CORPUS_CURATION = SQL_CORPUS_CURATION.replace("__GOPHER__", SQL_GOPHER_QUALITY)
 
 
 # ---------------------------------------------------------------------------
@@ -5917,6 +6087,7 @@ ALL_QUERIES = {
     "png_decode_stats": q_png_decode_stats,
     "dataset_profile": q_dataset_profile,
     "corpus_curation": q_corpus_curation,
+    "gopher_quality_docs": q_gopher_quality_docs,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
@@ -6045,6 +6216,7 @@ ALL_ORACLES = {
     "png_decode_stats": SQL_PNG_STATS,
     "dataset_profile": SQL_DATASET_PROFILE,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,

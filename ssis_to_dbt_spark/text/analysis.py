@@ -198,6 +198,191 @@ def digit_fraction(text: Column) -> Column:
     )
 
 
+def _ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (``n >= 2``); empty array
+    when the document has fewer than ``n`` tokens.  Pure expression — one
+    ``transform`` over an index sequence, no shuffle."""
+    cnt = F.size(tokens) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier occurrence
+    (``1 - distinct/total``) — the Gopher-style repetition signal one level
+    above :func:`dup_token_fraction`; boilerplate families and looped
+    generation score high where unigram stats look clean."""
+    g = _ngrams(_ws_tokens(text), n)
+    total = F.size(g)
+    return F.when(
+        total > 0, (total - F.size(F.array_distinct(g))).cast("double") / total
+    ).otherwise(F.lit(0.0))
+
+
+def _max_run_with_val(arr: Column) -> Column:
+    """Longest run of consecutive equal elements AND the element achieving it
+    — one linear ``F.aggregate`` pass (same cost shape as
+    :func:`_max_equal_run`).  Strict ``>`` keeps the FIRST maximal run, so on
+    a sorted array the winner is the lexicographically smallest among ties —
+    a deterministic argmax any other engine can reproduce."""
+
+    def step(acc, x):
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        better = run > acc.getField("best")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("best")).alias("best"),
+            F.when(better, x).otherwise(acc.getField("best_val")).alias("best_val"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_val"),
+    )
+    return F.aggregate(arr, zero, step)
+
+
+def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher repetition rule: fraction of non-whitespace characters accounted
+    for by the single most frequent word n-gram (occurrences x its non-space
+    char length / total non-space chars).  Multiplicity comes from the longest
+    equal-run of the SORTED n-gram array — linear, map-only; tie-break is the
+    lexicographically smallest n-gram (deterministic, oracle-reproducible).
+    Published Gopher thresholds: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4."""
+    g = F.array_sort(_ngrams(_ws_tokens(text), n))
+    st = _max_run_with_val(g)
+    n_chars = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    best_chars = st.getField("best") * F.length(
+        F.translate(st.getField("best_val"), " ", "")
+    )
+    return F.when(
+        (F.size(g) > 0) & (n_chars > 0), best_chars.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_fraction(text: Column, n: int = 5) -> Column:
+    """Gopher repetition rule: fraction of non-whitespace characters inside
+    word n-grams that occur more than once (sum of occurrences x non-space
+    char length over duplicated n-grams / total non-space chars).  Overlap
+    between duplicated spans is NOT collapsed (the cheap published variant —
+    values can exceed those of span-merging implementations; documented so
+    thresholds are calibrated against THIS definition).  Computed as one
+    linear fold over the sorted n-gram array: when an element equals its
+    predecessor the run's chars are added (2x on the run's second member to
+    retroactively count the first) — no quadratic per-distinct scan, no
+    shuffle.  Published Gopher thresholds: 0.15 / 0.14 / ... for n = 5 / 6 /
+    ...; requires ``n >= 2`` (the empty-string fold sentinel can never equal
+    a space-joined n-gram)."""
+    g = F.array_sort(_ngrams(_ws_tokens(text), n))
+
+    def step(acc, x):
+        clen = F.length(F.translate(x, " ", ""))
+        same = x == acc.getField("prev")
+        run = F.when(same, acc.getField("run") + 1).otherwise(F.lit(1))
+        add = (
+            F.when(same & (acc.getField("run") == 1), clen * 2)
+            .when(same, clen)
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc.getField("dup") + add).alias("dup"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dup")
+    )
+    dup_chars = F.aggregate(g, zero, step).getField("dup")
+    n_chars = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    return F.when(n_chars > 0, dup_chars.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _nonblank_lines(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines starting with a bullet marker (``-``,
+    ``*``, U+2022) — Gopher drops documents where > 90% of lines are
+    bullets (nav menus, scraped list pages)."""
+    ls = _nonblank_lines(text)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines ending in an ellipsis (``...`` or U+2026)
+    — Gopher drops documents where > 30% of lines trail off (truncated
+    snippet pages)."""
+    ls = _nonblank_lines(text)
+    n = F.size(ls)
+    hits = F.size(
+        F.filter(ls, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of whitespace tokens containing at least one alphabetic
+    character — Gopher requires >= 80% (drops number/symbol dumps)."""
+    toks = _ws_tokens(text)
+    n = token_count(text)
+    hits = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column) -> Column:
+    """English stopword-marker occurrences (word-bounded) — Gopher requires
+    at least 2 distinct-position hits; reuses the language-ID marker set so
+    the two signals stay consistent."""
+    return _marker_hits(F.lower(text), _LANG_MARKERS["en"])
+
+
+def gopher_rules(
+    text: Column, min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1) as a
+    struct of per-rule booleans plus the conjunctive ``passes`` verdict —
+    map-only, every member a pure expression over the same scan.  Symbol
+    ratio reuses :func:`symbol_fraction` (all non-alphanumeric chars) rather
+    than the paper's #/ellipsis-only ratio — stricter, documented.
+    Repetition rules use this module's overlap-uncorrected definitions with
+    the published thresholds."""
+    n = token_count(text)
+    mwl = mean_token_length(text)
+    checks = [
+        ((n >= min_words) & (n <= max_words)).alias("word_count_ok"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).alias("mean_word_len_ok"),
+        (symbol_fraction(text) <= 0.1).alias("symbol_ratio_ok"),
+        (bullet_line_fraction(text) <= 0.9).alias("bullet_ok"),
+        (ellipsis_line_fraction(text) <= 0.3).alias("ellipsis_ok"),
+        (alpha_word_fraction(text) >= 0.8).alias("alpha_word_ok"),
+        (stopword_count(text) >= 2).alias("stopword_ok"),
+        (top_ngram_char_fraction(text, 2) <= 0.20).alias("top_2gram_ok"),
+        (top_ngram_char_fraction(text, 3) <= 0.18).alias("top_3gram_ok"),
+        (top_ngram_char_fraction(text, 4) <= 0.16).alias("top_4gram_ok"),
+        (dup_ngram_char_fraction(text, 5) <= 0.15).alias("dup_5gram_ok"),
+    ]
+    passes = checks[0]
+    for c in checks[1:]:
+        passes = passes & c
+    return F.struct(*checks, passes.alias("passes"))
+
+
 def document_fingerprint(text: Column) -> Column:
     """md5 fingerprint of whitespace-normalized lowercase text — the
     content-identity key used by exact dedup and provenance tracking."""

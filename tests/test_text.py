@@ -822,3 +822,86 @@ class TestBandBucketCap:
                 for r in fn(df, max_bucket_size=None).collect()
             )
             assert a == b and (100, 101) in a
+
+
+class TestGopherSignals:
+    """Planted-fixture coverage of the Gopher rule battery: hand-computable
+    repetition fractions, line-shape rules, and edge cases (empty text,
+    short docs, ties)."""
+
+    def _one(self, spark, text, col):
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        return df.select(col.alias("v")).collect()[0]["v"]
+
+    def test_dup_ngram_fraction_planted(self, spark):
+        # tokens: a b a b a -> 2-grams: [a b, b a, a b, b a] -> 4 total, 2
+        # distinct -> dup fraction 0.5
+        v = self._one(spark, "a b a b a", tx.dup_ngram_fraction(F.col("text"), 2))
+        assert v == 0.5
+
+    def test_dup_ngram_fraction_no_repeats_and_short(self, spark):
+        assert self._one(spark, "a b c", tx.dup_ngram_fraction(F.col("text"), 2)) == 0.0
+        # fewer tokens than n -> no n-grams -> 0
+        assert self._one(spark, "solo", tx.dup_ngram_fraction(F.col("text"), 2)) == 0.0
+        assert self._one(spark, "", tx.dup_ngram_fraction(F.col("text"), 2)) == 0.0
+
+    def test_top_ngram_char_fraction_planted(self, spark):
+        # "ab cd ab cd x": 2-grams [ab cd, cd ab, ab cd, cd x]; top = "ab cd"
+        # (count 2, 4 non-space chars) -> 8 / 9 non-space chars
+        v = self._one(
+            spark, "ab cd ab cd x", tx.top_ngram_char_fraction(F.col("text"), 2)
+        )
+        assert v == pytest.approx(8 / 9, abs=0)
+
+    def test_top_ngram_tie_breaks_lexicographically(self, spark):
+        # every 2-gram unique (all count 1): winner is lex-smallest "aa zz"
+        # (2 chars+2 chars)*1 / 8 non-space chars
+        v = self._one(spark, "zz aa zz bb", tx.top_ngram_char_fraction(F.col("text"), 2))
+        assert v == pytest.approx(4 / 8, abs=0)
+
+    def test_dup_ngram_char_fraction_planted(self, spark):
+        # tokens: a b c a b c a b c -> 5-grams: [a b c a b, b c a b c,
+        # c a b c a, a b c a b, b c a b c] -> "a b c a b" x2 (5 chars),
+        # "b c a b c" x2 (5 chars) -> dup chars = 2*5 + 2*5 = 20 over 9
+        # non-space chars (overlap-uncorrected, can exceed 1)
+        v = self._one(
+            spark, "a b c a b c a b c", tx.dup_ngram_char_fraction(F.col("text"), 5)
+        )
+        assert v == pytest.approx(20 / 9, abs=0)
+
+    def test_line_fractions(self, spark):
+        text = "- first bullet\nplain line\n* second bullet\ntrails off...\n\n"
+        assert self._one(spark, text, tx.bullet_line_fraction(F.col("text"))) == 0.5
+        assert self._one(spark, text, tx.ellipsis_line_fraction(F.col("text"))) == 0.25
+        assert self._one(spark, "", tx.bullet_line_fraction(F.col("text"))) == 0.0
+
+    def test_alpha_word_fraction_and_stopwords(self, spark):
+        assert self._one(
+            spark, "abc 123 d4 --", tx.alpha_word_fraction(F.col("text"))
+        ) == 0.5
+        assert self._one(
+            spark, "the cat and the hat", tx.stopword_count(F.col("text"))
+        ) == 3
+
+    def test_gopher_rules_struct(self, spark):
+        good = " ".join(
+            f"the quick brown fox w{i} jumps over and lazy dog of to is a d{i}"
+            for i in range(8)
+        )
+        row = (
+            spark.createDataFrame([(1, good)], "doc_id int, text string")
+            .select(tx.gopher_rules(F.col("text")).alias("r"))
+            .collect()[0]["r"]
+            .asDict()
+        )
+        assert row["word_count_ok"] and row["stopword_ok"] and row["alpha_word_ok"]
+        # degenerate loop output fails the repetition rules and the verdict
+        bad = "buy now " * 60
+        rb = (
+            spark.createDataFrame([(1, bad)], "doc_id int, text string")
+            .select(tx.gopher_rules(F.col("text")).alias("r"))
+            .collect()[0]["r"]
+            .asDict()
+        )
+        assert not rb["top_2gram_ok"] and not rb["dup_5gram_ok"]
+        assert not rb["passes"]
