@@ -3059,6 +3059,68 @@ FROM est e LEFT JOIN ex ON ex.tok = e.tok
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch (extension: mergeable sketches).  The oracle
+# surface is the REGISTER TABLE (pure integer md5 math, bit-portable), not
+# the float estimate — hll_estimate is pytest-verified against exact counts.
+# ---------------------------------------------------------------------------
+
+def q_hll_users_events(spark, sf_dir):
+    """HLL registers over events: low-cardinality user_id (exercises the
+    sparse/linear-counting regime), high-cardinality event_id (dense
+    registers), and a merged-shard build over per-event-type user_id shards
+    whose registers must equal the direct build bit-for-bit (register merge
+    is a lossless bucket-wise MAX)."""
+    from .operators import hll_merge, hll_registers
+
+    ev = _t(spark, sf_dir)["events"]
+    users = hll_registers(ev, "user_id", b=10).select(
+        F.lit("hll_users").alias("component"), "bucket", "rho_max"
+    )
+    ids = hll_registers(ev, "event_id", b=10).select(
+        F.lit("hll_events").alias("component"), "bucket", "rho_max"
+    )
+    shards = [
+        hll_registers(ev.filter(F.col("event_type") == t), "user_id", b=10)
+        for t in ("click", "view", "purchase", "scroll", "hover")
+    ]
+    other = hll_registers(
+        ev.filter(~F.col("event_type").isin("click", "view", "purchase",
+                                            "scroll", "hover")),
+        "user_id", b=10,
+    )
+    merged = hll_merge(_union_all(shards + [other])).select(
+        F.lit("hll_merged").alias("component"), "bucket", "rho_max"
+    )
+    return _union_all([users, ids, merged])
+
+
+def _hll_reg_sql(expr: str) -> str:
+    return f"""
+WITH h AS (SELECT md5(CAST({expr} AS VARCHAR)) AS h FROM events),
+r AS (SELECT CAST('0x' || substr(h, 1, 4) AS BIGINT) % 1024 AS bucket,
+             length(regexp_extract(substr(h, 5, 15), '^(0*)', 1)) AS z,
+             substr(h, 5 + length(regexp_extract(substr(h, 5, 15), '^(0*)', 1)), 1) AS nib
+      FROM h)
+SELECT bucket,
+       CAST(MAX(CASE WHEN z = 15 THEN 61 ELSE z * 4
+                + CASE WHEN nib = '1' THEN 3 WHEN nib IN ('2', '3') THEN 2
+                       WHEN nib IN ('4', '5', '6', '7') THEN 1 ELSE 0 END
+                + 1 END) AS INTEGER) AS rho_max
+FROM r GROUP BY bucket"""
+
+
+# Merged-shard registers equal the direct build, so 'hll_merged' reuses the
+# direct user_id SQL — the bit-equality IS the mergeability proof.
+SQL_HLL_USERS_EVENTS = f"""
+SELECT 'hll_users' AS component, bucket, rho_max FROM ({_hll_reg_sql("user_id")}) _u
+UNION ALL
+SELECT 'hll_events', bucket, rho_max FROM ({_hll_reg_sql("event_id")}) _e
+UNION ALL
+SELECT 'hll_merged', bucket, rho_max FROM ({_hll_reg_sql("user_id")}) _m
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization, exploded to scalar rows so every
     quantized value is exactly verified (fixture dim = 64)."""
@@ -4133,7 +4195,15 @@ def q_containment_kmv_docs(spark, sf_dir):
         F.col("cms_est_merged").cast("long").alias("id_b"),
         _nul("double").alias("v1"),
     )
-    return _union_all([c, k, m, dc, cms_direct, cms_merged])
+    # HLL registers (events): direct low/high-cardinality builds + the
+    # merged-shard build that must be register-identical to direct
+    hll = q_hll_users_events(spark, sf_dir).select(
+        F.col("component"),
+        F.col("bucket").cast("long").alias("id_a"),
+        F.col("rho_max").cast("long").alias("id_b"),
+        _nul("double").alias("v1"),
+    )
+    return _union_all([c, k, m, dc, cms_direct, cms_merged, hll])
 
 
 SQL_CONTAINMENT_KMV = f"""
@@ -4160,6 +4230,10 @@ UNION ALL
 SELECT 'cms_merged', CAST(probe_idx AS BIGINT), CAST(cms_est_merged AS BIGINT),
        {_NULL_DOUBLE}
 FROM ({SQL_CMS_TOKENS}) _cmm
+UNION ALL
+SELECT component, CAST(bucket AS BIGINT), CAST(rho_max AS BIGINT),
+       {_NULL_DOUBLE}
+FROM ({SQL_HLL_USERS_EVENTS}) _h
 """
 
 
@@ -6088,6 +6162,7 @@ ALL_QUERIES = {
     "dataset_profile": q_dataset_profile,
     "corpus_curation": q_corpus_curation,
     "gopher_quality_docs": q_gopher_quality_docs,
+    "hll_users_events": q_hll_users_events,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
@@ -6217,6 +6292,7 @@ ALL_ORACLES = {
     "dataset_profile": SQL_DATASET_PROFILE,
     "corpus_curation": SQL_CORPUS_CURATION,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
+    "hll_users_events": SQL_HLL_USERS_EVENTS,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,

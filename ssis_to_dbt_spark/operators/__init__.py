@@ -24,6 +24,9 @@ from .aggregate import (
     histogram_merge,
     histogram_quantile,
     histogram_sketch_grouped,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
     kmv_distinct,
     kmv_merge_estimate,
     kmv_sketch_grouped,
@@ -87,6 +90,7 @@ __all__ = [
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",
     "cms_sketch", "cms_merge", "cms_estimate",
+    "hll_registers", "hll_merge", "hll_estimate",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion", "data_conversion_with_errors",

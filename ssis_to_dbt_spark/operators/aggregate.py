@@ -273,6 +273,81 @@ def cms_sketch(
     return flat.groupBy("cms_row", "bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
+    """HyperLogLog register build (Flajolet et al. 2007): per-bucket max of
+    the leading-zero rank of an md5-derived hash.  Content-addressed (md5 of
+    the value, never engine-private hashing), so the register table —
+    ``(bucket, rho_max)``, at most ``2**b`` rows — is deterministic and
+    cross-engine reproducible, unlike ``approx_count_distinct`` whose HLL++
+    layout is Spark-internal.
+
+    Bit layout: the first 4 hex chars (16 bits) select the bucket (low ``b``
+    bits); the next 15 hex chars (60 bits) feed the rank, computed from the
+    hex string itself — leading ``0`` chars count 4 zero-bits each, the
+    first non-zero nibble adds its own leading zeros via a 3-way CASE — so
+    no engine-specific bit intrinsics are needed and the DuckDB oracle can
+    reproduce every register exactly.
+
+    Scale shape: one narrow projection + one map-side-combinable groupBy
+    whose state is bounded by ``2**b`` — the canonical 100 TB distinct-count
+    pattern (sketch shards, persist tiny registers, merge downstream with
+    :func:`hll_merge` losslessly).  Completes the mergeable-sketch family:
+    KMV (distincts, exact-small), HLL (distincts, fixed memory), CMS (point
+    frequencies), histogram (quantiles)."""
+    if not 1 <= b <= 16:
+        raise ValueError(f"b must be in [1, 16], got {b}")
+    m = 1 << b
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
+    rest = F.substring(h, 5, 15)
+    z = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    nib = rest.substr(z + F.lit(1), F.lit(1))
+    nlz = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 15, F.lit(61)).otherwise(z * 4 + nlz + 1)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("int").alias("rho_max"))
+    )
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge HLL register tables built over shards: bucket-wise MAX —
+    exactly equal to sketching the union directly (lossless, order-free),
+    the property the driver suite verifies bit-for-bit."""
+    return registers.groupBy("bucket").agg(
+        F.max("rho_max").cast("int").alias("rho_max")
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 10) -> DataFrame:
+    """Cardinality estimate from an HLL register table: bias-corrected
+    harmonic mean with the small-range linear-counting correction.  The
+    float math (pow/ln sums) is NOT bit-portable across engines, so the
+    oracle surface is the register table itself; this estimator is verified
+    in pytest against exact counts within HLL's ~1.04/sqrt(m) error."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    zeros = F.lit(m) - F.col("_present")  # absent buckets are zero registers
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.round(est, 6).alias("hll_estimate"), zeros.cast("long").alias("hll_zeros")
+    )
+
+
 def cms_merge(sketches: DataFrame) -> DataFrame:
     """Merge count-min sketches built over disjoint shards: a plain count
     sum per (cms_row, bucket) — exactly equal to sketching the union."""

@@ -1471,3 +1471,67 @@ class TestRangeAggregate:
             ).collect()
         ]
         assert vals == [3.0, 3.0]
+
+
+class TestHll:
+    """HyperLogLog register sketch: estimate accuracy in both regimes,
+    lossless shard merge, and the register table's determinism."""
+
+    def _regs(self, spark, n, b=10):
+        from ssis_to_dbt_spark.operators.aggregate import hll_registers
+
+        df = spark.createDataFrame([(i,) for i in range(n)], "x long")
+        return hll_registers(df, "x", b=b)
+
+    def test_dense_estimate_within_tolerance(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import hll_estimate
+
+        n = 20_000  # >> 2.5 * m: harmonic-mean regime
+        est = hll_estimate(self._regs(spark, n), b=10).first()["hll_estimate"]
+        # HLL std error ~ 1.04/sqrt(1024) = 3.25%; allow 4 sigma
+        assert abs(est - n) / n < 0.13
+
+    def test_sparse_linear_counting(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import hll_estimate
+
+        r = hll_estimate(self._regs(spark, 30), b=10).first()
+        assert r["hll_zeros"] > 0
+        # linear counting is near-exact at this occupancy
+        assert abs(r["hll_estimate"] - 30) / 30 < 0.05
+
+    def test_merge_is_lossless(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import (
+            hll_merge,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(5000)], "x long, shard int"
+        )
+        direct = sorted(
+            (r["bucket"], r["rho_max"])
+            for r in hll_registers(df, "x", b=8).collect()
+        )
+        shards = [
+            hll_registers(df.filter(F.col("shard") == s), "x", b=8)
+            for s in range(3)
+        ]
+        merged = sorted(
+            (r["bucket"], r["rho_max"])
+            for r in hll_merge(shards[0].unionAll(shards[1]).unionAll(shards[2])).collect()
+        )
+        assert merged == direct
+
+    def test_registers_deterministic_and_bounded(self, spark):
+        a = sorted((r["bucket"], r["rho_max"]) for r in self._regs(spark, 2000, b=6).collect())
+        b = sorted((r["bucket"], r["rho_max"]) for r in self._regs(spark, 2000, b=6).collect())
+        assert a == b and len(a) <= 64
+        assert all(0 <= bk < 64 and 1 <= rm <= 61 for bk, rm in a)
+
+    def test_b_validation(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._regs(spark, 10, b=0)
+        with _pt.raises(ValueError):
+            self._regs(spark, 10, b=17)
