@@ -3060,6 +3060,71 @@ FROM est e LEFT JOIN ex ON ex.tok = e.tok
 
 
 # ---------------------------------------------------------------------------
+# BPE encoding (tokenizer APPLICATION, the counterpart of bpe_merges'
+# training): vocabulary-level encode + per-doc token counts under a fixed
+# literal merge table.  Every merge application is oracle-verified (the
+# nested-replace SQL reproduces the rank-ordered passes bit-for-bit).
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_MERGES = [
+    ("t", "h"), ("th", "e"), ("s", "t"), ("st", "r"), ("e", "a"), ("r", "e"),
+]
+
+
+def q_bpe_encode_docs(spark, sf_dir):
+    from .text.bpe import bpe_encode_vocab, bpe_token_counts
+
+    docs = _t(spark, sf_dir)["documents"]
+    w = bpe_encode_vocab(docs, _BPE_ENC_MERGES).select(
+        F.lit("word").alias("component"),
+        F.col("word").alias("k"),
+        F.col("n_toks").cast("long").alias("n1"),
+        _nul("long").alias("n2"),
+        F.array_join("bpe_tokens", " ").alias("enc"),
+    )
+    d = bpe_token_counts(docs, _BPE_ENC_MERGES).select(
+        F.lit("doc").alias("component"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_bpe_tokens").cast("long").alias("n1"),
+        F.col("n_words").cast("long").alias("n2"),
+        _nul("string").alias("enc"),
+    )
+    return _union_all([w, d])
+
+
+def _bpe_enc_expr() -> str:
+    s = ("'·' || array_to_string(list_transform(range(1, length(word) + 1), "
+         "i -> substr(word, i, 1)), '··') || '·'")
+    for a, b in _BPE_ENC_MERGES:
+        s = f"replace({s}, '·{a}··{b}·', '·{a}{b}·')"
+    return s
+
+
+SQL_BPE_ENCODE = f"""
+WITH w AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents),
+w2 AS (SELECT word FROM w WHERE word <> ''),
+enc AS (SELECT word, string_split(trim({_bpe_enc_expr()}, '·'), '··') AS toks
+        FROM w2),
+dw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(len(toks)) AS n_bpe
+  FROM (SELECT doc_id, word FROM dw WHERE word <> '') dw2
+  JOIN enc USING (word) GROUP BY doc_id)
+SELECT 'word' AS component, word AS k, CAST(len(toks) AS BIGINT) AS n1,
+       CAST(NULL AS BIGINT) AS n2, array_to_string(toks, ' ') AS enc
+FROM enc
+UNION ALL
+SELECT 'doc', CAST(doc_id AS VARCHAR), CAST(n_bpe AS BIGINT),
+       CAST(n_words AS BIGINT), CAST(NULL AS VARCHAR)
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog register sketch (extension: mergeable sketches).  The oracle
 # surface is the REGISTER TABLE (pure integer md5 math, bit-portable), not
 # the float estimate — hll_estimate is pytest-verified against exact counts.
@@ -5365,7 +5430,28 @@ def q_token_ops_docs(spark, sf_dir):
         _nul("long").alias("start_tok"),
         _nul("long").alias("end_tok"),
     )
-    return _union_all([tb, ch, pk, dl, bp, ds])
+    be = q_bpe_encode_docs(spark, sf_dir)
+    bew = be.filter(F.col("component") == "word").select(
+        F.lit("bpe_word").alias("component"),
+        _nul("long").alias("doc_id"),
+        _nul("int").alias("chunk_idx"),
+        F.concat(F.col("k"), F.lit("="), F.col("enc")).alias("chunk_text"),
+        F.col("n1").cast("int").alias("n_tok"),
+        _nul("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
+    )
+    bed = be.filter(F.col("component") == "doc").select(
+        F.lit("bpe_doc").alias("component"),
+        F.col("k").cast("long").alias("doc_id"),
+        _nul("int").alias("chunk_idx"),
+        _nul("string").alias("chunk_text"),
+        _nul("int").alias("n_tok"),
+        F.col("n1").alias("seq_id"),
+        F.col("n2").alias("start_tok"),
+        _nul("long").alias("end_tok"),
+    )
+    return _union_all([tb, ch, pk, dl, bp, ds, bew, bed])
 
 
 SQL_TOKEN_OPS = f"""
@@ -5400,6 +5486,15 @@ SELECT 'dup_spans', CAST(doc_id AS BIGINT), CAST(first_dup_pos AS INTEGER),
        {_NULL_STR}, CAST(n_spans AS INTEGER),
        CAST(n_dup_spans AS BIGINT), {_NULL_BIGINT}, {_NULL_BIGINT}
 FROM ({SQL_DUP_SPANS}) _ds
+UNION ALL
+SELECT 'bpe_word', {_NULL_BIGINT}, {_NULL_INT},
+       k || '=' || enc, CAST(n1 AS INTEGER),
+       {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BIGINT}
+FROM ({SQL_BPE_ENCODE}) _bew WHERE component = 'word'
+UNION ALL
+SELECT 'bpe_doc', CAST(k AS BIGINT), {_NULL_INT}, {_NULL_STR}, {_NULL_INT},
+       n1, n2, {_NULL_BIGINT}
+FROM ({SQL_BPE_ENCODE}) _bed WHERE component = 'doc'
 """
 
 
@@ -6163,6 +6258,7 @@ ALL_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "gopher_quality_docs": q_gopher_quality_docs,
     "hll_users_events": q_hll_users_events,
+    "bpe_encode_docs": q_bpe_encode_docs,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
@@ -6293,6 +6389,7 @@ ALL_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hll_users_events": SQL_HLL_USERS_EVENTS,
+    "bpe_encode_docs": SQL_BPE_ENCODE,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,

@@ -111,3 +111,91 @@ def bpe_segment(word: Column, merges: list[tuple[int, str, int]]) -> Column:
             sym, F.lit(f" {x} {y} "), F.lit(f" {x}{MERGE_MARKER}{y} ")
         )
     return F.trim(sym)
+
+
+# Encoding separator: each symbol is wrapped ·sym·, symbols joined so the
+# string is ·s1··s2··s3·.  Every symbol occurrence owns BOTH its boundary
+# markers, so a left-to-right non-overlapping replace of ·a··b· -> ·ab·
+# merges runs correctly (' a a a ' single-space padding would consume the
+# shared boundary and skip the second merge — the documented quirk of the
+# training-side representation above, which the oracle reproduces there).
+ENC_SEP = "·"
+
+
+def _enc_spaced(word: Column) -> Column:
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(
+        F.lit(ENC_SEP), F.array_join(chars, ENC_SEP * 2), F.lit(ENC_SEP)
+    )
+
+
+def bpe_encode(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a learned merge table to a word, textbook-BPE-complete: one
+    left-to-right replace pass per rank, in rank order.
+
+    One pass per rank IS the fixpoint: a rank's replace cannot create a new
+    adjacency of its own pair (the merged symbol differs from both halves),
+    and later ranks cannot create earlier pairs (an earlier rule never
+    references a symbol that did not exist when it was learned).  Pure
+    expression — ``len(merges)`` chained ``replace`` calls inside codegen,
+    map-only, no Python boundary; the DuckDB oracle nests the identical
+    replaces.  Returns the symbol array.  Symbols must not contain U+00B7."""
+    s = _enc_spaced(word)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{ENC_SEP}{a}{ENC_SEP}{ENC_SEP}{b}{ENC_SEP}"),
+            F.lit(f"{ENC_SEP}{a}{b}{ENC_SEP}"),
+        )
+    return F.split(F.btrim(s, F.lit(ENC_SEP)), ENC_SEP * 2)
+
+
+def bpe_encode_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus VOCABULARY: ``(word, bpe_tokens, n_toks)`` over
+    distinct words — the 100 TB shape: the corpus is aggregated to its
+    (much smaller) vocabulary once, each distinct word is encoded exactly
+    once, and per-document numbers come from a broadcast join back
+    (:func:`bpe_token_counts`) instead of re-encoding every occurrence."""
+    vocab = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    toks = bpe_encode(F.col("word"), merges)
+    return vocab.select(
+        "word", toks.alias("bpe_tokens"), F.size(toks).alias("n_toks")
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a learned merge table:
+    ``(id, n_words, n_bpe_tokens)``.  The vocabulary encode broadcasts onto
+    the exploded corpus (vocab is model-sized), so the only corpus-sized
+    shuffle is the final per-document aggregation."""
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    enc = bpe_encode_vocab(df, merges, text_col).select("word", "n_toks")
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+    )

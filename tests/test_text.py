@@ -905,3 +905,71 @@ class TestGopherSignals:
         )
         assert not rb["top_2gram_ok"] and not rb["dup_5gram_ok"]
         assert not rb["passes"]
+
+
+class TestBpeEncode:
+    """bpe_encode vs a textbook reference (iterate lowest rank to fixpoint,
+    greedy left-to-right merge) — including run and chain cases the
+    single-space representation gets wrong."""
+
+    @staticmethod
+    def _ref(word, merges):
+        toks = list(word)
+        while True:
+            best = next(
+                ((a, b) for a, b in merges
+                 if any(toks[i] == a and toks[i + 1] == b
+                        for i in range(len(toks) - 1))),
+                None,
+            )
+            if best is None:
+                return toks
+            a, b = best
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+
+    def _enc(self, spark, words, merges):
+        from ssis_to_dbt_spark.text.bpe import bpe_encode
+
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        return {
+            r["word"]: r["toks"]
+            for r in df.select(
+                "word", bpe_encode(F.col("word"), merges).alias("toks")
+            ).collect()
+        }
+
+    def test_matches_reference_on_tricky_words(self, spark):
+        merges = [("t", "h"), ("th", "e"), ("s", "t"), ("st", "r"),
+                  ("e", "a"), ("r", "e"), ("a", "a")]
+        words = ["the", "there", "stream", "strength", "aaaa", "aaa",
+                 "tthhee", "streamsthe", "x", "east", "restart"]
+        got = self._enc(spark, words, merges)
+        for w in words:
+            assert got[w] == self._ref(w, merges), w
+
+    def test_run_merge_is_complete(self, spark):
+        # 'aaaa' with rule (a,a): greedy pairs -> [aa, aa]; the old
+        # single-space representation would drop the second merge
+        got = self._enc(spark, ["aaaa", "aaaaa"], [("a", "a")])
+        assert got["aaaa"] == ["aa", "aa"]
+        assert got["aaaaa"] == ["aa", "aa", "a"]
+
+    def test_token_counts_conserved(self, spark):
+        from ssis_to_dbt_spark.text.bpe import bpe_token_counts
+
+        df = spark.createDataFrame(
+            [(1, "the stream"), (2, "the the aaaa"), (3, "")],
+            "doc_id int, text string",
+        )
+        merges = [("t", "h"), ("th", "e"), ("a", "a")]
+        rows = {r["doc_id"]: r for r in bpe_token_counts(df, merges).collect()}
+        # 'the' -> [the] (1), 'stream' -> s t r e a m (6), 'aaaa' -> [aa, aa]
+        assert rows[1]["n_words"] == 2 and rows[1]["n_bpe_tokens"] == 7
+        assert rows[2]["n_words"] == 3 and rows[2]["n_bpe_tokens"] == 4
+        assert 3 not in rows  # empty doc contributes no row
