@@ -57,6 +57,9 @@ HEADLINE = [
     "resize_bmp_stats",
     "source_cap_docs",
     "dtsx_sales_fact_etl",
+    "gopher_quality_docs",
+    "hll_users_events",
+    "bpe_encode_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -814,8 +814,28 @@ FROM b LEFT JOIN runs ON runs.doc_id = b.doc_id
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard_docs(spark, sf_dir):
+    """Suite (round 6): exact n-gram Jaccard pairs + winnowing fingerprint
+    checksums and candidate pairs (`q_winnow_docs` components re-slotted)."""
     docs = _t(spark, sf_dir)["documents"]
-    return ngram_jaccard_pairs(docs, min_jaccard=0.2)
+    j = ngram_jaccard_pairs(docs, min_jaccard=0.2).select(
+        F.lit("jaccard").alias("component"),
+        F.col("doc_a").cast("long").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("v1"),
+        _nul("long").alias("n1"),
+        _nul("long").alias("n2"),
+        _nul("long").alias("n3"),
+    )
+    wn = q_winnow_docs(spark, sf_dir).select(
+        F.concat(F.lit("winnow_"), F.col("component")).alias("component"),
+        "id_a",
+        "id_b",
+        _nul("double").alias("v1"),
+        "n1",
+        "n2",
+        "n3",
+    )
+    return _union_all([j, wn])
 
 
 SQL_NGRAM_JACCARD = r"""
@@ -3056,6 +3076,108 @@ SELECT CAST(e.probe_idx AS INTEGER) AS probe_idx, e.tok,
        CAST(e.cms_est AS BIGINT) AS cms_est_merged,
        CAST(COALESCE(ex.n, 0) AS BIGINT) AS n_exact
 FROM est e LEFT JOIN ex ON ex.tok = e.tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# local-min k-gram selection).  Arm 'doc': per-doc fingerprint checksum
+# (count/min/max/mod-sum — every selected hash participates); arm 'pair':
+# the full candidate-pair join.  md5-derived hashes ⇒ oracle-exact.
+# ---------------------------------------------------------------------------
+
+def q_winnow_docs(spark, sf_dir):
+    from .text import winnow_candidates, winnow_fingerprints
+
+    docs = _t(spark, sf_dir)["documents"]
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    per_doc = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp_hash").alias("h_min"),
+        F.max("fp_hash").alias("h_max"),
+        F.sum(F.col("fp_hash") % 1000003).alias("h_sum"),
+    )
+    d = per_doc.select(
+        F.lit("doc").alias("component"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("n_fps").cast("long").alias("id_b"),
+        F.col("h_min").alias("n1"),
+        F.col("h_max").alias("n2"),
+        F.col("h_sum").cast("long").alias("n3"),
+    )
+    p = winnow_candidates(docs, k=4, w=4, min_shared=2).select(
+        F.lit("pair").alias("component"),
+        F.col("doc_a").cast("long").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n1"),
+        _nul("long").alias("n2"),
+        _nul("long").alias("n3"),
+    )
+    return _union_all([d, p])
+
+
+SQL_WINNOW_FPS = r"""
+WITH b AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 4
+         THEN list_transform(range(1, len(t) - 4 + 2),
+                             i -> array_to_string(list_slice(t, i, i + 3), ' '))
+         ELSE [] END AS grams
+  FROM b),
+p AS (
+  SELECT doc_id,
+    list_transform(range(1, len(grams) + 1),
+      i -> struct_pack(h := CAST('0x' || substr(md5(grams[i]), 1, 15) AS BIGINT),
+                       p := CAST(i AS INTEGER))) AS prs
+  FROM g),
+sel AS (
+  SELECT doc_id,
+    list_transform(range(1, len(prs) - 4 + 2),
+      j -> list_reduce(list_slice(prs, j, j + 3),
+                       (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)) AS fps
+  FROM p WHERE len(prs) >= 4)
+SELECT DISTINCT doc_id, u.h AS fp_hash, u.p AS fp_pos
+FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
+"""
+
+
+SQL_WINNOW = f"""
+WITH fp AS ({SQL_WINNOW_FPS}),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_fps, MIN(fp_hash) AS h_min,
+         MAX(fp_hash) AS h_max, SUM(fp_hash % 1000003) AS h_sum
+  FROM fp GROUP BY doc_id),
+dh AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+cool AS (
+  SELECT fp_hash FROM dh GROUP BY fp_hash HAVING COUNT(*) <= 1000),
+dhc AS (SELECT dh.doc_id, dh.fp_hash FROM dh JOIN cool USING (fp_hash)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM dhc a JOIN dhc b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)
+SELECT 'doc' AS component, CAST(doc_id AS BIGINT) AS id_a,
+       CAST(n_fps AS BIGINT) AS id_b, h_min AS n1, h_max AS n2,
+       CAST(h_sum AS BIGINT) AS n3
+FROM d
+UNION ALL
+SELECT 'pair', CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT),
+       CAST(n_shared AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM pairs
+"""
+
+
+SQL_NGRAM_JACCARD_SUITE = f"""
+SELECT 'jaccard' AS component, CAST(doc_a AS BIGINT) AS id_a,
+       CAST(doc_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS v1,
+       CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS BIGINT) AS n3
+FROM ({SQL_NGRAM_JACCARD}) _j
+UNION ALL
+SELECT 'winnow_' || component, id_a, id_b, CAST(NULL AS DOUBLE), n1, n2, n3
+FROM ({SQL_WINNOW}) _w
 """
 
 
@@ -6259,6 +6381,7 @@ ALL_QUERIES = {
     "gopher_quality_docs": q_gopher_quality_docs,
     "hll_users_events": q_hll_users_events,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "winnow_docs": q_winnow_docs,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
@@ -6373,7 +6496,7 @@ ALL_ORACLES = {
     "quality_report": SQL_QUALITY,
     "exact_dedup_docs": SQL_EXACT_DEDUP,
     "text_analysis_docs": SQL_TEXT_ANALYSIS,
-    "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
+    "ngram_jaccard_docs": SQL_NGRAM_JACCARD_SUITE,
     "topk_embeddings": SQL_TOPK_EMB,
     "knn_join_embeddings": SQL_KNN_JOIN,
     "events_tumbling_10min": _oracle_double(SQL_TUMBLING, ["sum_value"]),
@@ -6390,6 +6513,7 @@ ALL_ORACLES = {
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hll_users_events": SQL_HLL_USERS_EVENTS,
     "bpe_encode_docs": SQL_BPE_ENCODE,
+    "winnow_docs": SQL_WINNOW,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,

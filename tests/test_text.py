@@ -973,3 +973,67 @@ class TestBpeEncode:
         assert rows[1]["n_words"] == 2 and rows[1]["n_bpe_tokens"] == 7
         assert rows[2]["n_words"] == 3 and rows[2]["n_bpe_tokens"] == 4
         assert 3 not in rows  # empty doc contributes no row
+
+
+class TestWinnowing:
+    """Winnowing fingerprints: selection guarantee, rightmost-tie rule,
+    short-doc edges, and the candidate join with its hot-hash cap."""
+
+    def _fp(self, spark, rows, k=4, w=4):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return tx.winnow_fingerprints(df, k=k, w=w)
+
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        # docs share a token run of length w + k - 1 = 7 -> must share >= 1
+        # fingerprint (the winnowing recall guarantee)
+        shared = "alpha beta gamma delta epsilon zeta eta"
+        rows = [
+            (1, "x1 y1 z1 " + shared + " q1 r1"),
+            (2, "a2 b2 " + shared + " s2 t2 u2"),
+        ]
+        fps = self._fp(spark, rows).collect()
+        h1 = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
+        h2 = {r["fp_hash"] for r in fps if r["doc_id"] == 2}
+        assert h1 & h2
+
+    def test_short_docs_yield_nothing(self, spark):
+        # < k tokens: no grams; k..k+w-2 grams (< w hashes): no windows
+        rows = [(1, "a b c"), (2, "a b c d e f"), (3, "")]
+        assert self._fp(spark, rows).count() == 0
+
+    def test_density_and_determinism(self, spark):
+        import random
+
+        rng = random.Random(7)
+        words = " ".join(f"w{rng.randrange(500)}" for _ in range(200))
+        a = sorted(map(tuple, self._fp(spark, [(1, words)]).collect()))
+        b = sorted(map(tuple, self._fp(spark, [(1, words)]).collect()))
+        assert a == b
+        # expected density ~ 2/(w+1) of the 197 grams; loose band
+        assert 40 <= len(a) <= 120
+
+    def test_rightmost_tie(self, spark):
+        # identical tokens -> every gram hash equal -> each window selects
+        # the RIGHTMOST position; distinct positions = one per window end
+        rows = [(1, "z z z z z z z z z z")]  # 10 tokens, 7 grams, 4 windows
+        fps = self._fp(spark, rows).collect()
+        assert {r["fp_pos"] for r in fps} == {4, 5, 6, 7}
+
+    def test_candidates_planted_pair(self, spark):
+        shared = " ".join(f"c{i}" for i in range(12))
+        rows = [
+            (1, shared + " tail1 t1b t1c"),
+            (2, shared + " tail2 t2b t2c"),
+            (3, "completely different words here nothing shared at all ok"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        pairs = tx.winnow_candidates(df, min_shared=2).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+    def test_hot_hash_cap(self, spark):
+        # the same text in 30 docs: every hash hits 30 docs > cap 10 -> no
+        # candidate survives; with the cap off, all 435 pairs appear
+        rows = [(i, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        assert tx.winnow_candidates(df, min_shared=1, max_hash_docs=10).count() == 0
+        assert tx.winnow_candidates(df, min_shared=1, max_hash_docs=None).count() == 435
