@@ -1489,27 +1489,29 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 def q_corpus_curation(spark, sf_dir):
-    from .text import (
-        dup_ngram_char_fraction,
-        dup_ngram_fraction,
-        exact_dedup,
-        gopher_rules,
-        top_ngram_char_fraction,
-    )
+    from .text import exact_dedup
+    from .text.analysis import gopher_signals
 
     docs = _t(spark, sf_dir)["documents"]
     deduped = exact_dedup(docs)
     txt = F.col("text")
-    enriched = deduped.select(
+    enriched = gopher_signals(
+        deduped,
+        extra_cols={
+            "lang_pred": language_id(txt),
+            "q_score": quality_score(txt),
+            "fingerprint": document_fingerprint(txt),
+        },
+    ).select(
         "doc_id",
-        token_count(txt).alias("n_tokens"),
-        language_id(txt).alias("lang_pred"),
-        quality_score(txt).alias("q_score"),
-        document_fingerprint(txt).alias("fingerprint"),
-        dup_ngram_fraction(txt, 2).alias("dup_2gram_frac"),
-        top_ngram_char_fraction(txt, 2).alias("top_2gram_char_frac"),
-        dup_ngram_char_fraction(txt, 5).alias("dup_5gram_char_frac"),
-        gopher_rules(txt).getField("passes").alias("gopher_pass"),
+        "n_tokens",
+        "lang_pred",
+        "q_score",
+        "fingerprint",
+        "dup_2gram_frac",
+        "top_2gram_char_frac",
+        "dup_5gram_char_frac",
+        "gopher_pass",
     )
     return enriched.filter(
         (F.col("lang_pred") == "en")
@@ -1564,32 +1566,22 @@ WHERE lang_pred = 'en' AND q_score >= 0.45 AND n_tokens BETWEEN 10 AND 1000
 # ---------------------------------------------------------------------------
 
 def q_gopher_quality_docs(spark, sf_dir):
-    from .text import (
-        alpha_word_fraction,
-        bullet_line_fraction,
-        dup_ngram_char_fraction,
-        dup_ngram_fraction,
-        ellipsis_line_fraction,
-        gopher_rules,
-        stopword_count,
-        top_ngram_char_fraction,
-    )
+    from .text.analysis import gopher_signals
 
     docs = _t(spark, sf_dir)["documents"]
-    txt = F.col("text")
-    return docs.select(
+    return gopher_signals(docs).select(
         "doc_id",
-        dup_ngram_fraction(txt, 2).alias("dup_2gram_frac"),
-        dup_ngram_fraction(txt, 3).alias("dup_3gram_frac"),
-        top_ngram_char_fraction(txt, 2).alias("top_2gram_char_frac"),
-        top_ngram_char_fraction(txt, 3).alias("top_3gram_char_frac"),
-        top_ngram_char_fraction(txt, 4).alias("top_4gram_char_frac"),
-        dup_ngram_char_fraction(txt, 5).alias("dup_5gram_char_frac"),
-        bullet_line_fraction(txt).alias("bullet_line_frac"),
-        ellipsis_line_fraction(txt).alias("ellipsis_line_frac"),
-        alpha_word_fraction(txt).alias("alpha_word_frac"),
-        stopword_count(txt).cast("int").alias("stop_hits"),
-        gopher_rules(txt).getField("passes").alias("gopher_pass"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_5gram_char_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        F.col("stop_hits").cast("int").alias("stop_hits"),
+        "gopher_pass",
     )
 
 
