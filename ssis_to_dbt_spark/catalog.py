@@ -3072,6 +3072,69 @@ FROM est e LEFT JOIN ex ON ex.tok = e.tok
 
 
 # ---------------------------------------------------------------------------
+# Ordered funnel analysis (view → click → purchase, earliest-completion
+# semantics).  Spark side: ONE shuffle (collect sorted per-user sequence +
+# linear fold); the oracle is the k-pass MIN/join formulation — different
+# plans, identical rows.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_events(spark, sf_dir):
+    from .operators.funnel import funnel, funnel_summary
+
+    ev = _t(spark, sf_dir)["events"]
+    u = funnel(ev, _FUNNEL_STEPS).select(
+        F.lit("user").alias("component"),
+        F.col("user_id").cast("long").alias("id_a"),
+        _nul("string").alias("s1"),
+        F.col("step_1_ts").alias("t1"),
+        F.col("step_2_ts").alias("t2"),
+        F.col("step_3_ts").alias("t3"),
+        F.col("depth").cast("long").alias("n1"),
+    )
+    s = funnel_summary(ev, _FUNNEL_STEPS).select(
+        F.lit("summary").alias("component"),
+        F.col("step_idx").cast("long").alias("id_a"),
+        F.col("step_name").cast("string").alias("s1"),
+        _nul("timestamp").alias("t1"),
+        _nul("timestamp").alias("t2"),
+        _nul("timestamp").alias("t3"),
+        F.col("n_users").cast("long").alias("n1"),
+    )
+    return _union_all([u, s])
+
+
+SQL_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id),
+u AS (
+  SELECT t1.user_id, ts1, ts2, ts3,
+         1 + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END AS depth
+  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+SELECT 'user' AS component, CAST(user_id AS BIGINT) AS id_a,
+       CAST(NULL AS VARCHAR) AS s1, ts1 AS t1, ts2 AS t2, ts3 AS t3,
+       CAST(depth AS BIGINT) AS n1
+FROM u
+UNION ALL
+SELECT 'summary', 1, 'view', NULL, NULL, NULL, (SELECT COUNT(*) FROM t1)
+UNION ALL
+SELECT 'summary', 2, 'click', NULL, NULL, NULL, (SELECT COUNT(*) FROM t2)
+UNION ALL
+SELECT 'summary', 3, 'purchase', NULL, NULL, NULL, (SELECT COUNT(*) FROM t3)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
 # local-min k-gram selection).  Arm 'doc': per-doc fingerprint checksum
 # (count/min/max/mod-sum — every selected hash participates); arm 'pair':
@@ -4655,7 +4718,39 @@ def q_events_windows(spark, sf_dir):
         F.col("n_obs").cast("long").alias("n_events"),
         F.col("sum_value_ff").cast("double").alias("sum_value"),
     )
-    return _union_all([tum, sli, rol, gf])
+    # funnel (round 6): user rows split over two timestamp-slot arms (the
+    # suite has two ts slots, the funnel has three) + the summary counts
+    fu = q_funnel_events(spark, sf_dir)
+    f12 = fu.filter(F.col("component") == "user").select(
+        F.lit("funnel_u12").alias("component"),
+        F.col("t1").alias("ws"),
+        F.col("t2").alias("we"),
+        _nul("string").alias("k1"),
+        F.col("n1").cast("int").alias("grp"),
+        F.col("id_a").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    f3 = fu.filter(
+        (F.col("component") == "user") & F.col("t3").isNotNull()
+    ).select(
+        F.lit("funnel_u3").alias("component"),
+        F.col("t3").alias("ws"),
+        _nul("timestamp").alias("we"),
+        _nul("string").alias("k1"),
+        _nul("int").alias("grp"),
+        F.col("id_a").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    fs = fu.filter(F.col("component") == "summary").select(
+        F.lit("funnel_s").alias("component"),
+        _nul("timestamp").alias("ws"),
+        _nul("timestamp").alias("we"),
+        F.col("s1").alias("k1"),
+        F.col("id_a").cast("int").alias("grp"),
+        F.col("n1").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    return _union_all([tum, sli, rol, gf, f12, f3, fs])
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -4679,6 +4774,18 @@ SELECT 'gap_fill', CAST(hour AS TIMESTAMP), {_NULL_TS},
        CAST(event_type AS VARCHAR), CAST(is_gap AS INTEGER),
        CAST(n_obs AS BIGINT), CAST(sum_value_ff AS DOUBLE)
 FROM ({SQL_GAP_FILL}) _gf
+UNION ALL
+SELECT 'funnel_u12', t1, t2, {_NULL_STR}, CAST(n1 AS INTEGER), id_a,
+       {_NULL_DOUBLE}
+FROM ({SQL_FUNNEL}) _fu WHERE component = 'user'
+UNION ALL
+SELECT 'funnel_u3', t3, {_NULL_TS}, {_NULL_STR}, {_NULL_INT}, id_a,
+       {_NULL_DOUBLE}
+FROM ({SQL_FUNNEL}) _f3 WHERE component = 'user' AND t3 IS NOT NULL
+UNION ALL
+SELECT 'funnel_s', {_NULL_TS}, {_NULL_TS}, s1, CAST(id_a AS INTEGER), n1,
+       {_NULL_DOUBLE}
+FROM ({SQL_FUNNEL}) _fs WHERE component = 'summary'
 """
 
 
@@ -6374,6 +6481,7 @@ ALL_QUERIES = {
     "hll_users_events": q_hll_users_events,
     "bpe_encode_docs": q_bpe_encode_docs,
     "winnow_docs": q_winnow_docs,
+    "funnel_events": q_funnel_events,
     "hash_split_docs": q_hash_split_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
@@ -6506,6 +6614,7 @@ ALL_ORACLES = {
     "hll_users_events": SQL_HLL_USERS_EVENTS,
     "bpe_encode_docs": SQL_BPE_ENCODE,
     "winnow_docs": SQL_WINNOW,
+    "funnel_events": SQL_FUNNEL,
     "hash_split_docs": SQL_HASH_SPLIT,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,

@@ -1,0 +1,100 @@
+"""Ordered funnel analysis over an event stream.
+
+The classic product-analytics question the reference's event models stop
+short of (its dbt marts do per-day rollups and sessionization): of the users
+who did step 1, how many went on to do step 2 AFTER step 1, then step 3
+AFTER step 2 — earliest-completion semantics (each step's timestamp is the
+MINIMUM event time strictly after the previous step's timestamp).
+
+Spark-first shape: ONE filtered scan of the steps' event types, ONE shuffle
+(groupBy user, collect the sorted per-user event sequence), then a linear
+``F.aggregate`` fold that advances the step cursor — the per-user state is
+``len(steps)`` timestamps regardless of event count.  The k-pass SQL
+formulation (one filtered MIN-aggregate + join per step, which the DuckDB
+oracle uses) scans the corpus k times and shuffles k times; at 100 TB the
+single-shuffle fold wins.  Skew note: a hot user's collected sequence is
+bounded by that user's step-type event count — when a synthetic/bot user
+dominates, pre-cap with ``cap_per_group`` before calling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel completion: ``(user, step_1_ts..step_k_ts, depth)``.
+
+    ``step_i_ts`` is the earliest event of ``steps[i]`` strictly after
+    ``step_{i-1}_ts`` (NULL if never reached); ``depth`` counts completed
+    steps.  Only users with at least one step-1 event appear.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_et")
+    )
+    seq = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("_ts", "_et"))).alias("_seq")
+    )
+
+    names = [f"step_{i + 1}_ts" for i in range(len(steps))]
+    null_ts = F.lit(None).cast("timestamp")
+
+    def advance(acc, x):
+        fields = []
+        for i, s in enumerate(steps):
+            cur = acc.getField(names[i])
+            hit = (x.getField("_et") == s) & cur.isNull()
+            if i > 0:
+                prev = acc.getField(names[i - 1])
+                hit = hit & prev.isNotNull() & (x.getField("_ts") > prev)
+            fields.append(
+                F.when(hit, x.getField("_ts")).otherwise(cur).alias(names[i])
+            )
+        return F.struct(*fields)
+
+    zero = F.struct(*[null_ts.alias(n) for n in names])
+    folded = seq.select(
+        user_col, F.aggregate("_seq", zero, advance).alias("_f")
+    )
+    depth = sum(
+        (F.col(f"_f.{n}").isNotNull().cast("int") for n in names), F.lit(0)
+    )
+    return folded.select(
+        user_col,
+        *[F.col(f"_f.{n}").alias(n) for n in names],
+        depth.alias("depth"),
+    ).filter(F.col(names[0]).isNotNull())
+
+
+def funnel_summary(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Step-level conversion counts: ``(step_idx, step_name, n_users)`` —
+    users whose funnel depth reached at least that step.  One tiny
+    aggregation over the per-user funnel frame."""
+    per_user = funnel(df, steps, user_col, ts_col, type_col)
+    arms = [
+        per_user.filter(F.col("depth") >= i + 1).agg(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(s).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

@@ -1535,3 +1535,72 @@ class TestHll:
             self._regs(spark, 10, b=0)
         with _pt.raises(ValueError):
             self._regs(spark, 10, b=17)
+
+
+class TestFunnel:
+    """Ordered funnel: strict-after semantics, out-of-order events, repeated
+    steps, and step-skip behavior on planted sequences."""
+
+    def _df(self, spark, rows):
+        from datetime import datetime
+
+        data = [
+            (u, datetime(2024, 1, 1, 0, m), t) for u, m, t in rows
+        ]
+        return spark.createDataFrame(
+            data, "user_id long, ts timestamp, event_type string"
+        )
+
+    def test_planted_sequences(self, spark):
+        from ssis_to_dbt_spark.operators.funnel import funnel
+
+        df = self._df(spark, [
+            # u1 completes in order
+            (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+            # u2: click BEFORE view -> depth 1 (strictly-after rule)
+            (2, 5, "click"), (2, 7, "view"),
+            # u3: purchase before click -> depth 2, later purchase counts
+            (3, 0, "view"), (3, 1, "purchase"), (3, 2, "click"),
+            (3, 8, "purchase"),
+            # u4: never views -> excluded
+            (4, 0, "click"), (4, 1, "purchase"),
+            # u5: click at SAME minute as view -> not strictly after
+            (5, 3, "view"), (5, 3, "click"),
+        ])
+        rows = {r["user_id"]: r for r in funnel(
+            df, ["view", "click", "purchase"]).collect()}
+        assert rows[1]["depth"] == 3
+        assert rows[1]["step_3_ts"].minute == 9
+        assert rows[2]["depth"] == 1 and rows[2]["step_2_ts"] is None
+        assert rows[3]["depth"] == 3 and rows[3]["step_3_ts"].minute == 8
+        assert 4 not in rows
+        assert rows[5]["depth"] == 1
+
+    def test_earliest_completion(self, spark):
+        from ssis_to_dbt_spark.operators.funnel import funnel
+
+        df = self._df(spark, [
+            (1, 4, "view"), (1, 2, "view"), (1, 3, "click"), (1, 6, "click"),
+        ])
+        r = funnel(df, ["view", "click"]).collect()[0]
+        # earliest view = :02; earliest click strictly after = :03
+        assert r["step_1_ts"].minute == 2 and r["step_2_ts"].minute == 3
+
+    def test_summary_counts(self, spark):
+        from ssis_to_dbt_spark.operators.funnel import funnel_summary
+
+        df = self._df(spark, [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (2, 0, "view"), (2, 1, "click"),
+            (3, 0, "view"),
+        ])
+        s = {r["step_idx"]: r["n_users"] for r in funnel_summary(
+            df, ["view", "click", "purchase"]).collect()}
+        assert s == {1: 3, 2: 2, 3: 1}
+
+    def test_empty_steps_raises(self, spark):
+        import pytest as _pt
+        from ssis_to_dbt_spark.operators.funnel import funnel
+
+        with _pt.raises(ValueError):
+            funnel(self._df(spark, []), [])
