@@ -60,6 +60,8 @@ HEADLINE = [
     "gopher_quality_docs",
     "hll_users_events",
     "bpe_encode_docs",
+    "winnow_docs",
+    "funnel_events",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE
