@@ -280,3 +280,55 @@ class TestPlanShapes:
         assert "Join" not in plan
         pre_exchange = plan.split("Exchange hashpartitioning")[1]
         assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange
+
+
+class TestRound6PlanShapes:
+    """Plan contracts for the round-6 operators: gopher battery and
+    winnowing fingerprints are map-only; funnel is a single shuffle;
+    HLL register state is one partial-aggregated exchange."""
+
+    def test_gopher_battery_is_mapside_only(self, spark):
+        plan = plan_of(spark, "gopher_quality_docs", "simple")
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_winnow_fingerprints_map_only_and_jvm_side(self, spark):
+        from ssis_to_dbt_spark.text import winnow_fingerprints
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = winnow_fingerprints(docs)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_funnel_single_shuffle(self, spark):
+        from ssis_to_dbt_spark.operators.funnel import funnel
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = funnel(ev, ["view", "click", "purchase"])._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        # step-type filter must reach the scan
+        assert "PushedFilters: [In(event_type" in plan.replace("\n", " ") or \
+            "event_type" in plan.split("PushedFilters")[1][:200]
+
+    def test_hll_registers_partial_agg(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import hll_registers
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = hll_registers(ev, "user_id", b=10)._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        # map-side partial max before the single register exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_max" in plan or "HashAggregate" in plan
