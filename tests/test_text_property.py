@@ -138,3 +138,119 @@ class TestXlsRoundtripProperty:
         for (k, v), row in zip(rows, got):
             assert row[0] == str(k)
             assert (row[1] or "") == v  # empty cell reads back as None/''
+
+
+# lowercase alphabetic words so BPE merges over [a-z] chars can apply
+lc_words = st.text(alphabet="abcdefg", min_size=1, max_size=10)
+lc_docs = st.lists(lc_words, min_size=0, max_size=20).map(" ".join)
+
+
+class TestRound6Properties:
+    """Round-6 operators against Python oracles: n-gram repetition signals,
+    BPE encode (reference implementation + conservation), winnowing
+    (guarantee + density bound)."""
+
+    @staticmethod
+    def _py_ngrams(toks, n):
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    @given(docs=st.lists(documents, min_size=1, max_size=6))
+    @settings(**SETTINGS)
+    def test_ngram_signals_python_oracle(self, spark, docs):
+        df = _rows(spark, docs)
+        t = F.col("text")
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                tx.dup_ngram_fraction(t, 2).alias("d2"),
+                tx.top_ngram_char_fraction(t, 2).alias("t2"),
+                tx.dup_ngram_char_fraction(t, 3).alias("c3"),
+            ).collect()
+        }
+        for i, d in enumerate(docs):
+            toks = d.split()
+            g2 = self._py_ngrams(toks, 2)
+            r = out[i]
+            if g2:
+                assert r["d2"] == (len(g2) - len(set(g2))) / len(g2)
+            else:
+                assert r["d2"] == 0.0
+            nosp = sum(len(w) for w in toks)
+            if g2 and nosp:
+                counts = {}
+                for g in g2:
+                    counts[g] = counts.get(g, 0) + 1
+                best = max(counts.values())
+                # lex-smallest among max-count
+                bg = min(g for g, c in counts.items() if c == best)
+                assert r["t2"] == best * len(bg.replace(" ", "")) / nosp
+            g3 = self._py_ngrams(toks, 3)
+            if nosp:
+                dup = sum(
+                    c * len(g.replace(" ", ""))
+                    for g, c in {
+                        g: g3.count(g) for g in set(g3)
+                    }.items()
+                    if c > 1
+                )
+                assert r["c3"] == (dup / nosp if g3 else 0.0)
+
+    @given(
+        docs=st.lists(lc_docs, min_size=1, max_size=5),
+        merges=st.lists(
+            st.tuples(
+                st.text(alphabet="abcdefg", min_size=1, max_size=2),
+                st.text(alphabet="abcdefg", min_size=1, max_size=2),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    )
+    @settings(**SETTINGS)
+    def test_bpe_encode_reference_and_conservation(self, spark, docs, merges):
+        from ssis_to_dbt_spark.text.bpe import bpe_encode
+
+        words = sorted({w for d in docs for w in d.split()})
+        if not words:
+            return
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["toks"]
+            for r in df.select(
+                "word", bpe_encode(F.col("word"), merges).alias("toks")
+            ).collect()
+        }
+        from tests.test_text import TestBpeEncode
+
+        for w in words:
+            toks = got[w]
+            assert "".join(toks) == w  # conservation: no chars lost/created
+            assert toks == TestBpeEncode._ref(w, merges), (w, merges)
+
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_winnowing_guarantee_and_density(self, spark, data):
+        k, w = 3, 4
+        vocab = [f"v{i}" for i in range(40)]
+        mk = st.lists(st.sampled_from(vocab), min_size=0, max_size=60)
+        t1 = data.draw(mk)
+        t2 = data.draw(mk)
+        shared = [f"s{i}" for i in range(w + k - 1)]
+        docs = [
+            (1, " ".join(t1[:30] + shared + t1[30:])),
+            (2, " ".join(t2[:10] + shared + t2[10:])),
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        fps = tx.winnow_fingerprints(df, k=k, w=w).collect()
+        h1 = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
+        h2 = {r["fp_hash"] for r in fps if r["doc_id"] == 2}
+        # shared run of length w+k-1 -> at least one shared fingerprint
+        assert h1 & h2
+        # density: selected windows <= gram count; at least 1 per w window
+        for did, toks in ((1, docs[0][1].split()), (2, docs[1][1].split())):
+            n_grams = max(len(toks) - k + 1, 0)
+            n_sel = sum(1 for r in fps if r["doc_id"] == did)
+            if n_grams >= w:
+                assert n_sel <= n_grams - w + 1
+                assert n_sel >= (n_grams - w + 1 + w - 1) // w  # ceil(/w)
