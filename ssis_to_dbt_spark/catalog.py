@@ -4251,6 +4251,38 @@ GROUP BY d.lang, s.p25, s.p75
 """
 
 
+def q_mad_outlier_docs(spark, sf_dir):
+    """Per-language MAD outlier counts over document lengths — the robust
+    twin of `iqr_outlier_docs` (50% breakdown point; survives groups whose
+    tail is the contamination)."""
+    from .operators.quality import mad_outliers
+
+    docs = _t(spark, sf_dir)["documents"]
+    out = mad_outliers(docs, "n_chars", ["lang"], k=3.0)
+    return out.select(
+        "lang",
+        "n_rows",
+        "n_outliers",
+        F.round(F.col("med"), 6).cast("double").alias("med"),
+        F.round(F.col("mad"), 6).cast("double").alias("mad"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),
+md AS (
+  SELECT d.lang, median(abs(d.n_chars - m.med)) AS mad
+  FROM documents d JOIN m USING (lang) GROUP BY d.lang)
+SELECT d.lang, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN abs(d.n_chars - m.med) > 3.0 * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(round(m.med, 6) AS DOUBLE) AS med,
+       CAST(round(md.mad, 6) AS DOUBLE) AS mad
+FROM documents d JOIN m USING (lang) JOIN md USING (lang)
+GROUP BY d.lang, m.med, md.mad
+"""
+
+
 def q_quality_validation_report(spark, sf_dir):
     qr = q_quality_report(spark, sf_dir)
     q_rows = qr.select(
@@ -4280,7 +4312,14 @@ def q_quality_validation_report(spark, sf_dir):
         F.col("n_outliers").cast("long").alias("value_a"),
         F.col("n_rows").cast("long").alias("value_b"),
     )
-    return _union_all([q_rows, vr, iq])
+    mad = q_mad_outlier_docs(spark, sf_dir).select(
+        F.lit("documents").alias("model"),
+        F.concat(F.lit("mad_nchars:"), F.col("lang")).alias("check_name"),
+        F.lit("info").alias("status"),
+        F.col("n_outliers").cast("long").alias("value_a"),
+        F.col("n_rows").cast("long").alias("value_b"),
+    )
+    return _union_all([q_rows, vr, iq, mad])
 
 
 SQL_QUALITY_VALIDATION = f"""
@@ -4303,6 +4342,10 @@ UNION ALL
 SELECT 'documents', 'iqr_nchars:' || lang, 'info',
        CAST(n_outliers AS BIGINT), CAST(n_rows AS BIGINT)
 FROM ({SQL_IQR_OUTLIERS}) _i
+UNION ALL
+SELECT 'documents', 'mad_nchars:' || lang, 'info',
+       CAST(n_outliers AS BIGINT), CAST(n_rows AS BIGINT)
+FROM ({SQL_MAD_OUTLIERS}) _m
 """
 
 
@@ -6540,6 +6583,7 @@ ALL_QUERIES = {
     "bloom_orders": q_bloom_orders,
     "retry_dag": q_retry_dag,
     "iqr_outlier_docs": q_iqr_outlier_docs,
+    "mad_outlier_docs": q_mad_outlier_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
     "dup_spans_docs": q_dup_spans_docs,
@@ -6675,6 +6719,7 @@ ALL_ORACLES = {
     "roundtrip_orc": SQL_RT_ORC,
     "retry_dag": SQL_RETRY_DAG,
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
+    "mad_outlier_docs": SQL_MAD_OUTLIERS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
     "dup_spans_docs": SQL_DUP_SPANS,

@@ -163,6 +163,49 @@ def iqr_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier detection on the median absolute deviation:
+    rows with ``|x - median| > k * MAD`` — unlike Tukey fences
+    (:func:`iqr_outliers`), MAD's 50% breakdown point survives a group
+    whose tail IS the contamination.
+
+    Scale shape: two tiny aggregations over group keys (median, then median
+    of |x - median|) with the data scanned twice but never shuffled — both
+    stats broadcast back, the outlier test is map-side, and the final count
+    shuffles n_groups partial rows per task.  Exact interpolated medians of
+    integer inputs are .5-step doubles, so thresholds are deterministic and
+    the DuckDB oracle (``median``/``quantile_cont``) reproduces them
+    bit-for-bit.  Degenerate groups (MAD = 0, e.g. >50% identical values)
+    flag every deviating row — the documented textbook behavior.
+    Returns (groups..., n_rows, n_outliers, med, mad)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_adev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(_adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    tested = df.join(F.broadcast(mad), group_cols)
+    is_out = F.abs(v - F.col("med")) > k * F.col("mad")
+    return tested.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+    )
+
+
 def preflight_guard(df: DataFrame, min_rows: int = 1, name: str = "preflight") -> int:
     """D7: RAISERROR analog — abort the pipeline when a required input is
     empty/short (SalesFactETL.dtsx:54-61). Uses a LIMIT'd count so the guard

@@ -1604,3 +1604,31 @@ class TestFunnel:
 
         with _pt.raises(ValueError):
             funnel(self._df(spark, []), [])
+
+
+class TestMadOutliers:
+    def test_planted_outlier(self, spark):
+        from ssis_to_dbt_spark.operators.quality import mad_outliers
+
+        rows = [("a", v) for v in [10, 11, 12, 13, 14, 100]] + [
+            ("b", v) for v in [5, 5, 5, 5]
+        ]
+        df = spark.createDataFrame(rows, "g string, x int")
+        out = {r["g"]: r for r in mad_outliers(df, "x", ["g"], k=3.0).collect()}
+        # group a: med=12.5, MAD=1.5 -> |100-12.5|=87.5 > 4.5 -> 1 outlier
+        a = out["a"]
+        assert a["med"] == 12.5 and a["mad"] == 1.5
+        assert a["n_rows"] == 6 and a["n_outliers"] == 1
+        # group b: identical values -> MAD 0, nothing deviates -> 0 outliers
+        b = out["b"]
+        assert b["mad"] == 0.0 and b["n_outliers"] == 0
+
+    def test_mad_zero_flags_any_deviation(self, spark):
+        from ssis_to_dbt_spark.operators.quality import mad_outliers
+
+        # >50% identical: MAD collapses to 0 and every deviating row flags
+        df = spark.createDataFrame(
+            [("g", 7)] * 5 + [("g", 8), ("g", 6)], "g string, x int"
+        )
+        r = mad_outliers(df, "x", ["g"], k=3.0).collect()[0]
+        assert r["mad"] == 0.0 and r["n_outliers"] == 2
