@@ -1725,6 +1725,21 @@ FROM documents
 """
 
 
+def q_kfold_docs(spark, sf_dir):
+    from .operators.sampling import kfold_split
+
+    docs = _t(spark, sf_dir)["documents"]
+    return kfold_split(docs, "doc_id", k=5).select("doc_id", "fold")
+
+
+SQL_KFOLD = """
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 5 AS INTEGER) AS fold
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # 33. Deterministic token-budget sampling (extension: sampling)
 # ---------------------------------------------------------------------------
@@ -3145,7 +3160,9 @@ def q_winnow_docs(spark, sf_dir):
     from .text import winnow_candidates, winnow_fingerprints
 
     docs = _t(spark, sf_dir)["documents"]
-    fp = winnow_fingerprints(docs, k=4, w=4)
+    # one selection pass feeds both arms: lazily checkpointed so the
+    # checksum agg and the pair join don't each re-run the HOF scan
+    fp = winnow_fingerprints(docs, k=4, w=4).localCheckpoint(eager=False)
     per_doc = fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.min("fp_hash").alias("h_min"),
@@ -3160,7 +3177,7 @@ def q_winnow_docs(spark, sf_dir):
         F.col("h_max").alias("n2"),
         F.col("h_sum").cast("long").alias("n3"),
     )
-    p = winnow_candidates(docs, k=4, w=4, min_shared=2).select(
+    p = winnow_candidates(docs, k=4, w=4, min_shared=2, fingerprints=fp).select(
         F.lit("pair").alias("component"),
         F.col("doc_a").cast("long").alias("id_a"),
         F.col("doc_b").cast("long").alias("id_b"),
@@ -5384,7 +5401,13 @@ def q_sampling_splits(spark, sf_dir):
         F.col("source").cast("string").alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws, sc])
+    kf = q_kfold_docs(spark, sf_dir).select(
+        F.lit("kfold").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fold").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc, kf])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -5406,6 +5429,9 @@ UNION ALL
 SELECT 'source_cap', CAST(doc_id AS BIGINT), CAST(source AS VARCHAR),
        {_NULL_STR}
 FROM ({SQL_SOURCE_CAP}) _c
+UNION ALL
+SELECT 'kfold', CAST(doc_id AS BIGINT), CAST(fold AS VARCHAR), {_NULL_STR}
+FROM ({SQL_KFOLD}) _k
 """
 
 
@@ -6526,6 +6552,7 @@ ALL_QUERIES = {
     "winnow_docs": q_winnow_docs,
     "funnel_events": q_funnel_events,
     "hash_split_docs": q_hash_split_docs,
+    "kfold_docs": q_kfold_docs,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
     "surprisal_docs": q_surprisal_docs,
@@ -6660,6 +6687,7 @@ ALL_ORACLES = {
     "winnow_docs": SQL_WINNOW,
     "funnel_events": SQL_FUNNEL,
     "hash_split_docs": SQL_HASH_SPLIT,
+    "kfold_docs": SQL_KFOLD,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,
     "surprisal_docs": SQL_SURPRISAL,

@@ -55,6 +55,25 @@ def hash_split(
     )
 
 
+def kfold_split(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5_60bit(key) % k`` —
+    the cross-validation generalization of :func:`hash_split`.  Stable
+    under repartitioning, re-runs, and data growth (a key's fold never
+    changes), map-only, and reproducible by any engine that can md5.
+    Fold sizes are hash-uniform, not exactly equal."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(F.substring(_hash_hex(F.col(key_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return df.withColumn(fold_col, (h % k).cast("int"))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -663,16 +663,19 @@ def winnow_candidates(
     w: int = 4,
     min_shared: int = 2,
     max_hash_docs: int | None = 1000,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from shared winnowing fingerprints:
     inverted-index self-join on fp_hash, count distinct shared hashes per
     pair, keep pairs sharing >= ``min_shared``.  ``max_hash_docs`` drops
     hashes present in more than that many docs (boilerplate grams) — the
     same hot-bucket guard as :func:`ngram_jaccard_pairs`, keeping the join
-    linear on duplicate-heavy corpora."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        id_col, "fp_hash"
-    ).distinct()
+    linear on duplicate-heavy corpora.  Pass ``fingerprints`` (a
+    :func:`winnow_fingerprints` frame, e.g. persisted/checkpointed) to
+    reuse an existing selection pass instead of re-scanning the corpus."""
+    if fingerprints is None:
+        fingerprints = winnow_fingerprints(df, id_col, text_col, k, w)
+    fp = fingerprints.select(id_col, "fp_hash").distinct()
     if max_hash_docs is not None:
         hot = (
             fp.groupBy("fp_hash")
