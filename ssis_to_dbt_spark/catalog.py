@@ -3380,6 +3380,46 @@ SELECT 'hll_merged', bucket, rho_max FROM ({_hll_reg_sql("user_id")}) _m
 """
 
 
+def q_project_embeddings(spark, sf_dir):
+    """JL sign random projection (64 -> 8 dims), exploded to scalar rows so
+    every projected double is exactly verified against the oracle's
+    identical in-order fold."""
+    from .text.similarity import project_embeddings
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    proj = project_embeddings(emb, out_dim=8, dims=64)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
+
+
+def _project_sql() -> str:
+    from .text.similarity import _md5_sign
+
+    planes = [[_md5_sign(p, j) for j in range(64)] for p in range(8)]
+    m = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{s:.1f}" for s in row) + "]" for row in planes
+        )
+        + "]"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m(planes) AS (SELECT {m})
+SELECT e.vec_id, CAST(p.range AS INTEGER) AS dim,
+       list_reduce(
+         list_transform(range(1, 65),
+                        i -> v[CAST(i AS INTEGER)]
+                             * planes[CAST(p.range AS INTEGER) + 1][CAST(i AS INTEGER)]),
+         (a, b) -> a + b) AS value
+FROM e CROSS JOIN range(8) p CROSS JOIN m
+"""
+
+
+SQL_PROJECT_EMBEDDINGS = _project_sql()
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization, exploded to scalar rows so every
     quantized value is exactly verified (fixture dim = 64)."""
@@ -4573,6 +4613,15 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("dup_of").cast("long").alias("id_b"),
             F.col("max_cos_r").cast("double").alias("score"),
         ),
+        # JL sign projection (round 6): every projected double exact
+        q_project_embeddings(spark, sf_dir).select(
+            F.lit("project").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("dim").cast("int").alias("dim"),
+            _nul("int").alias("q"),
+            _nul("long").alias("id_b"),
+            F.col("value").cast("double").alias("score"),
+        ),
     ]
     return _union_all(parts)
 
@@ -4598,6 +4647,10 @@ UNION ALL
 SELECT 'semdedup', CAST(vec_id AS BIGINT), CAST(cell AS INTEGER),
        {_NULL_INT}, CAST(dup_of AS BIGINT), CAST(max_cos_r AS DOUBLE)
 FROM ({SQL_SEMDEDUP}) _s
+UNION ALL
+SELECT 'project', CAST(vec_id AS BIGINT), CAST(dim AS INTEGER),
+       {_NULL_INT}, {_NULL_BIGINT}, CAST(value AS DOUBLE)
+FROM ({SQL_PROJECT_EMBEDDINGS}) _p
 """
 
 
@@ -6553,6 +6606,7 @@ ALL_QUERIES = {
     "funnel_events": q_funnel_events,
     "hash_split_docs": q_hash_split_docs,
     "kfold_docs": q_kfold_docs,
+    "project_embeddings": q_project_embeddings,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
     "surprisal_docs": q_surprisal_docs,
@@ -6688,6 +6742,7 @@ ALL_ORACLES = {
     "funnel_events": SQL_FUNNEL,
     "hash_split_docs": SQL_HASH_SPLIT,
     "kfold_docs": SQL_KFOLD,
+    "project_embeddings": SQL_PROJECT_EMBEDDINGS,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,
     "surprisal_docs": SQL_SURPRISAL,

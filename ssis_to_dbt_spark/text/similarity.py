@@ -623,6 +623,42 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign (Rademacher) random projection:
+    ``y_p = sum_j v_j * s_pj`` with ``s_pj = ±1`` from md5 (the same
+    portable construction as :func:`hyperplane_bucket_md5`, but keeping the
+    projected VALUES instead of sign bits) — the dimensionality-reduction
+    step before a cheaper ANN pass or storage-bound shuffle.
+
+    Map-only, zero per-row hashing (the sign matrix is a compile-time
+    literal), sequential in-index fold per output dim so any engine folding
+    in the same order reproduces every double bit-for-bit.  The 1/sqrt(k)
+    JL normalization is omitted deliberately: it is a constant positive
+    scale, invariant for cosine/top-k downstream (documented so thresholds
+    are calibrated against THIS definition).  Returns (id, projected)."""
+    planes = [[_md5_sign(p, j) for j in range(dims)] for p in range(out_dim)]
+    v = F.col(vec_col)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(s) for s in row]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_p{p}")
+        for p, row in enumerate(planes)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1037,3 +1037,50 @@ class TestWinnowing:
         df = spark.createDataFrame(rows, "doc_id int, text string")
         assert tx.winnow_candidates(df, min_shared=1, max_hash_docs=10).count() == 0
         assert tx.winnow_candidates(df, min_shared=1, max_hash_docs=None).count() == 435
+
+
+class TestProjection:
+    """JL sign projection: linearity, determinism, and the JL property
+    (projected dot products approximate scaled originals)."""
+
+    def test_deterministic_and_linear(self, spark):
+        from ssis_to_dbt_spark.text.similarity import project_embeddings
+
+        rows = [(1, [1.0] * 16), (2, [2.0] * 16), (3, [0.0] * 16)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        out = {
+            r["vec_id"]: r["projected"]
+            for r in project_embeddings(df, out_dim=4, dims=16).collect()
+        }
+        # scaling a vector scales its projection (linearity)
+        assert out[2] == [2 * x for x in out[1]]
+        assert out[3] == [0.0] * 4
+
+    def test_jl_preserves_dot_products(self, spark):
+        import random
+
+        from ssis_to_dbt_spark.text.similarity import project_embeddings
+
+        rng = random.Random(3)
+        vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<float>",
+        )
+        out = {
+            r["vec_id"]: r["projected"]
+            for r in project_embeddings(df, out_dim=32, dims=64).collect()
+        }
+        # E[<Pa, Pb>] = k * <a, b>; check the normalized estimate is in a
+        # loose band for a few pairs (k=32 -> std err ~ |a||b|/sqrt(32))
+        import math
+
+        ok = 0
+        for a, b in [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]:
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            pdot = sum(x * y for x, y in zip(out[a], out[b])) / 32
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            if abs(pdot - dot) < 4 * na * nb / math.sqrt(32):
+                ok += 1
+        assert ok >= 4  # allow one 4-sigma miss
