@@ -6022,6 +6022,30 @@ FROM (
 
 # --- parts_fuzzy_pagerank: fuzzy-grouping pairs + PageRank over that graph --
 
+def q_sorted_neighborhood_parts(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs over part names (window 3,
+    ordered by name with key tiebreak), Levenshtein-refined to <= 12."""
+    from .operators.joins import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir)["part"]
+    return sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", F.col("p_name"), window=3,
+        max_distance=12,
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT p_partkey AS id, p_name AS t,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+  FROM part)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INTEGER) AS distance
+FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+WHERE levenshtein(a.t, b.t) <= 12
+"""
+
+
 def q_parts_fuzzy_pagerank(spark, sf_dir):
     fz = q_fuzzy_part_names(spark, sf_dir).select(
         F.lit("fuzzy").alias("component"),
@@ -6037,7 +6061,14 @@ def q_parts_fuzzy_pagerank(spark, sf_dir):
         _nul("int").alias("distance"),
         F.col("pagerank").cast("double").alias("score"),
     )
-    return _union_all([fz, pr])
+    sn = q_sorted_neighborhood_parts(spark, sf_dir).select(
+        F.lit("sorted_nbr").alias("component"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("int").alias("distance"),
+        _nul("double").alias("score"),
+    )
+    return _union_all([fz, pr, sn])
 
 
 SQL_PARTS_FUZZY_PAGERANK = f"""
@@ -6049,6 +6080,10 @@ UNION ALL
 SELECT 'pagerank', CAST(part_key AS BIGINT), {_NULL_BIGINT}, {_NULL_INT},
        CAST(pagerank AS DOUBLE)
 FROM ({SQL_PAGERANK_PARTS}) _p
+UNION ALL
+SELECT 'sorted_nbr', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+       CAST(distance AS INTEGER), {_NULL_DOUBLE}
+FROM ({SQL_SORTED_NEIGHBORHOOD}) _sn
 """
 
 
@@ -6607,6 +6642,7 @@ ALL_QUERIES = {
     "hash_split_docs": q_hash_split_docs,
     "kfold_docs": q_kfold_docs,
     "project_embeddings": q_project_embeddings,
+    "sorted_neighborhood_parts": q_sorted_neighborhood_parts,
     "token_budget_docs": q_token_budget_docs,
     "chunk_docs": q_chunk_docs,
     "surprisal_docs": q_surprisal_docs,
@@ -6743,6 +6779,7 @@ ALL_ORACLES = {
     "hash_split_docs": SQL_HASH_SPLIT,
     "kfold_docs": SQL_KFOLD,
     "project_embeddings": SQL_PROJECT_EMBEDDINGS,
+    "sorted_neighborhood_parts": SQL_SORTED_NEIGHBORHOOD,
     "token_budget_docs": SQL_TOKEN_BUDGET,
     "chunk_docs": SQL_CHUNK_DOCS,
     "surprisal_docs": SQL_SURPRISAL,

@@ -1632,3 +1632,43 @@ class TestMadOutliers:
         )
         r = mad_outliers(df, "x", ["g"], k=3.0).collect()[0]
         assert r["mad"] == 0.0 and r["n_outliers"] == 2
+
+
+class TestSortedNeighborhood:
+    def test_window_pairs_and_budget(self, spark):
+        from ssis_to_dbt_spark.operators.joins import sorted_neighborhood_pairs
+
+        rows = [(i, w) for i, w in enumerate(
+            ["apple", "apply", "banana", "bananb", "cherry", "zzz"])]
+        df = spark.createDataFrame(rows, "id int, t string")
+        pairs = sorted_neighborhood_pairs(
+            df, "id", "t", F.col("t"), window=2
+        ).collect()
+        got = {(p["id_a"], p["id_b"]): p["distance"] for p in pairs}
+        # sorted order: apple apply banana bananb cherry zzz
+        assert got[(0, 1)] == 1       # apple-apply adjacent
+        assert got[(2, 3)] == 1       # banana-bananb adjacent
+        # budget: each record pairs with at most `window` successors
+        n = len(rows)
+        assert len(pairs) == (n - 1) * 2 - 1  # tail truncation: 2n-3
+
+    def test_catches_first_token_typos_blocking_misses(self, spark):
+        from ssis_to_dbt_spark.operators.joins import (
+            fuzzy_pairs,
+            sorted_neighborhood_pairs,
+        )
+
+        # typo in the FIRST token: first-token equi-blocking can't pair them,
+        # sorted-neighborhood (adjacent in sort order) can
+        df = spark.createDataFrame(
+            [(1, "grean apple crate"), (2, "green apple crate")],
+            "id int, t string",
+        )
+        blocked = fuzzy_pairs(
+            df.withColumn("blk", F.split(F.col("t"), " ")[0]),
+            "id", "t", "blk", max_distance=3,
+        ).count()
+        snm = sorted_neighborhood_pairs(
+            df, "id", "t", F.col("t"), window=1, max_distance=3
+        ).count()
+        assert blocked == 0 and snm == 1
