@@ -3087,6 +3087,67 @@ FROM est e LEFT JOIN ex ON ex.tok = e.tok
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention + interval merging (extension: product/event analytics).
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention matrix over events (first-seen week x active
+    week, whole-week index via day-diff integer division)."""
+    from .operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir)["events"]
+    return cohort_retention(ev, grain="week")
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort, CAST(period AS TIMESTAMP) AS period,
+       CAST(datediff('day', cohort, period) // 7 AS INTEGER) AS period_idx,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort, period
+"""
+
+
+def q_merged_intervals_events(spark, sf_dir):
+    """Per-user busy periods: each event opens a 10-minute interval; the
+    gaps-and-islands window merge coalesces overlaps into maximal spans."""
+    from .operators.window import merge_intervals
+
+    ev = _t(spark, sf_dir)["events"]
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e").select(
+        "user_id", "island_start", "island_end",
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
+SQL_MERGED_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
+x AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv),
+y AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+      FROM x),
+z AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island FROM y)
+SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM z GROUP BY user_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
 # Ordered funnel analysis (view → click → purchase, earliest-completion
 # semantics).  Spark side: ONE shuffle (collect sorted per-user sequence +
 # linear fold); the oracle is the k-pass MIN/join formulation — different
@@ -4863,7 +4924,25 @@ def q_events_windows(spark, sf_dir):
         F.col("n1").alias("n_events"),
         _nul("double").alias("sum_value"),
     )
-    return _union_all([tum, sli, rol, gf, f12, f3, fs])
+    co = q_cohort_retention_events(spark, sf_dir).select(
+        F.lit("cohort").alias("component"),
+        F.col("cohort").alias("ws"),
+        F.col("period").alias("we"),
+        _nul("string").alias("k1"),
+        F.col("period_idx").cast("int").alias("grp"),
+        F.col("n_users").cast("long").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    mi = q_merged_intervals_events(spark, sf_dir).select(
+        F.lit("intervals").alias("component"),
+        F.col("island_start").alias("ws"),
+        F.col("island_end").alias("we"),
+        F.col("user_id").cast("string").alias("k1"),
+        _nul("int").alias("grp"),
+        F.col("n_intervals").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    return _union_all([tum, sli, rol, gf, f12, f3, fs, co, mi])
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -4899,6 +4978,15 @@ UNION ALL
 SELECT 'funnel_s', {_NULL_TS}, {_NULL_TS}, s1, CAST(id_a AS INTEGER), n1,
        {_NULL_DOUBLE}
 FROM ({SQL_FUNNEL}) _fs WHERE component = 'summary'
+UNION ALL
+SELECT 'cohort', CAST(cohort AS TIMESTAMP), CAST(period AS TIMESTAMP),
+       {_NULL_STR}, CAST(period_idx AS INTEGER), CAST(n_users AS BIGINT),
+       {_NULL_DOUBLE}
+FROM ({SQL_COHORT_RETENTION}) _co
+UNION ALL
+SELECT 'intervals', island_start, island_end, CAST(user_id AS VARCHAR),
+       {_NULL_INT}, n_intervals, {_NULL_DOUBLE}
+FROM ({SQL_MERGED_INTERVALS}) _mi
 """
 
 
@@ -6639,6 +6727,8 @@ ALL_QUERIES = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "winnow_docs": q_winnow_docs,
     "funnel_events": q_funnel_events,
+    "cohort_retention_events": q_cohort_retention_events,
+    "merged_intervals_events": q_merged_intervals_events,
     "hash_split_docs": q_hash_split_docs,
     "kfold_docs": q_kfold_docs,
     "project_embeddings": q_project_embeddings,
@@ -6776,6 +6866,8 @@ ALL_ORACLES = {
     "bpe_encode_docs": SQL_BPE_ENCODE,
     "winnow_docs": SQL_WINNOW,
     "funnel_events": SQL_FUNNEL,
+    "cohort_retention_events": SQL_COHORT_RETENTION,
+    "merged_intervals_events": SQL_MERGED_INTERVALS,
     "hash_split_docs": SQL_HASH_SPLIT,
     "kfold_docs": SQL_KFOLD,
     "project_embeddings": SQL_PROJECT_EMBEDDINGS,

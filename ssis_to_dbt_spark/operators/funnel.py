@@ -98,3 +98,42 @@ def funnel_summary(
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen period, counted
+    in each later period they were active — the companion readout to
+    :func:`funnel` in any product-analytics suite.
+
+    Two aggregations, both shuffling only (user, period)-grained rows: the
+    first-seen reduction and the distinct (user, period) activity set; the
+    join is on user (the cohort side is user-grained, broadcastable when
+    the user dimension fits).  ``period_idx`` counts whole periods since
+    the cohort start (day-difference integer division — engine-portable,
+    unlike week-diff functions with locale-dependent boundaries).
+    Returns (cohort, period, period_idx, n_users)."""
+    d = F.date_trunc(grain, F.col(ts_col))
+    days = {"week": 7, "day": 1, "month": None}.get(grain, None)
+    first = df.groupBy(user_col).agg(F.min(d).alias("cohort"))
+    act = df.select(F.col(user_col), d.alias("period")).distinct()
+    joined = act.join(first, user_col)
+    if days is not None:
+        idx = (
+            F.datediff(F.col("period"), F.col("cohort")) / F.lit(days)
+        ).cast("int")
+    else:  # calendar months: non-constant day counts
+        idx = (
+            (F.year("period") - F.year("cohort")) * 12
+            + (F.month("period") - F.month("cohort"))
+        ).cast("int")
+    return (
+        joined.groupBy("cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("period_idx", idx)
+        .select("cohort", "period", "period_idx", "n_users")
+    )

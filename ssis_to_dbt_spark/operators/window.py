@@ -218,3 +218,45 @@ def gap_fill(
         F.when(F.col(fill_cols[0]).isNull(), F.lit(1)).otherwise(F.lit(0)),
     )
     return fill_forward(marked, keys, ts_col, fill_cols)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands interval merging: coalesce overlapping/touching
+    ``[start, end]`` intervals per key into maximal islands — busy periods,
+    downtime windows, coverage spans.
+
+    Classic single-window formulation: an interval starts a new island when
+    its start exceeds the running max end of everything before it; the
+    island id is the running sum of those break flags.  ONE shuffle on the
+    key (both windows and the final groupBy share the partitioning —
+    Catalyst collapses them onto one exchange).  Touching intervals
+    (``start == prev_end``) merge; strictly-after starts break.
+    Returns (keys..., island_start, island_end, n_intervals)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_island", island)
+        .groupBy(*key_cols, "_island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("_island")
+    )

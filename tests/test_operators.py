@@ -1672,3 +1672,48 @@ class TestSortedNeighborhood:
             df, "id", "t", F.col("t"), window=1, max_distance=3
         ).count()
         assert blocked == 0 and snm == 1
+
+
+class TestIntervalsAndCohorts:
+    def test_merge_intervals_planted(self, spark):
+        from datetime import datetime
+
+        from ssis_to_dbt_spark.operators.window import merge_intervals
+
+        def t(m):
+            return datetime(2024, 1, 1, 0, m)
+
+        rows = [
+            ("u", t(0), t(10)), ("u", t(5), t(15)),   # overlap -> one island
+            ("u", t(15), t(20)),                       # touching -> merges
+            ("u", t(30), t(35)),                       # gap -> new island
+            ("v", t(0), t(1)),                         # other key untouched
+        ]
+        df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+        out = sorted(
+            (r["k"], r["island_start"].minute, r["island_end"].minute,
+             r["n_intervals"])
+            for r in merge_intervals(df, ["k"], "s", "e").collect()
+        )
+        assert out == [("u", 0, 20, 3), ("u", 30, 35, 1), ("v", 0, 1, 1)]
+
+    def test_cohort_retention_planted(self, spark):
+        from datetime import datetime
+
+        from ssis_to_dbt_spark.operators.funnel import cohort_retention
+
+        rows = [
+            # u1 first seen week of Jan 1 (Mon), active again week of Jan 8
+            (1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 10)),
+            # u2 first seen week of Jan 8 only
+            (2, datetime(2024, 1, 9)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {
+            (r["cohort"].day, r["period"].day): (r["period_idx"], r["n_users"])
+            for r in cohort_retention(df).collect()
+        }
+        # cohorts truncate to Mondays: Jan 1 and Jan 8
+        assert out[(1, 1)] == (0, 1)   # u1 week 0
+        assert out[(1, 8)] == (1, 1)   # u1 retained in week 1
+        assert out[(8, 8)] == (0, 1)   # u2 week 0
