@@ -62,6 +62,12 @@ HEADLINE = [
     "bpe_encode_docs",
     "winnow_docs",
     "funnel_events",
+    "project_embeddings",
+    "sorted_neighborhood_parts",
+    "cohort_retention_events",
+    "merged_intervals_events",
+    "mad_outlier_docs",
+    "kfold_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -891,9 +891,65 @@ def q_simhash_pairs_docs(spark, sf_dir):
 # these prove the algorithms correct end-to-end.
 # ---------------------------------------------------------------------------
 
-def q_minhash_pairs_md5(spark, sf_dir):
+def q_split_leakage_docs(spark, sf_dir):
+    """Train/test split leakage audit: near-duplicate candidate pairs (md5
+    MinHash-LSH) that CROSS a deterministic hash split — the self-split
+    counterpart of benchmark decontamination.  Arm 'pair' lists each leaky
+    pair with its split sides; arm 'summary' counts candidates vs leaks."""
+    from .operators.sampling import hash_split
+
     docs = _t(spark, sf_dir)["documents"]
-    return minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    split = hash_split(docs, "doc_id", test_pct=10).select("doc_id", "split")
+    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    leaks = tagged.filter(F.col("split_a") != F.col("split_b"))
+    p = leaks.select(
+        F.lit("pair").alias("component"),
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("split_a").cast("string").alias("split_a"),
+        F.col("split_b").cast("string").alias("split_b"),
+    )
+    s = tagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("split_a") != F.col("split_b")).cast("int")).alias("_l"),
+    ).select(
+        F.lit("summary").alias("component"),
+        F.col("_n").cast("long").alias("doc_a"),
+        F.coalesce(F.col("_l"), F.lit(0)).cast("long").alias("doc_b"),
+        _nul("string").alias("split_a"),
+        _nul("string").alias("split_b"),
+    )
+    return _union_all([p, s])
+
+
+def q_minhash_pairs_md5(spark, sf_dir):
+    """Suite (round 6): md5 MinHash-LSH candidate pairs + the split-leakage
+    audit built on the same pair set."""
+    docs = _t(spark, sf_dir)["documents"]
+    cand = minhash_candidates_md5(docs, num_hashes=8, bands=4).select(
+        F.lit("cand").alias("component"),
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("est_jaccard").cast("double").alias("v1"),
+        _nul("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    lk = q_split_leakage_docs(spark, sf_dir).select(
+        F.concat(F.lit("leak_"), F.col("component")).alias("component"),
+        "doc_a",
+        "doc_b",
+        _nul("double").alias("v1"),
+        F.col("split_a").alias("s1"),
+        F.col("split_b").alias("s2"),
+    )
+    return _union_all([cand, lk])
 
 
 # Shared pair-generation CTE text: SQL_MINHASH_MD5 and SQL_NEARDUP_CLUSTERS
@@ -929,6 +985,41 @@ FROM pairs p
 JOIN sig sa ON sa.doc_id = p.doc_a
 JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
 GROUP BY p.doc_a, p.doc_b
+"""
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH {_MINHASH_MD5_CTES},
+split AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+  FROM pairs p JOIN split a ON a.doc_id = p.doc_a
+               JOIN split b ON b.doc_id = p.doc_b)
+SELECT 'pair' AS component, CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b, split_a, split_b
+FROM tagged WHERE split_a <> split_b
+UNION ALL
+SELECT 'summary', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM tagged
+"""
+
+
+SQL_MINHASH_MD5_SUITE = f"""
+SELECT 'cand' AS component, CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b, CAST(est_jaccard AS DOUBLE) AS v1,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2
+FROM ({SQL_MINHASH_MD5}) _c
+UNION ALL
+SELECT 'leak_' || component, doc_a, doc_b, CAST(NULL AS DOUBLE), split_a,
+       split_b
+FROM ({SQL_SPLIT_LEAKAGE}) _l
 """
 
 
@@ -6729,6 +6820,7 @@ ALL_QUERIES = {
     "funnel_events": q_funnel_events,
     "cohort_retention_events": q_cohort_retention_events,
     "merged_intervals_events": q_merged_intervals_events,
+    "split_leakage_docs": q_split_leakage_docs,
     "hash_split_docs": q_hash_split_docs,
     "kfold_docs": q_kfold_docs,
     "project_embeddings": q_project_embeddings,
@@ -6868,6 +6960,7 @@ ALL_ORACLES = {
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_events": SQL_COHORT_RETENTION,
     "merged_intervals_events": SQL_MERGED_INTERVALS,
+    "split_leakage_docs": SQL_SPLIT_LEAKAGE,
     "hash_split_docs": SQL_HASH_SPLIT,
     "kfold_docs": SQL_KFOLD,
     "project_embeddings": SQL_PROJECT_EMBEDDINGS,
@@ -6877,7 +6970,7 @@ ALL_ORACLES = {
     "surprisal_docs": SQL_SURPRISAL,
     "token_ops_docs": SQL_TOKEN_OPS,
     "sql_task_pricing": SQL_PRICING_SUMMARY,
-    "minhash_pairs_md5": SQL_MINHASH_MD5,
+    "minhash_pairs_md5": SQL_MINHASH_MD5_SUITE,
     "simhash_pairs_md5": SQL_SIMHASH_MD5,
     "lsh_topk_md5": SQL_LSH_TOPK_MD5,
     "embedding_neardup": SQL_EMB_NEARDUP,
