@@ -4492,6 +4492,42 @@ GROUP BY d.lang, m.med, md.mad
 """
 
 
+def q_cube_orders(spark, sf_dir):
+    """Full-cube aggregation over (priority, status): all 4 grains in one
+    shuffle, decimal-exact sums re-rendered as round-6 doubles at the
+    output boundary."""
+    from .operators import cube_aggregate
+
+    o = _t(spark, sf_dir)["orders"]
+    out = cube_aggregate(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        {
+            "n_orders": F.count(F.lit(1)).cast("long"),
+            "total": F.sum(F.col("o_totalprice").cast(_D182)).cast(_D182),
+        },
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "grouping_level",
+        "n_orders",
+        F.round(F.col("total"), 6).cast("double").alias("total"),
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER)
+         AS grouping_level,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18, 2))), 6) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_quality_validation_report(spark, sf_dir):
     qr = q_quality_report(spark, sf_dir)
     q_rows = qr.select(
@@ -6883,6 +6919,7 @@ ALL_QUERIES = {
     "retry_dag": q_retry_dag,
     "iqr_outlier_docs": q_iqr_outlier_docs,
     "mad_outlier_docs": q_mad_outlier_docs,
+    "cube_orders": q_cube_orders,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
     "dup_spans_docs": q_dup_spans_docs,
@@ -7025,6 +7062,7 @@ ALL_ORACLES = {
     "retry_dag": SQL_RETRY_DAG,
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
     "mad_outlier_docs": SQL_MAD_OUTLIERS,
+    "cube_orders": SQL_CUBE_ORDERS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
     "dup_spans_docs": SQL_DUP_SPANS,

@@ -21,6 +21,7 @@ from .aggregate import (
     cms_estimate,
     cms_merge,
     cms_sketch,
+    cube_aggregate,
     histogram_merge,
     histogram_quantile,
     histogram_sketch_grouped,
@@ -89,7 +90,7 @@ __all__ = [
     "hash_split", "mixture_sample", "stratified_sample", "token_budget_sample",
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",
-    "cms_sketch", "cms_merge", "cms_estimate",
+    "cms_sketch", "cms_merge", "cms_estimate", "cube_aggregate",
     "hll_registers", "hll_merge", "hll_estimate",
     "grouped_aggregate", "scalar_aggregate", "checksum_aggregates",
     "duplicate_keys", "row_count", "top_k_latest",

@@ -128,6 +128,21 @@ def rollup_aggregate(
     )
 
 
+def cube_aggregate(
+    df: DataFrame, dims: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """Full-cube aggregation: one pass emits every subset combination of
+    ``dims`` (2^n grains) with the GROUPING_ID bitmask — the OLAP
+    cross-tab companion of :func:`rollup_aggregate`'s prefix grains.  Same
+    scale shape: all grains share one shuffle via map-side partial
+    aggregation; output size is the sum of the grains' cardinalities, so
+    keep ``dims`` low-cardinality at 100 TB."""
+    return df.cube(*dims).agg(
+        F.grouping_id().cast("int").alias("grouping_level"),
+        *[c.alias(n) for n, c in aggs.items()],
+    )
+
+
 def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """K-minimum-values distinct-count sketch: keep the ``k`` smallest
     DISTINCT md5 values of ``col``; the k-th smallest, read as a fraction of
