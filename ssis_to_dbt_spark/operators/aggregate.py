@@ -353,7 +353,10 @@ def hll_estimate(registers: DataFrame, b: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("_present"),
     )
     zeros = F.lit(m) - F.col("_present")  # absent buckets are zero registers
-    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
+    # SUM over an empty register table is NULL: coalesce to 0 so the empty
+    # sketch flows into linear counting and estimates exactly 0
+    s = F.coalesce(F.col("_s"), F.lit(0.0))
+    raw = F.lit(alpha * m * m) / (s + zeros.cast("double"))
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),

@@ -1084,3 +1084,58 @@ class TestProjection:
             if abs(pdot - dot) < 4 * na * nb / math.sqrt(32):
                 ok += 1
         assert ok >= 4  # allow one 4-sigma miss
+
+
+class TestRound6NullRobustness:
+    """NULL text / empty-frame behavior of the round-6 operators: no crash,
+    and NULL text behaves like an empty document wherever a guard exists."""
+
+    def test_gopher_signals_null_text(self, spark):
+        from ssis_to_dbt_spark.text.analysis import gopher_signals
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "the and of to is a " * 20)],
+            "doc_id int, text string",
+        )
+        rows = {r["doc_id"]: r for r in gopher_signals(df).collect()}
+        for d in (1, 2):
+            assert rows[d]["dup_2gram_frac"] == 0.0
+            assert rows[d]["dup_5gram_char_frac"] == 0.0
+            assert rows[d]["gopher_pass"] in (False, None)
+        assert rows[3]["stop_hits"] > 0
+
+    def test_winnow_and_bpe_null_text(self, spark):
+        from ssis_to_dbt_spark.text.bpe import bpe_token_counts
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "the quick brown fox jumps over the lazy dog ok")],
+            "doc_id int, text string",
+        )
+        fps = tx.winnow_fingerprints(df).collect()
+        assert all(r["doc_id"] == 2 for r in fps) and fps
+        counts = bpe_token_counts(df, [("t", "h")]).collect()
+        assert [r["doc_id"] for r in counts] == [2]
+
+    def test_funnel_and_intervals_empty_frames(self, spark):
+        from ssis_to_dbt_spark.operators.funnel import funnel
+        from ssis_to_dbt_spark.operators.window import merge_intervals
+
+        ev = spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_type string"
+        )
+        assert funnel(ev, ["view", "click"]).count() == 0
+        iv = spark.createDataFrame([], "k string, s timestamp, e timestamp")
+        assert merge_intervals(iv, ["k"], "s", "e").count() == 0
+
+    def test_hll_empty_frame(self, spark):
+        from ssis_to_dbt_spark.operators.aggregate import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame([], "x long")
+        regs = hll_registers(df, "x", b=8)
+        assert regs.count() == 0
+        r = hll_estimate(regs, b=8).collect()[0]
+        # all 256 registers zero -> linear counting of an empty set
+        assert r["hll_zeros"] == 256 and r["hll_estimate"] == 0.0
