@@ -3252,7 +3252,8 @@ def q_funnel_events(spark, sf_dir):
     from .operators.funnel import funnel, funnel_summary
 
     ev = _t(spark, sf_dir)["events"]
-    u = funnel(ev, _FUNNEL_STEPS).select(
+    per_user = funnel(ev, _FUNNEL_STEPS).localCheckpoint(eager=False)
+    u = per_user.select(
         F.lit("user").alias("component"),
         F.col("user_id").cast("long").alias("id_a"),
         _nul("string").alias("s1"),
@@ -3261,7 +3262,7 @@ def q_funnel_events(spark, sf_dir):
         F.col("step_3_ts").alias("t3"),
         F.col("depth").cast("long").alias("n1"),
     )
-    s = funnel_summary(ev, _FUNNEL_STEPS).select(
+    s = funnel_summary(ev, _FUNNEL_STEPS, per_user=per_user).select(
         F.lit("summary").alias("component"),
         F.col("step_idx").cast("long").alias("id_a"),
         F.col("step_name").cast("string").alias("s1"),

@@ -81,23 +81,32 @@ def funnel_summary(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    per_user: DataFrame | None = None,
 ) -> DataFrame:
     """Step-level conversion counts: ``(step_idx, step_name, n_users)`` —
-    users whose funnel depth reached at least that step.  One tiny
-    aggregation over the per-user funnel frame."""
-    per_user = funnel(df, steps, user_col, ts_col, type_col)
-    arms = [
-        per_user.filter(F.col("depth") >= i + 1).agg(
-            F.lit(i + 1).alias("step_idx"),
-            F.lit(s).alias("step_name"),
-            F.count(F.lit(1)).alias("n_users"),
+    users whose funnel depth reached at least that step.  ONE conditional
+    aggregation over the per-user funnel frame (a per-step filter+count
+    would recompute the funnel k times), unpivoted with ``stack``.  Pass
+    ``per_user`` (a :func:`funnel` frame, e.g. checkpointed) to reuse an
+    existing computation."""
+    if per_user is None:
+        per_user = funnel(df, steps, user_col, ts_col, type_col)
+    counts = per_user.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("depth") >= i + 1).cast("long")), F.lit(0)
+            ).alias(f"_c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', _c{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step_idx, step_name, n_users)"
         )
-        for i, s in enumerate(steps)
-    ]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionAll(a)
-    return out
+    )
 
 
 def cohort_retention(
