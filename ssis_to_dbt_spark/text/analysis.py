@@ -416,12 +416,21 @@ def gopher_signals(
     shuffle-free; Catalyst does not re-inline the array columns because they
     are expensive and multiply referenced."""
     txt = F.col(text_col)
-    toks = _ws_tokens(txt)
     extras = [c.alias(k) for k, c in (extra_cols or {}).items()]
-    s1 = df.select(
+    # stage 0: tokenize ONCE — seven signals reference the token array, and
+    # expressions inside HOF lambdas are interpreted without CSE, so an
+    # inline split would re-tokenize per referencing column
+    s0 = df.select(
+        F.col(id_col), txt.alias("_txt"), *extras,
+        _ws_tokens(txt).alias("_toks"),
+    )
+    txt = F.col("_txt")
+    toks = F.col("_toks")
+    n_toks = F.when(F.trim(txt) == "", F.lit(0)).otherwise(F.size(toks))
+    s1 = s0.select(
         F.col(id_col),
-        *extras,
-        token_count(txt).alias("n_tokens"),
+        *[k for k in (extra_cols or {})],
+        n_toks.alias("n_tokens"),
         (F.length(txt) - F.regexp_count(txt, F.lit(r"\s"))).alias("n_nospace"),
         F.length(txt).alias("n_chars"),
         F.regexp_count(txt, F.lit(r"[^A-Za-z0-9\s]")).alias("n_sym"),
