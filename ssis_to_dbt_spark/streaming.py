@@ -335,3 +335,77 @@ def write_stream_apply_changes(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered-funnel via ``applyInPandasWithState``: per-user
+    step timestamps advance across micro-batches in the state store; each
+    touched user emits its current ``(step_ts..., depth)`` row per batch
+    (update mode) — the streaming twin of ``operators.funnel.funnel``.
+
+    Semantics contract: within a batch, events apply in event-time order
+    (each pandas group is sorted); across batches the fold matches the
+    batch operator whenever a user's event times are non-decreasing across
+    batch boundaries (the availableNow ordered-feed case the e2e test
+    drives).  A late event that would have satisfied an EARLIER step is not
+    retro-applied — the state store only moves forward; that divergence is
+    inherent to single-pass streaming funnels and documented here rather
+    than hidden.
+
+    State per user: ``len(steps)`` microsecond longs (-1 = unset) — bounded
+    by user cardinality, sharded by the groupBy hash, no growth over time.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    state_schema = ", ".join(f"t{i} long" for i in range(k))
+    out_steps = ", ".join(f"step_{i + 1}_ts timestamp" for i in range(k))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        cur = list(state.get) if state.exists else [-1] * k
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                us = ts.value // 1000  # pandas ns -> micros
+                for i, s in enumerate(steps):
+                    if cur[i] != -1 or et != s:
+                        continue
+                    if i == 0 or (cur[i - 1] != -1 and us > cur[i - 1]):
+                        cur[i] = us
+                    break  # the non-null prefix property makes the first
+                    # index with cur[i] == -1 the only candidate
+        depth = sum(1 for t in cur if t != -1)
+        if depth == 0:
+            # no step-1 event yet: keep NO state (matches the batch
+            # operator, which omits such users) and emit nothing — also
+            # stops never-converting users from growing the state store
+            return
+        state.update(tuple(cur))
+        row = {user_col: [key[0]]}
+        for i in range(k):
+            row[f"step_{i + 1}_ts"] = [
+                pd.Timestamp(cur[i], unit="us") if cur[i] != -1 else pd.NaT
+            ]
+        row["depth"] = [depth]
+        yield pd.DataFrame(row)
+
+    key_type = dict(zip(df.schema.names, df.schema))[user_col].dataType.simpleString()
+    return df.filter(F.col(type_col).isin(list(steps))).groupBy(
+        user_col
+    ).applyInPandasWithState(
+        update,
+        f"{user_col} {key_type}, {out_steps}, depth int",
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

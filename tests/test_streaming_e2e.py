@@ -440,3 +440,87 @@ class TestStreamStreamLeftOuter:
             for r in spark.read.parquet(out).collect()
         }
         assert (11, None) in got2, got2
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write_user_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("append").parquet(path)
+
+
+class TestStreamingFunnel:
+    """applyInPandasWithState funnel: the checkpointed stream over an
+    ordered feed must converge to the batch operator's exact output."""
+
+    STEPS = ["view", "click", "purchase"]
+
+    def _run(self, spark, src, out, ckpt):
+        from ssis_to_dbt_spark.streaming import (
+            read_events_stream,
+            streaming_funnel,
+            write_stream_update,
+        )
+
+        stream = read_events_stream(spark, src, FUNNEL_SCHEMA)
+        fun = streaming_funnel(stream, self.STEPS)
+        q = write_stream_update(fun, out, ckpt)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows:
+            u = r["user_id"]
+            if u not in latest or r["batch_id"] > latest[u]["batch_id"]:
+                latest[u] = r
+        return {
+            u: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"], r["depth"])
+            for u, r in latest.items()
+        }
+
+    def test_stream_converges_to_batch_funnel(self, spark, tmp_path):
+        from ssis_to_dbt_spark.operators.funnel import funnel
+
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        chunk1 = [
+            (1, "2024-01-01 00:00:00", "view"),
+            (1, "2024-01-01 00:05:00", "click"),
+            (2, "2024-01-01 00:03:00", "click"),   # click before view
+            (2, "2024-01-01 00:06:00", "view"),
+            (3, "2024-01-01 00:04:00", "view"),
+        ]
+        chunk2 = [
+            (1, "2024-01-01 00:09:00", "purchase"),
+            (2, "2024-01-01 00:10:00", "click"),
+            (3, "2024-01-01 00:11:00", "error"),   # non-step type ignored
+            (4, "2024-01-01 00:12:00", "purchase"),  # never views
+        ]
+        _write_user_batch(spark, src, chunk1)
+        first = self._run(spark, src, out, ckpt)
+        assert first[1][3] == 2 and first[2][3] == 1 and first[3][3] == 1
+
+        _write_user_batch(spark, src, chunk2)
+        stream_final = self._run(spark, src, out, ckpt)
+
+        batch = spark.createDataFrame(
+            chunk1 + chunk2, "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        expected = {
+            r["user_id"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"],
+                           r["depth"])
+            for r in funnel(batch, self.STEPS).collect()
+        }
+        # user 3's run-2 event is a non-step type: state untouched, update
+        # mode emits nothing new, but its run-1 row already matches batch.
+        # user 4 never views: absent from BOTH stream state and batch.
+        assert 4 not in expected and 4 not in stream_final
+        assert stream_final == expected
