@@ -3573,6 +3573,47 @@ FROM e CROSS JOIN range(8) p CROSS JOIN m
 SQL_PROJECT_EMBEDDINGS = _project_sql()
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: per sampled query vector (vec_id % 50 == 0),
+    top-3 different-label non-near-dup neighbors by exact cosine."""
+    from .text.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    out = hard_negatives(
+        emb, k=3, dup_threshold=0.95,
+        queries=emb.filter(F.col("vec_id") % 50 == 0),
+    )
+    return out.select(
+        "q_id", "vec_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+  FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CASE WHEN sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_inner_product(q.qv, q.qv)) > 0
+              THEN list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv)))
+              ELSE 0.0 END AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored WHERE cosine < 0.95)
+SELECT q_id, vec_id, round(cosine, 6) AS cosine_r, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization, exploded to scalar rows so every
     quantized value is exactly verified (fixture dim = 64)."""
@@ -6921,6 +6962,7 @@ ALL_QUERIES = {
     "iqr_outlier_docs": q_iqr_outlier_docs,
     "mad_outlier_docs": q_mad_outlier_docs,
     "cube_orders": q_cube_orders,
+    "hard_negatives": q_hard_negatives,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
     "dup_spans_docs": q_dup_spans_docs,
@@ -7064,6 +7106,7 @@ ALL_ORACLES = {
     "iqr_outlier_docs": SQL_IQR_OUTLIERS,
     "mad_outlier_docs": SQL_MAD_OUTLIERS,
     "cube_orders": SQL_CUBE_ORDERS,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
     "dup_spans_docs": SQL_DUP_SPANS,

@@ -659,6 +659,58 @@ def project_embeddings(
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
 
 
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    dup_threshold: float = 0.95,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector, the
+    ``k`` most similar corpus vectors with a DIFFERENT label, excluding
+    near-duplicates (``cosine >= dup_threshold`` — those are mislabels or
+    leaks, not negatives).
+
+    Plan shape: corpus x broadcast(query set) scoring (the query side must
+    be model-sized — sample it; each corpus row scores against all queries
+    in one map-side pass), then a per-query top-k window.  At 100 TB
+    restrict candidates first with the LSH/IVF bucketing in this module
+    (:func:`lsh_bucket_candidates` / :func:`ivf_topk`) and feed the
+    bucketed pairs here — the scoring expression is identical.
+    Returns (q_id, vec_id, cosine, rank)."""
+    if queries is None:
+        queries = df
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"), F.col(label_col)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col("q_id"))
+            & (F.col(label_col) != F.col("_qlabel"))
+        )
+        .select(
+            "q_id",
+            id_col,
+            cosine_similarity(F.col("_cv"), F.col("_qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") < dup_threshold)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1139,3 +1139,35 @@ class TestRound6NullRobustness:
         r = hll_estimate(regs, b=8).collect()[0]
         # all 256 registers zero -> linear counting of an empty set
         assert r["hll_zeros"] == 256 and r["hll_estimate"] == 0.0
+
+
+class TestHardNegatives:
+    def test_planted(self, spark):
+        from ssis_to_dbt_spark.text.similarity import hard_negatives
+
+        rows = [
+            (0, [1.0, 0.0], "a"),
+            (1, [0.99, 0.14], "b"),   # near but different label -> negative
+            (2, [1.0, 0.001], "b"),   # cosine ~1 -> excluded as near-dup
+            (3, [0.0, 1.0], "b"),     # orthogonal -> weakest negative
+            (4, [0.9, 0.43], "a"),    # same label -> excluded
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
+        out = hard_negatives(
+            df, k=2, dup_threshold=0.999,
+            queries=df.filter(F.col("vec_id") == 0),
+        ).collect()
+        got = [(r["vec_id"], r["rank"]) for r in out]
+        assert got == [(1, 1), (3, 2)]
+        assert all(r["q_id"] == 0 for r in out)
+
+    def test_self_and_same_label_never_appear(self, spark):
+        from ssis_to_dbt_spark.text.similarity import hard_negatives
+
+        rows = [(i, [float(i), 1.0], "x" if i % 2 else "y") for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
+        out = hard_negatives(df, k=3, dup_threshold=1.1).collect()
+        ids = {(r["q_id"], r["vec_id"]) for r in out}
+        assert all(q != v for q, v in ids)
+        lab = {i: ("x" if i % 2 else "y") for i in range(10)}
+        assert all(lab[q] != lab[v] for q, v in ids)
