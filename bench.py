@@ -68,6 +68,9 @@ HEADLINE = [
     "merged_intervals_events",
     "mad_outlier_docs",
     "kfold_docs",
+    "cube_orders",
+    "hard_negatives",
+    "split_leakage_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

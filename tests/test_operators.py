@@ -1717,3 +1717,24 @@ class TestIntervalsAndCohorts:
         assert out[(1, 1)] == (0, 1)   # u1 week 0
         assert out[(1, 8)] == (1, 1)   # u1 retained in week 1
         assert out[(8, 8)] == (0, 1)   # u2 week 0
+
+
+class TestCubeAggregate:
+    def test_all_grains_present(self, spark):
+        from ssis_to_dbt_spark.operators import cube_aggregate
+
+        df = spark.createDataFrame(
+            [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)],
+            "a string, b string, v int",
+        )
+        out = {
+            (r["a"], r["b"], r["grouping_level"]): r["n"]
+            for r in cube_aggregate(
+                df, ["a", "b"], {"n": F.sum("v").cast("long")}
+            ).collect()
+        }
+        assert out[("x", "p", 0)] == 1 and out[("y", "p", 0)] == 4
+        assert out[("x", None, 1)] == 3          # a-only grain
+        assert out[(None, "p", 2)] == 5          # b-only grain (cube != rollup)
+        assert out[(None, None, 3)] == 7         # grand total
+        assert len(out) == 8
