@@ -678,7 +678,11 @@ def hard_negatives(
     in one map-side pass), then a per-query top-k window.  At 100 TB
     restrict candidates first with the LSH/IVF bucketing in this module
     (:func:`lsh_bucket_candidates` / :func:`ivf_topk`) and feed the
-    bucketed pairs here — the scoring expression is identical.
+    bucketed pairs here — the scoring expression is identical.  Catalyst
+    pushes the dup-threshold filter into the join condition, so the cosine
+    evaluates twice for surviving rows (condition + projection) — accepted:
+    survivors are k-per-query few, and blocking the pushdown would cost a
+    materialization barrier on the corpus-sized side.
     Returns (q_id, vec_id, cosine, rank)."""
     if queries is None:
         queries = df

@@ -6,6 +6,7 @@ un-pushes a filter fails here, not in production.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from ssis_to_dbt_spark import catalog
 
@@ -332,3 +333,51 @@ class TestRound6PlanShapes:
         # map-side partial max before the single register exchange
         assert plan.count("Exchange hashpartitioning") == 1
         assert "partial_max" in plan or "HashAggregate" in plan
+
+
+class TestRound6PlanShapesB:
+    """Second-batch round-6 plan contracts: projection is map-only,
+    interval merge shares one exchange across windows + groupBy, hard
+    negatives broadcast the query side."""
+
+    def _plan(self, spark, df, mode="simple"):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
+    def test_projection_map_only(self, spark):
+        from ssis_to_dbt_spark.text.similarity import project_embeddings
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = self._plan(spark, project_embeddings(emb, out_dim=4, dims=64))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_merge_intervals_single_exchange(self, spark):
+        from ssis_to_dbt_spark.operators.window import merge_intervals
+
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        )
+        plan = self._plan(spark, merge_intervals(ev, ["user_id"], "s", "e"))
+        # both windows and the island groupBy ride the user_id partitioning
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_hard_negatives_broadcasts_queries(self, spark):
+        from ssis_to_dbt_spark.text.similarity import hard_negatives
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = self._plan(
+            spark,
+            hard_negatives(
+                emb, queries=emb.filter(F.col("vec_id") % 50 == 0)
+            ),
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # corpus side itself never hash-shuffles before scoring; the only
+        # hash exchange is the per-query top-k window
+        assert plan.count("Exchange hashpartitioning") == 1
