@@ -4843,6 +4843,15 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("dup_of").cast("long").alias("id_b"),
             F.col("max_cos_r").cast("double").alias("score"),
         ),
+        # hard negatives (round 6): per-query contrastive negatives
+        q_hard_negatives(spark, sf_dir).select(
+            F.lit("hard_neg").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rank").cast("int").alias("dim"),
+            _nul("int").alias("q"),
+            F.col("q_id").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("score"),
+        ),
         # JL sign projection (round 6): every projected double exact
         q_project_embeddings(spark, sf_dir).select(
             F.lit("project").alias("component"),
@@ -4877,6 +4886,10 @@ UNION ALL
 SELECT 'semdedup', CAST(vec_id AS BIGINT), CAST(cell AS INTEGER),
        {_NULL_INT}, CAST(dup_of AS BIGINT), CAST(max_cos_r AS DOUBLE)
 FROM ({SQL_SEMDEDUP}) _s
+UNION ALL
+SELECT 'hard_neg', CAST(vec_id AS BIGINT), CAST(rank AS INTEGER),
+       {_NULL_INT}, CAST(q_id AS BIGINT), CAST(cosine_r AS DOUBLE)
+FROM ({SQL_HARD_NEGATIVES}) _hn
 UNION ALL
 SELECT 'project', CAST(vec_id AS BIGINT), CAST(dim AS INTEGER),
        {_NULL_INT}, {_NULL_BIGINT}, CAST(value AS DOUBLE)
@@ -6828,7 +6841,19 @@ def q_pivot_median_orders(spark, sf_dir):
         F.col("v").alias("v1"), _nul("double").alias("v2"),
         _nul("double").alias("v3"),
     )
-    return _union_all([a, b])
+    cu = q_cube_orders(spark, sf_dir).select(
+        F.lit("cube").alias("component"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        _nul("long").alias("o_custkey"),
+        _nul("long").alias("o_orderkey"),
+        F.col("grouping_level").alias("day_idx"),
+        F.col("n_orders").alias("n"),
+        F.col("total").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([a, b, cu])
 
 
 SQL_PIVOT_MEDIAN = f"""
@@ -6840,6 +6865,10 @@ UNION ALL
 SELECT component, priority, {_NULL_STR}, o_custkey, o_orderkey, day_idx, n,
        v AS v1, {_NULL_DOUBLE} AS v2, {_NULL_DOUBLE} AS v3
 FROM ({SQL_MEDIAN_ROLLING}) _b
+UNION ALL
+SELECT 'cube', o_orderpriority, o_orderstatus, {_NULL_BIGINT}, {_NULL_BIGINT},
+       grouping_level, n_orders, total, {_NULL_DOUBLE}, {_NULL_DOUBLE}
+FROM ({SQL_CUBE_ORDERS}) _cu
 """
 
 
