@@ -3303,6 +3303,39 @@ SELECT 'summary', 3, 'purchase', NULL, NULL, NULL, (SELECT COUNT(*) FROM t3)
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level line dedup (the actual C4 rule: one occurrence of each line
+# ACROSS the corpus, kept at its first (doc, idx) position).
+# ---------------------------------------------------------------------------
+
+def q_corpus_dedup_lines(spark, sf_dir):
+    from .text.dedup import corpus_dedup_lines
+
+    docs = _t(spark, sf_dir)["documents"]
+    return corpus_dedup_lines(docs)
+
+
+SQL_CORPUS_DEDUP_LINES = """
+WITH l AS (
+  SELECT doc_id, idx, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS idx
+    FROM documents)
+  WHERE trim(line) <> ''),
+t AS (SELECT *, row_number() OVER (PARTITION BY md5(line)
+                                   ORDER BY doc_id, idx) AS rn FROM l),
+kept AS (
+  SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5,
+         COUNT(*) AS n_kept
+  FROM t WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT tot.doc_id, kept.clean_md5,
+       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_lines - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot LEFT JOIN kept USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
 # local-min k-gram selection).  Arm 'doc': per-doc fingerprint checksum
 # (count/min/max/mod-sum — every selected hash participates); arm 'pair':
@@ -6064,7 +6097,17 @@ def q_token_ops_docs(spark, sf_dir):
         F.col("n2").alias("start_tok"),
         _nul("long").alias("end_tok"),
     )
-    return _union_all([tb, ch, pk, dl, bp, ds, bew, bed])
+    cdl = q_corpus_dedup_lines(spark, sf_dir).select(
+        F.lit("corpus_dedup").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_kept").cast("int").alias("chunk_idx"),
+        F.col("clean_md5").alias("chunk_text"),
+        F.col("n_dropped").cast("int").alias("n_tok"),
+        _nul("long").alias("seq_id"),
+        _nul("long").alias("start_tok"),
+        _nul("long").alias("end_tok"),
+    )
+    return _union_all([tb, ch, pk, dl, bp, ds, bew, bed, cdl])
 
 
 SQL_TOKEN_OPS = f"""
@@ -6108,6 +6151,11 @@ UNION ALL
 SELECT 'bpe_doc', CAST(k AS BIGINT), {_NULL_INT}, {_NULL_STR}, {_NULL_INT},
        n1, n2, {_NULL_BIGINT}
 FROM ({SQL_BPE_ENCODE}) _bed WHERE component = 'doc'
+UNION ALL
+SELECT 'corpus_dedup', CAST(doc_id AS BIGINT), CAST(n_kept AS INTEGER),
+       clean_md5, CAST(n_dropped AS INTEGER), {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_BIGINT}
+FROM ({SQL_CORPUS_DEDUP_LINES}) _cdl
 """
 
 
@@ -6928,6 +6976,7 @@ ALL_QUERIES = {
     "cohort_retention_events": q_cohort_retention_events,
     "merged_intervals_events": q_merged_intervals_events,
     "split_leakage_docs": q_split_leakage_docs,
+    "corpus_dedup_lines": q_corpus_dedup_lines,
     "hash_split_docs": q_hash_split_docs,
     "kfold_docs": q_kfold_docs,
     "project_embeddings": q_project_embeddings,
@@ -7070,6 +7119,7 @@ ALL_ORACLES = {
     "cohort_retention_events": SQL_COHORT_RETENTION,
     "merged_intervals_events": SQL_MERGED_INTERVALS,
     "split_leakage_docs": SQL_SPLIT_LEAKAGE,
+    "corpus_dedup_lines": SQL_CORPUS_DEDUP_LINES,
     "hash_split_docs": SQL_HASH_SPLIT,
     "kfold_docs": SQL_KFOLD,
     "project_embeddings": SQL_PROJECT_EMBEDDINGS,

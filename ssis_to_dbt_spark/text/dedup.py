@@ -1021,3 +1021,56 @@ def connected_components(
         "(unexpectedly deep duplicate chains — use algorithm='auto'/'star' "
         "for the large-star/small-star contraction)"
     )
+
+
+def corpus_dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CORPUS-level line dedup (the actual C4 rule — `dedup_lines` in
+    ``analysis.py`` is the within-document variant): every non-blank line
+    keeps exactly ONE occurrence across the whole corpus, at its first
+    position in (doc_id, line_idx) order; all other occurrences are
+    dropped.  Boilerplate (cookie banners, nav text) disappears corpus-wide
+    in one pass.
+
+    Plan shape: posexplode to (doc, idx, line) → one shuffle on the
+    normalized-line hash with a row_number keeper → re-aggregate per doc
+    (second shuffle, doc-grained).  State per hash bucket is one row; no
+    all-pairs anything.  Returns one row per input document:
+    ``(id, clean_md5, n_kept, n_dropped)`` — md5 of the reassembled kept
+    text (NULL when every line was dropped), counts for audit."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    ).filter(F.trim(F.col("_line")) != "")
+    w = Window.partitionBy(F.md5(F.col("_line"))).orderBy(id_col, "_idx")
+    tagged = lines.withColumn("_rn", F.row_number().over(w))
+    kept = tagged.filter(F.col("_rn") == 1)
+    reassembled = kept.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_idx", "_line"))
+                    ),
+                    lambda s: s.getField("_line"),
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "clean_md5",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -1171,3 +1171,25 @@ class TestHardNegatives:
         assert all(q != v for q, v in ids)
         lab = {i: ("x" if i % 2 else "y") for i in range(10)}
         assert all(lab[q] != lab[v] for q, v in ids)
+
+
+class TestCorpusDedupLines:
+    def test_boilerplate_removed_corpus_wide(self, spark):
+        from ssis_to_dbt_spark.text.dedup import corpus_dedup_lines
+
+        boiler = "accept our cookies"
+        rows = [
+            (1, f"{boiler}\nunique one\n\n{boiler}"),   # repeat within doc too
+            (2, f"{boiler}\nunique two"),
+            (3, boiler),                                 # nothing survives
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in corpus_dedup_lines(df).collect()}
+        # doc 1 is first: keeps ONE boilerplate occurrence + its unique line
+        assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+        assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+        assert out[3]["n_kept"] == 0 and out[3]["clean_md5"] is None
+        # doc 2's surviving text is exactly its unique line
+        import hashlib
+
+        assert out[2]["clean_md5"] == hashlib.md5(b"unique two").hexdigest()
