@@ -71,6 +71,7 @@ HEADLINE = [
     "cube_orders",
     "hard_negatives",
     "split_leakage_docs",
+    "corpus_dedup_lines",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE
