@@ -72,6 +72,7 @@ HEADLINE = [
     "hard_negatives",
     "split_leakage_docs",
     "corpus_dedup_lines",
+    "label_prototypes",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

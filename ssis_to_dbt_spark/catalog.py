@@ -3647,6 +3647,73 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_label_prototypes(spark, sf_dir):
+    """Class prototypes + nearest-prototype assignment: decimal-summed
+    per-label centroids (order-independent), then every vector classified
+    against the literal rounded centroids — argmax cosine, smallest-label
+    tie-break.  The centroid collect is model-sized (labels x dims), the
+    same legitimacy class as the IVF centroid step."""
+    from .text.similarity import label_centroids, prototype_assign
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cent = label_centroids(emb)
+    c = cent.select(
+        F.lit("centroid").alias("component"),
+        F.col("label").cast("long").alias("id_a"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("mean_r").alias("v1"),
+        F.col("n").alias("n1"),
+    )
+    rows = cent.orderBy("label", "dim").collect()
+    protos: dict[int, list[float]] = {}
+    for r in rows:
+        protos.setdefault(r["label"], []).append(float(r["mean_r"]))
+    a = prototype_assign(emb, protos).select(
+        F.lit("assign").alias("component"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("pred_label").cast("int").alias("dim"),
+        F.round("cosine", 6).alias("v1"),
+        _nul("long").alias("n1"),
+    )
+    return _union_all([c, a])
+
+
+SQL_LABEL_PROTOTYPES = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+x AS (SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+      FROM e),
+cell AS (
+  SELECT label, dim, SUM(CAST(val AS DECIMAL(38, 18))) AS s, COUNT(*) AS n
+  FROM x GROUP BY label, dim),
+c AS (SELECT label, dim, round(CAST(s AS DOUBLE) / n, 6) AS mean_r, n
+      FROM cell),
+cent AS (SELECT label AS c_label, list(mean_r ORDER BY dim) AS cv
+         FROM c GROUP BY label),
+scored AS (
+  SELECT e.vec_id, cent.c_label,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.cv, cent.cv)) > 0
+              THEN list_inner_product(e.v, cent.cv)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.cv, cent.cv)))
+              ELSE 0.0 END AS cosine
+  FROM e CROSS JOIN cent),
+best AS (
+  SELECT vec_id, c_label, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, c_label) AS rn
+  FROM scored)
+SELECT 'centroid' AS component, CAST(label AS BIGINT) AS id_a,
+       CAST(dim AS INTEGER) AS dim, mean_r AS v1, CAST(n AS BIGINT) AS n1
+FROM c
+UNION ALL
+SELECT 'assign', CAST(vec_id AS BIGINT), CAST(c_label AS INTEGER),
+       round(cosine, 6), CAST(NULL AS BIGINT)
+FROM best WHERE rn = 1
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization, exploded to scalar rows so every
     quantized value is exactly verified (fixture dim = 64)."""
@@ -7041,6 +7108,7 @@ ALL_QUERIES = {
     "mad_outlier_docs": q_mad_outlier_docs,
     "cube_orders": q_cube_orders,
     "hard_negatives": q_hard_negatives,
+    "label_prototypes": q_label_prototypes,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
     "dup_spans_docs": q_dup_spans_docs,
@@ -7186,6 +7254,7 @@ ALL_ORACLES = {
     "mad_outlier_docs": SQL_MAD_OUTLIERS,
     "cube_orders": SQL_CUBE_ORDERS,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "label_prototypes": SQL_LABEL_PROTOTYPES,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
     "dup_spans_docs": SQL_DUP_SPANS,

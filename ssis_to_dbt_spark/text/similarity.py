@@ -659,6 +659,65 @@ def project_embeddings(
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding (class prototype): explode to (label, dim,
+    value), decimal-sum per cell (order-independent — double summation
+    would vary with partitioning), divide at the output boundary as a
+    round-``round_digits`` double.  One shuffle keyed (label, dim); state
+    is labels x dims cells.  Returns (label, dim, mean_r, n)."""
+    x = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "_v"),
+    )
+    cell = x.groupBy("label", "dim").agg(
+        F.sum(F.col("_v").cast("decimal(38,18)")).alias("_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cell.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("_s").cast("double") / F.col("n"), round_digits).alias(
+            "mean_r"
+        ),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def prototype_assign(
+    df: DataFrame,
+    centroids: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-prototype classification: cosine against each literal class
+    centroid (a model-sized dict label -> vector, e.g. collected from
+    :func:`label_centroids`), argmax with smallest-label tie-break —
+    map-only, zero per-row hashing, the same literal-array discipline as
+    the IVF/LSH paths.  Returns (id, pred_label, cosine)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    v = _as_double(F.col(vec_col))
+    best_lab, best_cos = None, None
+    for lab in sorted(centroids):
+        c = cosine_similarity(v, _query_literal(centroids[lab]))
+        if best_lab is None:
+            best_lab, best_cos = F.lit(lab), c
+        else:
+            better = c > best_cos  # strict: ties keep the smaller label
+            best_lab = F.when(better, F.lit(lab)).otherwise(best_lab)
+            best_cos = F.when(better, c).otherwise(best_cos)
+    return df.select(
+        F.col(id_col),
+        best_lab.alias("pred_label"),
+        best_cos.alias("cosine"),
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     k: int = 3,

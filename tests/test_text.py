@@ -1193,3 +1193,48 @@ class TestCorpusDedupLines:
         import hashlib
 
         assert out[2]["clean_md5"] == hashlib.md5(b"unique two").hexdigest()
+
+
+class TestLabelPrototypes:
+    def test_centroids_and_assignment(self, spark):
+        from ssis_to_dbt_spark.text.similarity import (
+            label_centroids,
+            prototype_assign,
+        )
+
+        rows = [
+            (0, [1.0, 0.0], 0), (1, [0.8, 0.0], 0),   # class 0 along x
+            (2, [0.0, 1.0], 1), (3, [0.0, 0.6], 1),   # class 1 along y
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<float>, label int"
+        )
+        cent = {
+            (r["label"], r["dim"]): (r["mean_r"], r["n"])
+            for r in label_centroids(df).collect()
+        }
+        assert cent[(0, 0)] == (0.9, 2) and cent[(0, 1)] == (0.0, 2)
+        assert cent[(1, 1)] == (0.8, 2)
+        protos = {0: [0.9, 0.0], 1: [0.0, 0.8]}
+        pred = {
+            r["vec_id"]: r["pred_label"]
+            for r in prototype_assign(df, protos).collect()
+        }
+        assert pred == {0: 0, 1: 0, 2: 1, 3: 1}
+
+    def test_centroids_partition_invariant(self, spark):
+        import random
+
+        from ssis_to_dbt_spark.text.similarity import label_centroids
+
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<float>, label int"
+        )
+        a = sorted(map(tuple, label_centroids(df).collect()))
+        b = sorted(map(tuple, label_centroids(df.repartition(13)).collect()))
+        assert a == b  # decimal sums: bit-equal at any partitioning
