@@ -4952,6 +4952,15 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("q_id").cast("long").alias("id_b"),
             F.col("cosine_r").cast("double").alias("score"),
         ),
+        # class prototypes (round 6): centroids + assignment argmax
+        q_label_prototypes(spark, sf_dir).select(
+            F.concat(F.lit("proto_"), F.col("component")).alias("component"),
+            F.col("id_a").alias("vec_id"),
+            F.col("dim"),
+            _nul("int").alias("q"),
+            F.col("n1").alias("id_b"),
+            F.col("v1").alias("score"),
+        ),
         # JL sign projection (round 6): every projected double exact
         q_project_embeddings(spark, sf_dir).select(
             F.lit("project").alias("component"),
@@ -4990,6 +4999,9 @@ UNION ALL
 SELECT 'hard_neg', CAST(vec_id AS BIGINT), CAST(rank AS INTEGER),
        {_NULL_INT}, CAST(q_id AS BIGINT), CAST(cosine_r AS DOUBLE)
 FROM ({SQL_HARD_NEGATIVES}) _hn
+UNION ALL
+SELECT 'proto_' || component, id_a, dim, {_NULL_INT}, n1, v1
+FROM ({SQL_LABEL_PROTOTYPES}) _lp
 UNION ALL
 SELECT 'project', CAST(vec_id AS BIGINT), CAST(dim AS INTEGER),
        {_NULL_INT}, {_NULL_BIGINT}, CAST(value AS DOUBLE)
