@@ -73,6 +73,7 @@ HEADLINE = [
     "split_leakage_docs",
     "corpus_dedup_lines",
     "label_prototypes",
+    "ccnet_buckets_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -3714,6 +3714,32 @@ FROM best WHERE rn = 1
 """
 
 
+def q_ccnet_buckets_docs(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-bigram mean surprisal ratio,
+    exact tertile cutoffs from ONE tiny percentile agg, map-side bucket
+    compare (no global ntile sort — the 100 TB shape)."""
+    from .operators.sampling import quantile_buckets
+    from .text import bigram_surprisal
+
+    docs = _t(spark, sf_dir)["documents"]
+    s = bigram_surprisal(docs).filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_units",
+        (F.col("surprisal_units").cast("double") / F.col("n_bigrams")).alias(
+            "ratio"
+        ),
+    )
+    out = quantile_buckets(s, "ratio", n_buckets=3, bucket_col="ppl_bucket")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_units",
+        F.round("ratio", 6).alias("ratio_r"),
+        "ppl_bucket",
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization, exploded to scalar rows so every
     quantized value is exactly verified (fixture dim = 64)."""
@@ -5905,6 +5931,23 @@ FROM sc GROUP BY doc_id
 """
 
 
+SQL_CCNET_BUCKETS = f"""
+WITH s AS (
+  SELECT doc_id, n_bigrams, surprisal_units,
+         CAST(surprisal_units AS DOUBLE) / n_bigrams AS ratio
+  FROM ({SQL_SURPRISAL}) _s WHERE n_bigrams > 0),
+q AS (SELECT quantile_cont(ratio, [CAST(1.0 / 3.0 AS DOUBLE),
+                                   CAST(2.0 / 3.0 AS DOUBLE)]) AS cuts
+      FROM s)
+SELECT doc_id, n_bigrams, surprisal_units, round(ratio, 6) AS ratio_r,
+       CAST(CASE WHEN ratio <= cuts[1] THEN 1
+                 WHEN ratio <= cuts[2] THEN 2
+                 ELSE 3 END AS INTEGER) AS ppl_bucket
+FROM s CROSS JOIN q
+"""
+
+
+
 # --- token_ops_docs: deterministic token-budget sampling + context-window
 # chunking + sequence packing (the token-count-driven pipeline steps) --------
 
@@ -7121,6 +7164,7 @@ ALL_QUERIES = {
     "cube_orders": q_cube_orders,
     "hard_negatives": q_hard_negatives,
     "label_prototypes": q_label_prototypes,
+    "ccnet_buckets_docs": q_ccnet_buckets_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_lines_docs": q_dedup_lines_docs,
     "dup_spans_docs": q_dup_spans_docs,
@@ -7267,6 +7311,7 @@ ALL_ORACLES = {
     "cube_orders": SQL_CUBE_ORDERS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "label_prototypes": SQL_LABEL_PROTOTYPES,
+    "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "dedup_lines_docs": SQL_DEDUP_LINES,
     "dup_spans_docs": SQL_DUP_SPANS,

@@ -74,6 +74,39 @@ def kfold_split(
     return df.withColumn(fold_col, (h % k).cast("int"))
 
 
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact-quantile bucketing (the CCNet head/middle/tail pattern over a
+    perplexity-style score, generalized to ``n_buckets``): one tiny
+    percentile aggregation computes the cutoffs, broadcast back, and every
+    row buckets map-side by comparison — NO global sort/ntile window, which
+    is what makes this shape survive 100 TB.  Boundary rule: a score equal
+    to cutoff i belongs to bucket i (inclusive-lower), deterministic.
+    Exact linear-interpolated percentiles of integer-ratio doubles are
+    IEEE-identical across engines, so the bucket assignment is
+    oracle-reproducible."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    fracs = ", ".join(
+        f"CAST({i}.0 / {n_buckets}.0 AS DOUBLE)" for i in range(1, n_buckets)
+    )
+    cuts = df.agg(
+        F.expr(f"percentile({score_col}, array({fracs}))").alias("_cuts")
+    )
+    b = F.lit(n_buckets)
+    for i in range(n_buckets - 1, 0, -1):
+        b = F.when(
+            F.col(score_col) <= F.element_at("_cuts", i), F.lit(i)
+        ).otherwise(b)
+    return df.crossJoin(F.broadcast(cuts)).withColumn(
+        bucket_col, b.cast("int")
+    ).drop("_cuts")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

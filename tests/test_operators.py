@@ -1738,3 +1738,36 @@ class TestCubeAggregate:
         assert out[(None, "p", 2)] == 5          # b-only grain (cube != rollup)
         assert out[(None, None, 3)] == 7         # grand total
         assert len(out) == 8
+
+
+class TestQuantileBuckets:
+    def test_tertiles_planted(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 10)], "id int, score double"
+        )
+        out = {r["id"]: r["bucket"] for r in quantile_buckets(
+            df, "score", 3).collect()}
+        # cutoffs at exact percentiles of 1..9: q1/3 = 3.666.., q2/3 = 6.333..
+        assert [out[i] for i in range(1, 10)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+    def test_boundary_inclusive_lower(self, spark):
+        from ssis_to_dbt_spark.operators.sampling import quantile_buckets
+
+        # 4 identical + 2 larger: q1/3 == the repeated value -> ties go DOWN
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([5.0] * 4 + [9.0, 10.0])],
+            "id int, score double",
+        )
+        out = quantile_buckets(df, "score", 3).collect()
+        assert all(r["bucket"] == 1 for r in out if r["score"] == 5.0)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from ssis_to_dbt_spark.operators.sampling import quantile_buckets
+
+        df = spark.createDataFrame([(1, 1.0)], "id int, score double")
+        with _pt.raises(ValueError):
+            quantile_buckets(df, "score", 1)
