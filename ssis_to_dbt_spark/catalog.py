@@ -6311,7 +6311,16 @@ def q_pii_tfidf_docs(spark, sf_dir):
         _nul("double").alias("v"),
         _nul("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur])
+    cc = q_ccnet_buckets_docs(spark, sf_dir).select(
+        F.lit("ccnet").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _nul("string").alias("s1"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        F.col("ppl_bucket").cast("long").alias("n2"),
+        F.col("ratio_r").cast("double").alias("v"),
+        _nul("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur, cc])
 
 
 SQL_PII_TFIDF = f"""
@@ -6329,6 +6338,10 @@ SELECT 'surprisal', CAST(doc_id AS BIGINT), {_NULL_STR},
        CAST(n_bigrams AS BIGINT), CAST(surprisal_units AS BIGINT),
        {_NULL_DOUBLE}, {_NULL_INT}
 FROM ({SQL_SURPRISAL}) _s
+UNION ALL
+SELECT 'ccnet', CAST(doc_id AS BIGINT), {_NULL_STR}, CAST(n_bigrams AS BIGINT),
+       CAST(ppl_bucket AS BIGINT), CAST(ratio_r AS DOUBLE), {_NULL_INT}
+FROM ({SQL_CCNET_BUCKETS}) _cc
 """
 
 
