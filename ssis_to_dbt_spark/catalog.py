@@ -734,7 +734,7 @@ def q_text_analysis_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir)["documents"]
     txt = F.col("text")
-    return docs.select(
+    out = docs.select(
         "doc_id",
         token_count(txt).alias("n_tokens"),
         regex_token_count(txt).alias("n_bpe"),
@@ -747,7 +747,22 @@ def q_text_analysis_docs(spark, sf_dir):
         max_token_run(txt).cast("int").alias("max_run"),
         symbol_fraction(txt).alias("symbol_frac"),
         digit_fraction(txt).alias("digit_frac"),
+        _char_entropy_struct(txt).alias("_ent"),
     )
+    # separate stage: _ent is expensive and multiply-referenced, so Catalyst
+    # keeps the projection staged and the fold runs ONCE per row
+    keep = [c for c in out.columns if c != "_ent"]
+    return out.select(
+        *keep,
+        F.col("_ent").getField("n_distinct").alias("ent_distinct"),
+        F.col("_ent").getField("entropy_units").alias("entropy_units"),
+    )
+
+
+def _char_entropy_struct(txt):
+    from .text.analysis import char_entropy
+
+    return char_entropy(txt)
 
 
 SQL_TEXT_ANALYSIS = r"""
@@ -949,7 +964,15 @@ def q_minhash_pairs_md5(spark, sf_dir):
         F.col("split_a").alias("s1"),
         F.col("split_b").alias("s2"),
     )
-    return _union_all([cand, lk])
+    pr = q_neardup_prune_docs(spark, sf_dir).select(
+        F.lit("prune").alias("component"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("cluster_id").alias("doc_b"),
+        F.col("cluster_size").cast("double").alias("v1"),
+        F.col("kept").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([cand, lk, pr])
 
 
 # Shared pair-generation CTE text: SQL_MINHASH_MD5 and SQL_NEARDUP_CLUSTERS
@@ -2898,9 +2921,9 @@ def q_neardup_clusters(spark, sf_dir):
     )
 
 
-SQL_NEARDUP_CLUSTERS = f"""
-WITH RECURSIVE {_MINHASH_MD5_CTES},
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+# Transitive-closure fragment shared by the cluster and prune oracles —
+# both must derive components from byte-identical SQL.
+_NEARDUP_COMP_CTES = """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION ALL
           SELECT doc_b AS src, doc_a AS dst FROM pairs),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -2911,7 +2934,11 @@ reach AS (
   FROM reach r JOIN edges e ON e.src = r.node
 ),
 comp AS (SELECT node AS doc_id, MIN(label) AS canonical_id
-         FROM reach GROUP BY node)
+         FROM reach GROUP BY node)"""
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_MD5_CTES},
+{_NEARDUP_COMP_CTES}
 SELECT c.doc_id, c.canonical_id, cs.cluster_size
 FROM comp c
 JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
@@ -4996,6 +5023,15 @@ def q_ann_topk_suite(spark, sf_dir):
             _nul("long").alias("id_b"),
             F.col("value").cast("double").alias("score"),
         ),
+        # k-means (round 6): trained centroids + final assignment
+        q_kmeans_embeddings(spark, sf_dir).select(
+            F.concat(F.lit("km_"), F.col("component")).alias("component"),
+            F.col("id_a").alias("vec_id"),
+            F.col("dim"),
+            _nul("int").alias("q"),
+            _nul("long").alias("id_b"),
+            F.col("v1").alias("score"),
+        ),
     ]
     return _union_all(parts)
 
@@ -5868,7 +5904,13 @@ def q_sampling_splits(spark, sf_dir):
         F.col("fold").cast("string").alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws, sc, kf])
+    tm = q_temperature_mixture_docs(spark, sf_dir).select(
+        F.lit("temperature").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc, kf, tm])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -7056,6 +7098,242 @@ FROM ({SQL_CUBE_ORDERS}) _cu
 
 
 # ---------------------------------------------------------------------------
+# Round 6 (cont.): k-means training, near-dup pruning, char entropy,
+# temperature mixture.
+# ---------------------------------------------------------------------------
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """k-means (Lloyd) TRAINED on the corpus — k=4, 2 rounds from the
+    deterministic lowest-id init — then the final assignment with the
+    trained centroids.  Per round the corpus never shuffles (assignment is
+    map-only against literal centroids; means are one (cell, dim)-keyed
+    decimal agg) and the only driver traffic is the k x dims rounded-mean
+    table.  Because every mean is round(·,6)-quantized before becoming a
+    literal, the unrolled SQL oracle replays the identical training
+    trajectory bit-for-bit.  Output: 'centroid' rows (cell, dim, mean) +
+    'assign' rows (vec_id, cell, cosine)."""
+    from .text.similarity import ivf_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, k=4, rounds=2)
+    assigned = ivf_assign(emb, cents, sim_col="_sim")
+    cent_rows = spark.createDataFrame(
+        [(cid, dim, float(v)) for cid, vec in cents for dim, v in enumerate(vec)],
+        "id_a long, dim int, v1 double",
+    ).select(F.lit("centroid").alias("component"), "id_a", "dim", "v1")
+    asg = assigned.select(
+        F.lit("assign").alias("component"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("cell").cast("int").alias("dim"),
+        F.round(F.col("_sim"), 6).alias("v1"),
+    )
+    return cent_rows.unionByName(asg)
+
+
+def _kmeans_sql_round(prev_cent: str, prev_centx: str, r: int) -> str:
+    """One unrolled Lloyd round: assign against ``prev_cent``, decimal-mean
+    per (cell, dim), coalesce empty cells from ``prev_centx``."""
+    return f"""s{r} AS (SELECT e.vec_id, e.v, {prev_cent}.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product({prev_cent}.c, {prev_cent}.c)) > 0
+              THEN list_inner_product(e.v, {prev_cent}.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product({prev_cent}.c, {prev_cent}.c)))
+              ELSE 0.0 END AS sim
+       FROM e CROSS JOIN {prev_cent}),
+a{r} AS (SELECT vec_id, v, cid, sim
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+             FROM s{r}) WHERE rn = 1),
+x{r} AS (SELECT cid, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+       FROM a{r}),
+m{r} AS (SELECT cid, dim,
+              round(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*), 6) AS m
+       FROM x{r} GROUP BY cid, dim),
+c{r}x AS (SELECT p.cid, p.dim, coalesce(m{r}.m, p.val) AS val
+        FROM {prev_centx} p LEFT JOIN m{r}
+          ON m{r}.cid = p.cid AND m{r}.dim = p.dim),
+c{r} AS (SELECT cid, list(val ORDER BY dim) AS c FROM c{r}x GROUP BY cid)"""
+
+
+SQL_KMEANS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+c0x AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS val
+        FROM c0),
+{_kmeans_sql_round('c0', 'c0x', 1)},
+{_kmeans_sql_round('c1', 'c1x', 2)},
+s3 AS (SELECT e.vec_id, c2.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(c2.c, c2.c)) > 0
+              THEN list_inner_product(e.v, c2.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(c2.c, c2.c)))
+              ELSE 0.0 END AS sim
+       FROM e CROSS JOIN c2),
+a3 AS (SELECT vec_id, cid, sim
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+             FROM s3) WHERE rn = 1)
+SELECT 'centroid' AS component, CAST(cid AS BIGINT) AS id_a,
+       CAST(dim AS INTEGER) AS dim, val AS v1
+FROM c2x
+UNION ALL
+SELECT 'assign', CAST(vec_id AS BIGINT), CAST(cid AS INTEGER), round(sim, 6)
+FROM a3
+"""
+
+
+def q_neardup_prune_docs(spark, sf_dir):
+    """Near-dup PRUNING — the step after clustering: keep ONE representative
+    per near-dup cluster (longest text wins, ties to the lowest doc_id —
+    the C4/RefinedWeb keep-longest policy) and pass singletons through.
+    Scale shape: the component table is pair-derived (candidate docs only,
+    << corpus), so it and everything built from it broadcast, the
+    representative window runs over the small clustered subset only, and
+    the corpus itself is decided map-side — never re-shuffled and never
+    window-scanned whole."""
+    from .text.dedup import prune_clusters
+
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    return prune_clusters(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size"),
+        F.col("kept"),
+    )
+
+
+SQL_NEARDUP_PRUNE = f"""
+WITH RECURSIVE {_MINHASH_MD5_CTES},
+{_NEARDUP_COMP_CTES},
+sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id),
+reps AS (
+  SELECT canonical_id, doc_id AS rep_id FROM (
+    SELECT c.canonical_id, d.doc_id,
+           row_number() OVER (PARTITION BY c.canonical_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.canonical_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       (c.doc_id IS NULL OR d.doc_id = r.rep_id) AS kept
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.canonical_id = c.canonical_id
+LEFT JOIN reps r ON r.canonical_id = c.canonical_id
+"""
+
+
+def q_char_entropy_docs(spark, sf_dir):
+    """Per-doc Shannon character entropy in exact integer micro-units (the
+    surprisal quantization discipline) — map-only, no shuffle."""
+    from .text.analysis import char_entropy
+
+    docs = _t(spark, sf_dir)["documents"]
+    # staged: project the fold struct once, pull fields in a second select
+    # (HOF lambdas get no CSE — three inline getFields would fold 3x per row)
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        char_entropy(F.col("text")).alias("_e"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_e").getField("n_chars").alias("ent_chars"),
+        F.col("_e").getField("n_distinct").alias("ent_distinct"),
+        F.col("_e").getField("entropy_units").alias("entropy_units"),
+    )
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE length(text) > 0),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, SUM(k) AS n, COUNT(*) AS n_distinct
+        FROM cnt GROUP BY doc_id),
+u AS (SELECT doc_id,
+             SUM(k * CAST(CAST(round(ln(CAST(k AS DOUBLE)), 6)
+                               AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS sum_k_ln_k
+      FROM cnt GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(t.n, 0) AS INTEGER) AS ent_chars,
+       CAST(coalesce(t.n_distinct, 0) AS INTEGER) AS ent_distinct,
+       CAST(coalesce(
+         t.n * CAST(CAST(round(ln(CAST(t.n AS DOUBLE)), 6)
+                         AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         - u.sum_k_ln_k, 0) AS BIGINT) AS entropy_units
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN u ON u.doc_id = d.doc_id
+"""
+
+
+def q_temperature_mixture_docs(spark, sf_dir):
+    """Temperature-flattened (tau=2) language mixture over documents — the
+    multilingual rebalancing pass (en dominates the fixture ~2.7x over de,
+    so the flattening genuinely reshapes the kept set); membership
+    content-addressed, weights floor(sqrt(n_g)) integer-exact."""
+    from .operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir)["documents"]
+    return temperature_mixture(docs, "lang", "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("lang"),
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH n AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+j AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
+             CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS HUGEINT) AS wt
+      FROM n),
+tw AS (SELECT SUM(wt) AS total_w FROM j),
+t AS (SELECT MIN(j.n_g * tw.total_w // j.wt) AS t_total FROM j, tw),
+adm AS (SELECT j.lang,
+               CAST(65536 * t.t_total * j.wt // (tw.total_w * j.n_g)
+                    AS BIGINT) AS admit
+        FROM j, t, tw)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.lang AS VARCHAR) AS lang
+FROM documents d JOIN adm USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      < adm.admit
+"""
+
+
+# Fold the four new operators into their driver-window suites (the SQL
+# constants above are complete at this point, so extend them in place).
+SQL_ANN_TOPK_SUITE += f"""UNION ALL
+SELECT 'km_' || component, id_a AS vec_id, dim, {_NULL_INT}, {_NULL_BIGINT}, v1
+FROM ({SQL_KMEANS}) _km
+"""
+
+SQL_SAMPLING_SPLITS += f"""UNION ALL
+SELECT 'temperature', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR),
+       {_NULL_STR}
+FROM ({SQL_TEMPERATURE_MIXTURE}) _tm
+"""
+
+SQL_MINHASH_MD5_SUITE += f"""UNION ALL
+SELECT 'prune', doc_id, cluster_id, CAST(cluster_size AS DOUBLE),
+       CAST(kept AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({SQL_NEARDUP_PRUNE}) _pr
+"""
+
+SQL_TEXT_ANALYSIS = f"""
+SELECT ta.*, ce.ent_distinct, ce.entropy_units
+FROM ({SQL_TEXT_ANALYSIS}) ta
+JOIN ({SQL_CHAR_ENTROPY}) ce USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 #
 # ALL_QUERIES holds every individual query (used by pytest, bench.py, and
@@ -7188,6 +7466,10 @@ ALL_QUERIES = {
     "bpe_merges_docs": q_bpe_merges_docs,
     "gap_fill_events": q_gap_fill_events,
     "agg_daily_rollup": q_agg_daily_rollup,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "neardup_prune_docs": q_neardup_prune_docs,
+    "char_entropy_docs": q_char_entropy_docs,
+    "temperature_mixture_docs": q_temperature_mixture_docs,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -7337,6 +7619,10 @@ ALL_ORACLES = {
     "bpe_merges_docs": SQL_BPE_MERGES,
     "gap_fill_events": SQL_GAP_FILL,
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
+    "kmeans_embeddings": SQL_KMEANS,
+    "neardup_prune_docs": SQL_NEARDUP_PRUNE,
+    "char_entropy_docs": SQL_CHAR_ENTROPY,
+    "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(

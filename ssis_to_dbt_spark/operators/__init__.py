@@ -12,7 +12,13 @@ from .joins import (
     range_join,
     semi_join,
 )
-from .sampling import hash_split, mixture_sample, stratified_sample, token_budget_sample
+from .sampling import (
+    hash_split,
+    mixture_sample,
+    stratified_sample,
+    temperature_mixture,
+    token_budget_sample,
+)
 from .aggregate import (
     checksum_aggregates,
     duplicate_keys,
@@ -87,7 +93,8 @@ __all__ = [
     "lookup", "lookup_chain", "LookupNoMatch",
     "asof_join", "fuzzy_pairs", "pagerank", "range_join", "merge_join", "semi_join", "anti_join",
     "bloom_build", "bloom_prefilter",
-    "hash_split", "mixture_sample", "stratified_sample", "token_budget_sample",
+    "hash_split", "mixture_sample", "stratified_sample", "temperature_mixture",
+    "token_budget_sample",
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",
     "cms_sketch", "cms_merge", "cms_estimate", "cube_aggregate",

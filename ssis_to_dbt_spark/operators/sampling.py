@@ -200,6 +200,61 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Temperature-flattened source mixture (tau = 2, the common multilingual
+    /multi-domain rebalancing): target group proportions follow
+    ``sqrt(n_g)`` instead of ``n_g``, boosting small sources and shrinking
+    dominant ones without ever upsampling.
+
+    This is :func:`mixture_sample` with DATA-DERIVED integer weights
+    ``w_g = floor(sqrt(n_g))``: IEEE-754 ``sqrt`` is correctly rounded, so
+    the floor is engine-portable-exact, and everything downstream is the
+    same DECIMAL(38,0) feasible-total + 65536-bucket admit arithmetic —
+    content-addressed membership, reproducible under any partitioning.
+
+    Plan shape: one tiny groupBy for counts, two 1-row scalar aggregates
+    (total weight, feasible total), thresholds broadcast back onto the
+    corpus — no driver collect, and the corpus itself is filtered map-side
+    under the broadcast join (never re-shuffled), which is the 100 TB shape.
+    Groups with ``n_g = 0`` cannot occur; ``floor(sqrt(n_g)) >= 1`` keeps
+    every observed group represented.
+    """
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"))
+        .withColumn(
+            "_w",
+            F.floor(F.sqrt(F.col("_n").cast("double"))).cast("decimal(38,0)"),
+        )
+    )
+    total_w = counts.agg(F.sum("_w").cast("decimal(38,0)").alias("_tw"))
+    j = counts.crossJoin(F.broadcast(total_w))
+    feasible = j.agg(
+        F.min(F.expr("_n * _tw DIV _w")).cast("decimal(38,0)").alias("_t")
+    )
+    thresholds = (
+        j.crossJoin(F.broadcast(feasible))
+        .withColumn(
+            "_admit",
+            F.expr("CAST(65536 * _t * _w AS DECIMAL(38,0)) DIV (_tw * _n)")
+            .cast("long"),
+        )
+        .select(group_col, "_admit")
+    )
+    prefix_int = F.conv(
+        F.substring(_hash_hex(F.col(key_col)), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(prefix_int < F.col("_admit"))
+        .drop("_admit")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     token_col: str,

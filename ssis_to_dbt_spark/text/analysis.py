@@ -515,6 +515,91 @@ def gopher_signals(
     return s2.withColumn("gopher_pass", passes)
 
 
+def _log_units(m: Column) -> Column:
+    """``round(ln(m), 6)`` as exact integer micro-units (BIGINT) — the
+    :func:`bigram_surprisal` determinism discipline: quantize each log term
+    before any sum so last-ulp ``ln`` differences between engines vanish and
+    the remaining arithmetic is exact integers.  0 for ``m <= 0``."""
+    u = (
+        F.round(F.log(m.cast("double")), 6).cast("decimal(18,6)") * 1_000_000
+    ).cast("long")
+    return F.when(m > 0, u).otherwise(F.lit(0).cast("long"))
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon character entropy signal (low entropy = repeated filler /
+    padding / binary-ish junk; a standard cheap quality gate beside the
+    Gopher rules).  Returns ``struct(n_chars, n_distinct, entropy_units)``
+    with ``entropy_units = n*L(n) - sum_c k_c*L(k_c)`` where ``k_c`` is the
+    count of character ``c`` and ``L(m) = round(ln m, 6) * 1e6`` as BIGINT
+    (the ``H*n = n ln n - sum k ln k`` identity keeps the per-run fold free
+    of the document length, so the sort/split is evaluated once, and every
+    term is an exact integer — order-independent and engine-portable).
+    ``H = entropy_units / (n_chars * 1e6)`` nats.
+
+    Map-only (sort-the-chars + one sequential run-length fold per doc, no
+    shuffle).  EVERYTHING — including the length n — is computed inside a
+    single ``aggregate`` whose finish lambda emits the final struct:
+    expressions inside HOF lambdas are interpreted without CSE, so a design
+    that referenced the fold from several output fields would re-run it per
+    field (the :func:`gopher_signals` lesson).  Callers should still
+    project the struct ONCE and pull fields in a separate ``select`` stage.
+    Character granularity is UTF-16 code units on the JVM vs code points in
+    a SQL oracle — identical over BMP text, which is the fixture (and
+    crawl-corpus) norm; the multimodal module owns non-BMP honesty.
+    """
+    chars = F.array_sort(F.split(text, ""))
+
+    def term(run: Column) -> Column:
+        return F.when(
+            run > 0, run.cast("long") * _log_units(run)
+        ).otherwise(F.lit(0).cast("long"))
+
+    def step(acc, x):
+        same = (x == acc.getField("prev")) & (acc.getField("run") > 0)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.getField("run") + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc.getField("units"))
+            .otherwise(acc.getField("units") + term(acc.getField("run")))
+            .alias("units"),
+            F.when(same, acc.getField("runs"))
+            .otherwise(acc.getField("runs") + 1)
+            .alias("runs"),
+            (acc.getField("n") + 1).alias("n"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("units"),
+        F.lit(0).alias("runs"),
+        F.lit(0).alias("n"),
+    )
+
+    def finish(acc):
+        n = acc.getField("n")
+        sum_k_ln_k = acc.getField("units") + term(acc.getField("run"))
+        return F.struct(
+            n.cast("int").alias("n_chars"),
+            acc.getField("runs").cast("int").alias("n_distinct"),
+            (n.cast("long") * _log_units(n) - sum_k_ln_k).alias(
+                "entropy_units"
+            ),
+        )
+
+    folded = F.aggregate(chars, zero, step, finish)
+    empty = F.length(F.coalesce(text, F.lit(""))) == 0
+    return F.when(
+        empty,
+        F.struct(
+            F.lit(0).alias("n_chars"),
+            F.lit(0).alias("n_distinct"),
+            F.lit(0).cast("long").alias("entropy_units"),
+        ),
+    ).otherwise(folded)
+
+
 def document_fingerprint(text: Column) -> Column:
     """md5 fingerprint of whitespace-normalized lowercase text — the
     content-identity key used by exact dedup and provenance tracking."""

@@ -1074,3 +1074,60 @@ def corpus_dedup_lines(
             .alias("n_dropped"),
         )
     )
+
+
+def prune_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup PRUNING — the step after clustering: keep ONE representative
+    per near-dup cluster (longest ``length_col`` wins, ties to the lowest
+    id — the C4/RefinedWeb keep-longest policy) and pass singletons through
+    as their own kept cluster of size 1.
+
+    Returns one row per input document:
+    ``(id_col, cluster_id, cluster_size, kept)`` with ``cluster_id`` the
+    component's min id (own id for singletons).
+
+    Scale shape: the component table is pair-derived (candidate docs only,
+    << corpus), so it and everything built from it broadcast; the
+    representative window runs over the small clustered subset only; and
+    the corpus itself is decided map-side under broadcast joins — never
+    re-shuffled and never window-scanned whole.  Reference analogue: the
+    dedup stage a migration of `dbt_project/models/staging/*.sql` dedup
+    CTEs would need at corpus scale.
+    """
+    comp = connected_components(pairs, id_a, id_b, max_iter=max_iter)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    members = df.select(id_col, length_col).join(
+        F.broadcast(comp), F.col(id_col) == F.col("node"), "inner"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc(length_col), F.asc(id_col)
+    )
+    reps = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("label", F.col(id_col).alias("_rep_id"))
+    )
+    lab = df.select(id_col).join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+    )
+    return (
+        lab.join(F.broadcast(sizes), "label", "left")
+        .join(F.broadcast(reps), "label", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (F.col("label").isNull() | (F.col(id_col) == F.col("_rep_id")))
+            .alias("kept"),
+        )
+    )

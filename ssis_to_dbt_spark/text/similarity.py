@@ -540,6 +540,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties -> lowest
     cell id).  Centroids are embedded as LITERAL arrays, so assignment is a
@@ -551,13 +552,17 @@ def ivf_assign(
     argmax fold (interpreted HOF lambdas would otherwise re-evaluate every
     dot product per comparison).
 
+    ``sim_col`` additionally keeps the winning cosine (used by the k-means
+    entry to report the final assignment quality without a second pass).
+
     An empty centroid list (only possible when the corpus that trained it
     was empty) assigns the typed sentinel cell -1 to the zero input rows —
     the argmax over an empty struct array would otherwise be VOID-typed and
     fail analysis downstream.
     """
     if not centroids:
-        return df.withColumn(cell_col, F.lit(-1).cast("int"))
+        out = df.withColumn(cell_col, F.lit(-1).cast("int"))
+        return out.withColumn(sim_col, F.lit(0.0)) if sim_col else out
     v = _as_double(F.col(vec_col))
     df = df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
     sim_cols = []
@@ -588,7 +593,63 @@ def ivf_assign(
         )
     )
     out = df.withColumn(cell_col, -best.getField("nc"))
+    if sim_col:
+        out = out.withColumn(sim_col, best.getField("s"))
     return out.drop("_v", "_norm", *[f"_sim{cid}" for cid, _ in centroids])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means over the embedding column, composed from the engine's
+    own pieces: init = the ``k`` lowest-id embeddings (:func:`ivf_centroids`
+    — deterministic, model-free), then each round is a map-only
+    nearest-centroid assignment against LITERAL centroids
+    (:func:`ivf_assign`, no shuffle of the corpus) followed by a
+    per-(cell, dim) decimal-summed mean — the :func:`label_centroids`
+    discipline, order-independent under any partitioning.
+
+    The only driver traffic per round is the k x dims rounded-mean table
+    (model-sized, the same contract as the BPE per-round argmax); the
+    corpus itself never leaves the cluster.  Means are ``round(·,
+    round_digits)``-quantized before becoming the next round's literals, so
+    the whole training run is portable across engines and an unrolled SQL
+    oracle reproduces it bit-for-bit.  A cell that loses all members keeps
+    its previous centroid.
+
+    Returns the trained ``[(cell, centroid_vector), ...]`` — feed it to
+    :func:`ivf_assign` for the final labeling, or to :func:`ivf_topk` as a
+    data-adapted coarse quantizer (the real-deployment replacement for the
+    id-seeded ``ivf_centroids``).
+    """
+    cents = ivf_centroids(df, k, id_col, vec_col)
+    for _ in range(rounds):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        x = assigned.select(
+            F.col("cell"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "_x"),
+        )
+        cell = x.groupBy("cell", "dim").agg(
+            F.sum(F.col("_x").cast("decimal(38,18)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        rows = cell.select(
+            "cell",
+            "dim",
+            F.round(
+                F.col("_s").cast("double") / F.col("_n"), round_digits
+            ).alias("m"),
+        ).collect()
+        new = {cid: list(vec) for cid, vec in cents}
+        for r in rows:
+            new[r["cell"]][r["dim"]] = float(r["m"])
+        cents = [(cid, new[cid]) for cid, _ in cents]
+    return cents
 
 
 def ivf_topk(
@@ -698,23 +759,43 @@ def prototype_assign(
     centroid (a model-sized dict label -> vector, e.g. collected from
     :func:`label_centroids`), argmax with smallest-label tie-break —
     map-only, zero per-row hashing, the same literal-array discipline as
-    the IVF/LSH paths.  Returns (id, pred_label, cosine)."""
+    the IVF/LSH paths.  Returns (id, pred_label, cosine).
+
+    Each class cosine is projected ONCE as a real column, then the argmax
+    is a single max-of-structs over (cosine, -label) — field-by-field
+    struct comparison keeps the plan LINEAR in the class count and breaks
+    exact ties toward the smaller label.  (A chained
+    ``when(c > best, ...)`` fold would embed the running best twice per
+    class — an exponentially-growing expression tree that stalls codegen
+    and exhausts driver heap beyond ~8 classes.)"""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     v = _as_double(F.col(vec_col))
-    best_lab, best_cos = None, None
-    for lab in sorted(centroids):
-        c = cosine_similarity(v, _query_literal(centroids[lab]))
-        if best_lab is None:
-            best_lab, best_cos = F.lit(lab), c
-        else:
-            better = c > best_cos  # strict: ties keep the smaller label
-            best_lab = F.when(better, F.lit(lab)).otherwise(best_lab)
-            best_cos = F.when(better, c).otherwise(best_cos)
-    return df.select(
+    labs = sorted(centroids)
+    staged = df.select(
+        "*",
+        *[
+            cosine_similarity(v, _query_literal(centroids[lab])).alias(
+                f"_pcos{i}"
+            )
+            for i, lab in enumerate(labs)
+        ],
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_pcos{i}").alias("c"),
+                    F.lit(-lab).alias("nl"),
+                )
+                for i, lab in enumerate(labs)
+            ]
+        )
+    )
+    return staged.select(
         F.col(id_col),
-        best_lab.alias("pred_label"),
-        best_cos.alias("cosine"),
+        (-best.getField("nl")).alias("pred_label"),
+        best.getField("c").alias("cosine"),
     )
 
 

@@ -1771,3 +1771,51 @@ class TestQuantileBuckets:
         df = spark.createDataFrame([(1, 1.0)], "id int, score double")
         with _pt.raises(ValueError):
             quantile_buckets(df, "score", 1)
+
+
+class TestTemperatureMixture:
+    def test_flattens_dominant_group(self, spark):
+        rows = [(i, "big") for i in range(400)] + [
+            (i, "small") for i in range(400, 425)
+        ]
+        df = spark.createDataFrame(rows, "k int, g string")
+
+        from ssis_to_dbt_spark.operators.sampling import temperature_mixture
+
+        out = temperature_mixture(df, "g", "k")
+        by_g = {
+            r["g"]: r["n"]
+            for r in out.groupBy("g").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        # weights: floor(sqrt(400))=20, floor(sqrt(25))=5 -> 4:1 target vs
+        # the raw 16:1 — the dominant group must be flattened toward it
+        assert set(by_g) == {"big", "small"}, "every group stays represented"
+        raw_ratio = 400 / 25
+        kept_ratio = by_g["big"] / by_g["small"]
+        assert kept_ratio < raw_ratio / 2
+        # never upsample: kept <= group size
+        assert by_g["big"] <= 400 and by_g["small"] <= 25
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+        df = spark.createDataFrame(rows, "k int, g string")
+
+        from ssis_to_dbt_spark.operators.sampling import temperature_mixture
+
+        first = sorted(r["k"] for r in temperature_mixture(df, "g", "k").collect())
+        second = sorted(
+            r["k"]
+            for r in temperature_mixture(df.repartition(7), "g", "k").collect()
+        )
+        assert first == second  # content-addressed membership
+
+    def test_membership_is_subset(self, spark):
+        rows = [(i, "x") for i in range(50)]
+        df = spark.createDataFrame(rows, "k int, g string")
+
+        from ssis_to_dbt_spark.operators.sampling import temperature_mixture
+
+        kept = {r["k"] for r in temperature_mixture(df, "g", "k").collect()}
+        assert kept <= set(range(50))

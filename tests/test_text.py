@@ -1238,3 +1238,169 @@ class TestLabelPrototypes:
         a = sorted(map(tuple, label_centroids(df).collect()))
         b = sorted(map(tuple, label_centroids(df.repartition(13)).collect()))
         assert a == b  # decimal sums: bit-equal at any partitioning
+
+
+class TestCharEntropy:
+    @staticmethod
+    def _units(m: int) -> int:
+        import math
+        from decimal import Decimal
+
+        if m <= 0:
+            return 0
+        return int(Decimal(str(round(math.log(m), 6))) * 1_000_000)
+
+    def test_known_distribution(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aabb"), (2, "aaaa"), (3, ""), (4, None), (5, "abc")],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", char_entropy(F.col("text")).alias("e")
+            ).collect()
+        }
+        u = self._units
+        # aabb: n=4, two runs of 2 -> 4*L(4) - 2*(2*L(2))
+        assert out[1]["e"]["n_chars"] == 4
+        assert out[1]["e"]["n_distinct"] == 2
+        assert out[1]["e"]["entropy_units"] == 4 * u(4) - 2 * (2 * u(2))
+        # uniform single char: entropy exactly 0
+        assert out[2]["e"]["entropy_units"] == 4 * u(4) - 4 * u(4) == 0
+        assert out[2]["e"]["n_distinct"] == 1
+        # empty and NULL quarantine to the zero struct
+        for d in (3, 4):
+            assert tuple(out[d]["e"]) == (0, 0, 0)
+        # all-distinct: n*L(n) - 0 (each k=1, L(1)=0)
+        assert out[5]["e"]["entropy_units"] == 3 * u(3)
+        assert out[5]["e"]["n_distinct"] == 3
+
+    def test_order_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "mississippi"), (2, "ipssissimpi")],  # same multiset
+            "doc_id int, text string",
+        )
+        rows = df.select(char_entropy(F.col("text")).alias("e")).collect()
+        assert rows[0]["e"] == rows[1]["e"]
+
+
+class TestKmeansFit:
+    def test_two_planted_clusters(self, spark):
+        from ssis_to_dbt_spark.text.similarity import ivf_assign, kmeans_fit
+
+        # ids 0..3: near +x; ids 4..7: near +y.  Init = 2 lowest ids, both
+        # from the x-cluster, so convergence genuinely has to move one
+        # centroid across to the y-cluster.
+        rows = [(i, [1.0, 0.05 * i]) for i in range(4)] + [
+            (i, [0.05 * (i - 4), 1.0]) for i in range(4, 8)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        cents = kmeans_fit(df, k=2, rounds=3)
+        assigned = {
+            r["vec_id"]: r["cell"]
+            for r in ivf_assign(df, cents).collect()
+        }
+        xs = {assigned[i] for i in range(4)}
+        ys = {assigned[i] for i in range(4, 8)}
+        assert len(xs) == 1 and len(ys) == 1 and xs != ys
+
+    def test_partition_invariant(self, spark):
+        import random
+
+        from ssis_to_dbt_spark.text.similarity import kmeans_fit
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        a = kmeans_fit(df, k=3, rounds=2)
+        b = kmeans_fit(df.repartition(7), k=3, rounds=2)
+        assert a == b  # decimal sums + round-6 quantization: bit-identical
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from ssis_to_dbt_spark.text.similarity import kmeans_fit
+
+        # both points identical: one centroid captures everything, the
+        # other keeps its init vector instead of going NULL
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+            "vec_id int, embedding array<float>",
+        )
+        cents = dict(kmeans_fit(df, k=2, rounds=2))
+        assert cents[0] == [1.0, 0.0]
+        assert cents[1] == [1.0, 0.0]  # init was doc 1's vector; unchanged
+
+
+class TestPruneClusters:
+    def test_keep_longest_policy(self, spark):
+        from ssis_to_dbt_spark.text.dedup import prune_clusters
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (4, 5)],
+            "doc_id int, n_chars int",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a int, doc_b int"
+        )
+        out = {r["doc_id"]: r for r in prune_clusters(docs, pairs).collect()}
+        # cluster {1,2,3}: doc 2 is longest -> kept; 1 and 3 dropped
+        assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
+        assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+        assert {out[i]["cluster_size"] for i in (1, 2, 3)} == {3}
+        # singleton passes through kept, own id, size 1
+        assert out[4]["kept"] and out[4]["cluster_id"] == 4
+        assert out[4]["cluster_size"] == 1
+
+    def test_length_tie_breaks_to_lowest_id(self, spark):
+        from ssis_to_dbt_spark.text.dedup import prune_clusters
+
+        docs = spark.createDataFrame(
+            [(7, 10), (9, 10)], "doc_id int, n_chars int"
+        )
+        pairs = spark.createDataFrame([(7, 9)], "doc_a int, doc_b int")
+        out = {r["doc_id"]: r for r in prune_clusters(docs, pairs).collect()}
+        assert out[7]["kept"] and not out[9]["kept"]
+
+
+class TestPrototypeAssignScaling:
+    def test_many_labels_linear_plan(self, spark):
+        """20 labels must stay fast: the argmax is max-of-structs, not a
+        when-chain (which would be a 2^20-node expression tree)."""
+        import random
+        import time
+
+        from ssis_to_dbt_spark.text.similarity import prototype_assign
+
+        rng = random.Random(3)
+        protos = {
+            lab: [rng.uniform(-1, 1) for _ in range(16)] for lab in range(20)
+        }
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        t0 = time.time()
+        out = prototype_assign(df, protos).collect()
+        assert time.time() - t0 < 60
+        assert len(out) == 50
+        assert all(0 <= r["pred_label"] < 20 for r in out)
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from ssis_to_dbt_spark.text.similarity import prototype_assign
+
+        protos = {5: [1.0, 0.0], 9: [1.0, 0.0]}  # identical centroids
+        df = spark.createDataFrame(
+            [(0, [0.5, 0.0])], "vec_id int, embedding array<float>"
+        )
+        [r] = prototype_assign(df, protos).collect()
+        assert r["pred_label"] == 5
