@@ -74,6 +74,10 @@ HEADLINE = [
     "corpus_dedup_lines",
     "label_prototypes",
     "ccnet_buckets_docs",
+    "kmeans_embeddings",
+    "neardup_prune_docs",
+    "char_entropy_docs",
+    "temperature_mixture_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

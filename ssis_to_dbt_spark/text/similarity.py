@@ -823,6 +823,12 @@ def hard_negatives(
     evaluates twice for surviving rows (condition + projection) — accepted:
     survivors are k-per-query few, and blocking the pushdown would cost a
     materialization barrier on the corpus-sized side.
+
+    Both L2 norms are staged as per-ROW columns below the join (a join is a
+    CollapseProject barrier, so each norm fold runs once per row, not once
+    per pair) — the per-pair work is just the dot product.  The arithmetic
+    (``dot / (norm_c * norm_q)``, same operation order) is bit-identical to
+    :func:`cosine_similarity`; only the evaluation count changes.
     Returns (q_id, vec_id, cosine, rank)."""
     if queries is None:
         queries = df
@@ -830,10 +836,11 @@ def hard_negatives(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("_qv"),
         F.col(label_col).alias("_qlabel"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     c = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"), F.col(label_col)
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    denom = F.col("_cn") * F.col("_qn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(
@@ -843,7 +850,12 @@ def hard_negatives(
         .select(
             "q_id",
             id_col,
-            cosine_similarity(F.col("_cv"), F.col("_qv")).alias("cosine"),
+            F.when(
+                denom > 0,
+                dot_product(F.col("_cv"), F.col("_qv")) / denom,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
         )
         .filter(F.col("cosine") < dup_threshold)
     )
