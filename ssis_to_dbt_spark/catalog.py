@@ -964,7 +964,12 @@ def q_minhash_pairs_md5(spark, sf_dir):
         F.col("split_a").alias("s1"),
         F.col("split_b").alias("s2"),
     )
-    pr = q_neardup_prune_docs(spark, sf_dir).select(
+    # prune + leakage-safe split both derive from the SAME pruned frame:
+    # connected_components localCheckpoints during build, so the second
+    # component reuses the materialized component table instead of
+    # re-running label propagation.
+    pruned = q_neardup_prune_docs(spark, sf_dir)
+    pr = pruned.select(
         F.lit("prune").alias("component"),
         F.col("doc_id").alias("doc_a"),
         F.col("cluster_id").alias("doc_b"),
@@ -972,7 +977,15 @@ def q_minhash_pairs_md5(spark, sf_dir):
         F.col("kept").cast("string").alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([cand, lk, pr])
+    ss = _cluster_split(pruned).select(
+        F.lit("safe_split").alias("component"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("cluster_id").alias("doc_b"),
+        _nul("double").alias("v1"),
+        F.col("split").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([cand, lk, pr, ss])
 
 
 # Shared pair-generation CTE text: SQL_MINHASH_MD5 and SQL_NEARDUP_CLUSTERS
@@ -7229,6 +7242,49 @@ LEFT JOIN reps r ON r.canonical_id = c.canonical_id
 """
 
 
+def _cluster_split(pruned):
+    """Leakage-safe split columns from a prune_clusters frame: the split key
+    is the CLUSTER id, so every member of a near-dup cluster lands in the
+    same side by construction."""
+    from .operators.sampling import hash_split
+
+    return hash_split(pruned, "cluster_id", test_pct=10)
+
+
+def q_cluster_split_docs(spark, sf_dir):
+    """Leakage-safe train/test split — the PREVENTION twin of the
+    `split_leakage_docs` audit: near-dup clusters (minhash-LSH pairs →
+    connected components, singletons = their own cluster) are split by
+    md5(cluster_id), so no candidate pair can ever cross the split.  Same
+    256-bucket hash_split arithmetic as the per-doc split; only the key
+    changes (doc_id → cluster_id).  Scale shape inherits prune_clusters:
+    the component table broadcasts, the corpus never re-shuffles, and the
+    split itself is a map-side hash compare."""
+    from .text.dedup import prune_clusters
+
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    pruned = prune_clusters(docs, pairs)
+    return _cluster_split(pruned).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("split"),
+    )
+
+
+SQL_CLUSTER_SPLIT = f"""
+WITH RECURSIVE {_MINHASH_MD5_CTES},
+{_NEARDUP_COMP_CTES}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.canonical_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN substr(md5(CAST(coalesce(c.canonical_id, d.doc_id)
+                               AS VARCHAR)), 1, 2) < '19'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 def q_char_entropy_docs(spark, sf_dir):
     """Per-doc Shannon character entropy in exact integer micro-units (the
     surprisal quantization discipline) — map-only, no shuffle."""
@@ -7324,6 +7380,10 @@ SQL_MINHASH_MD5_SUITE += f"""UNION ALL
 SELECT 'prune', doc_id, cluster_id, CAST(cluster_size AS DOUBLE),
        CAST(kept AS VARCHAR), CAST(NULL AS VARCHAR)
 FROM ({SQL_NEARDUP_PRUNE}) _pr
+UNION ALL
+SELECT 'safe_split', doc_id, cluster_id, CAST(NULL AS DOUBLE),
+       split, CAST(NULL AS VARCHAR)
+FROM ({SQL_CLUSTER_SPLIT}) _ss
 """
 
 SQL_TEXT_ANALYSIS = f"""
@@ -7468,6 +7528,7 @@ ALL_QUERIES = {
     "agg_daily_rollup": q_agg_daily_rollup,
     "kmeans_embeddings": q_kmeans_embeddings,
     "neardup_prune_docs": q_neardup_prune_docs,
+    "cluster_split_docs": q_cluster_split_docs,
     "char_entropy_docs": q_char_entropy_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
     # merged driver-window suites
@@ -7621,6 +7682,7 @@ ALL_ORACLES = {
     "agg_daily_rollup": SQL_AGG_DAILY_ROLLUP,
     "kmeans_embeddings": SQL_KMEANS,
     "neardup_prune_docs": SQL_NEARDUP_PRUNE,
+    "cluster_split_docs": SQL_CLUSTER_SPLIT,
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "roundtrip_compact": SQL_RT_COMPACT,

@@ -1404,3 +1404,45 @@ class TestPrototypeAssignScaling:
         )
         [r] = prototype_assign(df, protos).collect()
         assert r["pred_label"] == 5
+
+
+class TestClusterSafeSplit:
+    def test_no_pair_crosses_the_split(self, spark):
+        """The invariant the operator exists for: a near-dup candidate pair
+        can never straddle train/test, because the split key is the
+        cluster id."""
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.operators.sampling import hash_split
+        from ssis_to_dbt_spark.text.dedup import prune_clusters
+
+        docs = spark.createDataFrame(
+            [(i, 10 + i) for i in range(40)], "doc_id int, n_chars int"
+        )
+        # chains of 4: {0..3}, {4..7}, ... — multi-hop so transitivity matters
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40) if i % 4 != 3],
+            "doc_a int, doc_b int",
+        )
+        split = hash_split(prune_clusters(docs, pairs), "cluster_id")
+        a = split.select(F.col("doc_id").alias("doc_a"),
+                         F.col("split").alias("split_a"))
+        b = split.select(F.col("doc_id").alias("doc_b"),
+                         F.col("split").alias("split_b"))
+        crossing = (
+            pairs.join(a, "doc_a").join(b, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+        )
+        assert crossing.count() == 0
+        # split matches the reference md5 arithmetic exactly, per doc
+        import hashlib
+
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in split.collect()
+        }
+        for doc in range(40):
+            cid = (doc // 4) * 4  # min id of the chain-of-4 component
+            h = hashlib.md5(str(cid).encode()).hexdigest()[:2]
+            want = "test" if h < "19" else "train"
+            assert got[doc] == (cid, want)
