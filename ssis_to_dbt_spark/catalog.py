@@ -6375,7 +6375,16 @@ def q_pii_tfidf_docs(spark, sf_dir):
         F.col("ratio_r").cast("double").alias("v"),
         _nul("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur, cc])
+    ml = q_mixed_lang_docs(spark, sf_dir).select(
+        F.lit("mixed_lang").alias("component"),
+        F.col("doc_id"),
+        F.col("major_lang").cast("string").alias("s1"),
+        F.col("n_lines").cast("long").alias("n1"),
+        F.col("major_n").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("n_langs").cast("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur, cc, ml])
 
 
 SQL_PII_TFIDF = f"""
@@ -7242,6 +7251,73 @@ LEFT JOIN reps r ON r.canonical_id = c.canonical_id
 """
 
 
+def q_mixed_lang_docs(spark, sf_dir):
+    """Per-line language profile — the mixed-language / code-switch gate:
+    modal line language (ties to marker order, like language_id), its line
+    count, total non-empty lines, and distinct line languages.  Map-only
+    and shuffle-free: the language set is a compile-time constant, so the
+    per-language line counts fold inside one projection."""
+    from .text.analysis import line_language_profile
+
+    docs = _t(spark, sf_dir)["documents"]
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        line_language_profile(F.col("text")).alias("_p"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_p").getField("n_lines").alias("n_lines"),
+        F.col("_p").getField("major_lang").alias("major_lang"),
+        F.col("_p").getField("major_n").alias("major_n"),
+        F.col("_p").getField("n_langs").alias("n_langs"),
+    )
+
+
+SQL_MIXED_LANG = r"""
+WITH l0 AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''),
+sc AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(line), '\b(the|and|of|to|is|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(line), '\b(der|die|und|das|ist|nicht)\b')) AS s_de,
+    len(regexp_extract_all(lower(line), '\b(le|la|et|les|des|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(line), '\b(el|los|las|es|una|y)\b')) AS s_es
+  FROM l0),
+ll AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS lang
+  FROM sc),
+cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM ll GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang, c FROM (
+    SELECT doc_id, lang, c,
+           row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY c DESC,
+                      CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                                WHEN 'fr' THEN 2 WHEN 'es' THEN 3
+                                ELSE 4 END) AS rn
+    FROM cnt) WHERE rn = 1),
+tot AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_langs
+        FROM cnt GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(t.n_lines, 0) AS INTEGER) AS n_lines,
+       coalesce(b.lang, 'und') AS major_lang,
+       CAST(coalesce(b.c, 0) AS INTEGER) AS major_n,
+       CAST(coalesce(t.n_langs, 0) AS INTEGER) AS n_langs
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+"""
+
+
 def _cluster_split(pruned):
     """Leakage-safe split columns from a prune_clusters frame: the split key
     is the CLUSTER id, so every member of a near-dup cluster lands in the
@@ -7392,6 +7468,12 @@ FROM ({SQL_TEXT_ANALYSIS}) ta
 JOIN ({SQL_CHAR_ENTROPY}) ce USING (doc_id)
 """
 
+SQL_PII_TFIDF += f"""UNION ALL
+SELECT 'mixed_lang', doc_id, major_lang, CAST(n_lines AS BIGINT),
+       CAST(major_n AS BIGINT), {_NULL_DOUBLE}, CAST(n_langs AS INTEGER)
+FROM ({SQL_MIXED_LANG}) _ml
+"""
+
 
 # ---------------------------------------------------------------------------
 # Registry.
@@ -7529,6 +7611,7 @@ ALL_QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "neardup_prune_docs": q_neardup_prune_docs,
     "cluster_split_docs": q_cluster_split_docs,
+    "mixed_lang_docs": q_mixed_lang_docs,
     "char_entropy_docs": q_char_entropy_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
     # merged driver-window suites
@@ -7683,6 +7766,7 @@ ALL_ORACLES = {
     "kmeans_embeddings": SQL_KMEANS,
     "neardup_prune_docs": SQL_NEARDUP_PRUNE,
     "cluster_split_docs": SQL_CLUSTER_SPLIT,
+    "mixed_lang_docs": SQL_MIXED_LANG,
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "roundtrip_compact": SQL_RT_COMPACT,

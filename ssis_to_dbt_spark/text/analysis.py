@@ -396,6 +396,80 @@ def _dup_run_chars(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, zero, step).getField("dup")
 
 
+def line_language_profile(text: Column) -> Column:
+    """Per-LINE language profile — the mixed-language / code-switch gate
+    (multilingual crawls routinely interleave boilerplate in one language
+    with body text in another; doc-level language ID alone cannot see it).
+
+    Each non-empty trimmed line is language-ID'd with the same marker
+    argmax as :func:`language_id`, then the profile reduces over the FIXED
+    language set (marker languages + 'und'), entirely inside expressions:
+    ``struct(n_lines, major_lang, major_n, n_langs)`` where ``major_lang``
+    is the modal line language (ties to the earliest language in marker
+    order, matching :func:`language_id`) and ``n_langs`` counts distinct
+    line languages observed.  Zero non-empty lines (empty/NULL text) yields
+    the typed ``(0, 'und', 0, 0)`` row.
+
+    Map-only and shuffle-FREE at any corpus size: because the language set
+    is a compile-time constant, per-language line counts are ``size(filter
+    (line_langs, = lang))`` over a let-bound langs array — no explode, no
+    (doc, lang) aggregation.  Cost is linear in line count with the
+    regexp-marker floor per line.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)
+        ),
+        lambda l: l != "",
+    )
+    langs = list(_LANG_MARKERS) + ["und"]
+
+    def profile(ls: Column) -> Column:
+        n = F.size(ls)
+
+        def _is(lang: str):
+            # NOT `lambda x, lang=lang`: pyspark reads a 2-arg HOF lambda
+            # as (element, index) and would bind the index to `lang`
+            return lambda x: x == lang
+
+        counts = [F.size(F.filter(ls, _is(lang))) for lang in langs]
+
+        def with_counts(carr: Column) -> Column:
+            best = F.array_max(
+                F.array(
+                    *[
+                        F.struct(
+                            F.element_at(carr, i + 1).alias("c"),
+                            F.lit(-i).alias("ni"),
+                        )
+                        for i in range(len(langs))
+                    ]
+                )
+            )
+            lang_arr = F.array(*[F.lit(x) for x in langs])
+            n_langs = F.size(F.filter(carr, lambda c: c > 0))
+            return F.struct(
+                n.cast("int").alias("n_lines"),
+                F.element_at(
+                    lang_arr, (-best.getField("ni") + 1).cast("int")
+                ).alias("major_lang"),
+                best.getField("c").cast("int").alias("major_n"),
+                n_langs.cast("int").alias("n_langs"),
+            )
+
+        return F.when(
+            n == 0,
+            F.struct(
+                F.lit(0).alias("n_lines"),
+                F.lit("und").alias("major_lang"),
+                F.lit(0).alias("major_n"),
+                F.lit(0).alias("n_langs"),
+            ),
+        ).otherwise(_let(F.array(*counts), with_counts))
+
+    return _let(F.transform(lines, lambda l: language_id(l)), profile)
+
+
 def gopher_signals(
     df: DataFrame,
     text_col: str = "text",

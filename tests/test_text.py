@@ -1446,3 +1446,48 @@ class TestClusterSafeSplit:
             h = hashlib.md5(str(cid).encode()).hexdigest()[:2]
             want = "test" if h < "19" else "train"
             assert got[doc] == (cid, want)
+
+
+class TestLineLanguageProfile:
+    def test_mixed_document(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import line_language_profile
+
+        text = "\n".join(
+            [
+                "the cat and the dog is a pet",      # en
+                "der hund ist nicht das problem",    # de
+                "the sun and the moon of the sky",   # en
+                "",                                   # dropped (empty)
+                "   ",                                # dropped (blank)
+                "xyzzy 12345",                        # und (no markers)
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, text), (2, "le chat et la maison"), (3, ""), (4, None)],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc_id"]: tuple(r["p"])
+            for r in df.select(
+                "doc_id", line_language_profile(F.col("text")).alias("p")
+            ).collect()
+        }
+        # doc 1: 4 non-empty lines, majority en (2), langs {en, de, und} = 3
+        assert out[1] == (4, "en", 2, 3)
+        assert out[2] == (1, "fr", 1, 1)
+        # empty and NULL quarantine to the typed zero profile
+        assert out[3] == (0, "und", 0, 0)
+        assert out[4] == (0, "und", 0, 0)
+
+    def test_tie_breaks_in_marker_order(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import line_language_profile
+
+        # one en line, one de line: tie -> en (earlier in marker order)
+        text = "the cat and the dog\nder hund ist nicht da"
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        [r] = df.select(line_language_profile(F.col("text")).alias("p")).collect()
+        assert r["p"]["major_lang"] == "en" and r["p"]["major_n"] == 1
