@@ -985,7 +985,15 @@ def q_minhash_pairs_md5(spark, sf_dir):
         F.col("split").alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([cand, lk, pr, ss])
+    xd = q_cross_dedup_docs(spark, sf_dir).select(
+        F.lit("cross").alias("component"),
+        F.col("new_id").alias("doc_a"),
+        F.col("corpus_id").alias("doc_b"),
+        F.col("est_jaccard").alias("v1"),
+        _nul("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([cand, lk, pr, ss, xd])
 
 
 # Shared pair-generation CTE text: SQL_MINHASH_MD5 and SQL_NEARDUP_CLUSTERS
@@ -7251,6 +7259,41 @@ LEFT JOIN reps r ON r.canonical_id = c.canonical_id
 """
 
 
+def q_cross_dedup_docs(spark, sf_dir):
+    """Incremental ingestion dedup: candidate pairs between a NEW batch
+    (doc_id % 5 = 0 — a fifth of the corpus standing in for today's crawl)
+    and the existing corpus, never within either side.  At 100 TB the
+    corpus band table persists bucketed and the batch side broadcasts —
+    see cross_corpus_candidates."""
+    from .text.dedup import cross_corpus_candidates
+
+    docs = _t(spark, sf_dir)["documents"]
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return cross_corpus_candidates(new, corpus).select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("est_jaccard").cast("double").alias("est_jaccard"),
+    )
+
+
+SQL_CROSS_DEDUP = f"""
+WITH RECURSIVE {_MINHASH_MD5_CTES},
+bn AS (SELECT doc_id, band_idx, band_hash FROM band WHERE doc_id % 5 = 0),
+bc AS (SELECT doc_id, band_idx, band_hash FROM band WHERE doc_id % 5 <> 0),
+cp AS (SELECT DISTINCT bn.doc_id AS new_id, bc.doc_id AS corpus_id
+       FROM bn JOIN bc USING (band_idx, band_hash))
+SELECT CAST(cp.new_id AS BIGINT) AS new_id,
+       CAST(cp.corpus_id AS BIGINT) AS corpus_id,
+       CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8
+         AS est_jaccard
+FROM cp
+JOIN sig s1 ON s1.doc_id = cp.new_id
+JOIN sig s2 ON s2.doc_id = cp.corpus_id AND s2.perm = s1.perm
+GROUP BY cp.new_id, cp.corpus_id
+"""
+
+
 def q_mixed_lang_docs(spark, sf_dir):
     """Per-line language profile — the mixed-language / code-switch gate:
     modal line language (ties to marker order, like language_id), its line
@@ -7460,6 +7503,10 @@ UNION ALL
 SELECT 'safe_split', doc_id, cluster_id, CAST(NULL AS DOUBLE),
        split, CAST(NULL AS VARCHAR)
 FROM ({SQL_CLUSTER_SPLIT}) _ss
+UNION ALL
+SELECT 'cross', new_id, corpus_id, est_jaccard,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({SQL_CROSS_DEDUP}) _xd
 """
 
 SQL_TEXT_ANALYSIS = f"""
@@ -7612,6 +7659,7 @@ ALL_QUERIES = {
     "neardup_prune_docs": q_neardup_prune_docs,
     "cluster_split_docs": q_cluster_split_docs,
     "mixed_lang_docs": q_mixed_lang_docs,
+    "cross_dedup_docs": q_cross_dedup_docs,
     "char_entropy_docs": q_char_entropy_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
     # merged driver-window suites
@@ -7767,6 +7815,7 @@ ALL_ORACLES = {
     "neardup_prune_docs": SQL_NEARDUP_PRUNE,
     "cluster_split_docs": SQL_CLUSTER_SPLIT,
     "mixed_lang_docs": SQL_MIXED_LANG,
+    "cross_dedup_docs": SQL_CROSS_DEDUP,
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "roundtrip_compact": SQL_RT_COMPACT,

@@ -1131,3 +1131,87 @@ def prune_clusters(
             .alias("kept"),
         )
     )
+
+
+def cross_corpus_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Incremental ingestion dedup: minhash-LSH candidate pairs BETWEEN a
+    new batch and an existing corpus — never within either side.  This is
+    the 100 TB shape for continuous crawling: the corpus side is banded
+    once (persist the band table bucketed by (band_idx, band_hash) and it
+    never re-scans text); each incoming batch bands only itself, and since
+    a batch is tiny relative to the corpus its band table broadcasts — the
+    corpus-sided join is then map-side with zero corpus shuffle.
+
+    Same portable md5 signature/banding as :func:`minhash_candidates_md5`
+    (band buckets capped per side via :func:`_cap_band_members`), ids-only
+    band join, signatures re-attached once per deduped pair.  Returns
+    ``(new_id, corpus_id, est_jaccard)`` — directed, new side first.
+    """
+    rows = num_hashes // bands
+
+    def banded_sigs(df):
+        sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
+        banded = sigs.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.slice("minhash", b * rows + 1, rows)
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        ).select(id_col, "band.band_idx", "band.band_hash")
+        return sigs, _cap_band_members(
+            banded, id_col, ["band_idx", "band_hash"], max_bucket_size
+        )
+
+    sig_new, band_new = banded_sigs(new_df)
+    sig_corpus, band_corpus = banded_sigs(corpus_df)
+    pairs = (
+        band_new.select(
+            "band_idx", "band_hash", F.col(id_col).alias("new_id")
+        )
+        .join(
+            band_corpus.select(
+                "band_idx", "band_hash", F.col(id_col).alias("corpus_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = sig_new.select(
+        F.col(id_col).alias("new_id"), F.col("minhash").alias("sig_a")
+    )
+    sb = sig_corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col("minhash").alias("sig_b")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda m: m
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select("new_id", "corpus_id", est.alias("est_jaccard"))
+    )

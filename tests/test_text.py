@@ -1491,3 +1491,37 @@ class TestLineLanguageProfile:
         df = spark.createDataFrame([(1, text)], "doc_id int, text string")
         [r] = df.select(line_language_profile(F.col("text")).alias("p")).collect()
         assert r["p"]["major_lang"] == "en" and r["p"]["major_n"] == 1
+
+
+class TestCrossCorpusCandidates:
+    def test_only_cross_pairs_and_directed(self, spark):
+        from ssis_to_dbt_spark.text.dedup import cross_corpus_candidates
+
+        dup = "the quick brown fox jumps over the lazy dog again and again"
+        rows_new = [(1, dup), (2, "completely unrelated new text here")]
+        rows_corpus = [
+            (10, dup),                                  # near-dup of new 1
+            (11, dup + " extra"),                       # still similar
+            (12, "another unrelated corpus document"),
+            (13, "another unrelated corpus document"),  # dup WITHIN corpus
+        ]
+        new = spark.createDataFrame(rows_new, "doc_id int, text string")
+        corpus = spark.createDataFrame(rows_corpus, "doc_id int, text string")
+        out = cross_corpus_candidates(new, corpus).collect()
+        got = {(r["new_id"], r["corpus_id"]) for r in out}
+        # the planted cross dup is found; est on the exact copy is 1.0
+        assert (1, 10) in got
+        est = {(r["new_id"], r["corpus_id"]): r["est_jaccard"] for r in out}
+        assert est[(1, 10)] == 1.0
+        # within-corpus dup (12, 13) must NOT appear — only cross pairs
+        assert all(n in (1, 2) for n, _ in got)
+        assert all(c >= 10 for _, c in got)
+
+    def test_empty_batch_yields_nothing(self, spark):
+        from ssis_to_dbt_spark.text.dedup import cross_corpus_candidates
+
+        corpus = spark.createDataFrame(
+            [(10, "some corpus text that exists")], "doc_id int, text string"
+        )
+        new = corpus.filter("doc_id < 0")
+        assert cross_corpus_candidates(new, corpus).count() == 0
