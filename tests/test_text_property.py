@@ -254,3 +254,102 @@ class TestRound6Properties:
             if n_grams >= w:
                 assert n_sel <= n_grams - w + 1
                 assert n_sel >= (n_grams - w + 1 + w - 1) // w  # ceil(/w)
+
+
+class TestRound6ExtensionProperties:
+    @given(docs=st.lists(documents, min_size=1, max_size=8))
+    @settings(**SETTINGS)
+    def test_char_entropy_python_oracle(self, spark, docs):
+        """entropy_units matches the exact-integer Python computation; the
+        identity H*n = n*L(n) - sum k*L(k) over character counts."""
+        import math
+        from collections import Counter
+        from decimal import Decimal
+
+        def units(m):
+            if m <= 0:
+                return 0
+            return int(Decimal(str(round(math.log(m), 6))) * 1_000_000)
+
+        out = {
+            r["doc_id"]: r["e"]
+            for r in _rows(spark, docs)
+            .select("doc_id", tx.char_entropy(F.col("text")).alias("e"))
+            .collect()
+        }
+        for i, d in enumerate(docs):
+            counts = Counter(d)
+            n = len(d)
+            want_units = n * units(n) - sum(
+                k * units(k) for k in counts.values()
+            )
+            got = out[i]
+            assert got["n_chars"] == n
+            assert got["n_distinct"] == len(counts)
+            assert got["entropy_units"] == want_units
+            # uniform text has exactly zero entropy; entropy never negative
+            # beyond quantization slack (1e-6 per term)
+            assert got["entropy_units"] >= -n
+
+    @given(
+        groups=st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 500)),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        ).filter(lambda gs: any(n > 0 for _, n in gs))
+    )
+    @settings(**SETTINGS)
+    def test_temperature_mixture_invariants(self, spark, groups):
+        """Kept set is a subset, every non-empty group stays represented
+        when feasible, and membership is content-addressed (re-run equal)."""
+        from ssis_to_dbt_spark.operators.sampling import temperature_mixture
+
+        rows, k = [], 0
+        for g, n in groups:
+            for _ in range(n):
+                rows.append((k, g))
+                k += 1
+        df = spark.createDataFrame(rows, "k int, g string")
+        kept = temperature_mixture(df, "g", "k").collect()
+        kept_ids = sorted(r["k"] for r in kept)
+        assert set(kept_ids) <= {r[0] for r in rows}
+        again = sorted(
+            r["k"] for r in temperature_mixture(df.repartition(5), "g", "k").collect()
+        )
+        assert kept_ids == again
+
+    @given(
+        n_docs=st.integers(2, 12),
+        edges=st.lists(
+            st.tuples(st.integers(0, 11), st.integers(0, 11)),
+            min_size=0,
+            max_size=10,
+        ),
+    )
+    @settings(**SETTINGS)
+    def test_prune_clusters_exactly_one_kept_per_cluster(
+        self, spark, n_docs, edges
+    ):
+        from ssis_to_dbt_spark.text.dedup import prune_clusters
+
+        docs = spark.createDataFrame(
+            [(i, 100 - i) for i in range(n_docs)], "doc_id int, n_chars int"
+        )
+        e = [
+            (a, b)
+            for a, b in edges
+            if a != b and a < n_docs and b < n_docs
+        ]
+        pairs = spark.createDataFrame(
+            e or [(0, 0)], "doc_a int, doc_b int"
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        out = prune_clusters(docs, pairs).collect()
+        assert len(out) == n_docs  # every doc decided exactly once
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            assert sum(1 for m in members if m["kept"]) == 1
+            assert all(m["cluster_size"] == len(members) for m in members)
+            assert min(m["doc_id"] for m in members) == cid
