@@ -5319,7 +5319,16 @@ def q_events_windows(spark, sf_dir):
         F.col("n_intervals").alias("n_events"),
         _nul("double").alias("sum_value"),
     )
-    return _union_all([tum, sli, rol, gf, f12, f3, fs, co, mi])
+    dc = q_decay_events(spark, sf_dir).select(
+        F.lit("decay").alias("component"),
+        F.col("last_ts").alias("ws"),
+        _nul("timestamp").alias("we"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("n_events").cast("int").alias("grp"),
+        F.col("score_units").alias("n_events"),
+        _nul("double").alias("sum_value"),
+    )
+    return _union_all([tum, sli, rol, gf, f12, f3, fs, co, mi, dc])
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -7259,6 +7268,43 @@ LEFT JOIN reps r ON r.canonical_id = c.canonical_id
 """
 
 
+def q_decay_events(spark, sf_dir):
+    """Exact-integer time-decayed user activity (feature-store EWMA): per
+    user, newest event full weight and each older event half, truncated at
+    the 16 newest — score_units = sum v_units[j] << (15-j), every term an
+    exact BIGINT.  One window shuffle with WindowGroupLimit pre-trim: hot
+    users cannot blow up a partition."""
+    from .operators.window import time_decay_score
+
+    e = _t(spark, sf_dir)["events"]
+    out = time_decay_score(
+        e, ["user_id"], ["ts", "event_id"], "value", depth=16
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("score_units").cast("long").alias("score_units"),
+        F.col("n_events"),
+        F.col("last_ts").cast("timestamp").alias("last_ts"),
+    )
+
+
+SQL_DECAY_EVENTS = """
+WITH r AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vu,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(vu * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT)
+         AS score_units,
+       CAST(COUNT(*) AS INTEGER) AS n_events,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM r WHERE rn <= 16
+GROUP BY user_id
+"""
+
+
 def q_cross_dedup_docs(spark, sf_dir):
     """Incremental ingestion dedup: candidate pairs between a NEW batch
     (doc_id % 5 = 0 — a fifth of the corpus standing in for today's crawl)
@@ -7521,6 +7567,12 @@ SELECT 'mixed_lang', doc_id, major_lang, CAST(n_lines AS BIGINT),
 FROM ({SQL_MIXED_LANG}) _ml
 """
 
+SQL_EVENTS_WINDOWS += f"""UNION ALL
+SELECT 'decay', last_ts, {_NULL_TS}, CAST(user_id AS VARCHAR),
+       CAST(n_events AS INTEGER), score_units, {_NULL_DOUBLE}
+FROM ({SQL_DECAY_EVENTS}) _dc
+"""
+
 
 # ---------------------------------------------------------------------------
 # Registry.
@@ -7660,6 +7712,7 @@ ALL_QUERIES = {
     "cluster_split_docs": q_cluster_split_docs,
     "mixed_lang_docs": q_mixed_lang_docs,
     "cross_dedup_docs": q_cross_dedup_docs,
+    "decay_events": q_decay_events,
     "char_entropy_docs": q_char_entropy_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
     # merged driver-window suites
@@ -7816,6 +7869,7 @@ ALL_ORACLES = {
     "cluster_split_docs": SQL_CLUSTER_SPLIT,
     "mixed_lang_docs": SQL_MIXED_LANG,
     "cross_dedup_docs": SQL_CROSS_DEDUP,
+    "decay_events": SQL_DECAY_EVENTS,
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "roundtrip_compact": SQL_RT_COMPACT,

@@ -58,6 +58,7 @@ from .window import (
     offset_compare,
     ranked,
     running_aggregate,
+    time_decay_score,
     window_spec,
 )
 from .layout import (
@@ -107,7 +108,7 @@ __all__ = [
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
     "ranked", "offset_compare", "running_aggregate", "moving_aggregate",
-    "ntile_buckets", "window_spec",
+    "ntile_buckets", "time_decay_score", "window_spec",
     "auto_skew_join", "detect_hot_keys", "salted_aggregate", "salted_join",
     "top_keys",
     "morton_interleave", "zorder_key", "zorder_prune_files", "zorder_scan",

@@ -260,3 +260,60 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def time_decay_score(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    depth: int = 16,
+    value_scale: int = 4,
+) -> DataFrame:
+    """Exact-integer time-decayed activity score (the feature-store EWMA):
+    per key, the newest event counts in full and each older event counts
+    half as much, truncated at ``depth`` events back — ``score = sum_{j<depth}
+    v_{newest-j} * 2^-j``.
+
+    Determinism discipline: values are quantized through DECIMAL(18,
+    ``value_scale``) into integer units, and the truncated closed form is
+    rescaled by ``2^(depth-1)`` so every term is an exact BIGINT —
+    ``score_units = sum v_units[j] << (depth-1-j)``, order-independent and
+    engine-portable (the surprisal/entropy units pattern; real score =
+    score_units / (10^scale * 2^(depth-1))).  An untruncated recurrence
+    would force a sequential IEEE fold no SQL oracle could reorder safely.
+
+    Plan shape: ONE window shuffle on the key; the ``row_number <= depth``
+    filter is a WindowGroupLimit, so each map task pre-trims to depth rows
+    per key before the shuffle — per-key state is bounded at any corpus
+    size and hot keys cannot blow up a partition.  Returns one row per key:
+    ``(*key_cols, score_units, n_events, last_<order_cols[0]>)``.
+    """
+    if depth < 1 or depth > 62:
+        raise ValueError("depth must be in [1, 62] to keep shifts in BIGINT")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    v_units = (
+        F.col(value_col).cast(f"decimal(18,{value_scale})")
+        * (10 ** value_scale)
+    ).cast("long")
+    ranked_df = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= depth)
+        .select(
+            *key_cols,
+            *order_cols,
+            v_units.alias("_vu"),
+            F.col("_rn"),
+        )
+    )
+    # F.shiftleft only takes a literal bit count; the per-row shift needs expr
+    term = F.col("_vu") * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {depth} - _rn)"
+    )
+    return ranked_df.groupBy(*key_cols).agg(
+        F.sum(term).alias("score_units"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.max(F.col(order_cols[0])).alias(f"last_{order_cols[0]}"),
+    )

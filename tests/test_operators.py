@@ -1819,3 +1819,62 @@ class TestTemperatureMixture:
 
         kept = {r["k"] for r in temperature_mixture(df, "g", "k").collect()}
         assert kept <= set(range(50))
+
+
+class TestTimeDecayScore:
+    def test_exact_closed_form(self, spark):
+        from datetime import datetime
+
+        from ssis_to_dbt_spark.operators.window import time_decay_score
+
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0), 100, 1.5),
+            (1, datetime(2024, 1, 1, 11, 0), 101, 2.0),   # newest for user 1
+            (2, datetime(2024, 1, 1, 9, 0), 102, 4.0),    # single event
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_id int, value double"
+        )
+        out = {
+            r["user_id"]: r
+            for r in time_decay_score(
+                df, ["user_id"], ["ts", "event_id"], "value", depth=16
+            ).collect()
+        }
+        # user 1: newest (2.0 -> 20000 units) << 15, older (1.5) << 14
+        assert out[1]["score_units"] == 20000 * (1 << 15) + 15000 * (1 << 14)
+        assert out[1]["n_events"] == 2
+        assert out[1]["last_ts"] == datetime(2024, 1, 1, 11, 0)
+        assert out[2]["score_units"] == 40000 * (1 << 15)
+
+    def test_depth_truncation_and_tie_order(self, spark):
+        from datetime import datetime
+
+        from ssis_to_dbt_spark.operators.window import time_decay_score
+
+        ts = datetime(2024, 1, 1)
+        # 5 same-timestamp events: event_id desc decides recency
+        rows = [(1, ts, i, 1.0) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_id int, value double"
+        )
+        [r] = time_decay_score(
+            df, ["user_id"], ["ts", "event_id"], "value", depth=3
+        ).collect()
+        # only the 3 newest (event_id 4, 3, 2) survive the depth cut
+        assert r["n_events"] == 3
+        assert r["score_units"] == 10000 * ((1 << 2) + (1 << 1) + 1)
+
+    def test_depth_guard(self, spark):
+        import pytest as _pt
+
+        from ssis_to_dbt_spark.operators.window import time_decay_score
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1.0)], "user_id int, ts int, event_id int, value double"
+        )
+        for bad in (0, 63):
+            with _pt.raises(ValueError):
+                time_decay_score(
+                    df, ["user_id"], ["ts", "event_id"], "value", depth=bad
+                )
