@@ -7517,8 +7517,8 @@ j AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
 tw AS (SELECT SUM(wt) AS total_w FROM j),
 t AS (SELECT MIN(j.n_g * tw.total_w // j.wt) AS t_total FROM j, tw),
 adm AS (SELECT j.lang,
-               CAST(65536 * t.t_total * j.wt // (tw.total_w * j.n_g)
-                    AS BIGINT) AS admit
+               GREATEST(CAST(65536 * t.t_total * j.wt // (tw.total_w * j.n_g)
+                             AS BIGINT), 1) AS admit
         FROM j, t, tw)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(d.lang AS VARCHAR) AS lang

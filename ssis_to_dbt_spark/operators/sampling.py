@@ -221,7 +221,13 @@ def temperature_mixture(
     corpus — no driver collect, and the corpus itself is filtered map-side
     under the broadcast join (never re-shuffled), which is the 100 TB shape.
     Groups with ``n_g = 0`` cannot occur; ``floor(sqrt(n_g)) >= 1`` keeps
-    every observed group represented.
+    every observed group represented.  The admit bucket is quantized to
+    65536 levels, so a group whose fair share falls below 1/65536 of its
+    own size would floor to an admit of 0 — the threshold is therefore
+    clamped to ``greatest(admit, 1)`` (mirrored in the SQL oracle), which
+    keeps a sliver of even pathologically dominant groups rather than
+    silently dropping them; the proportion error from the clamp is at most
+    one 1/65536 bucket per group.
     """
     counts = (
         df.groupBy(group_col)
@@ -240,8 +246,12 @@ def temperature_mixture(
         j.crossJoin(F.broadcast(feasible))
         .withColumn(
             "_admit",
-            F.expr("CAST(65536 * _t * _w AS DECIMAL(38,0)) DIV (_tw * _n)")
-            .cast("long"),
+            F.greatest(
+                F.expr(
+                    "CAST(65536 * _t * _w AS DECIMAL(38,0)) DIV (_tw * _n)"
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ),
         )
         .select(group_col, "_admit")
     )

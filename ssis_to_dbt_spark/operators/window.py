@@ -288,16 +288,39 @@ def time_decay_score(
     per key before the shuffle — per-key state is bounded at any corpus
     size and hot keys cannot blow up a partition.  Returns one row per key:
     ``(*key_cols, score_units, n_events, last_<order_cols[0]>)``.
+
+    Range guard: under Spark's non-ANSI semantics a value outside
+    DECIMAL(18, ``value_scale``) would cast to NULL and silently contribute
+    nothing (where the DuckDB oracle errors), and ``v_units << (depth-1)``
+    can overflow BIGINT silently.  Both are rejected loudly instead: any
+    non-NULL value whose quantized magnitude exceeds ``2^(62-depth)`` units
+    (which also covers the decimal-overflow NULL) raises at execution time,
+    so the shifted sum provably fits BIGINT (``|v_units| * (2^depth - 1)
+    <= 2^62``).  NULL input values still contribute nothing, matching SQL
+    SUM semantics.
     """
     if depth < 1 or depth > 62:
         raise ValueError("depth must be in [1, 62] to keep shifts in BIGINT")
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.desc(c) for c in order_cols]
     )
-    v_units = (
-        F.col(value_col).cast(f"decimal(18,{value_scale})")
+    raw_units = (
+        F.col(value_col).try_cast(f"decimal(18,{value_scale})")
         * (10 ** value_scale)
-    ).cast("long")
+    ).try_cast("long")
+    unit_bound = 1 << (62 - depth)
+    v_units = F.when(
+        F.col(value_col).isNotNull()
+        & (raw_units.isNull() | (F.abs(raw_units) > F.lit(unit_bound))),
+        F.raise_error(
+            F.format_string(
+                "time_decay_score: value %s exceeds the exact-BIGINT range "
+                f"for depth={depth}, value_scale={value_scale} "
+                f"(|units| must be <= 2^{62 - depth})",
+                F.col(value_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(raw_units)
     ranked_df = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= depth)

@@ -767,9 +767,24 @@ def prototype_assign(
     exact ties toward the smaller label.  (A chained
     ``when(c > best, ...)`` fold would embed the running best twice per
     class — an exponentially-growing expression tree that stalls codegen
-    and exhausts driver heap beyond ~8 classes.)"""
+    and exhausts driver heap beyond ~8 classes.)
+
+    ``centroids`` must be ``dict[int | float, list[float]]``: the
+    smallest-label tie-break is encoded as ``-label`` inside the argmax
+    struct, which requires NUMERIC labels (string labels raise here rather
+    than failing obscurely in expression analysis)."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    non_numeric = [
+        lab
+        for lab in centroids
+        if isinstance(lab, bool) or not isinstance(lab, (int, float))
+    ]
+    if non_numeric:
+        raise ValueError(
+            "prototype_assign requires numeric (int/float) class labels for "
+            f"the -label tie-break; got non-numeric labels: {non_numeric!r}"
+        )
     v = _as_double(F.col(vec_col))
     labs = sorted(centroids)
     staged = df.select(

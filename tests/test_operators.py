@@ -1878,3 +1878,45 @@ class TestTimeDecayScore:
                 time_decay_score(
                     df, ["user_id"], ["ts", "event_id"], "value", depth=bad
                 )
+
+    def test_value_out_of_range_raises_not_nulls(self, spark):
+        """Non-ANSI Spark would cast an over-range value to NULL and
+        silently drop its contribution; the range guard must raise
+        instead (ADVICE r6)."""
+        import pytest as _pt
+
+        from ssis_to_dbt_spark.operators.window import time_decay_score
+
+        # 1e15 overflows DECIMAL(18,4) entirely
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1.0e15)],
+            "user_id int, ts int, event_id int, value double",
+        )
+        with _pt.raises(Exception, match="exact-BIGINT range"):
+            time_decay_score(
+                df, ["user_id"], ["ts", "event_id"], "value", depth=16
+            ).collect()
+        # fits the decimal but busts the shift budget at depth=62
+        # (bound is 2^(62-62) = 1 unit; 0.0002 quantizes to 2 units)
+        df2 = spark.createDataFrame(
+            [(1, 1, 1, 0.0002)],
+            "user_id int, ts int, event_id int, value double",
+        )
+        with _pt.raises(Exception, match="exact-BIGINT range"):
+            time_decay_score(
+                df2, ["user_id"], ["ts", "event_id"], "value", depth=62
+            ).collect()
+
+    def test_null_values_contribute_nothing(self, spark):
+        from ssis_to_dbt_spark.operators.window import time_decay_score
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, None), (1, 2, 2, 1.0)],
+            "user_id int, ts int, event_id int, value double",
+        )
+        [r] = time_decay_score(
+            df, ["user_id"], ["ts", "event_id"], "value", depth=4
+        ).collect()
+        # newest (1.0 -> 10000 units) << 3; the NULL row ranks but adds 0
+        assert r["score_units"] == 10000 * (1 << 3)
+        assert r["n_events"] == 2

@@ -1405,6 +1405,19 @@ class TestPrototypeAssignScaling:
         [r] = prototype_assign(df, protos).collect()
         assert r["pred_label"] == 5
 
+    def test_non_numeric_labels_raise(self, spark):
+        import pytest as _pt
+
+        from ssis_to_dbt_spark.text.similarity import prototype_assign
+
+        df = spark.createDataFrame(
+            [(0, [0.5, 0.0])], "vec_id int, embedding array<float>"
+        )
+        with _pt.raises(ValueError, match="numeric"):
+            prototype_assign(df, {"en": [1.0, 0.0]})
+        with _pt.raises(ValueError, match="numeric"):
+            prototype_assign(df, {True: [1.0, 0.0]})
+
 
 class TestClusterSafeSplit:
     def test_no_pair_crosses_the_split(self, spark):
