@@ -922,7 +922,13 @@ def q_split_leakage_docs(spark, sf_dir):
     sb = split.select(
         F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
     )
-    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # The pair side is band-capped and pair-derived (<< corpus) by
+    # construction, so pin BOTH joins as broadcasts of the pair-sized side
+    # rather than letting AQE infer it from runtime stats — the corpus-sized
+    # split table must never shuffle at 100x scale.
+    tagged = F.broadcast(F.broadcast(pairs).join(sa, "doc_a")).join(
+        sb, "doc_b"
+    )
     leaks = tagged.filter(F.col("split_a") != F.col("split_b"))
     p = leaks.select(
         F.lit("pair").alias("component"),

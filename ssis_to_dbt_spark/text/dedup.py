@@ -19,7 +19,7 @@ Everything is built-in Column expressions (higher-order functions, xxhash64)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -950,7 +950,10 @@ def connected_components(
     graph-diameter rounds.  Near-dup clusters are shallow (diameter 2-4), so
     this is 2-5 rounds in practice.  Lineage is
     truncated every round with ``localCheckpoint`` so the plan does not grow
-    unboundedly with iterations.  The fixpoint is iteration-order
+    unboundedly with iterations, and each round is exactly ONE Spark action:
+    the did-any-label-decrease convergence signal is an ``observe()`` metric
+    collected by the checkpoint job itself, not a separate old-vs-new
+    comparison pass.  The fixpoint is iteration-order
     independent (min is idempotent/commutative), which is what makes the
     result reproducible by a SQL transitive-closure oracle.
 
@@ -965,9 +968,11 @@ def connected_components(
       graphs pay nothing extra, pathological chains still terminate.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
+    # Materialize the edge list ONCE: `pairs` is usually the tail of an
+    # expensive candidate-generation pipeline (minhash/simhash banding over
+    # the whole corpus), and every propagation round references it — without
+    # this checkpoint each round's job would re-run that entire upstream.
+    # The edge table is pair-derived (<< corpus), so this is cheap.
 
     def star_labels() -> DataFrame:
         stars = _star_contraction(edges)
@@ -983,6 +988,9 @@ def connected_components(
         return star_labels()
     if algorithm not in ("auto", "min_label"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    sym = edges.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint()
     rounds = max_iter if algorithm == "min_label" else min(switch_after, max_iter)
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -990,27 +998,32 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         prop = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = labels.join(prop, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                "label"
-            ),
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # ONE action per round: the convergence signal rides the same job
+        # that materializes the round's labels (an observe() metric fires
+        # on the eager localCheckpoint), instead of a second old-vs-new
+        # join-count pass — at 100 TB each avoided action is a full pass
+        # over the label table.
+        obs = Observation(f"cc_round_{i}")
+        labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "_new_label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("_dec"),
+            )
+            .observe(obs, F.count(F.when(F.col("_dec"), 1)).alias("n_changed"))
+            .select("node", F.col("_new_label").alias("label"))
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             return labels
     if algorithm == "auto":
         # deep chains: min-label would need diameter rounds — hand the
@@ -1182,9 +1195,14 @@ def cross_corpus_candidates(
 
     sig_new, band_new = banded_sigs(new_df)
     sig_corpus, band_corpus = banded_sigs(corpus_df)
+    # Pin the batch side as the broadcast build side: a batch is tiny
+    # relative to the corpus BY CONSTRUCTION, so the plan must not depend
+    # on AQE runtime stats to keep the corpus band table shuffle-free.
     pairs = (
-        band_new.select(
-            "band_idx", "band_hash", F.col(id_col).alias("new_id")
+        F.broadcast(
+            band_new.select(
+                "band_idx", "band_hash", F.col(id_col).alias("new_id")
+            )
         )
         .join(
             band_corpus.select(
@@ -1210,8 +1228,10 @@ def cross_corpus_candidates(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
+    # pairs and (pairs x batch sigs) are both pair/batch-sized — broadcast
+    # them so the corpus signature table is probed map-side, never shuffled.
     return (
-        pairs.join(sa, "new_id")
+        F.broadcast(F.broadcast(pairs).join(sa, "new_id"))
         .join(sb, "corpus_id")
         .select("new_id", "corpus_id", est.alias("est_jaccard"))
     )

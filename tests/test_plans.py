@@ -381,3 +381,40 @@ class TestRound6PlanShapesB:
         # corpus side itself never hash-shuffles before scoring; the only
         # hash exchange is the per-query top-k window
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRound7PlanShapes:
+    """Round-7 plan contracts: the pair-sized side of the split-leakage
+    audit and the batch side of cross-corpus dedup are PINNED broadcasts —
+    the 100x-scale plan must not depend on AQE runtime stats when the
+    small side is known small by construction."""
+
+    def _plan(self, spark, df, mode="simple"):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
+    def test_split_leakage_pairs_broadcast_both_joins(self, spark):
+        plan = plan_of(spark, "split_leakage_docs", "simple")
+        # two split-table attachments (doc_a, doc_b), both as broadcasts of
+        # the pair-derived side — the corpus split table never shuffles for
+        # the pair tagging
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_cross_corpus_batch_side_broadcasts(self, spark):
+        from ssis_to_dbt_spark.text.dedup import cross_corpus_candidates
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        batch = docs.filter(F.col("doc_id") % 17 == 0)
+        corpus = docs.filter(F.col("doc_id") % 17 != 0)
+        plan = self._plan(
+            spark, cross_corpus_candidates(batch, corpus)
+        )
+        # band join + both signature re-attachments: the batch/pair side is
+        # always the broadcast build side; the corpus side of each join
+        # must not appear below an Exchange hashpartitioning introduced by
+        # a sort-merge join (its only exchanges are its own banding aggs)
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan
