@@ -1631,12 +1631,14 @@ FROM orders
 
 def q_corpus_curation(spark, sf_dir):
     from .text import exact_dedup
-    from .text.analysis import gopher_signals
+    from .text.analysis import gopher_signals_arrow
 
     docs = _t(spark, sf_dir)["documents"]
     deduped = exact_dedup(docs)
     txt = F.col("text")
-    enriched = gopher_signals(
+    # Arrow kernel twin (bit-identical to gopher_signals, pytest-pinned);
+    # the extra_cols stay JVM-evaluated in its pre-projection
+    enriched = gopher_signals_arrow(
         deduped,
         extra_cols={
             "lang_pred": language_id(txt),
@@ -1707,10 +1709,12 @@ WHERE lang_pred = 'en' AND q_score >= 0.45 AND n_tokens BETWEEN 10 AND 1000
 # ---------------------------------------------------------------------------
 
 def q_gopher_quality_docs(spark, sf_dir):
-    from .text.analysis import gopher_signals
+    from .text.analysis import gopher_signals_arrow
 
     docs = _t(spark, sf_dir)["documents"]
-    return gopher_signals(docs).select(
+    # Arrow kernel twin — bit-identical values (pytest-pinned), ~3x faster:
+    # the expression battery's floor is interpreted HOF n-gram work
+    return gopher_signals_arrow(docs).select(
         "doc_id",
         "dup_2gram_frac",
         "dup_3gram_frac",
@@ -3397,12 +3401,18 @@ FROM tot LEFT JOIN kept USING (doc_id)
 # ---------------------------------------------------------------------------
 
 def q_winnow_docs(spark, sf_dir):
-    from .text import winnow_candidates, winnow_fingerprints
+    from .text import winnow_candidates
+    from .text.dedup import winnow_fingerprints_arrow
 
     docs = _t(spark, sf_dir)["documents"]
     # one selection pass feeds both arms: lazily checkpointed so the
-    # checksum agg and the pair join don't each re-run the HOF scan
-    fp = winnow_fingerprints(docs, k=4, w=4).localCheckpoint(eager=False)
+    # checksum agg and the pair join don't each re-run the selection scan.
+    # Arrow kernel twin (bit-identical to winnow_fingerprints, pytest-
+    # pinned): the expression path's interpreted zip_with fold was the 4x
+    # cost floor of this query.
+    fp = winnow_fingerprints_arrow(docs, k=4, w=4).localCheckpoint(
+        eager=False
+    )
     per_doc = fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.min("fp_hash").alias("h_min"),

@@ -589,6 +589,184 @@ def gopher_signals(
     return s2.withColumn("gopher_pass", passes)
 
 
+def gopher_signals_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    extra_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of :func:`gopher_signals` — same output
+    schema, BIT-IDENTICAL values (pytest-pinned on the fixture corpus):
+
+    - tokenization mirrors Spark ``split(trim(s), '\\s+')`` exactly
+      (space-only trim, ASCII ``\\s``, leading/trailing empty tokens kept);
+    - every count is an exact integer, and every fraction is the single
+      IEEE-754 division of the same two integers the expression path
+      divides, so the doubles agree to the last bit;
+    - the top-n-gram tie rule (lex-smallest among the most frequent) is
+      ``min()`` over Python strings — code-point order, which equals the
+      UTF8-binary order Spark's ``array_sort`` uses.
+
+    Exists because the expression battery's floor is the interpreted HOF
+    work (4 n-gram transforms + sorts + aggregate folds per row, no
+    codegen); here each document is one pass of compiled-C regex plus
+    ``collections.Counter``.  Still map-only: one ArrowEvalPython stage,
+    no shuffle — the 100 TB plan shape is unchanged.  ``extra_cols`` are
+    evaluated JVM-side in a pre-projection and passed through the kernel
+    untouched, so arbitrary expression extras stay supported."""
+    import re as _re
+
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    any_ws = _re.compile(r"\s", _re.ASCII)
+    sym = _re.compile(r"[^A-Za-z0-9\s]", _re.ASCII)
+    alpha = _re.compile(r"[A-Za-z]")
+    stop = _re.compile(
+        r"\b(" + "|".join(_LANG_MARKERS["en"]) + r")\b", _re.ASCII
+    )
+    bullet = _re.compile(r"^[-*•]")
+    ellipsis = _re.compile(r"(\.\.\.|…)$")
+
+    extras = list((extra_cols or {}).keys())
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        *[c.alias(k) for k, c in (extra_cols or {}).items()],
+    )
+    passthrough = [pre.schema[id_col]] + [pre.schema[k] for k in extras]
+    schema = T.StructType(
+        list(passthrough)
+        + [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("stop_hits", T.IntegerType()),
+            T.StructField("bullet_line_frac", T.DoubleType()),
+            T.StructField("ellipsis_line_frac", T.DoubleType()),
+            T.StructField("dup_2gram_frac", T.DoubleType()),
+            T.StructField("dup_3gram_frac", T.DoubleType()),
+            T.StructField("top_2gram_char_frac", T.DoubleType()),
+            T.StructField("top_3gram_char_frac", T.DoubleType()),
+            T.StructField("top_4gram_char_frac", T.DoubleType()),
+            T.StructField("dup_5gram_char_frac", T.DoubleType()),
+            T.StructField("alpha_word_frac", T.DoubleType()),
+            T.StructField("mean_word_len", T.DoubleType()),
+            T.StructField("symbol_frac", T.DoubleType()),
+            T.StructField("gopher_pass", T.BooleanType()),
+        ]
+    )
+    sig_names = [f.name for f in schema.fields[len(passthrough):]]
+
+    def one_doc(s):
+        trimmed = s.strip(" ")
+        toks = ws.split(trimmed)
+        n_tokens = 0 if trimmed == "" else len(toks)
+        n_chars = len(s)
+        n_nospace = n_chars - len(any_ws.findall(s))
+        n_sym = len(sym.findall(s))
+        stop_hits = len(stop.findall(s.lower()))
+        alpha_words = sum(1 for t in toks if alpha.search(t))
+        lines = [l for l in s.split("\n") if l.strip(" ") != ""]
+        n_l = len(lines)
+        b_hits = sum(1 for l in lines if bullet.search(l.strip(" ")))
+        e_hits = sum(1 for l in lines if ellipsis.search(l.strip(" ")))
+        bullet_frac = b_hits / n_l if n_l > 0 else 0.0
+        ellipsis_frac = e_hits / n_l if n_l > 0 else 0.0
+
+        counters = {}
+        for n in (2, 3, 4, 5):
+            if len(toks) >= n:
+                counters[n] = Counter(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            else:
+                counters[n] = Counter()
+
+        def dup_frac(n):
+            c = counters[n]
+            total = sum(c.values())
+            return (total - len(c)) / total if total > 0 else 0.0
+
+        def top_chars(n):
+            c = counters[n]
+            if not c or n_nospace <= 0:
+                return 0.0
+            m = max(c.values())
+            val = min(g for g, cnt in c.items() if cnt == m)
+            return (m * len(val.replace(" ", ""))) / n_nospace
+
+        def dup_run_chars5():
+            if n_nospace <= 0:
+                return 0.0
+            num = sum(
+                cnt * len(g.replace(" ", ""))
+                for g, cnt in counters[5].items()
+                if cnt > 1
+            )
+            return num / n_nospace
+
+        vals = {
+            "n_tokens": n_tokens,
+            "stop_hits": stop_hits,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellipsis_frac,
+            "dup_2gram_frac": dup_frac(2),
+            "dup_3gram_frac": dup_frac(3),
+            "top_2gram_char_frac": top_chars(2),
+            "top_3gram_char_frac": top_chars(3),
+            "top_4gram_char_frac": top_chars(4),
+            "dup_5gram_char_frac": dup_run_chars5(),
+            "alpha_word_frac": (
+                alpha_words / n_tokens if n_tokens > 0 else 0.0
+            ),
+            "mean_word_len": (
+                n_nospace / n_tokens if n_tokens > 0 else 0.0
+            ),
+            "symbol_frac": n_sym / n_chars if n_chars > 0 else 0.0,
+        }
+        vals["gopher_pass"] = (
+            min_words <= n_tokens <= max_words
+            and 3.0 <= vals["mean_word_len"] <= 10.0
+            and vals["symbol_frac"] <= 0.1
+            and vals["bullet_line_frac"] <= 0.9
+            and vals["ellipsis_line_frac"] <= 0.3
+            and vals["alpha_word_frac"] >= 0.8
+            and stop_hits >= 2
+            and vals["top_2gram_char_frac"] <= 0.20
+            and vals["top_3gram_char_frac"] <= 0.18
+            and vals["top_4gram_char_frac"] <= 0.16
+            and vals["dup_5gram_char_frac"] <= 0.15
+        )
+        return vals
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {f.name: [] for f in schema.fields}
+            extra_series = [pdf[k] for k in extras]
+            for i, (did, s) in enumerate(zip(pdf[id_col], pdf["_txt"])):
+                out[id_col].append(did)
+                for k, ser in zip(extras, extra_series):
+                    out[k].append(ser.iloc[i])
+                if s is None:
+                    for k in sig_names:
+                        out[k].append(None)
+                    continue
+                vals = one_doc(s)
+                for k in sig_names:
+                    out[k].append(vals[k])
+            yield pd.DataFrame(out)
+
+    return pre.mapInPandas(gen, schema)
+
+
 def _log_units(m: Column) -> Column:
     """``round(ln(m), 6)`` as exact integer micro-units (BIGINT) — the
     :func:`bigram_surprisal` determinism discipline: quantize each log term

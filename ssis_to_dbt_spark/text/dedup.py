@@ -663,6 +663,89 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of :func:`winnow_fingerprints` for the
+    md5 hash family: identical tokenization (Spark
+    ``split(trim(lower(s)), '\\s+')`` semantics — lowercased, space-only
+    trim, ASCII ``\\s``, leading/trailing empty tokens preserved),
+    identical 60-bit md5-prefix gram hashes, identical
+    rightmost-tie window minima — the selected ``(hash, pos)`` sets are
+    BIT-IDENTICAL to the expression path (pytest asserts this; hashes are
+    exact integers, so there is no float tolerance anywhere).
+
+    Exists because the expression path's cost floor is the interpreted
+    zip_with window fold (~O(n*w) HOF ops/doc with no codegen); this kernel
+    does the same fold as w vectorized numpy passes per Arrow batch.  Still
+    map-only: one ArrowEvalPython stage, no shuffle, no driver traffic —
+    the plan shape at 100 TB is the same as the expression twin's.
+    ``hash_fn="xxhash64"`` has no Python-side implementation, so the
+    production-hash variant stays expression-only by design."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("fp_hash", T.LongType()),
+            T.StructField("fp_pos", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out: list = []
+            hs_out: list = []
+            ps_out: list = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                toks = ws.split(txt.lower().strip(" "))
+                if len(toks) < k:
+                    continue
+                n_g = len(toks) - k + 1
+                if n_g < w:
+                    continue
+                hs = np.empty(n_g, dtype=np.int64)
+                for i in range(n_g):
+                    g = " ".join(toks[i : i + k])
+                    hs[i] = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                m = n_g - w + 1
+                acc_h = hs[:m].copy()
+                acc_p = np.arange(1, m + 1, dtype=np.int64)
+                for o in range(1, w):
+                    x_h = hs[o : o + m]
+                    keep = x_h <= acc_h  # rightmost on ties
+                    acc_h = np.where(keep, x_h, acc_h)
+                    acc_p = np.where(keep, np.arange(o + 1, o + m + 1), acc_p)
+                seen = set(zip(acc_h.tolist(), acc_p.tolist()))
+                for h, p in seen:
+                    ids_out.append(did)
+                    hs_out.append(h)
+                    ps_out.append(p)
+            if ids_out:
+                yield pd.DataFrame(
+                    {id_col: ids_out, "fp_hash": hs_out, "fp_pos": ps_out}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def winnow_candidates(
     df: DataFrame,
     id_col: str = "doc_id",

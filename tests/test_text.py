@@ -1538,3 +1538,95 @@ class TestCrossCorpusCandidates:
         )
         new = corpus.filter("doc_id < 0")
         assert cross_corpus_candidates(new, corpus).count() == 0
+
+
+class TestArrowTwinsRound7:
+    """Bit-identity contracts for the round-7 Arrow kernels: same values as
+    the expression paths on the real fixture corpus AND on adversarial
+    synthetic edge cases (blank/whitespace text, sub-shingle docs, bullet
+    and ellipsis lines, repeated n-grams)."""
+
+    EDGE_DOCS = [
+        (1, ""),
+        (2, "   "),
+        (3, "\t\n "),
+        (4, "one two three"),  # shorter than k=4 grams
+        (5, "a b c d"),  # exactly one gram, fewer than w windows
+        (6, "a b c d e f g h i j k l m n o p"),
+        (7, "- item one\n- item two\n- item three\nreal text here"),
+        (8, "trailing off...\nand more…\nplain line"),
+        (9, "the the the the the the the the the the the the"),
+        (10, "The Quick brown FOX jumps over the lazy dog " * 20),
+        (11, "números con acentos y símbolos: ¡é½!  \n\n fin"),
+        (12, "word " * 60),
+    ]
+
+    def _edge_df(self, spark):
+        return spark.createDataFrame(self.EDGE_DOCS, "doc_id long, text string")
+
+    def test_winnow_bit_identical_on_fixture(self, spark):
+        from ssis_to_dbt_spark.text.dedup import (
+            winnow_fingerprints,
+            winnow_fingerprints_arrow,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = set(map(tuple, winnow_fingerprints(docs, k=4, w=4).collect()))
+        b = set(map(tuple, winnow_fingerprints_arrow(docs, k=4, w=4).collect()))
+        assert a == b and len(a) > 0
+
+    def test_winnow_bit_identical_on_edge_cases(self, spark):
+        from ssis_to_dbt_spark.text.dedup import (
+            winnow_fingerprints,
+            winnow_fingerprints_arrow,
+        )
+
+        df = self._edge_df(spark)
+        for k, w in ((4, 4), (2, 3), (1, 1)):
+            a = set(map(tuple, winnow_fingerprints(df, k=k, w=w).collect()))
+            b = set(
+                map(tuple, winnow_fingerprints_arrow(df, k=k, w=w).collect())
+            )
+            assert a == b, f"winnow mismatch at k={k} w={w}"
+
+    def test_gopher_bit_identical_on_fixture(self, spark):
+        from ssis_to_dbt_spark.text.analysis import (
+            gopher_signals,
+            gopher_signals_arrow,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {r["doc_id"]: r.asDict() for r in gopher_signals(docs).collect()}
+        b = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_signals_arrow(docs).collect()
+        }
+        assert a == b  # exact dict equality: every double to the last bit
+
+    def test_gopher_bit_identical_on_edge_cases(self, spark):
+        from ssis_to_dbt_spark.text.analysis import (
+            gopher_signals,
+            gopher_signals_arrow,
+        )
+
+        df = self._edge_df(spark)
+        a = {r["doc_id"]: r.asDict() for r in gopher_signals(df).collect()}
+        b = {
+            r["doc_id"]: r.asDict() for r in gopher_signals_arrow(df).collect()
+        }
+        assert a == b
+
+    def test_gopher_arrow_passes_extras_through(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import (
+            gopher_signals,
+            gopher_signals_arrow,
+        )
+
+        df = self._edge_df(spark)
+        extras = {"n_chars_x": F.length("text"), "upper_id": F.col("doc_id") * 2}
+        a = {r["doc_id"]: r.asDict() for r in gopher_signals(df, extra_cols=extras).collect()}
+        b = {r["doc_id"]: r.asDict() for r in gopher_signals_arrow(df, extra_cols=extras).collect()}
+        assert a == b
+        assert a[4]["n_chars_x"] == 13 and a[4]["upper_id"] == 8
