@@ -151,6 +151,24 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
 
+    # Per-query regression gate: compare against the recorded round-6
+    # baseline (bench_baseline.json, sf0.1) and surface any query that ran
+    # >1.5x its recorded time — catches creeping regressions automatically
+    # instead of via per-round judge archaeology.  Only applied at the
+    # baseline's own scale factor; informational (the driver records the
+    # whole JSON line either way).
+    regressions: dict[str, dict[str, float]] = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if sf == 0.1 and os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh)
+        for name, t in times.items():
+            b = baseline.get(name)
+            if b is not None and b > 0.3 and t > 1.5 * b:
+                regressions[name] = {"sec": t, "baseline_sec": b,
+                                     "ratio": round(t / b, 2)}
+
     print(
         json.dumps(
             {
@@ -159,6 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "core20_wall_sec": round(sum(times[n] for n in CORE20), 3),
+                "regressions": regressions,
                 "sf": sf,
             }
         )
