@@ -7036,6 +7036,79 @@ LEFT JOIN wh ON s.WarehouseCode = wh.WarehouseCode
 """
 
 
+def q_dtsx_order_routing(spark, sf_dir):
+    """Branched-<paths> fixture package executed by the engine: the repo's
+    own OrderRouting.dtsx wires an explicit <paths> fan-out (the three
+    reference samples chain in document order, so this is the package that
+    exercises real path routing end-to-end) — DataConversion with an error
+    output (unparsable Amount strings routed to err.BadAmounts) feeding a
+    ConditionalSplit with two expression outputs + default, each branch to
+    its own OLE DB destination.  One row per input order tagged with the
+    branch that received it."""
+    import os
+
+    from .dtsx import run_package
+
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    feed = o.select(
+        F.col("o_orderkey").cast("long").alias("OrderID"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("N/A"))
+        .otherwise(F.col("o_totalprice").cast(_D182).cast("string"))
+        .alias("Amount"),
+        F.col("o_orderpriority").alias("Priority"),
+    )
+    pkg_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "OrderRouting.dtsx",
+    )
+    run_package(spark, pkg_path, tables={"sales.OrderFeed": feed})
+
+    def pick(view, branch):
+        return spark.table(view).select(
+            F.col("OrderID").cast("long").alias("order_id"),
+            F.lit(branch).alias("branch"),
+            F.col("Priority").alias("priority"),
+            F.col("AmountNum").cast("double").alias("amount_num"),
+        )
+
+    return _union_all(
+        [
+            pick("orderrouting__route_highvalue", "high_value"),
+            pick("orderrouting__route_urgent", "urgent"),
+            pick("orderrouting__route_standard", "standard"),
+            pick("orderrouting__err_badamounts", "error"),
+        ]
+    )
+
+
+SQL_DTSX_ROUTING = """
+WITH feed AS (
+  SELECT o_orderkey AS OrderID,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         END AS Amount,
+         o_orderpriority AS Priority
+  FROM orders),
+conv AS (
+  SELECT OrderID, Amount, Priority,
+         TRY_CAST(Amount AS DECIMAL(18,2)) AS AmountNum
+  FROM feed),
+tagged AS (
+  SELECT *, CASE WHEN Amount IS NOT NULL AND AmountNum IS NULL THEN 'error'
+                 WHEN AmountNum > 150000 THEN 'high_value'
+                 WHEN Priority = '1-URGENT' THEN 'urgent'
+                 ELSE 'standard' END AS branch
+  FROM conv)
+SELECT CAST(OrderID AS BIGINT) AS order_id, branch,
+       Priority AS priority,
+       CASE WHEN branch = 'error' THEN NULL
+            ELSE CAST(AmountNum AS DOUBLE) END AS amount_num
+FROM tagged
+"""
+
+
 def q_dtsx_packages(spark, sf_dir):
     """Driver suite: all three reference sample packages parsed from their
     .dtsx XML and executed end-to-end, outputs normalized and unioned."""
@@ -7078,7 +7151,20 @@ def q_dtsx_packages(spark, sf_dir):
         _nul("double").alias("num_c"),
         F.col("days_of_supply").cast("int").alias("num_i"),
     )
-    return _union_all([sales, cdl, inv])
+    rt = q_dtsx_order_routing(spark, sf_dir).select(
+        F.lit("order_routing").alias("component"),
+        F.col("order_id").cast("long").alias("id"),
+        _nul("int").alias("key_a"),
+        _nul("int").alias("key_b"),
+        F.col("branch").alias("txt_a"),
+        F.col("priority").alias("txt_b"),
+        _nul("timestamp").alias("ts"),
+        F.col("amount_num").cast("double").alias("num_a"),
+        _nul("double").alias("num_b"),
+        _nul("double").alias("num_c"),
+        _nul("int").alias("num_i"),
+    )
+    return _union_all([sales, cdl, inv, rt])
 
 
 _NULL_TS = "CAST(NULL AS TIMESTAMP)"
@@ -7102,6 +7188,11 @@ SELECT 'inventory_sync', {_NULL_BIGINT}, CAST(product_key AS INTEGER),
        inventory_value, {_NULL_DOUBLE}, {_NULL_DOUBLE},
        CAST(days_of_supply AS INTEGER)
 FROM ({SQL_DTSX_INVENTORY}) _i
+UNION ALL
+SELECT 'order_routing', CAST(order_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
+       branch, priority, {_NULL_TS}, amount_num, {_NULL_DOUBLE},
+       {_NULL_DOUBLE}, {_NULL_INT}
+FROM ({SQL_DTSX_ROUTING}) _r
 """
 
 
@@ -7749,6 +7840,7 @@ ALL_QUERIES = {
     "dtsx_customer_load": q_dtsx_customer_load,
     "dtsx_inventory_sync": q_dtsx_inventory_sync,
     "dtsx_packages": q_dtsx_packages,
+    "dtsx_order_routing": q_dtsx_order_routing,
     "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
@@ -7918,6 +8010,7 @@ ALL_ORACLES = {
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,
     "dtsx_inventory_sync": SQL_DTSX_INVENTORY,
     "dtsx_packages": SQL_DTSX_PACKAGES,
+    "dtsx_order_routing": SQL_DTSX_ROUTING,
 }
 
 # The 50 entries the driver verifies — every SURVEY §2 family and every

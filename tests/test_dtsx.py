@@ -927,3 +927,69 @@ class TestExcelComponents:
         rows = read_xlsx_rows(out_xlsx)
         assert rows[0] == ["NationKey", "Name"]
         assert sorted(r[1] for r in rows[1:]) == ["FRANCE", "GERMANY"]
+
+
+class TestOrderRoutingFixture:
+    """The repo's own branched-<paths> fixture package: real XML on disk
+    (ssis_to_dbt_spark/fixtures/OrderRouting.dtsx) with explicit path
+    fan-out — DataConversion error output + ConditionalSplit two-output +
+    default, each into a separate destination.  The reference samples all
+    chain in document order, so this package is what exercises
+    _dataflow_order's <paths> branch end-to-end from a file."""
+
+    PKG = None  # resolved lazily
+
+    def _pkg(self):
+        import os
+
+        import ssis_to_dbt_spark
+
+        return os.path.join(
+            os.path.dirname(ssis_to_dbt_spark.__file__),
+            "fixtures",
+            "OrderRouting.dtsx",
+        )
+
+    def _feed(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "200000.00", "1-URGENT"),   # high value wins first-match
+                (2, "100.50", "5-LOW"),          # standard
+                (3, "N/A", "1-URGENT"),          # conversion error
+                (4, "151000.00", "3-MEDIUM"),    # high value
+                (5, "99.99", "1-URGENT"),        # urgent
+                (6, None, "2-HIGH"),             # NULL amount: legit null, standard
+            ],
+            "OrderID long, Amount string, Priority string",
+        )
+
+    def test_paths_fan_out_routes_every_row_exactly_once(self, spark):
+        frames, report = run_package(
+            spark, self._pkg(), tables={"sales.OrderFeed": self._feed(spark)}
+        )
+        high = {r["OrderID"] for r in spark.table("orderrouting__route_highvalue").collect()}
+        urgent = {r["OrderID"] for r in spark.table("orderrouting__route_urgent").collect()}
+        std = {r["OrderID"] for r in spark.table("orderrouting__route_standard").collect()}
+        err = {r["OrderID"] for r in spark.table("orderrouting__err_badamounts").collect()}
+        assert high == {1, 4}       # order 1: first-match beats Urgent
+        assert urgent == {5}
+        assert std == {2, 6}        # NULL amount is a legitimate null, not an error
+        assert err == {3}
+        # partition: every row exactly once across the four branches
+        assert high | urgent | std | err == {1, 2, 3, 4, 5, 6}
+        assert sum(map(len, [high, urgent, std, err])) == 6
+
+    def test_error_output_carries_failing_column(self, spark):
+        run_package(
+            spark, self._pkg(), tables={"sales.OrderFeed": self._feed(spark)}
+        )
+        [r] = spark.table("orderrouting__err_badamounts").collect()
+        assert r["conv_error_col"] == "Amount"
+        assert r["AmountNum"] is None
+        assert r["Amount"] == "N/A"  # original value preserved for triage
+
+    def test_package_report_binds_all_tasks(self, spark):
+        _, report = run_package(
+            spark, self._pkg(), tables={"sales.OrderFeed": self._feed(spark)}
+        )
+        assert {b.status for b in report} == {"bound"}
