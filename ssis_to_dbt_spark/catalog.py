@@ -5069,6 +5069,16 @@ def q_ann_topk_suite(spark, sf_dir):
             _nul("long").alias("id_b"),
             F.col("v1").alias("score"),
         ),
+        # farthest-point seeding (round 7): the k-means++-style
+        # deterministic init, seed sequence reproduced by the oracle
+        q_fps_seeds(spark, sf_dir).select(
+            F.lit("fps").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("seed_idx").cast("int").alias("q"),
+            _nul("long").alias("id_b"),
+            F.col("val").cast("double").alias("score"),
+        ),
     ]
     return _union_all(parts)
 
@@ -7248,6 +7258,68 @@ FROM ({SQL_CUBE_ORDERS}) _cu
 # temperature mixture.
 # ---------------------------------------------------------------------------
 
+def q_fps_seeds(spark, sf_dir):
+    """Deterministic farthest-point (k-means++-style) seeding over the
+    embeddings table: md5-anchored first seed, then argmax of the
+    round-6-quantized minimum cosine distance with lowest-id ties — the
+    exact seed SEQUENCE (ids and vectors) is reproduced by the unrolled
+    SQL oracle."""
+    from .text.similarity import farthest_point_seeds
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    seeds = farthest_point_seeds(emb, k=4)
+    return spark.createDataFrame(
+        [
+            (i, int(sid), d, float(x))
+            for i, sid, vec in seeds
+            for d, x in enumerate(vec)
+        ],
+        "seed_idx int, vec_id long, dim int, val double",
+    )
+
+
+def _fps_cos(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN sqrt(list_inner_product({a}, {a}))"
+        f" * sqrt(list_inner_product({b}, {b})) > 0"
+        f" THEN list_inner_product({a}, {b})"
+        f" / (sqrt(list_inner_product({a}, {a}))"
+        f" * sqrt(list_inner_product({b}, {b})))"
+        f" ELSE 0.0 END"
+    )
+
+
+SQL_FPS_SEEDS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+f0 AS (SELECT vec_id, v FROM e
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+d1 AS (SELECT e.vec_id, e.v,
+              round(1.0 - ({_fps_cos('e.v', 'f0.v')}), 6) AS d
+       FROM e, f0),
+f1 AS (SELECT vec_id, v FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+d2 AS (SELECT e.vec_id, e.v,
+              round(1.0 - greatest({_fps_cos('e.v', 'f0.v')},
+                                   {_fps_cos('e.v', 'f1.v')}), 6) AS d
+       FROM e, f0, f1),
+f2 AS (SELECT vec_id, v FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+d3 AS (SELECT e.vec_id, e.v,
+              round(1.0 - greatest({_fps_cos('e.v', 'f0.v')},
+                                   {_fps_cos('e.v', 'f1.v')},
+                                   {_fps_cos('e.v', 'f2.v')}), 6) AS d
+       FROM e, f0, f1, f2),
+f3 AS (SELECT vec_id, v FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+seeds AS (
+  SELECT 0 AS seed_idx, vec_id, v FROM f0
+  UNION ALL SELECT 1, vec_id, v FROM f1
+  UNION ALL SELECT 2, vec_id, v FROM f2
+  UNION ALL SELECT 3, vec_id, v FROM f3)
+SELECT CAST(seed_idx AS INTEGER) AS seed_idx, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim,
+       unnest(v) AS val
+FROM seeds
+"""
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """k-means (Lloyd) TRAINED on the corpus — k=4, 2 rounds from the
     deterministic lowest-id init — then the final assignment with the
@@ -7640,6 +7712,9 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
 SQL_ANN_TOPK_SUITE += f"""UNION ALL
 SELECT 'km_' || component, id_a AS vec_id, dim, {_NULL_INT}, {_NULL_BIGINT}, v1
 FROM ({SQL_KMEANS}) _km
+UNION ALL
+SELECT 'fps', vec_id, dim, seed_idx, {_NULL_BIGINT}, val
+FROM ({SQL_FPS_SEEDS}) _fp
 """
 
 SQL_SAMPLING_SPLITS += f"""UNION ALL
@@ -7841,6 +7916,7 @@ ALL_QUERIES = {
     "dtsx_inventory_sync": q_dtsx_inventory_sync,
     "dtsx_packages": q_dtsx_packages,
     "dtsx_order_routing": q_dtsx_order_routing,
+    "fps_seeds": q_fps_seeds,
     "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
@@ -8011,6 +8087,7 @@ ALL_ORACLES = {
     "dtsx_inventory_sync": SQL_DTSX_INVENTORY,
     "dtsx_packages": SQL_DTSX_PACKAGES,
     "dtsx_order_routing": SQL_DTSX_ROUTING,
+    "fps_seeds": SQL_FPS_SEEDS,
 }
 
 # The 50 entries the driver verifies — every SURVEY §2 family and every

@@ -598,6 +598,75 @@ def ivf_assign(
     return out.drop("_v", "_norm", *[f"_sim{cid}" for cid, _ in centroids])
 
 
+def farthest_point_seeds(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic k-means++-style seeding: md5-anchored farthest-point
+    traversal.  The lowest-id seeding of :func:`ivf_centroids` is degenerate
+    when the first ``k`` vectors are near-identical (duplicate/empty cells);
+    this picks well-spread seeds with NO randomness:
+
+    - seed 0 = the vector with the lowest ``md5(cast(id as string))``
+      (content-addressed: reproducible under any partitioning, and not
+      biased toward low ids the way lowest-id seeding is);
+    - seed i = the vector maximizing the minimum cosine DISTANCE to the
+      seeds chosen so far (classic farthest-point / k-center traversal —
+      the deterministic replacement for k-means++'s D^2 sampling), with
+      the distance quantized to ``round_digits`` BEFORE the argmax and
+      ties broken by lowest id, so an external SQL oracle reproduces the
+      exact seed sequence.
+
+    Plan shape per seed: one map-only scan (each seed similarity staged
+    once as a real column, max-of-columns, no shuffle) ending in
+    TakeOrdered(1) — k passes over the corpus total, each returning ONE
+    row to the driver.  At true 100 TB scale run it on a hash-sampled
+    subset (:func:`..operators.sampling.hash_sample`) — farthest-point on
+    a 0.1% sample is the standard k-center approximation; the operator
+    itself stays exact on whatever frame it is given.
+
+    Returns ``[(seed_idx, source_id, vector), ...]``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = _as_double(F.col(vec_col))
+    first = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    seeds = [(first[0][id_col], [float(x) for x in first[0][vec_col]])]
+    while len(seeds) < k:
+        sims = [
+            cosine_similarity(v, _query_literal(vec)).alias(f"_s{j}")
+            for j, (_, vec) in enumerate(seeds)
+        ]
+        staged = df.select(F.col(id_col), F.col(vec_col), *sims)
+        max_sim = (
+            F.col("_s0")
+            if len(seeds) == 1
+            else F.greatest(*[F.col(f"_s{j}") for j in range(len(seeds))])
+        )
+        cand = (
+            staged.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.round(F.lit(1.0) - max_sim, round_digits).alias("_d"),
+            )
+            .orderBy(F.desc("_d"), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((cand[id_col], [float(x) for x in cand[vec_col]]))
+    return [(i, sid, vec) for i, (sid, vec) in enumerate(seeds)]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 4,
@@ -605,6 +674,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    seeding: str = "lowest_id",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd k-means over the embedding column, composed from the engine's
     own pieces: init = the ``k`` lowest-id embeddings (:func:`ivf_centroids`
@@ -626,8 +696,20 @@ def kmeans_fit(
     :func:`ivf_assign` for the final labeling, or to :func:`ivf_topk` as a
     data-adapted coarse quantizer (the real-deployment replacement for the
     id-seeded ``ivf_centroids``).
+
+    ``seeding``: ``"lowest_id"`` (default — the original deterministic
+    init) or ``"farthest"`` (:func:`farthest_point_seeds` — well-spread
+    md5-anchored k-center seeds; use when the lowest-id vectors may be
+    near-identical, which leaves duplicate/empty cells).
     """
-    cents = ivf_centroids(df, k, id_col, vec_col)
+    if seeding == "farthest":
+        cents = [(i, vec) for i, _sid, vec in farthest_point_seeds(
+            df, k, id_col, vec_col, round_digits
+        )]
+    elif seeding == "lowest_id":
+        cents = ivf_centroids(df, k, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
     for _ in range(rounds):
         assigned = ivf_assign(df, cents, id_col, vec_col)
         x = assigned.select(

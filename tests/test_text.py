@@ -1630,3 +1630,69 @@ class TestArrowTwinsRound7:
         b = {r["doc_id"]: r.asDict() for r in gopher_signals_arrow(df, extra_cols=extras).collect()}
         assert a == b
         assert a[4]["n_chars_x"] == 13 and a[4]["upper_id"] == 8
+
+
+class TestFarthestPointSeeds:
+    """Round-7 deterministic k-means++-style seeding: well-spread seeds on
+    exactly the degenerate input that breaks lowest-id seeding."""
+
+    def test_spreads_where_lowest_id_degenerates(self, spark):
+        from ssis_to_dbt_spark.text.similarity import (
+            farthest_point_seeds,
+            ivf_centroids,
+        )
+
+        # first 3 ids are near-identical: lowest-id seeding yields 3
+        # duplicate centroids; farthest-point must pick 3 distinct regions
+        rows = (
+            [(i, [1.0, 0.001 * i]) for i in range(3)]
+            + [(10, [-1.0, 0.0]), (11, [0.0, 1.0])]
+        )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        low = ivf_centroids(df, n_cells=3)
+        assert all(v[0] == 1.0 for _, v in low)  # degenerate: all same region
+        fps = farthest_point_seeds(df, k=3)
+        vecs = [v for _, _, v in fps]
+        assert any(v[0] < 0 for v in vecs)       # reached the -x region
+        assert any(v[1] > 0.9 for v in vecs)     # reached the +y region
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from ssis_to_dbt_spark.text.similarity import farthest_point_seeds
+
+        rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = farthest_point_seeds(df, k=4)
+        b = farthest_point_seeds(df.repartition(7), k=4)
+        assert a == b
+
+    def test_kmeans_farthest_seeding_fills_cells(self, spark):
+        from ssis_to_dbt_spark.text.similarity import ivf_assign, kmeans_fit
+
+        rows = (
+            [(i, [1.0, 0.0]) for i in range(3)]
+            + [(10 + i, [-1.0, 0.1 * i]) for i in range(3)]
+        )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = kmeans_fit(df, k=2, rounds=1, seeding="farthest")
+        assigned = ivf_assign(df, cents)
+        cells = {r["cell"] for r in assigned.collect()}
+        assert len(cells) == 2  # both clusters found despite duplicate head
+
+    def test_k1_and_empty_and_bad_seeding(self, spark):
+        import pytest as _pt
+
+        from ssis_to_dbt_spark.text.similarity import (
+            farthest_point_seeds,
+            kmeans_fit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        assert len(farthest_point_seeds(df, k=1)) == 1
+        empty = df.filter("vec_id < 0")
+        assert farthest_point_seeds(empty, k=3) == []
+        with _pt.raises(ValueError):
+            farthest_point_seeds(df, k=0)
+        with _pt.raises(ValueError):
+            kmeans_fit(df, k=1, seeding="random")
