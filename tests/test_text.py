@@ -1696,3 +1696,68 @@ class TestFarthestPointSeeds:
             farthest_point_seeds(df, k=0)
         with _pt.raises(ValueError):
             kmeans_fit(df, k=1, seeding="random")
+
+
+class TestBandCapAdversarial:
+    """Round-7 stress test: the band cap's bound must hold END-TO-END under
+    the adversarial input it exists for — thousands of copies of one
+    document, which without the cap would emit m(m-1)/2 pairs through a
+    single band-bucket join task."""
+
+    def test_duplicate_flood_pair_output_bounded(self, spark):
+        import time
+
+        from ssis_to_dbt_spark.text.dedup import minhash_candidates_md5
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        n_dup, cap = 4000, 50
+        rows = [(i, text) for i in range(n_dup)] + [
+            (n_dup + i, f"unique filler document number {i} with words {i*7}")
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        t0 = time.time()
+        pairs = minhash_candidates_md5(
+            df, num_hashes=8, bands=4, max_bucket_size=cap
+        ).collect()
+        dt = time.time() - t0
+        # bound: every duplicate band bucket truncates to cap members ->
+        # <= cap*(cap-1)/2 distinct pairs per bucket; all 4 bands hold the
+        # same duplicate family, so the DISTINCT pair union is bounded by
+        # cap*(cap-1)/2 (+ any accidental filler collisions), NOT ~8e6
+        uncapped = n_dup * (n_dup - 1) // 2
+        bound = 4 * cap * (cap - 1) // 2
+        assert len(pairs) <= bound, (len(pairs), bound)
+        assert len(pairs) < uncapped / 100
+        # the kept prefix still surfaces the duplicate family
+        dup_pairs = [
+            p for p in pairs if p["doc_a"] < n_dup and p["doc_b"] < n_dup
+        ]
+        assert len(dup_pairs) > 0
+        assert all(p["est_jaccard"] == 1.0 for p in dup_pairs)
+        # wall-time sanity: this must behave like a capped join, not an
+        # 8M-pair blowup (generous CI bound; uncapped measured >>60s shape)
+        assert dt < 60, f"duplicate flood took {dt:.1f}s — cap not effective?"
+
+    def test_cap_keeps_lowest_id_prefix_deterministically(self, spark):
+        from ssis_to_dbt_spark.text.dedup import minhash_candidates_md5
+
+        text = "identical content in every copy of this document body"
+        df = spark.createDataFrame(
+            [(i, text) for i in range(100)], "doc_id long, text string"
+        )
+        a = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidates_md5(df, max_bucket_size=5).collect()
+        )
+        b = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidates_md5(
+                df.repartition(13), max_bucket_size=5
+            ).collect()
+        )
+        assert a == b  # content-addressed truncation: partition-invariant
+        # kept members are the id-ordered prefix of the bucket
+        members = {x for p in a for x in p}
+        assert members == set(range(5))
