@@ -723,6 +723,20 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_text_analysis_docs(spark, sf_dir):
+    # Arrow kernel twin of the full expression battery — bit-identical
+    # values (pytest-pinned; the expr path stays the reference
+    # implementation and q_text_analysis_docs_expr below preserves it):
+    # the battery's floor was the interpreted sorted-char entropy scan +
+    # per-token HOF folds (sf0.1 warm: 3.5s -> 1.6s)
+    from .text.analysis import text_signals_arrow
+
+    docs = _t(spark, sf_dir)["documents"]
+    return text_signals_arrow(docs)
+
+
+def q_text_analysis_docs_expr(spark, sf_dir):
+    """Pure-expression formulation (the Arrow twin's reference semantics —
+    kept registered so both engines stay oracle-checked)."""
     from .text import (
         digit_fraction,
         dup_token_fraction,
@@ -7917,6 +7931,7 @@ ALL_QUERIES = {
     "dtsx_packages": q_dtsx_packages,
     "dtsx_order_routing": q_dtsx_order_routing,
     "fps_seeds": q_fps_seeds,
+    "text_analysis_docs_expr": q_text_analysis_docs_expr,
     "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
@@ -8088,6 +8103,7 @@ ALL_ORACLES = {
     "dtsx_packages": SQL_DTSX_PACKAGES,
     "dtsx_order_routing": SQL_DTSX_ROUTING,
     "fps_seeds": SQL_FPS_SEEDS,
+    "text_analysis_docs_expr": SQL_TEXT_ANALYSIS,
 }
 
 # The 50 entries the driver verifies — every SURVEY §2 family and every

@@ -14,6 +14,8 @@ Operators (driver extension surface alongside SURVEY.md §2):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -755,6 +757,162 @@ def gopher_signals_arrow(
                 out[id_col].append(did)
                 for k, ser in zip(extras, extra_series):
                     out[k].append(ser.iloc[i])
+                if s is None:
+                    for k in sig_names:
+                        out[k].append(None)
+                    continue
+                vals = one_doc(s)
+                for k in sig_names:
+                    out[k].append(vals[k])
+            yield pd.DataFrame(out)
+
+    return pre.mapInPandas(gen, schema)
+
+
+def text_signals_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of the full per-document text-analysis
+    battery (the `text_analysis_docs` projection): token counts, BPE-ish
+    token estimate, language ID, quality score, md5 fingerprint, repetition
+    signals, symbol/digit fractions, and the exact-integer char-entropy
+    struct — BIT-IDENTICAL to the expression formulations (pytest-pinned on
+    the fixture corpus and on adversarial edge cases):
+
+    - integer counts are exact; every double is the same IEEE division /
+      min / left-associative sum the JVM expression tree performs;
+    - ``entropy_units`` uses the proven Python oracle formulation from the
+      property suite (``round(ln m, 6)`` micro-units as exact integers);
+    - language-ID ties go to the earliest language in the fixed marker
+      order, exactly like the (score, -index) struct argmax.
+
+    Exists because the battery's floor is interpreted HOF work (the sorted
+    char-run entropy scan, per-token folds, n-gram array ops — no codegen,
+    no CSE in lambdas); here each document is compiled-regex passes plus
+    ``collections.Counter``.  Map-only: one ArrowEvalPython stage, no
+    shuffle — the 100 TB plan shape is identical to the expression twin's.
+    """
+    import hashlib
+    import re as _re
+
+    from collections import Counter
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    any_ws = _re.compile(r"\s", _re.ASCII)
+    bpe = _re.compile(_TOKEN_PATTERN, _re.ASCII)
+    alpha_sp = _re.compile(r"[A-Za-z0-9 ]")
+    sym = _re.compile(r"[^A-Za-z0-9\s]", _re.ASCII)
+    dig = _re.compile(r"[0-9]")
+    langs = list(_LANG_MARKERS)
+    lang_pats = [
+        _re.compile(r"\b(" + "|".join(_LANG_MARKERS[g]) + r")\b", _re.ASCII)
+        for g in langs
+    ]
+    stop = lang_pats[langs.index("en")]
+
+    def lunits(m: int) -> int:
+        if m <= 0:
+            return 0
+        return int(Decimal(str(round(math.log(m), 6))) * 1_000_000)
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_bpe", T.IntegerType()),
+            T.StructField("lang_pred", T.StringType()),
+            T.StructField("q_score", T.DoubleType()),
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("mean_tok_len", T.DoubleType()),
+            T.StructField("dup_tok_frac", T.DoubleType()),
+            T.StructField("top_tok_frac", T.DoubleType()),
+            T.StructField("max_run", T.IntegerType()),
+            T.StructField("symbol_frac", T.DoubleType()),
+            T.StructField("digit_frac", T.DoubleType()),
+            T.StructField("ent_distinct", T.IntegerType()),
+            T.StructField("entropy_units", T.LongType()),
+        ]
+    )
+    sig_names = [f.name for f in schema.fields[1:]]
+
+    def one_doc(s):
+        trimmed = s.strip(" ")
+        toks = ws.split(trimmed)
+        n_tok = 0 if trimmed == "" else len(toks)
+        n_chars = len(s)
+        low = s.lower()
+        n_nospace = n_chars - len(any_ws.findall(s))
+
+        hits = [len(p.findall(low)) for p in lang_pats]
+        bi = max(range(len(langs)), key=lambda i: (hits[i], -i))
+        lang_pred = langs[bi] if hits[bi] > 0 else "und"
+
+        stop_hits = len(stop.findall(low))
+        lf = min(n_chars / 1000.0, 1.0)
+        ar = len(alpha_sp.findall(s)) / n_chars if n_chars > 0 else 0.0
+        sf_ = min(stop_hits / n_tok / 0.2, 1.0) if n_tok > 0 else 0.0
+        q_score = (lf + ar + sf_) / 3.0
+
+        fingerprint = hashlib.md5(
+            ws.sub(" ", low.strip(" ")).encode("utf-8")
+        ).hexdigest()
+
+        if n_tok > 0:
+            tok_counts = Counter(toks)
+            dup_frac = (n_tok - len(tok_counts)) / n_tok
+            top_frac = max(tok_counts.values()) / n_tok
+            max_run = run = 1
+            for a, b in zip(toks, toks[1:]):
+                run = run + 1 if b == a else 1
+                if run > max_run:
+                    max_run = run
+        else:
+            dup_frac = top_frac = 0.0
+            max_run = 0
+
+        if n_chars > 0:
+            ccounts = Counter(s)
+            ent_distinct = len(ccounts)
+            entropy_units = n_chars * lunits(n_chars) - sum(
+                k * lunits(k) for k in ccounts.values()
+            )
+        else:
+            ent_distinct = 0
+            entropy_units = 0
+
+        return {
+            "n_tokens": n_tok,
+            "n_bpe": len(bpe.findall(s)),
+            "lang_pred": lang_pred,
+            "q_score": q_score,
+            "fingerprint": fingerprint,
+            "mean_tok_len": n_nospace / n_tok if n_tok > 0 else 0.0,
+            "dup_tok_frac": dup_frac,
+            "top_tok_frac": top_frac,
+            "max_run": max_run,
+            "symbol_frac": len(sym.findall(s)) / n_chars if n_chars > 0 else 0.0,
+            "digit_frac": len(dig.findall(s)) / n_chars if n_chars > 0 else 0.0,
+            "ent_distinct": ent_distinct,
+            "entropy_units": entropy_units,
+        }
+
+    pre = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {f.name: [] for f in schema.fields}
+            for did, s in zip(pdf[id_col], pdf["_txt"]):
+                out[id_col].append(did)
                 if s is None:
                     for k in sig_names:
                         out[k].append(None)

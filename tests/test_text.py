@@ -1761,3 +1761,83 @@ class TestBandCapAdversarial:
         # kept members are the id-ordered prefix of the bucket
         members = {x for p in a for x in p}
         assert members == set(range(5))
+
+
+class TestTextSignalsArrow:
+    """Bit-identity contract for the full text-analysis Arrow kernel vs the
+    expression battery it replaces in the driver entry."""
+
+    def test_bit_identical_on_fixture(self, spark):
+        from ssis_to_dbt_spark import catalog
+
+        sf = "/root/testdata/sf0.001"
+        a = {
+            r["doc_id"]: r.asDict()
+            for r in catalog.ALL_QUERIES["text_analysis_docs"](spark, sf).collect()
+        }
+        b = {
+            r["doc_id"]: r.asDict()
+            for r in catalog.ALL_QUERIES["text_analysis_docs_expr"](
+                spark, sf
+            ).collect()
+        }
+        assert a == b  # every double/int/string to the last bit
+
+    def test_bit_identical_on_edge_cases(self, spark):
+        from ssis_to_dbt_spark.text.analysis import text_signals_arrow
+
+        from ssis_to_dbt_spark import catalog  # noqa: F401
+
+        edge = TestArrowTwinsRound7.EDGE_DOCS + [
+            (20, "the and of to is a " * 10),      # stopword-saturated
+            (21, "999 888 777 666 555"),           # digits only tokens
+            (22, "x" * 2000),                      # single-char, len factor capped
+            (23, "der die und das ist nicht hier"),  # german beats english
+        ]
+        df = spark.createDataFrame(edge, "doc_id long, text string")
+        arrow = {r["doc_id"]: r.asDict() for r in text_signals_arrow(df).collect()}
+        # expression twin over the same frame
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.catalog import _char_entropy_struct
+        from ssis_to_dbt_spark.text import (
+            digit_fraction,
+            document_fingerprint,
+            dup_token_fraction,
+            language_id,
+            max_token_run,
+            mean_token_length,
+            quality_score,
+            regex_token_count,
+            symbol_fraction,
+            token_count,
+            top_token_fraction,
+        )
+
+        txt = F.col("text")
+        out = df.select(
+            "doc_id",
+            token_count(txt).alias("n_tokens"),
+            regex_token_count(txt).alias("n_bpe"),
+            language_id(txt).alias("lang_pred"),
+            quality_score(txt).alias("q_score"),
+            document_fingerprint(txt).alias("fingerprint"),
+            mean_token_length(txt).alias("mean_tok_len"),
+            dup_token_fraction(txt).alias("dup_tok_frac"),
+            top_token_fraction(txt).alias("top_tok_frac"),
+            max_token_run(txt).cast("int").alias("max_run"),
+            symbol_fraction(txt).alias("symbol_frac"),
+            digit_fraction(txt).alias("digit_frac"),
+            _char_entropy_struct(txt).alias("_ent"),
+        )
+        keep = [c for c in out.columns if c != "_ent"]
+        expr = {
+            r["doc_id"]: r.asDict()
+            for r in out.select(
+                *keep,
+                F.col("_ent").getField("n_distinct").alias("ent_distinct"),
+                F.col("_ent").getField("entropy_units").alias("entropy_units"),
+            ).collect()
+        }
+        assert arrow == expr
+        assert expr[23]["lang_pred"] == "de"
