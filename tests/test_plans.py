@@ -418,3 +418,49 @@ class TestRound7PlanShapes:
         # a sort-merge join (its only exchanges are its own banding aggs)
         assert plan.count("BroadcastHashJoin") >= 3
         assert "SortMergeJoin" not in plan
+
+
+class TestArrowKernelPlanShapes:
+    """The round-7 Arrow kernels must stay map-only: exactly one
+    ArrowEvalPython-family stage, no exchange introduced by the kernel —
+    the 100 TB plan shape is identical to the expression twins'."""
+
+    def _plan(self, spark, df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+
+    def test_winnow_arrow_map_only(self, spark):
+        from ssis_to_dbt_spark.text.dedup import winnow_fingerprints_arrow
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = self._plan(spark, winnow_fingerprints_arrow(docs))
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 1
+
+    def test_gopher_arrow_map_only(self, spark):
+        from ssis_to_dbt_spark.text.analysis import gopher_signals_arrow
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = self._plan(spark, gopher_signals_arrow(docs))
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 1
+
+    def test_text_signals_arrow_map_only_and_prunes_columns(self, spark):
+        from ssis_to_dbt_spark.text.analysis import text_signals_arrow
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = text_signals_arrow(docs)
+        plan = self._plan(spark, df)
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 1
+        # the pre-projection must push column pruning into the scan: only
+        # (doc_id, text) leave the parquet reader, not the full table
+        formatted = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in formatted
