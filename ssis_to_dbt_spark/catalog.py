@@ -3731,10 +3731,12 @@ def q_label_prototypes(spark, sf_dir):
     against the literal rounded centroids — argmax cosine, smallest-label
     tie-break.  The centroid collect is model-sized (labels x dims), the
     same legitimacy class as the IVF centroid step."""
-    from .text.similarity import label_centroids, prototype_assign
+    from .text.similarity import label_centroids, prototype_assign_arrow
 
     emb = _t(spark, sf_dir)["embeddings"]
-    cent = label_centroids(emb)
+    # lazily checkpointed: the centroid agg feeds BOTH the 'centroid' arm
+    # and the driver-side protos collect — without this it computed twice
+    cent = label_centroids(emb).localCheckpoint(eager=False)
     c = cent.select(
         F.lit("centroid").alias("component"),
         F.col("label").cast("long").alias("id_a"),
@@ -3746,7 +3748,9 @@ def q_label_prototypes(spark, sf_dir):
     protos: dict[int, list[float]] = {}
     for r in rows:
         protos.setdefault(r["label"], []).append(float(r["mean_r"]))
-    a = prototype_assign(emb, protos).select(
+    # Arrow kernel twin (bit-identical to prototype_assign, pytest-pinned):
+    # the expression path evaluated len(protos) interpreted-HOF cosines/row
+    a = prototype_assign_arrow(emb, protos).select(
         F.lit("assign").alias("component"),
         F.col("vec_id").cast("long").alias("id_a"),
         F.col("pred_label").cast("int").alias("dim"),

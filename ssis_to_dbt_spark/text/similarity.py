@@ -675,6 +675,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     round_digits: int = 6,
     seeding: str = "lowest_id",
+    assign_engine: str = "expr",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd k-means over the embedding column, composed from the engine's
     own pieces: init = the ``k`` lowest-id embeddings (:func:`ivf_centroids`
@@ -701,7 +702,14 @@ def kmeans_fit(
     init) or ``"farthest"`` (:func:`farthest_point_seeds` — well-spread
     md5-anchored k-center seeds; use when the lowest-id vectors may be
     near-identical, which leaves duplicate/empty cells).
+
+    ``assign_engine``: ``"expr"`` (default — pure-JVM plan) or ``"arrow"``
+    (:func:`assign_cells_arrow`, bit-identical by the pinned pytest —
+    faster when k x dims makes the interpreted-HOF cosine the round's
+    floor; the trained centroids are identical either way).
     """
+    if assign_engine not in ("expr", "arrow"):
+        raise ValueError(f"unknown assign_engine {assign_engine!r}")
     if seeding == "farthest":
         cents = [(i, vec) for i, _sid, vec in farthest_point_seeds(
             df, k, id_col, vec_col, round_digits
@@ -711,7 +719,10 @@ def kmeans_fit(
     else:
         raise ValueError(f"unknown seeding {seeding!r}")
     for _ in range(rounds):
-        assigned = ivf_assign(df, cents, id_col, vec_col)
+        if assign_engine == "arrow":
+            assigned = assign_cells_arrow(df, cents, id_col, vec_col)
+        else:
+            assigned = ivf_assign(df, cents, id_col, vec_col)
         x = assigned.select(
             F.col("cell"),
             F.posexplode(_as_double(F.col(vec_col))).alias("dim", "_x"),
@@ -894,6 +905,102 @@ def prototype_assign(
         (-best.getField("nl")).alias("pred_label"),
         best.getField("c").alias("cosine"),
     )
+
+
+def prototype_assign_arrow(
+    df: DataFrame,
+    centroids: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of :func:`prototype_assign` — same
+    output schema ``(id, pred_label, cosine)``, BIT-IDENTICAL values
+    (pytest-pinned): the same sequential-fold cosine as
+    :func:`assign_cells_arrow` (the proven ivf_assign twin), strict ``>``
+    updates iterating labels ascending = the smallest-label tie-break of
+    the expression path's ``(cosine, -label)`` argmax.
+
+    Exists because the expression path evaluates ``len(centroids)``
+    interpreted-HOF cosines per row (no codegen inside lambdas); here each
+    class is one vectorized numpy fold per Arrow batch.  Map-only — one
+    ArrowEvalPython stage, no shuffle.  Numeric labels required, same
+    contract as the expression twin."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    non_numeric = [
+        lab
+        for lab in centroids
+        if isinstance(lab, bool) or not isinstance(lab, (int, float))
+    ]
+    if non_numeric:
+        raise ValueError(
+            "prototype_assign requires numeric (int/float) class labels for "
+            f"the -label tie-break; got non-numeric labels: {non_numeric!r}"
+        )
+    labs = sorted(centroids)
+    cvecs = [np.asarray(centroids[lab], dtype=np.float64) for lab in labs]
+    cnorms = []
+    for c in cvecs:
+        s = 0.0
+        for x in c:  # scalar sequential fold — mirrors l2_norm's aggregate
+            s = s + float(x) * float(x)
+        cnorms.append(math.sqrt(s))
+    id_field = df.schema[id_col]
+    label_type = (
+        T.DoubleType()
+        if any(isinstance(lab, float) for lab in labs)
+        else T.LongType()
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("pred_label", label_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _np_stack_f64(pdf[vec_col])
+            nrm = np.sqrt(_np_fold_dot(v, v))
+            best_s = None
+            best_l = None
+            for lab, c, cn in zip(labs, cvecs, cnorms):
+                acc = np.zeros(len(v), dtype=np.float64)
+                for j in range(v.shape[1]):
+                    acc = acc + v[:, j] * c[j]
+                den = nrm * cn
+                sim = np.divide(
+                    acc, den, out=np.zeros_like(acc), where=den > 0
+                )
+                if best_s is None:
+                    best_s = sim
+                    best_l = np.full(len(v), lab, dtype=np.float64)
+                else:
+                    take = sim > best_s  # strict: ties keep the lowest label
+                    best_s = np.where(take, sim, best_s)
+                    best_l = np.where(take, lab, best_l)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pred_label": (
+                        best_l
+                        if isinstance(label_type, T.DoubleType)
+                        else best_l.astype("int64")
+                    ),
+                    "cosine": best_s,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def hard_negatives(

@@ -1841,3 +1841,62 @@ class TestTextSignalsArrow:
         }
         assert arrow == expr
         assert expr[23]["lang_pred"] == "de"
+
+
+class TestPrototypeAssignArrow:
+    def test_bit_identical_to_expr(self, spark):
+        from ssis_to_dbt_spark.text.similarity import (
+            label_centroids,
+            prototype_assign,
+            prototype_assign_arrow,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = label_centroids(emb).orderBy("label", "dim").collect()
+        protos = {}
+        for r in rows:
+            protos.setdefault(r["label"], []).append(float(r["mean_r"]))
+        a = {
+            r["vec_id"]: (int(r["pred_label"]), r["cosine"])
+            for r in prototype_assign(emb, protos).collect()
+        }
+        b = {
+            r["vec_id"]: (int(r["pred_label"]), r["cosine"])
+            for r in prototype_assign_arrow(emb, protos).collect()
+        }
+        assert a == b  # raw cosines to the last bit, same tie-breaks
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from ssis_to_dbt_spark.text.similarity import prototype_assign_arrow
+
+        protos = {5: [1.0, 0.0], 9: [1.0, 0.0]}
+        df = spark.createDataFrame(
+            [(0, [0.5, 0.0])], "vec_id int, embedding array<float>"
+        )
+        [r] = prototype_assign_arrow(df, protos).collect()
+        assert r["pred_label"] == 5
+
+    def test_rejects_non_numeric_and_empty(self, spark):
+        import pytest as _pt
+
+        from ssis_to_dbt_spark.text.similarity import prototype_assign_arrow
+
+        df = spark.createDataFrame(
+            [(0, [0.5, 0.0])], "vec_id int, embedding array<float>"
+        )
+        with _pt.raises(ValueError, match="numeric"):
+            prototype_assign_arrow(df, {"en": [1.0, 0.0]})
+        with _pt.raises(ValueError, match="non-empty"):
+            prototype_assign_arrow(df, {})
+
+    def test_kmeans_assign_engines_identical(self, spark):
+        from ssis_to_dbt_spark.text.similarity import kmeans_fit
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = kmeans_fit(emb, k=3, rounds=2, assign_engine="expr")
+        b = kmeans_fit(emb, k=3, rounds=2, assign_engine="arrow")
+        assert a == b
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            kmeans_fit(emb, k=2, assign_engine="numpy")
