@@ -920,16 +920,19 @@ def q_simhash_pairs_docs(spark, sf_dir):
 # these prove the algorithms correct end-to-end.
 # ---------------------------------------------------------------------------
 
-def q_split_leakage_docs(spark, sf_dir):
+def q_split_leakage_docs(spark, sf_dir, pairs=None):
     """Train/test split leakage audit: near-duplicate candidate pairs (md5
     MinHash-LSH) that CROSS a deterministic hash split — the self-split
     counterpart of benchmark decontamination.  Arm 'pair' lists each leaky
-    pair with its split sides; arm 'summary' counts candidates vs leaks."""
+    pair with its split sides; arm 'summary' counts candidates vs leaks.
+    ``pairs`` lets a suite pass a pre-materialized candidate table so the
+    signature pipeline runs once, not once per consumer."""
     from .operators.sampling import hash_split
 
     docs = _t(spark, sf_dir)["documents"]
     split = hash_split(docs, "doc_id", test_pct=10).select("doc_id", "split")
-    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    if pairs is None:
+        pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
     sa = split.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -968,7 +971,14 @@ def q_minhash_pairs_md5(spark, sf_dir):
     """Suite (round 6): md5 MinHash-LSH candidate pairs + the split-leakage
     audit built on the same pair set."""
     docs = _t(spark, sf_dir)["documents"]
-    cand = minhash_candidates_md5(docs, num_hashes=8, bands=4).select(
+    # ONE md5 signature/banding pipeline feeds every consumer in the suite
+    # (cand arm, leakage audit, prune/safe-split) — lazily checkpointed so
+    # each arm reads the materialized pair table instead of re-running the
+    # corpus-scan -> shingle -> signature -> band-join upstream.
+    pairs0 = minhash_candidates_md5(docs, num_hashes=8, bands=4).localCheckpoint(
+        eager=False
+    )
+    cand = pairs0.select(
         F.lit("cand").alias("component"),
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -976,7 +986,7 @@ def q_minhash_pairs_md5(spark, sf_dir):
         _nul("string").alias("s1"),
         _nul("string").alias("s2"),
     )
-    lk = q_split_leakage_docs(spark, sf_dir).select(
+    lk = q_split_leakage_docs(spark, sf_dir, pairs=pairs0).select(
         F.concat(F.lit("leak_"), F.col("component")).alias("component"),
         "doc_a",
         "doc_b",
@@ -988,7 +998,7 @@ def q_minhash_pairs_md5(spark, sf_dir):
     # connected_components localCheckpoints during build, so the second
     # component reuses the materialized component table instead of
     # re-running label propagation.
-    pruned = q_neardup_prune_docs(spark, sf_dir)
+    pruned = q_neardup_prune_docs(spark, sf_dir, pairs=pairs0)
     pr = pruned.select(
         F.lit("prune").alias("component"),
         F.col("doc_id").alias("doc_a"),
@@ -7422,7 +7432,7 @@ FROM a3
 """
 
 
-def q_neardup_prune_docs(spark, sf_dir):
+def q_neardup_prune_docs(spark, sf_dir, pairs=None):
     """Near-dup PRUNING — the step after clustering: keep ONE representative
     per near-dup cluster (longest text wins, ties to the lowest doc_id —
     the C4/RefinedWeb keep-longest policy) and pass singletons through.
@@ -7434,7 +7444,8 @@ def q_neardup_prune_docs(spark, sf_dir):
     from .text.dedup import prune_clusters
 
     docs = _t(spark, sf_dir)["documents"]
-    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    if pairs is None:
+        pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
     return prune_clusters(docs, pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
