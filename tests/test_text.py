@@ -1900,3 +1900,86 @@ class TestPrototypeAssignArrow:
 
         with _pt.raises(ValueError):
             kmeans_fit(emb, k=2, assign_engine="numpy")
+
+
+class TestArrowTwinsUnicode:
+    """The Arrow twins' riskiest divergence surface is JVM-vs-Python
+    lowercasing and whitespace classes; pin bit-identity on Turkish
+    dotted-I, ligatures, sharp-s, Greek final sigma, astral emoji,
+    unicode spaces (NBSP/thin/LS/PS are NOT ASCII \\s), and ASCII control
+    whitespace."""
+
+    ROWS = [
+        (1, "İstanbul ŞEHİR ıçın Straße GROSS"),
+        (2, "nb sp and thin space ls ps end"),
+        (3, "emoji \U0001f389 party \U0001f38a done"),
+        (4, "ﬁ ligature ﬆ and ß MASSE"),
+        (5, "mixed\x0bvertical\x0ctab\rcarriage"),
+        (6, "ΣΊΣΥΦΟΣ greek FINAL sigma ς"),
+    ]
+
+    def test_all_twins_bit_identical_on_unicode(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.catalog import _char_entropy_struct
+        from ssis_to_dbt_spark.text import (
+            digit_fraction,
+            document_fingerprint,
+            dup_token_fraction,
+            language_id,
+            max_token_run,
+            mean_token_length,
+            quality_score,
+            regex_token_count,
+            symbol_fraction,
+            token_count,
+            top_token_fraction,
+        )
+        from ssis_to_dbt_spark.text.analysis import (
+            gopher_signals,
+            gopher_signals_arrow,
+            text_signals_arrow,
+        )
+        from ssis_to_dbt_spark.text.dedup import (
+            winnow_fingerprints,
+            winnow_fingerprints_arrow,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        txt = F.col("text")
+        out = df.select(
+            "doc_id",
+            token_count(txt).alias("n_tokens"),
+            regex_token_count(txt).alias("n_bpe"),
+            language_id(txt).alias("lang_pred"),
+            quality_score(txt).alias("q_score"),
+            document_fingerprint(txt).alias("fingerprint"),
+            mean_token_length(txt).alias("mean_tok_len"),
+            dup_token_fraction(txt).alias("dup_tok_frac"),
+            top_token_fraction(txt).alias("top_tok_frac"),
+            max_token_run(txt).cast("int").alias("max_run"),
+            symbol_fraction(txt).alias("symbol_frac"),
+            digit_fraction(txt).alias("digit_frac"),
+            _char_entropy_struct(txt).alias("_ent"),
+        )
+        keep = [c for c in out.columns if c != "_ent"]
+        expr = {
+            r["doc_id"]: r.asDict()
+            for r in out.select(
+                *keep,
+                F.col("_ent").getField("n_distinct").alias("ent_distinct"),
+                F.col("_ent").getField("entropy_units").alias("entropy_units"),
+            ).collect()
+        }
+        arrow = {
+            r["doc_id"]: r.asDict() for r in text_signals_arrow(df).collect()
+        }
+        assert expr == arrow
+        ge = {r["doc_id"]: r.asDict() for r in gopher_signals(df).collect()}
+        ga = {
+            r["doc_id"]: r.asDict() for r in gopher_signals_arrow(df).collect()
+        }
+        assert ge == ga
+        we = set(map(tuple, winnow_fingerprints(df, k=2, w=2).collect()))
+        wa = set(map(tuple, winnow_fingerprints_arrow(df, k=2, w=2).collect()))
+        assert we == wa
