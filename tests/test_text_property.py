@@ -353,3 +353,73 @@ class TestRound6ExtensionProperties:
             assert sum(1 for m in members if m["kept"]) == 1
             assert all(m["cluster_size"] == len(members) for m in members)
             assert min(m["doc_id"] for m in members) == cid
+
+
+class TestArrowTwinProperties:
+    """Property-based bit-identity: the round-7 Arrow kernels vs their
+    expression twins on RANDOM documents (mixed whitespace, punctuation,
+    empty docs) — one Spark job per example set."""
+
+    # documents with real whitespace structure: words, newlines, tabs
+    _mixed = st.lists(
+        st.one_of(
+            words,
+            st.just("\n"),
+            st.just("\t"),
+            st.just("..."),
+            st.just("- bullet"),
+        ),
+        min_size=0,
+        max_size=40,
+    ).map(" ".join)
+
+    @given(docs=st.lists(_mixed, min_size=1, max_size=6))
+    @settings(**SETTINGS)
+    def test_text_signals_arrow_matches_expr(self, spark, docs):
+        from ssis_to_dbt_spark.catalog import _char_entropy_struct
+        from ssis_to_dbt_spark.text.analysis import text_signals_arrow
+
+        df = _rows(spark, docs)
+        t = F.col("text")
+        out = df.select(
+            "doc_id",
+            tx.token_count(t).alias("n_tokens"),
+            tx.regex_token_count(t).alias("n_bpe"),
+            tx.language_id(t).alias("lang_pred"),
+            tx.quality_score(t).alias("q_score"),
+            tx.document_fingerprint(t).alias("fingerprint"),
+            tx.mean_token_length(t).alias("mean_tok_len"),
+            tx.dup_token_fraction(t).alias("dup_tok_frac"),
+            tx.top_token_fraction(t).alias("top_tok_frac"),
+            tx.max_token_run(t).cast("int").alias("max_run"),
+            tx.symbol_fraction(t).alias("symbol_frac"),
+            tx.digit_fraction(t).alias("digit_frac"),
+            _char_entropy_struct(t).alias("_ent"),
+        )
+        keep = [c for c in out.columns if c != "_ent"]
+        expr = {
+            r["doc_id"]: r.asDict()
+            for r in out.select(
+                *keep,
+                F.col("_ent").getField("n_distinct").alias("ent_distinct"),
+                F.col("_ent").getField("entropy_units").alias("entropy_units"),
+            ).collect()
+        }
+        arrow = {
+            r["doc_id"]: r.asDict()
+            for r in text_signals_arrow(df).collect()
+        }
+        assert expr == arrow
+
+    @given(docs=st.lists(_mixed, min_size=1, max_size=6))
+    @settings(**SETTINGS)
+    def test_winnow_arrow_matches_expr(self, spark, docs):
+        from ssis_to_dbt_spark.text.dedup import (
+            winnow_fingerprints,
+            winnow_fingerprints_arrow,
+        )
+
+        df = _rows(spark, docs)
+        a = set(map(tuple, winnow_fingerprints(df, k=2, w=3).collect()))
+        b = set(map(tuple, winnow_fingerprints_arrow(df, k=2, w=3).collect()))
+        assert a == b
