@@ -1,0 +1,88 @@
+"""Sweep EVERY registered standalone query (catalog.ALL_QUERIES, not just
+the 50-entry driver window) against its DuckDB oracle — backs the README
+claim that all registered queries pass.
+
+Usage: python tools/check_all.py [sf_dir]     (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from check_correctness import TABLES, canon  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from ssis_to_dbt_spark import catalog
+    from ssis_to_dbt_spark.session import build_session
+
+    spark = build_session(
+        shuffle_partitions=int(os.environ.get("CHECK_SHUFFLE", "16")),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    passed = failed = rows_only = 0
+    for name, fn in catalog.ALL_QUERIES.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failed += 1
+            continue
+        if name not in catalog.ALL_ORACLES:
+            print(f"ROWS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            rows_only += 1
+            continue
+        try:
+            res = con.sql(catalog.ALL_ORACLES[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle error: {exc}")
+            failed += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not problems:
+            sc, oc = canon(srows, scols), canon(orows, ocols)
+            if sc != oc:
+                mism = sum(1 for a, b in zip(sc, oc) if a != b)
+                problems.append(f"values differ ({mism} rows)")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failed += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            passed += 1
+    print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only "
+          f"of {len(catalog.ALL_QUERIES)}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    main()
