@@ -78,6 +78,7 @@ HEADLINE = [
     "neardup_prune_docs",
     "char_entropy_docs",
     "temperature_mixture_docs",
+    "dsir_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

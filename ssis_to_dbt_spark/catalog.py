@@ -5994,7 +5994,15 @@ def q_sampling_splits(spark, sf_dir):
         F.col("lang").cast("string").alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws, sc, kf, tm])
+    ds = q_dsir_docs(spark, sf_dir).select(
+        F.lit("dsir").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            ":", "weight_units", "gumbel_units", "n_feats"
+        ).alias("s1"),
+        F.when(F.col("picked"), "picked").otherwise("pool").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc, kf, tm, ds])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -7736,6 +7744,83 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
 """
 
 
+def q_dsir_docs(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bucket model, target = the English slice, add-one smoothing, exact
+    integer micro-unit log weights; `picked` marks the Gumbel-top-100
+    resample (content-addressed Gumbel draw, fully deterministic)."""
+    from .text.analysis import dsir_importance, dsir_select
+
+    docs = _t(spark, sf_dir)["documents"]
+    scored = dsir_importance(docs, F.col("lang") == "en", buckets=256)
+    top = dsir_select(scored, 100).select("doc_id", F.lit(1).alias("_pick"))
+    return scored.join(F.broadcast(top), "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("weight_units").cast("long").alias("weight_units"),
+        F.col("gumbel_units").cast("long").alias("gumbel_units"),
+        (F.coalesce(F.col("_pick"), F.lit(0)) == 1).alias("picked"),
+    )
+
+
+# round(ln(m), 6) as BIGINT micro-units — the engine's _log_units discipline.
+def _sql_log_units(m: str) -> str:
+    return (
+        f"CAST(CAST(round(ln(CAST({m} AS DOUBLE)), 6) AS DECIMAL(18,6))"
+        " * 1000000 AS BIGINT)"
+    )
+
+
+SQL_DSIR = rf"""
+WITH tk AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, tgt, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT doc_id, tgt, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+  FROM (SELECT doc_id, tgt, t, unnest(range(1, len(t))) AS i FROM tk) _x),
+cnt AS (
+  SELECT doc_id, tgt,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 256 AS b,
+         COUNT(*) AS c
+  FROM grams GROUP BY 1, 2, 3),
+bstat AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS q_cnt,
+         CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS p_cnt
+  FROM cnt GROUP BY b),
+tot AS (SELECT CAST(SUM(q_cnt) AS BIGINT) AS qt,
+               CAST(SUM(p_cnt) AS BIGINT) AS pt FROM bstat),
+ratio AS (
+  SELECT b, {_sql_log_units('p_cnt + 1')} - {_sql_log_units('pt + 256')}
+            - {_sql_log_units('q_cnt + 1')} + {_sql_log_units('qt + 256')}
+            AS r_units
+  FROM bstat CROSS JOIN tot),
+sc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * r_units) AS BIGINT) AS weight_units
+  FROM cnt JOIN ratio USING (b) GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(sc.n_feats, 0) AS n_feats,
+         COALESCE(sc.weight_units, 0) AS weight_units,
+         CAST(CAST(round(-ln(-ln(
+             (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1 AS DOUBLE))
+             / 2305843009213693952.0)), 6) AS DECIMAL(18,6)) * 1000000
+              AS BIGINT) AS gumbel_units
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+top AS (
+  SELECT doc_id FROM scored
+  ORDER BY weight_units + gumbel_units DESC, doc_id LIMIT 100)
+SELECT s.doc_id, s.n_feats, s.weight_units, s.gumbel_units,
+       (t.doc_id IS NOT NULL) AS picked
+FROM scored s LEFT JOIN top t USING (doc_id)
+"""
+
+
 # Fold the four new operators into their driver-window suites (the SQL
 # constants above are complete at this point, so extend them in place).
 SQL_ANN_TOPK_SUITE += f"""UNION ALL
@@ -7750,6 +7835,12 @@ SQL_SAMPLING_SPLITS += f"""UNION ALL
 SELECT 'temperature', CAST(doc_id AS BIGINT), CAST(lang AS VARCHAR),
        {_NULL_STR}
 FROM ({SQL_TEMPERATURE_MIXTURE}) _tm
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS BIGINT),
+       CAST(weight_units AS VARCHAR) || ':' || CAST(gumbel_units AS VARCHAR)
+           || ':' || CAST(n_feats AS VARCHAR),
+       CASE WHEN picked THEN 'picked' ELSE 'pool' END
+FROM ({SQL_DSIR}) _ds
 """
 
 SQL_MINHASH_MD5_SUITE += f"""UNION ALL
@@ -7926,6 +8017,7 @@ ALL_QUERIES = {
     "decay_events": q_decay_events,
     "char_entropy_docs": q_char_entropy_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
+    "dsir_docs": q_dsir_docs,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -8086,6 +8178,7 @@ ALL_ORACLES = {
     "decay_events": SQL_DECAY_EVENTS,
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
+    "dsir_docs": SQL_DSIR,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(

@@ -1305,3 +1305,132 @@ def tf_idf_top_terms(
         .filter(F.col("rn") <= top_k)
         .select(id_col, "term", "tf", "df_t", "tfidf_r", "rn")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR document scoring (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every
+    document by how much more likely its hashed n-gram features are under a
+    TARGET distribution (rows where ``target`` is true — e.g. a trusted
+    high-quality or in-domain slice) than under the RAW corpus distribution.
+    The standard pretraining-data curation move when you have a small good
+    corpus and a huge crawl: keep crawl documents that look like the target.
+
+    Model: unigram + bigram features hashed into ``buckets`` md5 buckets;
+    bucket distributions are add-one smoothed; a document's log importance
+    weight is ``sum_b count_b * (ln p_b - ln q_b)``.  Every log term is
+    quantized round(ln m, 6) -> integer micro-units (BIGINT) BEFORE any
+    arithmetic (the :func:`bigram_surprisal` determinism discipline), so the
+    whole score is exact integers — engine-portable and order-independent.
+    ``gumbel_units`` is a content-addressed Gumbel(0,1) draw from md5 of the
+    id (quantized the same way): resampling ``proportional to`` the weight
+    is top-k of ``weight_units + gumbel_units`` (the Gumbel-max trick),
+    reproducible on any engine with md5.
+
+    Returns one row per input row: ``(id, n_feats, weight_units,
+    gumbel_units)`` — blank/featureless documents keep a row with
+    ``n_feats = 0, weight_units = 0``.
+
+    100 TB shape: one explode -> groupBy(id, bucket) count (the only
+    corpus-sized shuffle, with map-side partial aggregation), a
+    ``buckets``-row statistics relation (second agg collapses to <= B rows),
+    the log-ratio table joined back by BROADCAST (B rows, pinned — never a
+    corpus shuffle), and a final groupBy(id).  Featureless documents ride
+    through as an ``explode_outer`` null-gram marker row rather than a
+    corpus-sized resurrection join, so there is NO join between two
+    corpus-sized relations anywhere.  No driver-side state, no collect; the
+    "model" (bucket ratio table) never exceeds B rows.  Ids are assumed
+    unique (one output row per id).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from .dedup import _md5_long
+
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(_ws_tokens(F.col(text_col)))
+    base = df.select(F.col(id_col), target.alias("_tgt"), toks.alias("_tk"))
+    # explode_outer: a document with zero grams keeps ONE row with a NULL
+    # gram (null bucket), so it reaches the final per-id aggregate without
+    # a separate corpus-sized left join to restore it.
+    grams = base.select(
+        id_col,
+        "_tgt",
+        F.explode_outer(
+            F.concat(F.col("_tk"), _ngrams(F.col("_tk"), 2))
+        ).alias("_g"),
+    )
+    cnt = grams.groupBy(
+        id_col, "_tgt", F.pmod(_md5_long(F.col("_g")), F.lit(buckets)).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    bstat = cnt.filter(F.col("_b").isNotNull()).groupBy("_b").agg(
+        F.sum("_c").alias("_q_cnt"),
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0)).alias("_p_cnt"),
+    )
+    # Totals via an unpartitioned window over the <= B-row relation — stays
+    # lazy (no driver action) and costs one single-partition pass over B rows.
+    wall = Window.partitionBy()
+    bstat = bstat.select(
+        "_b",
+        "_q_cnt",
+        "_p_cnt",
+        F.sum("_q_cnt").over(wall).alias("_qt"),
+        F.sum("_p_cnt").over(wall).alias("_pt"),
+    )
+    ratio = bstat.select(
+        "_b",
+        (
+            _log_units(F.col("_p_cnt") + 1)
+            - _log_units(F.col("_pt") + buckets)
+            - _log_units(F.col("_q_cnt") + 1)
+            + _log_units(F.col("_qt") + buckets)
+        ).alias("_r_units"),
+    )
+    feat = F.col("_b").isNotNull()
+    scores = (
+        cnt.join(F.broadcast(ratio), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(feat, F.col("_c")).otherwise(0)).alias("_n_feats"),
+            F.sum(
+                F.when(feat, F.col("_c") * F.col("_r_units")).otherwise(0)
+            ).alias("_w_units"),
+        )
+    )
+    # Content-addressed Gumbel(0,1): u = (h + 1) / 2^61 with h the 60-bit
+    # md5 prefix — u is strictly inside (0, 0.5], the denominator is a power
+    # of two (exact double), and the int->double cast + division are IEEE
+    # correctly-rounded on every engine, so only ln() can differ (killed by
+    # the 6-decimal quantization).
+    u = (_md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        2305843009213693952.0
+    )
+    g_units = (
+        F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)") * 1_000_000
+    ).cast("long")
+    return scores.select(
+        id_col,
+        F.col("_n_feats").cast("long").alias("n_feats"),
+        F.col("_w_units").cast("long").alias("weight_units"),
+        g_units.alias("gumbel_units"),
+    )
+
+
+def dsir_select(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Gumbel-top-k resampling over :func:`dsir_importance` scores: the k
+    rows with the largest ``weight_units + gumbel_units`` (id ascending on
+    exact ties) — a sample ``proportional to`` the importance weight, fully
+    deterministic because the Gumbel draw is content-addressed.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-partition
+    top-k then a k-row merge on the driver) — no global sort at any scale.
+    """
+    return scored.orderBy(
+        (F.col("weight_units") + F.col("gumbel_units")).desc(), id_col
+    ).limit(k)

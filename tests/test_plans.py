@@ -464,3 +464,23 @@ class TestArrowKernelPlanShapes:
             )
         )
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in formatted
+
+
+class TestDsirPlanShapes:
+    """DSIR plan contract: the bucket-ratio model (<= B rows) reaches the
+    corpus-sized doc-bucket counts as a PINNED broadcast, and the only
+    corpus-sized exchanges are the two aggregations (doc-bucket counts,
+    final per-doc score); featureless docs ride through as explode_outer
+    null-gram markers, so no corpus-sized join and no sort-merge join
+    exist anywhere in the plan."""
+
+    def test_ratio_table_broadcasts(self, spark):
+        plan = plan_of(spark, "dsir_docs", "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_scan_prunes_to_needed_columns(self, spark):
+        # featurization needs (doc_id, text, lang) only — n_chars/source
+        # must not leave the parquet reader
+        plan = plan_of(spark, "dsir_docs", "formatted")
+        assert "n_chars" not in plan.split("Location")[0]

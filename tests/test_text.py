@@ -1983,3 +1983,159 @@ class TestArrowTwinsUnicode:
         we = set(map(tuple, winnow_fingerprints(df, k=2, w=2).collect()))
         wa = set(map(tuple, winnow_fingerprints_arrow(df, k=2, w=2).collect()))
         assert we == wa
+
+
+class TestDsir:
+    """DSIR importance resampling (hashed n-gram bucket model)."""
+
+    def _df(self, spark):
+        rows = [
+            # target slice: documents about "alpha beta"
+            (1, "alpha beta alpha beta alpha", "en"),
+            (2, "alpha beta gamma alpha beta", "en"),
+            (3, "beta alpha beta alpha", "en"),
+            # raw pool: off-target documents about "delta epsilon"
+            (4, "delta epsilon delta epsilon delta", "de"),
+            (5, "epsilon delta zeta epsilon delta", "de"),
+            # unlabeled candidates: one target-like, one off-target-like
+            (6, "alpha beta alpha beta", "fr"),
+            (7, "delta epsilon delta epsilon", "fr"),
+            # featureless
+            (8, "", "fr"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+    def test_target_like_doc_outranks_off_target(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance(
+                self._df(spark), F.col("lang") == "en", buckets=64
+            ).collect()
+        }
+        assert len(out) == 8
+        # the target-like candidate must carry a strictly larger importance
+        # weight than its off-target twin of the same length
+        assert out[6]["weight_units"] > out[7]["weight_units"]
+        # and target-like mass is positive, off-target negative (log ratio)
+        assert out[6]["weight_units"] > 0 > out[7]["weight_units"]
+
+    def test_featureless_doc_scores_zero_and_survives(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance(
+                self._df(spark), F.col("lang") == "en", buckets=64
+            ).collect()
+        }
+        assert out[8]["n_feats"] == 0
+        assert out[8]["weight_units"] == 0
+        assert out[8]["gumbel_units"] is not None
+
+    def test_n_feats_counts_unigrams_plus_bigrams(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        out = {
+            r["doc_id"]: r["n_feats"]
+            for r in dsir_importance(
+                self._df(spark), F.col("lang") == "en", buckets=64
+            ).collect()
+        }
+        # doc 1 has 5 tokens -> 5 unigrams + 4 bigrams
+        assert out[1] == 9
+        assert out[6] == 4 + 3
+
+    def test_select_is_topk_and_partition_invariant(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_importance, dsir_select
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        picks = sorted(
+            r["doc_id"]
+            for r in dsir_select(dsir_importance(df, tgt, buckets=64), 3).collect()
+        )
+        picks_rep = sorted(
+            r["doc_id"]
+            for r in dsir_select(
+                dsir_importance(df.repartition(7), tgt, buckets=64), 3
+            ).collect()
+        )
+        assert len(picks) == 3
+        assert picks == picks_rep
+
+    def test_python_oracle_bit_exact(self, spark):
+        """weight_units and gumbel_units match an exact Python replica of
+        the bucket model (md5 buckets, add-one smoothing, round(ln,6)
+        micro-units) — the same determinism discipline as bigram surprisal."""
+        import hashlib
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        B = 64
+
+        def rhu6(x):
+            # Spark's F.round is HALF_UP (Python round is half-even)
+            return int(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+                * 1_000_000
+            )
+
+        def units(m):
+            return rhu6(math.log(m)) if m > 0 else 0
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+        rows = [
+            (r["doc_id"], r["text"], r["lang"])
+            for r in self._df(spark).collect()
+        ]
+        per_doc, q_cnt, p_cnt = {}, Counter(), Counter()
+        for did, text, lang in rows:
+            toks = text.strip().split() if text.strip() else []
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            c = Counter(bucket(g) for g in grams)
+            per_doc[did] = c
+            q_cnt.update(c)
+            if lang == "en":
+                p_cnt.update(c)
+        qt, pt = sum(q_cnt.values()), sum(p_cnt.values())
+        ratio = {
+            b: units(p_cnt[b] + 1) - units(pt + B)
+            - units(q_cnt[b] + 1) + units(qt + B)
+            for b in q_cnt
+        }
+
+        def gumbel(did):
+            h = int(
+                hashlib.md5(str(did).encode()).hexdigest()[:15], 16
+            )
+            u = float(h + 1) / 2305843009213693952.0
+            return rhu6(-math.log(-math.log(u)))
+
+        got = {
+            r["doc_id"]: r
+            for r in dsir_importance(
+                self._df(spark), F.col("lang") == "en", buckets=B
+            ).collect()
+        }
+        for did, c in per_doc.items():
+            want_w = sum(n * ratio[b] for b, n in c.items())
+            assert got[did]["weight_units"] == want_w, did
+            assert got[did]["n_feats"] == sum(c.values())
+            assert got[did]["gumbel_units"] == gumbel(did), did
+
+    def test_buckets_validation(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        with pytest.raises(ValueError, match="buckets"):
+            dsir_importance(self._df(spark), F.col("lang") == "en", buckets=1)
