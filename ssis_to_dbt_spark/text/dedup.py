@@ -172,7 +172,16 @@ def minhash_candidates(
     fraction of matching signature components.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, id_col)
+    # The signature table feeds THREE consumers (banding + both per-pair
+    # signature re-attachments); without materialization each one re-runs
+    # the shingle-explode -> 64-min-agg pipeline from the corpus scan.
+    # Lazily checkpoint so the first action computes it once and the other
+    # two read the materialized table (signatures are id + 64 longs —
+    # far smaller than the corpus text).  Same discipline as the md5 twin
+    # suite's shared pair pipeline.
+    sigs = minhash_signatures(
+        df, text_col, num_hashes, shingle_n, id_col
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         id_col,
         "minhash",
@@ -273,7 +282,12 @@ def minhash_candidates_md5(
     band buckets capped via :func:`_cap_band_members`), fully reproducible
     on any engine with md5."""
     rows = num_hashes // bands
-    sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
+    # Three consumers (banding + both signature re-attachments): materialize
+    # the signature table once instead of re-running the shingle -> min-agg
+    # pipeline from the corpus scan for each (same as the xxhash64 path).
+    sigs = minhash_signatures_md5(
+        df, text_col, num_hashes, shingle_n, id_col
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -386,9 +400,12 @@ def simhash_md5_candidates(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    # Both sides of the band self-join reference this table; materialize it
+    # once (id + fingerprint + band cols) instead of re-running the
+    # per-token vote pipeline from the corpus scan for each side.
     banded = _cap_band_members(
         banded, id_col, ["band_idx", "band_val"], max_bucket_size
-    )
+    ).localCheckpoint(eager=False)
     left = banded.select(
         "band_idx", "band_val",
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
@@ -516,9 +533,12 @@ def simhash_candidates(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    # Both sides of the band self-join reference this table; materialize it
+    # once (id + fingerprint + band cols) instead of re-running the
+    # per-token vote pipeline from the corpus scan for each side.
     banded = _cap_band_members(
         banded, id_col, ["band_idx", "band_val"], max_bucket_size
-    )
+    ).localCheckpoint(eager=False)
     left = banded.select(
         "band_idx", "band_val",
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
