@@ -1313,6 +1313,7 @@ def dsir_importance(
     buckets: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """DSIR document scoring (Xie et al. 2023, "Data Selection for Language
     Models via Importance Resampling", arXiv:2302.03169): score every
@@ -1347,10 +1348,23 @@ def dsir_importance(
     corpus-sized relations anywhere.  No driver-side state, no collect; the
     "model" (bucket ratio table) never exceeds B rows.  Ids are assumed
     unique (one output row per id).
+
+    ``hash_fn``: ``"md5"`` (default) buckets grams by the portable 60-bit
+    md5 prefix so a SQL oracle reproduces every weight bit-for-bit;
+    ``"xxhash64"`` is the production twin (native 64-bit hash, no hex
+    round-trip — the usual md5/xxhash64 twin split, cf.
+    :func:`~ssis_to_dbt_spark.text.dedup.minhash_candidates`).  Bucket
+    assignment differs between the two, so weights differ; n_feats and the
+    output contract are identical.  The Gumbel draw stays md5 either way
+    (once per document — not a hot path — and keeps selection replayable).
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use md5 or xxhash64")
     from .dedup import _md5_long
+
+    gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
 
     toks = F.when(
         F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
@@ -1366,9 +1380,16 @@ def dsir_importance(
             F.concat(F.col("_tk"), _ngrams(F.col("_tk"), 2))
         ).alias("_g"),
     )
-    cnt = grams.groupBy(
-        id_col, "_tgt", F.pmod(_md5_long(F.col("_g")), F.lit(buckets)).alias("_b")
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    # Explicit null guard: xxhash64(NULL) returns the seed hash (NOT null),
+    # which would turn the featureless-doc marker row into a phantom
+    # feature; md5 nulls naturally, but the guard keeps both paths honest.
+    bucket = F.when(
+        F.col("_g").isNotNull(),
+        F.pmod(gram_hash(F.col("_g")), F.lit(buckets)),
+    )
+    cnt = grams.groupBy(id_col, "_tgt", bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     bstat = cnt.filter(F.col("_b").isNotNull()).groupBy("_b").agg(
         F.sum("_c").alias("_q_cnt"),
         F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0)).alias("_p_cnt"),

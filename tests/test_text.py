@@ -2139,3 +2139,32 @@ class TestDsir:
 
         with pytest.raises(ValueError, match="buckets"):
             dsir_importance(self._df(spark), F.col("lang") == "en", buckets=1)
+
+    def test_xxhash64_production_twin_contract(self, spark):
+        """The xxhash64 twin rebuckets grams (weights differ) but keeps the
+        schema, n_feats accounting, featureless-doc handling, and the md5
+        Gumbel draw identical — the usual md5/xxhash64 twin split."""
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        md5 = {
+            r["doc_id"]: r
+            for r in dsir_importance(df, tgt, buckets=64).collect()
+        }
+        xx = {
+            r["doc_id"]: r
+            for r in dsir_importance(
+                df, tgt, buckets=64, hash_fn="xxhash64"
+            ).collect()
+        }
+        assert set(md5) == set(xx)
+        for did in md5:
+            assert md5[did]["n_feats"] == xx[did]["n_feats"]
+            assert md5[did]["gumbel_units"] == xx[did]["gumbel_units"]
+        # featureless doc unaffected by the hash (xxhash64(NULL) guard)
+        assert xx[8]["n_feats"] == 0 and xx[8]["weight_units"] == 0
+        # the twin still separates target-like from off-target
+        assert xx[6]["weight_units"] > xx[7]["weight_units"]
+        with pytest.raises(ValueError, match="hash_fn"):
+            dsir_importance(df, tgt, hash_fn="sha1")
