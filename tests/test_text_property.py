@@ -423,3 +423,87 @@ class TestArrowTwinProperties:
         a = set(map(tuple, winnow_fingerprints(df, k=2, w=3).collect()))
         b = set(map(tuple, winnow_fingerprints_arrow(df, k=2, w=3).collect()))
         assert a == b
+
+
+class TestDsirProperties:
+    """DSIR weights vs an exact Python replica of the bucket model on
+    random documents and random target assignments."""
+
+    @given(
+        docs=st.lists(documents, min_size=1, max_size=12),
+        tgt_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+    )
+    @settings(**SETTINGS)
+    def test_python_oracle_bit_exact_random_docs(self, spark, docs, tgt_mask):
+        import hashlib
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        B = 32
+
+        def rhu6(x):
+            return int(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+                * 1_000_000
+            )
+
+        def units(m):
+            return rhu6(math.log(m)) if m > 0 else 0
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+        rows = [(i, d, bool(tgt_mask[i])) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(
+            rows, "doc_id int, text string, tgt boolean"
+        )
+        per_doc, q_cnt, p_cnt = {}, Counter(), Counter()
+        for did, text, is_t in rows:
+            toks = text.strip().split() if text.strip() else []
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            c = Counter(bucket(g) for g in grams)
+            per_doc[did] = c
+            q_cnt.update(c)
+            if is_t:
+                p_cnt.update(c)
+        qt, pt = sum(q_cnt.values()), sum(p_cnt.values())
+        ratio = {
+            b: units(p_cnt[b] + 1) - units(pt + B)
+            - units(q_cnt[b] + 1) + units(qt + B)
+            for b in q_cnt
+        }
+        got = {
+            r["doc_id"]: r
+            for r in dsir_importance(df, F.col("tgt"), buckets=B).collect()
+        }
+        assert set(got) == set(per_doc)
+        for did, c in per_doc.items():
+            assert got[did]["weight_units"] == sum(
+                n * ratio[b] for b, n in c.items()
+            ), did
+            assert got[did]["n_feats"] == sum(c.values()), did
+
+    @given(docs=st.lists(documents, min_size=2, max_size=10))
+    @settings(**SETTINGS)
+    def test_partition_invariance(self, spark, docs):
+        from ssis_to_dbt_spark.text.analysis import dsir_importance
+
+        rows = [(i, d) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        tgt = F.col("doc_id") % 2 == 0
+        a = sorted(
+            tuple(r)
+            for r in dsir_importance(df, tgt, buckets=16).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in dsir_importance(
+                df.repartition(5), tgt, buckets=16
+            ).collect()
+        )
+        assert a == b
