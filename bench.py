@@ -79,6 +79,7 @@ HEADLINE = [
     "char_entropy_docs",
     "temperature_mixture_docs",
     "dsir_docs",
+    "dsir_apply_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

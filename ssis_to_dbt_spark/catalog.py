@@ -6002,7 +6002,15 @@ def q_sampling_splits(spark, sf_dir):
         ).alias("s1"),
         F.when(F.col("picked"), "picked").otherwise("pool").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws, sc, kf, tm, ds])
+    da = q_dsir_apply_docs(spark, sf_dir).select(
+        F.lit("dsir_apply").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            ":", "weight_units", "gumbel_units", "n_feats"
+        ).alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc, kf, tm, ds, da])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -7771,8 +7779,7 @@ def _sql_log_units(m: str) -> str:
     )
 
 
-SQL_DSIR = rf"""
-WITH tk AS (
+_DSIR_CTES = rf"""tk AS (
   SELECT doc_id, (lang = 'en') AS tgt,
          CASE WHEN trim(text) = '' THEN []
               ELSE regexp_split_to_array(trim(text), '\s+') END AS t
@@ -7811,7 +7818,10 @@ scored AS (
                         AS BIGINT) + 1 AS DOUBLE))
              / 2305843009213693952.0)), 6) AS DECIMAL(18,6)) * 1000000
               AS BIGINT) AS gumbel_units
-  FROM documents d LEFT JOIN sc USING (doc_id)),
+  FROM documents d LEFT JOIN sc USING (doc_id))"""
+
+SQL_DSIR = f"""
+WITH {_DSIR_CTES},
 top AS (
   SELECT doc_id FROM scored
   ORDER BY weight_units + gumbel_units DESC, doc_id LIMIT 100)
@@ -7819,6 +7829,33 @@ SELECT s.doc_id, s.n_feats, s.weight_units, s.gumbel_units,
        (t.doc_id IS NOT NULL) AS picked
 FROM scored s LEFT JOIN top t USING (doc_id)
 """
+
+# The map-only fit-then-apply path scores the SAME corpus the model was fit
+# on, so its weights coincide with the fused two-pass formulation — one
+# oracle text serves both (bit-identity between the two engine paths is
+# additionally pinned in tests/test_text.py::TestDsir).
+SQL_DSIR_APPLY = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_feats, weight_units, gumbel_units FROM scored
+"""
+
+
+def q_dsir_apply_docs(spark, sf_dir):
+    """DSIR fit-then-apply: the bucket model is collected once (B-row
+    driver traffic, kmeans_fit contract) and scoring is ENTIRELY map-only —
+    a literal-array integer fold per document, zero exchanges (the
+    100 TB crawl-scoring shape). Weights are bit-identical to the fused
+    q_dsir_docs by construction."""
+    from .text.analysis import dsir_fit, dsir_score
+
+    docs = _t(spark, sf_dir)["documents"]
+    model = dsir_fit(docs, F.col("lang") == "en", buckets=256)
+    return dsir_score(docs, model).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("weight_units").cast("long").alias("weight_units"),
+        F.col("gumbel_units").cast("long").alias("gumbel_units"),
+    )
 
 
 # Fold the four new operators into their driver-window suites (the SQL
@@ -7841,6 +7878,12 @@ SELECT 'dsir', CAST(doc_id AS BIGINT),
            || ':' || CAST(n_feats AS VARCHAR),
        CASE WHEN picked THEN 'picked' ELSE 'pool' END
 FROM ({SQL_DSIR}) _ds
+UNION ALL
+SELECT 'dsir_apply', CAST(doc_id AS BIGINT),
+       CAST(weight_units AS VARCHAR) || ':' || CAST(gumbel_units AS VARCHAR)
+           || ':' || CAST(n_feats AS VARCHAR),
+       {_NULL_STR}
+FROM ({SQL_DSIR_APPLY}) _da
 """
 
 SQL_MINHASH_MD5_SUITE += f"""UNION ALL
@@ -8018,6 +8061,7 @@ ALL_QUERIES = {
     "char_entropy_docs": q_char_entropy_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
     "dsir_docs": q_dsir_docs,
+    "dsir_apply_docs": q_dsir_apply_docs,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -8179,6 +8223,7 @@ ALL_ORACLES = {
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "dsir_docs": SQL_DSIR,
+    "dsir_apply_docs": SQL_DSIR_APPLY,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(

@@ -1443,6 +1443,134 @@ def dsir_importance(
     )
 
 
+def dsir_fit(
+    df: DataFrame,
+    target: Column,
+    buckets: int = 256,
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> list[int]:
+    """Fit the DSIR bucket model once and hand back the dense ratio table:
+    ``model[b]`` = micro-unit log ratio ``L(p_b+1) - L(P+B) - L(q_b+1) +
+    L(Q+B)`` for bucket ``b`` (buckets unseen in the fit corpus get the
+    smoothed default ``L(Q+B) - L(P+B)``).  Feed it to :func:`dsir_score`
+    to score any OTHER corpus map-only — the production split when the
+    model is fit on a reference corpus once and then applied to every new
+    crawl batch without refitting (the cross-corpus shape).
+
+    Cost: one explode -> groupBy(bucket) over the fit corpus (map-side
+    partial agg collapses to <= ``buckets`` rows before the shuffle) and a
+    model-sized collect — the same driver-traffic contract as
+    :func:`~ssis_to_dbt_spark.text.similarity.kmeans_fit`.  The units are
+    computed IN SPARK with the same :func:`_log_units` expression the fused
+    :func:`dsir_importance` uses, so fit+:func:`dsir_score` reproduces its
+    weights bit-for-bit.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use md5 or xxhash64")
+    from .dedup import _md5_long
+
+    gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(_ws_tokens(F.col(text_col)))
+    grams = df.select(
+        target.alias("_tgt"),
+        F.explode(F.concat(toks, _ngrams(toks, 2))).alias("_g"),
+    )
+    bstat = grams.groupBy(
+        F.pmod(gram_hash(F.col("_g")), F.lit(buckets)).alias("_b")
+    ).agg(
+        F.count(F.lit(1)).alias("_q_cnt"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_p_cnt"),
+    )
+    wall = Window.partitionBy()
+    rows = bstat.select(
+        "_b",
+        (
+            _log_units(F.col("_p_cnt") + 1)
+            - _log_units(F.sum("_p_cnt").over(wall) + buckets)
+            - _log_units(F.col("_q_cnt") + 1)
+            + _log_units(F.sum("_q_cnt").over(wall) + buckets)
+        ).alias("_r_units"),
+        (
+            _log_units(F.sum("_q_cnt").over(wall) + buckets)
+            - _log_units(F.sum("_p_cnt").over(wall) + buckets)
+        ).alias("_default_units"),
+    ).collect()
+    if not rows:
+        return [0] * buckets
+    default = rows[0]["_default_units"]
+    model = [default] * buckets
+    for r in rows:
+        model[r["_b"]] = r["_r_units"]
+    return model
+
+
+def dsir_score(
+    df: DataFrame,
+    model: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Score documents against a :func:`dsir_fit` model — ENTIRELY map-only:
+    the model is a compile-time literal array (like the k-means centroid
+    and JL sign-matrix literals), the per-document weight is an in-order
+    integer fold over the gram array, and no shuffle, join, or aggregation
+    touches the corpus.  At 100 TB this is the shape that matters: fitting
+    reads the reference corpus once, and scoring every new crawl batch is
+    embarrassingly parallel (zero exchanges — plan-pinned).
+
+    Same output contract as :func:`dsir_importance` (``id, n_feats,
+    weight_units, gumbel_units``) and — with the same ``hash_fn`` and a
+    model fit on the SAME corpus — bit-identical weights, since both sum
+    the same exact integers.
+    """
+    buckets = len(model)
+    if buckets < 2:
+        raise ValueError("model must have >= 2 buckets")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; use md5 or xxhash64")
+    from .dedup import _md5_long
+
+    gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
+    arr = F.array(*[F.lit(int(u)).cast("long") for u in model])
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(_ws_tokens(F.col(text_col)))
+    # Stage the gram array as a real column: it feeds both the weight fold
+    # and n_feats, and HOF lambda bodies get no subexpression elimination.
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.concat(toks, _ngrams(toks, 2)), F.array().cast("array<string>")
+        ).alias("_ga"),
+    )
+    weight = F.aggregate(
+        F.col("_ga"),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(
+            arr, (F.pmod(gram_hash(g), F.lit(buckets)) + 1).cast("int")
+        ),
+    )
+    u = (_md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        2305843009213693952.0
+    )
+    g_units = (
+        F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)") * 1_000_000
+    ).cast("long")
+    return staged.select(
+        id_col,
+        F.size("_ga").cast("long").alias("n_feats"),
+        weight.alias("weight_units"),
+        g_units.alias("gumbel_units"),
+    )
+
+
 def dsir_select(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     """Gumbel-top-k resampling over :func:`dsir_importance` scores: the k
     rows with the largest ``weight_units + gumbel_units`` (id ascending on

@@ -484,3 +484,10 @@ class TestDsirPlanShapes:
         # must not leave the parquet reader
         plan = plan_of(spark, "dsir_docs", "formatted")
         assert "n_chars" not in plan.split("Location")[0]
+
+    def test_apply_path_is_map_only(self, spark):
+        # the fit-then-apply scorer must have ZERO exchanges and ZERO
+        # joins: scoring a new crawl batch is embarrassingly parallel
+        plan = plan_of(spark, "dsir_apply_docs", "simple")
+        assert "Exchange" not in plan
+        assert "Join" not in plan

@@ -2168,3 +2168,52 @@ class TestDsir:
         assert xx[6]["weight_units"] > xx[7]["weight_units"]
         with pytest.raises(ValueError, match="hash_fn"):
             dsir_importance(df, tgt, hash_fn="sha1")
+
+    def test_fit_then_apply_bit_identical_to_fused(self, spark):
+        """dsir_fit + dsir_score reproduces dsir_importance exactly for
+        both hash paths (same integers, same in-order sums)."""
+        from ssis_to_dbt_spark.text.analysis import (
+            dsir_fit,
+            dsir_importance,
+            dsir_score,
+        )
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        for hf in ("md5", "xxhash64"):
+            fused = sorted(
+                tuple(r)
+                for r in dsir_importance(
+                    df, tgt, buckets=64, hash_fn=hf
+                ).collect()
+            )
+            model = dsir_fit(df, tgt, buckets=64, hash_fn=hf)
+            applied = sorted(
+                tuple(r) for r in dsir_score(df, model, hash_fn=hf).collect()
+            )
+            assert fused == applied, hf
+
+    def test_score_heldout_corpus_uses_smoothed_default(self, spark):
+        """Scoring a corpus the model never saw: unseen grams land in
+        unseen buckets and get the smoothed default ratio — no nulls, no
+        errors (the cross-corpus crawl-scoring shape)."""
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_score
+
+        model = dsir_fit(self._df(spark), F.col("lang") == "en", buckets=64)
+        held = spark.createDataFrame(
+            [(100, "totally unseen vocabulary everywhere"), (101, "")],
+            "doc_id int, text string",
+        )
+        out = {r["doc_id"]: r for r in dsir_score(held, model).collect()}
+        assert out[100]["n_feats"] == 4 + 3
+        assert out[100]["weight_units"] is not None
+        assert out[101]["n_feats"] == 0 and out[101]["weight_units"] == 0
+
+    def test_fit_on_gramless_corpus_returns_zero_model(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_fit
+
+        empty = spark.createDataFrame(
+            [(1, ""), (2, "")], "doc_id int, text string"
+        )
+        model = dsir_fit(empty, F.lit(True), buckets=16)
+        assert model == [0] * 16
