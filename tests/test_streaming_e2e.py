@@ -524,3 +524,53 @@ class TestStreamingFunnel:
         # user 4 never views: absent from BOTH stream state and batch.
         assert 4 not in expected and 4 not in stream_final
         assert stream_final == expected
+
+
+class TestStreamingDsirScore:
+    """dsir_score is a stateless map-only projection, so it applies to a
+    readStream unchanged — the online crawl-scoring deployment: fit the
+    model on the reference corpus in batch, score arriving batches in a
+    stream with zero state and zero shuffles."""
+
+    def test_stream_scores_equal_batch_scores(self, spark, tmp_path):
+        from ssis_to_dbt_spark.streaming import write_stream
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_score
+
+        fitted = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha", True),
+                (2, "delta epsilon delta", False),
+                (3, "alpha beta gamma", True),
+            ],
+            "doc_id long, text string, tgt boolean",
+        )
+        model = dsir_fit(fitted, F.col("tgt"), buckets=32)
+
+        src = str(tmp_path / "dsrc")
+        ckpt = str(tmp_path / "dckpt")
+        out = str(tmp_path / "dout")
+        arriving = [
+            (10, "alpha beta alpha beta"),
+            (11, "delta epsilon"),
+            (12, ""),
+        ]
+        batch_df = spark.createDataFrame(arriving, "doc_id long, text string")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+        doc_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        scored = dsir_score(stream, model)
+        assert scored.isStreaming
+        q = write_stream(scored, out, ckpt, mode="append")
+        q.awaitTermination(120)
+
+        want = sorted(
+            tuple(r) for r in dsir_score(batch_df, model).collect()
+        )
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == want
