@@ -7850,7 +7850,10 @@ def q_dsir_apply_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir)["documents"]
     model = dsir_fit(docs, F.col("lang") == "en", buckets=256)
-    return dsir_score(docs, model).select(
+    # arrow engine: bit-identical to the expression fold (pytest-pinned)
+    # and ~3x faster at sf0.1 — the per-gram hash+lookup lambda is the
+    # interpreted-HOF floor the Arrow kernels exist for.
+    return dsir_score(docs, model, engine="arrow").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_feats").cast("long").alias("n_feats"),
         F.col("weight_units").cast("long").alias("weight_units"),

@@ -1515,6 +1515,7 @@ def dsir_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "expr",
 ) -> DataFrame:
     """Score documents against a :func:`dsir_fit` model — ENTIRELY map-only:
     the model is a compile-time literal array (like the k-means centroid
@@ -1528,12 +1529,28 @@ def dsir_score(
     weight_units, gumbel_units``) and — with the same ``hash_fn`` and a
     model fit on the SAME corpus — bit-identical weights, since both sum
     the same exact integers.
+
+    ``engine``: ``"expr"`` (default) is the pure-Column in-order integer
+    fold; ``"arrow"`` is the ``mapInPandas`` twin (bit-identical,
+    pytest-pinned) for when the interpreted-HOF floor of the per-gram
+    lambda dominates — same trade as the SemDeDup / winnowing / Gopher
+    Arrow kernels.  The arrow engine supports ``hash_fn="md5"`` only
+    (no xxhash64 implementation is guaranteed Python-side).
     """
     buckets = len(model)
     if buckets < 2:
         raise ValueError("model must have >= 2 buckets")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}; use md5 or xxhash64")
+    if engine not in ("expr", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
+    if engine == "arrow":
+        if hash_fn != "md5":
+            raise NotImplementedError(
+                "dsir_score(engine='arrow') supports hash_fn='md5' only; "
+                "use engine='expr' for xxhash64"
+            )
+        return _dsir_score_arrow(df, model, id_col, text_col)
     from .dedup import _md5_long
 
     gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
@@ -1569,6 +1586,93 @@ def dsir_score(
         weight.alias("weight_units"),
         g_units.alias("gumbel_units"),
     )
+
+
+def _dsir_score_arrow(
+    df: DataFrame,
+    model: list[int],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of the :func:`dsir_score` expression
+    fold — BIT-IDENTICAL (pytest-pinned on the fixture and the adversarial
+    whitespace cases): weights are the same exact-integer sums over the
+    same md5 buckets; the Gumbel term uses the proven
+    Decimal-HALF_UP quantization (Spark's ``F.round`` mode).
+
+    Tokenization replicates the expression path exactly: ``F.trim`` strips
+    SPACES only (not tabs/newlines), and Java's regex split keeps leading
+    empty tokens — both preserved here (``s.strip(' ')`` + ``re.split``).
+    Map-only: one ArrowEvalPython stage, zero exchanges — the 100 TB plan
+    shape is identical to the expression twin's.
+    """
+    import hashlib
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    B = len(model)
+    mod = [int(u) for u in model]
+    ws = _re.compile(r"\s+")
+    two_pow_61 = 2305843009213693952.0
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("n_feats", T.LongType()),
+            T.StructField("weight_units", T.LongType()),
+            T.StructField("gumbel_units", T.LongType()),
+        ]
+    )
+    pre = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def gumbel(did) -> int:
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / two_pow_61
+        x = -math.log(-math.log(u))
+        return int(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            * 1_000_000
+        )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, nf, wu, gu = [], [], [], []
+            for did, s in zip(pdf[id_col], pdf["_txt"]):
+                ids.append(did)
+                gu.append(gumbel(did))
+                if s is None:
+                    nf.append(0)
+                    wu.append(0)
+                    continue
+                t = s.strip(" ")
+                toks = [] if t == "" else ws.split(t)
+                grams = toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]
+                nf.append(len(grams))
+                wu.append(sum(mod[bucket(g)] for g in grams))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_feats": nf,
+                    "weight_units": wu,
+                    "gumbel_units": gu,
+                }
+            )
+
+    return pre.mapInPandas(gen, schema)
 
 
 def dsir_select(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:

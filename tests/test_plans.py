@@ -488,6 +488,8 @@ class TestDsirPlanShapes:
     def test_apply_path_is_map_only(self, spark):
         # the fit-then-apply scorer must have ZERO exchanges and ZERO
         # joins: scoring a new crawl batch is embarrassingly parallel
+        # (one Arrow kernel stage — the score fold — and nothing else)
         plan = plan_of(spark, "dsir_apply_docs", "simple")
         assert "Exchange" not in plan
         assert "Join" not in plan
+        assert plan.count("MapInPandas") == 1

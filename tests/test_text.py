@@ -2217,3 +2217,42 @@ class TestDsir:
         )
         model = dsir_fit(empty, F.lit(True), buckets=16)
         assert model == [0] * 16
+
+    def test_arrow_score_engine_bit_identical(self, spark):
+        """dsir_score(engine='arrow') == the expression fold, including
+        adversarial whitespace (F.trim strips spaces only; Java split keeps
+        leading empty tokens) and unicode text."""
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_score
+
+        adversarial = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha", "en"),
+                (2, "\talpha\tbeta\t", "en"),       # tabs survive F.trim
+                (3, "  leading spaces trimmed", "de"),
+                (4, "", "de"),
+                (5, "   ", "fr"),                    # all-space -> blank
+                (6, "\n", "fr"),                     # newline survives trim
+                (7, "ünïcode grüße 中文 text", "de"),
+                (8, None, "en"),
+                (9, "single", "fr"),
+            ],
+            "doc_id int, text string, lang string",
+        )
+        model = dsir_fit(adversarial, F.col("lang") == "en", buckets=32)
+        a = sorted(
+            tuple(r) for r in dsir_score(adversarial, model).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in dsir_score(adversarial, model, engine="arrow").collect()
+        )
+        assert a == b
+
+    def test_score_engine_validation(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_score
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="engine"):
+            dsir_score(df, [0] * 16, engine="pandas")
+        with pytest.raises(NotImplementedError, match="md5"):
+            dsir_score(df, [0] * 16, hash_fn="xxhash64", engine="arrow")
