@@ -153,12 +153,14 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
 
-    # Per-query regression gate: compare against the recorded round-6
-    # baseline (bench_baseline.json, sf0.1) and surface any query that ran
-    # >1.5x its recorded time — catches creeping regressions automatically
-    # instead of via per-round judge archaeology.  Only applied at the
-    # baseline's own scale factor; informational (the driver records the
-    # whole JSON line either way).
+    # Per-query regression gate: compare against the recorded baseline
+    # (bench_baseline.json, sf0.1 — the per-query MEDIAN of the current
+    # round's quiet runs, not the minimum: a min-of-all-runs anchor makes
+    # ordinary 20-30% machine variance trip the gate) and surface any
+    # query that ran >1.5x its recorded time — catches creeping
+    # regressions automatically instead of via per-round judge
+    # archaeology.  Only applied at the baseline's own scale factor;
+    # informational (the driver records the whole JSON line either way).
     regressions: dict[str, dict[str, float]] = {}
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
