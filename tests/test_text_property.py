@@ -507,3 +507,18 @@ class TestDsirProperties:
             ).collect()
         )
         assert a == b
+
+    @given(docs=st.lists(documents, min_size=1, max_size=10))
+    @settings(**SETTINGS)
+    def test_arrow_score_engine_bit_identical_random_docs(self, spark, docs):
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_score
+
+        rows = [(i, d) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        model = dsir_fit(df, F.col("doc_id") % 2 == 0, buckets=16)
+        a = sorted(tuple(r) for r in dsir_score(df, model).collect())
+        b = sorted(
+            tuple(r)
+            for r in dsir_score(df, model, engine="arrow").collect()
+        )
+        assert a == b
