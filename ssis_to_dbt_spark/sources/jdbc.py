@@ -53,6 +53,9 @@ _CRED_PATTERN = re.compile(
     re.IGNORECASE,
 )
 _BEARER_PATTERN = re.compile(r"(bearer\s+)(\S+)", re.IGNORECASE)
+# option NAMES that carry secrets as bare values (sslpassword, accessToken,
+# sslkeypassword, ...): substring match of the credential stems above
+_CRED_KEY_NAME = re.compile(_CRED_KEYS, re.IGNORECASE)
 
 REDACTED = "***REDACTED***"
 
@@ -184,8 +187,11 @@ class JdbcSource:
 
     def describe(self) -> str:
         """Loggable one-line description — redacted by construction."""
+        # redact by option NAME too: extra_options like sslpassword /
+        # accessToken / sslkeypassword carry bare secret values that the
+        # key=value pattern inside redact_credentials can't see
         opts = {
-            k: (REDACTED if k == "password" else v)
+            k: (REDACTED if _CRED_KEY_NAME.search(k) else v)
             for k, v in self.options().items()
         }
         body = ", ".join(f"{k}={redact_credentials(str(v))}" for k, v in

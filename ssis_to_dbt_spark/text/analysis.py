@@ -1614,7 +1614,7 @@ def _dsir_score_arrow(
 
     B = len(model)
     mod = [int(u) for u in model]
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(r"\s+", _re.ASCII)
     two_pow_61 = 2305843009213693952.0
 
     id_field = df.schema[id_col]

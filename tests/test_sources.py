@@ -750,6 +750,29 @@ class TestJdbcSource:
         assert "hunter2" not in repr(src)
         assert "user=sa" in desc  # non-sensitive preserved
 
+    def test_describe_redacts_credential_named_extra_options(self):
+        """r7 ADVICE: secrets passed as bare extra_options values
+        (sslpassword, accessToken, sslkeypassword) must be redacted by
+        option NAME — the key=value pattern can't see a bare value."""
+        from ssis_to_dbt_spark.sources.jdbc import REDACTED, JdbcSource
+
+        src = JdbcSource(
+            url="u",
+            table="t",
+            extra_options={
+                "sslpassword": "keypw1",
+                "accessToken": "tok-abc123",
+                "sslkeypassword": "keypw2",
+                "sslmode": "verify-full",
+            },
+        )
+        for s in (src.describe(), repr(src)):
+            assert "keypw1" not in s
+            assert "tok-abc123" not in s
+            assert "keypw2" not in s
+            assert REDACTED in s
+            assert "sslmode=verify-full" in s  # non-sensitive preserved
+
 
 class TestRedactCredentials:
     """Same observable contract as the reference's redact_connection_string

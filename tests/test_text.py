@@ -1984,6 +1984,22 @@ class TestArrowTwinsUnicode:
         wa = set(map(tuple, winnow_fingerprints_arrow(df, k=2, w=2).collect()))
         assert we == wa
 
+    def test_dsir_scorer_bit_identical_on_unicode(self, spark):
+        """The r7 gap: Unicode whitespace (NBSP/thin/LS/PS) tokenizes
+        differently under Python's Unicode \\s than Java's ASCII \\s unless
+        the Arrow twin compiles with re.ASCII — pin the parity here."""
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_score
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        model = dsir_fit(df, F.col("doc_id") % 2 == 0, buckets=64)
+        expr = {tuple(r) for r in dsir_score(df, model, engine="expr").collect()}
+        arrow = {
+            tuple(r) for r in dsir_score(df, model, engine="arrow").collect()
+        }
+        assert expr == arrow
+
 
 class TestDsir:
     """DSIR importance resampling (hashed n-gram bucket model)."""
