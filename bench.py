@@ -80,6 +80,7 @@ HEADLINE = [
     "temperature_mixture_docs",
     "dsir_docs",
     "dsir_apply_docs",
+    "curation_pipeline_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

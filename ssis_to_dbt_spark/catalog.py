@@ -1029,9 +1029,14 @@ def q_minhash_pairs_md5(spark, sf_dir):
 # Shared pair-generation CTE text: SQL_MINHASH_MD5 and SQL_NEARDUP_CLUSTERS
 # must derive the pair set from the byte-identical SQL or the cluster oracle
 # would drift from the pair oracle.
-_MINHASH_MD5_CTES = r"""toks AS (
+def _minhash_md5_ctes(src: str = "documents") -> str:
+    """The shared pair-generation CTE text, parameterized on the corpus
+    source so the composed curation-pipeline oracle can band the GATED
+    corpus (pair sets are subset-dependent — banding collisions only among
+    surviving docs)."""
+    return rf"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents),
+  FROM {src}),
 sh0 AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3
@@ -1049,6 +1054,9 @@ band AS (SELECT doc_id, perm // 2 AS band_idx,
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM band a JOIN band b USING (band_idx, band_hash)
           WHERE a.doc_id < b.doc_id)"""
+
+
+_MINHASH_MD5_CTES = _minhash_md5_ctes()
 
 SQL_MINHASH_MD5 = f"""
 WITH {_MINHASH_MD5_CTES}
@@ -6104,13 +6112,16 @@ def q_pack_docs(spark, sf_dir):
     return pack_sequences(dd, "n_tok", seq_tokens=512, key_col="doc_id")
 
 
-SQL_PACK_DOCS = r"""
+def _pack_sql(src: str = "documents") -> str:
+    """Sequence-packing SQL parameterized on the corpus source (the
+    composed pipeline packs the post-mixture survivors)."""
+    return rf"""
 WITH t AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM documents),
+  FROM {src}),
 b AS (
   SELECT doc_id, n_tok, h,
          CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
@@ -6126,6 +6137,9 @@ SELECT doc_id,
        CAST(cum AS BIGINT) AS end_tok
 FROM c
 """
+
+
+SQL_PACK_DOCS = _pack_sql()
 
 
 def q_dedup_lines_docs(spark, sf_dir):
@@ -7733,8 +7747,12 @@ def q_temperature_mixture_docs(spark, sf_dir):
     )
 
 
-SQL_TEMPERATURE_MIXTURE = """
-WITH n AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+def _temperature_mixture_sql(src: str = "documents") -> str:
+    """Temperature-mixture SQL parameterized on the corpus source — group
+    counts (and so admit rates) are subset-dependent, which the composed
+    pipeline oracle needs after the DSIR-select stage."""
+    return f"""
+WITH n AS (SELECT lang, COUNT(*) AS n_g FROM {src} GROUP BY lang),
 j AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
              CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS HUGEINT) AS wt
       FROM n),
@@ -7746,10 +7764,13 @@ adm AS (SELECT j.lang,
         FROM j, t, tw)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(d.lang AS VARCHAR) AS lang
-FROM documents d JOIN adm USING (lang)
+FROM {src} d JOIN adm USING (lang)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
       < adm.admit
 """
+
+
+SQL_TEMPERATURE_MIXTURE = _temperature_mixture_sql()
 
 
 def q_dsir_docs(spark, sf_dir):
@@ -7779,11 +7800,15 @@ def _sql_log_units(m: str) -> str:
     )
 
 
-_DSIR_CTES = rf"""tk AS (
+def _dsir_ctes(src: str = "documents") -> str:
+    """DSIR fit+score CTE text parameterized on the corpus source: the
+    bucket model is subset-dependent (counts come from the fit corpus), so
+    the composed pipeline oracle must fit on the surviving stage-3 docs."""
+    return rf"""tk AS (
   SELECT doc_id, (lang = 'en') AS tgt,
          CASE WHEN trim(text) = '' THEN []
               ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-  FROM documents),
+  FROM {src}),
 grams AS (
   SELECT doc_id, tgt, unnest(t) AS g FROM tk
   UNION ALL
@@ -7818,7 +7843,10 @@ scored AS (
                         AS BIGINT) + 1 AS DOUBLE))
              / 2305843009213693952.0)), 6) AS DECIMAL(18,6)) * 1000000
               AS BIGINT) AS gumbel_units
-  FROM documents d LEFT JOIN sc USING (doc_id))"""
+  FROM {src} d LEFT JOIN sc USING (doc_id))"""
+
+
+_DSIR_CTES = _dsir_ctes()
 
 SQL_DSIR = f"""
 WITH {_DSIR_CTES},
@@ -7859,6 +7887,295 @@ def q_dsir_apply_docs(spark, sf_dir):
         F.col("weight_units").cast("long").alias("weight_units"),
         F.col("gumbel_units").cast("long").alias("gumbel_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composed curation pipeline: Gopher gate -> minhash dedup +
+# cluster prune -> decontaminate vs the held-out eval split -> DSIR select
+# -> temperature mixture -> sequence packing.  Every stage is verified alone
+# elsewhere; THIS entry proves the seams (staged column contracts, null
+# handling, dedup-before-select ordering) — the reference's own end-to-end
+# unit is the whole-package run (reference/src/agents/orchestrator.py:85-166).
+# ---------------------------------------------------------------------------
+
+_PIPELINE_DSIR_K = 120
+
+
+def q_curation_pipeline_docs(spark, sf_dir):
+    """The full training-data curation chain as ONE composed plan.
+
+    Scale shape per seam (the 100 TB posture):
+    - the Gopher gate is map-only (one ArrowEvalPython stage) and passes
+      text/lang/n_chars through the kernel, so no corpus re-join exists;
+    - dedup prune drops via a BROADCAST anti-join on the (pair-derived,
+      tiny) not-kept set — the corpus is decided map-side;
+    - decontamination drops via a broadcast anti-join on the contaminated
+      id set (eval shingles broadcast inside decontaminate);
+    - DSIR select joins the k-row winner set broadcast;
+    - temperature mixture filters map-side under broadcast thresholds;
+    - packing windows partition by hash bucket (no global sort).
+    The composed exchange count is the SUM of the stages' — no extra
+    shuffle appears at any seam (see SCALE.md)."""
+    from .operators.sampling import hash_split, temperature_mixture
+    from .text import decontaminate, pack_sequences
+    from .text.analysis import (
+        dsir_importance,
+        dsir_select,
+        gopher_signals_arrow,
+    )
+    from .text.dedup import prune_clusters
+
+    docs = _t(spark, sf_dir)["documents"]
+    # stage 1: Gopher quality gate (map-only; corpus columns pass through)
+    c1 = (
+        gopher_signals_arrow(
+            docs,
+            extra_cols={
+                "text": F.col("text"),
+                "lang": F.col("lang"),
+                "n_chars": F.col("n_chars"),
+            },
+        )
+        .filter("gopher_pass")
+        .select("doc_id", "text", "lang", "n_chars")
+        .localCheckpoint()
+    )
+    # stage 2: minhash near-dup clustering + keep-longest prune
+    pairs = minhash_candidates_md5(c1, num_hashes=8, bands=4)
+    pruned = prune_clusters(c1, pairs)
+    dropped = pruned.filter(~F.col("kept")).select("doc_id")
+    c2 = c1.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # stage 3: decontaminate vs the eval split of the ORIGINAL corpus
+    # (benchmarks are external — contamination is checked against the full
+    # held-out set, not just its gated survivors)
+    ev = hash_split(docs, "doc_id", test_pct=10).filter(
+        F.col("split") == "test"
+    )
+    cont = decontaminate(c2, ev, shingle_n=5)
+    c3 = c2.join(
+        F.broadcast(cont.select("doc_id")), "doc_id", "left_anti"
+    ).localCheckpoint()
+    # stage 4: DSIR importance resampling (fit on the surviving corpus)
+    scored = dsir_importance(c3, F.col("lang") == "en", buckets=256)
+    sel = dsir_select(scored, _PIPELINE_DSIR_K).select(
+        "doc_id", "weight_units", "gumbel_units"
+    )
+    c4 = c3.join(F.broadcast(sel), "doc_id")
+    # stage 5: temperature-flattened language mixture over the selection
+    c5 = temperature_mixture(c4, "lang", "doc_id")
+    # stage 6: pack survivors into 512-token training sequences
+    packed = pack_sequences(
+        c5.select("doc_id", token_count(F.col("text")).alias("n_tok")),
+        "n_tok",
+        seq_tokens=512,
+        key_col="doc_id",
+    )
+
+    def row(component, df_, v1=None, v2=None, s1=None):
+        return df_.select(
+            F.lit(component).alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (v1 if v1 is not None else _nul("long")).alias("v1"),
+            (v2 if v2 is not None else _nul("long")).alias("v2"),
+            (s1 if s1 is not None else _nul("string")).alias("s1"),
+        )
+
+    return _union_all(
+        [
+            row("gate", c1, v1=F.col("n_chars").cast("long"),
+                s1=F.col("lang")),
+            row("prune", pruned, v1=F.col("cluster_id").cast("long"),
+                v2=F.col("cluster_size").cast("long"),
+                s1=F.col("kept").cast("string")),
+            row("contaminated", cont, v1=F.col("n_shared").cast("long")),
+            row("clean", c3, s1=F.col("lang")),
+            row("dsir_sel", c4, v1=F.col("weight_units").cast("long"),
+                v2=F.col("gumbel_units").cast("long")),
+            row("mixture", c5, s1=F.col("lang")),
+            row("pack", packed, v1=F.col("seq_id").cast("long"),
+                v2=F.col("start_tok").cast("long"),
+                s1=F.col("end_tok").cast("string")),
+        ]
+    )
+
+
+def _curation_pipeline_sql(k_select: int = _PIPELINE_DSIR_K) -> str:
+    """The composed oracle: each stage's published SQL fragment re-sourced
+    at the previous stage's CTE (the parameterized builders above), so the
+    oracle IS the composition — any seam drift (a stage reading the wrong
+    corpus) breaks the hash."""
+    return rf"""
+WITH RECURSIVE
+c1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars
+  FROM documents d JOIN ({SQL_GOPHER_QUALITY}) g USING (doc_id)
+  WHERE g.gopher_pass),
+{_minhash_md5_ctes('c1')},
+{_NEARDUP_COMP_CTES},
+sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id),
+reps AS (
+  SELECT canonical_id, doc_id AS rep_id FROM (
+    SELECT c.canonical_id, d.doc_id,
+           row_number() OVER (PARTITION BY c.canonical_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp c JOIN c1 d USING (doc_id)) WHERE rn = 1),
+prune AS MATERIALIZED (
+  SELECT d.doc_id,
+         coalesce(c.canonical_id, d.doc_id) AS cluster_id,
+         coalesce(s.cluster_size, 1) AS cluster_size,
+         (c.doc_id IS NULL OR d.doc_id = r.rep_id) AS kept
+  FROM c1 d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  LEFT JOIN sizes s ON s.canonical_id = c.canonical_id
+  LEFT JOIN reps r ON r.canonical_id = c.canonical_id),
+c2 AS MATERIALIZED (
+  SELECT d.* FROM c1 d JOIN prune p ON p.doc_id = d.doc_id WHERE p.kept),
+evt AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'),
+evs AS MATERIALIZED (
+  SELECT DISTINCT dsh FROM (
+    SELECT unnest(CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(t[i:i+4], ' ')))
+              ELSE [array_to_string(t, ' ')] END) AS dsh
+    FROM evt) _ev),
+trs AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(t[i:i+4], ' ')))
+              ELSE [array_to_string(t, ' ')] END) AS dsh
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM c2) _tt),
+cont AS MATERIALIZED (
+  SELECT trs.doc_id, COUNT(*) AS n_shared
+  FROM trs JOIN evs USING (dsh) GROUP BY trs.doc_id),
+c3 AS MATERIALIZED (
+  SELECT d.* FROM c2 d LEFT JOIN cont ON cont.doc_id = d.doc_id
+  WHERE cont.doc_id IS NULL),
+{_dsir_ctes('c3')},
+dtop AS MATERIALIZED (
+  SELECT doc_id, weight_units, gumbel_units FROM scored
+  ORDER BY weight_units + gumbel_units DESC, doc_id LIMIT {k_select}),
+c4 AS MATERIALIZED (SELECT d.*, t.weight_units, t.gumbel_units
+       FROM c3 d JOIN dtop t USING (doc_id)),
+mn AS (SELECT lang, COUNT(*) AS n_g FROM c4 GROUP BY lang),
+mj AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
+              CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS HUGEINT) AS wt
+       FROM mn),
+mtw AS (SELECT SUM(wt) AS total_w FROM mj),
+mt AS (SELECT MIN(mj.n_g * mtw.total_w // mj.wt) AS t_total FROM mj, mtw),
+madm AS (SELECT mj.lang,
+                GREATEST(CAST(65536 * mt.t_total * mj.wt
+                              // (mtw.total_w * mj.n_g) AS BIGINT), 1)
+                  AS admit
+         FROM mj, mt, mtw),
+c5 AS MATERIALIZED (
+  SELECT d.* FROM c4 d JOIN madm USING (lang)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        < madm.admit),
+pt AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM c5),
+pb AS (
+  SELECT doc_id, n_tok, h,
+         CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
+  FROM pt),
+pc AS (
+  SELECT doc_id, n_tok, bucket,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pb)
+SELECT 'gate' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(lang AS VARCHAR) AS s1
+FROM c1
+UNION ALL
+SELECT 'prune', CAST(doc_id AS BIGINT), CAST(cluster_id AS BIGINT),
+       CAST(cluster_size AS BIGINT), CAST(kept AS VARCHAR)
+FROM prune
+UNION ALL
+SELECT 'contaminated', CAST(doc_id AS BIGINT), CAST(n_shared AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM cont
+UNION ALL
+SELECT 'clean', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(lang AS VARCHAR)
+FROM c3
+UNION ALL
+SELECT 'dsir_sel', CAST(doc_id AS BIGINT), CAST(weight_units AS BIGINT),
+       CAST(gumbel_units AS BIGINT), CAST(NULL AS VARCHAR)
+FROM c4
+UNION ALL
+SELECT 'mixture', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(lang AS VARCHAR)
+FROM c5
+UNION ALL
+SELECT 'pack', CAST(doc_id AS BIGINT),
+       CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT),
+       CAST(cum - n_tok AS BIGINT), CAST(CAST(cum AS BIGINT) AS VARCHAR)
+FROM pc
+"""
+
+
+SQL_CURATION_PIPELINE = _curation_pipeline_sql()
+
+
+def q_corpus_curation_suite(spark, sf_dir):
+    """Driver-window suite: the per-doc enrichment battery (exact dedup +
+    language/quality/fingerprint + Gopher signals) PLUS the end-to-end
+    composed curation pipeline — both hash-verified under one entry."""
+    en = q_corpus_curation(spark, sf_dir).select(
+        F.lit("enrich").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        _nul("long").alias("v2"),
+        F.col("q_score").cast("double").alias("d1"),
+        F.col("dup_2gram_frac").cast("double").alias("d2"),
+        F.col("top_2gram_char_frac").cast("double").alias("d3"),
+        F.col("dup_5gram_char_frac").cast("double").alias("d4"),
+        F.col("lang_pred").cast("string").alias("s1"),
+        F.col("fingerprint").cast("string").alias("s2"),
+        F.col("gopher_pass").alias("b1"),
+    )
+    pl = q_curation_pipeline_docs(spark, sf_dir).select(
+        "component",
+        "doc_id",
+        "v1",
+        "v2",
+        _nul("double").alias("d1"),
+        _nul("double").alias("d2"),
+        _nul("double").alias("d3"),
+        _nul("double").alias("d4"),
+        "s1",
+        _nul("string").alias("s2"),
+        _nul("boolean").alias("b1"),
+    )
+    return _union_all([en, pl])
+
+
+SQL_CORPUS_CURATION_SUITE = f"""
+SELECT 'enrich' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(q_score AS DOUBLE) AS d1, CAST(dup_2gram_frac AS DOUBLE) AS d2,
+       CAST(top_2gram_char_frac AS DOUBLE) AS d3,
+       CAST(dup_5gram_char_frac AS DOUBLE) AS d4,
+       CAST(lang_pred AS VARCHAR) AS s1, CAST(fingerprint AS VARCHAR) AS s2,
+       gopher_pass AS b1
+FROM ({SQL_CORPUS_CURATION}) _e
+UNION ALL
+SELECT component, doc_id, v1, v2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s1, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BOOLEAN)
+FROM ({SQL_CURATION_PIPELINE}) _p
+"""
 
 
 # Fold the four new operators into their driver-window suites (the SQL
@@ -7969,7 +8286,9 @@ ALL_QUERIES = {
     "bmp_decode_stats": q_bmp_decode_stats,
     "png_decode_stats": q_png_decode_stats,
     "dataset_profile": q_dataset_profile,
-    "corpus_curation": q_corpus_curation,
+    "corpus_curation": q_corpus_curation_suite,
+    "corpus_curation_enrich": q_corpus_curation,
+    "curation_pipeline_docs": q_curation_pipeline_docs,
     "gopher_quality_docs": q_gopher_quality_docs,
     "hll_users_events": q_hll_users_events,
     "bpe_encode_docs": q_bpe_encode_docs,
@@ -8127,7 +8446,9 @@ ALL_ORACLES = {
     "bmp_decode_stats": SQL_BMP_STATS,
     "png_decode_stats": SQL_PNG_STATS,
     "dataset_profile": SQL_DATASET_PROFILE,
-    "corpus_curation": SQL_CORPUS_CURATION,
+    "corpus_curation": SQL_CORPUS_CURATION_SUITE,
+    "corpus_curation_enrich": SQL_CORPUS_CURATION,
+    "curation_pipeline_docs": SQL_CURATION_PIPELINE,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hll_users_events": SQL_HLL_USERS_EVENTS,
     "bpe_encode_docs": SQL_BPE_ENCODE,

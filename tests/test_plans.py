@@ -493,3 +493,25 @@ class TestDsirPlanShapes:
         assert "Exchange" not in plan
         assert "Join" not in plan
         assert plan.count("MapInPandas") == 1
+
+
+class TestRound8PlanShapes:
+    """Composed curation pipeline: the seams between stages must add no
+    shuffle of the corpus — drops ride broadcast anti-joins, the k-row
+    DSIR winner set and mixture thresholds broadcast."""
+
+    def test_curation_pipeline_seams_broadcast(self, spark):
+        plan = plan_of(spark, "curation_pipeline_docs", "simple")
+        # every join in the composed chain broadcasts at fixture scale —
+        # a corpus-side shuffle join at a seam would surface here
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # the dedup-drop and decontamination-drop seams are anti-joins
+        # against broadcast id sets (corpus decided map-side)
+        assert "LeftAnti, BuildRight" in plan
+
+    def test_curation_pipeline_pack_window_partitions_by_bucket(self, spark):
+        plan = plan_of(spark, "curation_pipeline_docs", "simple")
+        # the packing cumulative-sum window partitions by the 16-way hash
+        # bucket — no whole-corpus single-partition window stream exists
+        assert "hashpartitioning(_bucket" in plan

@@ -2272,3 +2272,60 @@ class TestDsir:
             dsir_score(df, [0] * 16, engine="pandas")
         with pytest.raises(NotImplementedError, match="md5"):
             dsir_score(df, [0] * 16, hash_fn="xxhash64", engine="arrow")
+
+
+class TestCurationPipeline:
+    """End-to-end composed curation chain (gate -> dedup prune ->
+    decontaminate -> DSIR select -> temperature mixture -> pack): the
+    oracle proves values; these pin the SEAM INVARIANTS — each stage
+    consumes exactly the previous stage's survivors."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_stage_seams_consistent(self, spark):
+        from ssis_to_dbt_spark.catalog import (
+            _PIPELINE_DSIR_K,
+            ALL_QUERIES,
+        )
+
+        rows = ALL_QUERIES["curation_pipeline_docs"](spark, self.SF).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["component"], []).append(r)
+        gate = {r["doc_id"] for r in by["gate"]}
+        prune_all = {r["doc_id"] for r in by["prune"]}
+        kept = {r["doc_id"] for r in by["prune"] if r["s1"] == "true"}
+        cont = {r["doc_id"] for r in by["contaminated"]}
+        clean = {r["doc_id"] for r in by["clean"]}
+        sel = {r["doc_id"] for r in by["dsir_sel"]}
+        mix = {r["doc_id"] for r in by["mixture"]}
+        pack = {r["doc_id"] for r in by["pack"]}
+        assert prune_all == gate  # prune decides every gated doc
+        assert kept <= gate and len(kept) < len(gate)  # dedup really drops
+        assert cont <= kept  # contamination is checked on dedup survivors
+        assert clean == kept - cont and cont  # decontam really drops
+        assert sel <= clean and len(sel) <= _PIPELINE_DSIR_K
+        assert mix <= sel and mix  # mixture keeps a non-empty subset
+        assert pack == mix  # packing covers exactly the final kept set
+
+    def test_pack_coordinates_well_formed(self, spark):
+        from ssis_to_dbt_spark.catalog import ALL_QUERIES
+
+        rows = ALL_QUERIES["curation_pipeline_docs"](spark, self.SF).collect()
+        packs = [r for r in rows if r["component"] == "pack"]
+        assert packs
+        for r in packs:
+            start, end = r["v2"], int(r["s1"])
+            assert 0 <= start <= end
+        # per 16-bucket stream, doc spans tile without gaps or overlaps
+        streams = {}
+        for r in packs:
+            streams.setdefault(r["v1"] % 16, []).append(
+                (r["v2"], int(r["s1"]))
+            )
+        for spans in streams.values():
+            spans.sort()
+            pos = 0
+            for start, end in spans:
+                assert start == pos
+                pos = end
