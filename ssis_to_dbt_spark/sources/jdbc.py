@@ -218,3 +218,131 @@ def read_jdbc(
     schema_name="dbo", partition_column="OrderID", lower_bound=0,
     upper_bound=10_000_000, num_partitions=64)``."""
     return JdbcSource(url=url, table=table, query=query, **kwargs).load(spark)
+
+
+_WRITE_MODES = ("append", "overwrite", "errorifexists", "ignore")
+_ISOLATION_LEVELS = (
+    "NONE",
+    "READ_COMMITTED",
+    "READ_UNCOMMITTED",
+    "REPEATABLE_READ",
+    "SERIALIZABLE",
+)
+
+
+@dataclass
+class JdbcSink:
+    """A fully-assembled JDBC write plan — the destination half of the
+    production path (SURVEY §2.1 S3's OLE DB Destination append/fast-load,
+    ``reference/src/parser/ssis_parser.py:356-376``; the reference's
+    deployed write side is ``reference/src/connections/sql_server.py``).
+
+    Mapping of the SSIS destination semantics onto Spark's ``jdbc`` sink:
+
+    - *append / fast-load* → ``mode="append"`` with ``batchsize`` sizing
+      the executemany batches (the fast-load commit-size analogue; the
+      1-row JDBC default is a scale trap exactly like ``fetchsize`` on
+      the read side).
+    - *truncate-and-load* → ``mode="overwrite"`` + ``truncate=True``:
+      Spark issues TRUNCATE TABLE and keeps the existing DDL (indexes,
+      grants, types).  Plain ``overwrite`` DROPs and re-CREATEs from the
+      DataFrame schema — usually NOT what a warehouse destination wants,
+      so truncate-vs-drop is an explicit, validated choice here.
+    - ``isolation_level`` → the ``isolationLevel`` option for the write
+      transactions (Spark's default READ_UNCOMMITTED is kept — bulk loads
+      shouldn't take share locks).
+    - ``num_partitions`` → caps write parallelism (Spark coalesces before
+      writing): each partition is one connection, and an unbounded
+      1000-executor write is a connection storm on the target.
+
+    Same security contract as :class:`JdbcSource`: the table name is
+    identifier-validated then dialect-quoted at construction, credentials
+    travel as options (never the URL), ``describe()``/``repr()`` redact by
+    option name and value."""
+
+    url: str
+    table: str
+    schema_name: str | None = None
+    dialect: str = "sqlserver"
+    mode: str = "append"
+    truncate: bool = False
+    user: str | None = None
+    password: str | None = None
+    driver: str | None = None
+    batchsize: int = 10_000
+    isolation_level: str = "READ_UNCOMMITTED"
+    num_partitions: int | None = None
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self._dbtable = quote_qualified(
+            self.table, self.schema_name, self.dialect
+        )
+        if self.mode not in _WRITE_MODES:
+            raise ValueError(
+                f"unknown mode {self.mode!r}; one of {_WRITE_MODES}"
+            )
+        if self.truncate and self.mode != "overwrite":
+            raise ValueError(
+                "truncate=True only applies to mode='overwrite' (append "
+                "never truncates; a silently-ignored flag would hide a "
+                "destructive intent mismatch)"
+            )
+        if self.isolation_level not in _ISOLATION_LEVELS:
+            raise ValueError(
+                f"unknown isolation_level {self.isolation_level!r}; "
+                f"one of {_ISOLATION_LEVELS}"
+            )
+        if self.num_partitions is not None and int(self.num_partitions) < 1:
+            raise ValueError("num_partitions must be >= 1")
+
+    def options(self) -> dict[str, str]:
+        """The exact option dict handed to ``df.write.format('jdbc')`` —
+        pure and unit-testable without a database."""
+        opts: dict[str, str] = {"url": self.url, "dbtable": self._dbtable}
+        if self.user is not None:
+            opts["user"] = self.user
+        if self.password is not None:
+            opts["password"] = self.password
+        if self.driver is not None:
+            opts["driver"] = self.driver
+        opts["batchsize"] = str(self.batchsize)
+        opts["isolationLevel"] = self.isolation_level
+        if self.mode == "overwrite":
+            # explicit either way: the truncate-vs-drop choice must be
+            # visible in the option dict, not an implicit default
+            opts["truncate"] = "true" if self.truncate else "false"
+        if self.num_partitions is not None:
+            opts["numPartitions"] = str(self.num_partitions)
+        opts.update(self.extra_options)
+        return opts
+
+    def describe(self) -> str:
+        """Loggable one-line description — redacted by construction."""
+        opts = {
+            k: (REDACTED if _CRED_KEY_NAME.search(k) else v)
+            for k, v in self.options().items()
+        }
+        body = ", ".join(f"{k}={redact_credentials(str(v))}" for k, v in
+                         sorted(opts.items()))
+        return f"JdbcSink(mode={self.mode}, {body})"
+
+    __repr__ = describe
+
+    def save(self, df: DataFrame) -> None:
+        """Execute the write.  Requires a JDBC driver jar and a reachable
+        endpoint — neither exists in this sandbox, so this path is
+        exercised only in real deployments (COVERAGE.md)."""
+        (
+            df.write.format("jdbc")
+            .options(**self.options())
+            .mode(self.mode)
+            .save()
+        )
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, **kwargs) -> None:
+    """One-call form: ``write_jdbc(df, url, "FactSales", schema_name="dbo",
+    mode="overwrite", truncate=True, batchsize=50_000,
+    num_partitions=32)``."""
+    JdbcSink(url=url, table=table, **kwargs).save(df)

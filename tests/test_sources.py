@@ -814,3 +814,91 @@ class TestRedactCredentials:
         s = "Server=prod-server;Database=SalesDB;User=admin;"
         assert redact_credentials(s) == s
         assert redact_credentials("") == ""
+
+
+class TestJdbcSink:
+    """Destination half of the production JDBC path (S3 fast-load /
+    truncate-and-load) — option assembly, quoting, validation, redaction;
+    .save() needs a live endpoint (documented in COVERAGE.md)."""
+
+    def test_append_options(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        snk = JdbcSink(
+            url="jdbc:sqlserver://h:1433;databaseName=d;encrypt=true",
+            table="FactSales",
+            schema_name="dbo",
+            user="loader",
+            password="pw",
+            batchsize=50_000,
+        )
+        opts = snk.options()
+        assert opts["dbtable"] == "[dbo].[FactSales]"
+        assert opts["batchsize"] == "50000"
+        assert opts["isolationLevel"] == "READ_UNCOMMITTED"
+        assert "truncate" not in opts  # append never carries the flag
+        assert snk.mode == "append"
+
+    def test_truncate_overwrite(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        snk = JdbcSink(
+            url="u", table="t", mode="overwrite", truncate=True
+        )
+        assert snk.options()["truncate"] == "true"
+        # plain overwrite states the destructive choice explicitly too
+        snk2 = JdbcSink(url="u", table="t", mode="overwrite")
+        assert snk2.options()["truncate"] == "false"
+
+    def test_truncate_requires_overwrite(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        with pytest.raises(ValueError, match="truncate"):
+            JdbcSink(url="u", table="t", mode="append", truncate=True)
+
+    def test_mode_and_isolation_validated(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        with pytest.raises(ValueError, match="mode"):
+            JdbcSink(url="u", table="t", mode="upsert")
+        with pytest.raises(ValueError, match="isolation_level"):
+            JdbcSink(url="u", table="t", isolation_level="SNAPSHOT")
+        with pytest.raises(ValueError, match="num_partitions"):
+            JdbcSink(url="u", table="t", num_partitions=0)
+
+    def test_table_name_injection_gate(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        with pytest.raises(ValueError):
+            JdbcSink(url="u", table="t; DROP TABLE x--")
+
+    def test_dialect_quoting(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        pg = JdbcSink(url="u", table="orders", schema_name="public",
+                      dialect="postgres")
+        assert pg.options()["dbtable"] == '"public"."orders"'
+        my = JdbcSink(url="u", table="orders", dialect="mysql")
+        assert my.options()["dbtable"] == "`orders`"
+
+    def test_num_partitions_caps_connections(self):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink
+
+        snk = JdbcSink(url="u", table="t", num_partitions=32)
+        assert snk.options()["numPartitions"] == "32"
+
+    def test_describe_redacts_same_contract_as_source(self):
+        from ssis_to_dbt_spark.sources.jdbc import REDACTED, JdbcSink
+
+        snk = JdbcSink(
+            url="u",
+            table="t",
+            user="loader",
+            password="hunter2",
+            extra_options={"accessToken": "tok-xyz", "tablock": "true"},
+        )
+        for s in (snk.describe(), repr(snk)):
+            assert "hunter2" not in s and "tok-xyz" not in s
+            assert REDACTED in s
+            assert "user=loader" in s and "tablock=true" in s
+            assert "mode=append" in s
