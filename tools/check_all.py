@@ -2,7 +2,11 @@
 the 50-entry driver window) against its DuckDB oracle — backs the README
 claim that all registered queries pass.
 
-Usage: python tools/check_all.py [sf_dir]     (default sf0.001)
+Usage: python tools/check_all.py [sf_dir] [--json OUT]   (default sf0.001)
+
+With --json OUT, also writes a machine-readable per-query record (the
+round artifact REGISTRY_r{N}.json: status/rows/secs per query, plus the
+shuffle-partition count and sf_dir the sweep ran at).
 """
 
 from __future__ import annotations
@@ -21,7 +25,13 @@ from check_correctness import TABLES, canon  # noqa: E402
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
     from ssis_to_dbt_spark import catalog
     from ssis_to_dbt_spark.session import build_session
@@ -39,6 +49,7 @@ def main():
         )
 
     passed = failed = rows_only = 0
+    records = {}
     for name, fn in catalog.ALL_QUERIES.items():
         t0 = time.time()
         try:
@@ -47,10 +58,13 @@ def main():
             srows = sdf.collect()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
+            records[name] = {"status": "fail", "err": f"spark: {exc}"}
             failed += 1
             continue
         if name not in catalog.ALL_ORACLES:
             print(f"ROWS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            records[name] = {"status": "rows_only", "rows": len(srows),
+                             "secs": round(time.time() - t0, 1)}
             rows_only += 1
             continue
         try:
@@ -59,6 +73,7 @@ def main():
             orows = res.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: oracle error: {exc}")
+            records[name] = {"status": "fail", "err": f"oracle: {exc}"}
             failed += 1
             continue
         problems = []
@@ -73,12 +88,35 @@ def main():
                 problems.append(f"values differ ({mism} rows)")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            records[name] = {"status": "fail", "err": "; ".join(problems)}
             failed += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            records[name] = {"status": "pass", "rows": len(srows),
+                             "secs": round(time.time() - t0, 1)}
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only "
           f"of {len(catalog.ALL_QUERIES)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "shuffle_partitions": int(
+                        os.environ.get("CHECK_SHUFFLE", "16")
+                    ),
+                    "total": len(catalog.ALL_QUERIES),
+                    "passed": passed,
+                    "failed": failed,
+                    "rows_only": rows_only,
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     sys.exit(1 if failed else 0)
 
 
