@@ -6018,7 +6018,15 @@ def q_sampling_splits(spark, sf_dir):
         ).alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws, sc, kf, tm, ds, da])
+    dm = q_dsir_merge_docs(spark, sf_dir).select(
+        F.lit("dsir_merge").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            ":", "weight_units", "gumbel_units", "n_feats"
+        ).alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc, kf, tm, ds, da, dm])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -7889,6 +7897,35 @@ def q_dsir_apply_docs(spark, sf_dir):
     )
 
 
+def q_dsir_merge_docs(spark, sf_dir):
+    """Incremental DSIR refit (the growing-reference-corpus path): fit the
+    ≤B-row count STATE on two disjoint corpus halves, merge the states
+    (sum-of-sums, `merge_aggregate` pattern — an O(buckets) delta
+    aggregation, never a re-read of the full fit corpus), derive the
+    model, and score.  Counts are exact integers, so the merged model is
+    BIT-EQUAL to a full refit — which is why this query's oracle is the
+    direct-fit SQL (the kmv_merged / cms_merged equivalence-proof
+    discipline)."""
+    from .text.analysis import (
+        dsir_fit_state,
+        dsir_merge_state,
+        dsir_model_from_state,
+        dsir_score,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    tgt = F.col("lang") == "en"
+    base = dsir_fit_state(docs.filter(F.col("doc_id") % 2 == 0), tgt, 256)
+    delta = dsir_fit_state(docs.filter(F.col("doc_id") % 2 != 0), tgt, 256)
+    model = dsir_model_from_state(dsir_merge_state(base, delta), 256)
+    return dsir_score(docs, model, engine="arrow").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("weight_units").cast("long").alias("weight_units"),
+        F.col("gumbel_units").cast("long").alias("gumbel_units"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end composed curation pipeline: Gopher gate -> minhash dedup +
 # cluster prune -> decontaminate vs the held-out eval split -> DSIR select
@@ -8204,6 +8241,12 @@ SELECT 'dsir_apply', CAST(doc_id AS BIGINT),
            || ':' || CAST(n_feats AS VARCHAR),
        {_NULL_STR}
 FROM ({SQL_DSIR_APPLY}) _da
+UNION ALL
+SELECT 'dsir_merge', CAST(doc_id AS BIGINT),
+       CAST(weight_units AS VARCHAR) || ':' || CAST(gumbel_units AS VARCHAR)
+           || ':' || CAST(n_feats AS VARCHAR),
+       {_NULL_STR}
+FROM ({SQL_DSIR_APPLY}) _dm
 """
 
 SQL_MINHASH_MD5_SUITE += f"""UNION ALL
@@ -8384,6 +8427,7 @@ ALL_QUERIES = {
     "temperature_mixture_docs": q_temperature_mixture_docs,
     "dsir_docs": q_dsir_docs,
     "dsir_apply_docs": q_dsir_apply_docs,
+    "dsir_merge_docs": q_dsir_merge_docs,
     # merged driver-window suites
     "quality_validation_report": q_quality_validation_report,
     "containment_kmv_docs": q_containment_kmv_docs,
@@ -8548,6 +8592,7 @@ ALL_ORACLES = {
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE,
     "dsir_docs": SQL_DSIR,
     "dsir_apply_docs": SQL_DSIR_APPLY,
+    "dsir_merge_docs": SQL_DSIR_APPLY,
     "roundtrip_compact": SQL_RT_COMPACT,
     "roundtrip_evolve": SQL_RT_EVOLVE,
     "window_customer_orders": _oracle_double(

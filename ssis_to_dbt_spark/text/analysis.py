@@ -1466,6 +1466,27 @@ def dsir_fit(
     :func:`dsir_importance` uses, so fit+:func:`dsir_score` reproduces its
     weights bit-for-bit.
     """
+    return dsir_model_from_state(
+        dsir_fit_state(df, target, buckets, text_col, hash_fn), buckets
+    )
+
+
+def dsir_fit_state(
+    df: DataFrame,
+    target: Column,
+    buckets: int = 256,
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The mergeable sufficient statistic behind :func:`dsir_fit`: the
+    ≤``buckets``-row count table ``(_b, _q_cnt, _p_cnt)`` (total and
+    target-side gram counts per hashed bucket).  Production reference
+    corpora GROW — keeping this state on disk makes a refit after
+    appending new target docs a DELTA aggregation
+    (:func:`dsir_merge_state`), not a re-read of the full fit corpus.
+
+    Cost: one explode -> groupBy(bucket) over ``df`` only (map-side
+    partial agg collapses to ≤ buckets rows before the shuffle)."""
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     if hash_fn not in ("md5", "xxhash64"):
@@ -1480,14 +1501,40 @@ def dsir_fit(
         target.alias("_tgt"),
         F.explode(F.concat(toks, _ngrams(toks, 2))).alias("_g"),
     )
-    bstat = grams.groupBy(
+    return grams.groupBy(
         F.pmod(gram_hash(F.col("_g")), F.lit(buckets)).alias("_b")
     ).agg(
         F.count(F.lit(1)).alias("_q_cnt"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_p_cnt"),
+        F.sum(F.when(F.col("_tgt"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )).alias("_p_cnt"),
     )
+
+
+def dsir_merge_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two :func:`dsir_fit_state` count tables — sum-of-sums per
+    bucket via the :func:`~ssis_to_dbt_spark.operators.aggregate
+    .merge_aggregate` pattern.  Counts are exact integers, so the merged
+    state is IDENTICAL to fitting the concatenated corpora directly, and
+    the model derived from it is bit-equal to a full refit
+    (pytest-proven; driver-oracled as ``dsir_merge`` in
+    ``sampling_splits``).  O(buckets) shuffle — never corpus-sized."""
+    from ..operators.aggregate import merge_aggregate
+
+    return merge_aggregate(
+        state, delta, keys=["_b"], sum_cols=["_q_cnt", "_p_cnt"]
+    )
+
+
+def dsir_model_from_state(state: DataFrame, buckets: int) -> list[int]:
+    """Turn a (possibly merged) count state into the dense micro-unit
+    ratio table :func:`dsir_score` consumes — the same ``_log_units``
+    expressions the fused :func:`dsir_importance` uses, so
+    fit-state → model → score reproduces its weights bit-for-bit."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
     wall = Window.partitionBy()
-    rows = bstat.select(
+    rows = state.select(
         "_b",
         (
             _log_units(F.col("_p_cnt") + 1)

@@ -2225,6 +2225,68 @@ class TestDsir:
         assert out[100]["weight_units"] is not None
         assert out[101]["n_feats"] == 0 and out[101]["weight_units"] == 0
 
+    def test_merge_state_refit_bit_equals_full_refit(self, spark):
+        """Incremental refit (growing reference corpus): fit-state on two
+        disjoint slices, merge (sum-of-sums), derive — model must be
+        BIT-EQUAL to the single-pass full fit, for both hash functions."""
+        from ssis_to_dbt_spark.text.analysis import (
+            dsir_fit,
+            dsir_fit_state,
+            dsir_merge_state,
+            dsir_model_from_state,
+        )
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        for hf in ("md5", "xxhash64"):
+            full = dsir_fit(df, tgt, buckets=64, hash_fn=hf)
+            s1 = dsir_fit_state(
+                df.filter(F.col("doc_id") <= 4), tgt, 64, hash_fn=hf
+            )
+            s2 = dsir_fit_state(
+                df.filter(F.col("doc_id") > 4), tgt, 64, hash_fn=hf
+            )
+            merged = dsir_model_from_state(dsir_merge_state(s1, s2), 64)
+            assert merged == full, hf
+
+    def test_merge_state_with_empty_delta_is_identity(self, spark):
+        from ssis_to_dbt_spark.text.analysis import (
+            dsir_fit,
+            dsir_fit_state,
+            dsir_merge_state,
+            dsir_model_from_state,
+        )
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        full = dsir_fit(df, tgt, buckets=64)
+        empty = dsir_fit_state(df.filter(F.lit(False)), tgt, 64)
+        merged = dsir_model_from_state(
+            dsir_merge_state(dsir_fit_state(df, tgt, 64), empty), 64
+        )
+        assert merged == full
+
+    def test_merge_state_associative_three_way(self, spark):
+        """Delta-append order must not matter: ((a+b)+c) == fit(a∪b∪c)."""
+        from ssis_to_dbt_spark.text.analysis import (
+            dsir_fit,
+            dsir_fit_state,
+            dsir_merge_state,
+            dsir_model_from_state,
+        )
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        full = dsir_fit(df, tgt, buckets=64)
+        parts = [
+            dsir_fit_state(df.filter(F.col("doc_id") % 3 == i), tgt, 64)
+            for i in range(3)
+        ]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = dsir_merge_state(acc, p)
+        assert dsir_model_from_state(acc, 64) == full
+
     def test_fit_on_gramless_corpus_returns_zero_model(self, spark):
         from ssis_to_dbt_spark.text.analysis import dsir_fit
 
