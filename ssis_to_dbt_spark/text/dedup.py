@@ -1249,65 +1249,158 @@ def prune_clusters(
     )
 
 
-def cross_corpus_candidates(
-    new_df: DataFrame,
-    corpus_df: DataFrame,
+def corpus_dedup_index(
+    df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus side of incremental ingestion dedup as a REUSABLE index:
+    ``(signatures, capped band table)``.  Derive it once per corpus, persist
+    with :func:`write_corpus_dedup_index`, and every subsequent batch joins
+    against the stored tables — the corpus text is never re-scanned and
+    never re-minhashed per batch."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice("minhash", b * rows + 1, rows)
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    return sigs, _cap_band_members(
+        banded, id_col, ["band_idx", "band_hash"], max_bucket_size
+    )
+
+
+def write_corpus_dedup_index(
+    corpus_df: DataFrame,
+    table_prefix: str,
+    path_prefix: str,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> tuple[str, str]:
+    """Persist the corpus dedup index as BUCKETED tables (SURVEY §7 scale
+    posture): ``{prefix}_bands`` bucketed+sorted on the band join key
+    ``(band_idx, band_hash)`` and ``{prefix}_sigs`` bucketed on ``id_col``.
+
+    Why bucketed: when a batch is small it broadcasts and bucketing is
+    moot — but a BACKFILL batch (re-crawl, format migration) is too big to
+    broadcast, and then the band join is a shuffle join.  Against the
+    bucketed tables only the BATCH side shuffles; the corpus side — the
+    100 TB side — reads matching buckets directly with zero Exchange and
+    zero Sort (plan-pinned in ``test_skew_bucketing.py``).  Returns the
+    two table names."""
+    from ..sources.writers import write_bucketed
+
+    sigs, banded = corpus_dedup_index(
+        corpus_df, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size,
+    )
+    bands_table = f"{table_prefix}_bands"
+    sigs_table = f"{table_prefix}_sigs"
+    write_bucketed(
+        banded,
+        bands_table,
+        f"{path_prefix}_bands",
+        ["band_idx", "band_hash"],
+        num_buckets=num_buckets,
+        sort_cols=["band_idx", "band_hash"],
+    )
+    write_bucketed(
+        sigs,
+        sigs_table,
+        f"{path_prefix}_sigs",
+        [id_col],
+        num_buckets=num_buckets,
+        sort_cols=[id_col],
+    )
+    return sigs_table, bands_table
+
+
+def read_corpus_dedup_index(
+    spark, table_prefix: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted corpus dedup index: ``(signatures, band table)``."""
+    return (
+        spark.table(f"{table_prefix}_sigs"),
+        spark.table(f"{table_prefix}_bands"),
+    )
+
+
+def cross_corpus_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Incremental ingestion dedup: minhash-LSH candidate pairs BETWEEN a
     new batch and an existing corpus — never within either side.  This is
     the 100 TB shape for continuous crawling: the corpus side is banded
-    once (persist the band table bucketed by (band_idx, band_hash) and it
-    never re-scans text); each incoming batch bands only itself, and since
-    a batch is tiny relative to the corpus its band table broadcasts — the
-    corpus-sided join is then map-side with zero corpus shuffle.
+    once — pass ``corpus_index`` (from :func:`corpus_dedup_index` or the
+    bucketed on-disk tables via :func:`read_corpus_dedup_index`) and the
+    corpus text is never re-scanned or re-minhashed per batch; each
+    incoming batch bands only itself, and since a batch is tiny relative
+    to the corpus its band table broadcasts — the corpus-sided join is
+    then map-side with zero corpus shuffle.
+
+    ``broadcast_batch=False`` is the backfill path (a batch too big to
+    broadcast): the band join runs as a shuffle join, and against the
+    BUCKETED stored index only the batch side exchanges — the corpus side
+    reads matching buckets directly (plan-pinned).
 
     Same portable md5 signature/banding as :func:`minhash_candidates_md5`
     (band buckets capped per side via :func:`_cap_band_members`), ids-only
     band join, signatures re-attached once per deduped pair.  Returns
     ``(new_id, corpus_id, est_jaccard)`` — directed, new side first.
     """
-    rows = num_hashes // bands
-
-    def banded_sigs(df):
-        sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
-        banded = sigs.select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.slice("minhash", b * rows + 1, rows)
-                            )
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        ).select(id_col, "band.band_idx", "band.band_hash")
-        return sigs, _cap_band_members(
-            banded, id_col, ["band_idx", "band_hash"], max_bucket_size
+    if (corpus_df is None) == (corpus_index is None):
+        raise ValueError("exactly one of corpus_df/corpus_index must be set")
+    sig_new, band_new = corpus_dedup_index(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size,
+    )
+    if corpus_index is not None:
+        sig_corpus, band_corpus = corpus_index
+    else:
+        sig_corpus, band_corpus = corpus_dedup_index(
+            corpus_df, id_col, text_col, num_hashes, bands, shingle_n,
+            max_bucket_size,
         )
-
-    sig_new, band_new = banded_sigs(new_df)
-    sig_corpus, band_corpus = banded_sigs(corpus_df)
     # Pin the batch side as the broadcast build side: a batch is tiny
     # relative to the corpus BY CONSTRUCTION, so the plan must not depend
     # on AQE runtime stats to keep the corpus band table shuffle-free.
+    batch_bands = band_new.select(
+        "band_idx", "band_hash", F.col(id_col).alias("new_id")
+    )
+    if broadcast_batch:
+        batch_bands = F.broadcast(batch_bands)
     pairs = (
-        F.broadcast(
-            band_new.select(
-                "band_idx", "band_hash", F.col(id_col).alias("new_id")
-            )
-        )
-        .join(
+        batch_bands.join(
             band_corpus.select(
                 "band_idx", "band_hash", F.col(id_col).alias("corpus_id")
             ),
@@ -1333,8 +1426,11 @@ def cross_corpus_candidates(
     )
     # pairs and (pairs x batch sigs) are both pair/batch-sized — broadcast
     # them so the corpus signature table is probed map-side, never shuffled.
+    pair_sigs = pairs.join(sa, "new_id")
+    if broadcast_batch:
+        pair_sigs = F.broadcast(F.broadcast(pairs).join(sa, "new_id"))
     return (
-        F.broadcast(F.broadcast(pairs).join(sa, "new_id"))
+        pair_sigs
         .join(sb, "corpus_id")
         .select("new_id", "corpus_id", est.alias("est_jaccard"))
     )

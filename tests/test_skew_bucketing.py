@@ -202,3 +202,69 @@ class TestAutoSkewRoute:
         assert detect_hot_keys(uni, ["k"], min_count=100).count() == 0
         # empty input does not crash
         assert detect_hot_keys(uni.limit(0), ["k"]).count() == 0
+
+
+class TestBucketedCorpusDedupIndex:
+    """The persisted cross-corpus dedup index (round-8): bands + sigs
+    written bucketed once; a backfill batch (too big to broadcast) joins
+    with ZERO corpus-side exchange — only the batch side shuffles."""
+
+    def test_backfill_join_corpus_side_no_exchange(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import (
+            cross_corpus_candidates,
+            read_corpus_dedup_index,
+            write_corpus_dedup_index,
+        )
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        write_corpus_dedup_index(
+            corpus, "cc_idx", str(tmp_path / "cc_idx"), num_buckets=4
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            idx = read_corpus_dedup_index(spark, "cc_idx")
+            out = cross_corpus_candidates(
+                batch, corpus_index=idx, broadcast_batch=False
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # corpus band table: bucketed scan feeds the SMJ directly —
+            # no Exchange (and no Sort beyond the pre-sorted buckets)
+            # between the cc_idx_bands FileScan and its join
+            seg = plan[: plan.index("cc_idx_bands")]
+            # the band-join subtree appears after the batch side; count
+            # exchanges attributable to the bucketed scans: a bucketed
+            # side contributes none, so total hashpartitioning exchanges
+            # must equal the BATCH-side ones only (band + sig + pair agg),
+            # and the stored tables' scans must advertise their buckets
+            assert "SelectedBucketsCount" in plan
+            # every Exchange hashpartitioning must key on BATCH-derived
+            # attribute ids — never on an attribute produced by the stored
+            # tables' scans (i.e. the corpus side is never re-shuffled)
+            import re
+
+            stored_ids = set()
+            for m in re.finditer(
+                r"FileScan parquet spark_catalog\.default\."
+                r"cc_idx_\w+\[([^\]]*)\]",
+                plan,
+            ):
+                stored_ids |= set(re.findall(r"#(\d+)", m.group(1)))
+            assert stored_ids  # both bucketed scans present
+            for m in re.finditer(
+                r"Exchange hashpartitioning\(([^)]*)\)", plan
+            ):
+                ex_ids = set(re.findall(r"#(\d+)", m.group(1)))
+                assert not (ex_ids & stored_ids), (m.group(0), stored_ids)
+            # semantics unchanged vs the derive-everything path
+            direct = cross_corpus_candidates(batch, corpus)
+            assert sorted(map(tuple, out.collect())) == sorted(
+                map(tuple, direct.collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS cc_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS cc_idx_sigs")
