@@ -1078,13 +1078,22 @@ def connected_components(
     # The edge table is pair-derived (<< corpus), so this is cheap.
 
     def star_labels() -> DataFrame:
+        # Label every node of the INPUT edge list: members map through the
+        # star edges, roots and nodes whose only edges are self-loops (the
+        # contraction drops those edges) fall back to their own id — found
+        # by the random-graph property test, where min-label kept a
+        # self-loop-only node the star path silently lost.
         stars = _star_contraction(edges)
-        return (
-            stars.select(F.col("src").alias("node"), F.col("dst").alias("label"))
-            .union(
-                stars.select(F.col("dst").alias("node"), F.col("dst").alias("label"))
-            )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
             .distinct()
+        )
+        mapped = stars.select(
+            F.col("src").alias("node"), F.col("dst").alias("label")
+        ).distinct()
+        return nodes.join(mapped, "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
         )
 
     if algorithm == "star":

@@ -522,3 +522,105 @@ class TestDsirProperties:
             for r in dsir_score(df, model, engine="arrow").collect()
         )
         assert a == b
+
+
+# --- connected components vs a Python union-find oracle ---------------------
+
+edge_lists = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _uf_oracle(edges):
+    """Union-find ground truth: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {
+        n: min(members)
+        for members in comp.values()
+        for n in members
+    }
+
+
+def _flatten(graphs):
+    """Pack several random graphs into ONE edge list on disjoint id ranges
+    (components cannot cross ranges), so each hypothesis example costs a
+    single iterative CC run — the one-job-per-example convention above."""
+    return [
+        (g * 1000 + a, g * 1000 + b)
+        for g, edges in enumerate(graphs)
+        for a, b in edges
+    ]
+
+
+class TestConnectedComponentsProperty:
+    """Random edge lists (self-loops, duplicate edges, multi-graph packs)
+    vs a Python union-find oracle — pure min-label, star contraction, AND
+    the auto path forced past its switch point, on the same graphs."""
+
+    @given(graphs=edge_lists)
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_min_label_matches_union_find(self, spark, graphs):
+        edges = _flatten(graphs)
+        df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        got = {
+            r["node"]: r["label"]
+            for r in tx.connected_components(
+                df, algorithm="min_label", max_iter=60
+            ).collect()
+        }
+        assert got == _uf_oracle(edges)
+
+    @given(graphs=edge_lists)
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_star_contraction_matches_union_find(self, spark, graphs):
+        edges = _flatten(graphs)
+        df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        got = {
+            r["node"]: r["label"]
+            for r in tx.connected_components(
+                df, algorithm="star"
+            ).collect()
+        }
+        assert got == _uf_oracle(edges)
+
+    @given(graphs=edge_lists)
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_auto_switchover_matches_union_find(self, spark, graphs):
+        # switch_after=1 forces the min-label -> star fallover on any graph
+        # that needs more than one propagation round
+        edges = _flatten(graphs)
+        df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        got = {
+            r["node"]: r["label"]
+            for r in tx.connected_components(
+                df, algorithm="auto", switch_after=1
+            ).collect()
+        }
+        assert got == _uf_oracle(edges)
