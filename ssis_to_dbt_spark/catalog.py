@@ -7977,9 +7977,14 @@ def q_curation_pipeline_docs(spark, sf_dir):
         .select("doc_id", "text", "lang", "n_chars")
         .localCheckpoint()
     )
-    # stage 2: minhash near-dup clustering + keep-longest prune
+    # stage 2: minhash near-dup clustering + keep-longest prune.  The
+    # tagged output union references prune/cont/sel from multiple
+    # branches; each is gated-corpus-sized or smaller, so checkpointing
+    # them stops every branch from re-running pair generation, the CC
+    # rounds, and the shingle/fit aggregations (measured ~40% of the
+    # composed query's cost at sf0.1).
     pairs = minhash_candidates_md5(c1, num_hashes=8, bands=4)
-    pruned = prune_clusters(c1, pairs)
+    pruned = prune_clusters(c1, pairs).localCheckpoint()
     dropped = pruned.filter(~F.col("kept")).select("doc_id")
     c2 = c1.join(F.broadcast(dropped), "doc_id", "left_anti")
     # stage 3: decontaminate vs the eval split of the ORIGINAL corpus
@@ -7988,7 +7993,7 @@ def q_curation_pipeline_docs(spark, sf_dir):
     ev = hash_split(docs, "doc_id", test_pct=10).filter(
         F.col("split") == "test"
     )
-    cont = decontaminate(c2, ev, shingle_n=5)
+    cont = decontaminate(c2, ev, shingle_n=5).localCheckpoint()
     c3 = c2.join(
         F.broadcast(cont.select("doc_id")), "doc_id", "left_anti"
     ).localCheckpoint()
@@ -7996,7 +8001,7 @@ def q_curation_pipeline_docs(spark, sf_dir):
     scored = dsir_importance(c3, F.col("lang") == "en", buckets=256)
     sel = dsir_select(scored, _PIPELINE_DSIR_K).select(
         "doc_id", "weight_units", "gumbel_units"
-    )
+    ).localCheckpoint()
     c4 = c3.join(F.broadcast(sel), "doc_id")
     # stage 5: temperature-flattened language mixture over the selection
     c5 = temperature_mixture(c4, "lang", "doc_id")
