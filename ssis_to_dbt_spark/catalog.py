@@ -7938,8 +7938,13 @@ def q_dsir_merge_docs(spark, sf_dir):
 _PIPELINE_DSIR_K = 120
 
 
-def q_curation_pipeline_docs(spark, sf_dir):
+def q_curation_pipeline_docs(spark, sf_dir, checkpoint=True):
     """The full training-data curation chain as ONE composed plan.
+
+    ``checkpoint=False`` keeps the whole chain as ONE lazy plan (no
+    lineage truncation) — used by the plan-shape tests to pin the seam
+    joins, which the eager checkpoints would otherwise hide from the
+    final explain.
 
     Scale shape per seam (the 100 TB posture):
     - the Gopher gate is map-only (one ArrowEvalPython stage) and passes
@@ -7962,6 +7967,9 @@ def q_curation_pipeline_docs(spark, sf_dir):
     )
     from .text.dedup import prune_clusters
 
+    def ck(df):
+        return df.localCheckpoint() if checkpoint else df
+
     docs = _t(spark, sf_dir)["documents"]
     # stage 1: Gopher quality gate (map-only; corpus columns pass through)
     c1 = (
@@ -7975,7 +7983,7 @@ def q_curation_pipeline_docs(spark, sf_dir):
         )
         .filter("gopher_pass")
         .select("doc_id", "text", "lang", "n_chars")
-        .localCheckpoint()
+        .transform(ck)
     )
     # stage 2: minhash near-dup clustering + keep-longest prune.  The
     # tagged output union references prune/cont/sel from multiple
@@ -7984,7 +7992,7 @@ def q_curation_pipeline_docs(spark, sf_dir):
     # rounds, and the shingle/fit aggregations (measured ~40% of the
     # composed query's cost at sf0.1).
     pairs = minhash_candidates_md5(c1, num_hashes=8, bands=4)
-    pruned = prune_clusters(c1, pairs).localCheckpoint()
+    pruned = ck(prune_clusters(c1, pairs))
     dropped = pruned.filter(~F.col("kept")).select("doc_id")
     c2 = c1.join(F.broadcast(dropped), "doc_id", "left_anti")
     # stage 3: decontaminate vs the eval split of the ORIGINAL corpus
@@ -7993,15 +8001,15 @@ def q_curation_pipeline_docs(spark, sf_dir):
     ev = hash_split(docs, "doc_id", test_pct=10).filter(
         F.col("split") == "test"
     )
-    cont = decontaminate(c2, ev, shingle_n=5).localCheckpoint()
-    c3 = c2.join(
+    cont = ck(decontaminate(c2, ev, shingle_n=5))
+    c3 = ck(c2.join(
         F.broadcast(cont.select("doc_id")), "doc_id", "left_anti"
-    ).localCheckpoint()
+    ))
     # stage 4: DSIR importance resampling (fit on the surviving corpus)
     scored = dsir_importance(c3, F.col("lang") == "en", buckets=256)
-    sel = dsir_select(scored, _PIPELINE_DSIR_K).select(
+    sel = ck(dsir_select(scored, _PIPELINE_DSIR_K).select(
         "doc_id", "weight_units", "gumbel_units"
-    ).localCheckpoint()
+    ))
     c4 = c3.join(F.broadcast(sel), "doc_id")
     # stage 5: temperature-flattened language mixture over the selection
     c5 = temperature_mixture(c4, "lang", "doc_id")

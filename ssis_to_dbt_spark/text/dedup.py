@@ -1355,6 +1355,52 @@ def read_corpus_dedup_index(
     )
 
 
+def append_corpus_dedup_index(
+    batch_df: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> None:
+    """Index MAINTENANCE: after a deduped batch is accepted into the
+    corpus, derive its bands + signatures and APPEND them to the stored
+    bucketed tables — linear in NEW bytes, never a corpus rebuild.  The
+    bucket layout is append-stable (same hash, same bucket count), so
+    subsequent batch joins keep their zero-corpus-exchange plan.
+
+    ``num_buckets`` and the minhash parameters MUST match the original
+    :func:`write_corpus_dedup_index` call; Spark rejects an append whose
+    bucket spec differs from the table's, which is the guard rail.
+
+    Note on the band cap: ``_cap_band_members`` caps per-band membership
+    WITHIN the appended batch only — a band bucket can exceed the cap
+    across appends.  That mirrors the incremental reality (old members are
+    already on disk) and the cap still bounds each batch join's fan-out,
+    because the probing side re-caps its own bands."""
+    sigs, banded = corpus_dedup_index(
+        batch_df, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size,
+    )
+    (
+        banded.write.mode("append")
+        .format("parquet")
+        .bucketBy(num_buckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        sigs.write.mode("append")
+        .format("parquet")
+        .bucketBy(num_buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(f"{table_prefix}_sigs")
+    )
+
+
 def cross_corpus_candidates(
     new_df: DataFrame,
     corpus_df: DataFrame | None = None,

@@ -500,8 +500,22 @@ class TestRound8PlanShapes:
     shuffle of the corpus — drops ride broadcast anti-joins, the k-row
     DSIR winner set and mixture thresholds broadcast."""
 
+    @staticmethod
+    def _lazy_plan(spark):
+        # checkpoint=False keeps the whole chain one lazy plan so the seam
+        # joins are visible in the explain (the production entry's eager
+        # localCheckpoints would truncate them out of the final plan)
+        df = catalog.q_curation_pipeline_docs(
+            spark, SF, checkpoint=False
+        )
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+
     def test_curation_pipeline_seams_broadcast(self, spark):
-        plan = plan_of(spark, "curation_pipeline_docs", "simple")
+        plan = self._lazy_plan(spark)
         # every join in the composed chain broadcasts at fixture scale —
         # a corpus-side shuffle join at a seam would surface here
         assert "SortMergeJoin" not in plan
@@ -511,7 +525,7 @@ class TestRound8PlanShapes:
         assert "LeftAnti, BuildRight" in plan
 
     def test_curation_pipeline_pack_window_partitions_by_bucket(self, spark):
-        plan = plan_of(spark, "curation_pipeline_docs", "simple")
+        plan = self._lazy_plan(spark)
         # the packing cumulative-sum window partitions by the 16-way hash
         # bucket — no whole-corpus single-partition window stream exists
         assert "hashpartitioning(_bucket" in plan

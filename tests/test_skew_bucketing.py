@@ -268,3 +268,78 @@ class TestBucketedCorpusDedupIndex:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS cc_idx_bands")
             spark.sql("DROP TABLE IF EXISTS cc_idx_sigs")
+
+
+class TestAppendCorpusDedupIndex:
+    """Index maintenance: appending an accepted batch's bands+sigs to the
+    bucketed tables must be equivalent to rebuilding the index over the
+    grown corpus — and the append must preserve the bucketed layout."""
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import (
+            append_corpus_dedup_index,
+            cross_corpus_candidates,
+            read_corpus_dedup_index,
+            write_corpus_dedup_index,
+        )
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        corpus0 = docs.filter(F.col("doc_id") % 5 > 1)       # initial 3/5
+        accepted = docs.filter(F.col("doc_id") % 5 == 1)     # grown by 1/5
+        probe = docs.filter(F.col("doc_id") % 5 == 0)        # today's batch
+        try:
+            write_corpus_dedup_index(
+                corpus0, "grow_idx", str(tmp_path / "grow_idx"),
+                num_buckets=4,
+            )
+            append_corpus_dedup_index(accepted, "grow_idx", num_buckets=4)
+            idx = read_corpus_dedup_index(spark, "grow_idx")
+            got = sorted(
+                map(
+                    tuple,
+                    cross_corpus_candidates(
+                        probe, corpus_index=idx
+                    ).collect(),
+                )
+            )
+            want = sorted(
+                map(
+                    tuple,
+                    cross_corpus_candidates(
+                        probe, corpus0.unionByName(accepted)
+                    ).collect(),
+                )
+            )
+            assert got == want and got  # non-trivial candidate set
+            # appended table still advertises its bucket spec to the planner
+            desc = spark.sql(
+                "DESCRIBE TABLE EXTENDED grow_idx_bands"
+            ).collect()
+            txt = "\n".join(f"{r[0]} {r[1]}" for r in desc)
+            assert "Num Buckets 4" in txt, txt
+        finally:
+            spark.sql("DROP TABLE IF EXISTS grow_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS grow_idx_sigs")
+
+    def test_append_with_mismatched_buckets_rejected(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import (
+            append_corpus_dedup_index,
+            write_corpus_dedup_index,
+        )
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        try:
+            write_corpus_dedup_index(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                "mm_idx", str(tmp_path / "mm_idx"), num_buckets=4,
+            )
+            with pytest.raises(Exception):  # Spark rejects bucket-spec drift
+                append_corpus_dedup_index(
+                    docs.filter(F.col("doc_id") % 2 != 0),
+                    "mm_idx", num_buckets=8,
+                )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mm_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS mm_idx_sigs")
