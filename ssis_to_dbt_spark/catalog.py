@@ -7885,10 +7885,13 @@ def q_dsir_apply_docs(spark, sf_dir):
     from .text.analysis import dsir_fit, dsir_score
 
     docs = _t(spark, sf_dir)["documents"]
-    model = dsir_fit(docs, F.col("lang") == "en", buckets=256)
-    # arrow engine: bit-identical to the expression fold (pytest-pinned)
-    # and ~3x faster at sf0.1 — the per-gram hash+lookup lambda is the
-    # interpreted-HOF floor the Arrow kernels exist for.
+    # arrow engines end-to-end: the fit kernel folds per-batch partial
+    # bucket counts (the exploded gram stream never exists — ~3x faster
+    # at sf0.1) and the scorer is the map-only literal fold; both
+    # bit-identical to their expression twins (pytest-pinned incl.
+    # adversarial Unicode whitespace).
+    model = dsir_fit(docs, F.col("lang") == "en", buckets=256,
+                     engine="arrow")
     return dsir_score(docs, model, engine="arrow").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_feats").cast("long").alias("n_feats"),
@@ -7915,8 +7918,12 @@ def q_dsir_merge_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir)["documents"]
     tgt = F.col("lang") == "en"
-    base = dsir_fit_state(docs.filter(F.col("doc_id") % 2 == 0), tgt, 256)
-    delta = dsir_fit_state(docs.filter(F.col("doc_id") % 2 != 0), tgt, 256)
+    base = dsir_fit_state(
+        docs.filter(F.col("doc_id") % 2 == 0), tgt, 256, engine="arrow"
+    )
+    delta = dsir_fit_state(
+        docs.filter(F.col("doc_id") % 2 != 0), tgt, 256, engine="arrow"
+    )
     model = dsir_model_from_state(dsir_merge_state(base, delta), 256)
     return dsir_score(docs, model, engine="arrow").select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -7961,7 +7968,8 @@ def q_curation_pipeline_docs(spark, sf_dir, checkpoint=True):
     from .operators.sampling import hash_split, temperature_mixture
     from .text import decontaminate, pack_sequences
     from .text.analysis import (
-        dsir_importance,
+        dsir_fit,
+        dsir_score,
         dsir_select,
         gopher_signals_arrow,
     )
@@ -8005,8 +8013,12 @@ def q_curation_pipeline_docs(spark, sf_dir, checkpoint=True):
     c3 = ck(c2.join(
         F.broadcast(cont.select("doc_id")), "doc_id", "left_anti"
     ))
-    # stage 4: DSIR importance resampling (fit on the surviving corpus)
-    scored = dsir_importance(c3, F.col("lang") == "en", buckets=256)
+    # stage 4: DSIR importance resampling (fit on the surviving corpus).
+    # fit+score arrow engines reproduce the fused dsir_importance
+    # bit-for-bit (pytest-pinned) at ~3x the fit throughput — the oracle
+    # below stays the fused SQL.
+    model = dsir_fit(c3, F.col("lang") == "en", buckets=256, engine="arrow")
+    scored = dsir_score(c3, model, engine="arrow")
     sel = ck(dsir_select(scored, _PIPELINE_DSIR_K).select(
         "doc_id", "weight_units", "gumbel_units"
     ))

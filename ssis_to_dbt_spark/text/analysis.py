@@ -1449,6 +1449,7 @@ def dsir_fit(
     buckets: int = 256,
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "expr",
 ) -> list[int]:
     """Fit the DSIR bucket model once and hand back the dense ratio table:
     ``model[b]`` = micro-unit log ratio ``L(p_b+1) - L(P+B) - L(q_b+1) +
@@ -1467,7 +1468,8 @@ def dsir_fit(
     weights bit-for-bit.
     """
     return dsir_model_from_state(
-        dsir_fit_state(df, target, buckets, text_col, hash_fn), buckets
+        dsir_fit_state(df, target, buckets, text_col, hash_fn, engine),
+        buckets,
     )
 
 
@@ -1477,6 +1479,7 @@ def dsir_fit_state(
     buckets: int = 256,
     text_col: str = "text",
     hash_fn: str = "md5",
+    engine: str = "expr",
 ) -> DataFrame:
     """The mergeable sufficient statistic behind :func:`dsir_fit`: the
     ≤``buckets``-row count table ``(_b, _q_cnt, _p_cnt)`` (total and
@@ -1485,12 +1488,28 @@ def dsir_fit_state(
     appending new target docs a DELTA aggregation
     (:func:`dsir_merge_state`), not a re-read of the full fit corpus.
 
-    Cost: one explode -> groupBy(bucket) over ``df`` only (map-side
-    partial agg collapses to ≤ buckets rows before the shuffle)."""
+    ``engine="expr"``: one explode -> groupBy(bucket) over ``df`` (map-side
+    partial agg collapses to ≤ buckets rows before the shuffle — but the
+    explode materializes ~2 rows per token and md5 runs per gram row).
+    ``engine="arrow"``: a ``mapInPandas`` kernel emits per-Arrow-batch
+    PARTIAL bucket counts (≤ ``buckets`` rows per batch), so the shuffle
+    carries batch-count × buckets rows instead of the exploded gram
+    stream — bit-identical counts (same md5 buckets, same tokenizer twin
+    discipline as :func:`dsir_score`'s arrow engine; pytest-pinned).
+    md5 only, like the other Arrow kernels."""
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}; use md5 or xxhash64")
+    if engine not in ("expr", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
+    if engine == "arrow":
+        if hash_fn != "md5":
+            raise NotImplementedError(
+                "dsir_fit_state(engine='arrow') supports hash_fn='md5' "
+                "only; use engine='expr' for xxhash64"
+            )
+        return _dsir_fit_state_arrow(df, target, buckets, text_col)
     from .dedup import _md5_long
 
     gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
@@ -1508,6 +1527,79 @@ def dsir_fit_state(
         F.sum(F.when(F.col("_tgt"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )).alias("_p_cnt"),
+    )
+
+
+def _dsir_fit_state_arrow(
+    df: DataFrame, target: Column, buckets: int, text_col: str
+) -> DataFrame:
+    """Arrow twin of the :func:`dsir_fit_state` explode: per-batch partial
+    bucket counts folded in compiled C + one tiny groupBy — the exploded
+    gram stream never exists.  Tokenizer/bucket twin discipline identical
+    to :func:`_dsir_score_arrow` (space-only trim, ASCII ``\\s`` split
+    with kept empty tokens, md5 hex[:15] % B); the target predicate is
+    evaluated JVM-SIDE in the pre-projection, so arbitrary Columns work
+    and NULL target counts into ``_q_cnt`` only — exactly the expression
+    path's ``F.when(_tgt, 1).otherwise(0)`` semantics."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    B = int(buckets)
+    ws = _re.compile(r"\s+", _re.ASCII)
+    schema = T.StructType(
+        [
+            T.StructField("_b", T.LongType()),
+            T.StructField("_q_cnt", T.LongType()),
+            T.StructField("_p_cnt", T.LongType()),
+        ]
+    )
+    pre = df.select(target.alias("_tgt"), F.col(text_col).alias("_txt"))
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q: dict[int, int] = {}
+            p: dict[int, int] = {}
+            for tgt, s in zip(pdf["_tgt"], pdf["_txt"]):
+                if s is None:
+                    continue
+                t = s.strip(" ")
+                if t == "":
+                    continue
+                toks = ws.split(t)
+                is_t = tgt is True or (tgt is not None and tgt == True)  # noqa: E712
+                for g in toks:
+                    b = bucket(g)
+                    q[b] = q.get(b, 0) + 1
+                    if is_t:
+                        p[b] = p.get(b, 0) + 1
+                for a, c in zip(toks, toks[1:]):
+                    b = bucket(f"{a} {c}")
+                    q[b] = q.get(b, 0) + 1
+                    if is_t:
+                        p[b] = p.get(b, 0) + 1
+            if q:
+                ks = sorted(q)
+                yield pd.DataFrame(
+                    {
+                        "_b": ks,
+                        "_q_cnt": [q[k] for k in ks],
+                        "_p_cnt": [p.get(k, 0) for k in ks],
+                    }
+                )
+
+    partial = pre.mapInPandas(gen, schema)
+    return partial.groupBy("_b").agg(
+        F.sum("_q_cnt").cast("long").alias("_q_cnt"),
+        F.sum("_p_cnt").cast("long").alias("_p_cnt"),
     )
 
 

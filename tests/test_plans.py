@@ -494,6 +494,27 @@ class TestDsirPlanShapes:
         assert "Join" not in plan
         assert plan.count("MapInPandas") == 1
 
+    def test_fit_state_arrow_is_partial_count_shape(self, spark):
+        # the arrow fit kernel: one MapInPandas emitting <= B-row partial
+        # counts per batch, then exactly ONE exchange (the B-key groupBy)
+        # — the exploded per-gram stream never exists in the plan
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.analysis import dsir_fit_state
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        state = dsir_fit_state(
+            docs, F.col("lang") == "en", 64, engine="arrow"
+        )
+        plan = state._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert plan.count("MapInPandas") == 1
+        assert plan.count("Exchange") == 1
+        assert "Generate explode" not in plan
+
 
 class TestRound8PlanShapes:
     """Composed curation pipeline: the seams between stages must add no

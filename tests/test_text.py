@@ -1999,6 +1999,11 @@ class TestArrowTwinsUnicode:
             tuple(r) for r in dsir_score(df, model, engine="arrow").collect()
         }
         assert expr == arrow
+        # the fit kernel shares the tokenizer — pin it on the same rows
+        model_arrow = dsir_fit(
+            df, F.col("doc_id") % 2 == 0, buckets=64, engine="arrow"
+        )
+        assert model == model_arrow
 
 
 class TestDsir:
@@ -2224,6 +2229,50 @@ class TestDsir:
         assert out[100]["n_feats"] == 4 + 3
         assert out[100]["weight_units"] is not None
         assert out[101]["n_feats"] == 0 and out[101]["weight_units"] == 0
+
+    def test_fit_arrow_engine_bit_identical(self, spark):
+        """dsir_fit(engine='arrow') — per-batch partial bucket counts —
+        must reproduce the expression explode's model exactly, including
+        on empty/null text and under repartitioning."""
+        from ssis_to_dbt_spark.text.analysis import dsir_fit
+
+        df = self._df(spark)
+        tgt = F.col("lang") == "en"
+        expr = dsir_fit(df, tgt, buckets=64)
+        arrow = dsir_fit(df, tgt, buckets=64, engine="arrow")
+        assert expr == arrow
+        arrow7 = dsir_fit(df.repartition(7), tgt, buckets=64, engine="arrow")
+        assert expr == arrow7
+
+    def test_fit_arrow_null_target_counts_into_q_only(self, spark):
+        """NULL target predicate rows: the expression path's
+        when(_tgt,1).otherwise(0) counts them into _q_cnt only — the
+        arrow kernel must match."""
+        from ssis_to_dbt_spark.text.analysis import dsir_fit
+
+        rows = [
+            (1, "alpha beta alpha", "en"),
+            (2, "delta epsilon", None),  # NULL lang -> NULL target
+            (3, "alpha delta", "de"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id int, text string, lang string"
+        )
+        tgt = F.col("lang") == "en"
+        assert dsir_fit(df, tgt, buckets=32) == dsir_fit(
+            df, tgt, buckets=32, engine="arrow"
+        )
+
+    def test_fit_arrow_engine_validation(self, spark):
+        from ssis_to_dbt_spark.text.analysis import dsir_fit_state
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="engine"):
+            dsir_fit_state(df, F.lit(True), engine="pandas")
+        with pytest.raises(NotImplementedError, match="md5"):
+            dsir_fit_state(
+                df, F.lit(True), hash_fn="xxhash64", engine="arrow"
+            )
 
     def test_merge_state_refit_bit_equals_full_refit(self, spark):
         """Incremental refit (growing reference corpus): fit-state on two

@@ -522,6 +522,11 @@ class TestDsirProperties:
             for r in dsir_score(df, model, engine="arrow").collect()
         )
         assert a == b
+        # the fit kernel twin on the same random docs
+        model_arrow = dsir_fit(
+            df, F.col("doc_id") % 2 == 0, buckets=16, engine="arrow"
+        )
+        assert model == model_arrow
 
 
 # --- connected components vs a Python union-find oracle ---------------------
