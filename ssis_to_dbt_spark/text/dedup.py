@@ -268,6 +268,78 @@ def minhash_signatures_md5(
     )
 
 
+def minhash_signatures_md5_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow (``mapInPandas``) twin of :func:`minhash_signatures_md5` —
+    BIT-IDENTICAL signature arrays (pytest-pinned incl. NULL/blank/Unicode
+    edges): same tokenizer twin discipline as the winnow kernel (Spark
+    ``split(trim(lower(s)), '\\s+')`` = Python ``lower().strip(' ')`` +
+    ASCII ``\\s`` split with kept empty tokens), same distinct word
+    shingles with the whole-text fallback for short docs (NULL text falls
+    back exactly like the expression path: one empty-string shingle),
+    same lowercase-hex-string MIN per permutation.
+
+    Exists because the expression path's floor is the shingle explode +
+    8-way min aggregation (one shuffle of ~shingle-count rows, md5 via
+    interpreted concat per gram-perm); here each document is one compiled
+    pass and NOTHING shuffles — signatures leave the kernel final.  At
+    fixture scale the downstream banded self-join dominates (measured: no
+    wall-clock change), so this kernel is the LONG-document path: per-doc
+    signature cost scales with shingle count, the join with doc count.
+    md5 only, like every Arrow kernel (xxhash64 has no guaranteed Python
+    twin)."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    n = int(shingle_n)
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("minhash", T.ArrayType(T.StringType())),
+        ]
+    )
+    pre = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sigs = [], []
+            for did, txt in zip(pdf[id_col], pdf["_txt"]):
+                toks = ws.split(
+                    ("" if txt is None else txt).lower().strip(" ")
+                )
+                k = len(toks) - n + 1
+                if k > 0:
+                    grams = set(
+                        " ".join(toks[i : i + n]) for i in range(k)
+                    )
+                else:
+                    grams = {" ".join(toks)}
+                enc = [g.encode("utf-8") for g in grams]
+                sig = [
+                    min(hashlib.md5(p + e).hexdigest() for e in enc)
+                    for p in prefixes
+                ]
+                ids.append(did)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "minhash": sigs})
+
+    return pre.mapInPandas(gen, schema)
+
+
 def minhash_candidates_md5(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -276,16 +348,28 @@ def minhash_candidates_md5(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 10_000,
+    engine: str = "expr",
 ) -> DataFrame:
     """MinHash+LSH candidate pairs on the portable md5 signatures — same
     banded equi-join shape as :func:`minhash_candidates` (no all-pairs,
     band buckets capped via :func:`_cap_band_members`), fully reproducible
-    on any engine with md5."""
+    on any engine with md5.  ``engine="arrow"`` computes the signatures
+    with the bit-identical :func:`minhash_signatures_md5_arrow` kernel —
+    a wash at fixture scale (the banded self-join dominates there), a win
+    on signature-dominated corpora (long documents, many shingles per
+    doc); same downstream plan either way."""
+    if engine not in ("expr", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
+    sig_fn = (
+        minhash_signatures_md5_arrow
+        if engine == "arrow"
+        else minhash_signatures_md5
+    )
     rows = num_hashes // bands
     # Three consumers (banding + both signature re-attachments): materialize
     # the signature table once instead of re-running the shingle -> min-agg
     # pipeline from the corpus scan for each (same as the xxhash64 path).
-    sigs = minhash_signatures_md5(
+    sigs = sig_fn(
         df, text_col, num_hashes, shingle_n, id_col
     ).localCheckpoint(eager=False)
     banded = sigs.select(
@@ -1266,14 +1350,23 @@ def corpus_dedup_index(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 10_000,
+    engine: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """The corpus side of incremental ingestion dedup as a REUSABLE index:
     ``(signatures, capped band table)``.  Derive it once per corpus, persist
     with :func:`write_corpus_dedup_index`, and every subsequent batch joins
     against the stored tables — the corpus text is never re-scanned and
-    never re-minhashed per batch."""
+    never re-minhashed per batch.  ``engine="arrow"`` uses the
+    bit-identical signature kernel."""
+    if engine not in ("expr", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
     rows = num_hashes // bands
-    sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col)
+    sig_fn = (
+        minhash_signatures_md5_arrow
+        if engine == "arrow"
+        else minhash_signatures_md5
+    )
+    sigs = sig_fn(df, text_col, num_hashes, shingle_n, id_col)
     banded = sigs.select(
         id_col,
         F.explode(

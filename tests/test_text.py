@@ -36,6 +36,55 @@ class TestMinhash:
         pairs = [(r["doc_a"], r["doc_b"]) for r in tx.minhash_candidates(df).collect()]
         assert pairs == [(1, 3)]
 
+    def test_md5_signature_arrow_twin_bit_identical(self, spark):
+        """The Arrow signature kernel vs the expression explode on every
+        edge the expression path has: NULL text, empty, blank, whitespace
+        variants, short-doc whole-text fallback, fixture docs."""
+        from ssis_to_dbt_spark.text.dedup import (
+            minhash_candidates_md5,
+            minhash_signatures_md5,
+            minhash_signatures_md5_arrow,
+        )
+
+        edge = spark.createDataFrame(
+            [
+                (1, None),
+                (2, ""),
+                (3, "   "),
+                (4, "One two"),
+                (5, "a b c d e f g h i j"),
+                (6, "\tTabbed  START x y z w"),
+                (7, "repeat repeat repeat repeat repeat"),
+            ],
+            "doc_id int, text string",
+        )
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        for df in (edge, docs):
+            e = {
+                r["doc_id"]: list(r["minhash"])
+                for r in minhash_signatures_md5(df).collect()
+            }
+            a = {
+                r["doc_id"]: list(r["minhash"])
+                for r in minhash_signatures_md5_arrow(df).collect()
+            }
+            assert e == a
+        # candidate pairs identical through the banding too
+        pe = sorted(
+            map(tuple, minhash_candidates_md5(docs).collect())
+        )
+        pa = sorted(
+            map(
+                tuple,
+                minhash_candidates_md5(docs, engine="arrow").collect(),
+            )
+        )
+        assert pe == pa and pe
+        with pytest.raises(ValueError, match="engine"):
+            minhash_candidates_md5(docs, engine="pandas")
+
 
 class TestSimhash:
     def test_identical_fingerprints(self, spark):
@@ -1983,6 +2032,20 @@ class TestArrowTwinsUnicode:
         we = set(map(tuple, winnow_fingerprints(df, k=2, w=2).collect()))
         wa = set(map(tuple, winnow_fingerprints_arrow(df, k=2, w=2).collect()))
         assert we == wa
+        from ssis_to_dbt_spark.text.dedup import (
+            minhash_signatures_md5,
+            minhash_signatures_md5_arrow,
+        )
+
+        ms = {
+            r["doc_id"]: list(r["minhash"])
+            for r in minhash_signatures_md5(df).collect()
+        }
+        ma = {
+            r["doc_id"]: list(r["minhash"])
+            for r in minhash_signatures_md5_arrow(df).collect()
+        }
+        assert ms == ma
 
     def test_dsir_scorer_bit_identical_on_unicode(self, spark):
         """The r7 gap: Unicode whitespace (NBSP/thin/LS/PS) tokenizes
