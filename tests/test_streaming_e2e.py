@@ -574,3 +574,52 @@ class TestStreamingDsirScore:
         )
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         assert got == want
+
+
+class TestStreamingGopherGate:
+    """The curation gate is a stateless mapInPandas projection, so the
+    SAME Arrow kernel that gates a batch corpus gates a stream — the
+    continuous-crawl deployment: arriving documents are quality-gated
+    online with zero state and zero shuffles, bit-identical to the batch
+    gate (which carries the oracle)."""
+
+    def test_stream_gate_equals_batch_gate(self, spark, tmp_path):
+        from ssis_to_dbt_spark.streaming import write_stream
+        from ssis_to_dbt_spark.text.analysis import gopher_signals_arrow
+
+        src = str(tmp_path / "gsrc")
+        ckpt = str(tmp_path / "gckpt")
+        out = str(tmp_path / "gout")
+        batch_df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text", "lang")
+        batch_df.coalesce(2).write.mode("overwrite").parquet(src)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        gated = (
+            gopher_signals_arrow(stream, extra_cols={"lang": F.col("lang")})
+            .filter("gopher_pass")
+            .select("doc_id", "lang", "n_tokens", "dup_2gram_frac")
+        )
+        assert gated.isStreaming
+        q = write_stream(gated, out, ckpt, mode="append")
+        q.awaitTermination(120)
+
+        want = sorted(
+            tuple(r)
+            for r in gopher_signals_arrow(
+                batch_df, extra_cols={"lang": F.col("lang")}
+            )
+            .filter("gopher_pass")
+            .select("doc_id", "lang", "n_tokens", "dup_2gram_frac")
+            .collect()
+        )
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == want and got
