@@ -629,3 +629,51 @@ class TestConnectedComponentsProperty:
             ).collect()
         }
         assert got == _uf_oracle(edges)
+
+
+class TestPruneClustersProperty:
+    """prune_clusters vs a Python oracle on random graphs + random doc
+    lengths: component = union-find, representative = longest text with
+    lowest-id tie-break, singletons pass through kept."""
+
+    @given(
+        graphs=edge_lists,
+        lengths=st.lists(
+            st.integers(min_value=0, max_value=9), min_size=41, max_size=41
+        ),
+    )
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_python_oracle(self, spark, graphs, lengths):
+        from ssis_to_dbt_spark.text.dedup import prune_clusters
+
+        edges = _flatten(graphs)
+        nodes = sorted({n for e in edges for n in e})
+        # every node gets a doc; plus some isolated docs never in a pair
+        doc_ids = nodes + [999_000, 999_001]
+        docs = [(d, lengths[i % len(lengths)]) for i, d in enumerate(doc_ids)]
+        df = spark.createDataFrame(docs, "doc_id long, n_chars int")
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["kept"])
+            for r in prune_clusters(df, pairs).collect()
+        }
+        comp = _uf_oracle(edges)
+        sizes = {}
+        for n, lab in comp.items():
+            sizes[lab] = sizes.get(lab, 0) + 1
+        length = dict(docs)
+        reps = {}
+        for n, lab in comp.items():
+            cur = reps.get(lab)
+            cand = (-length[n], n)
+            if cur is None or cand < cur:
+                reps[lab] = cand
+        want = {}
+        for d, _l in docs:
+            if d in comp:
+                lab = comp[d]
+                want[d] = (lab, sizes[lab], reps[lab][1] == d)
+            else:
+                want[d] = (d, 1, True)
+        assert got == want
