@@ -7965,73 +7965,36 @@ def q_curation_pipeline_docs(spark, sf_dir, checkpoint=True):
     - packing windows partition by hash bucket (no global sort).
     The composed exchange count is the SUM of the stages' — no extra
     shuffle appears at any seam (see SCALE.md)."""
-    from .operators.sampling import hash_split, temperature_mixture
-    from .text import decontaminate, pack_sequences
-    from .text.analysis import (
-        dsir_fit,
-        dsir_score,
-        dsir_select,
-        gopher_signals_arrow,
+    # The stage implementations are SHARED with the orchestrated Pipeline
+    # form (curation.py:curation_models — stage-boundary parquet
+    # materialization, the resumable 100 TB deployment); this query fuses
+    # them into one plan for the oracle, checkpointing the multi-consumer
+    # intermediates (gate, prune, cont, clean) so the 7-branch tagged
+    # union doesn't re-run pair generation / CC / shingle aggregations
+    # per branch (measured ~40% of the composed cost at sf0.1).
+    from .curation import (
+        stage_clean,
+        stage_contaminated,
+        stage_dedup,
+        stage_dsir_select,
+        stage_gate,
+        stage_mixture,
+        stage_pack,
+        stage_prune,
     )
-    from .text.dedup import prune_clusters
 
     def ck(df):
         return df.localCheckpoint() if checkpoint else df
 
     docs = _t(spark, sf_dir)["documents"]
-    # stage 1: Gopher quality gate (map-only; corpus columns pass through)
-    c1 = (
-        gopher_signals_arrow(
-            docs,
-            extra_cols={
-                "text": F.col("text"),
-                "lang": F.col("lang"),
-                "n_chars": F.col("n_chars"),
-            },
-        )
-        .filter("gopher_pass")
-        .select("doc_id", "text", "lang", "n_chars")
-        .transform(ck)
-    )
-    # stage 2: minhash near-dup clustering + keep-longest prune.  The
-    # tagged output union references prune/cont/sel from multiple
-    # branches; each is gated-corpus-sized or smaller, so checkpointing
-    # them stops every branch from re-running pair generation, the CC
-    # rounds, and the shingle/fit aggregations (measured ~40% of the
-    # composed query's cost at sf0.1).
-    pairs = minhash_candidates_md5(c1, num_hashes=8, bands=4)
-    pruned = ck(prune_clusters(c1, pairs))
-    dropped = pruned.filter(~F.col("kept")).select("doc_id")
-    c2 = c1.join(F.broadcast(dropped), "doc_id", "left_anti")
-    # stage 3: decontaminate vs the eval split of the ORIGINAL corpus
-    # (benchmarks are external — contamination is checked against the full
-    # held-out set, not just its gated survivors)
-    ev = hash_split(docs, "doc_id", test_pct=10).filter(
-        F.col("split") == "test"
-    )
-    cont = ck(decontaminate(c2, ev, shingle_n=5))
-    c3 = ck(c2.join(
-        F.broadcast(cont.select("doc_id")), "doc_id", "left_anti"
-    ))
-    # stage 4: DSIR importance resampling (fit on the surviving corpus).
-    # fit+score arrow engines reproduce the fused dsir_importance
-    # bit-for-bit (pytest-pinned) at ~3x the fit throughput — the oracle
-    # below stays the fused SQL.
-    model = dsir_fit(c3, F.col("lang") == "en", buckets=256, engine="arrow")
-    scored = dsir_score(c3, model, engine="arrow")
-    sel = ck(dsir_select(scored, _PIPELINE_DSIR_K).select(
-        "doc_id", "weight_units", "gumbel_units"
-    ))
-    c4 = c3.join(F.broadcast(sel), "doc_id")
-    # stage 5: temperature-flattened language mixture over the selection
-    c5 = temperature_mixture(c4, "lang", "doc_id")
-    # stage 6: pack survivors into 512-token training sequences
-    packed = pack_sequences(
-        c5.select("doc_id", token_count(F.col("text")).alias("n_tok")),
-        "n_tok",
-        seq_tokens=512,
-        key_col="doc_id",
-    )
+    c1 = ck(stage_gate(docs))
+    pruned = ck(stage_prune(c1))
+    c2 = stage_dedup(c1, pruned)
+    cont = ck(stage_contaminated(c2, docs))
+    c3 = ck(stage_clean(c2, cont))
+    c4 = stage_dsir_select(c3, _PIPELINE_DSIR_K)
+    c5 = stage_mixture(c4)
+    packed = stage_pack(c5)
 
     def row(component, df_, v1=None, v2=None, s1=None):
         return df_.select(

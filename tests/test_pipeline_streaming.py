@@ -229,3 +229,63 @@ class TestRunWithRetries:
         assert report.runs["m"].status == "success"
         assert spark.read.parquet(path).count() == 3
         assert frames["m"].count() == 3
+
+
+class TestCurationOrchestration:
+    """The orchestrated Pipeline form of the curation chain (stage-boundary
+    parquet materialization, curation.py) must reproduce the one-plan
+    catalog query exactly — the stages are SHARED code, this pins the
+    orchestration seams (parquet round-trip per stage, dep wiring,
+    vars-driven dsir_k)."""
+
+    def test_orchestrated_equals_composed_query(self, spark, tmp_path):
+        from ssis_to_dbt_spark import catalog
+        from ssis_to_dbt_spark.curation import run_curation
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        frames = run_curation(spark, docs, str(tmp_path / "cur"))
+
+        rows = catalog.q_curation_pipeline_docs(spark, sf).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["component"], []).append(r)
+
+        # per-stage id sets equal the composed query's components
+        def ids(name):
+            return {r["doc_id"] for r in frames[name].select("doc_id").collect()}
+
+        assert ids("gate") == {r["doc_id"] for r in by["gate"]}
+        assert ids("contaminated") == {
+            r["doc_id"] for r in by["contaminated"]
+        }
+        assert ids("clean") == {r["doc_id"] for r in by["clean"]}
+        assert ids("selected") == {r["doc_id"] for r in by["dsir_sel"]}
+        assert ids("mixed") == {r["doc_id"] for r in by["mixture"]}
+        # the final packing is value-identical, not just id-identical
+        packed = sorted(
+            (r["doc_id"], r["seq_id"], r["start_tok"], r["end_tok"])
+            for r in frames["packed"].collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["v1"], r["v2"], int(r["s1"]))
+            for r in by["pack"]
+        )
+        assert packed == want and packed
+        # every stage really materialized as parquet
+        import os
+
+        for stage in (
+            "gate", "pruned", "deduped", "contaminated", "clean",
+            "selected", "mixed", "packed",
+        ):
+            assert os.path.isdir(str(tmp_path / "cur" / stage)), stage
+
+    def test_vars_override_dsir_k(self, spark, tmp_path):
+        from ssis_to_dbt_spark.curation import run_curation
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        frames = run_curation(spark, docs, str(tmp_path / "cur5"), dsir_k=5)
+        assert frames["selected"].count() == 5
