@@ -81,6 +81,7 @@ HEADLINE = [
     "dsir_docs",
     "dsir_apply_docs",
     "curation_pipeline_docs",
+    "pack_nosplit_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -6150,6 +6150,58 @@ FROM c
 SQL_PACK_DOCS = _pack_sql()
 
 
+def q_pack_nosplit_docs(spark, sf_dir):
+    """No-split (next-fit decreasing) packing: documents never chop
+    across sequence boundaries — the SFT/instruction-data packing; see
+    pack_sequences_nosplit.  The oracle replays the per-bucket fold
+    exactly with a recursive CTE."""
+    from .text.analysis import pack_sequences_nosplit
+
+    docs = _t(spark, sf_dir)["documents"]
+    dd = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences_nosplit(dd, "n_tok", seq_tokens=512,
+                                  key_col="doc_id")
+
+
+SQL_PACK_NOSPLIT = r"""
+WITH RECURSIVE pt AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+pb AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, h,
+         CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
+  FROM pt),
+po AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_tok DESC, h) AS rn
+  FROM pb),
+fold AS (
+  SELECT bucket, rn, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS seq_local,
+         CAST(0 AS BIGINT) AS start_tok,
+         n_tok AS fill
+  FROM po WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN f.fill + o.n_tok > 512 AND f.fill > 0
+              THEN f.seq_local + 1 ELSE f.seq_local END,
+         CASE WHEN f.fill + o.n_tok > 512 AND f.fill > 0
+              THEN CAST(0 AS BIGINT) ELSE f.fill END,
+         CASE WHEN f.fill + o.n_tok > 512 AND f.fill > 0
+              THEN o.n_tok ELSE f.fill + o.n_tok END
+  FROM fold f JOIN po o ON o.bucket = f.bucket AND o.rn = f.rn + 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(seq_local * 16 + bucket AS BIGINT) AS seq_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok + n_tok AS BIGINT) AS end_tok
+FROM fold
+"""
+
+
 def q_dedup_lines_docs(spark, sf_dir):
     """Within-document repeated-line removal (C4/Gopher curation rule).
     The fixture docs are single-line, so the query PLANTS a duplicate by
@@ -6332,6 +6384,16 @@ def q_token_ops_docs(spark, sf_dir):
         F.col("start_tok").cast("long").alias("start_tok"),
         F.col("end_tok").cast("long").alias("end_tok"),
     )
+    pns = q_pack_nosplit_docs(spark, sf_dir).select(
+        F.lit("pack_nosplit").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _nul("int").alias("chunk_idx"),
+        _nul("string").alias("chunk_text"),
+        _nul("int").alias("n_tok"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+    )
     dl = q_dedup_lines_docs(spark, sf_dir).select(
         F.lit("dedup_lines").alias("component"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -6393,7 +6455,7 @@ def q_token_ops_docs(spark, sf_dir):
         _nul("long").alias("start_tok"),
         _nul("long").alias("end_tok"),
     )
-    return _union_all([tb, ch, pk, dl, bp, ds, bew, bed, cdl])
+    return _union_all([tb, ch, pk, pns, dl, bp, ds, bew, bed, cdl])
 
 
 SQL_TOKEN_OPS = f"""
@@ -6413,6 +6475,12 @@ SELECT 'pack', CAST(doc_id AS BIGINT), {_NULL_INT}, {_NULL_STR}, {_NULL_INT},
        CAST(seq_id AS BIGINT), CAST(start_tok AS BIGINT),
        CAST(end_tok AS BIGINT)
 FROM ({SQL_PACK_DOCS}) _p
+UNION ALL
+SELECT 'pack_nosplit', CAST(doc_id AS BIGINT), {_NULL_INT}, {_NULL_STR},
+       {_NULL_INT},
+       CAST(seq_id AS BIGINT), CAST(start_tok AS BIGINT),
+       CAST(end_tok AS BIGINT)
+FROM ({SQL_PACK_NOSPLIT}) _pn
 UNION ALL
 SELECT 'dedup_lines', CAST(doc_id AS BIGINT), CAST(n_kept AS INTEGER),
        CAST(dedup_md5 AS VARCHAR), CAST(n_lines AS INTEGER),
@@ -8386,6 +8454,7 @@ ALL_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "mixture_docs": q_mixture_docs,
     "pack_docs": q_pack_docs,
+    "pack_nosplit_docs": q_pack_nosplit_docs,
     "decontam_docs": q_decontam_docs,
     "bloom_orders": q_bloom_orders,
     "retry_dag": q_retry_dag,
@@ -8548,6 +8617,7 @@ ALL_ORACLES = {
     "tfidf_top_terms": SQL_TFIDF,
     "mixture_docs": SQL_MIXTURE,
     "pack_docs": SQL_PACK_DOCS,
+    "pack_nosplit_docs": SQL_PACK_NOSPLIT,
     "decontam_docs": SQL_DECONTAM,
     "bloom_orders": SQL_BLOOM_ORDERS,
     "roundtrip_orc": SQL_RT_ORC,

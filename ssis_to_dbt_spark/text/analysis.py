@@ -1189,6 +1189,97 @@ def pack_sequences(
     )
 
 
+def pack_sequences_nosplit(
+    df: DataFrame,
+    token_col: str,
+    seq_tokens: int,
+    key_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """NO-SPLIT sequence packing (next-fit decreasing): documents are
+    never chopped across sequence boundaries — the packing used for
+    SFT/instruction data, where a truncated example is a corrupted label.
+    Complements :func:`pack_sequences` (concat-and-chop, the LM-pretrain
+    packing).
+
+    Deterministic and partition-order-independent: the corpus splits into
+    ``n_buckets`` streams by md5(key) (documents are interchangeable
+    across a packing run), each bucket sorts by (token count DESC,
+    md5-hex ASC — unique, so the order is total) and runs the next-fit
+    fold: a document that does not fit the current sequence closes it and
+    opens the next.  Decreasing order keeps the classic NFD waste bound;
+    a document longer than ``seq_tokens`` gets a sequence of its own
+    (``end_tok > seq_tokens`` marks it for the caller to truncate or
+    reject).  Output: ``(key, seq_id, start_tok, end_tok)`` with offsets
+    WITHIN the sequence (``0 <= start_tok``, ``end_tok - start_tok`` =
+    the document's token count).
+
+    Scale shape: one shuffle on the bucket key into an
+    ``applyInPandas`` fold (the fold is inherently sequential per
+    stream — same single-pass-per-bucket story as the chop packer's
+    cumsum window); size ``n_buckets`` so a bucket fits one executor.
+    The DuckDB oracle replays the fold exactly with a recursive CTE, so
+    the full assignment is value-hash verifiable."""
+    from pyspark.sql import types as T
+
+    cap = int(seq_tokens)
+    nb = int(n_buckets)
+    key_field = df.schema[key_col]
+    schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType, key_field.nullable),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("start_tok", T.LongType()),
+            T.StructField("end_tok", T.LongType()),
+        ]
+    )
+    pre = (
+        df.select(
+            F.col(key_col),
+            F.col(token_col).cast("long").alias("_n"),
+            F.md5(F.col(key_col).cast("string")).alias("_h"),
+        )
+        .withColumn(
+            "_bucket",
+            F.pmod(
+                F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"),
+                F.lit(nb),
+            ),
+        )
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["_n", "_h"], ascending=[False, True], kind="mergesort"
+        )
+        b = int(pdf["_bucket"].iloc[0])
+        seq_local = 0
+        fill = 0
+        ks, sids, sts, ens = [], [], [], []
+        for k, n in zip(pdf[key_col], pdf["_n"]):
+            n = int(n)
+            if fill + n > cap and fill > 0:
+                seq_local += 1
+                fill = 0
+            ks.append(k)
+            sids.append(seq_local * nb + b)
+            sts.append(fill)
+            ens.append(fill + n)
+            fill += n
+        return pd.DataFrame(
+            {
+                key_col: ks,
+                "seq_id": sids,
+                "start_tok": sts,
+                "end_tok": ens,
+            }
+        )
+
+    return pre.groupBy("_bucket").applyInPandas(fold, schema)
+
+
 def bigram_surprisal(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -50,7 +50,7 @@ EXPECTED = {
     },
     "token_ops_docs": {
         "bpe", "bpe_doc", "bpe_word", "budget", "chunk", "corpus_dedup",
-        "dedup_lines", "dup_spans", "pack",
+        "dedup_lines", "dup_spans", "pack", "pack_nosplit",
     },
     "pii_tfidf_docs": {"ccnet", "mixed_lang", "pii", "surprisal", "tfidf"},
     "pivot_median_orders": {

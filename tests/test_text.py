@@ -817,6 +817,84 @@ class TestPackSequences:
         )
 
 
+class TestPackSequencesNosplit:
+    """No-split (next-fit decreasing) packing: documents never chop
+    across sequence boundaries — SFT-data packing."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, 10 + (i * 13) % 77) for i in range(300)],
+            "doc_id long, n_tok int",
+        )
+
+    def test_no_doc_split_and_capacity_respected(self, spark):
+        df = self._df(spark)
+        rows = tx.pack_sequences_nosplit(
+            df, "n_tok", 100, key_col="doc_id"
+        ).collect()
+        assert len(rows) == 300  # each doc placed exactly once
+        toks = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+        by_seq: dict[int, list] = {}
+        for r in rows:
+            # span equals the doc's token count — never chopped
+            assert r["end_tok"] - r["start_tok"] == toks[r["doc_id"]]
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        for seq, members in by_seq.items():
+            members.sort(key=lambda r: r["start_tok"])
+            pos = 0
+            for r in members:
+                assert r["start_tok"] == pos  # contiguous within sequence
+                pos = r["end_tok"]
+            # capacity holds unless the sequence is a single oversized doc
+            assert pos <= 100 or len(members) == 1
+
+    def test_oversized_doc_gets_own_sequence(self, spark):
+        df = spark.createDataFrame(
+            [(1, 250), (2, 40), (3, 40), (4, 40)], "doc_id long, n_tok int"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in tx.pack_sequences_nosplit(
+                df, "n_tok", 100, key_col="doc_id"
+            ).collect()
+        }
+        big = rows[1]
+        assert big["start_tok"] == 0 and big["end_tok"] == 250
+        others_in_seq = [
+            d for d, r in rows.items()
+            if r["seq_id"] == big["seq_id"] and d != 1
+        ]
+        assert others_in_seq == []
+
+    def test_deterministic_under_repartitioning(self, spark):
+        df = self._df(spark)
+        a = sorted(
+            map(tuple, tx.pack_sequences_nosplit(
+                df, "n_tok", 100, key_col="doc_id"
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, tx.pack_sequences_nosplit(
+                df.repartition(13), "n_tok", 100, key_col="doc_id"
+            ).collect())
+        )
+        assert a == b
+
+    def test_nfd_waste_bounded_vs_chop(self, spark):
+        # decreasing next-fit on uniform smallish docs should not open
+        # absurdly more sequences than the chop packer's token total
+        df = self._df(spark)
+        total = sum(r["n_tok"] for r in df.collect())
+        n_seq = (
+            tx.pack_sequences_nosplit(df, "n_tok", 100, key_col="doc_id")
+            .select("seq_id")
+            .distinct()
+            .count()
+        )
+        lower = -(-total // 100)  # ceil: perfect packing
+        assert n_seq <= 2 * lower + 16  # NFD stays within 2x + bucket slack
+
+
 class TestBandBucketCap:
     """The LSH band-bucket cap: a planted mega-family of duplicates must not
     emit quadratic pairs, and on a diverse corpus the cap is a no-op."""
