@@ -677,3 +677,50 @@ class TestPruneClustersProperty:
             else:
                 want[d] = (d, 1, True)
         assert got == want
+
+
+class TestPackNosplitProperty:
+    """No-split packing invariants on random token-count distributions
+    (including zeros and oversized docs): every doc placed exactly once
+    and never chopped, sequences contiguous, capacity respected except
+    for single-oversized-doc sequences, and the whole assignment is a
+    pure function of the (key, n_tok) set — partitioning-independent."""
+
+    @given(
+        toks=st.lists(
+            st.integers(min_value=0, max_value=150),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_invariants_random_token_counts(self, spark, toks):
+        cap = 100
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tok int"
+        )
+        rows = tx.pack_sequences_nosplit(
+            df, "n_tok", cap, key_col="doc_id"
+        ).collect()
+        assert len(rows) == len(toks)
+        by_seq = {}
+        for r in rows:
+            assert r["end_tok"] - r["start_tok"] == toks[r["doc_id"]]
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        for members in by_seq.values():
+            members.sort(key=lambda r: r["start_tok"])
+            pos = 0
+            for r in members:
+                assert r["start_tok"] == pos
+                pos = r["end_tok"]
+            assert pos <= cap or len(members) == 1
+        again = sorted(
+            map(
+                tuple,
+                tx.pack_sequences_nosplit(
+                    df.repartition(5), "n_tok", cap, key_col="doc_id"
+                ).collect(),
+            )
+        )
+        assert sorted(map(tuple, rows)) == again
