@@ -1251,6 +1251,14 @@ def pack_sequences_nosplit(
     def fold(pdf):
         import pandas as pd
 
+        if pdf["_n"].isna().any():
+            bad = pdf.loc[pdf["_n"].isna(), key_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences_nosplit: NULL token count for key {bad!r} "
+                "— a null-text document reached the packer; filter or "
+                "default token counts upstream (silently packing it would "
+                "diverge from the SQL oracle's NULL semantics)"
+            )
         pdf = pdf.sort_values(
             ["_n", "_h"], ascending=[False, True], kind="mergesort"
         )

@@ -880,6 +880,19 @@ class TestPackSequencesNosplit:
         )
         assert a == b
 
+    def test_null_token_count_raises_loudly(self, spark):
+        """A null-text doc yields a NULL token count; silently packing it
+        would diverge from the SQL oracle's NULL semantics — the kernel
+        must refuse with a clear message instead (the loud-guard
+        discipline)."""
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 20)], "doc_id long, n_tok int"
+        )
+        with pytest.raises(Exception, match="NULL token count"):
+            tx.pack_sequences_nosplit(
+                df, "n_tok", 100, key_col="doc_id"
+            ).collect()
+
     def test_nfd_waste_bounded_vs_chop(self, spark):
         # decreasing next-fit on uniform smallish docs should not open
         # absurdly more sequences than the chop packer's token total
