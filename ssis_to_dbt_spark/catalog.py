@@ -6120,30 +6120,39 @@ def q_pack_docs(spark, sf_dir):
     return pack_sequences(dd, "n_tok", seq_tokens=512, key_col="doc_id")
 
 
-def _pack_sql(src: str = "documents") -> str:
-    """Sequence-packing SQL parameterized on the corpus source (the
-    composed pipeline packs the post-mixture survivors)."""
-    return rf"""
-WITH t AS (
+def _pack_ctes(src: str) -> str:
+    """The concat-and-chop packing CTE chain ``pt -> pb -> pc``
+    parameterized on the corpus source — shared verbatim by the standalone
+    :func:`_pack_sql` oracle and the composed pipeline oracle (single
+    source of truth: a drift between the two would otherwise fail only via
+    hash mismatch)."""
+    return rf"""pt AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM {src}),
-b AS (
+pb AS (
   SELECT doc_id, n_tok, h,
          CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
-  FROM t),
-c AS (
+  FROM pt),
+pc AS (
   SELECT doc_id, n_tok, bucket,
          SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h
                           ROWS UNBOUNDED PRECEDING) AS cum
-  FROM b)
+  FROM pb)"""
+
+
+def _pack_sql(src: str = "documents") -> str:
+    """Sequence-packing SQL parameterized on the corpus source (the
+    composed pipeline packs the post-mixture survivors)."""
+    return f"""
+WITH {_pack_ctes(src)}
 SELECT doc_id,
        CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT) AS seq_id,
        CAST(cum - n_tok AS BIGINT) AS start_tok,
        CAST(cum AS BIGINT) AS end_tok
-FROM c
+FROM pc
 """
 
 
@@ -7823,26 +7832,42 @@ def q_temperature_mixture_docs(spark, sf_dir):
     )
 
 
+def _mixture_ctes(src: str) -> str:
+    """The temperature-mixture CTE chain ``mn -> mj -> mtw -> mt -> madm``
+    parameterized on the corpus source — shared verbatim by the standalone
+    :func:`_temperature_mixture_sql` oracle and the composed pipeline
+    oracle (single source of truth)."""
+    return f"""mn AS (SELECT lang, COUNT(*) AS n_g FROM {src} GROUP BY lang),
+mj AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
+              CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS HUGEINT) AS wt
+       FROM mn),
+mtw AS (SELECT SUM(wt) AS total_w FROM mj),
+mt AS (SELECT MIN(mj.n_g * mtw.total_w // mj.wt) AS t_total FROM mj, mtw),
+madm AS (SELECT mj.lang,
+                GREATEST(CAST(65536 * mt.t_total * mj.wt
+                              // (mtw.total_w * mj.n_g) AS BIGINT), 1)
+                  AS admit
+         FROM mj, mt, mtw)"""
+
+
+def _mixture_admit_where(alias: str = "d") -> str:
+    """The content-addressed admit predicate against ``madm``."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({alias}.doc_id AS VARCHAR)), 1, 4) "
+        "AS BIGINT) < madm.admit"
+    )
+
+
 def _temperature_mixture_sql(src: str = "documents") -> str:
     """Temperature-mixture SQL parameterized on the corpus source — group
     counts (and so admit rates) are subset-dependent, which the composed
     pipeline oracle needs after the DSIR-select stage."""
     return f"""
-WITH n AS (SELECT lang, COUNT(*) AS n_g FROM {src} GROUP BY lang),
-j AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
-             CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS HUGEINT) AS wt
-      FROM n),
-tw AS (SELECT SUM(wt) AS total_w FROM j),
-t AS (SELECT MIN(j.n_g * tw.total_w // j.wt) AS t_total FROM j, tw),
-adm AS (SELECT j.lang,
-               GREATEST(CAST(65536 * t.t_total * j.wt // (tw.total_w * j.n_g)
-                             AS BIGINT), 1) AS admit
-        FROM j, t, tw)
+WITH {_mixture_ctes(src)}
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(d.lang AS VARCHAR) AS lang
-FROM {src} d JOIN adm USING (lang)
-WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
-      < adm.admit
+FROM {src} d JOIN madm USING (lang)
+WHERE {_mixture_admit_where('d')}
 """
 
 
@@ -8155,37 +8180,11 @@ dtop AS MATERIALIZED (
   ORDER BY weight_units + gumbel_units DESC, doc_id LIMIT {k_select}),
 c4 AS MATERIALIZED (SELECT d.*, t.weight_units, t.gumbel_units
        FROM c3 d JOIN dtop t USING (doc_id)),
-mn AS (SELECT lang, COUNT(*) AS n_g FROM c4 GROUP BY lang),
-mj AS (SELECT lang, CAST(n_g AS HUGEINT) AS n_g,
-              CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS HUGEINT) AS wt
-       FROM mn),
-mtw AS (SELECT SUM(wt) AS total_w FROM mj),
-mt AS (SELECT MIN(mj.n_g * mtw.total_w // mj.wt) AS t_total FROM mj, mtw),
-madm AS (SELECT mj.lang,
-                GREATEST(CAST(65536 * mt.t_total * mj.wt
-                              // (mtw.total_w * mj.n_g) AS BIGINT), 1)
-                  AS admit
-         FROM mj, mt, mtw),
+{_mixture_ctes('c4')},
 c5 AS MATERIALIZED (
   SELECT d.* FROM c4 d JOIN madm USING (lang)
-  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
-        < madm.admit),
-pt AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-           AS n_tok,
-         md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM c5),
-pb AS (
-  SELECT doc_id, n_tok, h,
-         CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
-  FROM pt),
-pc AS (
-  SELECT doc_id, n_tok, bucket,
-         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h
-                          ROWS UNBOUNDED PRECEDING) AS cum
-  FROM pb)
+  WHERE {_mixture_admit_where('d')}),
+{_pack_ctes('c5')}
 SELECT 'gate' AS component, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(lang AS VARCHAR) AS s1

@@ -1251,6 +1251,14 @@ def pack_sequences_nosplit(
     def fold(pdf):
         import pandas as pd
 
+        if pdf["_h"].isna().any():
+            n_bad = int(pdf["_h"].isna().sum())
+            raise ValueError(
+                f"pack_sequences_nosplit: NULL {key_col} on {n_bad} row(s) "
+                "— md5(NULL) has no bucket; filter NULL keys upstream "
+                "(silently packing them would diverge from the SQL "
+                "oracle's NULL semantics)"
+            )
         if pdf["_n"].isna().any():
             bad = pdf.loc[pdf["_n"].isna(), key_col].iloc[0]
             raise ValueError(

@@ -1473,7 +1473,12 @@ def append_corpus_dedup_index(
     WITHIN the appended batch only — a band bucket can exceed the cap
     across appends.  That mirrors the incremental reality (old members are
     already on disk) and the cap still bounds each batch join's fan-out,
-    because the probing side re-caps its own bands."""
+    because the probing side re-caps its own bands.  Operators should run
+    :func:`corpus_dedup_index_band_audit` periodically (e.g. every N
+    appends) and, when it reports over-cap buckets, rebuild the index with
+    :func:`write_corpus_dedup_index` (a compaction — linear in corpus
+    signatures, no text re-scan needed if signatures are re-banded from
+    the stored ``{prefix}_sigs`` table)."""
     sigs, banded = corpus_dedup_index(
         batch_df, id_col, text_col, num_hashes, bands, shingle_n,
         max_bucket_size,
@@ -1491,6 +1496,31 @@ def append_corpus_dedup_index(
         .bucketBy(num_buckets, id_col)
         .sortBy(id_col)
         .saveAsTable(f"{table_prefix}_sigs")
+    )
+
+
+def corpus_dedup_index_band_audit(
+    spark,
+    table_prefix: str,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Index-health audit for a persisted corpus dedup index: band buckets
+    whose LIFETIME membership (across all appends) exceeds
+    ``max_bucket_size`` — the per-append cap in
+    :func:`append_corpus_dedup_index` bounds each batch's contribution but
+    not the running total, so hot buckets erode the per-probe fan-out
+    bound over the index's life.  Returns ``(band_idx, band_hash,
+    n_members)`` for over-cap buckets, largest first; a non-empty result
+    is the signal to compact (rebuild via :func:`write_corpus_dedup_index`).
+    Cost: one aggregation over the bucketed band table — the table is
+    bucketed on exactly this grouping key, so the groupBy is
+    exchange-free."""
+    bands = spark.table(f"{table_prefix}_bands")
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > int(max_bucket_size))
+        .orderBy(F.col("n_members").desc(), "band_idx", "band_hash")
     )
 
 
@@ -1573,10 +1603,12 @@ def cross_corpus_candidates(
         / F.lit(float(num_hashes))
     )
     # pairs and (pairs x batch sigs) are both pair/batch-sized — broadcast
-    # them so the corpus signature table is probed map-side, never shuffled.
-    pair_sigs = pairs.join(sa, "new_id")
+    # them so the corpus signature table is probed map-side, never shuffled;
+    # on the backfill path both stay plain shuffle joins.
     if broadcast_batch:
         pair_sigs = F.broadcast(F.broadcast(pairs).join(sa, "new_id"))
+    else:
+        pair_sigs = pairs.join(sa, "new_id")
     return (
         pair_sigs
         .join(sb, "corpus_id")

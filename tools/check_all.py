@@ -29,6 +29,9 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_all.py [sf_dir] [--json OUT]", file=sys.stderr)
+            sys.exit(2)
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
