@@ -1611,12 +1611,7 @@ def dsir_fit_state(
     if engine not in ("expr", "arrow"):
         raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
     if engine == "arrow":
-        if hash_fn != "md5":
-            raise NotImplementedError(
-                "dsir_fit_state(engine='arrow') supports hash_fn='md5' "
-                "only; use engine='expr' for xxhash64"
-            )
-        return _dsir_fit_state_arrow(df, target, buckets, text_col)
+        return _dsir_fit_state_arrow(df, target, buckets, text_col, hash_fn)
     from .dedup import _md5_long
 
     gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
@@ -1637,18 +1632,43 @@ def dsir_fit_state(
     )
 
 
+def _gram_bucket_fn(hash_fn: str, buckets: int):
+    """Python twin of the expression path's
+    ``F.pmod(gram_hash(gram), buckets)``: md5 hex[:15] (always
+    non-negative) or signed xxhash64 under Python's ``%`` (which already
+    implements pmod for a positive modulus)."""
+    if hash_fn == "md5":
+        import hashlib
+
+        def bucket(g: str) -> int:
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+
+        return bucket
+    if hash_fn == "xxhash64":
+        from .xxh64 import xxh64_string
+
+        def bucket(g: str) -> int:
+            return xxh64_string(g) % buckets
+
+        return bucket
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use md5 or xxhash64")
+
+
 def _dsir_fit_state_arrow(
-    df: DataFrame, target: Column, buckets: int, text_col: str
+    df: DataFrame, target: Column, buckets: int, text_col: str,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Arrow twin of the :func:`dsir_fit_state` explode: per-batch partial
     bucket counts folded in compiled C + one tiny groupBy — the exploded
     gram stream never exists.  Tokenizer/bucket twin discipline identical
     to :func:`_dsir_score_arrow` (space-only trim, ASCII ``\\s`` split
-    with kept empty tokens, md5 hex[:15] % B); the target predicate is
-    evaluated JVM-SIDE in the pre-projection, so arbitrary Columns work
-    and NULL target counts into ``_q_cnt`` only — exactly the expression
-    path's ``F.when(_tgt, 1).otherwise(0)`` semantics."""
-    import hashlib
+    with kept empty tokens; md5 hex[:15] % B, or the pure-Python
+    :mod:`~ssis_to_dbt_spark.text.xxh64` twin for ``hash_fn='xxhash64'``
+    — both pytest-pinned bit-identical to the expression path); the
+    target predicate is evaluated JVM-SIDE in the pre-projection, so
+    arbitrary Columns work and NULL target counts into ``_q_cnt`` only —
+    exactly the expression path's ``F.when(_tgt, 1).otherwise(0)``
+    semantics."""
     import re as _re
 
     from pyspark.sql import types as T
@@ -1663,9 +1683,7 @@ def _dsir_fit_state_arrow(
         ]
     )
     pre = df.select(target.alias("_tgt"), F.col(text_col).alias("_txt"))
-
-    def bucket(g: str) -> int:
-        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+    bucket = _gram_bucket_fn(hash_fn, B)
 
     def gen(batches):
         import pandas as pd
@@ -1780,8 +1798,10 @@ def dsir_score(
     fold; ``"arrow"`` is the ``mapInPandas`` twin (bit-identical,
     pytest-pinned) for when the interpreted-HOF floor of the per-gram
     lambda dominates — same trade as the SemDeDup / winnowing / Gopher
-    Arrow kernels.  The arrow engine supports ``hash_fn="md5"`` only
-    (no xxhash64 implementation is guaranteed Python-side).
+    Arrow kernels.  Both hash functions work under both engines (the
+    arrow engine's xxhash64 is the pure-Python spec twin in
+    :mod:`~ssis_to_dbt_spark.text.xxh64`, pytest-pinned bit-identical to
+    Spark's).
     """
     buckets = len(model)
     if buckets < 2:
@@ -1791,12 +1811,7 @@ def dsir_score(
     if engine not in ("expr", "arrow"):
         raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
     if engine == "arrow":
-        if hash_fn != "md5":
-            raise NotImplementedError(
-                "dsir_score(engine='arrow') supports hash_fn='md5' only; "
-                "use engine='expr' for xxhash64"
-            )
-        return _dsir_score_arrow(df, model, id_col, text_col)
+        return _dsir_score_arrow(df, model, id_col, text_col, hash_fn)
     from .dedup import _md5_long
 
     gram_hash = _md5_long if hash_fn == "md5" else F.xxhash64
@@ -1839,6 +1854,7 @@ def _dsir_score_arrow(
     model: list[int],
     id_col: str,
     text_col: str,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Arrow (``mapInPandas``) twin of the :func:`dsir_score` expression
     fold — BIT-IDENTICAL (pytest-pinned on the fixture and the adversarial
@@ -1873,9 +1889,7 @@ def _dsir_score_arrow(
         ]
     )
     pre = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
-
-    def bucket(g: str) -> int:
-        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+    bucket = _gram_bucket_fn(hash_fn, B)
 
     def gumbel(did) -> int:
         h = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)

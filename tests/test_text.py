@@ -2418,15 +2418,19 @@ class TestDsir:
         )
 
     def test_fit_arrow_engine_validation(self, spark):
-        from ssis_to_dbt_spark.text.analysis import dsir_fit_state
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_fit_state
 
         df = self._df(spark)
         with pytest.raises(ValueError, match="engine"):
             dsir_fit_state(df, F.lit(True), engine="pandas")
-        with pytest.raises(NotImplementedError, match="md5"):
-            dsir_fit_state(
-                df, F.lit(True), hash_fn="xxhash64", engine="arrow"
-            )
+        # r9: the arrow engine gained xxhash64 via the pure-Python spec
+        # twin — fit must be bit-equal to the JVM expression path.
+        tgt = F.col("lang") == "en"
+        assert dsir_fit(
+            df, tgt, buckets=32, hash_fn="xxhash64"
+        ) == dsir_fit(
+            df, tgt, buckets=32, hash_fn="xxhash64", engine="arrow"
+        )
 
     def test_merge_state_refit_bit_equals_full_refit(self, spark):
         """Incremental refit (growing reference corpus): fit-state on two
@@ -2530,13 +2534,26 @@ class TestDsir:
         assert a == b
 
     def test_score_engine_validation(self, spark):
-        from ssis_to_dbt_spark.text.analysis import dsir_score
+        from ssis_to_dbt_spark.text.analysis import dsir_fit, dsir_score
 
         df = self._df(spark)
         with pytest.raises(ValueError, match="engine"):
             dsir_score(df, [0] * 16, engine="pandas")
-        with pytest.raises(NotImplementedError, match="md5"):
-            dsir_score(df, [0] * 16, hash_fn="xxhash64", engine="arrow")
+        # r9: arrow + xxhash64 now supported (pure-Python spec twin) —
+        # scores must be bit-equal to the JVM expression path.
+        model = dsir_fit(df, F.col("lang") == "en", buckets=32,
+                         hash_fn="xxhash64")
+        a = sorted(
+            tuple(r)
+            for r in dsir_score(df, model, hash_fn="xxhash64").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in dsir_score(
+                df, model, hash_fn="xxhash64", engine="arrow"
+            ).collect()
+        )
+        assert a == b
 
 
 class TestCurationPipeline:
