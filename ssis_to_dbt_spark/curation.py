@@ -33,6 +33,47 @@ DSIR_K = 120
 SEQ_TOKENS = 512
 DSIR_BUCKETS = 256
 
+# Size-aware seam threshold: a drop-id set at or below this many rows
+# broadcasts (id-only longs — ~8 B packed, a few hundred MB as a hash
+# relation at the limit, safely inside Spark's 8 GB broadcast ceiling and
+# ordinary driver headroom); above it the seam falls back to a shuffled
+# anti-join.  A real web crawl near-dups 30-50% of the corpus, so the
+# dedup drop set is CORPUS-scale there — a pinned broadcast would OOM.
+# This is the reference lookup's Full-vs-Partial cache distinction
+# (reference/src/parser/models.py:81, ssis_parser.py:390-391) applied to
+# the curation seams.
+SEAM_BROADCAST_MAX_IDS = 20_000_000
+
+
+def drop_seam_anti_join(
+    corpus: DataFrame,
+    drop_ids: DataFrame,
+    key: str = "doc_id",
+    broadcast_max_ids: int | None = None,
+) -> DataFrame:
+    """Size-aware anti-join seam: COUNT the drop-id set (one cheap action
+    on a pair-derived, id-only table — never corpus-scale to compute) and
+    pick the join strategy from the measured size, not an assumption:
+
+    - ``count <= broadcast_max_ids``: ``F.broadcast`` anti-join — the
+      corpus is decided map-side, zero corpus exchange (the steady-state
+      regime: drop sets are usually tiny);
+    - above: shuffled hash anti-join (``shuffle_hash`` hint so neither
+      the static planner nor AQE re-pins a broadcast that the measured
+      count just proved oversized).
+
+    Both regimes are value-identical (plan-pinned + equality-tested in
+    ``TestSizeAwareSeams``)."""
+    limit = (
+        SEAM_BROADCAST_MAX_IDS
+        if broadcast_max_ids is None
+        else int(broadcast_max_ids)
+    )
+    n = drop_ids.count()
+    if n <= limit:
+        return corpus.join(F.broadcast(drop_ids), key, "left_anti")
+    return corpus.join(drop_ids.hint("shuffle_hash"), key, "left_anti")
+
 
 def stage_gate(docs: DataFrame) -> DataFrame:
     """Gopher quality gate — map-only Arrow kernel; ``text``/``lang``/
@@ -62,12 +103,19 @@ def stage_prune(gated: DataFrame) -> DataFrame:
     return prune_clusters(gated, pairs)
 
 
-def stage_dedup(gated: DataFrame, pruned: DataFrame) -> DataFrame:
-    """Drop non-representatives via a BROADCAST anti-join on the
-    (pair-derived, tiny) not-kept id set — the corpus is decided
-    map-side."""
+def stage_dedup(
+    gated: DataFrame,
+    pruned: DataFrame,
+    broadcast_max_ids: int | None = None,
+) -> DataFrame:
+    """Drop non-representatives via the SIZE-AWARE anti-join seam: the
+    not-kept id set is counted first — broadcast when small (the usual
+    case: pair-derived ≪ corpus), shuffled anti-join when a
+    duplicate-heavy crawl makes it corpus-scale (30-50% near-dup rates
+    are normal for web crawls, where a pinned broadcast would exceed the
+    broadcast ceiling)."""
     dropped = pruned.filter(~F.col("kept")).select("doc_id")
-    return gated.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return drop_seam_anti_join(gated, dropped, "doc_id", broadcast_max_ids)
 
 
 def stage_contaminated(deduped: DataFrame, docs: DataFrame) -> DataFrame:
@@ -84,10 +132,16 @@ def stage_contaminated(deduped: DataFrame, docs: DataFrame) -> DataFrame:
     return decontaminate(deduped, ev, shingle_n=5)
 
 
-def stage_clean(deduped: DataFrame, contaminated: DataFrame) -> DataFrame:
-    """Drop contaminated docs — broadcast anti-join on the id set."""
-    return deduped.join(
-        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
+def stage_clean(
+    deduped: DataFrame,
+    contaminated: DataFrame,
+    broadcast_max_ids: int | None = None,
+) -> DataFrame:
+    """Drop contaminated docs — the same size-aware anti-join seam as
+    :func:`stage_dedup` (contaminated sets are usually genuinely small,
+    but a benchmark-heavy crawl slice can blow that assumption too)."""
+    return drop_seam_anti_join(
+        deduped, contaminated.select("doc_id"), "doc_id", broadcast_max_ids
     )
 
 

@@ -550,3 +550,76 @@ class TestRound8PlanShapes:
         # the packing cumulative-sum window partitions by the 16-way hash
         # bucket — no whole-corpus single-partition window stream exists
         assert "hashpartitioning(_bucket" in plan
+
+
+class TestSizeAwareSeams:
+    """Round 9: the curation drop seams pick their join strategy from the
+    MEASURED drop-set size (broadcast small, shuffled anti-join large) —
+    both regimes plan-pinned and value-identical."""
+
+    @staticmethod
+    def _plan(df, spark):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+
+    def _frames(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        drop = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+        return docs, drop
+
+    def test_small_drop_set_broadcasts(self, spark):
+        from ssis_to_dbt_spark.curation import drop_seam_anti_join
+
+        docs, drop = self._frames(spark)
+        out = drop_seam_anti_join(docs, drop)
+        plan = self._plan(out, spark)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+    def test_large_drop_set_shuffles(self, spark):
+        from ssis_to_dbt_spark.curation import drop_seam_anti_join
+
+        docs, drop = self._frames(spark)
+        # force the large regime: any measured count exceeds a 0 threshold
+        out = drop_seam_anti_join(docs, drop, broadcast_max_ids=0)
+        plan = self._plan(out, spark)
+        assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_regimes_value_identical(self, spark):
+        from ssis_to_dbt_spark.curation import drop_seam_anti_join
+
+        docs, drop = self._frames(spark)
+        a = sorted(r["doc_id"] for r in
+                   drop_seam_anti_join(docs, drop).collect())
+        b = sorted(r["doc_id"] for r in
+                   drop_seam_anti_join(docs, drop,
+                                       broadcast_max_ids=0).collect())
+        assert a == b and len(a) > 0
+
+    def test_stage_seams_use_size_aware_join(self, spark):
+        """stage_dedup / stage_clean route through the seam helper: the
+        forced-large regime must produce a shuffled anti-join end-to-end
+        while keeping identical survivors."""
+        from ssis_to_dbt_spark.curation import (
+            stage_clean,
+            stage_dedup,
+            stage_gate,
+            stage_prune,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        gated = stage_gate(docs).localCheckpoint()
+        pruned = stage_prune(gated).localCheckpoint()
+        small = stage_dedup(gated, pruned)
+        large = stage_dedup(gated, pruned, broadcast_max_ids=0)
+        assert "ShuffledHashJoin" in self._plan(large, spark)
+        assert "BroadcastHashJoin" in self._plan(small, spark)
+        assert sorted(r["doc_id"] for r in small.collect()) == sorted(
+            r["doc_id"] for r in large.collect()
+        )
