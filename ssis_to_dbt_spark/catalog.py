@@ -6159,31 +6159,50 @@ FROM pc
 SQL_PACK_DOCS = _pack_sql()
 
 
+_PACK_NOSPLIT_TARGET = 4096  # tokens per packing stream at fixture scale
+
+
 def q_pack_nosplit_docs(spark, sf_dir):
     """No-split (next-fit decreasing) packing: documents never chop
     across sequence boundaries — the SFT/instruction-data packing; see
-    pack_sequences_nosplit.  The oracle replays the per-bucket fold
-    exactly with a recursive CTE."""
+    pack_sequences_nosplit.  r9: the bucket count AUTO-DERIVES from the
+    corpus token total (ceil(total / target)), so the same entry packs
+    with different stream counts at different scale factors — the oracle
+    derives the identical count from the identical integer arithmetic,
+    then replays the per-bucket fold exactly with a recursive CTE."""
     from .text.analysis import pack_sequences_nosplit
 
     docs = _t(spark, sf_dir)["documents"]
     dd = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
-    return pack_sequences_nosplit(dd, "n_tok", seq_tokens=512,
-                                  key_col="doc_id")
+    return pack_sequences_nosplit(
+        dd, "n_tok", seq_tokens=512, key_col="doc_id",
+        target_bucket_tokens=_PACK_NOSPLIT_TARGET,
+    )
 
 
-SQL_PACK_NOSPLIT = r"""
+def _pack_nosplit_sql(src: str = "documents",
+                      target: int = _PACK_NOSPLIT_TARGET) -> str:
+    """Recursive-CTE oracle for the no-split packer, deriving the bucket
+    count with the engine's exact integer arithmetic
+    ``max(1, (total + target - 1) // target)``."""
+    return rf"""
 WITH RECURSIVE pt AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END
            AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM documents),
+  FROM {src}),
+nbq AS (
+  SELECT GREATEST(
+           (COALESCE(SUM(CAST(n_tok AS BIGINT)), 0) + {target} - 1)
+             // {target},
+           1) AS nb
+  FROM pt),
 pb AS (
   SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, h,
-         CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
-  FROM pt),
+         CAST('0x' || substr(h, 1, 2) AS BIGINT) % nbq.nb AS bucket
+  FROM pt CROSS JOIN nbq),
 po AS (
   SELECT *, row_number() OVER (PARTITION BY bucket
                                ORDER BY n_tok DESC, h) AS rn
@@ -6204,11 +6223,14 @@ fold AS (
               THEN o.n_tok ELSE f.fill + o.n_tok END
   FROM fold f JOIN po o ON o.bucket = f.bucket AND o.rn = f.rn + 1)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(seq_local * 16 + bucket AS BIGINT) AS seq_id,
+       CAST(seq_local * nbq.nb + bucket AS BIGINT) AS seq_id,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(start_tok + n_tok AS BIGINT) AS end_tok
-FROM fold
+FROM fold CROSS JOIN nbq
 """
+
+
+SQL_PACK_NOSPLIT = _pack_nosplit_sql()
 
 
 def q_dedup_lines_docs(spark, sf_dir):

@@ -1189,12 +1189,16 @@ def pack_sequences(
     )
 
 
+DEFAULT_TARGET_BUCKET_TOKENS = 1 << 24  # ~16M tokens per packing stream
+
+
 def pack_sequences_nosplit(
     df: DataFrame,
     token_col: str,
     seq_tokens: int,
     key_col: str = "doc_id",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
+    target_bucket_tokens: int | None = None,
 ) -> DataFrame:
     """NO-SPLIT sequence packing (next-fit decreasing): documents are
     never chopped across sequence boundaries — the packing used for
@@ -1217,13 +1221,42 @@ def pack_sequences_nosplit(
     Scale shape: one shuffle on the bucket key into an
     ``applyInPandas`` fold (the fold is inherently sequential per
     stream — same single-pass-per-bucket story as the chop packer's
-    cumsum window); size ``n_buckets`` so a bucket fits one executor.
-    The DuckDB oracle replays the fold exactly with a recursive CTE, so
-    the full assignment is value-hash verifiable."""
+    cumsum window).  ``n_buckets`` AUTO-SIZES by default (r9): one tiny
+    scalar aggregation measures the corpus token total and derives
+    ``ceil(total / target_bucket_tokens)`` (default target 2^24 ≈ 16M
+    tokens ≈ tens of thousands of doc rows per pandas group), so a
+    bucket always fits one executor — at 100 TB that yields ~10^6
+    buckets instead of trusting a caller-picked 16 that would put ~6 TB
+    in one group.  Pass ``n_buckets`` explicitly to pin a count (for
+    bit-stable output across corpus growth).  Waste bound: NFD keeps
+    per-stream waste within the classic next-fit-decreasing bound;
+    splitting into ``nb`` independent streams adds at most ``nb - 1``
+    partially filled final sequences, so total waste grows by
+    ``<= nb * seq_tokens`` tokens — negligible while
+    ``target_bucket_tokens >> seq_tokens``.  The DuckDB oracle replays
+    the fold exactly with a recursive CTE, deriving the same bucket
+    count from the same integer arithmetic, so the full assignment is
+    value-hash verifiable."""
     from pyspark.sql import types as T
 
     cap = int(seq_tokens)
-    nb = int(n_buckets)
+    if n_buckets is None:
+        target = (
+            DEFAULT_TARGET_BUCKET_TOKENS
+            if target_bucket_tokens is None
+            else int(target_bucket_tokens)
+        )
+        if target < 1:
+            raise ValueError("target_bucket_tokens must be >= 1")
+        total = (
+            df.agg(
+                F.sum(F.col(token_col).cast("long")).alias("_t")
+            ).collect()[0]["_t"]
+            or 0
+        )
+        nb = max(1, (int(total) + target - 1) // target)
+    else:
+        nb = int(n_buckets)
     key_field = df.schema[key_col]
     schema = T.StructType(
         [

@@ -893,6 +893,37 @@ class TestPackSequencesNosplit:
                 df, "n_tok", 100, key_col="doc_id"
             ).collect()
 
+    def test_auto_bucket_count_derivation(self, spark):
+        """r9: n_buckets auto-derives as max(1, ceil(total/target)) — the
+        auto output must be identical to pinning that count explicitly,
+        and two fixture scales must derive DIFFERENT counts (the knob
+        scales with the data, not the caller's guess)."""
+        derived = []
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            dd = docs.select(
+                "doc_id", tx.token_count(F.col("text")).alias("n_tok")
+            )
+            total = dd.agg(F.sum("n_tok")).collect()[0][0]
+            nb = max(1, (int(total) + 4095) // 4096)
+            derived.append(nb)
+            auto = sorted(map(tuple, tx.pack_sequences_nosplit(
+                dd, "n_tok", 512, key_col="doc_id",
+                target_bucket_tokens=4096,
+            ).collect()))
+            pinned = sorted(map(tuple, tx.pack_sequences_nosplit(
+                dd, "n_tok", 512, key_col="doc_id", n_buckets=nb
+            ).collect()))
+            assert auto == pinned and len(auto) > 0
+        assert derived[0] != derived[1]
+
+    def test_auto_bucket_target_validation(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="target_bucket_tokens"):
+            tx.pack_sequences_nosplit(
+                df, "n_tok", 100, key_col="doc_id", target_bucket_tokens=0
+            )
+
     def test_nfd_waste_bounded_vs_chop(self, spark):
         # decreasing next-fit on uniform smallish docs should not open
         # absurdly more sequences than the chop packer's token total
