@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_apply_docs",
     "curation_pipeline_docs",
     "pack_nosplit_docs",
+    "crawl_ingest_docs",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -6120,27 +6120,29 @@ def q_pack_docs(spark, sf_dir):
     return pack_sequences(dd, "n_tok", seq_tokens=512, key_col="doc_id")
 
 
-def _pack_ctes(src: str) -> str:
+def _pack_ctes(src: str, p: str = "") -> str:
     """The concat-and-chop packing CTE chain ``pt -> pb -> pc``
     parameterized on the corpus source — shared verbatim by the standalone
-    :func:`_pack_sql` oracle and the composed pipeline oracle (single
-    source of truth: a drift between the two would otherwise fail only via
-    hash mismatch)."""
-    return rf"""pt AS (
+    :func:`_pack_sql` oracle, the composed pipeline oracle, and (via the
+    ``p`` CTE-name prefix, which lets one query pack several stage
+    outputs) the two-batch crawl-ingest oracle — single source of truth:
+    a drift between consumers would otherwise fail only via hash
+    mismatch."""
+    return rf"""{p}pt AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM {src}),
-pb AS (
+{p}pb AS (
   SELECT doc_id, n_tok, h,
          CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
-  FROM pt),
-pc AS (
+  FROM {p}pt),
+{p}pc AS (
   SELECT doc_id, n_tok, bucket,
          SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h
                           ROWS UNBOUNDED PRECEDING) AS cum
-  FROM pb)"""
+  FROM {p}pb)"""
 
 
 def _pack_sql(src: str = "documents") -> str:
@@ -7923,10 +7925,12 @@ def _sql_log_units(m: str) -> str:
     )
 
 
-def _dsir_ctes(src: str = "documents") -> str:
-    """DSIR fit+score CTE text parameterized on the corpus source: the
-    bucket model is subset-dependent (counts come from the fit corpus), so
-    the composed pipeline oracle must fit on the surviving stage-3 docs."""
+def _dsir_doc_cnt_ctes(src: str) -> str:
+    """Per-DOCUMENT gram bucket counts ``tk -> grams -> cnt`` — these are
+    corpus-INDEPENDENT (each doc's counts depend only on its own text),
+    so the two-batch crawl-ingest oracle computes them once over all
+    documents and aggregates different fit-corpus subsets from the same
+    ``cnt`` relation."""
     return rf"""tk AS (
   SELECT doc_id, (lang = 'en') AS tgt,
          CASE WHEN trim(text) = '' THEN []
@@ -7941,7 +7945,23 @@ cnt AS (
   SELECT doc_id, tgt,
          CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 256 AS b,
          COUNT(*) AS c
-  FROM grams GROUP BY 1, 2, 3),
+  FROM grams GROUP BY 1, 2, 3)"""
+
+
+# The content-addressed Gumbel draw in engine micro-units (shared by every
+# DSIR oracle fragment).
+_SQL_GUMBEL = """CAST(CAST(round(-ln(-ln(
+             (CAST(CAST('0x' || substr(md5(CAST({alias}.doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1 AS DOUBLE))
+             / 2305843009213693952.0)), 6) AS DECIMAL(18,6)) * 1000000
+              AS BIGINT)"""
+
+
+def _dsir_ctes(src: str = "documents") -> str:
+    """DSIR fit+score CTE text parameterized on the corpus source: the
+    bucket model is subset-dependent (counts come from the fit corpus), so
+    the composed pipeline oracle must fit on the surviving stage-3 docs."""
+    return rf"""{_dsir_doc_cnt_ctes(src)},
 bstat AS (
   SELECT b, CAST(SUM(c) AS BIGINT) AS q_cnt,
          CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS p_cnt
@@ -7961,11 +7981,7 @@ scored AS (
   SELECT d.doc_id,
          COALESCE(sc.n_feats, 0) AS n_feats,
          COALESCE(sc.weight_units, 0) AS weight_units,
-         CAST(CAST(round(-ln(-ln(
-             (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
-                        AS BIGINT) + 1 AS DOUBLE))
-             / 2305843009213693952.0)), 6) AS DECIMAL(18,6)) * 1000000
-              AS BIGINT) AS gumbel_units
+         {_SQL_GUMBEL.format(alias='d')} AS gumbel_units
   FROM {src} d LEFT JOIN sc USING (doc_id))"""
 
 
@@ -8292,6 +8308,208 @@ FROM ({SQL_CURATION_PIPELINE}) _p
 """
 
 
+# ---------------------------------------------------------------------------
+# r9. Continuous-crawl ingest loop (ingest.py): TWO chained batches against
+# the same persistent state — batch 2 dedups against an index that already
+# contains batch 1's accepted docs, and both batches re-score under a DSIR
+# state that has absorbed every prior acceptance.
+# ---------------------------------------------------------------------------
+
+def q_crawl_ingest_docs(spark, sf_dir):
+    """Two iterations of the continuous-crawl loop (gate -> dedup vs the
+    persisted index -> index append -> merged DSIR refit -> pack) over a
+    5-way doc_id split: seed corpus = doc_id%5 >= 2 (already curated —
+    feeds the initial index + DSIR state), batch 1 = doc_id%5 == 0,
+    batch 2 = doc_id%5 == 1.  Every stage of BOTH batches is tagged into
+    one value-hashed union; the oracle replays the whole loop, computing
+    per-doc signatures/bands/gram-counts once (they are corpus-
+    independent) and re-aggregating the fit subsets the merged states
+    represent — dsir_merge_state is count-exact, so 'merged refit' and
+    'fit on the concatenated corpus' are the same integers."""
+    from .ingest import ingest_batch, seed_ingest_state
+
+    docs = _t(spark, sf_dir)["documents"]
+    seed = docs.filter(F.col("doc_id") % 5 >= 2)
+    b1 = docs.filter(F.col("doc_id") % 5 == 0)
+    b2 = docs.filter(F.col("doc_id") % 5 == 1)
+    st = seed_ingest_state(seed)
+    r1 = ingest_batch(b1, st)
+    r2 = ingest_batch(b2, r1.state)
+
+    def rows(tag, r):
+        gate = r.gated.select(
+            F.lit(f"gate{tag}").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("v1"),
+            _nul("long").alias("v2"),
+            F.col("lang").alias("s1"),
+        )
+        rej = r.rejected.select(
+            F.lit(f"reject{tag}").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_dups").cast("long").alias("v1"),
+            F.col("max_matches").cast("long").alias("v2"),
+            _nul("string").alias("s1"),
+        )
+        acc = r.accepted.select(
+            F.lit(f"accept{tag}").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _nul("long").alias("v1"),
+            _nul("long").alias("v2"),
+            F.col("lang").alias("s1"),
+        )
+        dsir = r.scored.select(
+            F.lit(f"dsir{tag}").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("weight_units").cast("long").alias("v1"),
+            F.col("gumbel_units").cast("long").alias("v2"),
+            F.col("n_feats").cast("string").alias("s1"),
+        )
+        pack = r.packed.select(
+            F.lit(f"pack{tag}").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("seq_id").cast("long").alias("v1"),
+            F.col("start_tok").cast("long").alias("v2"),
+            F.col("end_tok").cast("string").alias("s1"),
+        )
+        return [gate, rej, acc, dsir, pack]
+
+    return _union_all(rows("1", r1) + rows("2", r2))
+
+
+def _cross_match_ctes(suffix: str, batch_rel: str, idx_rel: str) -> str:
+    """Candidate-pair match counts between a gated batch and an index id
+    set, from the shared per-doc band/signature relations."""
+    return f"""c{suffix}m AS MATERIALIZED (
+  SELECT p.new_id, p.corpus_id,
+         SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS m
+  FROM (SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM bandm a
+        JOIN {batch_rel} ON {batch_rel}.doc_id = a.doc_id
+        JOIN bandm c ON c.band_idx = a.band_idx
+                    AND c.band_hash = a.band_hash
+        JOIN {idx_rel} ON {idx_rel}.doc_id = c.doc_id
+        WHERE a.doc_id <> c.doc_id) p
+  JOIN sigm s1 ON s1.doc_id = p.new_id
+  JOIN sigm s2 ON s2.doc_id = p.corpus_id AND s2.perm = s1.perm
+  GROUP BY 1, 2),
+rej{suffix} AS MATERIALIZED (
+  SELECT new_id AS doc_id, COUNT(*) AS n_dups, MAX(m) AS max_matches
+  FROM c{suffix}m WHERE m >= 4 GROUP BY 1),
+acc{suffix} AS MATERIALIZED (
+  SELECT {batch_rel}.* FROM {batch_rel}
+  LEFT JOIN rej{suffix} USING (doc_id)
+  WHERE rej{suffix}.doc_id IS NULL)"""
+
+
+def _dsir_fit_subset_ctes(suffix: str, fit_ids: str) -> str:
+    """Fit statistics over a fit-corpus id subset, from the shared
+    per-doc count relation ``cntm`` — the SQL image of a merged
+    ``dsir_fit_state`` (sum-of-sums over exact integers)."""
+    return f"""bstat{suffix} AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS q_cnt,
+         CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS p_cnt
+  FROM cntm JOIN {fit_ids} USING (doc_id) GROUP BY b),
+tot{suffix} AS (SELECT CAST(SUM(q_cnt) AS BIGINT) AS qt,
+               CAST(SUM(p_cnt) AS BIGINT) AS pt FROM bstat{suffix}),
+ratio{suffix} AS (
+  SELECT b, {_sql_log_units('p_cnt + 1')} - {_sql_log_units('pt + 256')}
+            - {_sql_log_units('q_cnt + 1')} + {_sql_log_units('qt + 256')}
+            AS r_units
+  FROM bstat{suffix} CROSS JOIN tot{suffix}),
+sc{suffix} AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * r_units) AS BIGINT) AS weight_units
+  FROM cntm JOIN acc{suffix} USING (doc_id)
+  JOIN ratio{suffix} USING (b) GROUP BY doc_id),
+scored{suffix} AS (
+  SELECT a.doc_id,
+         COALESCE(sc{suffix}.n_feats, 0) AS n_feats,
+         COALESCE(sc{suffix}.weight_units, 0) AS weight_units,
+         {_SQL_GUMBEL.format(alias='a')} AS gumbel_units
+  FROM acc{suffix} a LEFT JOIN sc{suffix} USING (doc_id))"""
+
+
+def _crawl_ingest_sql() -> str:
+    """The two-batch loop oracle: per-doc signatures, bands, and DSIR
+    gram counts computed ONCE over all documents (corpus-independent),
+    then each batch's reject/accept/score/pack derived by re-aggregating
+    the id subsets the loop's persistent state represents at that point
+    in time — index-at-batch-2 = seed ∪ accepted-batch-1, fit-at-batch-b
+    = seed ∪ all prior acceptances ∪ batch b's acceptances."""
+
+    def pack_branch(tag, prefix):
+        return f"""SELECT 'pack{tag}', CAST(doc_id AS BIGINT),
+       CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT),
+       CAST(cum - n_tok AS BIGINT), CAST(CAST(cum AS BIGINT) AS VARCHAR)
+FROM {prefix}pc"""
+
+    return f"""
+WITH gq AS MATERIALIZED (
+  SELECT doc_id FROM ({SQL_GOPHER_QUALITY}) g WHERE g.gopher_pass),
+{_minhash_md5_ctes('documents')},
+sigm AS MATERIALIZED (SELECT * FROM sig),
+bandm AS MATERIALIZED (SELECT * FROM band),
+g1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars
+  FROM documents d JOIN gq USING (doc_id) WHERE d.doc_id % 5 = 0),
+g2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars
+  FROM documents d JOIN gq USING (doc_id) WHERE d.doc_id % 5 = 1),
+seedc AS (SELECT doc_id FROM documents WHERE doc_id % 5 >= 2),
+{_cross_match_ctes('1', 'g1', 'seedc')},
+idx2 AS (SELECT doc_id FROM seedc UNION ALL SELECT doc_id FROM acc1),
+{_cross_match_ctes('2', 'g2', 'idx2')},
+{_dsir_doc_cnt_ctes('documents')},
+cntm AS MATERIALIZED (SELECT * FROM cnt),
+f1 AS (SELECT doc_id FROM seedc UNION ALL SELECT doc_id FROM acc1),
+{_dsir_fit_subset_ctes('1', 'f1')},
+f2 AS (SELECT doc_id FROM f1 UNION ALL SELECT doc_id FROM acc2),
+{_dsir_fit_subset_ctes('2', 'f2')},
+{_pack_ctes('acc1', 'a')},
+{_pack_ctes('acc2', 'z')}
+SELECT 'gate1' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(lang AS VARCHAR) AS s1
+FROM g1
+UNION ALL
+SELECT 'reject1', CAST(doc_id AS BIGINT), CAST(n_dups AS BIGINT),
+       CAST(max_matches AS BIGINT), CAST(NULL AS VARCHAR)
+FROM rej1
+UNION ALL
+SELECT 'accept1', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(lang AS VARCHAR)
+FROM acc1
+UNION ALL
+SELECT 'dsir1', CAST(doc_id AS BIGINT), CAST(weight_units AS BIGINT),
+       CAST(gumbel_units AS BIGINT), CAST(n_feats AS VARCHAR)
+FROM scored1
+UNION ALL
+{pack_branch('1', 'a')}
+UNION ALL
+SELECT 'gate2', CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(lang AS VARCHAR)
+FROM g2
+UNION ALL
+SELECT 'reject2', CAST(doc_id AS BIGINT), CAST(n_dups AS BIGINT),
+       CAST(max_matches AS BIGINT), CAST(NULL AS VARCHAR)
+FROM rej2
+UNION ALL
+SELECT 'accept2', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(lang AS VARCHAR)
+FROM acc2
+UNION ALL
+SELECT 'dsir2', CAST(doc_id AS BIGINT), CAST(weight_units AS BIGINT),
+       CAST(gumbel_units AS BIGINT), CAST(n_feats AS VARCHAR)
+FROM scored2
+UNION ALL
+{pack_branch('2', 'z')}
+"""
+
+
+SQL_CRAWL_INGEST = _crawl_ingest_sql()
+
+
 # Fold the four new operators into their driver-window suites (the SQL
 # constants above are complete at this point, so extend them in place).
 SQL_ANN_TOPK_SUITE += f"""UNION ALL
@@ -8409,6 +8627,7 @@ ALL_QUERIES = {
     "corpus_curation": q_corpus_curation_suite,
     "corpus_curation_enrich": q_corpus_curation,
     "curation_pipeline_docs": q_curation_pipeline_docs,
+    "crawl_ingest_docs": q_crawl_ingest_docs,
     "gopher_quality_docs": q_gopher_quality_docs,
     "hll_users_events": q_hll_users_events,
     "bpe_encode_docs": q_bpe_encode_docs,
@@ -8571,6 +8790,7 @@ ALL_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION_SUITE,
     "corpus_curation_enrich": SQL_CORPUS_CURATION,
     "curation_pipeline_docs": SQL_CURATION_PIPELINE,
+    "crawl_ingest_docs": SQL_CRAWL_INGEST,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hll_users_events": SQL_HLL_USERS_EVENTS,
     "bpe_encode_docs": SQL_BPE_ENCODE,
@@ -8751,6 +8971,7 @@ _DRIVER_WINDOW = [
     "multimodal_decode",
     "dataset_profile",
     "corpus_curation",
+    "crawl_ingest_docs",
     "sampling_splits",
     "token_ops_docs",
     "pii_tfidf_docs",
@@ -8764,7 +8985,7 @@ _DRIVER_WINDOW = [
     "roundtrip_sinks",
 ]
 
-assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert len(_DRIVER_WINDOW) == 51, len(_DRIVER_WINDOW)
 
 QUERIES = {name: ALL_QUERIES[name] for name in _DRIVER_WINDOW}
 ORACLES = {

@@ -409,3 +409,82 @@ def streaming_funnel(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def write_stream_crawl_ingest(
+    stream_df: DataFrame,
+    state,
+    out_dir: str,
+    checkpoint: str,
+    dup_threshold: float | None = None,
+    table_prefix: str | None = None,
+    num_buckets: int = 64,
+):
+    """r9: the continuous-crawl ingest loop as a ``foreachBatch`` sink —
+    the streaming deployment of :func:`ssis_to_dbt_spark.ingest
+    .ingest_batch` (value-identical to the batch form per micro-batch;
+    pytest-pinned in ``test_streaming_e2e.py``).
+
+    Each micro-batch: Gopher gate -> dedup vs the CURRENT index -> accept
+    -> merged DSIR refit -> score -> pack; accepted/scored/packed rows
+    append as parquet under ``out_dir`` tagged with ``_batch_id``.  The
+    checkpoint gives exactly-once batch processing (a replayed batch is
+    skipped, so the index is never double-appended).
+
+    ``table_prefix`` selects the PERSISTED index deployment: the handler
+    re-reads the bucketed index tables at each batch and appends accepted
+    docs via ``append_corpus_dedup_index`` — the 100 TB shape (the corpus
+    index lives on disk; only the DSIR state, ≤buckets rows, rides the
+    in-memory loop state).  Without it the index evolves functionally in
+    ``state`` — the small-deployment/test shape.
+
+    Returns ``(query, state_box)``; ``state_box["state"]`` holds the
+    latest :class:`~ssis_to_dbt_spark.ingest.IngestState` after the run.
+    """
+    from .ingest import DUP_THRESHOLD, IngestState, ingest_batch
+
+    thr = DUP_THRESHOLD if dup_threshold is None else float(dup_threshold)
+    box = {"state": state}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = box["state"]
+        if table_prefix is not None:
+            from .text.dedup import read_corpus_dedup_index
+
+            sigs, bands = read_corpus_dedup_index(spark, table_prefix)
+            st = IngestState(
+                sigs=sigs, bands=bands, dsir_state=st.dsir_state
+            )
+        r = ingest_batch(batch_df, st, dup_threshold=thr)
+        tag = F.lit(int(batch_id)).alias("_batch_id")
+        r.accepted.select("*", tag).write.mode("append").parquet(
+            f"{out_dir}/accepted"
+        )
+        r.scored.select("*", tag).write.mode("append").parquet(
+            f"{out_dir}/scored"
+        )
+        r.packed.select("*", tag).write.mode("append").parquet(
+            f"{out_dir}/packed"
+        )
+        if table_prefix is not None:
+            from .text.dedup import append_corpus_dedup_index
+
+            append_corpus_dedup_index(
+                r.accepted.select("doc_id", "text"), table_prefix,
+                num_buckets=num_buckets,
+            )
+            box["state"] = IngestState(
+                sigs=st.sigs, bands=st.bands,
+                dsir_state=r.state.dsir_state,
+            )
+        else:
+            box["state"] = r.state
+
+    query = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query, box

@@ -343,3 +343,99 @@ class TestAppendCorpusDedupIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS mm_idx_bands")
             spark.sql("DROP TABLE IF EXISTS mm_idx_sigs")
+
+
+class TestCrawlIngestPersistedIndex:
+    """r9: the continuous-crawl loop (ingest.py) against the ON-DISK
+    persisted index must be value-identical to the in-memory functional
+    form the driver entry uses — write the seed index once, run batch 1,
+    APPEND its acceptances, run batch 2 against the re-read tables."""
+
+    def test_two_batch_loop_persisted_index_twin(self, spark, tmp_path):
+        from ssis_to_dbt_spark.ingest import (
+            IngestState,
+            ingest_batch,
+            seed_ingest_state,
+        )
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import (
+            append_corpus_dedup_index,
+            read_corpus_dedup_index,
+            write_corpus_dedup_index,
+        )
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        seed = docs.filter(F.col("doc_id") % 5 >= 2)
+        b1 = docs.filter(F.col("doc_id") % 5 == 0)
+        b2 = docs.filter(F.col("doc_id") % 5 == 1)
+
+        # in-memory reference (the driver entry's form)
+        st = seed_ingest_state(seed)
+        r1 = ingest_batch(b1, st)
+        r2 = ingest_batch(b2, r1.state)
+
+        try:
+            # persisted twin: index lives in bucketed tables on disk
+            write_corpus_dedup_index(
+                seed, "ing_idx", str(tmp_path / "ing_idx"), num_buckets=4
+            )
+            sigs, bands = read_corpus_dedup_index(spark, "ing_idx")
+            p1 = ingest_batch(
+                b1,
+                IngestState(sigs=sigs, bands=bands,
+                            dsir_state=st.dsir_state),
+            )
+            append_corpus_dedup_index(
+                p1.accepted.select("doc_id", "text"), "ing_idx",
+                num_buckets=4,
+            )
+            sigs2, bands2 = read_corpus_dedup_index(spark, "ing_idx")
+            p2 = ingest_batch(
+                b2,
+                IngestState(sigs=sigs2, bands=bands2,
+                            dsir_state=p1.state.dsir_state),
+            )
+            for mem, disk in ((r1, p1), (r2, p2)):
+                assert sorted(map(tuple, mem.rejected.collect())) == sorted(
+                    map(tuple, disk.rejected.collect())
+                )
+                assert sorted(
+                    r["doc_id"] for r in mem.accepted.collect()
+                ) == sorted(r["doc_id"] for r in disk.accepted.collect())
+                assert sorted(map(tuple, mem.scored.collect())) == sorted(
+                    map(tuple, disk.scored.collect())
+                )
+                assert sorted(map(tuple, mem.packed.collect())) == sorted(
+                    map(tuple, disk.packed.collect())
+                )
+            assert r1.rejected.count() > 0 and r2.rejected.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ing_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS ing_idx_sigs")
+
+    def test_band_audit_reports_overcap_buckets(self, spark, tmp_path):
+        """The r9 index-health audit: lifetime band membership above the
+        cap surfaces as (band_idx, band_hash, n_members) rows — the
+        compaction signal append_corpus_dedup_index documents."""
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text.dedup import (
+            corpus_dedup_index_band_audit,
+            write_corpus_dedup_index,
+        )
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        try:
+            write_corpus_dedup_index(
+                docs, "aud_idx", str(tmp_path / "aud_idx"), num_buckets=4
+            )
+            over = corpus_dedup_index_band_audit(spark, "aud_idx", 1)
+            rows = over.collect()
+            assert len(rows) > 0  # near-dup fixture docs share bands
+            assert all(r["n_members"] > 1 for r in rows)
+            assert (
+                corpus_dedup_index_band_audit(spark, "aud_idx", 10_000)
+                .count() == 0
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS aud_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS aud_idx_sigs")

@@ -623,3 +623,88 @@ class TestStreamingGopherGate:
         )
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         assert got == want and got
+
+
+class TestStreamingCrawlIngest:
+    """r9: the continuous-crawl ingest loop as a foreachBatch sink.  Two
+    file arrivals drive two micro-batches through the SAME evolving state
+    (index + DSIR fit state); each batch's accepted/scored/packed output
+    must equal the batch-mode ingest_batch chain, and batch 2 must dedup
+    against batch 1's acceptances."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text", "lang", "n_chars")
+
+    def test_two_microbatches_match_batch_loop(self, spark, tmp_path):
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.streaming import write_stream_crawl_ingest
+
+        docs = self._docs(spark)
+        seed = docs.filter(F.col("doc_id") % 5 >= 2)
+        b1 = docs.filter(F.col("doc_id") % 5 == 0)
+        b2 = docs.filter(F.col("doc_id") % 5 == 1)
+
+        # batch-mode reference
+        st0 = seed_ingest_state(seed)
+        r1 = ingest_batch(b1, st0)
+        r2 = ingest_batch(b2, r1.state)
+
+        src = str(tmp_path / "crawl_src")
+        out = str(tmp_path / "crawl_out")
+        ckpt = str(tmp_path / "crawl_ckpt")
+        schema = b1.schema
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q, box = write_stream_crawl_ingest(
+                stream, run.state, out, ckpt
+            )
+            q.awaitTermination(180)
+            run.state = box["state"]
+
+        run.state = seed_ingest_state(seed)
+
+        b1.write.mode("append").parquet(src)
+        run()
+        b2.write.mode("append").parquet(src)
+        run()  # checkpoint must skip batch 1's files
+
+        got = spark.read.parquet(f"{out}/scored")
+        by_batch = {}
+        for r in got.collect():
+            by_batch.setdefault(r["_batch_id"], []).append(
+                (r["doc_id"], r["n_feats"], r["weight_units"],
+                 r["gumbel_units"])
+            )
+        assert len(by_batch) == 2
+        ids = sorted(by_batch)
+        want1 = sorted(map(tuple, r1.scored.collect()))
+        want2 = sorted(map(tuple, r2.scored.collect()))
+        assert sorted(by_batch[ids[0]]) == want1
+        assert sorted(by_batch[ids[1]]) == want2
+
+        acc = spark.read.parquet(f"{out}/accepted")
+        acc_by = {}
+        for r in acc.collect():
+            acc_by.setdefault(r["_batch_id"], set()).add(r["doc_id"])
+        assert acc_by[ids[0]] == {
+            r["doc_id"] for r in r1.accepted.collect()
+        }
+        assert acc_by[ids[1]] == {
+            r["doc_id"] for r in r2.accepted.collect()
+        }
+        # packed twin too
+        pk = spark.read.parquet(f"{out}/packed")
+        pk_by = {}
+        for r in pk.collect():
+            pk_by.setdefault(r["_batch_id"], []).append(
+                (r["doc_id"], r["seq_id"], r["start_tok"], r["end_tok"])
+            )
+        assert sorted(pk_by[ids[0]]) == sorted(
+            map(tuple, r1.packed.collect())
+        )
+        assert sorted(pk_by[ids[1]]) == sorted(
+            map(tuple, r2.packed.collect())
+        )

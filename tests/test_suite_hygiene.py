@@ -1,5 +1,6 @@
-"""Suite-slot hygiene (round-8 VERDICT ask): the driver window is frozen at
-50 entries with same-family queries packaged as tagged UNION suites — one
+"""Suite-slot hygiene (round-8 VERDICT ask): the driver window holds
+51 entries (50 through r8 + the r9 crawl-ingest loop) with same-family
+queries packaged as tagged UNION suites — one
 hash covers every component, so a component that silently drops out of the
 union (or degrades to an all-NULL projection that the hash can't see) would
 still leave the entry green.  This pins, per suite, (a) the EXACT component
@@ -61,6 +62,10 @@ EXPECTED = {
         "customer_load", "inventory_sync", "order_routing", "sales_fact",
     },
     "cdc_orders": {"apply", "diff"},
+    "crawl_ingest_docs": {
+        "accept1", "accept2", "dsir1", "dsir2", "gate1", "gate2", "pack1",
+        "pack2", "reject1", "reject2",
+    },
     "parts_fuzzy_pagerank": {"fuzzy", "pagerank", "sorted_nbr"},
     "events_payload_layout": {"json", "zorder"},
     "roundtrip_sinks": {
