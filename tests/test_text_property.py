@@ -724,3 +724,137 @@ class TestPackNosplitProperty:
             )
         )
         assert sorted(map(tuple, rows)) == again
+
+
+class TestCurationChainProperty:
+    """r9 VERDICT ask: the composed curation chain over RANDOM corpora
+    (random texts/langs with planted near-dups) — global invariants that
+    no fixture-pinned test can certify:
+
+    - stage containment: pruned partitions gated; clean = deduped minus
+      contaminated; selected/mixed/packed nest correctly;
+    - exactly ONE kept representative per near-dup cluster, and it is
+      the longest member (n_chars DESC, doc_id ASC tiebreak);
+    - no contaminated doc survives into the DSIR fit corpus;
+    - DSIR select returns exactly min(k, |clean|) winners;
+    - packing tiles each md5 bucket stream contiguously from 0 with
+      span = the doc's token count and seq_id = (start DIV S)*nb+bucket.
+    """
+
+    _VOCAB = (
+        "the and of to data spark table row group query filter merge "
+        "join window sort batch value stream line part order customer "
+        "fast slow small large hash scan key column vector agg"
+    ).split()
+    _LANGS = ["en", "en", "de", "fr", "es"]  # en-skewed like a crawl
+
+    def _corpus(self, rnd):
+        docs = []
+        n = rnd.randint(40, 70)
+        for i in range(n):
+            k = rnd.randint(25, 60)
+            text = " ".join(rnd.choice(self._VOCAB) for _ in range(k))
+            docs.append((i, text, rnd.choice(self._LANGS)))
+        # plant near-dup clusters: copies with one appended word
+        for j in range(rnd.randint(3, 6)):
+            base = docs[rnd.randrange(n)]
+            docs.append((
+                1000 + j,
+                base[1] + " extra",
+                base[2],
+            ))
+        return [(i, t, lang, len(t)) for i, t, lang in docs]
+
+    @given(seed=st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_chain_invariants_random_corpus(self, spark, seed):
+        import random
+
+        from ssis_to_dbt_spark.curation import (
+            stage_clean,
+            stage_contaminated,
+            stage_dedup,
+            stage_dsir_select,
+            stage_gate,
+            stage_mixture,
+            stage_pack,
+            stage_prune,
+        )
+
+        rnd = random.Random(seed)
+        rows = self._corpus(rnd)
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, n_chars int"
+        )
+        k = 15
+        gated = stage_gate(docs).localCheckpoint()
+        pruned = stage_prune(gated).localCheckpoint()
+        deduped = stage_dedup(gated, pruned).localCheckpoint()
+        cont = stage_contaminated(deduped, docs).localCheckpoint()
+        clean = stage_clean(deduped, cont).localCheckpoint()
+        selected = stage_dsir_select(clean, k).localCheckpoint()
+        mixed = stage_mixture(selected).localCheckpoint()
+        packed = stage_pack(mixed)
+
+        n_chars = {r[0]: r[3] for r in rows}
+        gated_ids = {r["doc_id"] for r in gated.collect()}
+        prune_rows = pruned.collect()
+        assert {r["doc_id"] for r in prune_rows} == gated_ids
+
+        # one representative per cluster, and it is the longest member
+        clusters = {}
+        for r in prune_rows:
+            clusters.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in clusters.items():
+            kept = [r for r in members if r["kept"]]
+            assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
+            best = min(
+                members,
+                key=lambda r: (-n_chars[r["doc_id"]], r["doc_id"]),
+            )
+            assert kept[0]["doc_id"] == best["doc_id"]
+            assert all(
+                r["cluster_size"] == len(members) for r in members
+            )
+
+        dedup_ids = {r["doc_id"] for r in deduped.collect()}
+        assert dedup_ids == {
+            r["doc_id"] for r in prune_rows if r["kept"]
+        }
+
+        cont_ids = {r["doc_id"] for r in cont.collect()}
+        clean_ids = {r["doc_id"] for r in clean.collect()}
+        assert cont_ids <= dedup_ids
+        assert clean_ids == dedup_ids - cont_ids  # no contaminated doc survives
+
+        sel_ids = {r["doc_id"] for r in selected.collect()}
+        assert len(sel_ids) == min(k, len(clean_ids))
+        assert sel_ids <= clean_ids
+
+        mixed_rows = mixed.collect()
+        mixed_ids = {r["doc_id"] for r in mixed_rows}
+        assert mixed_ids <= sel_ids
+
+        # packing tiles exactly the mixture survivors
+        from ssis_to_dbt_spark.text.analysis import token_count
+
+        ntok = {
+            r["doc_id"]: r["n"]
+            for r in mixed.select(
+                "doc_id", token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        pk = packed.collect()
+        assert {r["doc_id"] for r in pk} == mixed_ids
+        by_bucket = {}
+        for r in pk:
+            assert r["end_tok"] - r["start_tok"] == ntok[r["doc_id"]]
+            by_bucket.setdefault(r["seq_id"] % 16, []).append(r)
+        for bucket, members in by_bucket.items():
+            members.sort(key=lambda r: r["start_tok"])
+            pos = 0
+            for r in members:
+                assert r["start_tok"] == pos
+                assert r["seq_id"] == (r["start_tok"] // 512) * 16 + bucket
+                pos = r["end_tok"]
