@@ -12,10 +12,14 @@ remote SQL for either, and partitioned reads split the scan into
 ``partition_column`` a JDBC read is ONE executor task no matter the
 cluster size).
 
-This sandbox has no live database or JDBC driver jar, so everything up to
-``.load()`` is a pure, unit-tested plan (URL/option assembly, identifier
-quoting, credential redaction); ``.load()`` itself is exercised only
-against a real endpoint.  That limitation is documented in COVERAGE.md.
+Everything up to ``.load()``/``.save()`` is a pure, unit-tested plan
+(URL/option assembly, identifier quoting, credential redaction).  r9: the
+execution halves are ALSO e2e-exercised in this sandbox against an
+embedded Apache Derby database (its driver jar ships with Spark) —
+``tests/test_sources.py::TestJdbcEndToEnd`` runs sink-append,
+truncate-overwrite, table/query reads, and a range-partitioned parallel
+read through the real ``jdbc`` data source.  Only a LIVE SQL Server
+endpoint remains deployment-only.
 
 Security contract (mirrors ``reference/src/parser/utils.py:49-101`` and
 its tests ``reference/tests/test_utils.py``):
@@ -202,8 +206,9 @@ class JdbcSource:
 
     def load(self, spark: SparkSession) -> DataFrame:
         """Execute the read.  Requires a JDBC driver jar on the Spark
-        classpath and a reachable endpoint — neither exists in this
-        sandbox, so this path is exercised only in real deployments."""
+        classpath and a reachable endpoint — e2e-tested here against
+        embedded Derby (``TestJdbcEndToEnd``); SQL Server needs a real
+        deployment."""
         return spark.read.format("jdbc").options(**self.options()).load()
 
 
@@ -331,8 +336,8 @@ class JdbcSink:
 
     def save(self, df: DataFrame) -> None:
         """Execute the write.  Requires a JDBC driver jar and a reachable
-        endpoint — neither exists in this sandbox, so this path is
-        exercised only in real deployments (COVERAGE.md)."""
+        endpoint — e2e-tested here against embedded Derby
+        (``TestJdbcEndToEnd``); SQL Server needs a real deployment."""
         (
             df.write.format("jdbc")
             .options(**self.options())

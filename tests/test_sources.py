@@ -902,3 +902,83 @@ class TestJdbcSink:
             assert REDACTED in s
             assert "user=loader" in s and "tablock=true" in s
             assert "mode=append" in s
+
+
+class TestJdbcEndToEnd:
+    """r9: REAL JDBC execution — Spark bundles the Apache Derby embedded
+    driver (derby-*.jar in pyspark/jars), so the `.load()`/`.save()`
+    halves that were previously deployment-only run e2e here: sink
+    append, truncate-vs-drop overwrite, table scan, embedded-SELECT
+    query, and a range-partitioned parallel read.  Only a live SQL
+    Server endpoint remains out of sandbox reach."""
+
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def _url(self, tmp_path, name):
+        return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+    def test_roundtrip_append_and_reads(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink, JdbcSource
+
+        url = self._url(tmp_path, "rt")
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.25)],
+            "id long, name string, amt double",
+        )
+        JdbcSink(
+            url=url, table="t_rt", dialect="generic", driver=self.DRIVER,
+            mode="append", num_partitions=1,
+        ).save(df)
+        out = JdbcSource(
+            url=url, table="t_rt", dialect="generic", driver=self.DRIVER
+        ).load(spark)
+        assert sorted(map(tuple, out.collect())) == [
+            (1, "a", 1.5), (2, "b", 2.5), (3, None, 3.25)
+        ]
+        # the reference's SQL-command source (S1): embedded SELECT
+        q = JdbcSource(
+            url=url, driver=self.DRIVER, dialect="generic",
+            query='SELECT "id", "amt" FROM "t_rt" WHERE "id" >= 2',
+        ).load(spark)
+        assert sorted(map(tuple, q.collect())) == [(2, 2.5), (3, 3.25)]
+
+    def test_truncate_overwrite_keeps_table(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink, JdbcSource
+
+        url = self._url(tmp_path, "tr")
+        ddl = "id long, name string, amt double"
+        JdbcSink(
+            url=url, table="t_tr", dialect="generic", driver=self.DRIVER,
+            mode="append", num_partitions=1,
+        ).save(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ddl))
+        JdbcSink(
+            url=url, table="t_tr", dialect="generic", driver=self.DRIVER,
+            mode="overwrite", truncate=True, num_partitions=1,
+        ).save(spark.createDataFrame([(9, "z", 0.5)], ddl))
+        out = JdbcSource(
+            url=url, table="t_tr", dialect="generic", driver=self.DRIVER
+        ).load(spark)
+        assert sorted(map(tuple, out.collect())) == [(9, "z", 0.5)]
+
+    def test_partitioned_parallel_read(self, spark, tmp_path):
+        """The 100 TB ingest shape: without partition_column a JDBC read
+        is ONE task; the 4-way range spec must actually yield 4 scan
+        partitions covering every row exactly once."""
+        from ssis_to_dbt_spark.sources.jdbc import JdbcSink, JdbcSource
+
+        url = self._url(tmp_path, "pp")
+        df = spark.range(0, 100).selectExpr(
+            "id", "CAST(id * 2 AS DOUBLE) AS amt"
+        )
+        JdbcSink(
+            url=url, table="t_pp", dialect="generic", driver=self.DRIVER,
+            mode="append", num_partitions=1,
+        ).save(df)
+        out = JdbcSource(
+            url=url, table="t_pp", dialect="generic", driver=self.DRIVER,
+            partition_column="id", lower_bound=0, upper_bound=100,
+            num_partitions=4,
+        ).load(spark)
+        assert out.rdd.getNumPartitions() == 4
+        got = sorted(r["id"] for r in out.collect())
+        assert got == list(range(100))
