@@ -439,3 +439,22 @@ class TestCrawlIngestPersistedIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS aud_idx_bands")
             spark.sql("DROP TABLE IF EXISTS aud_idx_sigs")
+
+    def test_empty_batch_is_identity(self, spark):
+        """A crawl gap (empty micro-batch) must pass through cleanly:
+        empty outputs, DSIR state model-identical (empty delta merge is
+        the identity — the streaming handler hits this in production)."""
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text.analysis import dsir_model_from_state
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        st = seed_ingest_state(docs.filter(F.col("doc_id") % 5 >= 2))
+        r = ingest_batch(docs.filter(F.lit(False)), st)
+        assert r.gated.count() == 0
+        assert r.rejected.count() == 0
+        assert r.accepted.count() == 0
+        assert r.scored.count() == 0
+        assert r.packed.count() == 0
+        assert dsir_model_from_state(st.dsir_state, 256) == \
+            dsir_model_from_state(r.state.dsir_state, 256)
