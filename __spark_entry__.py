@@ -34,11 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 51 entries (the driver's verdict window): every SURVEY.md §2
-    operator family plus the LLM-pipeline extensions, with same-family
-    queries packaged as tagged UNION ALL suites (COVERAGE.md maps suite
-    components; individual queries stay in catalog.ALL_QUERIES).  r9 adds
-    ``crawl_ingest_docs`` — the two-batch continuous-crawl ingest loop."""
+    """Exactly 50 entries (the driver's verdict window — the driver
+    verifies at most 50): every SURVEY.md §2 operator family plus the
+    LLM-pipeline extensions, with same-family queries packaged as tagged
+    UNION ALL suites (COVERAGE.md maps suite components; individual
+    queries stay in catalog.ALL_QUERIES).  r9 adds ``crawl_ingest_docs``
+    — the two-batch continuous-crawl ingest loop — in the slot freed by
+    folding the k-NN join into ``ann_topk_suite`` (component ``knn``)."""
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_for_correctness(spark)

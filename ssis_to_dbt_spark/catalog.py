@@ -5115,6 +5115,17 @@ def q_ann_topk_suite(spark, sf_dir):
             _nul("long").alias("id_b"),
             F.col("val").cast("double").alias("score"),
         ),
+        # k-NN join (r9: folded in from its standalone window slot to
+        # free the slot for crawl_ingest_docs — the driver verifies at
+        # most 50 entries; the standalone entry stays in ALL_QUERIES)
+        q_knn_join_embeddings(spark, sf_dir).select(
+            F.lit("knn").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _nul("int").alias("dim"),
+            _nul("int").alias("q"),
+            F.col("query_id").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("score"),
+        ),
     ]
     return _union_all(parts)
 
@@ -8518,6 +8529,10 @@ FROM ({SQL_KMEANS}) _km
 UNION ALL
 SELECT 'fps', vec_id, dim, seed_idx, {_NULL_BIGINT}, val
 FROM ({SQL_FPS_SEEDS}) _fp
+UNION ALL
+SELECT 'knn', CAST(vec_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
+       CAST(query_id AS BIGINT), CAST(cosine_r AS DOUBLE)
+FROM ({SQL_KNN_JOIN}) _kj
 """
 
 SQL_SAMPLING_SPLITS += f"""UNION ALL
@@ -8956,7 +8971,6 @@ _DRIVER_WINDOW = [
     "neardup_clusters",
     "containment_kmv_docs",
     "ann_topk_suite",
-    "knn_join_embeddings",
     "embedding_neardup",
     "events_windows",
     "events_sessionize",
@@ -8985,7 +8999,7 @@ _DRIVER_WINDOW = [
     "roundtrip_sinks",
 ]
 
-assert len(_DRIVER_WINDOW) == 51, len(_DRIVER_WINDOW)
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 
 QUERIES = {name: ALL_QUERIES[name] for name in _DRIVER_WINDOW}
 ORACLES = {

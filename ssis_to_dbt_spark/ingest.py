@@ -87,11 +87,18 @@ class IngestResult:
 
 
 def seed_ingest_state(
-    corpus_df: DataFrame, buckets: int = DSIR_BUCKETS
+    corpus_df: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    checkpoint: bool = True,
 ) -> IngestState:
     """Initialize the loop from an existing (already-curated) corpus:
     derive the dedup index once and fit the DSIR state once — after
-    this, the corpus text is never re-read."""
+    this, the corpus text is never re-read.  ``checkpoint=True`` lazily
+    checkpoints the index/state frames so consecutive batches reuse the
+    materialization instead of re-deriving the seed corpus's signatures
+    per batch — the in-process stand-in for the on-disk index
+    (:func:`~ssis_to_dbt_spark.text.dedup.write_corpus_dedup_index`,
+    which a deployment uses instead)."""
     from .text.analysis import dsir_fit_state
     from .text.dedup import corpus_dedup_index
 
@@ -99,6 +106,10 @@ def seed_ingest_state(
     state = dsir_fit_state(
         corpus_df, F.col("lang") == "en", buckets=buckets, engine="arrow"
     )
+    if checkpoint:
+        sigs = sigs.localCheckpoint(eager=False)
+        bands = bands.localCheckpoint(eager=False)
+        state = state.localCheckpoint(eager=False)
     return IngestState(sigs=sigs, bands=bands, dsir_state=state)
 
 

@@ -1,5 +1,7 @@
-"""Suite-slot hygiene (round-8 VERDICT ask): the driver window holds
-51 entries (50 through r8 + the r9 crawl-ingest loop) with same-family
+"""Suite-slot hygiene (round-8 VERDICT ask): the driver window is frozen
+at 50 entries (the driver verifies at most 50 — CORRECTNESS_r04 held
+exactly the first 50 of 77; r9 freed a slot for the crawl-ingest loop by
+folding knn into ann_topk_suite) with same-family
 queries packaged as tagged UNION suites — one
 hash covers every component, so a component that silently drops out of the
 union (or degrades to an all-NULL projection that the hash can't see) would
@@ -29,8 +31,8 @@ EXPECTED = {
     },
     "ann_topk_suite": {
         "brute_force", "fps", "hard_neg", "ivf", "km_assign", "km_centroid",
-        "lsh_md5", "project", "proto_assign", "proto_centroid", "quantize",
-        "semdedup",
+        "knn", "lsh_md5", "project", "proto_assign", "proto_centroid",
+        "quantize", "semdedup",
     },
     "events_windows": {
         "cohort", "decay", "funnel_s", "funnel_u12", "funnel_u3", "gap_fill",
