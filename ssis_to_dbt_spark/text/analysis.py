@@ -1634,9 +1634,14 @@ def dsir_fit_state(
     ``engine="arrow"``: a ``mapInPandas`` kernel emits per-Arrow-batch
     PARTIAL bucket counts (≤ ``buckets`` rows per batch), so the shuffle
     carries batch-count × buckets rows instead of the exploded gram
-    stream — bit-identical counts (same md5 buckets, same tokenizer twin
+    stream — bit-identical counts (same hash buckets, same tokenizer twin
     discipline as :func:`dsir_score`'s arrow engine; pytest-pinned).
-    md5 only, like the other Arrow kernels."""
+    r9: both hash functions work — xxhash64 buckets come from the
+    pure-Python spec twin (:mod:`~ssis_to_dbt_spark.text.xxh64`); note
+    the Python xxh64 is interpreter-speed (~10× hashlib's C md5 per
+    gram), so for xxhash64 at scale the JVM ``engine="expr"`` remains
+    the throughput path — the arrow+xxhash64 combination exists for
+    parity/verification and moderate batches."""
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     if hash_fn not in ("md5", "xxhash64"):
