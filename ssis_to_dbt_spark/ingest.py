@@ -142,14 +142,25 @@ def ingest_batch(
     def ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if checkpoint else df
 
+    from .text.dedup import corpus_dedup_index
+
     gated = ck(stage_gate(batch_df))
+    # derive the batch's (sigs, bands) ONCE: they feed the probe join AND
+    # (filtered to acceptances) the index append — per-doc derivations
+    # are corpus-independent, so reuse is exact and saves a second
+    # minhash pass over the accepted docs.
+    bsigs, bbands = corpus_dedup_index(gated)
+    if checkpoint:
+        bsigs = bsigs.localCheckpoint(eager=False)
+        bbands = bbands.localCheckpoint(eager=False)
     pairs = cross_corpus_candidates(
-        gated, corpus_index=(state.sigs, state.bands)
+        gated, corpus_index=(state.sigs, state.bands),
+        new_index=(bsigs, bbands),
     )
     # est_jaccard is matches/num_hashes with num_hashes=8 — exactly
     # representable, so the threshold compare and the *8 recovery of the
     # integer match count are both exact.
-    rejected = (
+    rejected = ck(
         pairs.filter(F.col("est_jaccard") >= float(dup_threshold))
         .groupBy(F.col("new_id").alias("doc_id"))
         .agg(
@@ -159,9 +170,8 @@ def ingest_batch(
             .alias("max_matches"),
         )
     )
-    accepted = ck(
-        drop_seam_anti_join(gated, rejected.select("doc_id"), "doc_id")
-    )
+    rej_ids = rejected.select("doc_id")
+    accepted = ck(drop_seam_anti_join(gated, rej_ids, "doc_id"))
     delta = dsir_fit_state(
         accepted, F.col("lang") == "en", buckets=buckets, engine="arrow"
     )
@@ -175,9 +185,21 @@ def ingest_batch(
         dd, "n_tok", seq_tokens=seq_tokens, key_col="doc_id",
         n_buckets=pack_buckets,
     )
+    # index append from the ALREADY-DERIVED batch sigs/bands: drop the
+    # rejected ids via the same size-aware seam (the band cap was applied
+    # on the gated batch, a superset — the cap is a fan-out bound, so a
+    # superset cap is equally valid; the persisted-index twin test pins
+    # value-equality with the re-derive-from-accepted form at fixture
+    # scale).
     new_state = IngestState(
-        sigs=state.sigs, bands=state.bands, dsir_state=merged
-    ).appended(accepted)
+        sigs=state.sigs.unionByName(
+            drop_seam_anti_join(bsigs, rej_ids, "doc_id")
+        ),
+        bands=state.bands.unionByName(
+            drop_seam_anti_join(bbands, rej_ids, "doc_id")
+        ),
+        dsir_state=merged,
+    )
     return IngestResult(
         gated=gated,
         rejected=rejected,

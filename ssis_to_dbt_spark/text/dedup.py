@@ -1535,6 +1535,7 @@ def cross_corpus_candidates(
     max_bucket_size: int | None = 10_000,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
     broadcast_batch: bool = True,
+    new_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: minhash-LSH candidate pairs BETWEEN a
     new batch and an existing corpus — never within either side.  This is
@@ -1558,10 +1559,16 @@ def cross_corpus_candidates(
     """
     if (corpus_df is None) == (corpus_index is None):
         raise ValueError("exactly one of corpus_df/corpus_index must be set")
-    sig_new, band_new = corpus_dedup_index(
-        new_df, id_col, text_col, num_hashes, bands, shingle_n,
-        max_bucket_size,
-    )
+    if new_index is not None:
+        # caller already derived the batch's (sigs, bands) — e.g. the
+        # ingest loop, which also appends them to the stored index:
+        # per-doc derivations are corpus-independent, so reuse is exact
+        sig_new, band_new = new_index
+    else:
+        sig_new, band_new = corpus_dedup_index(
+            new_df, id_col, text_col, num_hashes, bands, shingle_n,
+            max_bucket_size,
+        )
     if corpus_index is not None:
         sig_corpus, band_corpus = corpus_index
     else:
