@@ -6131,29 +6131,61 @@ def q_pack_docs(spark, sf_dir):
     return pack_sequences(dd, "n_tok", seq_tokens=512, key_col="doc_id")
 
 
-def _pack_ctes(src: str, p: str = "") -> str:
+# The auto-sizing target the PRODUCTION pack consumers (pipeline stage 6,
+# crawl-ingest pack) share with their oracles — imported, not retyped, so
+# engine and SQL can never drift.
+from .text.analysis import (  # noqa: E402
+    DEFAULT_TARGET_BUCKET_TOKENS as _PACK_AUTO_TARGET,
+)
+
+
+def _pack_ctes(src: str, p: str = "", target: int | None = None) -> str:
     """The concat-and-chop packing CTE chain ``pt -> pb -> pc``
     parameterized on the corpus source — shared verbatim by the standalone
     :func:`_pack_sql` oracle, the composed pipeline oracle, and (via the
     ``p`` CTE-name prefix, which lets one query pack several stage
     outputs) the two-batch crawl-ingest oracle — single source of truth:
     a drift between consumers would otherwise fail only via hash
-    mismatch."""
+    mismatch.
+
+    ``target=None`` keeps the fixed 16-stream form (the standalone
+    `pack_docs` entry, which deliberately exercises stream interleaving
+    at fixture scale); a target derives the AUTO-SIZED stream count
+    ``{p}nb`` with the engine's exact integer arithmetic — consumers
+    must then build ``seq_id`` as ``... * nb + bucket`` from a CROSS
+    JOIN against ``{p}nb`` (see :func:`_pack_seq_id_sql`)."""
+    if target is None:
+        nb_cte = f"{p}nb AS (SELECT 16 AS nb),"
+    else:
+        nb_cte = (
+            f"{p}nb AS (\n"
+            f"  SELECT GREATEST((COALESCE(SUM(CAST(n_tok AS BIGINT)), 0)"
+            f" + {int(target)} - 1)\n"
+            f"             // {int(target)}, 1) AS nb\n"
+            f"  FROM {p}pt),"
+        )
     return rf"""{p}pt AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM {src}),
+{nb_cte}
 {p}pb AS (
   SELECT doc_id, n_tok, h,
-         CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bucket
-  FROM {p}pt),
+         CAST('0x' || substr(h, 1, 2) AS BIGINT) % {p}nb.nb AS bucket
+  FROM {p}pt CROSS JOIN {p}nb),
 {p}pc AS (
   SELECT doc_id, n_tok, bucket,
          SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h
                           ROWS UNBOUNDED PRECEDING) AS cum
   FROM {p}pb)"""
+
+
+def _pack_seq_id_sql(p: str = "") -> str:
+    """The packed ``seq_id`` expression for :func:`_pack_ctes` consumers
+    (requires ``FROM {p}pc CROSS JOIN {p}nb``)."""
+    return f"CAST(((cum - n_tok) // 512) * {p}nb.nb + bucket AS BIGINT)"
 
 
 def _pack_sql(src: str = "documents") -> str:
@@ -6162,10 +6194,10 @@ def _pack_sql(src: str = "documents") -> str:
     return f"""
 WITH {_pack_ctes(src)}
 SELECT doc_id,
-       CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT) AS seq_id,
+       {_pack_seq_id_sql()} AS seq_id,
        CAST(cum - n_tok AS BIGINT) AS start_tok,
        CAST(cum AS BIGINT) AS end_tok
-FROM pc
+FROM pc CROSS JOIN nb
 """
 
 
@@ -8233,7 +8265,7 @@ c4 AS MATERIALIZED (SELECT d.*, t.weight_units, t.gumbel_units
 c5 AS MATERIALIZED (
   SELECT d.* FROM c4 d JOIN madm USING (lang)
   WHERE {_mixture_admit_where('d')}),
-{_pack_ctes('c5')}
+{_pack_ctes('c5', target=_PACK_AUTO_TARGET)}
 SELECT 'gate' AS component, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(lang AS VARCHAR) AS s1
@@ -8260,9 +8292,9 @@ SELECT 'mixture', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
 FROM c5
 UNION ALL
 SELECT 'pack', CAST(doc_id AS BIGINT),
-       CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT),
+       {_pack_seq_id_sql()},
        CAST(cum - n_tok AS BIGINT), CAST(CAST(cum AS BIGINT) AS VARCHAR)
-FROM pc
+FROM pc CROSS JOIN nb
 """
 
 
@@ -8451,9 +8483,9 @@ def _crawl_ingest_sql() -> str:
 
     def pack_branch(tag, prefix):
         return f"""SELECT 'pack{tag}', CAST(doc_id AS BIGINT),
-       CAST(((cum - n_tok) // 512) * 16 + bucket AS BIGINT),
+       {_pack_seq_id_sql(prefix)},
        CAST(cum - n_tok AS BIGINT), CAST(CAST(cum AS BIGINT) AS VARCHAR)
-FROM {prefix}pc"""
+FROM {prefix}pc CROSS JOIN {prefix}nb"""
 
     return f"""
 WITH gq AS MATERIALIZED (
@@ -8477,8 +8509,8 @@ f1 AS (SELECT doc_id FROM seedc UNION ALL SELECT doc_id FROM acc1),
 {_dsir_fit_subset_ctes('1', 'f1')},
 f2 AS (SELECT doc_id FROM f1 UNION ALL SELECT doc_id FROM acc2),
 {_dsir_fit_subset_ctes('2', 'f2')},
-{_pack_ctes('acc1', 'a')},
-{_pack_ctes('acc2', 'z')}
+{_pack_ctes('acc1', 'a', target=_PACK_AUTO_TARGET)},
+{_pack_ctes('acc2', 'z', target=_PACK_AUTO_TARGET)}
 SELECT 'gate1' AS component, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(lang AS VARCHAR) AS s1

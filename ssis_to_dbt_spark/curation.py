@@ -171,12 +171,19 @@ def stage_mixture(selected: DataFrame) -> DataFrame:
 
 def stage_pack(mixed: DataFrame) -> DataFrame:
     """Pack survivors into fixed 512-token training sequences — windows
-    partition by hash bucket, no global sort."""
+    partition by hash bucket, no global sort.  r9: the stream count
+    AUTO-SIZES from the survivors' token total (one scalar agg; default
+    2^24-token streams), so the cumsum window never holds more than a
+    bounded bucket in one task at any corpus size — the oracle derives
+    the identical count from the identical integer arithmetic."""
     from .text import pack_sequences
     from .text.analysis import token_count
 
     dd = mixed.select("doc_id", token_count(F.col("text")).alias("n_tok"))
-    return pack_sequences(dd, "n_tok", seq_tokens=SEQ_TOKENS, key_col="doc_id")
+    return pack_sequences(
+        dd, "n_tok", seq_tokens=SEQ_TOKENS, key_col="doc_id",
+        n_buckets=None,
+    )
 
 
 def curation_models(out_dir: str, dsir_k: int = DSIR_K) -> list[Model]:

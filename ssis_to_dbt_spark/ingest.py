@@ -47,7 +47,9 @@ from .curation import drop_seam_anti_join, stage_gate
 DUP_THRESHOLD = 0.5
 DSIR_BUCKETS = 256
 SEQ_TOKENS = 512
-PACK_BUCKETS = 16
+# None = auto-size the packing stream count from the accepted batch's
+# token total (pack_sequences' r9 default-target derivation)
+PACK_BUCKETS: int | None = None
 
 
 @dataclass
@@ -119,7 +121,7 @@ def ingest_batch(
     dup_threshold: float = DUP_THRESHOLD,
     buckets: int = DSIR_BUCKETS,
     seq_tokens: int = SEQ_TOKENS,
-    pack_buckets: int = PACK_BUCKETS,
+    pack_buckets: int | None = PACK_BUCKETS,
     checkpoint: bool = True,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).

@@ -1134,12 +1134,16 @@ def chunk_documents(
     )
 
 
+DEFAULT_TARGET_BUCKET_TOKENS = 1 << 24  # ~16M tokens per packing stream
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
     seq_tokens: int,
     key_col: str = "doc_id",
-    n_buckets: int = 16,
+    n_buckets: int | None = 16,
+    target_bucket_tokens: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-size training sequences (concat-and-chop
     packing): documents are laid end-to-end in a deterministic
@@ -1148,18 +1152,43 @@ def pack_sequences(
 
     Deterministic, partition-order-independent, and parallel: the corpus
     splits into ``n_buckets`` streams by the first hex char of md5(key)
-    (16 buckets; documents are interchangeable across a packing run, so
+    (documents are interchangeable across a packing run, so
     independent per-bucket streams are semantically equivalent to one
     global stream), each bucket runs its own cumulative-sum window, and
     the global ``seq_id`` interleaves bucket-local sequence numbers with
     the bucket index.  No global sort exists at any scale — the window
     partitions by bucket, exactly like ``token_budget_sample``.
 
+    r9: pass ``n_buckets=None`` to AUTO-SIZE the stream count exactly
+    like :func:`pack_sequences_nosplit` — ``max(1, ceil(total_tokens /
+    target_bucket_tokens))`` from one scalar aggregation (default target
+    2^24 tokens).  The cumsum window sorts each bucket within ONE window
+    partition, so the fixed-16 default has the same 100 TB hazard as the
+    NFD packer's (a ~6 TB bucket in one task); auto-sizing is the
+    production setting, the fixed default stays for oracle-pinned
+    fixture-scale entries.
+
     Output: (key, seq_id, start_tok, end_tok) where start/end are offsets
     in the bucket's concatenated token stream; a document straddling a cut
     (``floor(start/seq) != floor((end-1)/seq)``) continues into the next
     sequence, which is the standard LM-pretraining chop.
     """
+    if n_buckets is None:
+        target = (
+            DEFAULT_TARGET_BUCKET_TOKENS
+            if target_bucket_tokens is None
+            else int(target_bucket_tokens)
+        )
+        if target < 1:
+            raise ValueError("target_bucket_tokens must be >= 1")
+        total = (
+            df.agg(
+                F.sum(F.col(token_col).cast("long")).alias("_t")
+            ).collect()[0]["_t"]
+            or 0
+        )
+        n_buckets = max(1, (int(total) + target - 1) // target)
+    n_buckets = int(n_buckets)
     h = F.md5(F.col(key_col).cast("string"))
     w = (
         Window.partitionBy("_bucket")
@@ -1187,9 +1216,6 @@ def pack_sequences(
             F.col("_cum").alias("end_tok"),
         )
     )
-
-
-DEFAULT_TARGET_BUCKET_TOKENS = 1 << 24  # ~16M tokens per packing stream
 
 
 def pack_sequences_nosplit(

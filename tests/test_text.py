@@ -924,6 +924,30 @@ class TestPackSequencesNosplit:
                 df, "n_tok", 100, key_col="doc_id", target_bucket_tokens=0
             )
 
+    def test_chop_packer_auto_bucket_twin(self, spark):
+        """r9: the chop packer gained the same auto-sizing knob
+        (n_buckets=None) — auto output must equal pinning the derived
+        count, at two scales with different derived counts (the cumsum
+        window has the identical one-task-per-bucket hazard)."""
+        derived = []
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            dd = docs.select(
+                "doc_id", tx.token_count(F.col("text")).alias("n_tok")
+            )
+            total = dd.agg(F.sum("n_tok")).collect()[0][0]
+            nb = max(1, (int(total) + 4095) // 4096)
+            derived.append(nb)
+            auto = sorted(map(tuple, tx.pack_sequences(
+                dd, "n_tok", 512, key_col="doc_id", n_buckets=None,
+                target_bucket_tokens=4096,
+            ).collect()))
+            pinned = sorted(map(tuple, tx.pack_sequences(
+                dd, "n_tok", 512, key_col="doc_id", n_buckets=nb
+            ).collect()))
+            assert auto == pinned and len(auto) > 0
+        assert derived[0] != derived[1]
+
     def test_nfd_waste_bounded_vs_chop(self, spark):
         # decreasing next-fit on uniform smallish docs should not open
         # absurdly more sequences than the chop packer's token total
@@ -2630,10 +2654,14 @@ class TestCurationPipeline:
         for r in packs:
             start, end = r["v2"], int(r["s1"])
             assert 0 <= start <= end
-        # per 16-bucket stream, doc spans tile without gaps or overlaps
+        # per bucket stream, doc spans tile without gaps or overlaps —
+        # r9: the stream count auto-sizes (ceil(total/2^24); 1 at
+        # fixture scale), derived here with the stage's own arithmetic
+        total = sum(int(r["s1"]) - r["v2"] for r in packs)
+        nb = max(1, (total + (1 << 24) - 1) // (1 << 24))
         streams = {}
         for r in packs:
-            streams.setdefault(r["v1"] % 16, []).append(
+            streams.setdefault(r["v1"] % nb, []).append(
                 (r["v2"], int(r["s1"]))
             )
         for spans in streams.values():
