@@ -1940,8 +1940,9 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY substr(h, 1, 1) ORDER BY h
-                             ROWS UNBOUNDED PRECEDING) AS cum
+         SUM(n_tokens) OVER (
+             PARTITION BY CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16
+             ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
   FROM t)
 SELECT doc_id, n_tokens FROM c WHERE cum <= 8000 / 16.0
 """

@@ -270,15 +270,43 @@ def token_budget_sample(
     token_col: str,
     budget: int,
     key_col: str,
+    n_buckets: int | None = 16,
+    target_bucket_tokens: int | None = None,
 ) -> DataFrame:
     """Deterministic subset whose summed ``token_col`` fills ``budget``.
 
-    Rows order by content hash within 16 first-hex-char buckets; each bucket
-    admits rows while its cumulative token count stays within budget/16.
-    Deterministic, engine-independent, and parallel (cumsum windows partition
-    by bucket)."""
+    Rows order by content hash within ``n_buckets`` md5 buckets; each
+    bucket admits rows while its cumulative token count stays within
+    ``budget / n_buckets``.  Deterministic, engine-independent, and
+    parallel (cumsum windows partition by bucket).
+
+    r9: ``n_buckets=None`` auto-sizes the stream count from the CORPUS
+    token total (``max(16, ceil(total / target))``, default 2^24-token
+    streams — the cumsum window scans every corpus row in its bucket
+    regardless of the budget, so the bucket count must scale with the
+    corpus, exactly like the packers).  The floor of 16 keeps the
+    per-bucket admission quantum no coarser than the fixed form's.
+    Different bucket counts admit different (equally budget-valid)
+    subsets — pin ``n_buckets`` when reproducibility across corpus
+    growth matters."""
+    if n_buckets is None:
+        target = (
+            (1 << 24)
+            if target_bucket_tokens is None
+            else int(target_bucket_tokens)
+        )
+        if target < 1:
+            raise ValueError("target_bucket_tokens must be >= 1")
+        total = (
+            df.agg(
+                F.sum(F.col(token_col).cast("long")).alias("_t")
+            ).collect()[0]["_t"]
+            or 0
+        )
+        n_buckets = max(16, (int(total) + target - 1) // target)
+    nb = int(n_buckets)
     h = _hash_hex(F.col(key_col))
-    per_bucket = budget / 16.0
+    per_bucket = budget / float(nb)
     w = (
         Window.partitionBy("_bucket")
         .orderBy("_h")
@@ -286,7 +314,13 @@ def token_budget_sample(
     )
     return (
         df.withColumn("_h", h)
-        .withColumn("_bucket", F.substring(F.col("_h"), 1, 1))
+        .withColumn(
+            "_bucket",
+            F.pmod(
+                F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"),
+                F.lit(nb),
+            ),
+        )
         .withColumn("_cum", F.sum(F.col(token_col)).over(w))
         .filter(F.col("_cum") <= per_bucket)
         .drop("_h", "_bucket", "_cum")

@@ -405,6 +405,32 @@ class TestSampling:
             r["k"] for r in again.collect()
         )
 
+    def test_token_budget_auto_buckets_twin(self, spark):
+        """r9: n_buckets=None derives max(16, ceil(total/target)) — the
+        auto form must equal pinning that count explicitly, the derived
+        count must exceed the 16 floor here, and the budget contract
+        must still hold."""
+        from ssis_to_dbt_spark.operators.sampling import token_budget_sample
+
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(1000)], "k int, n_tokens int"
+        )
+        total = 10_000
+        nb = max(16, (total + 299) // 300)  # target 300 -> 34 buckets
+        assert nb > 16
+        auto = token_budget_sample(
+            df, "n_tokens", budget=1600, key_col="k",
+            n_buckets=None, target_bucket_tokens=300,
+        )
+        pinned = token_budget_sample(
+            df, "n_tokens", budget=1600, key_col="k", n_buckets=nb
+        )
+        a = sorted(r["k"] for r in auto.collect())
+        assert a == sorted(r["k"] for r in pinned.collect())
+        assert 0 < len(a) and sum(
+            r["n_tokens"] for r in auto.collect()
+        ) <= 1600
+
 
 class TestWeightedSample:
     def test_deterministic_across_partitionings(self, spark):
