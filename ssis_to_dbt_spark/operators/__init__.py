@@ -53,6 +53,7 @@ from .incremental import (
 )
 from .script import pandas_scalar_udf, script_apply_grouped, script_map
 from .window import (
+    distributed_global_rank,
     moving_aggregate,
     ntile_buckets,
     offset_compare,
@@ -107,6 +108,7 @@ __all__ = [
     "scd2_rebuild", "scd2_snapshot", "merge_upsert", "scd2_point_in_time_join",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
+    "distributed_global_rank",
     "ranked", "offset_compare", "running_aggregate", "moving_aggregate",
     "ntile_buckets", "time_decay_score", "window_spec",
     "auto_skew_join", "detect_hot_keys", "salted_aggregate", "salted_join",

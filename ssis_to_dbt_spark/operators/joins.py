@@ -305,6 +305,7 @@ def sorted_neighborhood_pairs(
     sort_key,
     window: int = 3,
     max_distance: int | None = None,
+    rank_engine: str = "window",
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order records
     by a caller-chosen key expression and pair each record with its next
@@ -320,20 +321,33 @@ def sorted_neighborhood_pairs(
     equi-block: budget is exact and data-independent.  Optional Levenshtein
     refine keeps only pairs within ``max_distance``.
 
-    The single-partition ``row_number`` window is the documented scale
-    caveat shared with every global-rank op in the repo: at 100 TB replace
-    with ``zipWithIndex``-style range-partitioned ranking or sort within
-    coarse prefix partitions; the semantics here are the contract.
+    ``rank_engine``: ``"window"`` (default — the oracle-pinned
+    single-partition ``row_number``, fine to ~10^8 rows) or
+    ``"distributed"`` (r9 —
+    :func:`~ssis_to_dbt_spark.operators.window.distributed_global_rank`:
+    range-partitioned bucket-local ranking with model-sized offset
+    collection; EXACT same ranks, pytest-pinned value-identical — the
+    100 TB setting).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ranked = df.select(
+    staged = df.select(
         F.col(id_col), F.col(text_col), sort_key.alias("_snk")
-    ).withColumn(
-        "_rn",
-        F.row_number().over(Window.orderBy("_snk", id_col)),
     )
+    if rank_engine == "distributed":
+        from .window import distributed_global_rank
+
+        ranked = distributed_global_rank(staged, ["_snk", id_col], "_rn")
+    elif rank_engine == "window":
+        ranked = staged.withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy("_snk", id_col)),
+        )
+    else:
+        raise ValueError(
+            f"unknown rank_engine {rank_engine!r}; window or distributed"
+        )
     left = ranked.select(
         F.col("_rn"),
         F.col(id_col).alias("id_a"),

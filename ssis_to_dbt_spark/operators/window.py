@@ -340,3 +340,59 @@ def time_decay_score(
         F.count(F.lit(1)).cast("int").alias("n_events"),
         F.max(F.col(order_cols[0])).alias(f"last_{order_cols[0]}"),
     )
+
+
+def distributed_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank by ``order_cols`` WITHOUT a
+    single-partition window — the 100 TB replacement for
+    ``row_number().over(Window.orderBy(...))`` (which funnels the whole
+    relation through one task).
+
+    Shape: ``repartitionByRange`` on the order columns (Spark's
+    distributed sort partitioning — between-partition order is total when
+    the key is, and ties stay co-partitioned), ``localCheckpoint`` to pin
+    the partition layout, then rank = (sum of earlier partitions' sizes)
+    + bucket-local ``row_number``.  Partition sizes are a
+    ``num_partitions``-row collect (model-sized); the per-bucket window
+    sorts only its own range slice.  Output is EXACT and deterministic
+    for a total-order key — independent of the sampled range boundaries,
+    which only move rows between buckets, never change the global order.
+
+    ``order_cols`` must form a total order (append a unique id as the
+    last column — same contract as any deterministic ranking)."""
+    np_ = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(np_, *cols).localCheckpoint()
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_pid.withColumn(
+            rank_col,
+            (
+                off[F.col("_pid")].cast("long")
+                + F.row_number().over(w).cast("long")
+            ),
+        )
+        .drop("_pid")
+    )

@@ -1946,3 +1946,70 @@ class TestTimeDecayScore:
         # newest (1.0 -> 10000 units) << 3; the NULL row ranks but adds 0
         assert r["score_units"] == 10000 * (1 << 3)
         assert r["n_events"] == 2
+
+
+class TestDistributedGlobalRank:
+    """r9: the exact global rank without a single-partition window —
+    range-partitioned bucket-local ranking must reproduce the window
+    form bit-for-bit and carry no empty-frame Window in its plan."""
+
+    def test_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window
+
+        from ssis_to_dbt_spark.operators.window import (
+            distributed_global_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"k{(i * 37) % 97:02d}") for i in range(500)],
+            "id long, key string",
+        ).repartition(13)
+        want = {
+            (r["id"], r["key"]): r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("key", "id"))
+            ).collect()
+        }
+        got = {
+            (r["id"], r["key"]): r["_rn"]
+            for r in distributed_global_rank(
+                df, ["key", "id"], num_partitions=7
+            ).collect()
+        }
+        assert got == want
+
+    def test_sorted_neighborhood_engines_identical(self, spark):
+        from ssis_to_dbt_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"part name {(i * 13) % 41}") for i in range(200)],
+            "id long, name string",
+        )
+        key = F.substring("name", 1, 8)
+        a = sorted(map(tuple, sorted_neighborhood_pairs(
+            df, "id", "name", key, window=3
+        ).collect()))
+        b = sorted(map(tuple, sorted_neighborhood_pairs(
+            df, "id", "name", key, window=3, rank_engine="distributed"
+        ).collect()))
+        assert a == b and len(a) > 0
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="rank_engine"):
+            sorted_neighborhood_pairs(
+                df, "id", "name", key, rank_engine="rdd"
+            )
+
+    def test_distributed_plan_has_no_global_window(self, spark):
+        from ssis_to_dbt_spark.operators.window import (
+            distributed_global_rank,
+        )
+
+        df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+        out = distributed_global_rank(df, ["k", "id"], num_partitions=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the ranking window partitions by _pid — never an empty frame
+        assert "partitionBy" not in plan or "_pid" in plan
+        assert "SinglePartition" not in plan.split("Window")[-1][:400]
