@@ -14,8 +14,9 @@ pieces for but nothing previously proved end-to-end:
 3. **index append** — accepted docs' bands/signatures extend the index
    (on disk via
    :func:`~ssis_to_dbt_spark.text.dedup.append_corpus_dedup_index`, or
-   functionally via :meth:`IngestState.appended` for a one-plan run —
-   value-identical, pytest-pinned);
+   functionally inside :func:`ingest_batch` by filtering the batch's
+   already-derived sigs/bands to its acceptances — value-identical,
+   pytest-pinned);
 4. **merged DSIR refit** — the batch's ≤B-row fit-state delta merges
    into the stored state (:func:`dsir_merge_state`; bit-equal to a full
    refit on the concatenated corpus) and the accepted docs re-score
@@ -55,27 +56,17 @@ PACK_BUCKETS: int | None = None
 @dataclass
 class IngestState:
     """The persistent side of the loop: the dedup index (signatures +
-    capped band table) and the mergeable DSIR fit state."""
+    capped band table) and the mergeable DSIR fit state.  The functional
+    index append (in-memory deployments) happens inside
+    :func:`ingest_batch`, which filters the batch's ALREADY-DERIVED
+    sigs/bands to its acceptances; on-disk deployments append via
+    :func:`~ssis_to_dbt_spark.text.dedup.append_corpus_dedup_index`
+    instead (value-identical — pytest-pinned in
+    ``test_skew_bucketing.py``)."""
 
     sigs: DataFrame
     bands: DataFrame
     dsir_state: DataFrame
-
-    def appended(self, accepted: DataFrame) -> "IngestState":
-        """Functional index append: the accepted batch's per-doc
-        bands/signatures extend the index frames.  Per-doc derivations
-        are corpus-independent, so this is value-identical to
-        :func:`~ssis_to_dbt_spark.text.dedup.append_corpus_dedup_index`
-        on the stored bucketed tables (pytest-pinned in
-        ``test_skew_bucketing.py``)."""
-        from .text.dedup import corpus_dedup_index
-
-        sig_a, band_a = corpus_dedup_index(accepted)
-        return IngestState(
-            sigs=self.sigs.unionByName(sig_a),
-            bands=self.bands.unionByName(band_a),
-            dsir_state=self.dsir_state,
-        )
 
 
 @dataclass

@@ -296,3 +296,62 @@ class TestXxhashProductionTwinsValuePinned:
         want = [(vid, _round6(c)) for vid, c in scored[:10]]
         assert len(want) > 0
         assert got == want
+
+
+class TestXxh64Property:
+    """Hypothesis sweep: random unicode strings and random byte blobs
+    through Spark vs the Python spec twin — one createDataFrame per
+    example set keeps the job count bounded."""
+
+    def test_random_strings_and_bytes(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(
+            strs=st.lists(
+                st.text(min_size=0, max_size=120), min_size=1, max_size=12
+            ),
+            blobs=st.lists(
+                st.binary(min_size=0, max_size=200), min_size=1, max_size=8
+            ),
+        )
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[
+                      HealthCheck.function_scoped_fixture])
+        def inner(strs, blobs):
+            # Spark strings are UTF-8: surrogates can't round-trip
+            strs = [
+                s.encode("utf-8", "surrogatepass").decode(
+                    "utf-8", "replace"
+                )
+                for s in strs
+            ]
+            df = spark.createDataFrame(
+                [(i, s) for i, s in enumerate(strs)], "i int, s string"
+            )
+            got = {
+                r["i"]: (r["h"], r["hc"])
+                for r in df.select(
+                    "i",
+                    F.xxhash64("s").alias("h"),
+                    F.xxhash64(F.lit(3), F.col("s")).alias("hc"),
+                ).collect()
+            }
+            for i, s in enumerate(strs):
+                assert got[i] == (
+                    xxh64_string(s),
+                    spark_xxhash64(("int", 3), s),
+                ), repr(s)
+            bdf = spark.createDataFrame(
+                [(i, b) for i, b in enumerate(blobs)], "i int, b binary"
+            )
+            bgot = {
+                r["i"]: r["h"]
+                for r in bdf.select(
+                    "i", F.xxhash64("b").alias("h")
+                ).collect()
+            }
+            for i, b in enumerate(blobs):
+                assert bgot[i] == xxh64_bytes(b), b
+
+        inner()
