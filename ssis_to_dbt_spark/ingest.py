@@ -51,6 +51,13 @@ SEQ_TOKENS = 512
 # None = auto-size the packing stream count from the accepted batch's
 # token total (pack_sequences' r9 default-target derivation)
 PACK_BUCKETS: int | None = None
+# A gated batch at or below this many docs broadcasts its band/signature
+# tables against the corpus index (~4 band rows/doc — a few hundred MB as
+# a hash relation at the limit); above it — a BACKFILL batch — the probe
+# falls back to the bucket-local shuffle join, which against the stored
+# bucketed index still exchanges only the batch side.  Same measured-not-
+# assumed discipline as the curation drop seams.
+BATCH_BROADCAST_MAX_DOCS = 1_000_000
 
 
 @dataclass
@@ -114,6 +121,7 @@ def ingest_batch(
     seq_tokens: int = SEQ_TOKENS,
     pack_buckets: int | None = PACK_BUCKETS,
     checkpoint: bool = True,
+    batch_broadcast_max_docs: int = BATCH_BROADCAST_MAX_DOCS,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).
 
@@ -146,9 +154,15 @@ def ingest_batch(
     if checkpoint:
         bsigs = bsigs.localCheckpoint(eager=False)
         bbands = bbands.localCheckpoint(eager=False)
+    # size-aware probe: COUNT the gated batch (cheap — checkpointed) and
+    # broadcast its band tables only when measured small; a backfill
+    # batch takes the bucket-local shuffle join instead of pinning a
+    # broadcast the count just refuted
+    n_gated = gated.count()
     pairs = cross_corpus_candidates(
         gated, corpus_index=(state.sigs, state.bands),
         new_index=(bsigs, bbands),
+        broadcast_batch=(n_gated <= int(batch_broadcast_max_docs)),
     )
     # est_jaccard is matches/num_hashes with num_hashes=8 — exactly
     # representable, so the threshold compare and the *8 recovery of the

@@ -458,3 +458,22 @@ class TestCrawlIngestPersistedIndex:
         assert r.packed.count() == 0
         assert dsir_model_from_state(st.dsir_state, 256) == \
             dsir_model_from_state(r.state.dsir_state, 256)
+
+    def test_backfill_regime_value_identical(self, spark):
+        """Forcing the backfill regime (batch over the broadcast cap)
+        must keep reject/accept/score identical — the size-aware probe
+        only changes the plan, never the answer."""
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.sources.readers import testdata
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        st = seed_ingest_state(docs.filter(F.col("doc_id") % 5 >= 2))
+        b1 = docs.filter(F.col("doc_id") % 5 == 0)
+        small = ingest_batch(b1, st)
+        big = ingest_batch(b1, st, batch_broadcast_max_docs=0)
+        assert sorted(map(tuple, small.rejected.collect())) == sorted(
+            map(tuple, big.rejected.collect())
+        )
+        assert sorted(map(tuple, small.scored.collect())) == sorted(
+            map(tuple, big.scored.collect())
+        )
