@@ -1285,6 +1285,9 @@ def corpus_dedup_lines(
     )
 
 
+PRUNE_BROADCAST_MAX_IDS = 20_000_000
+
+
 def prune_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -1293,6 +1296,7 @@ def prune_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    broadcast_max_ids: int | None = None,
 ) -> DataFrame:
     """Near-dup PRUNING — the step after clustering: keep ONE representative
     per near-dup cluster (longest ``length_col`` wins, ties to the lowest
@@ -1303,18 +1307,35 @@ def prune_clusters(
     ``(id_col, cluster_id, cluster_size, kept)`` with ``cluster_id`` the
     component's min id (own id for singletons).
 
-    Scale shape: the component table is pair-derived (candidate docs only,
-    << corpus), so it and everything built from it broadcast; the
-    representative window runs over the small clustered subset only; and
-    the corpus itself is decided map-side under broadcast joins — never
-    re-shuffled and never window-scanned whole.  Reference analogue: the
-    dedup stage a migration of `dbt_project/models/staging/*.sql` dedup
-    CTEs would need at corpus scale.
+    Scale shape (r9: SIZE-AWARE, the curation-seam discipline): the
+    component table is pair-derived (candidate docs only — usually
+    << corpus), and its size is COUNTED, not assumed: at or below
+    ``broadcast_max_ids`` (default 20M) it and everything built from it
+    broadcast, the representative window runs over the small clustered
+    subset only, and the corpus is decided map-side.  On a 30-50%-dup
+    crawl — where the clustered set is corpus-scale and a pinned
+    broadcast would exceed the ceiling — the joins fall back to plain
+    shuffle joins on the id (both regimes value-identical,
+    pytest-pinned).  Reference analogue: the dedup stage a migration of
+    `dbt_project/models/staging/*.sql` dedup CTEs would need at corpus
+    scale.
     """
+    limit = (
+        PRUNE_BROADCAST_MAX_IDS
+        if broadcast_max_ids is None
+        else int(broadcast_max_ids)
+    )
     comp = connected_components(pairs, id_a, id_b, max_iter=max_iter)
+    # shuffle_hash hint in the large regime so neither the static planner
+    # nor AQE re-pins a broadcast the measured count just refuted
+    bc = (
+        F.broadcast
+        if comp.count() <= limit
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     members = df.select(id_col, length_col).join(
-        F.broadcast(comp), F.col(id_col) == F.col("node"), "inner"
+        bc(comp), F.col(id_col) == F.col("node"), "inner"
     )
     w = Window.partitionBy("label").orderBy(
         F.desc(length_col), F.asc(id_col)
@@ -1325,11 +1346,11 @@ def prune_clusters(
         .select("label", F.col(id_col).alias("_rep_id"))
     )
     lab = df.select(id_col).join(
-        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+        bc(comp.withColumnRenamed("node", id_col)), id_col, "left"
     )
     return (
-        lab.join(F.broadcast(sizes), "label", "left")
-        .join(F.broadcast(reps), "label", "left")
+        lab.join(bc(sizes), "label", "left")
+        .join(bc(reps), "label", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),

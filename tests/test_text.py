@@ -2670,3 +2670,32 @@ class TestCurationPipeline:
             for start, end in spans:
                 assert start == pos
                 pos = end
+
+
+class TestPruneClustersSizeAware:
+    """r9: prune_clusters measures the component table before pinning
+    broadcasts — the forced-large regime (threshold 0) must produce the
+    identical (cluster_id, cluster_size, kept) assignment with no
+    broadcast of the component table in its plan."""
+
+    def test_regimes_value_identical_and_plans_differ(self, spark):
+        from ssis_to_dbt_spark.text.dedup import (
+            minhash_candidates_md5,
+            prune_clusters,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text", "n_chars")
+        pairs = minhash_candidates_md5(
+            docs, num_hashes=8, bands=4
+        ).localCheckpoint()
+        small = prune_clusters(docs, pairs)
+        large = prune_clusters(docs, pairs, broadcast_max_ids=0)
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, large.collect())
+        )
+        p_small = small._jdf.queryExecution().executedPlan().toString()
+        p_large = large._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_small
+        assert "BroadcastHashJoin" not in p_large
