@@ -452,6 +452,13 @@ def write_stream_crawl_ingest(
         if table_prefix is not None:
             from .text.dedup import read_corpus_dedup_index
 
+            # each micro-batch runs on a CLONED session whose cached
+            # table file listings do NOT see appends made by earlier
+            # batches' clones — refresh before reading, or batch N would
+            # probe an index missing batch N-1's acceptances (caught by
+            # the e2e test; a silent under-dedup otherwise)
+            spark.catalog.refreshTable(f"{table_prefix}_bands")
+            spark.catalog.refreshTable(f"{table_prefix}_sigs")
             sigs, bands = read_corpus_dedup_index(spark, table_prefix)
             st = IngestState(
                 sigs=sigs, bands=bands, dsir_state=st.dsir_state

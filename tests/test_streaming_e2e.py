@@ -708,3 +708,78 @@ class TestStreamingCrawlIngest:
         assert sorted(pk_by[ids[1]]) == sorted(
             map(tuple, r2.packed.collect())
         )
+
+    def test_persisted_index_deployment(self, spark, tmp_path):
+        """The table_prefix deployment: the handler re-reads the bucketed
+        index tables each batch and appends acceptances on disk — outputs
+        must match the batch loop, and the stored band table must GROW by
+        each batch's accepted bands."""
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.streaming import write_stream_crawl_ingest
+        from ssis_to_dbt_spark.text import write_corpus_dedup_index
+
+        docs = self._docs(spark)
+        seed = docs.filter(F.col("doc_id") % 5 >= 2)
+        b1 = docs.filter(F.col("doc_id") % 5 == 0)
+        b2 = docs.filter(F.col("doc_id") % 5 == 1)
+
+        st0 = seed_ingest_state(seed)
+        r1 = ingest_batch(b1, st0)
+        r2 = ingest_batch(b2, r1.state)
+
+        try:
+            write_corpus_dedup_index(
+                seed, "sing_idx", str(tmp_path / "sing_idx"), num_buckets=4
+            )
+            n_seed_bands = spark.table("sing_idx_bands").count()
+            src = str(tmp_path / "s_src")
+            out = str(tmp_path / "s_out")
+            ckpt = str(tmp_path / "s_ckpt")
+            state = seed_ingest_state(seed)
+
+            def run(st):
+                stream = spark.readStream.schema(b1.schema).parquet(src)
+                q, box = write_stream_crawl_ingest(
+                    stream, st, out, ckpt,
+                    table_prefix="sing_idx", num_buckets=4,
+                )
+                q.awaitTermination(180)
+                return box["state"]
+
+            b1.write.mode("append").parquet(src)
+            state = run(state)
+            # the appends happen on micro-batch session clones — refresh
+            # the parent session's cached listing before counting (the
+            # handler does the same before each probe)
+            spark.catalog.refreshTable("sing_idx_bands")
+            n_after_1 = spark.table("sing_idx_bands").count()
+            assert n_after_1 > n_seed_bands  # batch 1's bands appended
+            b2.write.mode("append").parquet(src)
+            state = run(state)
+            spark.catalog.refreshTable("sing_idx_bands")
+            assert spark.table("sing_idx_bands").count() > n_after_1
+
+            acc = spark.read.parquet(f"{out}/accepted")
+            got = {}
+            for r in acc.collect():
+                got.setdefault(r["_batch_id"], set()).add(r["doc_id"])
+            ids = sorted(got)
+            assert got[ids[0]] == {
+                r["doc_id"] for r in r1.accepted.collect()
+            }
+            assert got[ids[1]] == {
+                r["doc_id"] for r in r2.accepted.collect()
+            }
+            sc = spark.read.parquet(f"{out}/scored")
+            by = {}
+            for r in sc.collect():
+                by.setdefault(r["_batch_id"], []).append(
+                    (r["doc_id"], r["n_feats"], r["weight_units"],
+                     r["gumbel_units"])
+                )
+            assert sorted(by[ids[1]]) == sorted(
+                map(tuple, r2.scored.collect())
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS sing_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS sing_idx_sigs")
