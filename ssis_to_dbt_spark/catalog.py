@@ -8131,10 +8131,12 @@ def q_curation_pipeline_docs(spark, sf_dir, checkpoint=True):
     Scale shape per seam (the 100 TB posture):
     - the Gopher gate is map-only (one ArrowEvalPython stage) and passes
       text/lang/n_chars through the kernel, so no corpus re-join exists;
-    - dedup prune drops via a BROADCAST anti-join on the (pair-derived,
-      tiny) not-kept set — the corpus is decided map-side;
-    - decontamination drops via a broadcast anti-join on the contaminated
-      id set (eval shingles broadcast inside decontaminate);
+    - dedup prune drops via the SIZE-AWARE anti-join seam (r9): the
+      not-kept id set is counted — broadcast when small (the corpus is
+      decided map-side), shuffled-hash when a dup-heavy crawl makes it
+      corpus-scale;
+    - decontamination drops via the same size-aware seam (eval shingles
+      broadcast inside decontaminate);
     - DSIR select joins the k-row winner set broadcast;
     - temperature mixture filters map-side under broadcast thresholds;
     - packing windows partition by hash bucket (no global sort).

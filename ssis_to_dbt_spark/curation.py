@@ -16,7 +16,10 @@ The reference's own end-to-end unit is the whole-package orchestrator run
 (``reference/src/agents/orchestrator.py:85-166``); this module is its
 curation-chain analogue on Spark.
 
-Stage semantics (each seam a broadcast join/anti-join — see SCALE.md):
+Stage semantics (drop seams are SIZE-AWARE as of r9 — broadcast
+anti-join when the measured drop set is small, shuffled-hash above the
+threshold; the DSIR-winner and mixture-threshold seams stay broadcast
+because their smallness is structural — see SCALE.md):
 Gopher gate -> minhash near-dup prune (keep-longest) -> decontaminate vs
 the held-out eval split of the ORIGINAL corpus -> DSIR Gumbel-top-k select
 -> temperature-flattened language mixture -> 512-token sequence packing.
