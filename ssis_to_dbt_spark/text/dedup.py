@@ -1381,13 +1381,30 @@ def corpus_dedup_index(
     bit-identical signature kernel."""
     if engine not in ("expr", "arrow"):
         raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
-    rows = num_hashes // bands
     sig_fn = (
         minhash_signatures_md5_arrow
         if engine == "arrow"
         else minhash_signatures_md5
     )
     sigs = sig_fn(df, text_col, num_hashes, shingle_n, id_col)
+    return sigs, _band_signature_table(
+        sigs, id_col, num_hashes, bands, max_bucket_size
+    )
+
+
+def _band_signature_table(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Band a ``(id, minhash)`` signature table into the capped
+    ``(id, band_idx, band_hash)`` index relation — banding is a pure
+    function of the SIGNATURES, which is what lets
+    :func:`compact_corpus_dedup_index` rebuild the band table from the
+    stored signatures without ever re-scanning corpus text."""
+    rows = num_hashes // bands
     banded = sigs.select(
         id_col,
         F.explode(
@@ -1404,7 +1421,7 @@ def corpus_dedup_index(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-    return sigs, _cap_band_members(
+    return _cap_band_members(
         banded, id_col, ["band_idx", "band_hash"], max_bucket_size
     )
 
@@ -1496,10 +1513,9 @@ def append_corpus_dedup_index(
     already on disk) and the cap still bounds each batch join's fan-out,
     because the probing side re-caps its own bands.  Operators should run
     :func:`corpus_dedup_index_band_audit` periodically (e.g. every N
-    appends) and, when it reports over-cap buckets, rebuild the index with
-    :func:`write_corpus_dedup_index` (a compaction — linear in corpus
-    signatures, no text re-scan needed if signatures are re-banded from
-    the stored ``{prefix}_sigs`` table)."""
+    appends) and, when it reports over-cap buckets, run
+    :func:`compact_corpus_dedup_index` — a signatures-only rebuild (no
+    text re-scan) that dedupes re-appends and restores the global cap."""
     sigs, banded = corpus_dedup_index(
         batch_df, id_col, text_col, num_hashes, bands, shingle_n,
         max_bucket_size,
@@ -1543,6 +1559,69 @@ def corpus_dedup_index_band_audit(
         .filter(F.col("n_members") > int(max_bucket_size))
         .orderBy(F.col("n_members").desc(), "band_idx", "band_hash")
     )
+
+
+def compact_corpus_dedup_index(
+    spark,
+    table_prefix: str,
+    path_prefix: str,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> None:
+    """Index COMPACTION — the action the
+    :func:`corpus_dedup_index_band_audit` signal calls for when lifetime
+    band membership outgrows the per-append cap: rebuild both index
+    tables FROM THE STORED SIGNATURES, never re-reading corpus text.
+
+    Banding is a pure function of the signatures
+    (:func:`_band_signature_table`), so the rebuild is: dedupe the
+    signature table on ``id_col`` (idempotence against accidental
+    re-appends; signatures are content-derived, so duplicates are exact),
+    re-band, apply the cap GLOBALLY (restoring the per-probe fan-out
+    bound the per-append cap lets erode), and rewrite both bucketed
+    tables via a staging-table swap.  Cost: linear in the signature
+    table (id + ``num_hashes`` longs — a small fraction of corpus
+    bytes); parameters must match the original
+    :func:`write_corpus_dedup_index` call."""
+    from ..sources.writers import write_bucketed
+
+    sigs = (
+        spark.table(f"{table_prefix}_sigs")
+        .dropDuplicates([id_col])
+        .localCheckpoint(eager=False)
+    )
+    banded = _band_signature_table(
+        sigs, id_col, num_hashes, bands, max_bucket_size
+    )
+    # stage under new paths, then swap the table definitions — readers
+    # mid-compaction keep the old files; a failed compaction leaves the
+    # live tables untouched
+    stage = f"{table_prefix}_compact_stage"
+    write_bucketed(
+        banded,
+        f"{stage}_bands",
+        f"{path_prefix}_bands_compact",
+        ["band_idx", "band_hash"],
+        num_buckets=num_buckets,
+        sort_cols=["band_idx", "band_hash"],
+    )
+    write_bucketed(
+        sigs,
+        f"{stage}_sigs",
+        f"{path_prefix}_sigs_compact",
+        [id_col],
+        num_buckets=num_buckets,
+        sort_cols=[id_col],
+    )
+    for suffix in ("bands", "sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{suffix}")
+        spark.sql(
+            f"ALTER TABLE {stage}_{suffix} "
+            f"RENAME TO {table_prefix}_{suffix}"
+        )
 
 
 def cross_corpus_candidates(

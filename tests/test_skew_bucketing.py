@@ -477,3 +477,80 @@ class TestCrawlIngestPersistedIndex:
         assert sorted(map(tuple, small.scored.collect())) == sorted(
             map(tuple, big.scored.collect())
         )
+
+
+class TestCompactCorpusDedupIndex:
+    """r9: the compaction the band audit's signal calls for — rebuild
+    both index tables from STORED SIGNATURES (no text re-scan), dedupe
+    accidental re-appends, restore the global band cap, and swap
+    atomically.  The compacted index must give the identical candidate
+    pairs as a fresh rebuild from text."""
+
+    def test_compact_dedupes_recaps_and_preserves_semantics(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import (
+            append_corpus_dedup_index,
+            cross_corpus_candidates,
+            read_corpus_dedup_index,
+            write_corpus_dedup_index,
+        )
+        from ssis_to_dbt_spark.text.dedup import (
+            compact_corpus_dedup_index,
+            corpus_dedup_index_band_audit,
+        )
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        try:
+            write_corpus_dedup_index(
+                corpus, "cmp_idx", str(tmp_path / "cmp_idx"), num_buckets=4
+            )
+            n0 = spark.table("cmp_idx_sigs").count()
+            # accidental double-append of the same accepted slice
+            extra = corpus.filter(F.col("doc_id") % 7 == 0)
+            append_corpus_dedup_index(
+                extra.select("doc_id", "text"), "cmp_idx", num_buckets=4
+            )
+            append_corpus_dedup_index(
+                extra.select("doc_id", "text"), "cmp_idx", num_buckets=4
+            )
+            spark.catalog.refreshTable("cmp_idx_sigs")
+            assert spark.table("cmp_idx_sigs").count() > n0
+            # duplicated membership shows up as over-cap at cap=1
+            assert (
+                corpus_dedup_index_band_audit(spark, "cmp_idx", 1).count()
+                > 0
+            )
+            compact_corpus_dedup_index(
+                spark, "cmp_idx", str(tmp_path / "cmp_idx"), num_buckets=4
+            )
+            # dedup restored: exactly one signature row per doc
+            assert spark.table("cmp_idx_sigs").count() == n0
+            sigs = spark.table("cmp_idx_sigs")
+            assert sigs.select("doc_id").distinct().count() == n0
+            # candidate semantics identical to a fresh from-text rebuild
+            idx = read_corpus_dedup_index(spark, "cmp_idx")
+            via_compact = cross_corpus_candidates(batch, corpus_index=idx)
+            via_text = cross_corpus_candidates(batch, corpus)
+            assert sorted(map(tuple, via_compact.collect())) == sorted(
+                map(tuple, via_text.collect())
+            )
+            # the bucketed layout survived the swap (bucket-pruned scans)
+            plan = (
+                cross_corpus_candidates(
+                    batch, corpus_index=idx, broadcast_batch=False
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "SelectedBucketsCount" in plan
+        finally:
+            for t in (
+                "cmp_idx_bands", "cmp_idx_sigs",
+                "cmp_idx_compact_stage_bands", "cmp_idx_compact_stage_sigs",
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
