@@ -411,6 +411,50 @@ def streaming_funnel(
     )
 
 
+def load_dsir_state(spark, dsir_state_path: str):
+    """Load the LATEST persisted DSIR fit state written by
+    :func:`write_stream_crawl_ingest`'s ``dsir_state_path`` option —
+    versioned subdirs ``v{batch_id}``, highest batch wins (a replayed
+    batch overwrites its own version idempotently, so a crash between
+    the state write and the checkpoint commit cannot fork the state).
+    Returns ``None`` when no version exists yet (fresh deployment)."""
+    import os
+
+    if not os.path.isdir(dsir_state_path):
+        return None
+    versions = [
+        int(d[1:])
+        for d in os.listdir(dsir_state_path)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    if not versions:
+        return None
+    return spark.read.parquet(f"{dsir_state_path}/v{max(versions)}")
+
+
+def resume_ingest_state(
+    spark, table_prefix: str, dsir_state_path: str
+):
+    """Rebuild the full :class:`~ssis_to_dbt_spark.ingest.IngestState`
+    after a restart: index from the persisted bucketed tables, DSIR
+    state from its latest on-disk version — nothing from memory, so a
+    killed streaming job resumes exactly (pytest-pinned: a restarted
+    sink's batch results equal the continuous run's)."""
+    from .ingest import IngestState
+    from .text.dedup import read_corpus_dedup_index
+
+    spark.catalog.refreshTable(f"{table_prefix}_bands")
+    spark.catalog.refreshTable(f"{table_prefix}_sigs")
+    sigs, bands = read_corpus_dedup_index(spark, table_prefix)
+    st = load_dsir_state(spark, dsir_state_path)
+    if st is None:
+        raise ValueError(
+            f"no persisted DSIR state under {dsir_state_path!r} — seed "
+            "the loop with seed_ingest_state first"
+        )
+    return IngestState(sigs=sigs, bands=bands, dsir_state=st)
+
+
 def write_stream_crawl_ingest(
     stream_df: DataFrame,
     state,
@@ -419,6 +463,7 @@ def write_stream_crawl_ingest(
     dup_threshold: float | None = None,
     table_prefix: str | None = None,
     num_buckets: int = 64,
+    dsir_state_path: str | None = None,
 ):
     """r9: the continuous-crawl ingest loop as a ``foreachBatch`` sink —
     the streaming deployment of :func:`ssis_to_dbt_spark.ingest
@@ -437,6 +482,14 @@ def write_stream_crawl_ingest(
     index lives on disk; only the DSIR state, ≤buckets rows, rides the
     in-memory loop state).  Without it the index evolves functionally in
     ``state`` — the small-deployment/test shape.
+
+    ``dsir_state_path`` (r9) persists the merged DSIR state after each
+    batch as a versioned ``v{batch_id}`` parquet (≤buckets rows) — with
+    ``table_prefix`` this makes the loop fully RESTARTABLE: after a
+    crash, :func:`resume_ingest_state` rebuilds the entire state from
+    disk and the checkpoint skips completed batches (restart-equals-
+    continuous pytest-pinned).  A replayed batch overwrites its own
+    version, so the state never forks.
 
     Returns ``(query, state_box)``; ``state_box["state"]`` holds the
     latest :class:`~ssis_to_dbt_spark.ingest.IngestState` after the run.
@@ -464,6 +517,10 @@ def write_stream_crawl_ingest(
                 sigs=sigs, bands=bands, dsir_state=st.dsir_state
             )
         r = ingest_batch(batch_df, st, dup_threshold=thr)
+        if dsir_state_path is not None:
+            r.state.dsir_state.write.mode("overwrite").parquet(
+                f"{dsir_state_path}/v{int(batch_id)}"
+            )
         tag = F.lit(int(batch_id)).alias("_batch_id")
         r.accepted.select("*", tag).write.mode("append").parquet(
             f"{out_dir}/accepted"

@@ -783,3 +783,75 @@ class TestStreamingCrawlIngest:
         finally:
             spark.sql("DROP TABLE IF EXISTS sing_idx_bands")
             spark.sql("DROP TABLE IF EXISTS sing_idx_sigs")
+
+    def test_restart_resumes_from_disk(self, spark, tmp_path):
+        """Full restart durability: batch 1 runs with the persisted index
+        AND the versioned DSIR state path; the driver process 'dies'
+        (state box discarded); resume_ingest_state rebuilds everything
+        from disk and batch 2's outputs must equal the continuous run."""
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.streaming import (
+            resume_ingest_state,
+            write_stream_crawl_ingest,
+        )
+        from ssis_to_dbt_spark.text import write_corpus_dedup_index
+
+        docs = self._docs(spark)
+        seed = docs.filter(F.col("doc_id") % 5 >= 2)
+        b1 = docs.filter(F.col("doc_id") % 5 == 0)
+        b2 = docs.filter(F.col("doc_id") % 5 == 1)
+
+        st0 = seed_ingest_state(seed)
+        r1 = ingest_batch(b1, st0)
+        r2 = ingest_batch(b2, r1.state)
+
+        try:
+            write_corpus_dedup_index(
+                seed, "res_idx", str(tmp_path / "res_idx"), num_buckets=4
+            )
+            src = str(tmp_path / "r_src")
+            out = str(tmp_path / "r_out")
+            ckpt = str(tmp_path / "r_ckpt")
+            spath = str(tmp_path / "r_state")
+            # seed the state path with version v-1-equivalent: write the
+            # seed fit state as v0 surrogate? No — run batch 1 with the
+            # live seed state; its merged state lands as v0.
+            b1.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(b1.schema).parquet(src)
+            q, box = write_stream_crawl_ingest(
+                stream, seed_ingest_state(seed), out, ckpt,
+                table_prefix="res_idx", num_buckets=4,
+                dsir_state_path=spath,
+            )
+            q.awaitTermination(180)
+            del box  # the process dies; nothing survives but disk
+
+            # restart: state entirely from disk
+            resumed = resume_ingest_state(spark, "res_idx", spath)
+            b2.write.mode("append").parquet(src)
+            stream2 = spark.readStream.schema(b1.schema).parquet(src)
+            q2, _ = write_stream_crawl_ingest(
+                stream2, resumed, out, ckpt,
+                table_prefix="res_idx", num_buckets=4,
+                dsir_state_path=spath,
+            )
+            q2.awaitTermination(180)
+
+            sc = spark.read.parquet(f"{out}/scored")
+            by = {}
+            for r in sc.collect():
+                by.setdefault(r["_batch_id"], []).append(
+                    (r["doc_id"], r["n_feats"], r["weight_units"],
+                     r["gumbel_units"])
+                )
+            ids = sorted(by)
+            assert len(ids) == 2
+            assert sorted(by[ids[0]]) == sorted(
+                map(tuple, r1.scored.collect())
+            )
+            assert sorted(by[ids[1]]) == sorted(
+                map(tuple, r2.scored.collect())
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS res_idx_bands")
+            spark.sql("DROP TABLE IF EXISTS res_idx_sigs")
