@@ -8490,6 +8490,10 @@ def _crawl_ingest_sql() -> str:
        CAST(cum - n_tok AS BIGINT), CAST(CAST(cum AS BIGINT) AS VARCHAR)
 FROM {prefix}pc CROSS JOIN {prefix}nb"""
 
+    # _minhash_md5_ctes also defines a within-corpus `pairs` CTE this
+    # oracle never references — non-MATERIALIZED CTEs are lazy in DuckDB,
+    # so it is never evaluated; reusing the shared builder verbatim beats
+    # forking a pairs-free variant that could drift.
     return f"""
 WITH gq AS MATERIALIZED (
   SELECT doc_id FROM ({SQL_GOPHER_QUALITY}) g WHERE g.gopher_pass),

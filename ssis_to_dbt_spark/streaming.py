@@ -417,7 +417,11 @@ def load_dsir_state(spark, dsir_state_path: str):
     versioned subdirs ``v{batch_id}``, highest batch wins (a replayed
     batch overwrites its own version idempotently, so a crash between
     the state write and the checkpoint commit cannot fork the state).
-    Returns ``None`` when no version exists yet (fresh deployment)."""
+    Returns ``None`` when no version exists yet (fresh deployment).
+
+    Local-filesystem listing (``os.listdir``) — a cloud deployment
+    (S3/HDFS state path) should swap this for the Hadoop FileSystem
+    listing; the version-directory contract is storage-agnostic."""
     import os
 
     if not os.path.isdir(dsir_state_path):
