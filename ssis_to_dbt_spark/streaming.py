@@ -468,6 +468,7 @@ def write_stream_crawl_ingest(
     table_prefix: str | None = None,
     num_buckets: int = 64,
     dsir_state_path: str | None = None,
+    dsir_state_keep_versions: int = 3,
 ):
     """r9: the continuous-crawl ingest loop as a ``foreachBatch`` sink —
     the streaming deployment of :func:`ssis_to_dbt_spark.ingest
@@ -522,9 +523,25 @@ def write_stream_crawl_ingest(
             )
         r = ingest_batch(batch_df, st, dup_threshold=thr)
         if dsir_state_path is not None:
+            import os
+            import shutil
+
             r.state.dsir_state.write.mode("overwrite").parquet(
                 f"{dsir_state_path}/v{int(batch_id)}"
             )
+            # retention: each version is tiny (≤buckets rows) but a
+            # long-lived loop writes one per batch — keep the newest K
+            # (older versions only matter for forensic replay, which the
+            # checkpoint + index tables already cover)
+            versions = sorted(
+                int(d[1:])
+                for d in os.listdir(dsir_state_path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            for v in versions[:-max(1, int(dsir_state_keep_versions))]:
+                shutil.rmtree(
+                    f"{dsir_state_path}/v{v}", ignore_errors=True
+                )
         tag = F.lit(int(batch_id)).alias("_batch_id")
         r.accepted.select("*", tag).write.mode("append").parquet(
             f"{out_dir}/accepted"

@@ -855,3 +855,40 @@ class TestStreamingCrawlIngest:
         finally:
             spark.sql("DROP TABLE IF EXISTS res_idx_bands")
             spark.sql("DROP TABLE IF EXISTS res_idx_sigs")
+
+    def test_state_version_retention(self, spark, tmp_path):
+        """Only the newest K state versions survive; the latest is always
+        loadable."""
+        import os
+
+        from ssis_to_dbt_spark.ingest import seed_ingest_state
+        from ssis_to_dbt_spark.streaming import (
+            load_dsir_state,
+            write_stream_crawl_ingest,
+        )
+        from ssis_to_dbt_spark.text.analysis import dsir_model_from_state
+
+        docs = self._docs(spark)
+        seed = docs.filter(F.col("doc_id") % 5 >= 2)
+        src = str(tmp_path / "v_src")
+        out = str(tmp_path / "v_out")
+        ckpt = str(tmp_path / "v_ckpt")
+        spath = str(tmp_path / "v_state")
+        state = seed_ingest_state(seed)
+        for m in (0, 1, 2):  # three single-file arrivals = three batches
+            docs.filter(F.col("doc_id") % 15 == m).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(docs.schema).parquet(src)
+            q, box = write_stream_crawl_ingest(
+                stream, state, out, ckpt,
+                dsir_state_path=spath, dsir_state_keep_versions=2,
+            )
+            q.awaitTermination(180)
+            state = box["state"]
+        vs = sorted(os.listdir(spath))
+        assert vs == ["v1", "v2"]  # v0 retired, newest 2 kept
+        # the loadable latest equals the in-memory final state
+        assert dsir_model_from_state(
+            load_dsir_state(spark, spath), 256
+        ) == dsir_model_from_state(state.dsir_state, 256)
