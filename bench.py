@@ -186,19 +186,19 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     core20 = round(sum(times[n] for n in CORE20), 3)
-    # TWO lines, headline first: the compact line carries every
-    # verdict-relevant number so a tail-capture that truncates the long
-    # per-query line still yields a parseable record (BENCH_r08 lost its
-    # head to exactly that).  Both lines are self-contained JSON.
+    # TWO lines, headline LAST: the capture keeps the TAIL of stdout, so
+    # the compact line (every verdict-relevant number, guaranteed short)
+    # must be the final line — BENCH_r09 lost a head-first headline to
+    # exactly that truncation.  Both lines are self-contained JSON.
     print(json.dumps(
         {"metric": "total_wall_sec", "value": total, "unit": "sec",
-         "core20_wall_sec": core20, "n_queries": len(times),
+         "queries": times, "core20_wall_sec": core20,
          "regressions": regressions, "sf": sf},
         separators=(",", ":"),
     ))
     print(json.dumps(
         {"metric": "total_wall_sec", "value": total, "unit": "sec",
-         "queries": times, "core20_wall_sec": core20,
+         "core20_wall_sec": core20, "n_queries": len(times),
          "regressions": regressions, "sf": sf},
         separators=(",", ":"),
     ))

@@ -1941,7 +1941,7 @@ WITH t AS (
 c AS (
   SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
          SUM(n_tokens) OVER (
-             PARTITION BY CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16
+             PARTITION BY CAST('0x' || substr(h, 1, 15) AS BIGINT) % 16
              ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
   FROM t)
 SELECT doc_id, n_tokens FROM c WHERE cum <= 8000 / 16.0
@@ -6174,7 +6174,7 @@ def _pack_ctes(src: str, p: str = "", target: int | None = None) -> str:
 {nb_cte}
 {p}pb AS (
   SELECT doc_id, n_tok, h,
-         CAST('0x' || substr(h, 1, 2) AS BIGINT) % {p}nb.nb AS bucket
+         CAST('0x' || substr(h, 1, 15) AS BIGINT) % {p}nb.nb AS bucket
   FROM {p}pt CROSS JOIN {p}nb),
 {p}pc AS (
   SELECT doc_id, n_tok, bucket,
@@ -6247,7 +6247,7 @@ nbq AS (
   FROM pt),
 pb AS (
   SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, h,
-         CAST('0x' || substr(h, 1, 2) AS BIGINT) % nbq.nb AS bucket
+         CAST('0x' || substr(h, 1, 15) AS BIGINT) % nbq.nb AS bucket
   FROM pt CROSS JOIN nbq),
 po AS (
   SELECT *, row_number() OVER (PARTITION BY bucket

@@ -1,0 +1,58 @@
+"""Storage-agnostic filesystem helpers over the Hadoop FileSystem API.
+
+Driver-side state management (versioned DSIR state dirs, compaction
+staging paths) previously used ``os.listdir``/``shutil`` — correct on
+``file://`` but broken the moment a deployment points the state path at
+HDFS or S3A.  These helpers resolve the FileSystem FOR the given path
+(``Path.getFileSystem`` — scheme-dispatch, so ``file://``, ``hdfs://``
+and ``s3a://`` all work) and expose the handful of operations the
+engine needs.  All calls are driver-side metadata operations on
+model-sized state (≤ a few directories), never data-path I/O.
+
+Reference analog: the reference's run-state persistence
+(``reference/src/agents/orchestrator.py:85-166`` keeps retry/validation
+state across steps); here the same durability contract must hold on
+cloud storage.
+"""
+
+from __future__ import annotations
+
+
+def _fs_and_path(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def list_dir(spark, path: str) -> list[str]:
+    """Child NAMES (not full paths) of ``path``; [] if it doesn't exist."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(jpath)]
+
+
+def exists(spark, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def delete(spark, path: str) -> bool:
+    """Recursive delete; False if the path didn't exist."""
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.delete(jpath, True))
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    """Atomic-on-HDFS rename (file:// is atomic too; S3A is a copy —
+    callers needing atomicity on object stores should layer a version
+    pointer instead, which is exactly what the v{batch_id} state
+    contract does)."""
+    fs, jsrc = _fs_and_path(spark, src)
+    return bool(fs.rename(jsrc, _fs_and_path(spark, dst)[1]))
+
+
+def mkdirs(spark, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.mkdirs(jpath))

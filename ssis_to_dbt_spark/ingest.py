@@ -84,6 +84,12 @@ class IngestResult:
     scored: DataFrame     # DSIR under the MERGED refit (map-only)
     packed: DataFrame     # (doc_id, seq_id, start_tok, end_tok)
     state: IngestState    # index with accepted appended + merged state
+    # the accepted docs' ALREADY-DERIVED (sigs, bands) — what the
+    # functional state append used; on-disk deployments pass these to
+    # append_corpus_dedup_index(new_index=...) so the streaming sink
+    # runs ONE minhash pass per batch, not two
+    accepted_sigs: DataFrame | None = None
+    accepted_bands: DataFrame | None = None
 
 
 def seed_ingest_state(
@@ -198,13 +204,11 @@ def ingest_batch(
     # superset cap is equally valid; the persisted-index twin test pins
     # value-equality with the re-derive-from-accepted form at fixture
     # scale).
+    acc_sigs = drop_seam_anti_join(bsigs, rej_ids, "doc_id")
+    acc_bands = drop_seam_anti_join(bbands, rej_ids, "doc_id")
     new_state = IngestState(
-        sigs=state.sigs.unionByName(
-            drop_seam_anti_join(bsigs, rej_ids, "doc_id")
-        ),
-        bands=state.bands.unionByName(
-            drop_seam_anti_join(bbands, rej_ids, "doc_id")
-        ),
+        sigs=state.sigs.unionByName(acc_sigs),
+        bands=state.bands.unionByName(acc_bands),
         dsir_state=merged,
     )
     return IngestResult(
@@ -214,4 +218,6 @@ def ingest_batch(
         scored=scored,
         packed=packed,
         state=new_state,
+        accepted_sigs=acc_sigs,
+        accepted_bands=acc_bands,
     )

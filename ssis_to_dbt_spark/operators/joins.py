@@ -305,7 +305,8 @@ def sorted_neighborhood_pairs(
     sort_key,
     window: int = 3,
     max_distance: int | None = None,
-    rank_engine: str = "window",
+    rank_engine: str = "auto",
+    auto_rank_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order records
     by a caller-chosen key expression and pair each record with its next
@@ -321,13 +322,17 @@ def sorted_neighborhood_pairs(
     equi-block: budget is exact and data-independent.  Optional Levenshtein
     refine keeps only pairs within ``max_distance``.
 
-    ``rank_engine``: ``"window"`` (default — the oracle-pinned
-    single-partition ``row_number``, fine to ~10^8 rows) or
-    ``"distributed"`` (r9 —
+    ``rank_engine``: ``"auto"`` (r10 default — MEASURE the row count and
+    pick the engine, the same measured-not-assumed seam discipline as
+    ``drop_seam_anti_join``: at or below ``auto_rank_threshold`` rows
+    the single-partition ``row_number`` window, above it the
+    distributed rank), ``"window"`` (the oracle-pinned single-partition
+    ``row_number``, fine to ~10^8 rows), or ``"distributed"`` (r9 —
     :func:`~ssis_to_dbt_spark.operators.window.distributed_global_rank`:
     range-partitioned bucket-local ranking with model-sized offset
     collection; EXACT same ranks, pytest-pinned value-identical — the
-    100 TB setting).
+    100 TB setting).  Both engines produce identical ranks, so auto's
+    regime switch never changes the answer — only the plan.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -335,6 +340,14 @@ def sorted_neighborhood_pairs(
     staged = df.select(
         F.col(id_col), F.col(text_col), sort_key.alias("_snk")
     )
+    if rank_engine == "auto":
+        # one cheap count (column-pruned scan) decides the regime —
+        # like every other r9/r10 seam, measured rather than assumed
+        rank_engine = (
+            "window"
+            if staged.count() <= int(auto_rank_threshold)
+            else "distributed"
+        )
     if rank_engine == "distributed":
         from .window import distributed_global_rank
 

@@ -15,8 +15,9 @@ string comparison is portable across engines (no hex→int builtin needed).
 - ``stratified_sample``: per-stratum fractions on the 4-hex-char
   (65536-bucket) prefix.
 - ``token_budget_sample``: deterministic subset whose token counts fill a
-  budget.  The scale-safe shape: the first hex char splits rows into 16
-  buckets, each bucket gets budget/16 and runs its own cumulative-sum window
+  budget.  The scale-safe shape: a 60-bit md5 slice splits rows into
+  ``n_buckets`` buckets (auto-sized from the corpus token total), each
+  bucket gets budget/n and runs its own cumulative-sum window
   — windows partition by bucket, so no single-partition global sort exists at
   any data size (a global ``ORDER BY hash`` cumsum would serialize 100 TB
   through one task).
@@ -316,8 +317,12 @@ def token_budget_sample(
         df.withColumn("_h", h)
         .withColumn(
             "_bucket",
+            # 15-hex-char (60-bit) slice, NOT a 2-char one: auto-sizing
+            # targets corpora where n_buckets >> 256, and a byte-wide
+            # bucket id would leave every bucket >= 256 empty — silently
+            # admitting only ~256/nb of the budget (r9 ADVICE, high)
             F.pmod(
-                F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"),
+                F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"),
                 F.lit(nb),
             ),
         )

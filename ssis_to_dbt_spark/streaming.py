@@ -307,6 +307,16 @@ def write_stream_apply_changes(
     The batch is applied against the CURRENT target (read inside the batch
     function), so sequential micro-batches compose: batch N sees the state
     batch N-1 committed.
+
+    LOCAL-FILESYSTEM sink: the two-rename swap uses driver-local
+    ``os.rename``, so ``target_path`` must be a local path (an S3/HDFS
+    target needs a rename-capable FileSystem layer or a table format
+    with a commit protocol — that is what the Delta analog buys).  The
+    two renames are not jointly atomic; a crash between them leaves no
+    target directory, so ``_apply`` SELF-HEALS on entry: a leftover
+    ``__cdc_old`` with no live target is renamed back before applying
+    (the stale backup with a live target — crash before cleanup — is
+    simply removed).
     """
     import os
     import shutil
@@ -315,12 +325,22 @@ def write_stream_apply_changes(
         from .operators.cdc import apply_changes
 
         spark = batch_df.sparkSession
+        staging = target_path.rstrip("/") + "__cdc_staging"
+        backup = target_path.rstrip("/") + "__cdc_old"
+        # self-heal a mid-swap crash from a previous run: target gone but
+        # backup present -> restore the backup (the replayed batch then
+        # re-applies onto the pre-swap state, which is idempotent)
+        if os.path.isdir(backup):
+            if not os.path.isdir(target_path):
+                os.rename(backup, target_path)
+            else:  # crash after both renames, before backup cleanup
+                shutil.rmtree(backup)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)  # incomplete staging from a crash
         target = spark.read.parquet(target_path)
         # apply_changes unions the payload columns of the target schema
         merged = apply_changes(target, batch_df, keys, seq_col, op_col)
-        staging = target_path.rstrip("/") + "__cdc_staging"
         merged.write.mode("overwrite").parquet(staging)
-        backup = target_path.rstrip("/") + "__cdc_old"
         os.rename(target_path, backup)
         os.rename(staging, target_path)
         shutil.rmtree(backup)
@@ -411,29 +431,40 @@ def streaming_funnel(
     )
 
 
-def load_dsir_state(spark, dsir_state_path: str):
-    """Load the LATEST persisted DSIR fit state written by
-    :func:`write_stream_crawl_ingest`'s ``dsir_state_path`` option —
-    versioned subdirs ``v{batch_id}``, highest batch wins (a replayed
-    batch overwrites its own version idempotently, so a crash between
-    the state write and the checkpoint commit cannot fork the state).
-    Returns ``None`` when no version exists yet (fresh deployment).
+def _dsir_versions(spark, dsir_state_path: str) -> list[int]:
+    from . import fs as _fs
 
-    Local-filesystem listing (``os.listdir``) — a cloud deployment
-    (S3/HDFS state path) should swap this for the Hadoop FileSystem
-    listing; the version-directory contract is storage-agnostic."""
-    import os
-
-    if not os.path.isdir(dsir_state_path):
-        return None
-    versions = [
+    return sorted(
         int(d[1:])
-        for d in os.listdir(dsir_state_path)
+        for d in _fs.list_dir(spark, dsir_state_path)
         if d.startswith("v") and d[1:].isdigit()
-    ]
-    if not versions:
-        return None
-    return spark.read.parquet(f"{dsir_state_path}/v{max(versions)}")
+    )
+
+
+def load_dsir_state(spark, dsir_state_path: str, below: int | None = None):
+    """Load a persisted DSIR fit state written by
+    :func:`write_stream_crawl_ingest`'s ``dsir_state_path`` option —
+    versioned subdirs ``v{batch_id}`` plus a ``seed`` dir written once
+    at deployment start.  Default: the highest version (falling back to
+    the seed).  ``below=N`` loads the newest version STRICTLY below N,
+    else the seed — the replay-idempotent base for micro-batch N: even
+    when a crashed attempt already wrote ``v{N}``, the replay merges
+    the batch delta into the same pre-batch base, never double-counting
+    it (r9 ADVICE, high).  Returns ``None`` when neither a matching
+    version nor a seed exists.
+
+    r10: listing goes through the Hadoop FileSystem API (``fs.py``), so
+    ``file://``, HDFS and S3A state paths all work."""
+    from . import fs as _fs
+
+    versions = _dsir_versions(spark, dsir_state_path)
+    if below is not None:
+        versions = [v for v in versions if v < int(below)]
+    if versions:
+        return spark.read.parquet(f"{dsir_state_path}/v{max(versions)}")
+    if _fs.exists(spark, f"{dsir_state_path}/seed"):
+        return spark.read.parquet(f"{dsir_state_path}/seed")
+    return None
 
 
 def resume_ingest_state(
@@ -456,6 +487,10 @@ def resume_ingest_state(
             f"no persisted DSIR state under {dsir_state_path!r} — seed "
             "the loop with seed_ingest_state first"
         )
+    # the handler re-derives its per-batch base from disk anyway (newest
+    # version strictly below the batch id), so a latest version written
+    # by a crashed-but-uncommitted batch cannot leak into the resumed
+    # loop's computation — this frame is only the pre-loop placeholder
     return IngestState(sigs=sigs, bands=bands, dsir_state=st)
 
 
@@ -469,6 +504,10 @@ def write_stream_crawl_ingest(
     num_buckets: int = 64,
     dsir_state_path: str | None = None,
     dsir_state_keep_versions: int = 3,
+    audit_every: int | None = None,
+    audit_max_bucket_size: int = 10_000,
+    compact_path_prefix: str | None = None,
+    state_checkpoint_every: int = 8,
 ):
     """r9: the continuous-crawl ingest loop as a ``foreachBatch`` sink —
     the streaming deployment of :func:`ssis_to_dbt_spark.ingest
@@ -493,22 +532,73 @@ def write_stream_crawl_ingest(
     ``table_prefix`` this makes the loop fully RESTARTABLE: after a
     crash, :func:`resume_ingest_state` rebuilds the entire state from
     disk and the checkpoint skips completed batches (restart-equals-
-    continuous pytest-pinned).  A replayed batch overwrites its own
-    version, so the state never forks.
+    continuous pytest-pinned).
+
+    r10 — the whole handler is REPLAY-IDEMPOTENT (foreachBatch is
+    at-least-once; a crash between the handler's side effects and the
+    checkpoint commit replays the batch):
+
+    - the DSIR base for batch N is the newest persisted version
+      STRICTLY below N (else the seed, written once under
+      ``{dsir_state_path}/seed``) — never the in-memory latest, so a
+      replayed batch merges its delta into the same pre-batch base
+      instead of double-counting it;
+    - accepted/scored/packed land as per-batch ``batch_id=N``
+      subdirectory OVERWRITES (partition discovery exposes ``batch_id``
+      on read) — a replay rewrites its own output, never appends twice;
+    - index rows are tagged ``_ib = N``: the probe filters out rows
+      tagged N (a crashed attempt's own appends can't self-reject the
+      replay) and the append skips per table when tag-N rows exist.
+
+    ``audit_every`` (r10) wires index hygiene into the loop: at the
+    START of every ``audit_every``-th batch (and before its probe) the
+    band audit runs over batches `< N`; when any bucket exceeds
+    ``audit_max_bucket_size``, :func:`compact_corpus_dedup_index`
+    rebuilds the index from stored signatures (staging at
+    ``compact_path_prefix`` — required with ``audit_every``), passing
+    tag-``>= N`` rows through verbatim so a replayed batch reaches the
+    identical post-compaction index.
+
+    ``state_checkpoint_every`` bounds the IN-MEMORY deployment's plan
+    depth: without ``table_prefix`` the functional state unions one
+    batch delta per batch, so every K batches the sigs/bands lineage is
+    truncated with a lazy ``localCheckpoint`` (the on-disk deployment
+    needs none — its state lives in the bucketed tables).
 
     Returns ``(query, state_box)``; ``state_box["state"]`` holds the
     latest :class:`~ssis_to_dbt_spark.ingest.IngestState` after the run.
     """
+    from . import fs as _fs
     from .ingest import DUP_THRESHOLD, IngestState, ingest_batch
 
     thr = DUP_THRESHOLD if dup_threshold is None else float(dup_threshold)
+    if audit_every is not None and compact_path_prefix is None:
+        raise ValueError(
+            "audit_every requires compact_path_prefix (the compaction "
+            "staging location)"
+        )
     box = {"state": state}
+    if dsir_state_path is not None:
+        # persist the seed ONCE (only when absent): the replay base for
+        # batch 0 and the resume fallback.  On a restart the seed dir
+        # already exists and the possibly-contaminated latest version is
+        # left alone — the handler never reads it for a replayed batch.
+        sess = stream_df.sparkSession
+        if not _fs.exists(sess, f"{dsir_state_path}/seed"):
+            state.dsir_state.write.mode("overwrite").parquet(
+                f"{dsir_state_path}/seed"
+            )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         st = box["state"]
+        bid = int(batch_id)
         if table_prefix is not None:
-            from .text.dedup import read_corpus_dedup_index
+            from .text.dedup import (
+                compact_corpus_dedup_index,
+                corpus_dedup_index_band_audit,
+                read_corpus_dedup_index,
+            )
 
             # each micro-batch runs on a CLONED session whose cached
             # table file listings do NOT see appends made by earlier
@@ -517,54 +607,91 @@ def write_stream_crawl_ingest(
             # the e2e test; a silent under-dedup otherwise)
             spark.catalog.refreshTable(f"{table_prefix}_bands")
             spark.catalog.refreshTable(f"{table_prefix}_sigs")
-            sigs, bands = read_corpus_dedup_index(spark, table_prefix)
+            if (
+                audit_every is not None
+                and bid > 0
+                and bid % int(audit_every) == 0
+            ):
+                over = corpus_dedup_index_band_audit(
+                    spark, table_prefix, audit_max_bucket_size,
+                    tags_below=bid,
+                )
+                if over.take(1):
+                    compact_corpus_dedup_index(
+                        spark, table_prefix, compact_path_prefix,
+                        num_buckets=num_buckets,
+                        max_bucket_size=audit_max_bucket_size,
+                        keep_tags_at_or_above=bid,
+                    )
+                    spark.catalog.refreshTable(f"{table_prefix}_bands")
+                    spark.catalog.refreshTable(f"{table_prefix}_sigs")
+            sigs, bands = read_corpus_dedup_index(
+                spark, table_prefix, with_batch_tag=True
+            )
             st = IngestState(
-                sigs=sigs, bands=bands, dsir_state=st.dsir_state
+                sigs=sigs.filter(F.col("_ib") != bid).drop("_ib"),
+                bands=bands.filter(F.col("_ib") != bid).drop("_ib"),
+                dsir_state=st.dsir_state,
+            )
+        if dsir_state_path is not None:
+            base = load_dsir_state(spark, dsir_state_path, below=bid)
+            if base is None:
+                raise ValueError(
+                    f"no DSIR seed/version below batch {bid} under "
+                    f"{dsir_state_path!r}"
+                )
+            st = IngestState(
+                sigs=st.sigs, bands=st.bands, dsir_state=base
             )
         r = ingest_batch(batch_df, st, dup_threshold=thr)
         if dsir_state_path is not None:
-            import os
-            import shutil
-
             r.state.dsir_state.write.mode("overwrite").parquet(
-                f"{dsir_state_path}/v{int(batch_id)}"
+                f"{dsir_state_path}/v{bid}"
             )
             # retention: each version is tiny (≤buckets rows) but a
-            # long-lived loop writes one per batch — keep the newest K
-            # (older versions only matter for forensic replay, which the
-            # checkpoint + index tables already cover)
-            versions = sorted(
-                int(d[1:])
-                for d in os.listdir(dsir_state_path)
-                if d.startswith("v") and d[1:].isdigit()
+            # long-lived loop writes one per batch — keep the newest K,
+            # clamped to >= 2 so the replay base (newest version below
+            # the live batch) always survives retention
+            keep = max(2, int(dsir_state_keep_versions))
+            for v in _dsir_versions(spark, dsir_state_path)[:-keep]:
+                _fs.delete(spark, f"{dsir_state_path}/v{v}")
+        for name, df in (
+            ("accepted", r.accepted),
+            ("scored", r.scored),
+            ("packed", r.packed),
+        ):
+            # batch-keyed overwrite (the write_stream_update pattern):
+            # replay-idempotent, and the dir name is NOT _-prefixed
+            # (Hadoop path filters hide _ dirs from readers)
+            df.write.mode("overwrite").parquet(
+                f"{out_dir}/{name}/batch_id={bid}"
             )
-            for v in versions[:-max(1, int(dsir_state_keep_versions))]:
-                shutil.rmtree(
-                    f"{dsir_state_path}/v{v}", ignore_errors=True
-                )
-        tag = F.lit(int(batch_id)).alias("_batch_id")
-        r.accepted.select("*", tag).write.mode("append").parquet(
-            f"{out_dir}/accepted"
-        )
-        r.scored.select("*", tag).write.mode("append").parquet(
-            f"{out_dir}/scored"
-        )
-        r.packed.select("*", tag).write.mode("append").parquet(
-            f"{out_dir}/packed"
-        )
         if table_prefix is not None:
             from .text.dedup import append_corpus_dedup_index
 
             append_corpus_dedup_index(
                 r.accepted.select("doc_id", "text"), table_prefix,
-                num_buckets=num_buckets,
+                num_buckets=num_buckets, batch_id=bid,
+                new_index=(r.accepted_sigs, r.accepted_bands),
             )
             box["state"] = IngestState(
                 sigs=st.sigs, bands=st.bands,
                 dsir_state=r.state.dsir_state,
             )
         else:
-            box["state"] = r.state
+            ns = r.state
+            if (
+                state_checkpoint_every
+                and (bid + 1) % int(state_checkpoint_every) == 0
+            ):
+                # truncate the union lineage of the functional state —
+                # lazy: materializes with the next probe's first action
+                ns = IngestState(
+                    sigs=ns.sigs.localCheckpoint(eager=False),
+                    bands=ns.bands.localCheckpoint(eager=False),
+                    dsir_state=ns.dsir_state,
+                )
+            box["state"] = ns
 
     query = (
         stream_df.writeStream.foreachBatch(handle)

@@ -1151,7 +1151,7 @@ def pack_sequences(
     tokens, so each document lands at a stable (sequence, offset).
 
     Deterministic, partition-order-independent, and parallel: the corpus
-    splits into ``n_buckets`` streams by the first hex char of md5(key)
+    splits into ``n_buckets`` streams by a 60-bit slice of md5(key)
     (documents are interchangeable across a packing run, so
     independent per-bucket streams are semantically equivalent to one
     global stream), each bucket runs its own cumulative-sum window, and
@@ -1199,7 +1199,10 @@ def pack_sequences(
         df.withColumn("_h", h)
         .withColumn(
             "_bucket",
-            F.pmod(F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"),
+            # 60-bit hash slice: auto-sizing yields n_buckets >> 256 at
+            # corpus scale, where a 2-hex-char id strands buckets >= 256
+            # empty and each live stream grows as corpus/256
+            F.pmod(F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"),
                    F.lit(n_buckets)),
         )
         .withColumn("_cum", F.sum(F.col(token_col)).over(w).cast("long"))
@@ -1300,8 +1303,11 @@ def pack_sequences_nosplit(
         )
         .withColumn(
             "_bucket",
+            # 60-bit hash slice — same auto-size rationale as the chop
+            # packer: n_buckets must exceed 256 at the scales auto-sizing
+            # exists for
             F.pmod(
-                F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"),
+                F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"),
                 F.lit(nb),
             ),
         )

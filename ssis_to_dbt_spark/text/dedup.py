@@ -1398,15 +1398,20 @@ def _band_signature_table(
     num_hashes: int,
     bands: int,
     max_bucket_size: int | None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Band a ``(id, minhash)`` signature table into the capped
     ``(id, band_idx, band_hash)`` index relation — banding is a pure
     function of the SIGNATURES, which is what lets
     :func:`compact_corpus_dedup_index` rebuild the band table from the
-    stored signatures without ever re-scanning corpus text."""
+    stored signatures without ever re-scanning corpus text.
+    ``carry_cols`` pass through per-row metadata (the ``_ib`` batch tag
+    during compaction) without a re-attach join."""
     rows = num_hashes // bands
+    carry = list(carry_cols or [])
     banded = sigs.select(
         id_col,
+        *carry,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -1420,7 +1425,7 @@ def _band_signature_table(
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    ).select(id_col, *carry, "band.band_idx", "band.band_hash")
     return _cap_band_members(
         banded, id_col, ["band_idx", "band_hash"], max_bucket_size
     )
@@ -1448,7 +1453,16 @@ def write_corpus_dedup_index(
     bucketed tables only the BATCH side shuffles; the corpus side — the
     100 TB side — reads matching buckets directly with zero Exchange and
     zero Sort (plan-pinned in ``test_skew_bucketing.py``).  Returns the
-    two table names."""
+    two table names.
+
+    r10: both tables carry an ``_ib`` (ingest-batch id) column — ``-1``
+    for the seed corpus, the micro-batch id for streaming appends.  The
+    tag is what makes the streaming ingest loop REPLAY-IDEMPOTENT: a
+    replayed batch's probe filters out rows tagged with its own id (so
+    within-batch near-dups appended by the crashed attempt can't
+    self-reject the batch) and its append is skipped per table when rows
+    with its tag already exist.  :func:`read_corpus_dedup_index` drops
+    the tag by default, so non-streaming consumers never see it."""
     from ..sources.writers import write_bucketed
 
     sigs, banded = corpus_dedup_index(
@@ -1457,8 +1471,9 @@ def write_corpus_dedup_index(
     )
     bands_table = f"{table_prefix}_bands"
     sigs_table = f"{table_prefix}_sigs"
+    tag = F.lit(-1).cast("long").alias("_ib")
     write_bucketed(
-        banded,
+        banded.select("*", tag),
         bands_table,
         f"{path_prefix}_bands",
         ["band_idx", "band_hash"],
@@ -1466,7 +1481,7 @@ def write_corpus_dedup_index(
         sort_cols=["band_idx", "band_hash"],
     )
     write_bucketed(
-        sigs,
+        sigs.select("*", tag),
         sigs_table,
         f"{path_prefix}_sigs",
         [id_col],
@@ -1477,13 +1492,19 @@ def write_corpus_dedup_index(
 
 
 def read_corpus_dedup_index(
-    spark, table_prefix: str
+    spark, table_prefix: str, with_batch_tag: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted corpus dedup index: ``(signatures, band table)``."""
-    return (
-        spark.table(f"{table_prefix}_sigs"),
-        spark.table(f"{table_prefix}_bands"),
-    )
+    """Load a persisted corpus dedup index: ``(signatures, band table)``.
+    The ``_ib`` batch tag (replay-idempotency metadata, see
+    :func:`write_corpus_dedup_index`) is dropped unless
+    ``with_batch_tag=True`` — only the streaming ingest handler needs
+    it."""
+    sigs = spark.table(f"{table_prefix}_sigs")
+    bands = spark.table(f"{table_prefix}_bands")
+    if not with_batch_tag:
+        sigs = sigs.drop("_ib")
+        bands = bands.drop("_ib")
+    return sigs, bands
 
 
 def append_corpus_dedup_index(
@@ -1496,6 +1517,8 @@ def append_corpus_dedup_index(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 10_000,
+    batch_id: int | None = None,
+    new_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """Index MAINTENANCE: after a deduped batch is accepted into the
     corpus, derive its bands + signatures and APPEND them to the stored
@@ -1515,31 +1538,60 @@ def append_corpus_dedup_index(
     :func:`corpus_dedup_index_band_audit` periodically (e.g. every N
     appends) and, when it reports over-cap buckets, run
     :func:`compact_corpus_dedup_index` — a signatures-only rebuild (no
-    text re-scan) that dedupes re-appends and restores the global cap."""
-    sigs, banded = corpus_dedup_index(
-        batch_df, id_col, text_col, num_hashes, bands, shingle_n,
-        max_bucket_size,
-    )
-    (
-        banded.write.mode("append")
-        .format("parquet")
-        .bucketBy(num_buckets, "band_idx", "band_hash")
-        .sortBy("band_idx", "band_hash")
-        .saveAsTable(f"{table_prefix}_bands")
-    )
-    (
-        sigs.write.mode("append")
-        .format("parquet")
-        .bucketBy(num_buckets, id_col)
-        .sortBy(id_col)
-        .saveAsTable(f"{table_prefix}_sigs")
-    )
+    text re-scan) that dedupes re-appends and restores the global cap.
+
+    r10 replay-idempotency: rows are tagged ``_ib = batch_id`` (``-1``
+    when untagged).  With a ``batch_id``, each table's append is SKIPPED
+    when rows with that tag already exist — so a streaming micro-batch
+    replayed after a crash between the append and its checkpoint commit
+    never double-appends, and a crash BETWEEN the two table appends
+    heals on replay (the completed table skips, the missing one
+    appends).  The guard is one tag-filtered existence probe per table;
+    parquet footer min/max stats on ``_ib`` confine the scan to the
+    newest files.  ``new_index`` reuses already-derived batch
+    ``(sigs, bands)`` (the ingest loop derives them once for the probe)
+    instead of re-minhashing ``batch_df``."""
+    if new_index is not None:
+        sigs, banded = new_index
+    else:
+        sigs, banded = corpus_dedup_index(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n,
+            max_bucket_size,
+        )
+    tag_val = -1 if batch_id is None else int(batch_id)
+    tag = F.lit(tag_val).cast("long").alias("_ib")
+
+    def _already(table: str) -> bool:
+        if batch_id is None:
+            return False
+        spark = sigs.sparkSession
+        return bool(
+            spark.table(table).filter(F.col("_ib") == tag_val).take(1)
+        )
+
+    if not _already(f"{table_prefix}_bands"):
+        (
+            banded.select("*", tag).write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, "band_idx", "band_hash")
+            .sortBy("band_idx", "band_hash")
+            .saveAsTable(f"{table_prefix}_bands")
+        )
+    if not _already(f"{table_prefix}_sigs"):
+        (
+            sigs.select("*", tag).write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(f"{table_prefix}_sigs")
+        )
 
 
 def corpus_dedup_index_band_audit(
     spark,
     table_prefix: str,
     max_bucket_size: int = 10_000,
+    tags_below: int | None = None,
 ) -> DataFrame:
     """Index-health audit for a persisted corpus dedup index: band buckets
     whose LIFETIME membership (across all appends) exceeds
@@ -1551,8 +1603,16 @@ def corpus_dedup_index_band_audit(
     is the signal to compact (rebuild via :func:`write_corpus_dedup_index`).
     Cost: one aggregation over the bucketed band table — the table is
     bucketed on exactly this grouping key, so the groupBy is
-    exchange-free."""
+    exchange-free.
+
+    ``tags_below`` restricts the audit to rows with ``_ib`` strictly
+    below it — the streaming handler audits at the start of batch N over
+    only batches < N, so a replayed batch N (whose own crashed-attempt
+    rows are tagged N) reaches the identical audit verdict the first
+    attempt did."""
     bands = spark.table(f"{table_prefix}_bands")
+    if tags_below is not None and "_ib" in bands.columns:
+        bands = bands.filter(F.col("_ib") < int(tags_below))
     return (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1570,6 +1630,8 @@ def compact_corpus_dedup_index(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = 10_000,
+    cleanup: bool = True,
+    keep_tags_at_or_above: int | None = None,
 ) -> None:
     """Index COMPACTION — the action the
     :func:`corpus_dedup_index_band_audit` signal calls for when lifetime
@@ -1578,32 +1640,84 @@ def compact_corpus_dedup_index(
 
     Banding is a pure function of the signatures
     (:func:`_band_signature_table`), so the rebuild is: dedupe the
-    signature table on ``id_col`` (idempotence against accidental
-    re-appends; signatures are content-derived, so duplicates are exact),
-    re-band, apply the cap GLOBALLY (restoring the per-probe fan-out
-    bound the per-append cap lets erode), and rewrite both bucketed
-    tables via a staging-table swap.  Cost: linear in the signature
-    table (id + ``num_hashes`` longs — a small fraction of corpus
-    bytes); parameters must match the original
-    :func:`write_corpus_dedup_index` call."""
+    signature table on ``id_col`` keeping the NEWEST ``_ib`` batch tag
+    (replayed-append duplicates are exact copies; a re-crawled id keeps
+    its latest signature), re-band with the tag carried through, apply
+    the cap GLOBALLY (restoring the per-probe fan-out bound the
+    per-append cap lets erode), and rewrite both bucketed tables via a
+    staging-table swap.  Cost: linear in the signature table (id +
+    ``num_hashes`` longs — a small fraction of corpus bytes); parameters
+    must match the original :func:`write_corpus_dedup_index` call.
+
+    r10 re-runnability (r9 ADVICE, medium): each run stages under a
+    FRESH versioned path ``{path_prefix}_{suffix}_compact_v{k}`` (k = 1 +
+    the highest version on disk, listed via the Hadoop FileSystem API so
+    HDFS/S3A state paths work) — a second compaction never overwrites
+    the files the live tables point at, and a failed run leaves the live
+    tables untouched.  After the swap the superseded data directories
+    are DELETED (``cleanup=False`` defers that to the operator — e.g.
+    while long-running readers still hold the old file listing).
+
+    ``keep_tags_at_or_above``: rows with ``_ib >= N`` pass through BOTH
+    tables verbatim (no dedupe, no re-cap).  The streaming handler
+    compacts at the start of batch N with ``N``: on a replay (the
+    crashed attempt already appended rows tagged N) the compacted core
+    is then built from exactly the first attempt's input — batches
+    < N — so the post-compaction index, and therefore the replayed
+    probe's view, is bit-identical to the continuous run's."""
+    import re as _re
+
+    from .. import fs as _fs
     from ..sources.writers import write_bucketed
 
+    raw = spark.table(f"{table_prefix}_sigs")
+    raw_bands = spark.table(f"{table_prefix}_bands")
+    if "_ib" not in raw.columns:  # pre-r10 index tables
+        raw = raw.select("*", F.lit(-1).cast("long").alias("_ib"))
+        raw_bands = raw_bands.select(
+            "*", F.lit(-1).cast("long").alias("_ib")
+        )
+    pass_sigs = pass_bands = None
+    if keep_tags_at_or_above is not None:
+        lim = int(keep_tags_at_or_above)
+        pass_sigs = raw.filter(F.col("_ib") >= lim)
+        pass_bands = raw_bands.filter(F.col("_ib") >= lim)
+        raw = raw.filter(F.col("_ib") < lim)
+    w = Window.partitionBy(id_col).orderBy(F.col("_ib").desc())
     sigs = (
-        spark.table(f"{table_prefix}_sigs")
-        .dropDuplicates([id_col])
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
         .localCheckpoint(eager=False)
     )
     banded = _band_signature_table(
-        sigs, id_col, num_hashes, bands, max_bucket_size
+        sigs, id_col, num_hashes, bands, max_bucket_size,
+        carry_cols=["_ib"],
     )
-    # stage under new paths, then swap the table definitions — readers
-    # mid-compaction keep the old files; a failed compaction leaves the
-    # live tables untouched
+    if pass_sigs is not None:
+        sigs = sigs.unionByName(pass_sigs)
+        banded = banded.unionByName(pass_bands.select(*banded.columns))
+    # fresh versioned staging path per run: list existing compact dirs
+    # and take max+1 (storage-agnostic listing)
+    parent = path_prefix.rsplit("/", 1)[0] if "/" in path_prefix else "."
+    base = path_prefix.rsplit("/", 1)[-1]
+    pat = _re.compile(_re.escape(base) + r"_(?:bands|sigs)_compact_v(\d+)$")
+    existing = [
+        int(m.group(1))
+        for name in _fs.list_dir(spark, parent)
+        for m in [pat.match(name)]
+        if m
+    ]
+    k = (max(existing) + 1) if existing else 1
+    old_paths = [
+        _table_location(spark, f"{table_prefix}_{sfx}")
+        for sfx in ("bands", "sigs")
+    ]
     stage = f"{table_prefix}_compact_stage"
     write_bucketed(
         banded,
         f"{stage}_bands",
-        f"{path_prefix}_bands_compact",
+        f"{path_prefix}_bands_compact_v{k}",
         ["band_idx", "band_hash"],
         num_buckets=num_buckets,
         sort_cols=["band_idx", "band_hash"],
@@ -1611,7 +1725,7 @@ def compact_corpus_dedup_index(
     write_bucketed(
         sigs,
         f"{stage}_sigs",
-        f"{path_prefix}_sigs_compact",
+        f"{path_prefix}_sigs_compact_v{k}",
         [id_col],
         num_buckets=num_buckets,
         sort_cols=[id_col],
@@ -1622,6 +1736,23 @@ def compact_corpus_dedup_index(
             f"ALTER TABLE {stage}_{suffix} "
             f"RENAME TO {table_prefix}_{suffix}"
         )
+    if cleanup:
+        new_paths = {
+            _table_location(spark, f"{table_prefix}_{sfx}")
+            for sfx in ("bands", "sigs")
+        }
+        for p in old_paths:
+            if p and p not in new_paths:
+                _fs.delete(spark, p)
+
+
+def _table_location(spark, table: str) -> str | None:
+    """A table's storage location from DESCRIBE FORMATTED (None for
+    unknown/managed-without-location tables)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            return (r["data_type"] or "").strip() or None
+    return None
 
 
 def cross_corpus_candidates(
@@ -1684,6 +1815,12 @@ def cross_corpus_candidates(
     )
     if broadcast_batch:
         batch_bands = F.broadcast(batch_bands)
+    else:
+        # the caller MEASURED the batch as too big to broadcast — hint
+        # shuffle_hash so AQE can't re-pin the refuted broadcast (the
+        # same discipline as the curation drop seams), and the bucketed
+        # corpus side still joins exchange-free
+        batch_bands = batch_bands.hint("shuffle_hash")
     pairs = (
         batch_bands.join(
             band_corpus.select(

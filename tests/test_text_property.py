@@ -861,3 +861,125 @@ class TestCurationChainProperty:
                 assert r["start_tok"] == pos
                 assert r["seq_id"] == (r["start_tok"] // 512) * nb + bucket
                 pos = r["end_tok"]
+
+
+class TestIngestLoopProperty:
+    """r10 (r9 VERDICT #6): the continuous-crawl loop over RANDOM corpora
+    cut into RANDOM batch sequences — invariants per batch:
+
+    (a) accepted and rejected partition the gated batch (disjoint, union);
+    (b) every rejected doc has an index candidate at est_jaccard >= the
+        threshold, and every accepted doc has none;
+    (c) the merged DSIR state is BIT-EQUAL to a full refit over
+        seed + all accepted docs so far;
+    (d) restart equivalence: rebuilding the index state from scratch over
+        seed + accepted-so-far and running the next batch from it yields
+        the identical outputs as the incrementally-evolved state.
+    """
+
+    _VOCAB = (
+        "the and of to data spark table row group query filter merge "
+        "join window sort batch value stream line part order customer "
+        "fast slow small large hash scan key column vector agg"
+    ).split()
+
+    def _rows(self, rnd, n, id0):
+        out = []
+        for i in range(n):
+            k = rnd.randint(50, 70)
+            text = " ".join(rnd.choice(self._VOCAB) for _ in range(k))
+            out.append((id0 + i, text, "en", len(text)))
+        return out
+
+    @given(seed_int=st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=2, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_loop_invariants_random_batches(self, spark, seed_int):
+        import random
+
+        from ssis_to_dbt_spark.ingest import (
+            DUP_THRESHOLD,
+            IngestState,
+            ingest_batch,
+            seed_ingest_state,
+        )
+        from ssis_to_dbt_spark.text.analysis import (
+            dsir_fit_state,
+            dsir_model_from_state,
+        )
+        from ssis_to_dbt_spark.text.dedup import (
+            corpus_dedup_index,
+            cross_corpus_candidates,
+        )
+
+        rnd = random.Random(seed_int)
+        schema = "doc_id long, text string, lang string, n_chars int"
+        seed_rows = self._rows(rnd, rnd.randint(15, 25), 0)
+        seed_df = spark.createDataFrame(seed_rows, schema)
+
+        n_batches = rnd.randint(2, 3)
+        batches = []
+        next_id = 1000
+        pool = list(seed_rows)  # dup sources: seed + earlier batches
+        for _ in range(n_batches):
+            rows = self._rows(rnd, rnd.randint(5, 10), next_id)
+            next_id += 100
+            # plant near-dups of earlier docs (one appended word)
+            for _ in range(rnd.randint(1, 3)):
+                base = pool[rnd.randrange(len(pool))]
+                rows.append((next_id, base[1] + " extra", "en",
+                             base[3] + 6))
+                next_id += 1
+            pool.extend(rows)
+            batches.append(spark.createDataFrame(rows, schema))
+
+        state = seed_ingest_state(seed_df)
+        accepted_so_far = seed_df
+        for bi, b in enumerate(batches):
+            pre_index = (state.sigs.localCheckpoint(),
+                         state.bands.localCheckpoint())
+            r = ingest_batch(b, state)
+            gated_ids = {x["doc_id"] for x in r.gated.collect()}
+            acc_ids = {x["doc_id"] for x in r.accepted.collect()}
+            rej_ids = {x["doc_id"] for x in r.rejected.collect()}
+            # (a) partition of the gated batch
+            assert acc_ids | rej_ids == gated_ids
+            assert not (acc_ids & rej_ids)
+            # (b) rejection exactly = has an over-threshold index match
+            pairs = cross_corpus_candidates(
+                r.gated, corpus_index=pre_index,
+            ).collect()
+            over = {
+                p["new_id"] for p in pairs
+                if p["est_jaccard"] >= DUP_THRESHOLD
+            }
+            assert rej_ids == over
+            # (c) merged state bit-equals a full refit on seed+accepted
+            accepted_so_far = accepted_so_far.unionByName(
+                r.accepted
+            ).localCheckpoint()
+            full = dsir_fit_state(
+                accepted_so_far, F.col("lang") == "en", buckets=256,
+                engine="arrow",
+            )
+            assert dsir_model_from_state(
+                r.state.dsir_state, 256
+            ) == dsir_model_from_state(full, 256)
+            # (d) restart equivalence: rebuild the index from scratch
+            # over seed+accepted and run the NEXT batch from both states
+            if bi + 1 < len(batches):
+                rb_sigs, rb_bands = corpus_dedup_index(accepted_so_far)
+                rebuilt = IngestState(
+                    sigs=rb_sigs, bands=rb_bands,
+                    dsir_state=full,
+                )
+                nxt = batches[bi + 1]
+                a = ingest_batch(nxt, r.state)
+                c = ingest_batch(nxt, rebuilt)
+                assert sorted(
+                    map(tuple, a.rejected.collect())
+                ) == sorted(map(tuple, c.rejected.collect()))
+                assert sorted(
+                    map(tuple, a.scored.collect())
+                ) == sorted(map(tuple, c.scored.collect()))
+            state = r.state
