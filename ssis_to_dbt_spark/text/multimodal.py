@@ -12,11 +12,12 @@ Design for a 100 TB training-data pipeline:
 - batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   — decoding never materializes a partition of raw media at once.
 
-The actual codec calls are STUBBED here (this container ships no
-image/audio libraries): ``decode_image_features`` computes a deterministic
-fake feature vector from the bytes (so the plumbing — schema, batching, UDF
-signature, partitioning — is real and testable), and raises
-``NotImplementedError`` when asked for a real decoder backend.
+This container ships no imaging libraries, so the codecs here are
+dependency-free pure-Python: REAL BMP, PNG, WAV, and (r10) baseline
+sequential JPEG (:mod:`.jpeg`, ITU-T T.81) decode/resize paths; a
+deterministic fake feature vector covers backends that genuinely need
+native codecs (video, WebP, progressive JPEG), which still raise
+``NotImplementedError``/``ValueError`` and quarantine.
 """
 
 from __future__ import annotations
@@ -82,8 +83,8 @@ def content_fingerprint(content: Column) -> Column:
 # Arrow-batch plumbing end-to-end.  PNG (round 6) is also real — stdlib
 # zlib covers DEFLATE, and the five scanline filters are pure byte math —
 # supporting 8-bit grayscale / RGB / RGBA, non-interlaced (the normal
-# training-corpus shape).  JPEG/WebP stay behind NotImplementedError until
-# their libraries are provisioned.
+# training-corpus shape).  Baseline JPEG decodes for real via .jpeg (r10);
+# WebP and non-baseline JPEG modes quarantine.
 
 
 def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -410,24 +411,47 @@ def resize_png(data: bytes, dst_w: int, dst_h: int) -> bytes:
 
 def resize_image(data: bytes, dst_w: int, dst_h: int) -> bytes:
     """Magic-byte dispatch over the real resizers (BMP in, BMP out; PNG in,
-    PNG out); ValueError on anything else — the quarantine trigger of
-    :func:`resize_bmp_media`-style batch stages."""
+    PNG out; JPEG in, JPEG out — r10 pure-Python baseline codec, decode →
+    nearest-neighbor → re-encode at quality 90); ValueError on anything
+    else — the quarantine trigger of :func:`resize_bmp_media`-style batch
+    stages."""
     if data[:2] == b"BM":
         return resize_bmp(data, dst_w, dst_h)
     if data[:8] == _PNG_SIG:
         return resize_png(data, dst_w, dst_h)
-    raise ValueError("unrecognized image payload (not BMP/PNG)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels, encode_jpeg
+
+        if dst_w < 1 or dst_h < 1:
+            raise ValueError(
+                f"target dims must be positive, got {dst_w}x{dst_h}"
+            )
+        w, h, ch, rows = decode_jpeg_pixels(data)
+        out = [
+            [rows[j * h // dst_h][i * w // dst_w] for i in range(dst_w)]
+            for j in range(dst_h)
+        ]
+        return encode_jpeg(out, quality=90, grayscale=(ch == 1))
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
 
 def decode_image(data: bytes) -> tuple[str, int, int, int, float, float, float]:
     """Magic-byte dispatch over the real decoders: returns (format, width,
-    height, channels, mean_r, mean_g, mean_b).  Raises ValueError for
-    anything that is neither BMP nor PNG — the quarantine trigger."""
+    height, channels, mean_r, mean_g, mean_b).  BMP, PNG, and (r10)
+    baseline-sequential JPEG decode for real — the JPEG path is the
+    pure-Python T.81 codec in :mod:`.jpeg`, which lifted the repo's last
+    image-decode refusal (progressive/arithmetic JPEG and WebP still
+    raise and quarantine).  Raises ValueError for anything else — the
+    quarantine trigger."""
     if data[:2] == b"BM":
         return ("bmp", *decode_bmp(data))
     if data[:8] == _PNG_SIG:
         return ("png", *decode_png(data))
-    raise ValueError("unrecognized image payload (not BMP/PNG)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return ("jpeg", *decode_jpeg(data))
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
 
 def decode_image_stats(
@@ -675,11 +699,12 @@ def decode_image_features(
     codec libraries are provisioned (mirroring the reference's manual-review
     flag on Script Tasks, src/parser/models.py:133-142).
     """
-    if backend not in ("fake", "bmp"):
+    if backend not in ("fake", "bmp", "image"):
         raise NotImplementedError(
-            f"media decode backend {backend!r} requires image/audio libraries "
-            "not present in this environment; use 'bmp' (real, dependency-"
-            "free) or 'fake' (deterministic stub)"
+            f"media decode backend {backend!r} requires codec libraries "
+            "not present in this environment; use 'image' (real BMP/PNG/"
+            "baseline-JPEG via the dependency-free codecs), 'bmp', or "
+            "'fake' (deterministic stub)"
         )
 
     schema = T.StructType(
@@ -695,12 +720,18 @@ def decode_image_features(
         luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
         return [float(w), float(h), float(ch), mr, mg, mb, luma, float(w * h)]
 
+    def _image_features(data: bytes) -> list[float]:
+        _, w, h, ch, mr, mg, mb = decode_image(data)
+        luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        return [float(w), float(h), float(ch), mr, mg, mb, luma, float(w * h)]
+
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        featurize = _bmp_features if backend == "bmp" else (
-            lambda b: _fake_features(b, feature_dim)
-        )
+        featurize = {
+            "bmp": _bmp_features,
+            "image": _image_features,
+        }.get(backend, lambda b: _fake_features(b, feature_dim))
         for pdf in batches:
             content = pdf[content_col]
             yield pd.DataFrame(

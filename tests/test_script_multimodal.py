@@ -347,3 +347,150 @@ class TestPngResize:
         png_out = resize_image(encode_png([[(9, 9, 9)] * 4] * 4), 2, 2)
         assert decode_image(bmp_out)[0] == "bmp"
         assert decode_image(png_out)[0] == "png"
+
+
+class TestJpegCodec:
+    """r10 (r9 VERDICT stretch #8): pure-Python baseline JPEG (ITU-T T.81)
+    — the dependency-free encoder synthesizes fixtures, the decoder must
+    recover them within quantization error; the general sampling-factor
+    MCU path is exercised by real 4:2:0 streams; non-baseline modes
+    refuse by marker name; and the Spark media stages dispatch on the
+    FFD8 magic like BMP/PNG."""
+
+    def test_solid_color_round_trip(self):
+        from ssis_to_dbt_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+        data = encode_jpeg([[(200, 30, 90)] * 16 for _ in range(16)], 90)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        w, h, ch, mr, mg, mb = decode_jpeg(data)
+        assert (w, h, ch) == (16, 16, 3)
+        assert abs(mr - 200) < 4 and abs(mg - 30) < 4 and abs(mb - 90) < 4
+
+    def test_gradient_non_multiple_of_8_dims(self):
+        from ssis_to_dbt_spark.text.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        rows = [
+            [(x * 7 % 256, y * 11 % 256, (x + y) * 5 % 256)
+             for x in range(13)]
+            for y in range(11)
+        ]
+        w, h, ch, px = decode_jpeg_pixels(encode_jpeg(rows, 95))
+        assert (w, h, ch) == (13, 11, 3)
+        err = max(
+            abs(a - b)
+            for ry, dy in zip(rows, px)
+            for (a, _, _), (b, _, _) in zip(ry, dy)
+        )
+        assert err < 10  # q95 quantization error bound
+
+    def test_grayscale_and_determinism(self):
+        import hashlib
+
+        from ssis_to_dbt_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+        rows = [[(v, v, v) for v in range(32)] for _ in range(8)]
+        g1 = encode_jpeg(rows, 90, grayscale=True)
+        g2 = encode_jpeg(rows, 90, grayscale=True)
+        assert g1 == g2  # bit-deterministic fixture source
+        assert hashlib.md5(g1).hexdigest() == (
+            "f0c5720732756bf475e2addff86eb818"
+        )
+        w, h, ch, mr, mg, mb = decode_jpeg(g1)
+        assert (w, h, ch) == (32, 8, 1)
+        assert abs(mr - 15.5) < 4 and mr == mg == mb
+
+    def test_420_subsampled_mcu_path(self):
+        from ssis_to_dbt_spark.text.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        rows = [
+            [(250, 40, 40) if x < 10 else (40, 40, 250) for x in range(20)]
+            for y in range(18)
+        ]
+        w, h, ch, px = decode_jpeg_pixels(
+            encode_jpeg(rows, 90, subsample=True)
+        )
+        assert (w, h, ch) == (20, 18, 3)
+        left, right = px[9][3], px[9][16]  # away from the chroma seam
+        assert left[0] > 180 and left[2] < 110
+        assert right[2] > 180 and right[0] < 110
+        # odd dims through the 2x2 chroma box-average
+        rows = [[(x * 13 % 256, y * 7 % 256, 128) for x in range(17)]
+                for y in range(9)]
+        w, h, ch, _ = decode_jpeg_pixels(
+            encode_jpeg(rows, 85, subsample=True)
+        )
+        assert (w, h) == (17, 9)
+
+    def test_refusals_name_the_mode(self):
+        import struct
+
+        from ssis_to_dbt_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"not a jpeg")
+        # splice a progressive SOF2 marker into a real stream's prefix
+        data = encode_jpeg([[(1, 2, 3)] * 8] * 8, 90)
+        sof0 = data.index(b"\xff\xc0")
+        prog = data[:sof0] + b"\xff\xc2" + data[sof0 + 2:]
+        with pytest.raises(ValueError, match="progressive"):
+            decode_jpeg(prog)
+        with pytest.raises(ValueError, match="truncated|marker"):
+            decode_jpeg(data[: len(data) // 2])
+        _ = struct  # keep import local-use explicit
+
+    def test_decode_image_dispatch_and_stats_batch(self, spark):
+        from ssis_to_dbt_spark.text.jpeg import encode_jpeg
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_image,
+            decode_image_stats,
+            encode_bmp,
+        )
+
+        jp = encode_jpeg([[(10, 200, 10)] * 8] * 8, 90)
+        assert decode_image(jp)[0] == "jpeg"
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_bmp(4, 4, (5, 6, 7)))),
+                (2, bytearray(jp)),
+                (3, bytearray(b"junk")),
+            ],
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r for r in decode_image_stats(df).collect()}
+        assert rows[1]["format"] == "bmp"
+        assert rows[2]["format"] == "jpeg"
+        assert rows[2]["width"] == 8 and rows[2]["channels"] == 3
+        assert abs(rows[2]["mean_g"] - 200) < 5
+        assert rows[3]["format"] is None  # quarantined
+
+    def test_resize_dispatch_jpeg(self):
+        from ssis_to_dbt_spark.text.jpeg import encode_jpeg
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_image,
+            resize_image,
+        )
+
+        src = encode_jpeg([[(120, 60, 200)] * 16 for _ in range(16)], 90)
+        out = resize_image(src, 6, 5)
+        fmt, w, h, ch, mr, mg, mb = decode_image(out)
+        assert (fmt, w, h, ch) == ("jpeg", 6, 5, 3)
+        assert abs(mr - 120) < 6 and abs(mb - 200) < 6
+
+    def test_image_backend_in_feature_path(self, spark):
+        from ssis_to_dbt_spark.text.jpeg import encode_jpeg
+        from ssis_to_dbt_spark.text.multimodal import decode_image_features
+
+        jp = encode_jpeg([[(0, 0, 250)] * 8] * 8, 90)
+        df = spark.createDataFrame(
+            [(1, bytearray(jp))], "media_id long, content binary"
+        )
+        feats = decode_image_features(df, backend="image").collect()[0]
+        w, h, ch, mr, mg, mb, luma, npx = feats["features"]
+        assert (w, h, ch, npx) == (8.0, 8.0, 3.0, 64.0)
+        assert mb > 240 and mr < 10
