@@ -135,7 +135,17 @@ def ingest_batch(
     intermediates (gated feeds the pair join + the anti-join; accepted
     feeds the fit delta, the scorer, the packer, and the index append) —
     the in-process stand-in for the parquet stage boundaries a deployed
-    ``foreachBatch`` sink would write."""
+    ``foreachBatch`` sink would write.
+
+    Lineage note for LONG in-process loops: the returned state's
+    sigs/bands are ``unionByName`` extensions of the input state, so a
+    driver loop calling this N times builds an N-deep union plan.  The
+    streaming sink bounds this automatically
+    (``write_stream_crawl_ingest(state_checkpoint_every=K)`` lazily
+    localCheckpoints every K batches — plan-depth pytest-pinned); a
+    hand-rolled loop should either do the same every ~8 batches or use
+    the persisted-index deployment (``table_prefix``), whose state lives
+    in bucketed tables and never accumulates lineage."""
     from .text.analysis import (
         dsir_fit_state,
         dsir_merge_state,

@@ -187,10 +187,20 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (pre-marker alignment)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        """Emit a standalone marker (e.g. RSTn) — aligned, unstuffed."""
+        self.align()
+        self.buf.append(0xFF)
+        self.buf.append(m)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -365,18 +375,28 @@ def encode_jpeg(
     rows: list[list[tuple[int, int, int]]],
     quality: int = 90,
     grayscale: bool = False,
-    subsample: bool = False,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode RGB pixel rows (top-down, ``rows[y][x] = (r, g, b)``) as a
-    baseline JFIF JPEG — grayscale, 4:4:4, or (``subsample=True``) 4:2:0
-    with 2x2-averaged chroma, which exercises the decoder's general
-    sampling-factor MCU path.  Deterministic: same pixels + options ->
-    identical bytes, which is what lets tests pin fixture digests
-    without an imaging library."""
+    baseline JFIF JPEG — grayscale, 4:4:4, ``subsample=True``/"420"
+    (2x2-averaged chroma), or ``subsample="422"`` (horizontal-only),
+    exercising the decoder's general sampling-factor MCU paths.
+    ``restart_interval=N`` emits a DRI segment and RSTn markers every N
+    MCUs with DC-predictor resets — the error-resilience feature real
+    encoders use, and the decoder's restart-realignment path.
+    Deterministic: same pixels + options -> identical bytes, which is
+    what lets tests pin fixture digests without an imaging library."""
     h = len(rows)
     w = len(rows[0]) if h else 0
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError("jpeg: bad dimensions")
+    if subsample is True:
+        subsample = "420"
+    elif subsample is False:
+        subsample = None
+    if subsample not in (None, "420", "422"):
+        raise ValueError("jpeg: subsample must be False/True/'420'/'422'")
     if grayscale and subsample:
         raise ValueError("jpeg: subsample applies to color only")
     lq = _quality_scale(STD_LUMA_QT, quality)
@@ -396,7 +416,7 @@ def encode_jpeg(
             if not grayscale:
                 planes[1][y][x] = -0.168736 * r - 0.331264 * g + 0.5 * b
                 planes[2][y][x] = 0.5 * r - 0.418688 * g - 0.081312 * b
-    if subsample:  # 2x2 box-average chroma
+    if subsample == "420":  # 2x2 box-average chroma
         cw, chh = (w + 1) // 2, (h + 1) // 2
         for ci in (1, 2):
             src = planes[ci]
@@ -410,6 +430,17 @@ def encode_jpeg(
                         + src[ys[1]][xs[0]] + src[ys[1]][xs[1]]
                     ) / 4.0
             planes[ci] = ds
+    elif subsample == "422":  # horizontal-only 2x1 average
+        cw = (w + 1) // 2
+        for ci in (1, 2):
+            src = planes[ci]
+            ds = [[0.0] * cw for _ in range(h)]
+            for y in range(h):
+                srow = src[y]
+                for x in range(cw):
+                    x1 = min(2 * x + 1, w - 1)
+                    ds[y][x] = (srow[2 * x] + srow[x1]) / 2.0
+            planes[ci] = ds
 
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -418,9 +449,15 @@ def encode_jpeg(
     # component geometry: (plane_idx, hs, vs, qt, dc_tab, ac_tab)
     if grayscale:
         comps = [(0, 1, 1, lq, dc_l, ac_l)]
-    elif subsample:
+    elif subsample == "420":
         comps = [
             (0, 2, 2, lq, dc_l, ac_l),
+            (1, 1, 1, cq, dc_c, ac_c),
+            (2, 1, 1, cq, dc_c, ac_c),
+        ]
+    elif subsample == "422":
+        comps = [
+            (0, 2, 1, lq, dc_l, ac_l),
             (1, 1, 1, cq, dc_c, ac_c),
             (2, 1, 1, cq, dc_c, ac_c),
         ]
@@ -436,8 +473,14 @@ def encode_jpeg(
     pred = [0] * ncomp
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ri = max(0, int(restart_interval))
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                bw.marker(0xD0 + ((n_mcu // ri - 1) % 8))
+                pred = [0] * ncomp
+            n_mcu += 1
             for pi, hs, vs, qt, dct_tab, act_tab in comps:
                 for byi in range(vs):
                     for bxi in range(hs):
@@ -477,6 +520,8 @@ def encode_jpeg(
             + bytes(DC_CHROMA_VALS))
         seg(b"\xff\xc4", bytes([0x11]) + bytes(AC_CHROMA_BITS)
             + bytes(AC_CHROMA_VALS))
+    if ri:
+        seg(b"\xff\xdd", struct.pack(">H", ri))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

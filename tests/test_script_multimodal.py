@@ -494,3 +494,46 @@ class TestJpegCodec:
         w, h, ch, mr, mg, mb, luma, npx = feats["features"]
         assert (w, h, ch, npx) == (8.0, 8.0, 3.0, 64.0)
         assert mb > 240 and mr < 10
+
+    def test_422_and_restart_interval_paths(self):
+        """r10: horizontal-only 4:2:2 sampling and DRI/RSTn restart
+        markers (DC predictor resets + byte realignment) — the two
+        decoder paths real-world encoders exercise that 4:4:4 streams
+        never touch."""
+        from ssis_to_dbt_spark.text.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        rows = [
+            [(250, 40, 40) if x < 10 else (40, 40, 250) for x in range(20)]
+            for y in range(18)
+        ]
+        w, h, ch, px = decode_jpeg_pixels(
+            encode_jpeg(rows, 90, subsample="422")
+        )
+        assert (w, h, ch) == (20, 18, 3)
+        assert px[9][3][0] > 180 and px[9][16][2] > 180
+
+        rows = [
+            [(x * 9 % 256, y * 13 % 256, (x * 3 + y * 5) % 256)
+             for x in range(25)]
+            for y in range(25)
+        ]
+        data = encode_jpeg(rows, 92, restart_interval=3)
+        assert b"\xff\xdd" in data and b"\xff\xd0" in data
+        w, h, ch, px = decode_jpeg_pixels(data)
+        assert (w, h) == (25, 25)
+        err = max(
+            abs(a - b)
+            for ry, dy in zip(rows, px)
+            for (a, _, _), (b, _, _) in zip(ry, dy)
+        )
+        assert err < 25
+        # restarts compose with subsampling
+        w, h, ch, _ = decode_jpeg_pixels(
+            encode_jpeg(rows, 92, subsample="420", restart_interval=2)
+        )
+        assert (w, h) == (25, 25)
+        with pytest.raises(ValueError, match="subsample"):
+            encode_jpeg(rows, 90, subsample="444x")
