@@ -1498,13 +1498,36 @@ def read_corpus_dedup_index(
     The ``_ib`` batch tag (replay-idempotency metadata, see
     :func:`write_corpus_dedup_index`) is dropped unless
     ``with_batch_tag=True`` — only the streaming ingest handler needs
-    it."""
+    it.
+
+    r10 self-heal: a crash inside :func:`compact_corpus_dedup_index`'s
+    swap (between ``DROP`` of a live table and the ``RENAME`` of its
+    compacted stage) leaves the live name missing while the fully-written
+    stage table exists — that rename is completed here on read, so the
+    next batch (or :func:`~ssis_to_dbt_spark.streaming
+    .resume_ingest_state`) recovers without operator action."""
+    _heal_compaction_swap(spark, table_prefix)
     sigs = spark.table(f"{table_prefix}_sigs")
     bands = spark.table(f"{table_prefix}_bands")
     if not with_batch_tag:
         sigs = sigs.drop("_ib")
         bands = bands.drop("_ib")
     return sigs, bands
+
+
+def _heal_compaction_swap(spark, table_prefix: str) -> None:
+    """Finish a compaction swap a crash left half-done: for each of the
+    two index tables, if the live name is missing but the staged
+    compacted table exists (the stage write COMPLETED before the swap
+    began — compaction never drops a live table before its stage table
+    is fully written), rename the stage in."""
+    for suffix in ("bands", "sigs"):
+        live = f"{table_prefix}_{suffix}"
+        stage = f"{table_prefix}_compact_stage_{suffix}"
+        if not spark.catalog.tableExists(live) and spark.catalog.tableExists(
+            stage
+        ):
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {live}")
 
 
 def append_corpus_dedup_index(

@@ -646,3 +646,61 @@ class TestBackfillHotBucketSkew:
         finally:
             spark.sql("DROP TABLE IF EXISTS hot_idx_bands")
             spark.sql("DROP TABLE IF EXISTS hot_idx_sigs")
+
+
+class TestCompactionSwapSelfHeal:
+    """r10: a crash between compaction's DROP of a live table and the
+    RENAME of its staged replacement leaves the live name missing; the
+    next index read must complete the rename and serve the compacted
+    content instead of failing."""
+
+    def test_read_heals_half_swapped_tables(self, spark, tmp_path):
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.text import (
+            cross_corpus_candidates,
+            read_corpus_dedup_index,
+            write_corpus_dedup_index,
+        )
+        from ssis_to_dbt_spark.sources.writers import write_bucketed
+        from ssis_to_dbt_spark.text.dedup import _band_signature_table
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        try:
+            write_corpus_dedup_index(
+                corpus, "heal_idx", str(tmp_path / "heal_idx"),
+                num_buckets=4,
+            )
+            # simulate the crash window: stage tables fully written (the
+            # same content compaction would stage), live BANDS dropped,
+            # live SIGS still present — the worst half-swapped state
+            sigs = spark.table("heal_idx_sigs")
+            banded = _band_signature_table(
+                sigs.drop("_ib"), "doc_id", 8, 4, 10_000
+            ).join(sigs.select("doc_id", "_ib"), "doc_id")
+            write_bucketed(
+                banded, "heal_idx_compact_stage_bands",
+                str(tmp_path / "heal_bands_v1"),
+                ["band_idx", "band_hash"], num_buckets=4,
+                sort_cols=["band_idx", "band_hash"],
+            )
+            spark.sql("DROP TABLE heal_idx_bands")
+
+            idx = read_corpus_dedup_index(spark, "heal_idx")  # heals
+            assert spark.catalog.tableExists("heal_idx_bands")
+            assert not spark.catalog.tableExists(
+                "heal_idx_compact_stage_bands"
+            )
+            got = sorted(map(tuple, cross_corpus_candidates(
+                batch, corpus_index=idx
+            ).collect()))
+            want = sorted(map(tuple, cross_corpus_candidates(
+                batch, corpus
+            ).collect()))
+            assert got == want and got
+        finally:
+            for t in ("heal_idx_bands", "heal_idx_sigs",
+                      "heal_idx_compact_stage_bands",
+                      "heal_idx_compact_stage_sigs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
