@@ -42,17 +42,3 @@ def delete(spark, path: str) -> bool:
     """Recursive delete; False if the path didn't exist."""
     fs, jpath = _fs_and_path(spark, path)
     return bool(fs.delete(jpath, True))
-
-
-def rename(spark, src: str, dst: str) -> bool:
-    """Atomic-on-HDFS rename (file:// is atomic too; S3A is a copy —
-    callers needing atomicity on object stores should layer a version
-    pointer instead, which is exactly what the v{batch_id} state
-    contract does)."""
-    fs, jsrc = _fs_and_path(spark, src)
-    return bool(fs.rename(jsrc, _fs_and_path(spark, dst)[1]))
-
-
-def mkdirs(spark, path: str) -> bool:
-    fs, jpath = _fs_and_path(spark, path)
-    return bool(fs.mkdirs(jpath))
