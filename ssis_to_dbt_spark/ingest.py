@@ -90,6 +90,9 @@ class IngestResult:
     # runs ONE minhash pass per batch, not two
     accepted_sigs: DataFrame | None = None
     accepted_bands: DataFrame | None = None
+    # dedup_within_batch=True only: per-gated-doc cluster verdicts
+    # (doc_id, cluster_id, cluster_size, kept) — None otherwise
+    batch_pruned: DataFrame | None = None
 
 
 def seed_ingest_state(
@@ -128,8 +131,25 @@ def ingest_batch(
     pack_buckets: int | None = PACK_BUCKETS,
     checkpoint: bool = True,
     batch_broadcast_max_docs: int = BATCH_BROADCAST_MAX_DOCS,
+    dedup_within_batch: bool = False,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).
+
+    ``dedup_within_batch=True`` (r10) additionally dedups the batch
+    AGAINST ITSELF before the index probe: near-dup clusters among the
+    gated docs (same banded-minhash candidates at the same
+    ``dup_threshold``, computed from the batch's ALREADY-DERIVED
+    signatures — no extra minhash pass) keep only the longest
+    representative (:func:`~ssis_to_dbt_spark.text.dedup
+    .prune_clusters`), and only representatives proceed to the probe /
+    accept / index-append / score / pack.  A crawl burst that lands the
+    same boilerplate page 50 times in one batch then admits it once
+    instead of 50 times.  Default OFF — the loop's documented base
+    semantics accept within-batch near-dups (they were never in the
+    index), and the driver-entry oracle pins that form.  With it ON,
+    ``accepted ∪ rejected`` partitions the KEPT representatives (a
+    subset of ``gated``); the per-doc cluster verdicts are returned as
+    ``batch_pruned``.
 
     ``checkpoint=True`` localCheckpoints the multi-consumer
     intermediates (gated feeds the pair join + the anti-join; accepted
@@ -170,6 +190,53 @@ def ingest_batch(
     if checkpoint:
         bsigs = bsigs.localCheckpoint(eager=False)
         bbands = bbands.localCheckpoint(eager=False)
+    batch_pruned = None
+    if dedup_within_batch:
+        from .text.dedup import prune_clusters
+
+        # within-batch candidate pairs from the SAME derived relations:
+        # band self-join (capped buckets — bounded fan-out), signature
+        # agreement as est_jaccard, the loop's own dup threshold
+        b = bbands.select("band_idx", "band_hash", "doc_id")
+        cand = (
+            b.alias("a")
+            .join(b.alias("b"), ["band_idx", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sa = bsigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("minhash").alias("sig_a")
+        )
+        sb = bsigs.select(
+            F.col("doc_id").alias("doc_b"), F.col("minhash").alias("sig_b")
+        )
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(8.0)
+        )
+        pairs_wb = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= float(dup_threshold))
+        )
+        batch_pruned = ck(prune_clusters(gated, pairs_wb))
+        kept_ids = batch_pruned.filter(F.col("kept")).select("doc_id")
+        gated = ck(gated.join(kept_ids, "doc_id", "left_semi"))
+        bsigs = bsigs.join(kept_ids, "doc_id", "left_semi")
+        bbands = bbands.join(kept_ids, "doc_id", "left_semi")
+        if checkpoint:
+            bsigs = bsigs.localCheckpoint(eager=False)
+            bbands = bbands.localCheckpoint(eager=False)
     # size-aware probe: COUNT the gated batch (cheap — checkpointed) and
     # broadcast its band tables only when measured small; a backfill
     # batch takes the bucket-local shuffle join instead of pinning a
@@ -230,4 +297,5 @@ def ingest_batch(
         state=new_state,
         accepted_sigs=acc_sigs,
         accepted_bands=acc_bands,
+        batch_pruned=batch_pruned,
     )

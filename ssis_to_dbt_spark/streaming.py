@@ -508,6 +508,7 @@ def write_stream_crawl_ingest(
     audit_max_bucket_size: int = 10_000,
     compact_path_prefix: str | None = None,
     state_checkpoint_every: int = 8,
+    dedup_within_batch: bool = False,
 ):
     """r9: the continuous-crawl ingest loop as a ``foreachBatch`` sink —
     the streaming deployment of :func:`ssis_to_dbt_spark.ingest
@@ -643,7 +644,10 @@ def write_stream_crawl_ingest(
             st = IngestState(
                 sigs=st.sigs, bands=st.bands, dsir_state=base
             )
-        r = ingest_batch(batch_df, st, dup_threshold=thr)
+        r = ingest_batch(
+            batch_df, st, dup_threshold=thr,
+            dedup_within_batch=dedup_within_batch,
+        )
         if dsir_state_path is not None:
             r.state.dsir_state.write.mode("overwrite").parquet(
                 f"{dsir_state_path}/v{bid}"

@@ -704,3 +704,66 @@ class TestCompactionSwapSelfHeal:
                       "heal_idx_compact_stage_bands",
                       "heal_idx_compact_stage_sigs"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestIngestDedupWithinBatch:
+    """r10: dedup_within_batch=True — a batch's near-dup clusters keep
+    only the longest representative before the index probe, from the
+    batch's already-derived signatures (no second minhash pass).  A
+    crawl burst landing the same boilerplate N times in one batch then
+    admits it once."""
+
+    def _doc_text(self, tag):
+        syl = ["ba", "de", "fi", "go", "hu", "ka", "lo",
+               "mi", "nu", "po", "ra", "se", "ti"]
+        return " ".join(["the", "and"] + [
+            syl[i % 13] + syl[(i // 13) % 13] + tag for i in range(53)
+        ])
+
+    def test_twins_collapse_to_longest_representative(self, spark):
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+
+        schema = "doc_id long, text string, lang string, n_chars int"
+        mk = lambda i, t: (i, t, "en", len(t))  # noqa: E731
+        seed = spark.createDataFrame(
+            [mk(1, self._doc_text("zam")), mk(2, self._doc_text("wex"))],
+            schema,
+        )
+        twin = self._doc_text("qor")
+        batch = spark.createDataFrame(
+            [
+                mk(20, twin + " twin"),
+                mk(21, twin + " twin other longer"),  # longest -> kept
+                mk(22, self._doc_text("zam")),        # dup of seed doc 1
+                mk(23, self._doc_text("jyx")),        # unique
+            ],
+            schema,
+        )
+        st = seed_ingest_state(seed)
+
+        # base semantics: both twins accepted (never in the index)
+        base = ingest_batch(batch, st)
+        assert {r["doc_id"] for r in base.accepted.collect()} == {20, 21, 23}
+        assert base.batch_pruned is None
+
+        r = ingest_batch(batch, st, dedup_within_batch=True)
+        verdicts = {
+            x["doc_id"]: (x["cluster_size"], x["kept"])
+            for x in r.batch_pruned.collect()
+        }
+        assert verdicts[20] == (2, False)
+        assert verdicts[21] == (2, True)   # keep-longest
+        assert verdicts[22][1] and verdicts[23][1]  # singletons kept
+        acc = {x["doc_id"] for x in r.accepted.collect()}
+        rej = {x["doc_id"] for x in r.rejected.collect()}
+        assert acc == {21, 23}  # one twin + the unique
+        assert rej == {22}      # index dup still rejected
+        # accepted ∪ rejected partitions the KEPT representatives
+        assert acc | rej == {21, 22, 23} and not (acc & rej)
+        # the functional index grew by exactly the accepted reps
+        seed_sigs = st.sigs.count()
+        assert r.state.sigs.count() == seed_sigs + 2
+        assert {x["doc_id"] for x in r.accepted_sigs.collect()} == acc
+        # scored/packed follow the deduped accepted set
+        assert {x["doc_id"] for x in r.scored.collect()} == acc
+        assert {x["doc_id"] for x in r.packed.collect()} == acc
