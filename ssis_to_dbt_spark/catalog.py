@@ -112,6 +112,7 @@ def _oracle_double(sql: str, cols: list[str]) -> str:
 
 from .oracles import (  # noqa: F401 — re-exported oracle fragments
     SQL_CRAWL_INGEST,
+    SQL_CRAWL_WB_DEDUP,
     SQL_CURATION_PIPELINE,
     SQL_DSIR,
     SQL_DSIR_APPLY,
@@ -7924,6 +7925,45 @@ def q_crawl_ingest_docs(spark, sf_dir):
     return _union_all(rows("1", r1) + rows("2", r2))
 
 
+def q_crawl_wb_dedup_docs(spark, sf_dir):
+    """r10: one loop iteration with WITHIN-BATCH dedup on — near-dup
+    clusters among the gated batch keep only the longest representative
+    (computed from the batch's already-derived signatures at the loop's
+    own threshold) before the index probe.  Tagged components: 'pruned'
+    (per-gated-doc cluster verdicts), 'reject' (representatives that
+    still match the seed index), 'accept' (representatives admitted).
+    The oracle replays gate -> thresholded within-batch pairs (>=4 of 8
+    signature agreements == est_jaccard >= 0.5, exact) -> transitive
+    closure -> keep-longest -> probe, from the shared SQL fragments."""
+    from .ingest import ingest_batch, seed_ingest_state
+
+    docs = _t(spark, sf_dir)["documents"]
+    seed = docs.filter(F.col("doc_id") % 5 >= 2)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    r = ingest_batch(batch, seed_ingest_state(seed),
+                     dedup_within_batch=True)
+    pruned = r.batch_pruned.select(
+        F.lit("pruned").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("v1"),
+        F.col("cluster_size").cast("long").alias("v2"),
+        F.col("kept").cast("string").alias("s1"),
+    )
+    rej = r.rejected.select(
+        F.lit("reject").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_dups").cast("long").alias("v1"),
+        F.col("max_matches").cast("long").alias("v2"),
+        _nul("string").alias("s1"),
+    )
+    acc = r.accepted.select(
+        F.lit("accept").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _nul("long").alias("v1"),
+        _nul("long").alias("v2"),
+        F.col("lang").alias("s1"),
+    )
+    return _union_all([pruned, rej, acc])
 
 
 # Fold the four new operators into their driver-window suites (the SQL
@@ -8048,6 +8088,7 @@ ALL_QUERIES = {
     "corpus_curation_enrich": q_corpus_curation,
     "curation_pipeline_docs": q_curation_pipeline_docs,
     "crawl_ingest_docs": q_crawl_ingest_docs,
+    "crawl_wb_dedup_docs": q_crawl_wb_dedup_docs,
     "gopher_quality_docs": q_gopher_quality_docs,
     "hll_users_events": q_hll_users_events,
     "bpe_encode_docs": q_bpe_encode_docs,
@@ -8211,6 +8252,7 @@ ALL_ORACLES = {
     "corpus_curation_enrich": SQL_CORPUS_CURATION,
     "curation_pipeline_docs": SQL_CURATION_PIPELINE,
     "crawl_ingest_docs": SQL_CRAWL_INGEST,
+    "crawl_wb_dedup_docs": SQL_CRAWL_WB_DEDUP,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hll_users_events": SQL_HLL_USERS_EVENTS,
     "bpe_encode_docs": SQL_BPE_ENCODE,

@@ -676,3 +676,88 @@ UNION ALL
 
 
 SQL_CRAWL_INGEST = _crawl_ingest_sql()
+
+
+def _crawl_wb_dedup_sql() -> str:
+    """Oracle for the r10 within-batch ingest dedup
+    (``ingest_batch(dedup_within_batch=True)``): gate -> thresholded
+    within-batch minhash pairs (signature agreement >= 4 of 8 — exactly
+    the engine's est_jaccard >= 0.5) -> transitive closure ->
+    keep-longest representative -> probe the REPRESENTATIVES against the
+    seed index.  Reuses the shared gopher/minhash/cross-match fragments;
+    the closure CTEs are renamed (``w*``) because
+    :data:`_NEARDUP_COMP_CTES` hardcodes the corpus-wide ``pairs``
+    relation this oracle must not cluster on."""
+    return f"""
+WITH RECURSIVE
+gq AS MATERIALIZED (
+  SELECT doc_id FROM ({SQL_GOPHER_QUALITY}) g WHERE g.gopher_pass),
+{_minhash_md5_ctes('documents')},
+sigm AS MATERIALIZED (SELECT * FROM sig),
+bandm AS MATERIALIZED (SELECT * FROM band),
+g1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars
+  FROM documents d JOIN gq USING (doc_id) WHERE d.doc_id % 5 = 0),
+seedc AS (SELECT doc_id FROM documents WHERE doc_id % 5 >= 2),
+wcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bandm a
+  JOIN g1 ga ON ga.doc_id = a.doc_id
+  JOIN bandm c ON c.band_idx = a.band_idx AND c.band_hash = a.band_hash
+  JOIN g1 gb ON gb.doc_id = c.doc_id
+  WHERE a.doc_id < c.doc_id),
+wpairs AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b
+  FROM wcand p
+  JOIN sigm s1 ON s1.doc_id = p.doc_a
+  JOIN sigm s2 ON s2.doc_id = p.doc_b AND s2.perm = s1.perm
+  GROUP BY 1, 2
+  HAVING SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) >= 4),
+wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wpairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM wpairs),
+wnodes AS (SELECT DISTINCT src AS node FROM wedges),
+wreach AS (
+  SELECT node, node AS label FROM wnodes
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM wreach r JOIN wedges e ON e.src = r.node),
+wcomp AS MATERIALIZED (
+  SELECT node AS doc_id, MIN(label) AS canonical_id
+  FROM wreach GROUP BY node),
+wsizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+           FROM wcomp GROUP BY canonical_id),
+wreps AS (
+  SELECT canonical_id, doc_id AS rep_id FROM (
+    SELECT c.canonical_id, d.doc_id,
+           row_number() OVER (PARTITION BY c.canonical_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM wcomp c JOIN g1 d USING (doc_id)) WHERE rn = 1),
+wprune AS MATERIALIZED (
+  SELECT d.doc_id,
+         coalesce(c.canonical_id, d.doc_id) AS cluster_id,
+         coalesce(s.cluster_size, 1) AS cluster_size,
+         (c.doc_id IS NULL OR d.doc_id = r.rep_id) AS kept
+  FROM g1 d
+  LEFT JOIN wcomp c ON c.doc_id = d.doc_id
+  LEFT JOIN wsizes s ON s.canonical_id = c.canonical_id
+  LEFT JOIN wreps r ON r.canonical_id = c.canonical_id),
+gk AS MATERIALIZED (
+  SELECT d.* FROM g1 d JOIN wprune p ON p.doc_id = d.doc_id WHERE p.kept),
+{_cross_match_ctes('1', 'gk', 'seedc')}
+SELECT 'pruned' AS component, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS v1, CAST(cluster_size AS BIGINT) AS v2,
+       CAST(kept AS VARCHAR) AS s1
+FROM wprune
+UNION ALL
+SELECT 'reject', CAST(doc_id AS BIGINT), CAST(n_dups AS BIGINT),
+       CAST(max_matches AS BIGINT), CAST(NULL AS VARCHAR)
+FROM rej1
+UNION ALL
+SELECT 'accept', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(lang AS VARCHAR)
+FROM acc1
+"""
+
+
+SQL_CRAWL_WB_DEDUP = _crawl_wb_dedup_sql()
