@@ -1608,6 +1608,56 @@ FROM documents
 """
 
 
+def q_jpeg_decode_stats(spark, sf_dir):
+    """r10: REAL baseline-JPEG decode through the media-scan stage —
+    each document synthesizes a solid-color JPEG (doc_id-arithmetic
+    dimensions; every 3rd doc grayscale, the rest 4:4:4 color) via the
+    pure-Python T.81 encoder, and ``decode_image_stats`` parses the
+    actual entropy-coded bytes back out over ``mapInPandas``.  The
+    oracle verifies the STRUCTURAL output exactly — format, dimensions,
+    channels — which is closed-form doc_id arithmetic; channel means go
+    through the float DCT-quantization chain, whose sequential-float-sum
+    rounding is not robustly SQL-expressible, so they are pinned by
+    error-bound pytest (``TestJpegCodec``) instead."""
+    from .text.jpeg import encode_jpeg
+    from .text.multimodal import decode_image_stats
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            content = []
+            for i in ids:
+                w, h = int(9 + i % 9), int(9 + i % 6)
+                rgb = (int(i % 200), int(i * 7 % 200), int(i * 13 % 200))
+                rows = [[rgb] * w for _ in range(h)]
+                content.append(
+                    encode_jpeg(rows, quality=90, grayscale=(i % 3 == 0))
+                )
+            yield pd.DataFrame({"media_id": ids, "content": content})
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return decode_image_stats(media).select(
+        "media_id", "format", "width", "height", "channels"
+    )
+
+
+SQL_JPEG_STATS = """
+SELECT doc_id AS media_id,
+       'jpeg' AS format,
+       CAST(9 + doc_id % 9 AS INTEGER) AS width,
+       CAST(9 + doc_id % 6 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER)
+         AS channels
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # 30. Dataset profile (QA stats, one aggregation pass per column)
 # ---------------------------------------------------------------------------
@@ -8083,6 +8133,7 @@ ALL_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "bmp_decode_stats": q_bmp_decode_stats,
     "png_decode_stats": q_png_decode_stats,
+    "jpeg_decode_stats": q_jpeg_decode_stats,
     "dataset_profile": q_dataset_profile,
     "corpus_curation": q_corpus_curation_suite,
     "corpus_curation_enrich": q_corpus_curation,
@@ -8247,6 +8298,7 @@ ALL_ORACLES = {
     "multimodal_features": SQL_MULTIMODAL,
     "bmp_decode_stats": SQL_BMP_STATS,
     "png_decode_stats": SQL_PNG_STATS,
+    "jpeg_decode_stats": SQL_JPEG_STATS,
     "dataset_profile": SQL_DATASET_PROFILE,
     "corpus_curation": SQL_CORPUS_CURATION_SUITE,
     "corpus_curation_enrich": SQL_CORPUS_CURATION,
