@@ -1196,3 +1196,78 @@ class TestStreamingCrawlIngest:
         finally:
             spark.sql("DROP TABLE IF EXISTS rp_idx_bands")
             spark.sql("DROP TABLE IF EXISTS rp_idx_sigs")
+
+
+class TestStreamingWithinBatchDedup:
+    """r10: dedup_within_batch threads through the foreachBatch sink —
+    per micro-batch the sink must equal the batch-mode
+    ingest_batch(dedup_within_batch=True) chain, twins collapsing to
+    their longest representative before the probe."""
+
+    def _doc_text(self, tag):
+        syl = ["ba", "de", "fi", "go", "hu", "ka", "lo",
+               "mi", "nu", "po", "ra", "se", "ti"]
+        return " ".join(["the", "and"] + [
+            syl[i % 13] + syl[(i // 13) % 13] + tag for i in range(53)
+        ])
+
+    def test_sink_matches_batch_loop_with_wb_dedup(self, spark, tmp_path):
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.streaming import write_stream_crawl_ingest
+
+        schema = "doc_id long, text string, lang string, n_chars int"
+        mk = lambda i, t: (i, t, "en", len(t))  # noqa: E731
+        seed = spark.createDataFrame(
+            [mk(1, self._doc_text("zam")), mk(2, self._doc_text("wex"))],
+            schema,
+        )
+        t1, t2 = self._doc_text("qor"), self._doc_text("vun")
+        b1 = spark.createDataFrame(
+            [mk(10, t1 + " a"), mk(11, t1 + " a bit longer"),
+             mk(12, self._doc_text("jyx"))], schema,
+        )
+        b2 = spark.createDataFrame(
+            [mk(20, t2 + " x"), mk(21, t2 + " x also longer"),
+             mk(22, self._doc_text("zam"))], schema,  # dup of seed doc 1
+        )
+
+        st0 = seed_ingest_state(seed)
+        r1 = ingest_batch(b1, st0, dedup_within_batch=True)
+        r2 = ingest_batch(b2, r1.state, dedup_within_batch=True)
+        assert {r["doc_id"] for r in r1.accepted.collect()} == {11, 12}
+        assert {r["doc_id"] for r in r2.accepted.collect()} == {21}
+
+        src = str(tmp_path / "wb_src")
+        out = str(tmp_path / "wb_out")
+        ckpt = str(tmp_path / "wb_ckpt")
+
+        def run(st):
+            stream = spark.readStream.schema(b1.schema).parquet(src)
+            q, box = write_stream_crawl_ingest(
+                stream, st, out, ckpt, dedup_within_batch=True,
+            )
+            q.awaitTermination(180)
+            return box["state"]
+
+        state = seed_ingest_state(seed)
+        b1.write.mode("append").parquet(src)
+        state = run(state)
+        b2.write.mode("append").parquet(src)
+        run(state)
+
+        acc = spark.read.parquet(f"{out}/accepted")
+        got = {}
+        for r in acc.collect():
+            got.setdefault(r["batch_id"], set()).add(r["doc_id"])
+        ids = sorted(got)
+        assert got[ids[0]] == {11, 12}  # twin 10 collapsed into 11
+        assert got[ids[1]] == {21}      # twin 20 collapsed, 22 index-dup
+        sc = spark.read.parquet(f"{out}/scored")
+        by = {}
+        for r in sc.collect():
+            by.setdefault(r["batch_id"], []).append(
+                (r["doc_id"], r["n_feats"], r["weight_units"],
+                 r["gumbel_units"])
+            )
+        assert sorted(by[ids[0]]) == sorted(map(tuple, r1.scored.collect()))
+        assert sorted(by[ids[1]]) == sorted(map(tuple, r2.scored.collect()))
