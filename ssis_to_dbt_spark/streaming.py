@@ -517,9 +517,13 @@ def write_stream_crawl_ingest(
 
     Each micro-batch: Gopher gate -> dedup vs the CURRENT index -> accept
     -> merged DSIR refit -> score -> pack; accepted/scored/packed rows
-    append as parquet under ``out_dir`` tagged with ``_batch_id``.  The
-    checkpoint gives exactly-once batch processing (a replayed batch is
-    skipped, so the index is never double-appended).
+    land as ``batch_id=N`` subdirectory OVERWRITES under ``out_dir``
+    (partition discovery exposes ``batch_id`` on read).  foreachBatch is
+    at-least-once — a crash between the handler's side effects and the
+    checkpoint commit replays the batch — so every side effect is made
+    replay-idempotent below (``_ib`` index tags, strictly-below-N DSIR
+    base, batch-keyed output overwrites) rather than assumed
+    exactly-once.
 
     ``table_prefix`` selects the PERSISTED index deployment: the handler
     re-reads the bucketed index tables at each batch and appends accepted

@@ -1512,21 +1512,47 @@ def read_corpus_dedup_index(
     if not with_batch_tag:
         sigs = sigs.drop("_ib")
         bands = bands.drop("_ib")
+    else:
+        # pre-r10 index tables have no batch tag: synthesize _ib = -1 so
+        # tag-dependent callers (the streaming handler's replayed-rows
+        # filter) work unchanged instead of failing analysis
+        if "_ib" not in sigs.columns:
+            sigs = sigs.select("*", F.lit(-1).cast("long").alias("_ib"))
+        if "_ib" not in bands.columns:
+            bands = bands.select(
+                "*", F.lit(-1).cast("long").alias("_ib")
+            )
     return sigs, bands
 
 
 def _heal_compaction_swap(spark, table_prefix: str) -> None:
-    """Finish a compaction swap a crash left half-done: for each of the
-    two index tables, if the live name is missing but the staged
-    compacted table exists (the stage write COMPLETED before the swap
-    began — compaction never drops a live table before its stage table
-    is fully written), rename the stage in."""
+    """Finish a compaction swap a crash left half-done, keeping the two
+    index tables in LOCK-STEP (r10 ADVICE: a partial heal that swapped
+    only one suffix would pair compacted bands with the old un-deduped
+    sigs, silently inflating probe pair multiplicity).
+
+    :func:`compact_corpus_dedup_index`'s sequence is fixed: write
+    stage_bands, write stage_sigs, then swap bands (drop + rename), then
+    swap sigs.  A stage table's CATALOG entry appears only after its data
+    write completes (CTAS registers last), so the stage-table existence
+    pattern identifies the crash point:
+
+    - ``stage_sigs`` exists (with or without ``stage_bands``): BOTH
+      stages finished writing, so the compaction is committed-by-content
+      — roll BOTH suffixes forward (drop the live table if present,
+      rename the stage in; a suffix whose stage is already gone completed
+      its swap before the crash).
+    - only ``stage_bands`` exists: the crash hit during the
+      ``stage_sigs`` write — no swap had begun, the live tables are the
+      intact old index; do nothing (the orphan stage is overwritten by
+      the next compaction run)."""
+    if not spark.catalog.tableExists(f"{table_prefix}_compact_stage_sigs"):
+        return
     for suffix in ("bands", "sigs"):
         live = f"{table_prefix}_{suffix}"
         stage = f"{table_prefix}_compact_stage_{suffix}"
-        if not spark.catalog.tableExists(live) and spark.catalog.tableExists(
-            stage
-        ):
+        if spark.catalog.tableExists(stage):
+            spark.sql(f"DROP TABLE IF EXISTS {live}")
             spark.sql(f"ALTER TABLE {stage} RENAME TO {live}")
 
 
@@ -1583,26 +1609,38 @@ def append_corpus_dedup_index(
         )
     tag_val = -1 if batch_id is None else int(batch_id)
     tag = F.lit(tag_val).cast("long").alias("_ib")
+    spark = sigs.sparkSession
+
+    def _tagged(table: str) -> bool:
+        # pre-r10 index tables have no _ib column; treat them as
+        # tag-less (no replay guard possible, and appends must keep the
+        # legacy schema or saveAsTable rejects the extra column)
+        return "_ib" in spark.table(table).columns
 
     def _already(table: str) -> bool:
-        if batch_id is None:
+        if batch_id is None or not _tagged(table):
             return False
-        spark = sigs.sparkSession
         return bool(
             spark.table(table).filter(F.col("_ib") == tag_val).take(1)
         )
 
     if not _already(f"{table_prefix}_bands"):
+        out = banded.select("*", tag) if _tagged(
+            f"{table_prefix}_bands"
+        ) else banded
         (
-            banded.select("*", tag).write.mode("append")
+            out.write.mode("append")
             .format("parquet")
             .bucketBy(num_buckets, "band_idx", "band_hash")
             .sortBy("band_idx", "band_hash")
             .saveAsTable(f"{table_prefix}_bands")
         )
     if not _already(f"{table_prefix}_sigs"):
+        out = sigs.select("*", tag) if _tagged(
+            f"{table_prefix}_sigs"
+        ) else sigs
         (
-            sigs.select("*", tag).write.mode("append")
+            out.write.mode("append")
             .format("parquet")
             .bucketBy(num_buckets, id_col)
             .sortBy(id_col)

@@ -538,7 +538,21 @@ def encode_jpeg(
 
 def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, list[list[tuple[int, int, int]]]]:
     """Full pixel decode: returns (width, height, channels, rows) with
-    ``rows[y][x] = (r, g, b)`` (grayscale replicated across channels)."""
+    ``rows[y][x] = (r, g, b)`` (grayscale replicated across channels).
+
+    Malformed-but-SOI-prefixed inputs (truncated segments, dangling
+    component/table ids) raise ``ValueError`` — never IndexError/KeyError/
+    struct.error — so the media stages' quarantine handlers (which catch
+    ValueError, like the BMP/PNG decoders) turn one corrupt crawled image
+    into a NULL row instead of failing the Spark stage.
+    """
+    try:
+        return _decode_jpeg_pixels(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"jpeg: malformed stream ({exc!r})") from exc
+
+
+def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, list[list[tuple[int, int, int]]]]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2

@@ -444,6 +444,61 @@ class TestJpegCodec:
             decode_jpeg(data[: len(data) // 2])
         _ = struct  # keep import local-use explicit
 
+    def test_malformed_streams_raise_valueerror_not_hard_errors(self):
+        """r11 (r10 ADVICE, medium): SOI-prefixed-but-corrupt JPEGs must
+        raise ValueError — the only exception the media stages'
+        quarantine handlers catch — never IndexError/KeyError/
+        struct.error, which would fail the whole Spark stage on one
+        corrupt crawled image."""
+        from ssis_to_dbt_spark.text.jpeg import decode_jpeg_pixels, encode_jpeg
+
+        data = encode_jpeg([[(10, 20, 30)] * 8] * 8, 90)
+        # truncated DQT payload (was IndexError)
+        dqt = data.index(b"\xff\xdb")
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(data[: dqt + 6])
+        # SOS referencing a component id the frame never declared
+        # (was KeyError)
+        sos = data.index(b"\xff\xda")
+        bad = bytearray(data)
+        bad[sos + 5] = 99
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(bytes(bad))
+        # byte-level fuzz: every prefix truncation must ValueError or
+        # decode, never leak a hard error
+        for cut in range(2, len(data), 7):
+            try:
+                decode_jpeg_pixels(data[:cut])
+            except ValueError:
+                pass
+
+    def test_corrupt_jpeg_quarantines_in_batch(self, spark):
+        """End-to-end: a corrupt JPEG among good media yields a NULL
+        quarantine row from the mapInPandas stage instead of failing it
+        (quarantine-not-crash, matching the BMP/PNG decoders)."""
+        from ssis_to_dbt_spark.text.jpeg import encode_jpeg
+        from ssis_to_dbt_spark.text.multimodal import (
+            decode_image_stats,
+            encode_bmp,
+        )
+
+        jp = encode_jpeg([[(10, 200, 10)] * 8] * 8, 90)
+        sos = jp.index(b"\xff\xda")
+        corrupt = jp[: sos + 5] + bytes([99]) + jp[sos + 6:]
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_bmp(4, 4, (5, 6, 7)))),
+                (2, bytearray(corrupt)),
+                (3, bytearray(jp[: len(jp) // 3])),
+            ],
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r for r in decode_image_stats(df).collect()}
+        assert rows[1]["format"] == "bmp"
+        assert rows[2]["format"] is None and rows[2]["width"] is None
+        assert rows[3]["format"] is None
+        assert rows[2]["n_bytes"] == len(corrupt)  # row kept, not dropped
+
     def test_decode_image_dispatch_and_stats_batch(self, spark):
         from ssis_to_dbt_spark.text.jpeg import encode_jpeg
         from ssis_to_dbt_spark.text.multimodal import (

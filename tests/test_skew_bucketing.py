@@ -649,61 +649,234 @@ class TestBackfillHotBucketSkew:
 
 
 class TestCompactionSwapSelfHeal:
-    """r10: a crash between compaction's DROP of a live table and the
-    RENAME of its staged replacement leaves the live name missing; the
-    next index read must complete the rename and serve the compacted
-    content instead of failing."""
+    """r10 + r11 (r10 ADVICE, low): a crash inside compaction's two-table
+    swap must heal in LOCK-STEP — completing only the bands swap would
+    pair compacted bands with the old un-deduped sigs (duplicate
+    signature rows inflate probe pair multiplicity, and the band audit
+    watching the compacted bands table would never trigger a recompact).
+    The heal keys off the fixed sequence (stage writes, then bands swap,
+    then sigs swap): any state where ``stage_sigs`` exists rolls BOTH
+    suffixes forward; ``stage_bands`` alone means the crash hit during
+    the sigs stage write, so the intact old index is served untouched."""
 
-    def test_read_heals_half_swapped_tables(self, spark, tmp_path):
+    def _setup(self, spark, tmp_path, prefix):
         from ssis_to_dbt_spark.sources.readers import testdata
-        from ssis_to_dbt_spark.text import (
-            cross_corpus_candidates,
-            read_corpus_dedup_index,
-            write_corpus_dedup_index,
-        )
-        from ssis_to_dbt_spark.sources.writers import write_bucketed
-        from ssis_to_dbt_spark.text.dedup import _band_signature_table
+        from ssis_to_dbt_spark.text import write_corpus_dedup_index
 
         docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
         batch = docs.filter(F.col("doc_id") % 5 == 0)
-        try:
-            write_corpus_dedup_index(
-                corpus, "heal_idx", str(tmp_path / "heal_idx"),
-                num_buckets=4,
-            )
-            # simulate the crash window: stage tables fully written (the
-            # same content compaction would stage), live BANDS dropped,
-            # live SIGS still present — the worst half-swapped state
-            sigs = spark.table("heal_idx_sigs")
+        write_corpus_dedup_index(
+            corpus, prefix, str(tmp_path / prefix), num_buckets=4
+        )
+        return corpus, batch
+
+    def _stage(self, spark, tmp_path, prefix, suffixes):
+        """Write fully-formed compacted stage tables (same content a
+        compaction run would stage) for the given suffixes."""
+        from ssis_to_dbt_spark.sources.writers import write_bucketed
+        from ssis_to_dbt_spark.text.dedup import _band_signature_table
+
+        sigs = spark.table(f"{prefix}_sigs")
+        if "bands" in suffixes:
             banded = _band_signature_table(
                 sigs.drop("_ib"), "doc_id", 8, 4, 10_000
             ).join(sigs.select("doc_id", "_ib"), "doc_id")
             write_bucketed(
-                banded, "heal_idx_compact_stage_bands",
-                str(tmp_path / "heal_bands_v1"),
+                banded, f"{prefix}_compact_stage_bands",
+                str(tmp_path / f"{prefix}_bands_v1"),
                 ["band_idx", "band_hash"], num_buckets=4,
                 sort_cols=["band_idx", "band_hash"],
             )
-            spark.sql("DROP TABLE heal_idx_bands")
+        if "sigs" in suffixes:
+            write_bucketed(
+                sigs, f"{prefix}_compact_stage_sigs",
+                str(tmp_path / f"{prefix}_sigs_v1"),
+                ["doc_id"], num_buckets=4, sort_cols=["doc_id"],
+            )
 
-            idx = read_corpus_dedup_index(spark, "heal_idx")  # heals
-            assert spark.catalog.tableExists("heal_idx_bands")
+    def _assert_healthy(self, spark, prefix, corpus, batch):
+        from ssis_to_dbt_spark.text import (
+            cross_corpus_candidates,
+            read_corpus_dedup_index,
+        )
+
+        idx = read_corpus_dedup_index(spark, prefix)  # heals on read
+        assert spark.catalog.tableExists(f"{prefix}_bands")
+        assert spark.catalog.tableExists(f"{prefix}_sigs")
+        # lock-step: one signature row per doc (no stale un-deduped sigs)
+        sigs = spark.table(f"{prefix}_sigs")
+        assert sigs.count() == sigs.select("doc_id").distinct().count()
+        got = sorted(map(tuple, cross_corpus_candidates(
+            batch, corpus_index=idx
+        ).collect()))
+        want = sorted(map(tuple, cross_corpus_candidates(
+            batch, corpus
+        ).collect()))
+        assert got == want and got
+
+    def _cleanup(self, spark, prefix):
+        for t in (f"{prefix}_bands", f"{prefix}_sigs",
+                  f"{prefix}_compact_stage_bands",
+                  f"{prefix}_compact_stage_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_crash_between_bands_drop_and_rename(self, spark, tmp_path):
+        # bands live missing, both stages present: roll BOTH forward
+        try:
+            corpus, batch = self._setup(spark, tmp_path, "heal_idx")
+            self._stage(spark, tmp_path, "heal_idx", ("bands", "sigs"))
+            spark.sql("DROP TABLE heal_idx_bands")
+            self._assert_healthy(spark, "heal_idx", corpus, batch)
             assert not spark.catalog.tableExists(
                 "heal_idx_compact_stage_bands"
             )
+            assert not spark.catalog.tableExists(
+                "heal_idx_compact_stage_sigs"
+            )
+        finally:
+            self._cleanup(spark, "heal_idx")
+
+    def test_crash_between_bands_swap_and_sigs_swap(self, spark, tmp_path):
+        # the r10 ADVICE gap: bands swap COMPLETED (its stage consumed),
+        # sigs swap not started — old sigs still live beside a stale
+        # double-appended history; heal must swap sigs in too
+        from ssis_to_dbt_spark.text import append_corpus_dedup_index
+
+        try:
+            corpus, batch = self._setup(spark, tmp_path, "heal2_idx")
+            # make the LIVE sigs table visibly stale: a double-append the
+            # staged (compacted) tables do not contain
+            extra = corpus.filter(F.col("doc_id") % 7 == 0)
+            self._stage(spark, tmp_path, "heal2_idx", ("bands", "sigs"))
+            append_corpus_dedup_index(
+                extra.select("doc_id", "text"), "heal2_idx", num_buckets=4
+            )
+            spark.catalog.refreshTable("heal2_idx_sigs")
+            # simulate a completed bands swap: live bands = staged bands
+            spark.sql("DROP TABLE heal2_idx_bands")
+            spark.sql(
+                "ALTER TABLE heal2_idx_compact_stage_bands "
+                "RENAME TO heal2_idx_bands"
+            )
+            self._assert_healthy(spark, "heal2_idx", corpus, batch)
+        finally:
+            self._cleanup(spark, "heal2_idx")
+
+    def test_crash_during_sigs_stage_write_serves_old_index(
+        self, spark, tmp_path
+    ):
+        # only stage_bands exists (sigs stage write never registered):
+        # no swap began — the old index must be served untouched and the
+        # orphan stage left for the next compaction to overwrite
+        from ssis_to_dbt_spark.text import read_corpus_dedup_index
+
+        try:
+            corpus, batch = self._setup(spark, tmp_path, "heal3_idx")
+            before = sorted(map(
+                tuple, spark.table("heal3_idx_sigs").collect()
+            ))
+            self._stage(spark, tmp_path, "heal3_idx", ("bands",))
+            read_corpus_dedup_index(spark, "heal3_idx")
+            assert spark.catalog.tableExists(
+                "heal3_idx_compact_stage_bands"
+            )
+            spark.catalog.refreshTable("heal3_idx_sigs")
+            after = sorted(map(
+                tuple, spark.table("heal3_idx_sigs").collect()
+            ))
+            assert after == before
+            self._assert_healthy(spark, "heal3_idx", corpus, batch)
+        finally:
+            self._cleanup(spark, "heal3_idx")
+
+
+class TestLegacyTaglessIndex:
+    """r11 (r10 ADVICE, low): index tables written before the ``_ib``
+    batch tag existed must keep working with the tag-aware paths —
+    ``read_corpus_dedup_index(with_batch_tag=True)`` synthesizes
+    ``_ib = -1`` (so the streaming handler's replayed-rows filter
+    analyzes), and ``append_corpus_dedup_index`` appends with the legacy
+    schema instead of failing on the extra column."""
+
+    def _legacy_index(self, spark, tmp_path):
+        """Build an index, then rewrite both tables WITHOUT _ib — the
+        exact on-disk state a pre-r10 deployment left behind."""
+        from ssis_to_dbt_spark.sources.readers import testdata
+        from ssis_to_dbt_spark.sources.writers import write_bucketed
+        from ssis_to_dbt_spark.text import write_corpus_dedup_index
+
+        docs = testdata(spark, "/root/testdata/sf0.001")["documents"]
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        write_corpus_dedup_index(
+            corpus, "tagless_tmp", str(tmp_path / "tagless_tmp"),
+            num_buckets=4,
+        )
+        sigs = spark.table("tagless_tmp_sigs").drop("_ib")
+        bands = spark.table("tagless_tmp_bands").drop("_ib")
+        write_bucketed(
+            sigs, "tagless_sigs", str(tmp_path / "tagless_sigs"),
+            ["doc_id"], num_buckets=4, sort_cols=["doc_id"],
+        )
+        write_bucketed(
+            bands, "tagless_bands", str(tmp_path / "tagless_bands"),
+            ["band_idx", "band_hash"], num_buckets=4,
+            sort_cols=["band_idx", "band_hash"],
+        )
+        return corpus, batch
+
+    def _cleanup(self, spark):
+        for t in ("tagless_tmp_sigs", "tagless_tmp_bands",
+                  "tagless_sigs", "tagless_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_tag_aware_read_and_append_on_legacy_tables(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text import (
+            append_corpus_dedup_index,
+            cross_corpus_candidates,
+            read_corpus_dedup_index,
+        )
+
+        try:
+            corpus, batch = self._legacy_index(spark, tmp_path)
+            # tag-aware read synthesizes _ib = -1 instead of failing
+            sigs, bands = read_corpus_dedup_index(
+                spark, "tagless", with_batch_tag=True
+            )
+            assert "_ib" in sigs.columns and "_ib" in bands.columns
+            assert sigs.filter(F.col("_ib") != -1).count() == 0
+            # the streaming handler's replayed-rows filter analyzes
+            n = sigs.count()
+            assert sigs.filter(F.col("_ib") != 3).count() == n
+            # tagged append degrades to the legacy schema (no replay
+            # guard possible) instead of AnalysisException
+            n_sigs0 = n
+            append_corpus_dedup_index(
+                batch.select("doc_id", "text"), "tagless",
+                num_buckets=4, batch_id=3,
+            )
+            spark.catalog.refreshTable("tagless_sigs")
+            spark.catalog.refreshTable("tagless_bands")
+            assert spark.table("tagless_sigs").count() > n_sigs0
+            assert "_ib" not in spark.table("tagless_sigs").columns
+            # probe semantics against the legacy index still match a
+            # from-text rebuild
+            idx = read_corpus_dedup_index(spark, "tagless")
             got = sorted(map(tuple, cross_corpus_candidates(
-                batch, corpus_index=idx
+                batch, corpus_index=(
+                    idx[0].filter(F.col("doc_id") % 5 != 0),
+                    idx[1].filter(F.col("doc_id") % 5 != 0),
+                )
             ).collect()))
             want = sorted(map(tuple, cross_corpus_candidates(
                 batch, corpus
             ).collect()))
             assert got == want and got
         finally:
-            for t in ("heal_idx_bands", "heal_idx_sigs",
-                      "heal_idx_compact_stage_bands",
-                      "heal_idx_compact_stage_sigs"):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            self._cleanup(spark)
 
 
 class TestIngestDedupWithinBatch:
