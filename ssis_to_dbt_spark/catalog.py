@@ -5784,7 +5784,21 @@ def q_multimodal_decode(spark, sf_dir):
         F.col("mean_g").cast("double").alias("v2"),
         F.col("mean_b").cast("double").alias("v3"),
     )
-    return _union_all([feats, bmp, wav, rs, png])
+    # r11: jpeg folded into the suite (r10 VERDICT #1) — structural
+    # fields only; channel means go through the float DCT chain and are
+    # pinned by error-bound pytest instead (see q_jpeg_decode_stats)
+    jpg = q_jpeg_decode_stats(spark, sf_dir).select(
+        F.lit("jpeg").alias("component"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").cast("int").alias("i1"),
+        F.col("height").cast("int").alias("i2"),
+        F.col("channels").cast("int").alias("i3"),
+        _nul("long").alias("n1"),
+        _nul("double").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([feats, bmp, wav, rs, png, jpg])
 
 
 SQL_MULTIMODAL_DECODE = f"""
@@ -5814,6 +5828,11 @@ SELECT 'png', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
        CAST(height AS INTEGER), CAST(channels AS INTEGER), {_NULL_BIGINT},
        CAST(mean_r AS DOUBLE), CAST(mean_g AS DOUBLE), CAST(mean_b AS DOUBLE)
 FROM ({SQL_PNG_STATS}) _p
+UNION ALL
+SELECT 'jpeg', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
+       CAST(height AS INTEGER), CAST(channels AS INTEGER), {_NULL_BIGINT},
+       {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE}
+FROM ({SQL_JPEG_STATS}) _j
 """
 
 
@@ -7972,7 +7991,35 @@ def q_crawl_ingest_docs(spark, sf_dir):
         )
         return [gate, rej, acc, dsir, pack]
 
-    return _union_all(rows("1", r1) + rows("2", r2))
+    # r11: within-batch dedup folded into the suite (r10 VERDICT #1) — a
+    # third, independent iteration over batch 1 with dedup_within_batch
+    # on; only its pruned/reject/accept outputs are selected, so the
+    # unused DSIR/pack stages never execute (lazy DataFrames).
+    r_wb = ingest_batch(b1, st, dedup_within_batch=True)
+    wb = [
+        r_wb.batch_pruned.select(
+            F.lit("wb_pruned").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("v1"),
+            F.col("cluster_size").cast("long").alias("v2"),
+            F.col("kept").cast("string").alias("s1"),
+        ),
+        r_wb.rejected.select(
+            F.lit("wb_reject").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_dups").cast("long").alias("v1"),
+            F.col("max_matches").cast("long").alias("v2"),
+            _nul("string").alias("s1"),
+        ),
+        r_wb.accepted.select(
+            F.lit("wb_accept").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _nul("long").alias("v1"),
+            _nul("long").alias("v2"),
+            F.col("lang").alias("s1"),
+        ),
+    ]
+    return _union_all(rows("1", r1) + rows("2", r2) + wb)
 
 
 def q_crawl_wb_dedup_docs(spark, sf_dir):
@@ -8014,6 +8061,18 @@ def q_crawl_wb_dedup_docs(spark, sf_dir):
         F.col("lang").alias("s1"),
     )
     return _union_all([pruned, rej, acc])
+
+
+# r11: the crawl suite = the two-batch loop + the within-batch dedup
+# iteration under 'wb_'-prefixed components (r10 VERDICT #1 — driver
+# visibility for both).  Each side keeps its own WITH chain inside a
+# derived table; their stage CTEs are already MATERIALIZED.
+SQL_CRAWL_INGEST_SUITE = f"""
+SELECT * FROM ({SQL_CRAWL_INGEST}) _ci
+UNION ALL
+SELECT 'wb_' || component AS component, doc_id, v1, v2, s1
+FROM ({SQL_CRAWL_WB_DEDUP}) _wb
+"""
 
 
 # Fold the four new operators into their driver-window suites (the SQL
@@ -8303,7 +8362,7 @@ ALL_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION_SUITE,
     "corpus_curation_enrich": SQL_CORPUS_CURATION,
     "curation_pipeline_docs": SQL_CURATION_PIPELINE,
-    "crawl_ingest_docs": SQL_CRAWL_INGEST,
+    "crawl_ingest_docs": SQL_CRAWL_INGEST_SUITE,
     "crawl_wb_dedup_docs": SQL_CRAWL_WB_DEDUP,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "hll_users_events": SQL_HLL_USERS_EVENTS,

@@ -42,7 +42,7 @@ EXPECTED = {
     "asof_range_joins": {"asof", "funnel", "range", "scd2_pit"},
     "orchestration_dag": {"foreach", "parallel", "retry", "retry_meta"},
     "join_strategies": {"bloom", "bucketed"},
-    "multimodal_decode": {"bmp", "features", "png", "resize", "wav"},
+    "multimodal_decode": {"bmp", "features", "jpeg", "png", "resize", "wav"},
     "corpus_curation": {
         "clean", "contaminated", "dsir_sel", "enrich", "gate", "mixture",
         "pack", "prune",
@@ -66,7 +66,7 @@ EXPECTED = {
     "cdc_orders": {"apply", "diff"},
     "crawl_ingest_docs": {
         "accept1", "accept2", "dsir1", "dsir2", "gate1", "gate2", "pack1",
-        "pack2", "reject1", "reject2",
+        "pack2", "reject1", "reject2", "wb_accept", "wb_pruned", "wb_reject",
     },
     "parts_fuzzy_pagerank": {"fuzzy", "pagerank", "sorted_nbr"},
     "events_payload_layout": {"json", "zorder"},
