@@ -4805,6 +4805,89 @@ FROM ({SQL_BLOOM_ORDERS}) _f
 """
 
 
+# --- ci_collation_customers: SQL Server default-collation (CI) joins -------
+
+def q_ci_collation_customers(spark, sf_dir):
+    """r11 (r10 VERDICT #3): case-insensitive collation string-key joins —
+    SQL Server's default ``SQL_Latin1_General_CP1_CI_AS`` means the
+    reference's lookups and staging joins match keys regardless of case
+    (stg_crm__customers.sql:37-67, CustomerDataLoad.dtsx:122-129).  The
+    fixture derives a MIXED-case segment key per customer (as-is / lower /
+    Titlecase by c_custkey % 3) and joins it back to the original-case
+    dimension: 'lookup' = the CI lookup's match output (case of the fact
+    key preserved), 'cs_miss' = the migration delta a case-sensitive join
+    silently drops, 'ci_semi' = CI semi-join survivors (everyone)."""
+    from .operators.joins import anti_join, semi_join
+    from .operators.lookup import lookup
+
+    cust = _t(spark, sf_dir)["customer"]
+    mixed = (
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower(F.col("c_mktsegment")))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substring(c_mktsegment, 2)")),
+            )
+        )
+    )
+    fact = cust.select("c_custkey", mixed.alias("segment"))
+    dim = (
+        cust.select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .withColumn("seg_code", F.substring("segment", 1, 3))
+    )
+    lk = lookup(
+        fact, dim, on=["segment"], select={"seg_code": "seg_code"}, ci=True
+    ).select(
+        F.lit("lookup").alias("component"),
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("segment").cast("string").alias("s1"),
+        F.col("seg_code").cast("string").alias("s2"),
+    )
+    cs_miss = anti_join(fact, dim.select("segment"), on=["segment"]).select(
+        F.lit("cs_miss").alias("component"),
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("segment").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    ci_semi = semi_join(
+        fact, dim.select("segment"), on=["segment"], ci=True
+    ).select(
+        F.lit("ci_semi").alias("component"),
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("segment").cast("string").alias("s1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([lk, cs_miss, ci_semi])
+
+
+SQL_CI_COLLATION = """
+WITH f AS (
+  SELECT c_custkey,
+         CASE CAST(c_custkey % 3 AS INTEGER)
+           WHEN 0 THEN c_mktsegment
+           WHEN 1 THEN lower(c_mktsegment)
+           ELSE upper(substr(c_mktsegment, 1, 1))
+                || lower(substr(c_mktsegment, 2))
+         END AS segment
+  FROM customer),
+d AS (SELECT DISTINCT c_mktsegment AS dseg FROM customer)
+SELECT 'lookup' AS component, CAST(f.c_custkey AS BIGINT) AS k,
+       CAST(f.segment AS VARCHAR) AS s1,
+       CAST(substr(d.dseg, 1, 3) AS VARCHAR) AS s2
+FROM f JOIN d ON lower(f.segment) = lower(d.dseg)
+UNION ALL
+SELECT 'cs_miss', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM f WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.dseg = f.segment)
+UNION ALL
+SELECT 'ci_semi', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM f WHERE EXISTS (SELECT 1 FROM d WHERE lower(d.dseg) = lower(f.segment))
+"""
+
+
 # --- benchmark decontamination: n-gram overlap vs the held-out eval split ---
 
 def q_decontam_docs(spark, sf_dir):
@@ -8320,6 +8403,7 @@ ALL_QUERIES = {
     "parts_fuzzy_pagerank": q_parts_fuzzy_pagerank,
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
+    "ci_collation_customers": q_ci_collation_customers,
 }
 
 ALL_ORACLES = {
@@ -8490,6 +8574,7 @@ ALL_ORACLES = {
     "parts_fuzzy_pagerank": SQL_PARTS_FUZZY_PAGERANK,
     "roundtrip_sinks": SQL_ROUNDTRIP_SINKS,
     "join_strategies": SQL_JOIN_STRATEGIES,
+    "ci_collation_customers": SQL_CI_COLLATION,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

@@ -458,6 +458,7 @@ def bind_package(
     variables: dict[str, object] | None = None,
     param_bindings: dict[str, list[str]] | None = None,
     sql_handlers: dict[str, Callable] | None = None,
+    collation_ci: bool = False,
 ) -> tuple[Pipeline, list[BoundTask]]:
     """Bind a parsed package to the engine.
 
@@ -467,6 +468,12 @@ def bind_package(
     or task NAME -> ordered variable names feeding its ``?`` placeholders.
     ``sql_handlers``: task name -> ``(frames, vars) -> DataFrame`` for
     ExecuteSQL tasks the subset rewriter cannot run (MERGE, DELETE+INSERT...).
+    ``collation_ci``: compare STRING join keys case-insensitively in every
+    bound Lookup and MergeJoin — SQL Server's default collation
+    (``SQL_Latin1_General_CP1_CI_AS``), which the reference packages'
+    lookups inherit from the server (CustomerDataLoad.dtsx:122-129); the
+    engine's default stays case-sensitive (Spark semantics), so packages
+    migrated from a CI server opt in explicitly.
 
     Returns (pipeline, report).  Each task becomes one :class:`Model` named
     by its ObjectName; precedence constraints become ``deps``; a data-flow
@@ -502,7 +509,8 @@ def bind_package(
     report: list[BoundTask] = []
     for task in flat:
         model, bound = _bind_task(
-            spark, pkg, task, views, param_bindings or {}, sql_handlers or {}
+            spark, pkg, task, views, param_bindings or {}, sql_handlers or {},
+            ci=collation_ci,
         )
         model.deps = deps[task.name]
         pipe.add(model)
@@ -643,7 +651,8 @@ def _forloop_values(task: DtsxTask) -> tuple[str, list[int]]:
     return var, vals
 
 
-def _bind_loop(spark, pkg, task, views, param_bindings, sql_handlers):
+def _bind_loop(spark, pkg, task, views, param_bindings, sql_handlers,
+               ci=False):
     """ForEachLoop / ForLoop container: children run once per item in
     constraint order with the mapped variable bound (the C2 contract the
     engine's ``foreach_partition_values`` implements for hand-built
@@ -663,7 +672,8 @@ def _bind_loop(spark, pkg, task, views, param_bindings, sql_handlers):
             last = None
             for child in order:
                 model, _ = _bind_task(
-                    spark, pkg, child, views, param_bindings, sql_handlers
+                    spark, pkg, child, views, param_bindings, sql_handlers,
+                    ci=ci,
                 )
                 last = model.build(frames, vars_)
             if last is not None:
@@ -703,12 +713,15 @@ def _noop_model(spark: SparkSession, task: DtsxTask, status: str) -> Model:
     return Model(name=task.name, build=build)
 
 
-def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers):
+def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers,
+               ci=False):
     if _kind(task) in ("FOREACHLOOP", "FORLOOP"):
-        return _bind_loop(spark, pkg, task, views, param_bindings, sql_handlers)
+        return _bind_loop(spark, pkg, task, views, param_bindings,
+                          sql_handlers, ci=ci)
     if task.task_type == "Microsoft.Pipeline":
         def build(frames, vars_, _task=task):
-            return _run_dataflow(spark, pkg, _task, views, vars_, param_bindings)
+            return _run_dataflow(spark, pkg, _task, views, vars_,
+                                 param_bindings, ci=ci)
 
         return Model(name=task.name, build=build), BoundTask(
             task.name, task.task_type, "bound", "data flow"
@@ -804,7 +817,8 @@ def _dataflow_order(task: DtsxTask) -> dict[str, list[tuple[str, str | None]]]:
     return incoming
 
 
-def _run_dataflow(spark, pkg, task, views, vars_, param_bindings) -> DataFrame:
+def _run_dataflow(spark, pkg, task, views, vars_, param_bindings,
+                  ci=False) -> DataFrame:
     if not task.components:
         raise ValueError(f"data flow {task.name} has no components")
     incoming = _dataflow_order(task)
@@ -824,7 +838,7 @@ def _run_dataflow(spark, pkg, task, views, vars_, param_bindings) -> DataFrame:
                 else:
                     ins.append(outs[_PRIMARY])
             outs = _bind_component(
-                spark, pkg, comp, ins, views, vars_, param_bindings
+                spark, pkg, comp, ins, views, vars_, param_bindings, ci=ci
             )
             results[comp.ref_id] = outs
             last = outs
@@ -874,7 +888,7 @@ def _declared_schema(comp: DtsxComponent):
 
 
 def _bind_component(
-    spark, pkg, comp, ins, views, vars_, param_bindings
+    spark, pkg, comp, ins, views, vars_, param_bindings, ci=False
 ) -> dict[str, DataFrame]:
     cls = comp.class_id.rsplit(".", 1)[-1]
     if cls == "OLEDBSource":
@@ -900,7 +914,7 @@ def _bind_component(
             )
         }
     if cls == "Lookup":
-        return _bind_lookup(spark, _one(ins, comp), comp, views, vars_)
+        return _bind_lookup(spark, _one(ins, comp), comp, views, vars_, ci=ci)
     if cls == "DerivedColumn":
         return {_PRIMARY: _bind_derived(_one(ins, comp), comp, vars_)}
     if cls == "ConditionalSplit":
@@ -961,7 +975,8 @@ def _bind_component(
         ]
         if not keys:
             raise ValueError(f"MergeJoin {comp.name}: no join keys")
-        return {_PRIMARY: merge_join(ins[0], ins[1], on=keys, how=how)}
+        return {_PRIMARY: merge_join(ins[0], ins[1], on=keys, how=how,
+                                     ci=ci)}
     if cls in ("OLEDBDestination", "FlatFileDestination", "ExcelDestination"):
         return {
             _PRIMARY: _bind_destination(spark, pkg, _one(ins, comp), comp, cls)
@@ -1106,7 +1121,7 @@ def _bind_source(spark, comp, views, vars_, param_bindings) -> DataFrame:
     return df
 
 
-def _bind_lookup(spark, df, comp, views, vars_) -> dict[str, DataFrame]:
+def _bind_lookup(spark, df, comp, views, vars_, ci=False) -> dict[str, DataFrame]:
     if df is None:
         raise ValueError(f"lookup {comp.name} has no upstream source")
     dim = spark.sql(rewrite_tsql(comp.properties["SqlCommand"], views, variables=vars_))
@@ -1154,15 +1169,19 @@ def _bind_lookup(spark, df, comp, views, vars_) -> dict[str, DataFrame]:
         select={n: n for n in out_names},
         no_match=no_match,
         broadcast=full_cache,
+        ci=ci,
     )
     for c in comp.output_columns:
         out = out.withColumn(c.name, F.col(c.name).cast(c.spark_type()))
     # the no-match output (consumable through <paths>, lazy until consumed):
     # upstream rows with no dim partner — the SSIS redirect-no-match stream
-    no_match_rows = df.join(
+    from .operators.joins import anti_join
+
+    no_match_rows = anti_join(
+        df,
         F.broadcast(dim.select(*input_cols).distinct()),
         on=input_cols,
-        how="left_anti",
+        ci=ci,
     )
     return {
         _PRIMARY: out,
@@ -1284,6 +1303,7 @@ def run_package(
     variables: dict[str, object] | None = None,
     param_bindings: dict[str, list[str]] | None = None,
     sql_handlers: dict[str, Callable] | None = None,
+    collation_ci: bool = False,
 ) -> tuple[dict[str, DataFrame], list[BoundTask]]:
     """Parse + bind + execute a package; returns ({task name -> DataFrame},
     report).  Data-flow tasks yield their destination input; runnable SQL
@@ -1291,7 +1311,8 @@ def run_package(
     status frame."""
     pkg = parse_dtsx(path)
     pipe, report = bind_package(
-        spark, pkg, tables, variables, param_bindings, sql_handlers
+        spark, pkg, tables, variables, param_bindings, sql_handlers,
+        collation_ci=collation_ci,
     )
     frames = pipe.run({})
     return frames, report

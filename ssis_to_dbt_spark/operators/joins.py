@@ -12,6 +12,39 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ci_join(
+    left: DataFrame, right: DataFrame, on: list[str], how: str
+) -> DataFrame:
+    """Equi-join with SQL Server default-collation semantics on STRING
+    keys (case-insensitive; see :func:`~ssis_to_dbt_spark.operators
+    .lookup.lookup` ``ci``).  Both sides fold to ``lower()`` for the
+    probe; the output key restores the LEFT side's original case where a
+    left row exists, else the right side's (full joins).  Semi/anti
+    outputs carry only left columns, so their restore is the left stash
+    alone.  The fold is a per-row expression — join strategy selection
+    (broadcast/shuffle/SMJ) is untouched."""
+    from .lookup import _ci_fold
+
+    lf, lstash = _ci_fold(left, on)
+    keep_right = how in ("full", "full_outer")
+    rf, rstash = _ci_fold(right, on, keep_original=keep_right)
+    for k, s in list(rstash.items()):  # avoid stash-name collision with left
+        rf = rf.withColumnRenamed(s, f"__ci_r{s}")
+        rstash[k] = f"__ci_r{s}"
+    joined = lf.join(rf, on=on, how=how)
+    for k in lstash:
+        restored = (
+            F.coalesce(F.col(lstash[k]), F.col(rstash[k]))
+            if k in rstash
+            else F.col(lstash[k])
+        )
+        joined = joined.withColumn(k, restored).drop(lstash[k])
+        if k in rstash:
+            joined = joined.drop(rstash[k])
+    return joined
 
 
 def merge_join(
@@ -19,32 +52,62 @@ def merge_join(
     right: DataFrame,
     on: list[str] | Column,
     how: str = "inner",
+    ci: bool = False,
 ) -> DataFrame:
     """J3: MergeJoin (INNER/LEFT/FULL). Sortedness is Spark's concern —
     SortMergeJoin sorts shuffle partitions itself; pre-sorted bucketed tables
-    skip the sort at scale."""
+    skip the sort at scale.  ``ci=True``: case-insensitive string-key
+    compare (SQL Server default collation), list-form ``on`` only."""
     if how not in ("inner", "left", "full", "left_outer", "full_outer"):
         raise ValueError(f"MergeJoin supports inner/left/full, got {how}")
+    if ci:
+        if not isinstance(on, list):
+            raise ValueError("merge_join(ci=True) requires list-form keys")
+        return _ci_join(left, right, on, how)
     return left.join(right, on=on, how=how)
 
 
-def semi_join(left: DataFrame, right: DataFrame, on: list[str] | Column) -> DataFrame:
+def semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | Column,
+    ci: bool = False,
+) -> DataFrame:
     """J5: WHERE key IN (SELECT key FROM ...) -> left_semi join."""
+    if ci:
+        if not isinstance(on, list):
+            raise ValueError("semi_join(ci=True) requires list-form keys")
+        return _ci_join(left, right, on, "left_semi")
     return left.join(right, on=on, how="left_semi")
 
 
-def anti_join(left: DataFrame, right: DataFrame, on: list[str] | Column) -> DataFrame:
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | Column,
+    ci: bool = False,
+) -> DataFrame:
     """Rows of ``left`` with no match in ``right`` (left_anti)."""
+    if ci:
+        if not isinstance(on, list):
+            raise ValueError("anti_join(ci=True) requires list-form keys")
+        return _ci_join(left, right, on, "left_anti")
     return left.join(right, on=on, how="left_anti")
 
 
 def fk_violations(
-    child: DataFrame, parent: DataFrame, fk: str, pk: str | None = None
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str | None = None,
+    ci: bool = False,
 ) -> DataFrame:
-    """J6: dbt relationships test — child rows whose FK has no parent row."""
+    """J6: dbt relationships test — child rows whose FK has no parent row.
+    ``ci=True``: a parent key differing only in case still satisfies the
+    relationship (SQL Server default collation)."""
     pk = pk or fk
     parent_keys = parent.select(parent[pk].alias(fk)).distinct()
-    return child.join(parent_keys, on=fk, how="left_anti")
+    return anti_join(child, parent_keys, on=[fk] if ci else fk, ci=ci)
 
 
 def asof_join(

@@ -749,6 +749,84 @@ class TestLookupCacheMode:
             assert {r["K"]: r["V"] for r in df.collect()} == {1: 10, 2: 20}
 
 
+class TestCollationCi:
+    """r11 (r10 VERDICT #3): ``collation_ci=True`` on run_package /
+    bind_package gives bound Lookups and MergeJoins SQL Server
+    default-collation (case-insensitive) string-key compare — the
+    server-side semantics the reference packages' joins inherit.  The
+    default stays case-sensitive, so the flag is the migration knob for
+    mixed-case key data."""
+
+    BODY = (
+        '<components>'
+        '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+        '<properties><property name="OpenRowset">src.F</property></properties>'
+        '</component>'
+        '<component refId="P\\F\\L" componentClassID="Microsoft.Lookup" name="L">'
+        '<properties><property name="SqlCommand">SELECT Code, Seg FROM dim.D</property>'
+        '<property name="NoMatchBehavior">1</property></properties>'
+        '<inputs><input refId="i" name="I"><inputColumns>'
+        '<inputColumn cachedName="Seg"/></inputColumns></input></inputs>'
+        '<outputs><output refId="o" name="Lookup Match Output"><outputColumns>'
+        '<outputColumn name="Code" dataType="wstr" length="10"/>'
+        '</outputColumns></output></outputs>'
+        '</component>'
+        '</components>'
+    )
+
+    def _tables(self, spark):
+        fact = spark.createDataFrame(
+            [(1, "Alpha"), (2, "ALPHA"), (3, "beta")], "K int, Seg string"
+        )
+        dim = spark.createDataFrame(
+            [("A", "alpha"), ("B", "BETA")], "Code string, Seg string"
+        )
+        return {"src.F": fact, "dim.D": dim}
+
+    def test_lookup_binds_ci_and_preserves_case(self, spark, tmp_path):
+        path = _write_pkg(tmp_path, self.BODY, "CiPkg")
+        frames, _ = run_package(
+            spark, path, tables=self._tables(spark), collation_ci=True
+        )
+        rows = {r["K"]: (r["Seg"], r["Code"]) for r in frames["Flow"].collect()}
+        assert rows == {
+            1: ("Alpha", "A"), 2: ("ALPHA", "A"), 3: ("beta", "B"),
+        }
+        # default stays case-sensitive: no dim key matches literally
+        frames_cs, _ = run_package(
+            spark, path, tables=self._tables(spark)
+        )
+        assert {r["Code"] for r in frames_cs["Flow"].collect()} == {None}
+
+    def test_mergejoin_binds_ci(self, spark, tmp_path):
+        body = (
+            '<components>'
+            '<component refId="P\\F\\A" componentClassID="Microsoft.OLEDBSource" name="A">'
+            '<properties><property name="OpenRowset">src.F</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\B" componentClassID="Microsoft.OLEDBSource" name="B">'
+            '<properties><property name="OpenRowset">dim.D</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\MJ" componentClassID="Microsoft.MergeJoin" name="MJ">'
+            '<properties><property name="JoinType">2</property>'
+            '<property name="JoinKeys">Seg</property></properties>'
+            '</component>'
+            '</components>'
+            '<paths>'
+            '<path startId="P\\F\\A.Outputs[O]" endId="P\\F\\MJ.Inputs[Left]"/>'
+            '<path startId="P\\F\\B.Outputs[O]" endId="P\\F\\MJ.Inputs[Right]"/>'
+            '</paths>'
+        )
+        path = _write_pkg(tmp_path, body, "CiJoin")
+        frames, _ = run_package(
+            spark, path, tables=self._tables(spark), collation_ci=True
+        )
+        rows = {r["K"]: r["Code"] for r in frames["Flow"].collect()}
+        assert rows == {1: "A", 2: "A", 3: "B"}
+        frames_cs, _ = run_package(spark, path, tables=self._tables(spark))
+        assert frames_cs["Flow"].count() == 0
+
+
 class TestDataConversionErrorOutput:
     def test_failing_casts_route_to_error_output(self, spark, tmp_path):
         body = (

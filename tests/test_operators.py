@@ -79,6 +79,132 @@ class TestLookup:
         assert {r["attr"] for r in out.filter("k = 1").collect()} == {"cur"}
 
 
+class TestCaseInsensitiveCollation:
+    """r11 (r10 VERDICT #3): ``ci=True`` on lookup and the equi-join
+    helpers — SQL Server's default CI collation on string keys.  The
+    default stays case-sensitive (Spark semantics); CI folds both sides
+    to lower() for the probe only, preserving the streamed side's
+    original key case in the output."""
+
+    def _sides(self, spark):
+        f = spark.createDataFrame(
+            [(1, "Alpha"), (2, "ALPHA"), (3, "beta"), (4, "Gamma")],
+            "k int, seg string",
+        )
+        d = spark.createDataFrame(
+            [("alpha", "A"), ("BETA", "B")], "seg string, code string"
+        )
+        return f, d
+
+    def test_lookup_cs_vs_ci_parity(self, spark):
+        f, d = self._sides(spark)
+        cs = lookup(f, d, ["seg"], {"code": "code"})
+        assert {r["k"]: r["code"] for r in cs.collect()} == {
+            1: None, 2: None, 3: None, 4: None,
+        }
+        ci = lookup(f, d, ["seg"], {"code": "code"}, ci=True)
+        rows = {r["k"]: (r["seg"], r["code"]) for r in ci.collect()}
+        # matches are case-insensitive; the fact key keeps its case
+        assert rows == {
+            1: ("Alpha", "A"), 2: ("ALPHA", "A"),
+            3: ("beta", "B"), 4: ("Gamma", None),
+        }
+
+    def test_lookup_ci_fail_and_inner_policies(self, spark):
+        f, d = self._sides(spark)
+        matched = f.filter("k != 4")
+        out = lookup(
+            matched, d, ["seg"], {"code": "code"},
+            no_match=LookupNoMatch.FAIL, ci=True,
+        )
+        assert out.count() == 3
+        with pytest.raises(ValueError, match="FailComponent"):
+            lookup(
+                f, d, ["seg"], {"code": "code"},
+                no_match=LookupNoMatch.FAIL, ci=True,
+            ).collect()
+        inner = lookup(
+            f, d, ["seg"], {"code": "code"},
+            no_match=LookupNoMatch.INNER, ci=True,
+        )
+        assert {r["k"] for r in inner.collect()} == {1, 2, 3}
+
+    def test_lookup_ci_non_string_keys_untouched(self, spark):
+        # int key + string key: only the string key folds
+        f = spark.createDataFrame(
+            [(1, "X", 10), (2, "y", 20)], "id int, seg string, v int"
+        )
+        d = spark.createDataFrame(
+            [(1, "x", "one"), (2, "Y", "two")],
+            "id int, seg string, name string",
+        )
+        out = lookup(f, d, ["id", "seg"], {"name": "name"}, ci=True)
+        assert {r["id"]: r["name"] for r in out.collect()} == {
+            1: "one", 2: "two",
+        }
+
+    def test_joins_ci_variants(self, spark):
+        from ssis_to_dbt_spark.operators.joins import (
+            anti_join,
+            merge_join,
+            semi_join,
+        )
+
+        f, d = self._sides(spark)
+        semi = semi_join(f, d.select("seg"), ["seg"], ci=True)
+        assert {(r["k"], r["seg"]) for r in semi.collect()} == {
+            (1, "Alpha"), (2, "ALPHA"), (3, "beta"),
+        }
+        anti = anti_join(f, d.select("seg"), ["seg"], ci=True)
+        assert {r["k"] for r in anti.collect()} == {4}
+        # CS baselines differ — the migration delta the option closes
+        assert semi_join(f, d.select("seg"), ["seg"]).count() == 0
+        assert anti_join(f, d.select("seg"), ["seg"]).count() == 4
+
+        inner = merge_join(f, d, ["seg"], "inner", ci=True)
+        assert {r["k"]: (r["seg"], r["code"]) for r in inner.collect()} == {
+            1: ("Alpha", "A"), 2: ("ALPHA", "A"), 3: ("beta", "B"),
+        }
+        left = merge_join(f, d, ["seg"], "left", ci=True)
+        assert {r["k"]: r["code"] for r in left.collect()} == {
+            1: "A", 2: "A", 3: "B", 4: None,
+        }
+        # full join restores the present side's case
+        full = merge_join(f, d, ["seg"], "full", ci=True)
+        segs = {(r["k"], r["seg"]) for r in full.collect()}
+        assert (None, "BETA") not in segs  # right beta matched left 'beta'
+        assert (1, "Alpha") in segs and (4, "Gamma") in segs
+
+    def test_full_join_right_only_rows_keep_right_case(self, spark):
+        from ssis_to_dbt_spark.operators.joins import merge_join
+
+        f = spark.createDataFrame([(1, "Alpha")], "k int, seg string")
+        d = spark.createDataFrame([("DELTA", "D")], "seg string, code string")
+        full = merge_join(f, d, ["seg"], "full", ci=True)
+        assert {(r["k"], r["seg"], r["code"]) for r in full.collect()} == {
+            (1, "Alpha", None), (None, "DELTA", "D"),
+        }
+
+    def test_fk_violations_ci(self, spark):
+        child = spark.createDataFrame(
+            [(1, "Alpha"), (2, "omega")], "id int, seg string"
+        )
+        parent = spark.createDataFrame([("ALPHA",)], "seg string")
+        assert {r["id"] for r in fk_violations(child, parent, "seg").collect()} \
+            == {1, 2}
+        assert {
+            r["id"] for r in fk_violations(child, parent, "seg", ci=True).collect()
+        } == {2}
+
+    def test_ci_preserves_broadcast_strategy(self, spark):
+        f, d = self._sides(spark)
+        plan = (
+            lookup(f, d, ["seg"], {"code": "code"}, ci=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestSplitsAndSets:
     def test_tagged_first_match_wins(self, spark):
         df = spark.createDataFrame([(5,), (15,), (50,)], "n int")
