@@ -93,6 +93,11 @@ class IngestResult:
     # dedup_within_batch=True only: per-gated-doc cluster verdicts
     # (doc_id, cluster_id, cluster_size, kept) — None otherwise
     batch_pruned: DataFrame | None = None
+    # dedup_within_batch=True only: the thresholded within-batch
+    # candidate pairs (doc_a, doc_b, est_jaccard) BEFORE clustering —
+    # exposed so deployments/tests can audit the self-join's fan-out
+    # and plan shape (the band cap bounds it at bands * cap^2 / 2)
+    batch_pairs: DataFrame | None = None
 
 
 def seed_ingest_state(
@@ -132,6 +137,7 @@ def ingest_batch(
     checkpoint: bool = True,
     batch_broadcast_max_docs: int = BATCH_BROADCAST_MAX_DOCS,
     dedup_within_batch: bool = False,
+    band_bucket_cap: int | None = None,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).
 
@@ -144,7 +150,14 @@ def ingest_batch(
     .prune_clusters`), and only representatives proceed to the probe /
     accept / index-append / score / pack.  A crawl burst that lands the
     same boilerplate page 50 times in one batch then admits it once
-    instead of 50 times.  Default OFF — the loop's documented base
+    instead of 50 times.  ``band_bucket_cap`` overrides the per-band
+    bucket membership cap (default: the dedup module's 10,000) for BOTH
+    the within-batch self-join and the index probe — the knob that
+    bounds a viral bucket's self-join fan-out at bands * cap^2 pairs.
+    The self-join regime is size-aware like the probe: a batch the
+    measured count says is over ``batch_broadcast_max_docs`` runs the
+    band self-join as a shuffle-hash join (the hint keeps AQE from
+    re-pinning a broadcast the count just refuted).  Default OFF — the loop's documented base
     semantics accept within-batch near-dups (they were never in the
     index), and the driver-entry oracle pins that form.  With it ON,
     ``accepted ∪ rejected`` partitions the KEPT representatives (a
@@ -186,11 +199,14 @@ def ingest_batch(
     # (filtered to acceptances) the index append — per-doc derivations
     # are corpus-independent, so reuse is exact and saves a second
     # minhash pass over the accepted docs.
-    bsigs, bbands = corpus_dedup_index(gated)
+    cap_kw = {} if band_bucket_cap is None else {
+        "max_bucket_size": int(band_bucket_cap)
+    }
+    bsigs, bbands = corpus_dedup_index(gated, **cap_kw)
     if checkpoint:
         bsigs = bsigs.localCheckpoint(eager=False)
         bbands = bbands.localCheckpoint(eager=False)
-    batch_pruned = None
+    batch_pruned = batch_pairs = None
     if dedup_within_batch:
         from .text.dedup import prune_clusters
 
@@ -198,9 +214,15 @@ def ingest_batch(
         # band self-join (capped buckets — bounded fan-out), signature
         # agreement as est_jaccard, the loop's own dup threshold
         b = bbands.select("band_idx", "band_hash", "doc_id")
+        probe = b.alias("b")
+        if gated.count() > int(batch_broadcast_max_docs):
+            # measured over the broadcast cap: force the shuffle regime
+            # so neither the static planner nor AQE pins a broadcast of
+            # a corpus-scale backfill batch against itself
+            probe = probe.hint("shuffle_hash")
         cand = (
             b.alias("a")
-            .join(b.alias("b"), ["band_idx", "band_hash"])
+            .join(probe, ["band_idx", "band_hash"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(
                 F.col("a.doc_id").alias("doc_a"),
@@ -229,6 +251,7 @@ def ingest_batch(
             .select("doc_a", "doc_b", est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= float(dup_threshold))
         )
+        batch_pairs = pairs_wb
         batch_pruned = ck(prune_clusters(gated, pairs_wb))
         kept_ids = batch_pruned.filter(F.col("kept")).select("doc_id")
         gated = ck(gated.join(kept_ids, "doc_id", "left_semi"))
@@ -246,6 +269,7 @@ def ingest_batch(
         gated, corpus_index=(state.sigs, state.bands),
         new_index=(bsigs, bbands),
         broadcast_batch=(n_gated <= int(batch_broadcast_max_docs)),
+        **cap_kw,
     )
     # est_jaccard is matches/num_hashes with num_hashes=8 — exactly
     # representable, so the threshold compare and the *8 recovery of the
@@ -298,4 +322,5 @@ def ingest_batch(
         accepted_sigs=acc_sigs,
         accepted_bands=acc_bands,
         batch_pruned=batch_pruned,
+        batch_pairs=batch_pairs,
     )

@@ -940,3 +940,85 @@ class TestIngestDedupWithinBatch:
         # scored/packed follow the deduped accepted set
         assert {x["doc_id"] for x in r.scored.collect()} == acc
         assert {x["doc_id"] for x in r.packed.collect()} == acc
+
+
+class TestWithinBatchDedupHotSkew:
+    """r11 (r10 VERDICT #4): the within-batch dedup self-join under an
+    adversarially hot band bucket — one viral boilerplate carrying 50%
+    of the batch — mirroring ``TestBackfillHotBucketSkew`` for the
+    probe.  The band cap must bound the self-join's candidate count at
+    bands * C(cap,2), and a batch the measured count says is over the
+    broadcast limit must run the self-join in the shuffle regime (no
+    AQE-pinned broadcast of an over-cap side) with no cartesian."""
+
+    CAP = 20
+
+    def _doc_text(self, tag):
+        syl = ["ba", "de", "fi", "go", "hu", "ka", "lo",
+               "mi", "nu", "po", "ra", "se", "ti"]
+        return " ".join(["the", "and"] + [
+            syl[i % 13] + syl[(i // 13) % 13] + tag for i in range(53)
+        ])
+
+    def test_viral_batch_bounded_fanout_and_shuffle_regime(self, spark):
+        import re
+
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+
+        schema = "doc_id long, text string, lang string, n_chars int"
+        viral = self._doc_text("vrl")
+        rows = [(i, viral, "en", len(viral)) for i in range(100)]
+        for i in range(100, 200):
+            t = self._doc_text(f"u{i}")
+            rows.append((i, t, "en", len(t)))
+        batch = spark.createDataFrame(rows, schema)
+        seed_t = self._doc_text("seedx")
+        seed = spark.createDataFrame(
+            [(1000, seed_t, "en", len(seed_t))], schema
+        )
+        st = seed_ingest_state(seed)
+        r = ingest_batch(
+            batch, st, dedup_within_batch=True, checkpoint=False,
+            band_bucket_cap=self.CAP, batch_broadcast_max_docs=50,
+        )
+
+        # plan: the band self-join runs in the shuffle regime — the
+        # measured 200-doc count refuted the 50-doc broadcast limit, so
+        # neither the static planner nor AQE may pin a broadcast of the
+        # (potentially corpus-scale) batch band table against itself
+        plan = r.batch_pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        band_joins = [
+            m.group(1) for m in re.finditer(r"(\w+Join) \[band_idx", plan)
+        ]
+        assert band_joins, plan[:1500]
+        assert all(
+            j in ("SortMergeJoin", "ShuffledHashJoin") for j in band_joins
+        ), band_joins
+
+        # fan-out bound: per band bucket each side contributes <= CAP
+        # members, so the deduped pair count stays <= 4 * C(CAP, 2)
+        pairs = r.batch_pairs.collect()
+        assert 0 < len(pairs) <= 4 * self.CAP * (self.CAP - 1) // 2
+        assert len(pairs) == len({(p["doc_a"], p["doc_b"]) for p in pairs})
+        # every surviving viral pair estimates full similarity
+        assert all(p["est_jaccard"] == 1.0 for p in pairs
+                   if p["doc_a"] < 100 and p["doc_b"] < 100)
+
+        # cluster verdicts: the capped viral cluster is exactly the CAP
+        # lowest viral ids with one kept representative; over-cap viral
+        # docs pass as singletons (the cap's documented bounded
+        # under-dedup tradeoff — truncation, never a failed stage)
+        by_id = {v["doc_id"]: v for v in r.batch_pruned.collect()}
+        assert len(by_id) == 200
+        viral_cluster = [
+            v for v in by_id.values() if v["cluster_size"] == self.CAP
+        ]
+        assert len(viral_cluster) == self.CAP
+        assert {v["doc_id"] for v in viral_cluster} == set(range(self.CAP))
+        assert sum(1 for v in viral_cluster if v["kept"]) == 1
+        assert all(
+            by_id[i]["cluster_size"] == 1 and by_id[i]["kept"]
+            for i in range(self.CAP, 100)
+        )
+        assert all(by_id[i]["kept"] for i in range(100, 200))
