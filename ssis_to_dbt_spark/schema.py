@@ -65,8 +65,17 @@ SSIS_TO_SPARK_TYPE_MAP: dict[str, object] = {
     # temporal
     "DT_DATE": _const(T.TimestampType()),
     "DT_DBDATE": _const(T.DateType()),
-    "DT_DBTIME": _const(T.StringType()),   # Spark has no TIME type
+    # TIME: Spark has no TIME type — the contract is canonical
+    # 'HH:MM:SS[.ffffff]' strings plus the arithmetic helpers below
+    # (time_to_micros / micros_to_time / time_add_seconds /
+    # time_diff_seconds), round-trip-pinned in test_schema_naming.py.
+    # Reference maps DT_DBTIME(2) -> SQL Server TIME
+    # (src/parser/type_mappings.py:31-32); TIME(7)'s 100 ns digit is
+    # clamped to Spark-representable microseconds.
+    "DT_DBTIME": _const(T.StringType()),
     "DT_DBTIME2": _const(T.StringType()),
+    "dbTime": _const(T.StringType()),
+    "dbTime2": _const(T.StringType()),
     "DT_DBTIMESTAMP": _const(T.TimestampType()),
     "DT_DBTIMESTAMP2": _const(T.TimestampType()),
     "DT_DBTIMESTAMPOFFSET": _const(T.TimestampType()),  # UTC-normalized
@@ -109,6 +118,88 @@ def ssis_to_spark_type(
     if factory is None:
         return T.StringType()  # reference falls back to NVARCHAR(MAX)
     return factory(length, precision, scale)
+
+
+# --- TIME (DT_DBTIME / DT_DBTIME2) value contract ----------------------------
+# SQL Server TIME values ride through the engine as canonical
+# 'HH:MM:SS[.ffffff]' strings (Spark has no TIME type); these helpers give
+# them ARITHMETIC — parse to integer microseconds-since-midnight, format
+# back, add/diff — as pure built-in Column expressions (JVM-side, no UDF).
+# TIME(7)'s seventh (100 ns) fractional digit exceeds microsecond precision
+# and is TRUNCATED on parse; values outside 00:00:00-23:59:59.999999 or
+# malformed strings parse to NULL (quarantine-not-crash).
+
+_TIME_RE = r"^(\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,7}))?$"
+
+
+def time_to_micros(col):
+    """Parse a TIME string to LONG microseconds since midnight (NULL for
+    malformed values or out-of-range fields)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    hh = F.regexp_extract(c, _TIME_RE, 1).cast("long")
+    mm = F.regexp_extract(c, _TIME_RE, 2).cast("long")
+    ss = F.regexp_extract(c, _TIME_RE, 3).cast("long")
+    frac = F.regexp_extract(c, _TIME_RE, 4)
+    us = F.substring(F.rpad(frac, 6, "0"), 1, 6).cast("long")
+    valid = (
+        c.rlike(_TIME_RE)
+        & (hh < 24) & (mm < 60) & (ss < 60)
+    )
+    total = (
+        (hh * 3_600_000_000 + mm * 60_000_000 + ss * 1_000_000)
+        + F.coalesce(us, F.lit(0))
+    )
+    return F.when(valid, total).otherwise(F.lit(None).cast("long"))
+
+
+def micros_to_time(col, scale: int = 0):
+    """Format LONG microseconds-since-midnight back to the canonical TIME
+    string — 'HH:MM:SS' at ``scale=0``, plus a ``scale``-digit fraction
+    (1-6) otherwise; input is wrapped into one day (mod 86400s), matching
+    SQL Server TIME's day-less domain."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if not 0 <= int(scale) <= 6:
+        raise ValueError(f"TIME scale must be 0-6, got {scale}")
+    c = col if isinstance(col, Column) else F.col(col)
+    day = F.lit(86_400_000_000)
+    m = ((c % day) + day) % day  # python-style mod: negatives wrap forward
+    two = lambda x: F.lpad(x.cast("string"), 2, "0")  # noqa: E731
+    base = F.concat_ws(
+        ":",
+        two(F.floor(m / 3_600_000_000)),
+        two(F.floor(m / 60_000_000) % 60),
+        two(F.floor(m / 1_000_000) % 60),
+    )
+    if scale == 0:
+        return base
+    frac = F.substring(
+        F.lpad((m % 1_000_000).cast("string"), 6, "0"), 1, int(scale)
+    )
+    return F.concat(base, F.lit("."), frac)
+
+
+def time_add_seconds(col, seconds, scale: int = 0):
+    """TIME + seconds (Column or literal; fractional seconds allowed),
+    wrapped mod 24 h — the T-SQL ``DATEADD(second, n, t)`` analogue for
+    the string-TIME contract."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    s = seconds if isinstance(seconds, Column) else F.lit(seconds)
+    delta = F.round(s.cast("double") * 1_000_000).cast("long")
+    return micros_to_time(time_to_micros(col) + delta, scale=scale)
+
+
+def time_diff_seconds(end, start):
+    """Signed seconds from ``start`` to ``end`` (DOUBLE; NULL if either
+    side is malformed) — the ``DATEDIFF(second, ...)`` analogue, without
+    day wrapping so callers can detect crossings."""
+    return (time_to_micros(end) - time_to_micros(start)) / 1_000_000.0
 
 
 # --- explicit schemas for the driver-generated testdata ---------------------

@@ -137,3 +137,126 @@ class TestDriverWindowContract:
         from ssis_to_dbt_spark import catalog
 
         assert set(catalog.QUERIES) <= set(catalog.ALL_QUERIES)
+
+
+class TestTimeContract:
+    """r11 (r10 VERDICT #5): DT_DBTIME/DT_DBTIME2 round-trip contract —
+    TIME rides as canonical 'HH:MM:SS[.ffffff]' strings (reference maps
+    both to SQL Server TIME, src/parser/type_mappings.py:31-32) with
+    built-in-expression arithmetic helpers; TIME(7)'s 100 ns digit is
+    truncated to microseconds, malformed values parse to NULL."""
+
+    def _vals(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "t string")
+
+    def test_type_map(self):
+        from pyspark.sql import types as T
+
+        from ssis_to_dbt_spark.schema import ssis_to_spark_type
+
+        for name in ("DT_DBTIME", "DT_DBTIME2", "dbTime", "dbTime2"):
+            assert ssis_to_spark_type(name) == T.StringType()
+
+    def test_round_trip_and_truncation(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.schema import micros_to_time, time_to_micros
+
+        df = self._vals(spark, [
+            "00:00:00", "23:59:59", "13:05:09", "1:2:3",
+            "13:05:09.5", "13:05:09.123456", "13:05:09.1234567",
+        ])
+        out = df.select(
+            "t",
+            time_to_micros("t").alias("us"),
+            micros_to_time(time_to_micros("t")).alias("t0"),
+            micros_to_time(time_to_micros("t"), scale=6).alias("t6"),
+        ).collect()
+        got = {r["t"]: (r["us"], r["t0"], r["t6"]) for r in out}
+        assert got["00:00:00"] == (0, "00:00:00", "00:00:00.000000")
+        assert got["23:59:59"] == (
+            86_399_000_000, "23:59:59", "23:59:59.000000"
+        )
+        assert got["1:2:3"] == (3_723_000_000, "01:02:03", "01:02:03.000000")
+        assert got["13:05:09.5"][0] == (
+            13 * 3600 + 5 * 60 + 9
+        ) * 1_000_000 + 500_000
+        assert got["13:05:09.123456"][2] == "13:05:09.123456"
+        # TIME(7): the 100 ns digit truncates, not rounds
+        assert got["13:05:09.1234567"][2] == "13:05:09.123456"
+        # canonical scale-0 form always round-trips bit-exact
+        canon = df.select(
+            micros_to_time(time_to_micros("t")).alias("c")
+        ).select(
+            (F.col("c") == micros_to_time(time_to_micros("c"))).alias("ok")
+        ).collect()
+        assert all(r["ok"] for r in canon)
+
+    def test_malformed_and_out_of_range_null(self, spark):
+        from ssis_to_dbt_spark.schema import time_to_micros
+
+        df = self._vals(spark, [
+            "24:00:00", "12:60:00", "12:00:60", "noon", "12:00",
+            "12:00:00 PM", "", None,
+        ])
+        assert [r["us"] for r in df.select(
+            time_to_micros("t").alias("us")
+        ).collect()] == [None] * 7 + [None]
+
+    def test_arithmetic_helpers(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.schema import (
+            time_add_seconds,
+            time_diff_seconds,
+        )
+
+        df = self._vals(spark, ["23:59:30"])
+        r = df.select(
+            time_add_seconds("t", 45).alias("wrap"),
+            time_add_seconds("t", -86_400 - 30).alias("back"),
+            time_add_seconds("t", 0.25, scale=2).alias("frac"),
+            time_diff_seconds(F.lit("00:00:15"), "t").alias("d"),
+        ).first()
+        assert r["wrap"] == "00:00:15"          # wraps past midnight
+        assert r["back"] == "23:59:00"          # negative wraps forward
+        assert r["frac"] == "23:59:30.25"
+        assert r["d"] == -86_355.0              # signed, no day wrap
+
+    def test_dtsx_fixture_column(self, spark, tmp_path):
+        """A dtsx source declaring a dbTime column binds to StringType and
+        the values stay arithmetic-capable through the flow."""
+        from tests.test_dtsx import _write_pkg
+
+        from ssis_to_dbt_spark.dtsx import run_package
+        from ssis_to_dbt_spark.schema import time_diff_seconds
+
+        body = (
+            '<components>'
+            '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+            '<properties><property name="OpenRowset">src.Shifts</property></properties>'
+            '<outputs><output refId="P\\F\\S.Outputs[O]" name="O"><outputColumns>'
+            '<outputColumn name="ShiftID" dataType="i4"/>'
+            '<outputColumn name="StartTime" dataType="dbTime"/>'
+            '<outputColumn name="EndTime" dataType="dbTime"/>'
+            '</outputColumns></output></outputs>'
+            '</component>'
+            '</components>'
+        )
+        src = spark.createDataFrame(
+            [(1, "08:30:00", "17:00:00"), (2, "22:00:00", "06:00:00")],
+            "ShiftID int, StartTime string, EndTime string",
+        )
+        path = _write_pkg(tmp_path, body, "TimePkg")
+        frames, _ = run_package(spark, path, tables={"src.Shifts": src})
+        df = frames["Flow"]
+        assert dict(df.dtypes)["StartTime"] == "string"
+        durs = {
+            r["ShiftID"]: r["d"]
+            for r in df.select(
+                "ShiftID",
+                time_diff_seconds("EndTime", "StartTime").alias("d"),
+            ).collect()
+        }
+        assert durs[1] == 8.5 * 3600
+        assert durs[2] == -16.0 * 3600  # crossing detected (negative)
