@@ -1271,3 +1271,163 @@ class TestStreamingWithinBatchDedup:
             )
         assert sorted(by[ids[0]]) == sorted(map(tuple, r1.scored.collect()))
         assert sorted(by[ids[1]]) == sorted(map(tuple, r2.scored.collect()))
+
+
+class TestLongSoakFiftyBatches:
+    """r11 (r10 VERDICT #6): 50-micro-batch soak of the persisted-index
+    crawl deployment — periodic real compactions (audit every 10, cap 1),
+    TWO mid-run process deaths (after batches 16 and 33, state rebuilt
+    from disk only), ``maxFilesPerTrigger=1`` so each of the three query
+    sessions drains its pending files as genuine one-file micro-batches.
+    Pins the long-run invariants: index size stays one signature row per
+    accepted doc, DSIR state versions stay bounded by retention, the
+    resumed state's plan depth stays flat (table scans, no union chain),
+    compactions genuinely fire PERIODICALLY, and the closed-form
+    accept/reject verdicts hold across all 50 batches (a recurring viral
+    text is admitted exactly once — by the first batch that saw it — and
+    a text already in the seed corpus is never admitted).
+
+    The compaction driver is a deterministic BAND-SHARING FAMILY: the
+    md5 minhash is seedless, so the four `_family_text` members were
+    searched offline to share LSH band 1 with the seed base while
+    agreeing on <= 3/8 signature hashes pairwise (est_jaccard <= 0.375
+    < 0.5 -> each is ACCEPTED and appended).  Every arrival regrows the
+    shared band bucket past cap=1, so the audit fires a real compaction
+    at batches 10/20/30/40 — four firings, each staging at a fresh
+    `_compact_v{k}` path."""
+
+    N = 50
+    VIRAL_SLICES = (0, 7, 14, 21, 28, 35, 42, 49)
+    SEED_DUP_SLICES = (3, 13, 23, 33, 43)
+    FAMILY_SLICES = {4: 1, 12: 5, 24: 9, 36: 10}  # slice -> variant id
+
+    def _text(self, tag):
+        syl = ["ba", "de", "fi", "go", "hu", "ka", "lo",
+               "mi", "nu", "po", "ra", "se", "ti"]
+        return " ".join(["the", "and"] + [
+            syl[i % 13] + syl[(i // 13) % 13] + tag for i in range(53)
+        ])
+
+    def _family_text(self, v):
+        # mutate words [11, 39) of the 'fam' base — the offline-searched
+        # variants (v in {1, 5, 9, 10}) that keep band 1 while dropping
+        # total signature agreement to <= 3/8
+        w = self._text("fam").split()
+        for j in range(11, 39):
+            w[j] = f"m{v}q{j}xx"
+        return " ".join(w)
+
+    def _slice(self, spark, i):
+        rows = [(1000 + i, self._text(f"u{i}"))]
+        if i in self.VIRAL_SLICES:
+            rows.append((2000 + i, self._text("vrl")))
+        if i in self.SEED_DUP_SLICES:
+            rows.append((3000 + i, self._text("wseed")))
+        if i in self.FAMILY_SLICES:
+            rows.append((4000 + i, self._family_text(self.FAMILY_SLICES[i])))
+        return spark.createDataFrame(
+            [(d, t, "en", len(t)) for d, t in rows],
+            "doc_id long, text string, lang string, n_chars int",
+        )
+
+    def test_fifty_batches_two_restarts_bounded(self, spark, tmp_path):
+        import os
+
+        from ssis_to_dbt_spark.ingest import seed_ingest_state
+        from ssis_to_dbt_spark.streaming import (
+            resume_ingest_state,
+            write_stream_crawl_ingest,
+        )
+        from ssis_to_dbt_spark.text import write_corpus_dedup_index
+
+        prefix = "soak50"
+        src = str(tmp_path / "s50_src")
+        out = str(tmp_path / "s50_out")
+        ckpt = str(tmp_path / "s50_ckpt")
+        spath = str(tmp_path / "s50_state")
+        cdir = str(tmp_path / "s50_compact")
+        schema = "doc_id long, text string, lang string, n_chars int"
+        seed_texts = [
+            (1, self._text("wseed")), (2, self._text("sa")),
+            (3, self._text("sb")), (4, self._text("fam")),
+        ]
+        seed = spark.createDataFrame(
+            [(j, t, "en", len(t)) for j, t in seed_texts], schema
+        )
+        try:
+            write_corpus_dedup_index(
+                seed, prefix, str(tmp_path / prefix), num_buckets=4
+            )
+            state = seed_ingest_state(seed)
+            # three sessions over [0,17), [17,34), [34,50) — the state
+            # object is REBUILT FROM DISK at each session boundary (the
+            # process 'died'); the checkpoint supplies batch continuity
+            for lo, hi in ((0, 17), (17, 34), (34, self.N)):
+                if lo:
+                    state = resume_ingest_state(spark, prefix, spath)
+                for i in range(lo, hi):
+                    self._slice(spark, i).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(src)
+                stream = (
+                    spark.readStream.schema(seed.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                q, box = write_stream_crawl_ingest(
+                    stream, state, out, ckpt,
+                    table_prefix=prefix, num_buckets=4,
+                    dsir_state_path=spath, dsir_state_keep_versions=3,
+                    audit_every=10, audit_max_bucket_size=1,
+                    compact_path_prefix=f"{cdir}/{prefix}",
+                )
+                q.awaitTermination(900)
+                state = box["state"]
+
+            acc = spark.read.parquet(f"{out}/accepted")
+            by_batch = {
+                r["batch_id"]: r["cnt"]
+                for r in acc.groupBy("batch_id")
+                .agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            assert set(by_batch) == set(range(self.N))
+            got = {r["doc_id"] for r in acc.select("doc_id").collect()}
+            want = {1000 + i for i in range(self.N)}
+            want.add(2000 + min(self.VIRAL_SLICES))  # viral admitted ONCE
+            # band-sharing family members stay BELOW threshold: accepted
+            want |= {4000 + i for i in self.FAMILY_SLICES}
+            assert got == want  # seed-dup ids (3000+) never admitted
+
+            # index bounded: exactly one signature row per seed+accepted
+            # doc even after 50 appends and the mid-stream compactions
+            spark.catalog.refreshTable(f"{prefix}_sigs")
+            sigs = spark.table(f"{prefix}_sigs")
+            assert sigs.count() == sigs.select("doc_id").distinct().count()
+            assert sigs.count() == 4 + len(want)
+
+            # DSIR versions bounded by retention (+ the seed base)
+            assert sorted(os.listdir(spath)) == [
+                "seed", "v47", "v48", "v49",
+            ]
+            # compactions fired PERIODICALLY: each firing stages at a
+            # fresh _compact_v{k} (k monotonic; superseded dirs are
+            # deleted after the swap, so count firings by max version)
+            import re as _re
+
+            vers = [
+                int(m.group(1))
+                for d in os.listdir(cdir)
+                for m in [_re.search(r"_compact_v(\d+)$", d)]
+                if m
+            ]
+            assert vers and max(vers) >= 4, sorted(os.listdir(cdir))
+            # plan depth flat: the on-disk deployment's state is table
+            # scans — no 50-deep union chain anywhere
+            state.sigs.count()
+            plan = state.sigs._jdf.queryExecution().optimizedPlan().toString()
+            assert plan.count("Union") <= 2, plan[:2000]
+        finally:
+            for t in (f"{prefix}_bands", f"{prefix}_sigs",
+                      f"{prefix}_compact_stage_bands",
+                      f"{prefix}_compact_stage_sigs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
