@@ -52,7 +52,9 @@ SHOWCASE = {
     "dsir_docs": "DSIR: B-row bucket model broadcast back; corpus shuffles exactly twice; explode_outer markers avoid a resurrection join",
     "curation_pipeline_docs": "composed curation chain (lazy form): broadcast anti-join drops at the dedup/decontam seams, k-row DSIR winner + mixture thresholds broadcast, bucket-keyed packing window — no SMJ, no cartesian",
     "pack_nosplit_docs": "no-split NFD packing: auto-sized bucket count from one scalar agg; one bucket-key exchange into the applyInPandas fold",
-    "crawl_ingest_docs": "continuous-crawl two-batch loop: batch bands broadcast against the index, size-aware drop seams, merged-DSIR map-only scoring, bucket-keyed packing",
+    "crawl_ingest_docs": "continuous-crawl two-batch loop: batch bands broadcast against the index, size-aware drop seams, merged-DSIR map-only scoring, bucket-keyed packing; r11 adds the within-batch self-join components (capped band buckets, size-aware regime)",
+    "ci_collation_customers": "CI collation: lower() fold is a codegen projection BEFORE the exchange — broadcast lookup strategy identical to the case-sensitive plan",
+    "jpeg_decode_stats": "real JPEG entropy decode: one map-only mapInPandas chain (encode -> decode), pruned (doc_id) scan, no shuffle",
 }
 
 # some entries need non-default kwargs for a REVIEWABLE plan (the
