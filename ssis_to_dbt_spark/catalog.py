@@ -4888,6 +4888,66 @@ FROM f WHERE EXISTS (SELECT 1 FROM d WHERE lower(d.dseg) = lower(f.segment))
 """
 
 
+# --- time_contract_events: the DT_DBTIME arithmetic contract, oracled -------
+
+def q_time_contract_events(spark, sf_dir):
+    """r11 (r10 VERDICT #5): the TIME (DT_DBTIME) value contract driven
+    end-to-end on real data — each event's time-of-day renders to the
+    canonical 'HH:MM:SS' string, parses back to exact µs-since-midnight,
+    shifts by +90 s with midnight wrap, and diffs (signed) against noon.
+    Every step is a built-in Column expression (schema.py helpers); the
+    oracle recomputes all four from DuckDB's timestamp parts."""
+    from .schema import (
+        micros_to_time,
+        time_add_seconds,
+        time_diff_seconds,
+        time_to_micros,
+    )
+
+    ev = _t(spark, sf_dir)["events"]
+    t = F.date_format("ts", "HH:mm:ss")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        t.alias("tod"),
+        time_to_micros(t).alias("us"),
+        time_add_seconds(t, 90).alias("plus90"),
+        time_diff_seconds(t, F.lit("12:00:00")).alias("vs_noon_s"),
+        micros_to_time(time_to_micros(t), scale=3).alias("tod_ms"),
+    )
+
+
+SQL_TIME_CONTRACT = """
+WITH b AS (
+  SELECT event_id,
+         CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(minute(ts) AS BIGINT) AS mi,
+         CAST(second(ts) AS BIGINT) AS ss
+  FROM events),
+m AS (
+  SELECT event_id, hh, mi, ss,
+         (hh * 3600 + mi * 60 + ss) * 1000000 AS us
+  FROM b),
+p AS (
+  SELECT *,
+         CAST(((us // 1000000 + 90) % 86400 + 86400) % 86400 AS BIGINT)
+           AS p90s
+  FROM m)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       lpad(CAST(hh AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(mi AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(ss AS VARCHAR), 2, '0') AS tod,
+       CAST(us AS BIGINT) AS us,
+       lpad(CAST(CAST(p90s // 3600 AS BIGINT) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(CAST((p90s // 60) % 60 AS BIGINT) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(CAST(p90s % 60 AS BIGINT) AS VARCHAR), 2, '0') AS plus90,
+       CAST(us / 1000000.0 - 43200.0 AS DOUBLE) AS vs_noon_s,
+       lpad(CAST(hh AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(mi AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(ss AS VARCHAR), 2, '0') || '.000' AS tod_ms
+FROM p
+"""
+
+
 # --- benchmark decontamination: n-gram overlap vs the held-out eval split ---
 
 def q_decontam_docs(spark, sf_dir):
@@ -8404,6 +8464,7 @@ ALL_QUERIES = {
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
     "ci_collation_customers": q_ci_collation_customers,
+    "time_contract_events": q_time_contract_events,
 }
 
 ALL_ORACLES = {
@@ -8575,6 +8636,7 @@ ALL_ORACLES = {
     "roundtrip_sinks": SQL_ROUNDTRIP_SINKS,
     "join_strategies": SQL_JOIN_STRATEGIES,
     "ci_collation_customers": SQL_CI_COLLATION,
+    "time_contract_events": SQL_TIME_CONTRACT,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

@@ -137,3 +137,54 @@ class TestDedupLinesProperty:
         }
         for i, d in enumerate(docs):
             assert got[i] == "\n".join(dict.fromkeys(d))
+
+
+class TestCiCollationProperty:
+    """r11: CI joins against a Python lower()-fold model — for random
+    mixed-case key multisets on both sides, lookup/semi/anti under
+    ci=True must match the model exactly, and the output must preserve
+    the left side's original key case."""
+
+    _words = st.sampled_from(
+        ["alpha", "ALPHA", "Alpha", "aLpHa", "beta", "BeTa", "Gamma",
+         "GAMMA", "delta", ""]
+    )
+
+    @given(
+        left=st.lists(_words, min_size=0, max_size=8),
+        right=st.lists(_words, min_size=0, max_size=6),
+    )
+    @settings(**SETTINGS)
+    def test_matches_lower_fold_model(self, spark, left, right):
+        from ssis_to_dbt_spark.operators.joins import anti_join, semi_join
+        from ssis_to_dbt_spark.operators.lookup import lookup
+
+        lf = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(left)], "id long, seg string"
+        )
+        # dedupe the dim under the fold: case-duplicate dim keys would
+        # legitimately FAN OUT under CI (SQL Server does too), which the
+        # one-row-per-id dict model below can't express
+        rdim = {w.lower(): w for w in sorted(set(right))}
+        rf = spark.createDataFrame(
+            [(w, w.upper()) for w in rdim.values()], "seg string, code string"
+        )
+        rmap = {w.lower(): w.upper() for w in rdim.values()}
+
+        got = {
+            r["id"]: (r["seg"], r["code"])
+            for r in lookup(lf, rf, ["seg"], {"code": "code"}, ci=True)
+            .collect()
+        }
+        want = {
+            i: (w, rmap.get(w.lower())) for i, w in enumerate(left)
+        }
+        assert got == want  # matches + left-side case preserved
+
+        semi = {r["id"] for r in semi_join(lf, rf.select("seg"),
+                                           ["seg"], ci=True).collect()}
+        anti = {r["id"] for r in anti_join(lf, rf.select("seg"),
+                                           ["seg"], ci=True).collect()}
+        model_semi = {i for i, w in enumerate(left) if w.lower() in rmap}
+        assert semi == model_semi
+        assert anti == set(range(len(left))) - model_semi
