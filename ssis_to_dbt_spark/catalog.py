@@ -8093,7 +8093,15 @@ def q_crawl_ingest_docs(spark, sf_dir):
     b1 = docs.filter(F.col("doc_id") % 5 == 0)
     b2 = docs.filter(F.col("doc_id") % 5 == 1)
     st = seed_ingest_state(seed)
-    r1 = ingest_batch(b1, st)
+    # batch 1's gate survivors and index are derived ONCE and shared by
+    # the base iteration AND the within-batch variant below
+    from .curation import stage_gate
+    from .text.dedup import corpus_dedup_index
+
+    g1 = stage_gate(b1).localCheckpoint()
+    i1s, i1b = corpus_dedup_index(g1)
+    i1 = (i1s.localCheckpoint(eager=False), i1b.localCheckpoint(eager=False))
+    r1 = ingest_batch(b1, st, pre_gated=g1, pre_index=i1)
     r2 = ingest_batch(b2, r1.state)
 
     def rows(tag, r):
@@ -8137,8 +8145,10 @@ def q_crawl_ingest_docs(spark, sf_dir):
     # r11: within-batch dedup folded into the suite (r10 VERDICT #1) — a
     # third, independent iteration over batch 1 with dedup_within_batch
     # on; only its pruned/reject/accept outputs are selected, so the
-    # unused DSIR/pack stages never execute (lazy DataFrames).
-    r_wb = ingest_batch(b1, st, dedup_within_batch=True)
+    # unused DSIR/pack stages never execute (lazy DataFrames); gate and
+    # index shared with the base iteration via pre_gated/pre_index
+    r_wb = ingest_batch(b1, st, dedup_within_batch=True,
+                        pre_gated=g1, pre_index=i1)
     wb = [
         r_wb.batch_pruned.select(
             F.lit("wb_pruned").alias("component"),

@@ -138,6 +138,8 @@ def ingest_batch(
     batch_broadcast_max_docs: int = BATCH_BROADCAST_MAX_DOCS,
     dedup_within_batch: bool = False,
     band_bucket_cap: int | None = None,
+    pre_gated: DataFrame | None = None,
+    pre_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).
 
@@ -163,6 +165,16 @@ def ingest_batch(
     ``accepted ∪ rejected`` partitions the KEPT representatives (a
     subset of ``gated``); the per-doc cluster verdicts are returned as
     ``batch_pruned``.
+
+    ``pre_gated`` / ``pre_index`` (r11) accept the batch's
+    ALREADY-DERIVED gate survivors and ``(sigs, bands)`` index — a
+    caller running the same batch through multiple dedup policies (the
+    driver suite runs the base loop AND the within-batch variant over
+    batch 1) derives them once instead of re-gating and re-minhashing
+    per call.  Both must come from the same engine functions
+    (:func:`~ssis_to_dbt_spark.curation.stage_gate`,
+    :func:`~ssis_to_dbt_spark.text.dedup.corpus_dedup_index`) on this
+    exact batch; semantics are unchanged by construction.
 
     ``checkpoint=True`` localCheckpoints the multi-consumer
     intermediates (gated feeds the pair join + the anti-join; accepted
@@ -194,7 +206,7 @@ def ingest_batch(
 
     from .text.dedup import corpus_dedup_index
 
-    gated = ck(stage_gate(batch_df))
+    gated = ck(stage_gate(batch_df)) if pre_gated is None else pre_gated
     # derive the batch's (sigs, bands) ONCE: they feed the probe join AND
     # (filtered to acceptances) the index append — per-doc derivations
     # are corpus-independent, so reuse is exact and saves a second
@@ -202,10 +214,13 @@ def ingest_batch(
     cap_kw = {} if band_bucket_cap is None else {
         "max_bucket_size": int(band_bucket_cap)
     }
-    bsigs, bbands = corpus_dedup_index(gated, **cap_kw)
-    if checkpoint:
-        bsigs = bsigs.localCheckpoint(eager=False)
-        bbands = bbands.localCheckpoint(eager=False)
+    if pre_index is not None:
+        bsigs, bbands = pre_index
+    else:
+        bsigs, bbands = corpus_dedup_index(gated, **cap_kw)
+        if checkpoint:
+            bsigs = bsigs.localCheckpoint(eager=False)
+            bbands = bbands.localCheckpoint(eager=False)
     batch_pruned = batch_pairs = None
     if dedup_within_batch:
         from .text.dedup import prune_clusters
