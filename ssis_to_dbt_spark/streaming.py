@@ -509,6 +509,7 @@ def write_stream_crawl_ingest(
     compact_path_prefix: str | None = None,
     state_checkpoint_every: int = 8,
     dedup_within_batch: bool = False,
+    band_bucket_cap: int | None = None,
 ):
     """r9: the continuous-crawl ingest loop as a ``foreachBatch`` sink —
     the streaming deployment of :func:`ssis_to_dbt_spark.ingest
@@ -651,6 +652,7 @@ def write_stream_crawl_ingest(
         r = ingest_batch(
             batch_df, st, dup_threshold=thr,
             dedup_within_batch=dedup_within_batch,
+            band_bucket_cap=band_bucket_cap,
         )
         if dsir_state_path is not None:
             r.state.dsir_state.write.mode("overwrite").parquet(

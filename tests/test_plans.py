@@ -623,3 +623,30 @@ class TestSizeAwareSeams:
         assert sorted(r["doc_id"] for r in small.collect()) == sorted(
             r["doc_id"] for r in large.collect()
         )
+
+
+class TestRound11PlanShapes:
+    def test_ci_collation_fold_is_pre_exchange_projection(self, spark):
+        """The lower() fold must be a codegen projection BEFORE any
+        exchange — CI collation changes expressions, never join strategy
+        or shuffle width."""
+        plan = plan_of(spark, "ci_collation_customers", "simple")
+        # the lookup / semi / anti components all stay broadcast joins
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # the fold appears as a projection expression (codegen side)
+        assert "lower(" in plan
+        # the fact side never hash-shuffles for the join (the only
+        # exchanges belong to the dim-side distinct aggregations)
+        fmt = plan_of(spark, "ci_collation_customers")
+        assert "Exchange hashpartitioning [codegen" not in fmt  # sanity
+
+    def test_time_contract_is_map_only(self, spark):
+        """TIME arithmetic is pure per-row expression work: one pruned
+        scan, zero exchanges, whole-stage codegen throughout."""
+        plan = plan_of(spark, "time_contract_events", "simple")
+        assert "Exchange" not in plan
+        assert "*(1)" in plan and "*(2)" not in plan  # one codegen stage
+        fmt = plan_of(spark, "time_contract_events")
+        assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in fmt
