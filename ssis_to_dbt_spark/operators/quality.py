@@ -98,26 +98,49 @@ def checksum_compare(
 
 
 # --- V4 dbt schema tests: each returns the VIOLATING rows (empty == pass) ---
+#
+# ``ci=True`` (r11) runs the string-valued tests under SQL Server
+# default-collation semantics — the comparisons a dbt test executes ON
+# the CI server: 'Alpha'/'ALPHA' count as duplicates for ``unique``,
+# satisfy ``relationships`` against 'alpha', and match accepted values
+# case-insensitively.  The fold is expression-side only (lower()), so
+# test plans are unchanged.
 
 def not_null_violations(df: DataFrame, col: str) -> DataFrame:
     return df.filter(F.col(col).isNull())
 
 
-def unique_violations(df: DataFrame, col: str) -> DataFrame:
+def unique_violations(df: DataFrame, col: str, ci: bool = False) -> DataFrame:
+    key = F.lower(F.col(col)) if ci else F.col(col)
     return (
-        df.groupBy(col)
+        df.groupBy(key.alias(col))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .select(col)
     )
 
 
-def relationship_violations(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+def relationship_violations(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str, ci: bool = False
+) -> DataFrame:
+    if ci:
+        from .joins import fk_violations
+
+        return fk_violations(
+            child.filter(F.col(fk).isNotNull()), parent, fk, pk, ci=True
+        )
     parent_keys = parent.select(F.col(pk).alias(fk)).distinct()
     return child.filter(F.col(fk).isNotNull()).join(parent_keys, on=fk, how="left_anti")
 
 
-def accepted_values_violations(df: DataFrame, col: str, values: list) -> DataFrame:
+def accepted_values_violations(
+    df: DataFrame, col: str, values: list, ci: bool = False
+) -> DataFrame:
+    if ci:
+        folded = [v.lower() if isinstance(v, str) else v for v in values]
+        return df.filter(
+            ~F.lower(F.col(col)).isin(folded) | F.col(col).isNull()
+        )
     return df.filter(~F.col(col).isin(values) | F.col(col).isNull())
 
 

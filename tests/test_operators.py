@@ -2312,3 +2312,37 @@ class TestDistributedGlobalRank:
         assert sorted(map(tuple, small.collect())) == sorted(
             map(tuple, big.collect())
         )
+
+
+class TestSchemaTestsCi:
+    """r11: dbt schema tests under CI-server collation — unique treats
+    case variants as duplicates, relationships matches parents
+    case-insensitively, accepted_values folds both sides."""
+
+    def test_unique_relationships_accepted_values(self, spark):
+        from ssis_to_dbt_spark.operators.quality import (
+            accepted_values_violations,
+            relationship_violations,
+            unique_violations,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Alpha"), (2, "ALPHA"), (3, "beta"), (4, None)],
+            "id int, seg string",
+        )
+        assert unique_violations(df, "seg").count() == 0  # CS: all distinct
+        assert [r["seg"] for r in unique_violations(df, "seg", ci=True)
+                .collect()] == ["alpha"]
+
+        parent = spark.createDataFrame([("alpha",), ("BETA",)], "seg string")
+        cs = relationship_violations(df, parent, "seg", "seg")
+        assert {r["id"] for r in cs.collect()} == {1, 2, 3}
+        ci = relationship_violations(df, parent, "seg", "seg", ci=True)
+        assert ci.count() == 0  # NULL fk exempt, rest match under fold
+
+        av_cs = accepted_values_violations(df, "seg", ["alpha", "beta"])
+        assert {r["id"] for r in av_cs.collect()} == {1, 2, 4}
+        av_ci = accepted_values_violations(
+            df, "seg", ["Alpha", "Beta"], ci=True
+        )
+        assert {r["id"] for r in av_ci.collect()} == {4}  # NULL only
