@@ -44,7 +44,8 @@ from .aggregate import (
 )
 from .split import conditional_split, conditional_split_tagged, data_conversion, data_conversion_with_errors
 from .setops import merge_sorted, sort, union_all
-from .scd import merge_upsert, scd2_point_in_time_join, scd2_rebuild, scd2_snapshot
+from .scd import (merge_upsert, merge_upsert_into, merge_upsert_sql,
+                  scd2_point_in_time_join, scd2_rebuild, scd2_snapshot)
 from .incremental import (
     incremental_merge,
     max_watermark,
@@ -105,7 +106,8 @@ __all__ = [
     "duplicate_keys", "row_count", "top_k_latest",
     "conditional_split", "conditional_split_tagged", "data_conversion", "data_conversion_with_errors",
     "union_all", "merge_sorted", "sort",
-    "scd2_rebuild", "scd2_snapshot", "merge_upsert", "scd2_point_in_time_join",
+    "scd2_rebuild", "scd2_snapshot", "merge_upsert", "merge_upsert_into",
+    "merge_upsert_sql", "scd2_point_in_time_join",
     "watermark_filter", "max_watermark", "scalar_bound", "incremental_merge",
     "pandas_scalar_udf", "script_map", "script_apply_grouped",
     "distributed_global_rank",

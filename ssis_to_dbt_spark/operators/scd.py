@@ -97,6 +97,7 @@ def merge_upsert(
     natural_key: str,
     hash_cols: list[str],
     effective_date_col: str,
+    ci: bool = False,
 ) -> DataFrame:
     """J4 (incremental shape): SCD2 MERGE as a join-based rewrite.
 
@@ -105,9 +106,16 @@ def merge_upsert(
       row closed out (``valid_to`` set, ``is_current`` false) + new current row
     - unchanged target rows pass through
 
+    ``ci=True`` matches natural keys case-insensitively (SQL Server
+    default collation — without it a re-crawled 'ACME' key opens a
+    DUPLICATE current row beside the existing 'Acme' one on a migrated
+    dimension); the key comparisons fold to ``lower()``, stored and
+    incoming key values keep their own case.
+
     Returns the new dimension state (write with mode('overwrite') or
     partition_overwrite on the natural-key bucket at scale).
     """
+    fold = (lambda c: F.lower(c)) if ci else (lambda c: c)
     src = scd2_snapshot(source, natural_key, hash_cols, effective_date_col)
 
     tgt_current = target.filter(F.col("is_current"))
@@ -119,7 +127,9 @@ def merge_upsert(
         F.col(effective_date_col).alias("_src_effective"),
     )
     joined = tgt_current.join(
-        src_keyed, tgt_current[natural_key] == src_keyed["_src_key"], "left"
+        src_keyed,
+        fold(tgt_current[natural_key]) == fold(src_keyed["_src_key"]),
+        "left",
     )
     unchanged = joined.filter(
         F.col("_src_key").isNull() | (F.col("change_hash") == F.col("_src_hash"))
@@ -136,7 +146,9 @@ def merge_upsert(
 
     tgt_keys = tgt_current.select(F.col(natural_key).alias("_t_key"), "change_hash")
     incoming = (
-        src.join(tgt_keys, src[natural_key] == tgt_keys["_t_key"], "left")
+        src.join(
+            tgt_keys, fold(src[natural_key]) == fold(tgt_keys["_t_key"]), "left"
+        )
         .filter(
             F.col("_t_key").isNull()
             | (src["change_hash"] != tgt_keys["change_hash"])
@@ -186,6 +198,7 @@ def merge_upsert_sql(
     natural_key: str,
     effective_date_col: str,
     target_cols: list[str],
+    ci: bool = False,
 ) -> list[str]:
     """r11 (r10 VERDICT #7): the transactional ``MERGE INTO`` form of
     :func:`merge_upsert` for lakehouse targets (Delta/Iceberg) that
@@ -216,7 +229,11 @@ def merge_upsert_sql(
             raise ValueError(f"invalid SQL identifier: {name!r}")
     cols = ", ".join(target_cols)
     vals = ", ".join(f"s.{c}" for c in target_cols)
-    on = f"t.{natural_key} = s.{natural_key} AND t.is_current"
+    on = (
+        f"LOWER(t.{natural_key}) = LOWER(s.{natural_key}) AND t.is_current"
+        if ci
+        else f"t.{natural_key} = s.{natural_key} AND t.is_current"
+    )
     close = (
         f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
         f"WHEN MATCHED AND t.change_hash != s.change_hash THEN UPDATE SET "
@@ -237,6 +254,7 @@ def merge_upsert_into(
     natural_key: str,
     hash_cols: list[str],
     effective_date_col: str,
+    ci: bool = False,
 ) -> None:
     """SCD2 upsert INTO A TABLE: emits transactional ``MERGE INTO``
     (:func:`merge_upsert_sql`) when the target's provider supports
@@ -260,7 +278,7 @@ def merge_upsert_into(
         try:
             for stmt in merge_upsert_sql(
                 target_table, view, natural_key,
-                effective_date_col, target_cols,
+                effective_date_col, target_cols, ci=ci,
             ):
                 spark.sql(stmt)
         finally:
@@ -268,7 +286,7 @@ def merge_upsert_into(
         return
     rebuilt = merge_upsert(
         spark.table(target_table), source, natural_key, hash_cols,
-        effective_date_col,
+        effective_date_col, ci=ci,
     )
     # parquet tables can't MERGE: rebuild + overwrite (read-then-
     # overwrite of the same table needs the lineage broken first)

@@ -2346,3 +2346,54 @@ class TestSchemaTestsCi:
             df, "seg", ["Alpha", "Beta"], ci=True
         )
         assert {r["id"] for r in av_ci.collect()} == {4}  # NULL only
+
+
+class TestMergeUpsertCi:
+    """r11: SCD2 upsert under CI collation — a re-crawled case-variant
+    key must update the existing dimension row, not open a duplicate
+    current row beside it."""
+
+    def test_case_variant_updates_instead_of_duplicating(self, spark):
+        from ssis_to_dbt_spark.operators.scd import (
+            merge_upsert,
+            merge_upsert_sql,
+            scd2_snapshot,
+        )
+
+        base = spark.createDataFrame(
+            [("Acme", "NY", "2020-01-01")],
+            "ck string, attr string, eff string",
+        ).withColumn("eff", F.col("eff").cast("timestamp"))
+        target = scd2_snapshot(base, "ck", ["attr"], "eff")
+        batch = spark.createDataFrame(
+            [("ACME", "SF", "2020-06-01")],
+            "ck string, attr string, eff string",
+        ).withColumn("eff", F.col("eff").cast("timestamp"))
+
+        # case-sensitive: 'ACME' looks new -> TWO current rows
+        cs = merge_upsert(target, batch, "ck", ["attr"], "eff")
+        assert cs.filter("is_current").count() == 2
+
+        # CI: the variant closes out 'Acme' and inserts one current row
+        ci = merge_upsert(target, batch, "ck", ["attr"], "eff", ci=True)
+        rows = ci.collect()
+        cur = [r for r in rows if r["is_current"]]
+        closed = [r for r in rows if not r["is_current"]]
+        assert [(r["ck"], r["attr"]) for r in cur] == [("ACME", "SF")]
+        assert [(r["ck"], str(r["valid_to"])) for r in closed] == [
+            ("Acme", "2020-06-01")
+        ]
+        # unchanged CI re-send: no new version
+        same = spark.createDataFrame(
+            [("acme", "SF", "2020-09-01")],
+            "ck string, attr string, eff string",
+        ).withColumn("eff", F.col("eff").cast("timestamp"))
+        again = merge_upsert(ci, same, "ck", ["attr"], "eff", ci=True)
+        assert again.filter("is_current").count() == 1
+        assert again.count() == 2
+
+        # MERGE INTO form folds the ON clause the same way
+        close, _ = merge_upsert_sql(
+            "d", "s", "ck", "eff", ["ck"], ci=True
+        )
+        assert "LOWER(t.ck) = LOWER(s.ck)" in close
