@@ -8144,11 +8144,13 @@ def q_crawl_ingest_docs(spark, sf_dir):
 
     # r11: within-batch dedup folded into the suite (r10 VERDICT #1) — a
     # third, independent iteration over batch 1 with dedup_within_batch
-    # on; only its pruned/reject/accept outputs are selected, so the
-    # unused DSIR/pack stages never execute (lazy DataFrames); gate and
-    # index shared with the base iteration via pre_gated/pre_index
+    # on; it consumes only pruned/reject/accept, so the iteration runs
+    # DEDUP-ONLY (with_scoring=False skips the DSIR fit/merge/pack
+    # stages — the eager state-merge checkpoint would otherwise pay a
+    # full Arrow fit pass whose output nothing reads); gate and index
+    # shared with the base iteration via pre_gated/pre_index
     r_wb = ingest_batch(b1, st, dedup_within_batch=True,
-                        pre_gated=g1, pre_index=i1)
+                        pre_gated=g1, pre_index=i1, with_scoring=False)
     wb = [
         r_wb.batch_pruned.select(
             F.lit("wb_pruned").alias("component"),
@@ -8191,7 +8193,7 @@ def q_crawl_wb_dedup_docs(spark, sf_dir):
     seed = docs.filter(F.col("doc_id") % 5 >= 2)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     r = ingest_batch(batch, seed_ingest_state(seed),
-                     dedup_within_batch=True)
+                     dedup_within_batch=True, with_scoring=False)
     pruned = r.batch_pruned.select(
         F.lit("pruned").alias("component"),
         F.col("doc_id").cast("long").alias("doc_id"),

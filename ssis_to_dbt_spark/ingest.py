@@ -81,8 +81,10 @@ class IngestResult:
     gated: DataFrame      # batch docs passing the Gopher gate
     rejected: DataFrame   # (doc_id, n_dups, max_matches) vs the index
     accepted: DataFrame   # gated minus rejected
-    scored: DataFrame     # DSIR under the MERGED refit (map-only)
-    packed: DataFrame     # (doc_id, seq_id, start_tok, end_tok)
+    # DSIR under the MERGED refit (map-only); None when the iteration ran
+    # with ``with_scoring=False`` (dedup-only callers)
+    scored: DataFrame | None
+    packed: DataFrame | None  # (doc_id, seq_id, start_tok, end_tok)
     state: IngestState    # index with accepted appended + merged state
     # the accepted docs' ALREADY-DERIVED (sigs, bands) — what the
     # functional state append used; on-disk deployments pass these to
@@ -140,6 +142,7 @@ def ingest_batch(
     band_bucket_cap: int | None = None,
     pre_gated: DataFrame | None = None,
     pre_index: tuple[DataFrame, DataFrame] | None = None,
+    with_scoring: bool = True,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).
 
@@ -175,6 +178,18 @@ def ingest_batch(
     (:func:`~ssis_to_dbt_spark.curation.stage_gate`,
     :func:`~ssis_to_dbt_spark.text.dedup.corpus_dedup_index`) on this
     exact batch; semantics are unchanged by construction.
+
+    ``with_scoring=False`` (r11) skips the DSIR delta fit / state merge /
+    scoring / packing stages entirely — a DEDUP-ONLY iteration for
+    callers that consume just the gate/prune/reject/accept verdicts (the
+    driver suite's within-batch variant re-runs batch 1 under a second
+    dedup policy; its DSIR/pack outputs were never read, but the eager
+    state-merge checkpoint still paid a full Arrow fit pass over the
+    accepted docs).  ``scored``/``packed`` come back ``None`` and the
+    returned state carries the INPUT ``dsir_state`` unchanged — the
+    gate/dedup verdicts are byte-identical because gating, the index
+    probe, and the acceptance seam never depended on the DSIR stages
+    (pytest-pinned).
 
     ``checkpoint=True`` localCheckpoints the multi-consumer
     intermediates (gated feeds the pair join + the anti-join; accepted
@@ -301,19 +316,24 @@ def ingest_batch(
     )
     rej_ids = rejected.select("doc_id")
     accepted = ck(drop_seam_anti_join(gated, rej_ids, "doc_id"))
-    delta = dsir_fit_state(
-        accepted, F.col("lang") == "en", buckets=buckets, engine="arrow"
-    )
-    merged = ck(dsir_merge_state(state.dsir_state, delta))
-    model = dsir_model_from_state(merged, buckets)
-    scored = dsir_score(accepted, model, engine="arrow")
-    dd = accepted.select(
-        "doc_id", token_count(F.col("text")).alias("n_tok")
-    )
-    packed = pack_sequences(
-        dd, "n_tok", seq_tokens=seq_tokens, key_col="doc_id",
-        n_buckets=pack_buckets,
-    )
+    if with_scoring:
+        delta = dsir_fit_state(
+            accepted, F.col("lang") == "en", buckets=buckets, engine="arrow"
+        )
+        merged = ck(dsir_merge_state(state.dsir_state, delta))
+        model = dsir_model_from_state(merged, buckets)
+        scored = dsir_score(accepted, model, engine="arrow")
+        dd = accepted.select(
+            "doc_id", token_count(F.col("text")).alias("n_tok")
+        )
+        packed = pack_sequences(
+            dd, "n_tok", seq_tokens=seq_tokens, key_col="doc_id",
+            n_buckets=pack_buckets,
+        )
+    else:
+        merged = state.dsir_state
+        scored = None
+        packed = None
     # index append from the ALREADY-DERIVED batch sigs/bands: drop the
     # rejected ids via the same size-aware seam (the band cap was applied
     # on the gated batch, a superset — the cap is a fan-out bound, so a

@@ -941,6 +941,52 @@ class TestIngestDedupWithinBatch:
         assert {x["doc_id"] for x in r.scored.collect()} == acc
         assert {x["doc_id"] for x in r.packed.collect()} == acc
 
+    def test_with_scoring_false_is_dedup_only_and_verdict_identical(
+        self, spark
+    ):
+        """r11: with_scoring=False skips the DSIR fit/merge/score/pack
+        stages; every gate/prune/reject/accept verdict is identical to
+        the scoring run (the dedup path never depended on DSIR), the
+        scored/packed outputs are None, and the returned state carries
+        the input dsir_state object unchanged."""
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+
+        schema = "doc_id long, text string, lang string, n_chars int"
+        mk = lambda i, t: (i, t, "en", len(t))  # noqa: E731
+        seed = spark.createDataFrame(
+            [mk(1, self._doc_text("zam")), mk(2, self._doc_text("wex"))],
+            schema,
+        )
+        twin = self._doc_text("qor")
+        batch = spark.createDataFrame(
+            [
+                mk(20, twin + " twin"),
+                mk(21, twin + " twin other longer"),
+                mk(22, self._doc_text("zam")),
+                mk(23, self._doc_text("jyx")),
+            ],
+            schema,
+        )
+        st = seed_ingest_state(seed)
+        full = ingest_batch(batch, st, dedup_within_batch=True)
+        fast = ingest_batch(
+            batch, st, dedup_within_batch=True, with_scoring=False
+        )
+        assert fast.scored is None and fast.packed is None
+        assert fast.state.dsir_state is st.dsir_state
+        snap = lambda df, *c: sorted(  # noqa: E731
+            tuple(r[k] for k in c) for r in df.collect()
+        )
+        assert snap(fast.batch_pruned, "doc_id", "cluster_size", "kept") == \
+            snap(full.batch_pruned, "doc_id", "cluster_size", "kept")
+        assert snap(fast.rejected, "doc_id", "n_dups", "max_matches") == \
+            snap(full.rejected, "doc_id", "n_dups", "max_matches")
+        assert snap(fast.accepted, "doc_id") == snap(full.accepted, "doc_id")
+        assert snap(fast.accepted_sigs, "doc_id") == \
+            snap(full.accepted_sigs, "doc_id")
+        # the functional index still grew by exactly the accepted reps
+        assert fast.state.sigs.count() == st.sigs.count() + 2
+
 
 class TestWithinBatchDedupHotSkew:
     """r11 (r10 VERDICT #4): the within-batch dedup self-join under an
