@@ -4948,6 +4948,164 @@ FROM p
 """
 
 
+# --- bm25_search_docs: BM25 lexical top-k retrieval over the corpus ---------
+
+_BM25_QUERIES = {
+    "q_hash_join": ["hash", "join", "spark"],
+    "q_scan_batch": ["vector", "scan", "slow", "batch"],
+    "q_window_sort": ["window", "sort", "order"],
+}
+
+
+def q_bm25_search_docs(spark, sf_dir):
+    """r11: BM25 top-10 per named query (Robertson k1=1.2, b=0.75,
+    Lucene non-negative idf) over the documents corpus.  The literal
+    query-term table broadcasts and prunes the token explode MAP-SIDE,
+    so the only wide relation is |query-term hits|; per-term scores are
+    round-6 micro-units (exact BIGINT sums); top-k is a per-query
+    WindowGroupLimit.  The oracle mirrors the expression tree
+    literal-for-literal (IEEE +,*,/ are engine-exact; only ln needs the
+    quantization)."""
+    from .text.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir)["documents"]
+    return bm25_topk(docs, _BM25_QUERIES, top_k=10)
+
+
+_BM25_VALUES = ", ".join(
+    f"('{q}', '{t}')"
+    for q, terms in sorted(_BM25_QUERIES.items())
+    for t in terms
+)
+
+SQL_BM25_SEARCH = rf"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+         END AS dl
+  FROM documents),
+sc AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks JOIN (SELECT DISTINCT term FROM q) USING (term)
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+per AS (
+  SELECT doc_id, term,
+         CAST(CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                    / (CAST(df_t AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * dl
+                                 / (CAST(total_dl AS DOUBLE)
+                                    / CAST(n_docs AS DOUBLE))))), 6)
+           AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS u
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc),
+pq AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_terms, SUM(u) AS score_units
+  FROM per JOIN q USING (term)
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(score_units AS BIGINT) AS score_units, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_units DESC, doc_id) AS rn
+      FROM pq)
+WHERE rn <= 10
+"""
+
+
+# --- nb_classifier_docs: multinomial Naive Bayes fit + held-out scoring -----
+
+def q_nb_classifier_docs(spark, sf_dir):
+    """r11: multinomial Naive Bayes (Laplace alpha=1) fit on the
+    doc_id%5!=0 training split predicting ``lang`` from whitespace
+    tokens, applied to the held-out doc_id%5==0 split.  The model grid
+    (labels x vocab, smoothed floor for unseen pairs) broadcasts at
+    fixture scale; scores are exact integer micro-units; argmax ties
+    break on ascending label.  The oracle replays fit + apply with the
+    identical expression tree."""
+    from .text.retrieval import nb_fit, nb_predict
+
+    docs = _t(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = nb_fit(train, label_col="lang")
+    pred = nb_predict(model, test)
+    return pred.join(test.select("doc_id", "lang"), "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred_label",
+        "best_units",
+        "n_vocab_toks",
+        (F.col("pred_label") == F.col("lang")).cast("int").alias("correct"),
+    )
+
+
+SQL_NB_CLASSIFIER = r"""
+WITH tr AS (
+  SELECT lang AS label,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 5 <> 0),
+ttok AS (SELECT label, unnest(t) AS term FROM tr),
+counts AS (SELECT label, term, COUNT(*) AS cnt FROM ttok GROUP BY 1, 2),
+class_tok AS (SELECT label, SUM(cnt) AS tok_c FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM counts),
+v AS (SELECT COUNT(*) AS v_size FROM vocab),
+grid AS (
+  SELECT ct.label, vo.term,
+         CAST(CAST(round(ln(
+           CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+           / CAST(ct.tok_c + 1 * v_size AS DOUBLE)), 6)
+           AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ll_units
+  FROM class_tok ct CROSS JOIN vocab vo
+  LEFT JOIN counts c ON c.label = ct.label AND c.term = vo.term
+  CROSS JOIN v),
+nall AS (SELECT COUNT(*) AS n_all FROM documents WHERE doc_id % 5 <> 0),
+priors AS (
+  SELECT lang AS label,
+         CAST(CAST(round(ln(
+           CAST(COUNT(*) AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+           AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS prior_units
+  FROM documents CROSS JOIN nall
+  WHERE doc_id % 5 <> 0 GROUP BY lang, n_all),
+te AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 5 = 0),
+m AS (
+  SELECT doc_id, term, COUNT(*) AS m
+  FROM (SELECT doc_id, unnest(t) AS term FROM te) _e GROUP BY 1, 2),
+contrib AS (
+  SELECT doc_id, label, SUM(m * ll_units) AS tok_units,
+         SUM(m) AS n_vocab_toks
+  FROM m JOIN grid USING (term) GROUP BY 1, 2),
+scores AS (
+  SELECT te.doc_id, p.label,
+         p.prior_units + COALESCE(c.tok_units, 0) AS score_units,
+         COALESCE(c.n_vocab_toks, 0) AS n_vocab_toks
+  FROM te CROSS JOIN priors p
+  LEFT JOIN contrib c ON c.doc_id = te.doc_id AND c.label = p.label),
+pred AS (
+  SELECT doc_id, label AS pred_label, score_units AS best_units,
+         n_vocab_toks
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_units DESC, label) AS rn
+        FROM scores)
+  WHERE rn = 1)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.pred_label,
+       CAST(p.best_units AS BIGINT) AS best_units,
+       CAST(p.n_vocab_toks AS BIGINT) AS n_vocab_toks,
+       CAST(p.pred_label = te.lang AS INTEGER) AS correct
+FROM pred p JOIN te ON te.doc_id = p.doc_id
+"""
+
+
 # --- benchmark decontamination: n-gram overlap vs the held-out eval split ---
 
 def q_decontam_docs(spark, sf_dir):
@@ -6582,7 +6740,26 @@ def q_pii_tfidf_docs(spark, sf_dir):
         _nul("double").alias("v"),
         F.col("n_langs").cast("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur, cc, ml])
+    # r11: BM25 retrieval + NB classifier components (driver visibility)
+    bm = q_bm25_search_docs(spark, sf_dir).select(
+        F.lit("bm25").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("string").alias("s1"),
+        F.col("n_terms").cast("long").alias("n1"),
+        F.col("score_units").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    nb = q_nb_classifier_docs(spark, sf_dir).select(
+        F.lit("nb").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pred_label").cast("string").alias("s1"),
+        F.col("best_units").cast("long").alias("n1"),
+        F.col("n_vocab_toks").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("correct").cast("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur, cc, ml, bm, nb])
 
 
 SQL_PII_TFIDF = f"""
@@ -8294,6 +8471,20 @@ SELECT 'mixed_lang', doc_id, major_lang, CAST(n_lines AS BIGINT),
 FROM ({SQL_MIXED_LANG}) _ml
 """
 
+# r11: BM25 retrieval + NB classifier folded into the text-scoring suite
+# (driver visibility for both new operators)
+SQL_PII_TFIDF += f"""UNION ALL
+SELECT 'bm25', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
+       CAST(n_terms AS BIGINT), CAST(score_units AS BIGINT),
+       {_NULL_DOUBLE}, CAST(rn AS INTEGER)
+FROM ({SQL_BM25_SEARCH}) _bm
+UNION ALL
+SELECT 'nb', CAST(doc_id AS BIGINT), CAST(pred_label AS VARCHAR),
+       CAST(best_units AS BIGINT), CAST(n_vocab_toks AS BIGINT),
+       {_NULL_DOUBLE}, CAST(correct AS INTEGER)
+FROM ({SQL_NB_CLASSIFIER}) _nb
+"""
+
 SQL_EVENTS_WINDOWS += f"""UNION ALL
 SELECT 'decay', last_ts, {_NULL_TS}, CAST(user_id AS VARCHAR),
        CAST(n_events AS INTEGER), score_units, {_NULL_DOUBLE}
@@ -8477,6 +8668,8 @@ ALL_QUERIES = {
     "join_strategies": q_join_strategies,
     "ci_collation_customers": q_ci_collation_customers,
     "time_contract_events": q_time_contract_events,
+    "bm25_search_docs": q_bm25_search_docs,
+    "nb_classifier_docs": q_nb_classifier_docs,
 }
 
 ALL_ORACLES = {
@@ -8649,6 +8842,8 @@ ALL_ORACLES = {
     "join_strategies": SQL_JOIN_STRATEGIES,
     "ci_collation_customers": SQL_CI_COLLATION,
     "time_contract_events": SQL_TIME_CONTRACT,
+    "bm25_search_docs": SQL_BM25_SEARCH,
+    "nb_classifier_docs": SQL_NB_CLASSIFIER,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

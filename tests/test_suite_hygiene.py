@@ -55,7 +55,9 @@ EXPECTED = {
         "bpe", "bpe_doc", "bpe_word", "budget", "chunk", "corpus_dedup",
         "dedup_lines", "dup_spans", "pack", "pack_nosplit",
     },
-    "pii_tfidf_docs": {"ccnet", "mixed_lang", "pii", "surprisal", "tfidf"},
+    "pii_tfidf_docs": {
+        "bm25", "ccnet", "mixed_lang", "nb", "pii", "surprisal", "tfidf",
+    },
     "pivot_median_orders": {
         "cube", "hist_p50", "histogram", "median", "pivot", "rolling",
         "unpivot",

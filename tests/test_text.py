@@ -2699,3 +2699,144 @@ class TestPruneClustersSizeAware:
         p_large = large._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in p_small
         assert "BroadcastHashJoin" not in p_large
+
+
+class TestBm25TopK:
+    """r11: BM25 lexical retrieval — scores checked against a pure-python
+    replica of the formula (same round-6 micro-unit quantization)."""
+
+    def _py_bm25(self, docs, query_terms, k1=1.2, b=0.75):
+        import math
+
+        toks = {d: t.lower().split() for d, t in docs.items()}
+        n = len(docs)
+        dls = {d: (0 if not t.strip() else len(t.lower().split()))
+               for d, t in docs.items()}
+        avgdl = sum(dls.values()) / n
+        out = {}
+        for term in set(query_terms):
+            df_t = sum(1 for t in toks.values() if term in t)
+            if df_t == 0:
+                continue
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                tfp = tf * (k1 + 1.0) / (
+                    tf + k1 * ((1.0 - b) + b * dls[d] / avgdl)
+                )
+                u = int(round(idf * tfp, 6) * 1_000_000)
+                nh, su = out.get(d, (0, 0))
+                out[d] = (nh + 1, su + u)
+        return out
+
+    def test_scores_match_python_replica_and_rank(self, spark):
+        from ssis_to_dbt_spark.text.retrieval import bm25_topk
+
+        docs = {
+            1: "spark join hash join join",
+            2: "hash table scan scan window",
+            3: "the quick brown fox",
+            4: "spark spark spark hash join window sort",
+        }
+        df = spark.createDataFrame(
+            [(k, v) for k, v in docs.items()], "doc_id long, text string"
+        )
+        q = {"q1": ["join", "hash"], "q2": ["window"]}
+        got = {
+            (r["query_id"], r["doc_id"]): (r["n_terms"], r["score_units"])
+            for r in bm25_topk(df, q, top_k=10).collect()
+        }
+        for qid, terms in q.items():
+            exp = self._py_bm25(docs, terms)
+            for d, (nh, su) in exp.items():
+                assert got[(qid, d)] == (nh, su), (qid, d)
+        # doc 3 matches nothing — never appears
+        assert not any(d == 3 for (_, d) in got)
+
+    def test_top_k_cut_and_doc_id_tiebreak(self, spark):
+        from ssis_to_dbt_spark.text.retrieval import bm25_topk
+
+        # five identical docs -> identical scores; ties break on doc_id
+        df = spark.createDataFrame(
+            [(i, "alpha beta") for i in range(5)], "doc_id long, text string"
+        )
+        r = bm25_topk(df, {"q": ["alpha"]}, top_k=3).collect()
+        assert [x["doc_id"] for x in sorted(r, key=lambda x: x["rn"])] == [
+            0, 1, 2,
+        ]
+
+
+class TestNaiveBayes:
+    """r11: multinomial NB fit/apply — separable fixture, smoothing floor,
+    prior-only fallback for out-of-vocabulary documents."""
+
+    def _fixture(self, spark):
+        rows = [
+            (1, "buy money buy offer money", "spam"),
+            (2, "money offer buy buy", "spam"),
+            (3, "hello friend meeting tomorrow", "ham"),
+            (4, "friend hello lunch tomorrow meeting", "ham"),
+            (5, "see you tomorrow friend", "ham"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_separable_classes_predicted(self, spark):
+        from ssis_to_dbt_spark.text.retrieval import nb_fit, nb_predict
+
+        train = self._fixture(spark)
+        test = spark.createDataFrame(
+            [(10, "buy money now"), (11, "hello meeting tomorrow")],
+            "doc_id long, text string",
+        )
+        pred = {
+            r["doc_id"]: r["pred_label"]
+            for r in nb_predict(nb_fit(train), test).collect()
+        }
+        assert pred == {10: "spam", 11: "ham"}
+
+    def test_grid_has_smoothed_floor_for_unseen_pairs(self, spark):
+        from ssis_to_dbt_spark.text.retrieval import nb_fit
+
+        m = nb_fit(self._fixture(spark))
+        grid = m.grid.collect()
+        labels = {r["label"] for r in grid}
+        vocab = {r["term"] for r in grid}
+        # full labels x vocab cross: 'money' has a (ham) row too
+        assert len(grid) == len(labels) * len(vocab)
+        ham_money = [
+            r for r in grid if r["label"] == "ham" and r["term"] == "money"
+        ]
+        assert len(ham_money) == 1 and ham_money[0]["ll_units"] < 0
+
+    def test_oov_document_scores_prior_only(self, spark):
+        from ssis_to_dbt_spark.text.retrieval import nb_fit, nb_predict
+
+        train = self._fixture(spark)  # priors: ham 3/5, spam 2/5
+        test = spark.createDataFrame(
+            [(20, "zzz qqq www")], "doc_id long, text string"
+        )
+        r = nb_predict(nb_fit(train), test).collect()
+        assert len(r) == 1
+        assert r[0]["pred_label"] == "ham"      # argmax prior
+        assert r[0]["n_vocab_toks"] == 0
+        import math
+        assert r[0]["best_units"] == int(round(math.log(3 / 5), 6) * 1e6)
+
+    def test_shuffle_model_join_matches_broadcast(self, spark):
+        from ssis_to_dbt_spark.text.retrieval import nb_fit, nb_predict
+
+        train = self._fixture(spark)
+        test = spark.createDataFrame(
+            [(10, "buy money now"), (11, "hello meeting tomorrow")],
+            "doc_id long, text string",
+        )
+        m = nb_fit(train)
+        a = sorted(map(tuple, nb_predict(m, test).collect()))
+        b = sorted(
+            map(tuple, nb_predict(m, test, broadcast_model=False).collect())
+        )
+        assert a == b
