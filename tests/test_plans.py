@@ -650,3 +650,29 @@ class TestRound11PlanShapes:
         assert "*(1)" in plan and "*(2)" not in plan  # one codegen stage
         fmt = plan_of(spark, "time_contract_events")
         assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in fmt
+
+    def test_bm25_query_terms_broadcast_and_group_limit(self, spark):
+        """BM25: the literal query-term table must broadcast (the corpus
+        token explode prunes to query terms map-side, never shuffling the
+        full token stream), corpus scalars arrive via broadcast
+        crossJoin (BroadcastNestedLoopJoin over one row), and the
+        per-query top-k must use the WindowGroupLimit pushdown so only k
+        rows per query cross the final window exchange."""
+        plan = plan_of(spark, "bm25_search_docs", "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        # the only sort feeds the ranking window, not a join
+        assert "SortMergeJoin" not in plan
+
+    def test_nb_model_grid_broadcasts(self, spark):
+        """NB apply: the model grid joins the (doc, term) counts via
+        broadcast (bounded |vocab| x |labels| model state); the per-doc
+        argmax is a row_number window, and no cartesian product appears
+        (the labels crossJoin is a broadcast nested loop over the tiny
+        priors table)."""
+        plan = plan_of(spark, "nb_classifier_docs", "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "RunningWindowFunction" in plan or "Window" in plan
