@@ -5021,6 +5021,90 @@ WHERE rn <= 10
 """
 
 
+# --- ivf_index_probe: persisted IVF-ANN index write/append/batch-probe ------
+
+def q_ivf_index_probe(spark, sf_dir):
+    """r11: the persisted IVF index driven end-to-end through DISK —
+    write the base corpus (vec_id%7!=0) partitioned by cell, APPEND the
+    delta (vec_id%7==0) under the stored centroids, then batch-probe 10
+    queries (vec_id%50==0) with nprobe=2, k=5.  Because append assigns
+    under the SAME stored centroids, the two-step build is value-equal
+    to assigning the union in one pass — which is exactly what the
+    oracle computes.  The probe's cell IN-filter partition-prunes the
+    on-disk layout (plan-pinned in test_plans.py)."""
+    from .text.similarity import (
+        append_ivf_index,
+        ivf_probe_batch,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    path = _rt_tmpdir("ivf_index")
+    write_ivf_index(base, path, n_cells=8)
+    idx = append_ivf_index(spark, path, delta)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_probe_batch(idx, queries, k=5, nprobe=2).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine_r",
+        "rn",
+    )
+
+
+SQL_IVF_INDEX_PROBE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+),
+sim_all AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(e.v, cent.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM sim_all)
+  WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id AS query_id, v AS qv, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM sim_all WHERE vec_id % 50 = 0)
+  WHERE rn <= 2
+),
+fin AS (
+  SELECT r.query_id, a.vec_id,
+         round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(r.qv, r.qv)) > 0
+                    THEN list_inner_product(a.v, r.qv)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(r.qv, r.qv)))
+                    ELSE 0.0 END, 6) AS cosine_r
+  FROM assign a JOIN routed r ON a.cid = r.cid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine_r, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM fin)
+WHERE rn <= 5
+"""
+
+
 # --- nb_classifier_docs: multinomial Naive Bayes fit + held-out scoring -----
 
 def q_nb_classifier_docs(spark, sf_dir):
@@ -8670,6 +8754,7 @@ ALL_QUERIES = {
     "time_contract_events": q_time_contract_events,
     "bm25_search_docs": q_bm25_search_docs,
     "nb_classifier_docs": q_nb_classifier_docs,
+    "ivf_index_probe": q_ivf_index_probe,
 }
 
 ALL_ORACLES = {
@@ -8844,6 +8929,7 @@ ALL_ORACLES = {
     "time_contract_events": SQL_TIME_CONTRACT,
     "bm25_search_docs": SQL_BM25_SEARCH,
     "nb_classifier_docs": SQL_NB_CLASSIFIER,
+    "ivf_index_probe": SQL_IVF_INDEX_PROBE,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

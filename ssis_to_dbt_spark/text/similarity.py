@@ -18,6 +18,7 @@ All vector math uses built-in higher-order functions (``zip_with`` /
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1375,4 +1376,221 @@ def _semdedup_arrow(
     )
     return res.select(
         id_col, "cell", "dup_of", F.round("max_cos_r", 6).alias("max_cos_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-ANN index (r11): the vector twin of the persisted
+# cross-corpus dedup index (text/dedup.py write/read/append/probe) — the
+# corpus is assigned to centroid cells ONCE, written partitioned by cell,
+# and every later query batch reads only its probed partitions.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IvfIndex:
+    """Persisted IVF index handle: the (bounded, model-sized) centroid
+    list plus the cell-partitioned assignment frame.  ``assign`` reads
+    straight off the partitioned parquet layout, so a probe's
+    ``cell IN (...)`` literal filter becomes PARTITION PRUNING — the
+    100 TB corpus is never re-scanned or re-assigned per query batch."""
+
+    centroids: list[tuple[int, list[float]]]
+    assign: DataFrame  # (cell int, vec_id, embedding)
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> IvfIndex:
+    """Build and persist an IVF index: assign every vector to its nearest
+    centroid (map-only — centroids are literal arrays) and write the
+    assignments PARTITIONED BY cell under ``{path}/assign``, with the
+    centroid table under ``{path}/centroids``.
+
+    ``centroids=None`` uses the deterministic id-seeded "training"
+    (:func:`ivf_centroids`); pass :func:`kmeans_fit` output for real
+    centroids — the index layout and probe path are identical.
+
+    100 TB shape: one map-only assignment pass + one partitioned write.
+    No shuffle — the partitioned write routes rows by the cell value
+    per-task.  Probes then touch ``nprobe/n_cells`` of the data via
+    partition pruning (plan-pinned), the same read-amplification contract
+    as the bucketed dedup index."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col, cell_col="cell")
+    assigned.select("cell", id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assign")
+    spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return read_ivf_index(spark, path, id_col, vec_col)
+
+
+def read_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Open a persisted IVF index.  The centroid fetch is a bounded
+    model-sized collect (``n_cells`` rows — like reading a watermark);
+    the assignment frame stays lazy on the partitioned layout."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in cent_rows
+    )
+    assign = spark.read.parquet(f"{path}/assign").select(
+        F.col("cell").cast("int").alias("cell"), id_col, vec_col
+    )
+    return IvfIndex(centroids=centroids, assign=assign)
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Assign NEW vectors under the STORED centroids (the index never
+    re-trains on append — cell identity must stay stable for existing
+    partitions) and append them to the partitioned layout.  Map-only +
+    partitioned append; existing partitions' files are untouched.
+
+    Idempotency contract: plain at-least-once append (a replayed batch
+    appends twice).  Deployments needing replay-safety follow the dedup
+    index's pattern — tag batches and probe for the tag before appending
+    (text/dedup.py ``_ib``); kept out of this layout to keep the probe
+    path free of tag filters."""
+    idx = read_ivf_index(spark, path, id_col, vec_col)
+    assigned = ivf_assign(
+        new_df, idx.centroids, id_col, vec_col, cell_col="cell"
+    )
+    assigned.select("cell", id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/assign")
+    return read_ivf_index(spark, path, id_col, vec_col)
+
+
+def route_queries(
+    queries_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query top-``nprobe`` centroid cells, fully in-plan (map-only):
+    each centroid similarity is a literal-array column, the per-query
+    ranking is a sort of an ``n_cells``-element struct array (ties ->
+    lowest cell id), and the probed cells explode to
+    ``(query_id, embedding, cell)`` rows — ``nprobe`` rows per query, no
+    shuffle, no driver round-trip per query."""
+    v = _as_double(F.col(vec_col))
+    q = queries_df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
+    sim_cols = []
+    for cid, cvec in centroids:
+        cnorm = 0.0
+        for x in cvec:
+            cnorm = cnorm + float(x) * float(x)
+        cnorm = math.sqrt(cnorm)
+        denom = F.col("_norm") * F.lit(cnorm)
+        sim = F.when(
+            denom > 0,
+            dot_product(F.col("_v"), F.lit([float(x) for x in cvec])) / denom,
+        ).otherwise(F.lit(0.0))
+        sim_cols.append(sim.alias(f"_sim{cid}"))
+    q = q.select("*", *sim_cols)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_sim{cid}").alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, _ in centroids
+            ]
+        ),
+        asc=False,
+    )
+    probe_n = min(int(nprobe), len(centroids))
+    return (
+        q.withColumn("_cells", F.slice(ranked, 1, probe_n))
+        .select(
+            id_col,
+            vec_col,
+            F.explode(F.col("_cells")).alias("_c"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            (-F.col("_c.nc")).cast("int").alias("cell"),
+        )
+    )
+
+
+def ivf_probe_batch(
+    index: IvfIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index with a BATCH of queries: route every
+    query to its ``nprobe`` nearest cells (map-only), prune the
+    assignment scan to the union of probed cells (a literal ``IN`` over
+    the model-sized cell set -> PARTITION PRUNING on the on-disk
+    layout), broadcast the routed queries against the surviving
+    candidates on the cell key, and rank per query.
+
+    Scores are round-6 quantized BEFORE the per-query top-k window
+    (ties -> ascending ``vec_id``), so ranking is engine-portable.
+    Each corpus vector lives in exactly ONE cell, so a (query, vector)
+    pair appears at most once — no post-join dedup needed.
+
+    Returns ``(query_id, vec_id, cosine_r, rn)``.
+
+    100 TB shape: corpus-side work is a pruned scan of
+    ``<= queries x nprobe`` partitions; the routed query table (queries
+    x nprobe rows) broadcasts; the only exchange is the per-query
+    top-k window's, which WindowGroupLimit caps at k rows per query per
+    partition."""
+    routed = route_queries(
+        queries_df, index.centroids, nprobe, query_id_col, query_vec_col
+    ).withColumnRenamed(query_vec_col, "_qv")
+    cells = sorted(
+        r["cell"] for r in routed.select("cell").distinct().collect()
+    )
+    cand = index.assign.filter(F.col("cell").isin(cells))
+    joined = cand.join(F.broadcast(routed), "cell")
+    cos = cosine_similarity(_as_double(F.col(vec_col)), _as_double(F.col("_qv")))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cos, 6).alias("cosine_r"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "cosine_r",
+            F.col("rn").cast("int").alias("rn"),
+        )
     )

@@ -2840,3 +2840,118 @@ class TestNaiveBayes:
             map(tuple, nb_predict(m, test, broadcast_model=False).collect())
         )
         assert a == b
+
+
+class TestPersistedIvfIndex:
+    """r11: the persisted IVF-ANN index — disk round-trip, append under
+    stored centroids, partition-pruned batch probe."""
+
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_write_read_roundtrip_and_append_equals_one_pass(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            ivf_assign,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        base = emb.filter(F.col("vec_id") % 7 != 0)
+        delta = emb.filter(F.col("vec_id") % 7 == 0)
+        path = str(tmp_path / "ivf")
+        idx0 = write_ivf_index(base, path, n_cells=8)
+        idx = append_ivf_index(spark, path, delta)
+        # append never moves centroids
+        assert idx.centroids == idx0.centroids
+        # two-step build == one-pass assignment of the union
+        one = ivf_assign(emb, idx.centroids, cell_col="cell").select(
+            "vec_id", "cell"
+        )
+        got = sorted(map(tuple, idx.assign.select("vec_id", "cell").collect()))
+        exp = sorted(map(tuple, one.collect()))
+        assert got == exp
+
+    def test_probe_matches_in_memory_ivf_topk_per_query(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            ivf_topk,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "ivf")
+        idx = write_ivf_index(emb, path, n_cells=8)
+        queries = emb.filter(F.col("vec_id").isin([0, 100, 250])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        batch = {
+            (r["query_id"], r["rn"]): (r["vec_id"], r["cosine_r"])
+            for r in ivf_probe_batch(idx, queries, k=5, nprobe=2).collect()
+        }
+        for qid in [0, 100, 250]:
+            qvec = list(
+                emb.filter(F.col("vec_id") == qid).first()["embedding"]
+            )
+            single = ivf_topk(
+                emb, qvec, k=5, n_cells=8, nprobe=2,
+                centroids=idx.centroids,
+            ).collect()
+            for i, row in enumerate(
+                sorted(single, key=lambda r: (-r["cosine"], r["vec_id"]))[:5]
+            ):
+                vid, cr = batch[(qid, i + 1)]
+                assert vid == row["vec_id"]
+                assert cr == round(row["cosine"], 6) or abs(
+                    cr - round(row["cosine"], 6)
+                ) < 1e-9
+
+    def test_probe_scan_partition_prunes(self, spark, tmp_path):
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "ivf")
+        idx = write_ivf_index(emb, path, n_cells=8)
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_probe_batch(idx, queries, k=5, nprobe=2)
+        fmt = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the assignment scan carries a partition filter on cell — the
+        # on-disk layout is pruned to the probed cells, and the routed
+        # query table broadcasts
+        assert "PartitionFilters" in fmt and "cell" in fmt
+        assert "cell IN" in fmt or "cell#" in fmt
+        assert "BroadcastHashJoin" in fmt
+        # only 2 of 8 cell partitions are actually read
+        scan = [
+            ln for ln in fmt.splitlines() if "partitions read" in ln.lower()
+        ]
+        if scan:  # Spark prints 'number of partitions read: N'
+            assert any("2" in ln for ln in scan)
+
+    def test_route_queries_tiebreak_lowest_cell(self, spark):
+        from ssis_to_dbt_spark.text.similarity import route_queries
+
+        q = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        # two identical centroids -> tie; lowest cell id must rank first
+        cents = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        cells = [
+            r["cell"]
+            for r in route_queries(q, cents, nprobe=2).collect()
+        ]
+        assert sorted(cells) == [0, 1]
