@@ -5419,6 +5419,16 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("query_id").cast("long").alias("id_b"),
             F.col("cosine_r").cast("double").alias("score"),
         ),
+        # persisted IVF index (r11): disk write/append + partition-pruned
+        # batch probe — driver visibility for the on-disk ANN path
+        q_ivf_index_probe(spark, sf_dir).select(
+            F.lit("ivf_idx").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rn").cast("int").alias("dim"),
+            _nul("int").alias("q"),
+            F.col("query_id").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("score"),
+        ),
     ]
     return _union_all(parts)
 
@@ -8494,6 +8504,10 @@ FROM ({SQL_CRAWL_WB_DEDUP}) _wb
 # Fold the four new operators into their driver-window suites (the SQL
 # constants above are complete at this point, so extend them in place).
 SQL_ANN_TOPK_SUITE += f"""UNION ALL
+SELECT 'ivf_idx', CAST(vec_id AS BIGINT), CAST(rn AS INTEGER), {_NULL_INT},
+       CAST(query_id AS BIGINT), CAST(cosine_r AS DOUBLE)
+FROM ({SQL_IVF_INDEX_PROBE}) _ii
+UNION ALL
 SELECT 'km_' || component, id_a AS vec_id, dim, {_NULL_INT}, {_NULL_BIGINT}, v1
 FROM ({SQL_KMEANS}) _km
 UNION ALL

@@ -30,9 +30,9 @@ EXPECTED = {
         "hll_merged", "hll_users", "kmv", "kmv_merged",
     },
     "ann_topk_suite": {
-        "brute_force", "fps", "hard_neg", "ivf", "km_assign", "km_centroid",
-        "knn", "lsh_md5", "project", "proto_assign", "proto_centroid",
-        "quantize", "semdedup",
+        "brute_force", "fps", "hard_neg", "ivf", "ivf_idx", "km_assign",
+        "km_centroid", "knn", "lsh_md5", "project", "proto_assign",
+        "proto_centroid", "quantize", "semdedup",
     },
     "events_windows": {
         "cohort", "decay", "funnel_s", "funnel_u12", "funnel_u3", "gap_fill",
