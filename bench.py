@@ -83,6 +83,9 @@ HEADLINE = [
     "curation_pipeline_docs",
     "pack_nosplit_docs",
     "crawl_ingest_docs",
+    "bm25_search_docs",
+    "nb_classifier_docs",
+    "ivf_index_probe",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

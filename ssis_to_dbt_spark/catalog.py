@@ -8370,8 +8370,8 @@ def q_crawl_ingest_docs(spark, sf_dir):
     from .text.dedup import corpus_dedup_index
 
     g1 = stage_gate(b1).localCheckpoint()
-    i1s, i1b = corpus_dedup_index(g1)
-    i1 = (i1s.localCheckpoint(eager=False), i1b.localCheckpoint(eager=False))
+    i1s, i1b = corpus_dedup_index(g1, checkpoint_sigs=True)
+    i1 = (i1s, i1b.localCheckpoint(eager=False))
     r1 = ingest_batch(b1, st, pre_gated=g1, pre_index=i1)
     r2 = ingest_batch(b2, r1.state)
 
@@ -8420,8 +8420,13 @@ def q_crawl_ingest_docs(spark, sf_dir):
     # stages — the eager state-merge checkpoint would otherwise pay a
     # full Arrow fit pass whose output nothing reads); gate and index
     # shared with the base iteration via pre_gated/pre_index
+    # pre_probe=r1.rejected: rejection is per-doc over band rows derived
+    # from the full gated batch, so the wb rejections are EXACTLY the
+    # base run's filtered to kept representatives — one index probe
+    # serves both policies (ingest_batch docstring, pytest-pinned)
     r_wb = ingest_batch(b1, st, dedup_within_batch=True,
-                        pre_gated=g1, pre_index=i1, with_scoring=False)
+                        pre_gated=g1, pre_index=i1, with_scoring=False,
+                        pre_probe=r1.rejected)
     wb = [
         r_wb.batch_pruned.select(
             F.lit("wb_pruned").alias("component"),

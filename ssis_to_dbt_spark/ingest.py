@@ -118,12 +118,13 @@ def seed_ingest_state(
     from .text.analysis import dsir_fit_state
     from .text.dedup import corpus_dedup_index
 
-    sigs, bands = corpus_dedup_index(corpus_df)
+    # checkpoint_sigs: banding reuses the materialized signature pass
+    # instead of re-running the minhash per frame (dedup.py r11 note)
+    sigs, bands = corpus_dedup_index(corpus_df, checkpoint_sigs=checkpoint)
     state = dsir_fit_state(
         corpus_df, F.col("lang") == "en", buckets=buckets, engine="arrow"
     )
     if checkpoint:
-        sigs = sigs.localCheckpoint(eager=False)
         bands = bands.localCheckpoint(eager=False)
         state = state.localCheckpoint(eager=False)
     return IngestState(sigs=sigs, bands=bands, dsir_state=state)
@@ -143,6 +144,7 @@ def ingest_batch(
     pre_gated: DataFrame | None = None,
     pre_index: tuple[DataFrame, DataFrame] | None = None,
     with_scoring: bool = True,
+    pre_probe: DataFrame | None = None,
 ) -> IngestResult:
     """One iteration of the continuous-crawl loop (see module doc).
 
@@ -191,6 +193,19 @@ def ingest_batch(
     probe, and the acceptance seam never depended on the DSIR stages
     (pytest-pinned).
 
+    ``pre_probe`` (r11, with ``dedup_within_batch=True`` only) accepts
+    the REJECTED frame of a prior base iteration over the same
+    ``(pre_gated, pre_index, state, dup_threshold)`` — the wb run then
+    derives its rejections as ``pre_probe`` semi-joined to the kept
+    representatives instead of re-probing the index.  This is EXACT, not
+    approximate: rejection is per-doc (a doc's band rows vs the corpus
+    index), and in wb mode the band rows come from the SAME pre-derived
+    full-batch tables (capped identically) merely filtered to kept ids —
+    so a kept doc's candidates, and therefore its (n_dups, max_matches),
+    are identical between the two forms (pytest-pinned).  The driver
+    suite uses this to run the base + wb policies over batch 1 with ONE
+    index probe.
+
     ``checkpoint=True`` localCheckpoints the multi-consumer
     intermediates (gated feeds the pair join + the anti-join; accepted
     feeds the fit delta, the scorer, the packer, and the index append) —
@@ -216,6 +231,12 @@ def ingest_batch(
     )
     from .text.dedup import cross_corpus_candidates
 
+    if pre_probe is not None and not dedup_within_batch:
+        raise ValueError(
+            "pre_probe reuses a base iteration's rejections for the "
+            "within-batch variant — only valid with dedup_within_batch=True"
+        )
+
     def ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if checkpoint else df
 
@@ -232,9 +253,10 @@ def ingest_batch(
     if pre_index is not None:
         bsigs, bbands = pre_index
     else:
-        bsigs, bbands = corpus_dedup_index(gated, **cap_kw)
+        bsigs, bbands = corpus_dedup_index(
+            gated, checkpoint_sigs=checkpoint, **cap_kw
+        )
         if checkpoint:
-            bsigs = bsigs.localCheckpoint(eager=False)
             bbands = bbands.localCheckpoint(eager=False)
     batch_pruned = batch_pairs = None
     if dedup_within_batch:
@@ -290,30 +312,42 @@ def ingest_batch(
         if checkpoint:
             bsigs = bsigs.localCheckpoint(eager=False)
             bbands = bbands.localCheckpoint(eager=False)
-    # size-aware probe: COUNT the gated batch (cheap — checkpointed) and
-    # broadcast its band tables only when measured small; a backfill
-    # batch takes the bucket-local shuffle join instead of pinning a
-    # broadcast the count just refuted
-    n_gated = gated.count()
-    pairs = cross_corpus_candidates(
-        gated, corpus_index=(state.sigs, state.bands),
-        new_index=(bsigs, bbands),
-        broadcast_batch=(n_gated <= int(batch_broadcast_max_docs)),
-        **cap_kw,
-    )
-    # est_jaccard is matches/num_hashes with num_hashes=8 — exactly
-    # representable, so the threshold compare and the *8 recovery of the
-    # integer match count are both exact.
-    rejected = ck(
-        pairs.filter(F.col("est_jaccard") >= float(dup_threshold))
-        .groupBy(F.col("new_id").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.round(F.max("est_jaccard") * 8)
-            .cast("long")
-            .alias("max_matches"),
+    if dedup_within_batch and pre_probe is not None:
+        # EXACT probe reuse (see docstring): rejection is per-doc over
+        # band rows pre-derived from the full gated batch, so the wb
+        # rejections are the base run's, filtered to the representatives
+        rejected = ck(
+            pre_probe.join(
+                batch_pruned.filter(F.col("kept")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
         )
-    )
+    else:
+        # size-aware probe: COUNT the gated batch (cheap — checkpointed)
+        # and broadcast its band tables only when measured small; a
+        # backfill batch takes the bucket-local shuffle join instead of
+        # pinning a broadcast the count just refuted
+        n_gated = gated.count()
+        pairs = cross_corpus_candidates(
+            gated, corpus_index=(state.sigs, state.bands),
+            new_index=(bsigs, bbands),
+            broadcast_batch=(n_gated <= int(batch_broadcast_max_docs)),
+            **cap_kw,
+        )
+        # est_jaccard is matches/num_hashes with num_hashes=8 — exactly
+        # representable, so the threshold compare and the *8 recovery of
+        # the integer match count are both exact.
+        rejected = ck(
+            pairs.filter(F.col("est_jaccard") >= float(dup_threshold))
+            .groupBy(F.col("new_id").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_dups"),
+                F.round(F.max("est_jaccard") * 8)
+                .cast("long")
+                .alias("max_matches"),
+            )
+        )
     rej_ids = rejected.select("doc_id")
     accepted = ck(drop_seam_anti_join(gated, rej_ids, "doc_id"))
     if with_scoring:

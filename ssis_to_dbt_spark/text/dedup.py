@@ -1372,13 +1372,22 @@ def corpus_dedup_index(
     shingle_n: int = 3,
     max_bucket_size: int | None = 10_000,
     engine: str = "expr",
+    checkpoint_sigs: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The corpus side of incremental ingestion dedup as a REUSABLE index:
     ``(signatures, capped band table)``.  Derive it once per corpus, persist
     with :func:`write_corpus_dedup_index`, and every subsequent batch joins
     against the stored tables — the corpus text is never re-scanned and
     never re-minhashed per batch.  ``engine="arrow"`` uses the
-    bit-identical signature kernel."""
+    bit-identical signature kernel.
+
+    ``checkpoint_sigs=True`` (r11) lazily localCheckpoints the signature
+    frame BEFORE banding, so a caller that materializes both returned
+    frames runs the minhash text pass ONCE — banding is a pure function
+    of the signatures, and without the checkpoint seam the band frame's
+    lineage re-runs the minhash on materialization (profiled: the crawl
+    suite paid the pass twice per index build).  Values are unchanged;
+    in-process sessions only (localCheckpoint)."""
     if engine not in ("expr", "arrow"):
         raise ValueError(f"unknown engine {engine!r}; use expr or arrow")
     sig_fn = (
@@ -1387,6 +1396,8 @@ def corpus_dedup_index(
         else minhash_signatures_md5
     )
     sigs = sig_fn(df, text_col, num_hashes, shingle_n, id_col)
+    if checkpoint_sigs:
+        sigs = sigs.localCheckpoint(eager=False)
     return sigs, _band_signature_table(
         sigs, id_col, num_hashes, bands, max_bucket_size
     )

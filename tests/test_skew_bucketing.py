@@ -987,6 +987,57 @@ class TestIngestDedupWithinBatch:
         # the functional index still grew by exactly the accepted reps
         assert fast.state.sigs.count() == st.sigs.count() + 2
 
+    def test_pre_probe_reuse_is_exact(self, spark):
+        """r11: a wb iteration given the base run's rejected frame
+        (pre_probe) must produce byte-identical prune/reject/accept
+        verdicts to a wb iteration that probes the index itself —
+        rejection is per-doc over band rows derived from the full gated
+        batch, so filtering the base rejections to the kept
+        representatives is exact."""
+        from ssis_to_dbt_spark.curation import stage_gate
+        from ssis_to_dbt_spark.ingest import ingest_batch, seed_ingest_state
+        from ssis_to_dbt_spark.text.dedup import corpus_dedup_index
+
+        schema = "doc_id long, text string, lang string, n_chars int"
+        mk = lambda i, t: (i, t, "en", len(t))  # noqa: E731
+        seed = spark.createDataFrame(
+            [mk(1, self._doc_text("zam")), mk(2, self._doc_text("wex"))],
+            schema,
+        )
+        twin = self._doc_text("qor")
+        batch = spark.createDataFrame(
+            [
+                mk(20, twin + " twin"),
+                mk(21, twin + " twin other longer"),
+                mk(22, self._doc_text("zam")),   # seed dup -> rejected
+                mk(23, self._doc_text("jyx")),
+            ],
+            schema,
+        )
+        st = seed_ingest_state(seed)
+        g = stage_gate(batch).localCheckpoint()
+        isigs, ibands = corpus_dedup_index(g)
+        idx = (isigs.localCheckpoint(), ibands.localCheckpoint())
+        base = ingest_batch(batch, st, pre_gated=g, pre_index=idx)
+        own = ingest_batch(batch, st, dedup_within_batch=True,
+                           pre_gated=g, pre_index=idx, with_scoring=False)
+        shared = ingest_batch(batch, st, dedup_within_batch=True,
+                              pre_gated=g, pre_index=idx,
+                              with_scoring=False, pre_probe=base.rejected)
+        snap = lambda df, *c: sorted(  # noqa: E731
+            tuple(r[k] for k in c) for r in df.collect()
+        )
+        assert snap(shared.rejected, "doc_id", "n_dups", "max_matches") == \
+            snap(own.rejected, "doc_id", "n_dups", "max_matches")
+        assert snap(shared.accepted, "doc_id") == snap(own.accepted, "doc_id")
+        assert snap(shared.batch_pruned, "doc_id", "kept") == \
+            snap(own.batch_pruned, "doc_id", "kept")
+        # misuse guard: pre_probe without the wb flag refuses
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            ingest_batch(batch, st, pre_gated=g, pre_index=idx,
+                         pre_probe=base.rejected)
+
 
 class TestWithinBatchDedupHotSkew:
     """r11 (r10 VERDICT #4): the within-batch dedup self-join under an
