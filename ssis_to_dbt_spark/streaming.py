@@ -710,3 +710,61 @@ def write_stream_crawl_ingest(
         .start()
     )
     return query, box
+
+
+def write_stream_ivf_probe(
+    queries_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Streaming ANN: probe query micro-batches against the PERSISTED IVF
+    index (:func:`~ssis_to_dbt_spark.text.similarity.write_ivf_index`).
+
+    Per micro-batch: open the index (the centroid fetch is a model-sized
+    read — n_cells rows, like reading a watermark; the assignment frame
+    stays lazy on the partitioned layout), run
+    :func:`~ssis_to_dbt_spark.text.similarity.ivf_probe_batch` (the scan
+    partition-prunes to the batch's probed cells), and OVERWRITE the
+    batch's own ``batch_id=N`` subdirectory — the
+    :func:`write_stream_update` keyed-overwrite discipline, so a replayed
+    batch lands idempotently and the at-least-once ``foreachBatch``
+    contract composes back to exactly-once results.
+
+    The corpus is never re-assigned, re-clustered, or re-scanned beyond
+    the probed partitions — per-batch corpus-side work is bounded by
+    ``nprobe/n_cells`` of the index regardless of how long the stream
+    runs, the same per-batch-boundedness contract as
+    :func:`write_stream_crawl_ingest`'s index probe."""
+    from .text.similarity import ivf_probe_batch, read_ivf_index
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        idx = read_ivf_index(spark, index_path)
+        res = ivf_probe_batch(
+            idx,
+            batch_df,
+            k=k,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        res.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        queries_stream.writeStream.foreachBatch(_probe)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1431,3 +1431,75 @@ class TestLongSoakFiftyBatches:
                       f"{prefix}_compact_stage_bands",
                       f"{prefix}_compact_stage_sigs"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestStreamingIvfProbe:
+    """r11: streaming ANN probes against the persisted IVF index — each
+    query micro-batch reads only its probed partitions; the union of the
+    streamed batch outputs must equal the one-shot batch probe over the
+    same queries."""
+
+    def test_streamed_batches_equal_batch_probe(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.streaming import write_stream_ivf_probe
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        index_path = str(tmp_path / "ivf")
+        write_ivf_index(emb, index_path, n_cells=8)
+
+        # two query micro-batches, one parquet file each
+        qdir = str(tmp_path / "queries")
+        q1 = emb.filter(F.col("vec_id").isin([0, 100])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        q2 = emb.filter(F.col("vec_id").isin([250, 333])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        q1.coalesce(1).write.parquet(f"{qdir}/b1")
+        q2.coalesce(1).write.parquet(f"{qdir}/b2")
+        import glob as _glob
+        import shutil as _shutil
+        flat = str(tmp_path / "qflat")
+        import os as _os
+        _os.makedirs(flat)
+        for i, f in enumerate(
+            sorted(_glob.glob(f"{qdir}/b*/part-*.parquet"))
+        ):
+            _shutil.copy(f, f"{flat}/q{i}.parquet")
+
+        stream = (
+            spark.readStream.schema(q1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        write_stream_ivf_probe(
+            stream, index_path, out, ck, k=5, nprobe=2
+        ).awaitTermination()
+
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out)
+                .select("query_id", "vec_id", "cosine_r", "rn")
+                .collect(),
+            )
+        )
+        idx = read_ivf_index(spark, index_path)
+        allq = q1.unionByName(q2)
+        exp = sorted(
+            map(tuple, ivf_probe_batch(idx, allq, k=5, nprobe=2).collect())
+        )
+        assert got == exp
+        # one batch_id=N subdir per micro-batch (keyed overwrite layout)
+        dirs = {p.split("/")[-1] for p in _glob.glob(f"{out}/batch_id=*")}
+        assert len(dirs) == 2
