@@ -2955,3 +2955,27 @@ class TestPersistedIvfIndex:
             for r in route_queries(q, cents, nprobe=2).collect()
         ]
         assert sorted(cells) == [0, 1]
+
+    def test_kmeans_centroids_plug_into_index(self, spark, tmp_path):
+        """The centroids= parameter takes kmeans_fit output directly —
+        trained cells, same layout, same probe path."""
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            kmeans_fit,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        cents = kmeans_fit(emb, k=4, rounds=2)
+        idx = write_ivf_index(
+            emb, str(tmp_path / "ivf_km"), centroids=cents
+        )
+        assert idx.centroids == sorted(
+            (c, [float(x) for x in v]) for c, v in cents
+        )
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = ivf_probe_batch(idx, q, k=3, nprobe=1).collect()
+        assert len(r) == 3 and r[0]["vec_id"] == 0  # self is top hit
+        assert abs(r[0]["cosine_r"] - 1.0) < 1e-6
