@@ -1428,10 +1428,15 @@ def write_ivf_index(
     assigned.select("cell", id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/assign")
+    # repartition(1), NOT coalesce(1): a parallelized local list spreads
+    # over default-parallelism Python partitions, and coalesce(1) folds
+    # them into ONE task that pays the python-worker roundtrip per parent
+    # partition SEQUENTIALLY (profiled ~4 s for 8 rows at 32 slices);
+    # repartition shuffles the 8 rows into one task in ~0.1 s
     spark.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in centroids],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return read_ivf_index(spark, path, id_col, vec_col)
 
 
