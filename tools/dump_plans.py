@@ -55,6 +55,9 @@ SHOWCASE = {
     "crawl_ingest_docs": "continuous-crawl two-batch loop: batch bands broadcast against the index, size-aware drop seams, merged-DSIR map-only scoring, bucket-keyed packing; r11 adds the within-batch self-join components (capped band buckets, size-aware regime)",
     "ci_collation_customers": "CI collation: lower() fold is a codegen projection BEFORE the exchange — broadcast lookup strategy identical to the case-sensitive plan",
     "jpeg_decode_stats": "real JPEG entropy decode: one map-only mapInPandas chain (encode -> decode), pruned (doc_id) scan, no shuffle",
+    "bm25_search_docs": "BM25: literal query-term broadcast prunes the token explode map-side; 1-row scalar crossJoin; WindowGroupLimit per-query top-k",
+    "nb_classifier_docs": "NB fit+apply: (label,term) hash agg with map-side combine; model grid broadcast back; per-doc argmax window; no cartesian",
+    "ivf_index_probe": "persisted IVF probe: in-plan query routing, partition-pruned assignment scan (PartitionFilters on cell), routed queries broadcast, per-query WindowGroupLimit",
 }
 
 # some entries need non-default kwargs for a REVIEWABLE plan (the
