@@ -5021,6 +5021,37 @@ WHERE rn <= 10
 """
 
 
+# --- bm25_index_probe: persisted BM25 postings index write/append/probe -----
+
+def q_bm25_index_probe(spark, sf_dir):
+    """r11: the persisted BM25 postings index driven end-to-end through
+    DISK — write the base corpus (doc_id%7!=0) as term-bucketed postings
+    + doclen + additive stats tables, APPEND the delta (doc_id%7==0),
+    probe the same three queries as `bm25_search_docs`.  Because append
+    extends postings per-doc, advances stats additively, and df_t
+    derives from the postings at probe time, the two-step build is
+    value-equal to indexing the union — so the oracle is the IN-MEMORY
+    operator's SQL verbatim (SQL_BM25_SEARCH).  The probe's term
+    IN-filter bucket-prunes the postings scan (SelectedBucketsCount,
+    plan-pinned)."""
+    import os as _os
+
+    from .text.retrieval import (
+        append_bm25_index,
+        bm25_index_probe,
+        write_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    path = _rt_tmpdir("bm25_index")
+    prefix = "bm25idx_" + _os.path.basename(path).rsplit("_", 1)[-1]
+    write_bm25_index(base, prefix, f"{path}/t")
+    idx = append_bm25_index(spark, prefix, delta)
+    return bm25_index_probe(idx, _BM25_QUERIES, top_k=10)
+
+
 # --- ivf_index_probe: persisted IVF-ANN index write/append/batch-probe ------
 
 def q_ivf_index_probe(spark, sf_dir):
@@ -6853,7 +6884,18 @@ def q_pii_tfidf_docs(spark, sf_dir):
         _nul("double").alias("v"),
         F.col("correct").cast("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur, cc, ml, bm, nb])
+    # r11: the persisted postings-index probe — value-equal to the
+    # in-memory bm25 over the same corpus (write base + append delta)
+    bmi = q_bm25_index_probe(spark, sf_dir).select(
+        F.lit("bm25_idx").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("string").alias("s1"),
+        F.col("n_terms").cast("long").alias("n1"),
+        F.col("score_units").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur, cc, ml, bm, nb, bmi])
 
 
 SQL_PII_TFIDF = f"""
@@ -8586,6 +8628,11 @@ SELECT 'nb', CAST(doc_id AS BIGINT), CAST(pred_label AS VARCHAR),
        CAST(best_units AS BIGINT), CAST(n_vocab_toks AS BIGINT),
        {_NULL_DOUBLE}, CAST(correct AS INTEGER)
 FROM ({SQL_NB_CLASSIFIER}) _nb
+UNION ALL
+SELECT 'bm25_idx', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
+       CAST(n_terms AS BIGINT), CAST(score_units AS BIGINT),
+       {_NULL_DOUBLE}, CAST(rn AS INTEGER)
+FROM ({SQL_BM25_SEARCH}) _bmi
 """
 
 SQL_EVENTS_WINDOWS += f"""UNION ALL
@@ -8774,6 +8821,7 @@ ALL_QUERIES = {
     "bm25_search_docs": q_bm25_search_docs,
     "nb_classifier_docs": q_nb_classifier_docs,
     "ivf_index_probe": q_ivf_index_probe,
+    "bm25_index_probe": q_bm25_index_probe,
 }
 
 ALL_ORACLES = {
@@ -8949,6 +8997,7 @@ ALL_ORACLES = {
     "bm25_search_docs": SQL_BM25_SEARCH,
     "nb_classifier_docs": SQL_NB_CLASSIFIER,
     "ivf_index_probe": SQL_IVF_INDEX_PROBE,
+    "bm25_index_probe": SQL_BM25_SEARCH,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

@@ -67,59 +67,24 @@ def _doc_len(text: Column) -> Column:
     )
 
 
-def bm25_topk(
-    df: DataFrame,
-    queries: dict[str, list[str]],
-    top_k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """BM25 lexical top-k search: for each named query (a bag of
-    lowercase terms), the ``top_k`` highest-scoring documents.
+def _query_terms_df(spark, queries: dict[str, list[str]]) -> DataFrame:
+    return spark.createDataFrame(
+        sorted({(q, t) for q, terms in queries.items() for t in terms}),
+        "query_id string, term string",
+    )
 
-    score(q, d) = sum over distinct terms t in q of
+
+def _bm25_units(k1: float, b: float) -> Column:
+    """The per-(doc, term) BM25 contribution as exact micro-units, over
+    columns ``tf, df_t, dl, n_docs, total_dl``:
+
         idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
     with the Lucene-style non-negative idf
         idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5)).
 
-    Each per-term contribution is round(x, 6)-quantized to integer
-    micro-units before the per-(query, doc) sum (module determinism
-    discipline), so ``score_units`` is an exact BIGINT.  Ranking ties
-    break on ascending ``doc_id``.
-
-    Returns ``(query_id, doc_id, n_terms, score_units, rn)`` — ``n_terms``
-    is how many of the query's terms the document contains.
-
-    100 TB shape (module doc): the literal query-term table broadcasts,
-    the corpus token explode filters to query terms map-side, and only
-    per-query top-k rows cross the final exchange (WindowGroupLimit).
-    """
-    spark = df.sparkSession
-    qterms = spark.createDataFrame(
-        sorted({(q, t) for q, terms in queries.items() for t in terms}),
-        "query_id string, term string",
-    )
-    toks = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
-    )
-    # map-side prune to the query vocabulary BEFORE the (doc, term) agg
-    hits = toks.join(F.broadcast(qterms.select("term").distinct()), "term")
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    dl = df.select(
-        F.col(id_col), _doc_len(F.col(text_col)).alias("dl")
-    )
-    scalars = df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(_doc_len(F.col(text_col))).alias("total_dl"),
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(scalars))
-    )
+    ONE expression tree shared by :func:`bm25_topk` and the persisted
+    index probe — the equality of the two paths is structural, not
+    re-derived."""
     n = F.col("n_docs").cast("double")
     df_t = F.col("df_t").cast("double")
     idf = F.log(
@@ -131,10 +96,34 @@ def bm25_topk(
         tfd * (F.lit(k1) + 1.0)
         / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
     )
-    units = (
+    return (
         F.round(idf * tfp, 6).cast(T.DecimalType(18, 6)) * _UNIT
     ).cast("long")
-    per_term = scored.select(id_col, "term", units.alias("u"))
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    scalars: DataFrame,
+    qterms: DataFrame,
+    top_k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 ranking tail: (doc, term, tf) hits + (doc, dl) lengths
+    + 1-row (n_docs, total_dl) scalars -> per-query top-k.  df_t is
+    derived from the hits themselves (identical to the corpus-wide value
+    for those terms, since hits carry every doc containing them)."""
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    per_term = scored.select(
+        id_col, "term", _bm25_units(k1, b).alias("u")
+    )
     per_q = (
         per_term.join(F.broadcast(qterms), "term")
         .groupBy("query_id", id_col)
@@ -157,6 +146,52 @@ def bm25_topk(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical top-k search: for each named query (a bag of
+    lowercase terms), the ``top_k`` highest-scoring documents.
+
+    Each per-term contribution is round(x, 6)-quantized to integer
+    micro-units before the per-(query, doc) sum (module determinism
+    discipline), so ``score_units`` is an exact BIGINT.  Ranking ties
+    break on ascending ``doc_id``.
+
+    Returns ``(query_id, doc_id, n_terms, score_units, rn)`` — ``n_terms``
+    is how many of the query's terms the document contains.
+
+    100 TB shape (module doc): the literal query-term table broadcasts,
+    the corpus token explode filters to query terms map-side, and only
+    per-query top-k rows cross the final exchange (WindowGroupLimit).
+    For repeated probing without re-tokenizing the corpus, persist the
+    postings with :func:`write_bm25_index` and probe via
+    :func:`bm25_index_probe` — same scores by construction (shared
+    :func:`_bm25_units` / :func:`_bm25_rank` tail, pytest-pinned).
+    """
+    spark = df.sparkSession
+    qterms = _query_terms_df(spark, queries)
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    # map-side prune to the query vocabulary BEFORE the (doc, term) agg
+    hits = toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = df.select(
+        F.col(id_col), _doc_len(F.col(text_col)).alias("dl")
+    )
+    scalars = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_doc_len(F.col(text_col))).alias("total_dl"),
+    )
+    return _bm25_rank(tf, dl, scalars, qterms, top_k, k1, b, id_col)
 
 
 @dataclass
@@ -289,4 +324,162 @@ def nb_predict(
             F.col("score_units").alias("best_units"),
             F.col("n_vocab_toks").cast("long").alias("n_vocab_toks"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 postings index (r11): the lexical member of the persisted
+# index family — dedup (bucketed minhash bands), vectors (cell-partitioned
+# IVF), and now text (term-bucketed postings).  The corpus is tokenized
+# ONCE; every later query batch reads only the buckets its terms hash to.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bm25Index:
+    """Persisted BM25 index handle: term-bucketed postings, doc-length
+    table, and the 1-row (n_docs, total_dl) stats relation.  All three
+    read straight off tables — a probe's ``term IN (...)`` literal filter
+    becomes BUCKET PRUNING on the postings (SelectedBucketsCount in the
+    plan), so query cost scales with the query's terms, not the corpus."""
+
+    postings: DataFrame  # (term, doc_id, tf)
+    doclen: DataFrame    # (doc_id, dl)
+    stats: DataFrame     # (n_docs long, total_dl long) — one row
+
+
+def write_bm25_index(
+    df: DataFrame,
+    table_prefix: str,
+    path_prefix: str,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Bm25Index:
+    """Tokenize the corpus ONCE into ``{prefix}_postings`` (bucketed +
+    sorted on ``term``), ``{prefix}_doclen`` (bucketed on ``id_col``),
+    and the 1-row additive ``{prefix}_stats`` table.
+
+    100 TB shape: one explode + (doc, term) hash agg with map-side
+    combine (the only wide pass), one per-doc length projection, one
+    scalar agg.  Probes then bucket-prune the postings to the query
+    terms; stats are additive on append, so the index never re-reads
+    corpus text."""
+    spark = df.sparkSession
+    from ..sources.writers import write_bucketed
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = df.select(F.col(id_col), _doc_len(F.col(text_col)).alias("dl"))
+    write_bucketed(
+        postings, f"{table_prefix}_postings", f"{path_prefix}_postings",
+        ["term"], num_buckets=num_buckets, sort_cols=["term"],
+    )
+    write_bucketed(
+        dl, f"{table_prefix}_doclen", f"{path_prefix}_doclen",
+        [id_col], num_buckets=num_buckets, sort_cols=[id_col],
+    )
+    df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_doc_len(F.col(text_col))).cast("long").alias("total_dl"),
+    ).repartition(1).write.mode("overwrite").format("parquet").option(
+        "path", f"{path_prefix}_stats"
+    ).saveAsTable(f"{table_prefix}_stats")
+    return read_bm25_index(spark, table_prefix)
+
+
+def read_bm25_index(spark, table_prefix: str) -> Bm25Index:
+    return Bm25Index(
+        postings=spark.table(f"{table_prefix}_postings"),
+        doclen=spark.table(f"{table_prefix}_doclen"),
+        stats=spark.table(f"{table_prefix}_stats"),
+    )
+
+
+def append_bm25_index(
+    spark,
+    table_prefix: str,
+    new_df: DataFrame,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Bm25Index:
+    """Append NEW documents: their postings/lengths extend the bucketed
+    tables, and the stats row advances ADDITIVELY (the old row plus the
+    batch's scalar agg — a bounded driver-side read, like a watermark).
+    The existing postings are untouched: term frequencies are per-doc,
+    and df_t is derived at probe time from the postings themselves, so
+    append needs no global recount.
+
+    Idempotency contract: plain at-least-once (a replayed batch appends
+    twice) — deployments needing replay-safety tag batches as the dedup
+    index does (``_ib``), kept out of this layout to keep probes
+    tag-free."""
+    toks = new_df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = new_df.select(
+        F.col(id_col), _doc_len(F.col(text_col)).alias("dl")
+    )
+    (
+        postings.write.mode("append").format("parquet")
+        .bucketBy(num_buckets, "term").sortBy("term")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    (
+        dl.write.mode("append").format("parquet")
+        .bucketBy(num_buckets, id_col).sortBy(id_col)
+        .saveAsTable(f"{table_prefix}_doclen")
+    )
+    old = spark.table(f"{table_prefix}_stats").first()
+    delta = new_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_doc_len(F.col(text_col))).cast("long").alias("total_dl"),
+    ).first()
+    spark.createDataFrame(
+        [(
+            int(old["n_docs"]) + int(delta["n_docs"]),
+            int(old["total_dl"]) + int(delta["total_dl"] or 0),
+        )],
+        "n_docs long, total_dl long",
+    ).repartition(1).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_stats"
+    )
+    return read_bm25_index(spark, table_prefix)
+
+
+def bm25_index_probe(
+    index: Bm25Index,
+    queries: dict[str, list[str]],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe the persisted postings: filter the postings to the query
+    terms (a literal ``IN`` over the term-bucketed table -> BUCKET
+    PRUNING; the corpus is never re-tokenized), then run the SAME
+    ranking tail as :func:`bm25_topk` (:func:`_bm25_rank`) — scores are
+    identical to the in-memory operator over the same corpus by
+    construction.
+
+    100 TB shape: corpus-side read = the query terms' buckets only;
+    df_t derives from the pruned hits (exact — hits carry every doc
+    containing those terms); the doc-length join touches only hit docs;
+    the stats row broadcasts."""
+    spark = index.postings.sparkSession
+    qterms = _query_terms_df(spark, queries)
+    terms = sorted({t for ts in queries.values() for t in ts})
+    tf = index.postings.filter(F.col("term").isin(terms)).select(
+        id_col, "term", "tf"
+    )
+    return _bm25_rank(
+        tf, index.doclen, index.stats, qterms, top_k, k1, b, id_col
     )

@@ -56,7 +56,8 @@ EXPECTED = {
         "dedup_lines", "dup_spans", "pack", "pack_nosplit",
     },
     "pii_tfidf_docs": {
-        "bm25", "ccnet", "mixed_lang", "nb", "pii", "surprisal", "tfidf",
+        "bm25", "bm25_idx", "ccnet", "mixed_lang", "nb", "pii", "surprisal",
+        "tfidf",
     },
     "pivot_median_orders": {
         "cube", "hist_p50", "histogram", "median", "pivot", "rolling",

@@ -2979,3 +2979,60 @@ class TestPersistedIvfIndex:
         r = ivf_probe_batch(idx, q, k=3, nprobe=1).collect()
         assert len(r) == 3 and r[0]["vec_id"] == 0  # self is top hit
         assert abs(r[0]["cosine_r"] - 1.0) < 1e-6
+
+
+class TestPersistedBm25Index:
+    """r11: the persisted BM25 postings index — disk round-trip, additive
+    append, bucket-pruned probe equal to the in-memory operator."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+
+    def test_probe_equals_in_memory_and_append_is_additive(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            bm25_index_probe,
+            bm25_topk,
+            write_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        base = docs.filter(F.col("doc_id") % 7 != 0)
+        delta = docs.filter(F.col("doc_id") % 7 == 0)
+        prefix = "bm25t_" + tmp_path.name
+        write_bm25_index(base, prefix, str(tmp_path / "t"))
+        idx = append_bm25_index(spark, prefix, delta)
+        q = {"q1": ["hash", "join"], "q2": ["window"]}
+        got = sorted(
+            map(tuple, bm25_index_probe(idx, q, top_k=10).collect())
+        )
+        exp = sorted(map(tuple, bm25_topk(docs, q, top_k=10).collect()))
+        assert got == exp
+        # stats advanced additively to the union's totals
+        s = idx.stats.first()
+        assert s["n_docs"] == docs.count()
+
+    def test_probe_scan_bucket_prunes(self, spark, tmp_path):
+        from ssis_to_dbt_spark.text.retrieval import (
+            bm25_index_probe,
+            write_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        prefix = "bm25p_" + tmp_path.name
+        idx = write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        out = bm25_index_probe(idx, {"q": ["hash", "join"]}, top_k=5)
+        fmt = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the postings scan is bucket-pruned to the query terms' buckets
+        assert "SelectedBucketsCount" in fmt
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", fmt)
+        assert m and int(m.group(1)) < int(m.group(2))
