@@ -58,6 +58,7 @@ SHOWCASE = {
     "bm25_search_docs": "BM25: literal query-term broadcast prunes the token explode map-side; 1-row scalar crossJoin; WindowGroupLimit per-query top-k",
     "nb_classifier_docs": "NB fit+apply: (label,term) hash agg with map-side combine; model grid broadcast back; per-doc argmax window; no cartesian",
     "ivf_index_probe": "persisted IVF probe: in-plan query routing, partition-pruned assignment scan (PartitionFilters on cell), routed queries broadcast, per-query WindowGroupLimit",
+    "bm25_index_probe": "persisted BM25 probe: term IN-filter bucket-prunes the postings scan (SelectedBucketsCount), 1-row stats broadcast, shared ranking tail with bm25_search_docs",
 }
 
 # some entries need non-default kwargs for a REVIEWABLE plan (the
