@@ -983,3 +983,136 @@ class TestIngestLoopProperty:
                     map(tuple, a.scored.collect())
                 ) == sorted(map(tuple, c.scored.collect()))
             state = r.state
+
+
+class TestBm25Property:
+    """r11: bm25_topk vs a sequential pure-python replica (same formula,
+    same round-6 micro-unit quantization) over random tiny corpora and
+    random query bags — exercises empty docs, all-miss queries,
+    repeated terms, and tie ranking."""
+
+    @staticmethod
+    def _py_bm25(docs, terms, k1=1.2, b=0.75):
+        import math
+
+        toks = {d: t.lower().split() for d, t in docs.items()}
+        n = len(docs)
+        dls = {d: (0 if not t.strip() else len(t.lower().split()))
+               for d, t in docs.items()}
+        avgdl = sum(dls.values()) / n
+        out = {}
+        for term in set(terms):
+            df_t = sum(1 for t in toks.values() if term in t)
+            if df_t == 0:
+                continue
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                tfp = tf * (k1 + 1.0) / (
+                    tf + k1 * ((1.0 - b) + b * dls[d] / avgdl)
+                )
+                nh, su = out.get(d, (0, 0))
+                out[d] = (nh + 1, su + int(round(idf * tfp, 6) * 1_000_000))
+        return out
+
+    @given(
+        docs=st.lists(documents, min_size=1, max_size=8),
+        qwords=st.lists(words, min_size=1, max_size=4),
+        data=st.data(),
+    )
+    @settings(**SETTINGS)
+    def test_matches_python_replica(self, spark, docs, qwords, data):
+        from ssis_to_dbt_spark.text.retrieval import bm25_topk
+
+        # mix generated words with words actually present, lowercased
+        present = [w for d in docs for w in d.lower().split()]
+        if present:
+            qwords = qwords + data.draw(
+                st.lists(st.sampled_from(present), max_size=3)
+            )
+        terms = sorted({w.lower() for w in qwords})
+        dmap = dict(enumerate(docs))
+        got = {
+            r["doc_id"]: (r["n_terms"], r["score_units"])
+            for r in bm25_topk(
+                _rows(spark, docs), {"q": terms}, top_k=100
+            ).collect()
+        }
+        assert got == self._py_bm25(dmap, terms)
+
+
+class TestNaiveBayesProperty:
+    """r11: nb_fit/nb_predict vs a sequential pure-python multinomial NB
+    (same Laplace smoothing, same quantization, same tie rule)."""
+
+    @staticmethod
+    def _py_nb(train, test_docs):
+        import math
+        import re
+
+        # the ENGINE tokenizer convention (split(trim(lower), '\s+')):
+        # blank text yields one empty-string token, matching the DuckDB
+        # oracles — NOT python str.split(), which yields []
+        tok = lambda s: re.split(r"\s+", s.lower().strip())  # noqa: E731
+        u = lambda x: int(round(math.log(x), 6) * 1_000_000)  # noqa: E731
+        counts, class_tok, nc = {}, {}, {}
+        vocab = set()
+        for text, lab in train:
+            nc[lab] = nc.get(lab, 0) + 1
+            for t in tok(text):
+                counts[(lab, t)] = counts.get((lab, t), 0) + 1
+                class_tok[lab] = class_tok.get(lab, 0) + 1
+                vocab.add(t)
+        # blank docs contribute no tokens but do count for priors; a
+        # label with NO tokens still needs a class_tok entry of 0
+        for lab in nc:
+            class_tok.setdefault(lab, 0)
+        n_all = sum(nc.values())
+        v = len(vocab)
+        out = {}
+        for d, text in test_docs.items():
+            best = None
+            for lab in sorted(nc):
+                s = u(nc[lab] / n_all)
+                nv = 0
+                for t in tok(text):
+                    if t not in vocab:
+                        continue
+                    nv += 1
+                    s += u((counts.get((lab, t), 0) + 1)
+                           / (class_tok[lab] + v))
+                if best is None or s > best[1]:
+                    best = (lab, s, nv)
+            out[d] = best
+        return out
+
+    @given(
+        train=st.lists(
+            st.tuples(documents, st.sampled_from(["a", "b", "c"])),
+            min_size=1, max_size=8,
+        ),
+        tests=st.lists(documents, min_size=1, max_size=4),
+    )
+    @settings(**SETTINGS)
+    def test_matches_python_replica(self, spark, train, tests):
+        from ssis_to_dbt_spark.text.retrieval import nb_fit, nb_predict
+
+        # the model needs a non-empty vocabulary: guarantee one token
+        train = train + [("anchor token", "a")]
+        tr = spark.createDataFrame(
+            [(i, t, lab) for i, (t, lab) in enumerate(train)],
+            "doc_id int, text string, lang string",
+        )
+        te = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tests)],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]: (r["pred_label"], r["best_units"],
+                          r["n_vocab_toks"])
+            for r in nb_predict(nb_fit(tr), te).collect()
+        }
+        exp = self._py_nb(train, dict(enumerate(tests)))
+        assert got == exp
