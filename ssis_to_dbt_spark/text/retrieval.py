@@ -443,15 +443,24 @@ def append_bm25_index(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(_doc_len(F.col(text_col))).cast("long").alias("total_dl"),
     ).first()
+    # overwrite the FILES at the stats table's existing external location
+    # (then refresh) rather than drop/recreate the table: saveAsTable
+    # would re-register it as MANAGED at the warehouse path — colliding
+    # with any leftover directory from a prior generation — and would
+    # silently detach it from the caller's path_prefix layout
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table_prefix}_stats")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
     spark.createDataFrame(
         [(
             int(old["n_docs"]) + int(delta["n_docs"]),
             int(old["total_dl"]) + int(delta["total_dl"] or 0),
         )],
         "n_docs long, total_dl long",
-    ).repartition(1).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{table_prefix}_stats"
-    )
+    ).repartition(1).write.mode("overwrite").parquet(loc)
+    spark.catalog.refreshTable(f"{table_prefix}_stats")
     return read_bm25_index(spark, table_prefix)
 
 
