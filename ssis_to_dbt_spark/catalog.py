@@ -5136,6 +5136,104 @@ WHERE rn <= 5
 """
 
 
+# --- streaming_ivf_probe: query micro-batches vs the persisted IVF index ----
+
+def q_streaming_ivf_probe(spark, sf_dir):
+    """r11: the STREAMING ANN path driven end-to-end — persist the IVF
+    index over the full corpus, stage the query batch as files, run a
+    real checkpointed availableNow stream through
+    ``write_stream_ivf_probe`` (each micro-batch partition-prunes the
+    index to its probed cells and lands under batch_id=N), and read the
+    sink back.  Query results are per-query, so the union over
+    micro-batches equals the one-shot batch probe — which is what the
+    oracle computes (full-corpus centroids, nprobe=2, k=5)."""
+    from .streaming import write_stream_ivf_probe
+    from .text.similarity import write_ivf_index
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    base = _rt_tmpdir("sivf")
+    write_ivf_index(emb, f"{base}/index", n_cells=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src = f"{base}/queries"
+    # two staged files -> two micro-batches under maxFilesPerTrigger=1;
+    # outputs are per-query, so batch membership cannot affect values
+    queries.filter(F.col("query_id") % 100 == 0).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    queries.filter(F.col("query_id") % 100 != 0).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("query_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_ivf_probe(
+        stream, f"{base}/index", f"{base}/out", f"{base}/ckpt",
+        k=5, nprobe=2,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_ivf_probe: stream did not drain in 600s")
+    return spark.read.parquet(f"{base}/out").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine_r",
+        "rn",
+    )
+
+
+SQL_STREAMING_IVF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_all AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(e.v, cent.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM sim_all)
+  WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id AS query_id, v AS qv, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM sim_all WHERE vec_id % 50 = 0)
+  WHERE rn <= 2
+),
+fin AS (
+  SELECT r.query_id, a.vec_id,
+         round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(r.qv, r.qv)) > 0
+                    THEN list_inner_product(a.v, r.qv)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(r.qv, r.qv)))
+                    ELSE 0.0 END, 6) AS cosine_r
+  FROM assign a JOIN routed r ON a.cid = r.cid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine_r, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM fin)
+WHERE rn <= 5
+"""
+
+
 # --- nb_classifier_docs: multinomial Naive Bayes fit + held-out scoring -----
 
 def q_nb_classifier_docs(spark, sf_dir):
@@ -8822,6 +8920,7 @@ ALL_QUERIES = {
     "nb_classifier_docs": q_nb_classifier_docs,
     "ivf_index_probe": q_ivf_index_probe,
     "bm25_index_probe": q_bm25_index_probe,
+    "streaming_ivf_probe": q_streaming_ivf_probe,
 }
 
 ALL_ORACLES = {
@@ -8998,6 +9097,7 @@ ALL_ORACLES = {
     "nb_classifier_docs": SQL_NB_CLASSIFIER,
     "ivf_index_probe": SQL_IVF_INDEX_PROBE,
     "bm25_index_probe": SQL_BM25_SEARCH,
+    "streaming_ivf_probe": SQL_STREAMING_IVF,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,
