@@ -5136,6 +5136,54 @@ WHERE rn <= 5
 """
 
 
+# --- semantic_decontam_embeddings: cross-set 1-NN vs the eval split ---------
+
+def q_semantic_decontam_embeddings(spark, sf_dir):
+    """r11: semantic decontamination — for every training vector
+    (vec_id%50!=0), its single nearest EVAL vector (vec_id%50==0) by
+    cosine, flagged at threshold 0.5.  The embedding analog of the
+    n-gram `decontam_docs` check: n-gram overlap misses paraphrases; a
+    high-cosine eval neighbor catches them.  The eval side broadcasts
+    (model-sized); the corpus side is map-only through the
+    BroadcastNestedLoopJoin; k=1 rows per item cross the argmax
+    exchange (WindowGroupLimit)."""
+    from .text.similarity import nearest_reference
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    train = emb.filter(F.col("vec_id") % 50 != 0)
+    ev = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("ref_id"), "embedding"
+    )
+    return nearest_reference(train, ev, threshold=0.5).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("ref_id").cast("long").alias("ref_id"),
+        "cosine_r",
+        "contaminated",
+    )
+
+
+SQL_SEMANTIC_DECONTAM = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+ev AS (SELECT vec_id AS ref_id, v AS rv FROM e WHERE vec_id % 50 = 0),
+sc AS (
+  SELECT tr.vec_id, ev.ref_id,
+         round(CASE WHEN sqrt(list_inner_product(tr.v, tr.v))
+                         * sqrt(list_inner_product(ev.rv, ev.rv)) > 0
+                    THEN list_inner_product(tr.v, ev.rv)
+                         / (sqrt(list_inner_product(tr.v, tr.v))
+                            * sqrt(list_inner_product(ev.rv, ev.rv)))
+                    ELSE 0.0 END, 6) AS cosine_r
+  FROM tr CROSS JOIN ev)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(ref_id AS BIGINT) AS ref_id,
+       cosine_r, CAST(cosine_r >= 0.5 AS INTEGER) AS contaminated
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine_r DESC, ref_id) AS rn
+      FROM sc)
+WHERE rn = 1
+"""
+
+
 # --- streaming_ivf_probe: query micro-batches vs the persisted IVF index ----
 
 def q_streaming_ivf_probe(spark, sf_dir):
@@ -8921,6 +8969,7 @@ ALL_QUERIES = {
     "ivf_index_probe": q_ivf_index_probe,
     "bm25_index_probe": q_bm25_index_probe,
     "streaming_ivf_probe": q_streaming_ivf_probe,
+    "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
 }
 
 ALL_ORACLES = {
@@ -9098,6 +9147,7 @@ ALL_ORACLES = {
     "ivf_index_probe": SQL_IVF_INDEX_PROBE,
     "bm25_index_probe": SQL_BM25_SEARCH,
     "streaming_ivf_probe": SQL_STREAMING_IVF,
+    "semantic_decontam_embeddings": SQL_SEMANTIC_DECONTAM,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

@@ -1599,3 +1599,59 @@ def ivf_probe_batch(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def nearest_reference(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: str = "ref_id",
+    ref_vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Cross-set 1-NN: for every vector in ``df``, its single nearest
+    vector in ``ref_df`` by cosine — the SEMANTIC DECONTAMINATION report
+    (nearest eval/benchmark example per training item; flag items whose
+    similarity crosses ``threshold``) and the retrieval-eval primitive
+    (nearest labeled exemplar per candidate).
+
+    Returns ``(id_col, ref_id_col, cosine_r)`` with ``cosine_r`` round-6
+    quantized BEFORE the argmax (engine-portable ranking; ties -> lowest
+    ref id), plus ``contaminated`` (int 0/1) when ``threshold`` is set.
+    Rows of ``df`` always survive — an empty ``ref_df`` yields an empty
+    result (no reference to compare against), never an error.
+
+    100 TB shape: the REFERENCE side broadcasts (eval sets are
+    model-sized — thousands of rows, not corpus-scale; for corpus-scale
+    references use the IVF index probe instead, which bounds the scan at
+    nprobe/n_cells), the corpus side is map-only through the
+    BroadcastNestedLoopJoin, and the per-item argmax is a WindowGroupLimit
+    row_number — k=1 rows per item cross the exchange."""
+    ref = ref_df.select(
+        F.col(ref_id_col) if ref_id_col in ref_df.columns
+        else F.col(id_col).alias(ref_id_col),
+        F.col(ref_vec_col).alias("_rv"),
+    )
+    cos = cosine_similarity(
+        _as_double(F.col(vec_col)), _as_double(F.col("_rv"))
+    )
+    scored = df.crossJoin(F.broadcast(ref)).select(
+        id_col,
+        ref_id_col,
+        F.round(cos, 6).alias("cosine_r"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(ref_id_col)
+    )
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "contaminated",
+            (F.col("cosine_r") >= float(threshold)).cast("int"),
+        )
+    return out

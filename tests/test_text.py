@@ -3036,3 +3036,90 @@ class TestPersistedBm25Index:
         import re
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", fmt)
         assert m and int(m.group(1)) < int(m.group(2))
+
+
+class TestIndexEdgeCases:
+    """r11: degenerate inputs on the persisted-index and cross-set-1NN
+    APIs — empty query batches, k past the corpus size, empty reference
+    sets — must produce empty/short results, never errors."""
+
+    def test_ivf_probe_empty_query_batch(self, spark, tmp_path):
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = write_ivf_index(emb, str(tmp_path / "ivf"), n_cells=4)
+        empty = emb.filter(F.lit(False)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        assert ivf_probe_batch(idx, empty, k=5, nprobe=2).count() == 0
+
+    def test_ivf_probe_k_exceeds_cell_population(self, spark, tmp_path):
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(6)
+        idx = write_ivf_index(emb, str(tmp_path / "ivf"), n_cells=2)
+        q = emb.limit(1).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = ivf_probe_batch(idx, q, k=1000, nprobe=1).collect()
+        # at most the probed cell's population; rn stays dense from 1
+        assert 0 < len(r) <= 6
+        assert sorted(x["rn"] for x in r) == list(range(1, len(r) + 1))
+
+    def test_nearest_reference_empty_ref_yields_empty(self, spark):
+        from ssis_to_dbt_spark.text.similarity import nearest_reference
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        ev = emb.filter(F.lit(False)).select(
+            F.col("vec_id").alias("ref_id"), "embedding"
+        )
+        assert nearest_reference(emb.limit(3), ev).count() == 0
+
+    def test_nearest_reference_self_hit_and_threshold(self, spark):
+        from ssis_to_dbt_spark.text.similarity import nearest_reference
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        ev = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("ref_id"), "embedding"
+        )
+        out = {
+            r["vec_id"]: r
+            for r in nearest_reference(
+                emb.filter(F.col("vec_id") < 3), ev, threshold=0.99
+            ).collect()
+        }
+        for i in range(3):  # each vector's nearest reference is itself
+            assert out[i]["ref_id"] == i
+            assert abs(out[i]["cosine_r"] - 1.0) < 1e-6
+            assert out[i]["contaminated"] == 1
+
+    def test_bm25_probe_all_terms_absent(self, spark, tmp_path):
+        from ssis_to_dbt_spark.text.retrieval import (
+            bm25_index_probe,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        idx = write_bm25_index(
+            docs, "bm25e_" + tmp_path.name, str(tmp_path / "t")
+        )
+        out = bm25_index_probe(
+            idx, {"q": ["zzznothere", "qqqmissing"]}, top_k=5
+        )
+        assert out.count() == 0
