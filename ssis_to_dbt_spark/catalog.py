@@ -5136,6 +5136,40 @@ WHERE rn <= 5
 """
 
 
+# --- shuffle_shards_docs: deterministic global shuffle into train shards ----
+
+def q_shuffle_shards_docs(spark, sf_dir):
+    """r11: the last pipeline step before training — every document gets
+    a stable (shard, pos) from md5(seed|doc_id): pseudorandom order,
+    reproducible from the seed alone, re-shufflable by changing the
+    seed.  NO global sort: one exchange on the shard key + per-shard
+    sort (each sort bounded at corpus/n_shards)."""
+    from .operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir)["documents"]
+    return shuffle_shards(docs, "doc_id", n_shards=8, seed="r11").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id, md5('r11|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents),
+s AS (
+  SELECT doc_id, hh,
+         CAST(CAST('0x' || substr(hh, 1, 4) AS BIGINT) % 8 AS INTEGER)
+           AS shard
+  FROM h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+            AS INTEGER) AS pos
+FROM s
+"""
+
+
 # --- semantic_decontam_embeddings: cross-set 1-NN vs the eval split ---------
 
 def q_semantic_decontam_embeddings(spark, sf_dir):
@@ -8970,6 +9004,7 @@ ALL_QUERIES = {
     "bm25_index_probe": q_bm25_index_probe,
     "streaming_ivf_probe": q_streaming_ivf_probe,
     "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
+    "shuffle_shards_docs": q_shuffle_shards_docs,
 }
 
 ALL_ORACLES = {
@@ -9148,6 +9183,7 @@ ALL_ORACLES = {
     "bm25_index_probe": SQL_BM25_SEARCH,
     "streaming_ivf_probe": SQL_STREAMING_IVF,
     "semantic_decontam_embeddings": SQL_SEMANTIC_DECONTAM,
+    "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,
     "dtsx_customer_load": SQL_DTSX_CUSTOMER,

@@ -14,6 +14,7 @@ from .joins import (
 )
 from .sampling import (
     hash_split,
+    shuffle_shards,
     mixture_sample,
     stratified_sample,
     temperature_mixture,
@@ -96,7 +97,8 @@ __all__ = [
     "lookup", "lookup_chain", "LookupNoMatch",
     "asof_join", "fuzzy_pairs", "pagerank", "range_join", "merge_join", "semi_join", "anti_join",
     "bloom_build", "bloom_prefilter",
-    "hash_split", "mixture_sample", "stratified_sample", "temperature_mixture",
+    "hash_split", "mixture_sample", "shuffle_shards", "stratified_sample",
+    "temperature_mixture",
     "token_budget_sample",
     "fk_violations", "kmv_distinct", "kmv_sketch_grouped", "kmv_merge_estimate", "rollup_aggregate", "grouped_median_disc",
     "histogram_sketch_grouped", "histogram_merge", "histogram_quantile",

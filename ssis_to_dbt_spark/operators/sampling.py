@@ -415,3 +415,45 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    seed: str = "s0",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the last step
+    before a corpus becomes training input: every row gets a stable
+    ``(shard, pos)`` from ``md5(seed || key)``, so the training order is
+    (a) pseudorandom w.r.t. any data attribute, (b) reproducible from
+    the seed alone on any engine with md5, and (c) re-shufflable by
+    changing ``seed`` without touching the data.
+
+    shard = first 4 hex chars of the keyed hash mod ``n_shards``;
+    pos    = dense row_number within the shard ordered by (full hash,
+    key) — the key tiebreak makes positions total even under md5
+    collisions.
+
+    100 TB shape: NO global sort — one exchange on the shard key and a
+    per-shard sort (Spark's ORDER-BY-within-partition path), each shard
+    written/consumed independently.  A global ORDER BY md5 would funnel
+    the corpus through a single range-partitioned sort; sharding first
+    bounds every sort at corpus/n_shards.
+    """
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit("|"),
+                       F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+        % int(n_shards)
+    ).cast("int")
+    out = df.withColumn(shard_col, shard).withColumn("_h", h)
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_h"), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        out.withColumn(pos_col, F.row_number().over(w))
+        .drop("_h")
+    )

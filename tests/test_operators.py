@@ -2397,3 +2397,38 @@ class TestMergeUpsertCi:
             "d", "s", "ck", "eff", ["ck"], ci=True
         )
         assert "LOWER(t.ck) = LOWER(s.ck)" in close
+
+
+class TestShuffleShards:
+    """r11: deterministic global shuffle into training shards."""
+
+    def test_reproducible_and_seed_sensitive(self, spark):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.operators.sampling import shuffle_shards
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id")
+        a = sorted(map(tuple, shuffle_shards(docs, "doc_id").collect()))
+        b = sorted(map(tuple, shuffle_shards(docs, "doc_id").collect()))
+        assert a == b  # same seed -> identical layout
+        c = sorted(
+            map(tuple, shuffle_shards(docs, "doc_id", seed="s1").collect())
+        )
+        assert a != c  # new seed -> new order
+        out = shuffle_shards(docs, "doc_id", n_shards=8)
+        # every row kept, positions dense from 1 within each shard
+        assert out.count() == docs.count()
+        per = {
+            r["shard"]: (r["n"], r["mx"])
+            for r in out.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"))
+            .collect()
+        }
+        assert set(per) == set(range(8))
+        for n, mx in per.values():
+            assert n == mx  # dense row numbers
+        # hash sharding is roughly balanced at 500/8 rows
+        sizes = [n for n, _ in per.values()]
+        assert max(sizes) < 2.5 * min(sizes)

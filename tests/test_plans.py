@@ -665,6 +665,23 @@ class TestRound11PlanShapes:
         # the only sort feeds the ranking window, not a join
         assert "SortMergeJoin" not in plan
 
+    def test_nearest_reference_broadcasts_eval_map_only_corpus(self, spark):
+        """Semantic decontam: the eval side is a BroadcastNestedLoopJoin
+        build (model-sized), the corpus side never hash-shuffles before
+        scoring, and the per-item argmax runs under WindowGroupLimit."""
+        plan = plan_of(spark, "semantic_decontam_embeddings", "simple")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "WindowGroupLimit" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_shuffle_shards_no_global_sort(self, spark):
+        """Deterministic shuffle: one exchange on the shard key + a
+        per-shard sort — no range-partitioned global sort (the
+        single-funnel shape a naive ORDER BY md5 would produce)."""
+        plan = plan_of(spark, "shuffle_shards_docs", "simple")
+        assert "Exchange hashpartitioning(shard" in plan
+        assert "Exchange rangepartitioning" not in plan
+
     def test_nb_model_grid_broadcasts(self, spark):
         """NB apply: the model grid joins the (doc, term) counts via
         broadcast (bounded |vocab| x |labels| model state); the per-doc
