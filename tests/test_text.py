@@ -2705,6 +2705,18 @@ class TestBm25TopK:
     """r11: BM25 lexical retrieval — scores checked against a pure-python
     replica of the formula (same round-6 micro-unit quantization)."""
 
+    @staticmethod
+    def _u6(x):
+        # engine rounding: HALF_UP on the shortest repr (Spark round),
+        # not python round()'s HALF_EVEN
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            ) * 1_000_000
+        )
+
     def _py_bm25(self, docs, query_terms, k1=1.2, b=0.75):
         import math
 
@@ -2726,9 +2738,8 @@ class TestBm25TopK:
                 tfp = tf * (k1 + 1.0) / (
                     tf + k1 * ((1.0 - b) + b * dls[d] / avgdl)
                 )
-                u = int(round(idf * tfp, 6) * 1_000_000)
                 nh, su = out.get(d, (0, 0))
-                out[d] = (nh + 1, su + u)
+                out[d] = (nh + 1, su + self._u6(idf * tfp))
         return out
 
     def test_scores_match_python_replica_and_rank(self, spark):
@@ -2824,7 +2835,7 @@ class TestNaiveBayes:
         assert r[0]["pred_label"] == "ham"      # argmax prior
         assert r[0]["n_vocab_toks"] == 0
         import math
-        assert r[0]["best_units"] == int(round(math.log(3 / 5), 6) * 1e6)
+        assert r[0]["best_units"] == TestBm25TopK._u6(math.log(3 / 5))
 
     def test_shuffle_model_join_matches_broadcast(self, spark):
         from ssis_to_dbt_spark.text.retrieval import nb_fit, nb_predict

@@ -985,6 +985,22 @@ class TestIngestLoopProperty:
             state = r.state
 
 
+def _units6(x: float) -> int:
+    """round(x, 6) -> integer micro-units with the ENGINE's rounding:
+    Spark's round() is BigDecimal.valueOf(double).setScale(6, HALF_UP)
+    — i.e. HALF_UP on the shortest decimal repr — while python round()
+    is banker's (HALF_EVEN), which disagrees exactly on .5 boundaries
+    (hypothesis found ln() landing on one)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        * 1_000_000
+    )
+
+
 class TestBm25Property:
     """r11: bm25_topk vs a sequential pure-python replica (same formula,
     same round-6 micro-unit quantization) over random tiny corpora and
@@ -995,6 +1011,7 @@ class TestBm25Property:
     def _py_bm25(docs, terms, k1=1.2, b=0.75):
         import math
 
+        u6 = _units6
         toks = {d: t.lower().split() for d, t in docs.items()}
         n = len(docs)
         dls = {d: (0 if not t.strip() else len(t.lower().split()))
@@ -1014,7 +1031,7 @@ class TestBm25Property:
                     tf + k1 * ((1.0 - b) + b * dls[d] / avgdl)
                 )
                 nh, su = out.get(d, (0, 0))
-                out[d] = (nh + 1, su + int(round(idf * tfp, 6) * 1_000_000))
+                out[d] = (nh + 1, su + u6(idf * tfp))
         return out
 
     @given(
@@ -1056,7 +1073,7 @@ class TestNaiveBayesProperty:
         # blank text yields one empty-string token, matching the DuckDB
         # oracles — NOT python str.split(), which yields []
         tok = lambda s: re.split(r"\s+", s.lower().strip())  # noqa: E731
-        u = lambda x: int(round(math.log(x), 6) * 1_000_000)  # noqa: E731
+        u = lambda x: _units6(math.log(x))  # noqa: E731
         counts, class_tok, nc = {}, {}, {}
         vocab = set()
         for text, lab in train:
