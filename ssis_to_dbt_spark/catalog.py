@@ -5073,8 +5073,8 @@ def q_ivf_index_probe(spark, sf_dir):
     base = emb.filter(F.col("vec_id") % 7 != 0)
     delta = emb.filter(F.col("vec_id") % 7 == 0)
     path = _rt_tmpdir("ivf_index")
-    write_ivf_index(base, path, n_cells=8)
-    idx = append_ivf_index(spark, path, delta)
+    idx0 = write_ivf_index(base, path, n_cells=8)
+    idx = append_ivf_index(spark, path, delta, index=idx0)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -1466,6 +1466,7 @@ def append_ivf_index(
     new_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: IvfIndex | None = None,
 ) -> IvfIndex:
     """Assign NEW vectors under the STORED centroids (the index never
     re-trains on append — cell identity must stay stable for existing
@@ -1476,8 +1477,14 @@ def append_ivf_index(
     appends twice).  Deployments needing replay-safety follow the dedup
     index's pattern — tag batches and probe for the tag before appending
     (text/dedup.py ``_ib``); kept out of this layout to keep the probe
-    path free of tag filters."""
-    idx = read_ivf_index(spark, path, id_col, vec_col)
+    path free of tag filters.
+
+    ``index``: pass an already-open handle (e.g. the return of
+    :func:`write_ivf_index`) to skip the centroid re-read — the append
+    still assigns under exactly those stored centroids."""
+    idx = index if index is not None else read_ivf_index(
+        spark, path, id_col, vec_col
+    )
     assigned = ivf_assign(
         new_df, idx.centroids, id_col, vec_col, cell_col="cell"
     )
