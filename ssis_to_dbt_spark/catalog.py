@@ -5047,9 +5047,21 @@ def q_bm25_index_probe(spark, sf_dir):
     delta = docs.filter(F.col("doc_id") % 7 == 0)
     path = _rt_tmpdir("bm25_index")
     prefix = "bm25idx_" + _os.path.basename(path).rsplit("_", 1)[-1]
-    write_bm25_index(base, prefix, f"{path}/t")
-    idx = append_bm25_index(spark, prefix, delta)
-    return bm25_index_probe(idx, _BM25_QUERIES, top_k=10)
+    try:
+        write_bm25_index(base, prefix, f"{path}/t")
+        idx = append_bm25_index(spark, prefix, delta)
+        # materialize the probe under the run's tmpdir so the three
+        # catalog tables can be dropped — without the drop every
+        # bench/correctness invocation leaks a fresh
+        # bm25idx_<suffix>_{postings,doclen,stats} triple into the
+        # metastore (r11 ADVICE)
+        bm25_index_probe(idx, _BM25_QUERIES, top_k=10).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/probe_out")
+    finally:
+        for t in ("postings", "doclen", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    return spark.read.parquet(f"{path}/probe_out")
 
 
 # --- ivf_index_probe: persisted IVF-ANN index write/append/batch-probe ------

@@ -721,6 +721,8 @@ def write_stream_ivf_probe(
     nprobe: int = 2,
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    index_id_col: str = "vec_id",
+    index_vec_col: str = "embedding",
     trigger_available_now: bool = True,
 ):
     """Streaming ANN: probe query micro-batches against the PERSISTED IVF
@@ -740,14 +742,29 @@ def write_stream_ivf_probe(
     the probed partitions — per-batch corpus-side work is bounded by
     ``nprobe/n_cells`` of the index regardless of how long the stream
     runs, the same per-batch-boundedness contract as
-    :func:`write_stream_crawl_ingest`'s index probe."""
+    :func:`write_stream_crawl_ingest`'s index probe.
+
+    ``index_id_col``/``index_vec_col`` name the PERSISTED index's columns
+    (they may differ from the query stream's); an all-empty stream still
+    creates ``out_dir`` with the result schema and zero rows, so a
+    downstream ``spark.read.parquet(out_dir)`` never throws
+    path-not-found (r11 ADVICE)."""
+    import os as _os
+
     from .text.similarity import ivf_probe_batch, read_ivf_index
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
-        idx = read_ivf_index(spark, index_path)
+        if batch_df.isEmpty():
+            if _os.path.exists(out_dir):
+                return
+            # first-and-empty: still create the sink (result schema,
+            # zero rows) by probing with the batch's own empty frame —
+            # a later spark.read.parquet(out_dir) must not throw
+            batch_df = batch_df.limit(0)
+        idx = read_ivf_index(
+            spark, index_path, id_col=index_id_col, vec_col=index_vec_col
+        )
         res = ivf_probe_batch(
             idx,
             batch_df,
@@ -755,6 +772,8 @@ def write_stream_ivf_probe(
             nprobe=nprobe,
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
+            id_col=index_id_col,
+            vec_col=index_vec_col,
         )
         res.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"

@@ -225,7 +225,13 @@ def nb_fit(
     100 TB shape: one (label, term) hash agg with map-side combine over
     the exploded tokens; the vocabulary scalar reaches the grid via a
     broadcast 1-row crossJoin; grid size is model-bounded.
+
+    NULL training labels are FILTERED before fitting: a NULL carries no
+    class identity, and letting it through would make the predict-time
+    argmax tie-break engine-dependent (Spark windows sort NULLS FIRST,
+    ANSI ORDER BY defaults NULLS LAST).
     """
+    train_df = train_df.filter(F.col(label_col).isNotNull())
     toks = train_df.select(
         F.col(label_col).alias("label"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
@@ -312,8 +318,12 @@ def nb_predict(
         ).alias("score_units"),
         F.coalesce(F.col("n_vocab_toks"), F.lit(0)).alias("n_vocab_toks"),
     )
+    # asc_nulls_last: belt-and-braces with nb_fit's NULL-label filter —
+    # if a hand-built model grid carries a NULL label anyway, the
+    # tie-break still matches ANSI ORDER BY (NULLS LAST), not Spark's
+    # window default (NULLS FIRST)
     w = Window.partitionBy(id_col).orderBy(
-        F.col("score_units").desc(), F.col("label")
+        F.col("score_units").desc(), F.col("label").asc_nulls_last()
     )
     return (
         scores.withColumn("rn", F.row_number().over(w))
@@ -383,9 +393,14 @@ def write_bm25_index(
         dl, f"{table_prefix}_doclen", f"{path_prefix}_doclen",
         [id_col], num_buckets=num_buckets, sort_cols=[id_col],
     )
+    # COALESCE the length sum: over an EMPTY corpus SUM() is NULL, and a
+    # NULL stored total_dl would poison the first append's additive
+    # advance (int(None) TypeError) — an empty index must store (0, 0)
     df.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(_doc_len(F.col(text_col))).cast("long").alias("total_dl"),
+        F.coalesce(F.sum(_doc_len(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("total_dl"),
     ).repartition(1).write.mode("overwrite").format("parquet").option(
         "path", f"{path_prefix}_stats"
     ).saveAsTable(f"{table_prefix}_stats")
@@ -407,6 +422,7 @@ def append_bm25_index(
     num_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    on_overlap: str = "allow",
 ) -> Bm25Index:
     """Append NEW documents: their postings/lengths extend the bucketed
     tables, and the stats row advances ADDITIVELY (the old row plus the
@@ -415,10 +431,46 @@ def append_bm25_index(
     and df_t is derived at probe time from the postings themselves, so
     append needs no global recount.
 
-    Idempotency contract: plain at-least-once (a replayed batch appends
-    twice) — deployments needing replay-safety tag batches as the dedup
-    index does (``_ib``), kept out of this layout to keep probes
-    tag-free."""
+    PRECONDITION — disjoint doc_ids: the batch's ``id_col`` values must
+    not already exist in the index.  An overlapping append does NOT just
+    duplicate rows — it corrupts scores corpus-wide: the duplicated
+    doclen rows MULTIPLY every hit row for that doc in the rank join,
+    and the split tf rows inflate the derived df_t.  ``on_overlap``
+    picks the enforcement:
+
+    - ``"allow"`` (default): trust the caller — zero extra reads.
+    - ``"skip"``: anti-join the batch against the existing doclen ids
+      first; already-indexed docs are silently dropped.  This makes the
+      append IDEMPOTENT under at-least-once replay (the ``_ib``-tag
+      analog for this layout, paid as one id-bucketed semi-scan).
+    - ``"error"``: count the overlap (bucket-pruned id join) and raise
+      ``ValueError`` naming the count, appending nothing.
+
+    Idempotency contract: plain at-least-once under ``"allow"`` (a
+    replayed batch appends twice — and per the precondition above,
+    corrupts scores); use ``"skip"`` for replay-safe appends."""
+    if on_overlap not in ("allow", "skip", "error"):
+        raise ValueError(f"on_overlap: unknown mode {on_overlap!r}")
+    if on_overlap != "allow":
+        existing = spark.table(f"{table_prefix}_doclen").select(id_col)
+        if on_overlap == "error":
+            n_dup = new_df.join(existing, id_col, "semi").count()
+            if n_dup:
+                raise ValueError(
+                    f"append_bm25_index: {n_dup} doc_id(s) already "
+                    f"indexed in {table_prefix}_doclen — overlapping "
+                    "appends corrupt scores (duplicate doclen rows "
+                    "multiply hits; split tf inflates df_t)"
+                )
+        else:
+            # localCheckpoint PINS the anti-join result before any write:
+            # the filtered batch reads the doclen table this append is
+            # about to extend, and a lazy plan re-evaluated during the
+            # later stats delta would see its OWN appended rows and
+            # erase the delta.  Cost is one batch-sized materialization.
+            new_df = new_df.join(existing, id_col, "anti").localCheckpoint(
+                eager=True
+            )
     toks = new_df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
     )
@@ -453,10 +505,13 @@ def append_bm25_index(
         .filter(F.col("col_name") == "Location")
         .first()["data_type"]
     )
+    # `or 0` on BOTH sides: the delta's SUM is NULL for an all-empty
+    # batch, and a legacy index written before write_bm25_index learned
+    # to COALESCE may have stored a NULL total_dl over an empty corpus
     spark.createDataFrame(
         [(
-            int(old["n_docs"]) + int(delta["n_docs"]),
-            int(old["total_dl"]) + int(delta["total_dl"] or 0),
+            int(old["n_docs"] or 0) + int(delta["n_docs"]),
+            int(old["total_dl"] or 0) + int(delta["total_dl"] or 0),
         )],
         "n_docs long, total_dl long",
     ).repartition(1).write.mode("overwrite").parquet(loc)

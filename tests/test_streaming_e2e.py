@@ -1503,3 +1503,72 @@ class TestStreamingIvfProbe:
         # one batch_id=N subdir per micro-batch (keyed overwrite layout)
         dirs = {p.split("/")[-1] for p in _glob.glob(f"{out}/batch_id=*")}
         assert len(dirs) == 2
+
+    def test_empty_stream_still_creates_readable_sink(
+        self, spark, tmp_path
+    ):
+        """r12 (r11 ADVICE): a stream whose micro-batches carry zero rows
+        must still create out_dir (result schema, zero rows) so a
+        downstream spark.read.parquet(out_dir) never throws."""
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.streaming import write_stream_ivf_probe
+        from ssis_to_dbt_spark.text.similarity import write_ivf_index
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        index_path = str(tmp_path / "ivf")
+        write_ivf_index(emb, index_path, n_cells=4)
+        # stage ONE parquet file with ZERO rows -> one empty micro-batch
+        q0 = emb.filter(F.lit(False)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        src = str(tmp_path / "queries")
+        q0.coalesce(1).write.parquet(src)
+        out = str(tmp_path / "out")
+        write_stream_ivf_probe(
+            q0.sparkSession.readStream.schema(q0.schema).parquet(src),
+            index_path, out, str(tmp_path / "ck"), k=5, nprobe=2,
+        ).awaitTermination()
+        got = spark.read.parquet(out)
+        assert got.count() == 0
+        assert set(got.columns) >= {"query_id", "vec_id", "cosine_r", "rn"}
+
+    def test_custom_index_column_names(self, spark, tmp_path):
+        """r12 (r11 ADVICE): an index persisted with non-default
+        id/vec column names probes through the stream via
+        index_id_col/index_vec_col."""
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.streaming import write_stream_ivf_probe
+        from ssis_to_dbt_spark.text.similarity import write_ivf_index
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            F.col("vec_id").alias("item_id"),
+            F.col("embedding").alias("vec"),
+        )
+        index_path = str(tmp_path / "ivf")
+        write_ivf_index(
+            emb, index_path, n_cells=4, id_col="item_id", vec_col="vec"
+        )
+        q = emb.filter(F.col("item_id") < 2).select(
+            F.col("item_id").alias("query_id"),
+            F.col("vec").alias("embedding"),
+        )
+        src = str(tmp_path / "queries")
+        q.coalesce(1).write.parquet(src)
+        out = str(tmp_path / "out")
+        write_stream_ivf_probe(
+            spark.readStream.schema(q.schema).parquet(src),
+            index_path, out, str(tmp_path / "ck"),
+            k=3, nprobe=2,
+            index_id_col="item_id", index_vec_col="vec",
+        ).awaitTermination()
+        got = spark.read.parquet(out)
+        assert got.count() == 6  # 2 queries x k=3
+        rows = {r["query_id"]: r for r in got.filter("rn = 1").collect()}
+        for qid in (0, 1):  # self is each query's top hit
+            assert rows[qid]["item_id"] == qid

@@ -3049,6 +3049,159 @@ class TestPersistedBm25Index:
         assert m and int(m.group(1)) < int(m.group(2))
 
 
+class TestBm25IndexLifecycleEdges:
+    """r12 (r11 ADVICE): empty-corpus stats, overlap enforcement on
+    append, and NULL training labels in NB."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+
+    def test_empty_corpus_index_stores_zero_stats_then_appends(
+        self, spark, tmp_path
+    ):
+        """An index written over ZERO documents stores (0, 0) — not
+        (0, NULL) — so the first real append's additive advance works."""
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            bm25_index_probe,
+            bm25_topk,
+            write_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        prefix = "bm25z_" + tmp_path.name
+        idx = write_bm25_index(
+            docs.filter(F.lit(False)), prefix, str(tmp_path / "t")
+        )
+        s = idx.stats.first()
+        assert (s["n_docs"], s["total_dl"]) == (0, 0)
+        # the append that used to raise TypeError on int(NULL)
+        sub = docs.filter(F.col("doc_id") % 11 == 0)
+        idx = append_bm25_index(spark, prefix, sub)
+        q = {"q": ["hash", "join"]}
+        got = sorted(map(tuple, bm25_index_probe(idx, q).collect()))
+        exp = sorted(map(tuple, bm25_topk(sub, q).collect()))
+        assert got == exp
+
+    def test_append_legacy_null_total_dl_is_healed(self, spark, tmp_path):
+        """A legacy index whose stats row carries NULL total_dl (written
+        before write_bm25_index learned to COALESCE) still appends: the
+        old side is `or 0`-guarded too."""
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            write_bm25_index,
+        )
+
+        docs = self._docs(spark).filter(F.col("doc_id") % 11 == 0)
+        prefix = "bm25n_" + tmp_path.name
+        write_bm25_index(
+            docs.filter(F.lit(False)), prefix, str(tmp_path / "t")
+        )
+        # simulate the legacy layout: overwrite stats with (0, NULL)
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {prefix}_stats")
+            .filter(F.col("col_name") == "Location")
+            .first()["data_type"]
+        )
+        spark.createDataFrame(
+            [(0, None)], "n_docs long, total_dl long"
+        ).repartition(1).write.mode("overwrite").parquet(loc)
+        spark.catalog.refreshTable(f"{prefix}_stats")
+        idx = append_bm25_index(spark, prefix, docs)
+        s = idx.stats.first()
+        assert s["n_docs"] == docs.count() and s["total_dl"] > 0
+
+    def test_append_overlap_error_and_skip_modes(self, spark, tmp_path):
+        """on_overlap='error' refuses an overlapping batch naming the
+        count; 'skip' makes a full replay a no-op (idempotent append) —
+        probe scores equal the clean single-append build."""
+        import pytest
+
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            bm25_index_probe,
+            bm25_topk,
+            write_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        base = docs.filter(F.col("doc_id") % 7 != 0)
+        delta = docs.filter(F.col("doc_id") % 7 == 0)
+        prefix = "bm25o_" + tmp_path.name
+        write_bm25_index(base, prefix, str(tmp_path / "t"))
+        append_bm25_index(spark, prefix, delta, on_overlap="skip")
+        # replay the SAME batch: 'error' refuses, 'skip' appends nothing
+        with pytest.raises(ValueError, match="already indexed"):
+            append_bm25_index(spark, prefix, delta, on_overlap="error")
+        idx = append_bm25_index(spark, prefix, delta, on_overlap="skip")
+        s = idx.stats.first()
+        assert s["n_docs"] == docs.count()
+        q = {"q1": ["hash", "join"], "q2": ["window"]}
+        got = sorted(map(tuple, bm25_index_probe(idx, q).collect()))
+        exp = sorted(map(tuple, bm25_topk(docs, q).collect()))
+        assert got == exp
+
+    def test_append_on_overlap_rejects_unknown_mode(self, spark, tmp_path):
+        import pytest
+
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            write_bm25_index,
+        )
+
+        docs = self._docs(spark).limit(5)
+        prefix = "bm25m_" + tmp_path.name
+        write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="unknown mode"):
+            append_bm25_index(spark, prefix, docs, on_overlap="upsert")
+
+    def test_catalog_bm25_probe_drops_its_tables(self, spark):
+        """q_bm25_index_probe must not leak bm25idx_* tables into the
+        metastore across bench/correctness invocations (r11 ADVICE)."""
+        from ssis_to_dbt_spark import catalog
+
+        before = {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("bm25idx_")
+        }
+        out = catalog.q_bm25_index_probe(spark, "/root/testdata/sf0.001")
+        assert out.count() > 0  # result survives the table drop
+        after = {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("bm25idx_")
+        }
+        assert after == before
+
+    def test_nb_fit_filters_null_labels(self, spark):
+        """NULL training labels carry no class identity: the fitted model
+        equals the fit on the non-null subset, and predictions never
+        emit a NULL pred_label."""
+        from ssis_to_dbt_spark.text.retrieval import nb_fit, nb_predict
+
+        docs = self._docs(spark).limit(40)
+        noisy = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        clean = docs.filter(F.col("doc_id") % 5 != 0)
+        m_noisy = nb_fit(noisy)
+        m_clean = nb_fit(clean)
+        assert sorted(map(tuple, m_noisy.grid.collect())) == sorted(
+            map(tuple, m_clean.grid.collect())
+        )
+        assert sorted(map(tuple, m_noisy.priors.collect())) == sorted(
+            map(tuple, m_clean.priors.collect())
+        )
+        preds = nb_predict(m_noisy, docs.limit(10)).collect()
+        assert preds and all(r["pred_label"] is not None for r in preds)
+
+
 class TestIndexEdgeCases:
     """r11: degenerate inputs on the persisted-index and cross-set-1NN
     APIs — empty query batches, k past the corpus size, empty reference
