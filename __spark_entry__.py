@@ -44,7 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 folds the two r10 registry-only operators into window suites
     for driver-visible verdicts: JPEG decode as ``multimodal_decode``
     component ``jpeg``, within-batch ingest dedup as
-    ``crawl_ingest_docs`` components ``wb_pruned/wb_reject/wb_accept``."""
+    ``crawl_ingest_docs`` components ``wb_pruned/wb_reject/wb_accept``.
+    r12 folds the five r11 registry-only operators the same way:
+    ``ci_collation_customers`` -> ``join_strategies`` (``ci_*``),
+    ``time_contract_events`` -> ``events_windows`` (``time_contract``),
+    ``semantic_decontam_embeddings``/``streaming_ivf_probe`` ->
+    ``ann_topk_suite`` (``decontam``/``sivf``), and
+    ``shuffle_shards_docs`` -> ``sampling_splits`` (``shards``)."""
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_for_correctness(spark)

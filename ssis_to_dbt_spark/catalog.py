@@ -4781,6 +4781,7 @@ def q_join_strategies(spark, sf_dir):
         _nul("long").alias("n2"),
         _nul("long").alias("n3"),
         F.col("total_price").cast("double").alias("v1"),
+        _nul("string").alias("s2"),
     )
     bl = q_bloom_orders(spark, sf_dir).select(
         F.lit("bloom").alias("component"),
@@ -4789,18 +4790,35 @@ def q_join_strategies(spark, sf_dir):
         F.col("n_true").cast("long").alias("n2"),
         F.col("n_false_pos").cast("long").alias("n3"),
         _nul("double").alias("v1"),
+        _nul("string").alias("s2"),
     )
-    return _union_all([bk, bl])
+    # CI-collation joins (r12 fold, r11 VERDICT #1): the SQL Server
+    # default-collation lookup/anti/semi family under 'ci_' components
+    ci = q_ci_collation_customers(spark, sf_dir).select(
+        # strip any existing ci_ before prefixing — the standalone's
+        # 'ci_semi' must fold to 'ci_semi', not 'ci_ci_semi'
+        F.concat(
+            F.lit("ci_"), F.regexp_replace("component", "^ci_", "")
+        ).alias("component"),
+        F.col("s1"),
+        F.col("k").cast("long").alias("n1"),
+        _nul("long").alias("n2"),
+        _nul("long").alias("n3"),
+        _nul("double").alias("v1"),
+        F.col("s2"),
+    )
+    return _union_all([bk, bl, ci])
 
 
 SQL_JOIN_STRATEGIES = f"""
 SELECT 'bucketed' AS component, CAST(o_orderpriority AS VARCHAR) AS s1,
        CAST(n_lines AS BIGINT) AS n1, {_NULL_BIGINT} AS n2,
-       {_NULL_BIGINT} AS n3, CAST(total_price AS DOUBLE) AS v1
+       {_NULL_BIGINT} AS n3, CAST(total_price AS DOUBLE) AS v1,
+       {_NULL_STR} AS s2
 FROM ({SQL_BUCKETED_JOIN}) _b
 UNION ALL
 SELECT 'bloom', 'BUILDING', CAST(n_pass AS BIGINT), CAST(n_true AS BIGINT),
-       CAST(n_false_pos AS BIGINT), {_NULL_DOUBLE}
+       CAST(n_false_pos AS BIGINT), {_NULL_DOUBLE}, {_NULL_STR}
 FROM ({SQL_BLOOM_ORDERS}) _f
 """
 
@@ -4885,6 +4903,15 @@ UNION ALL
 SELECT 'ci_semi', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR),
        CAST(NULL AS VARCHAR)
 FROM f WHERE EXISTS (SELECT 1 FROM d WHERE lower(d.dseg) = lower(f.segment))
+"""
+
+# r12 fold: CI-collation joins under 'ci_' components in the
+# join-strategies driver suite (SQL_CI_COLLATION is defined just above,
+# so the suite SQL extends here rather than in the end-of-module block)
+SQL_JOIN_STRATEGIES += f"""UNION ALL
+SELECT 'ci_' || regexp_replace(component, '^ci_', ''), s1,
+       CAST(k AS BIGINT), {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_DOUBLE}, s2
+FROM ({SQL_CI_COLLATION}) _ci
 """
 
 
@@ -5652,6 +5679,26 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("query_id").cast("long").alias("id_b"),
             F.col("cosine_r").cast("double").alias("score"),
         ),
+        # semantic decontamination (r12 fold, r11 VERDICT #1): cross-set
+        # 1-NN train-vs-eval with the contamination flag in the q slot
+        q_semantic_decontam_embeddings(spark, sf_dir).select(
+            F.lit("decontam").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _nul("int").alias("dim"),
+            F.col("contaminated").cast("int").alias("q"),
+            F.col("ref_id").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("score"),
+        ),
+        # streaming IVF probe (r12 fold, r11 VERDICT #1): the real
+        # checkpointed availableNow stream against the persisted index
+        q_streaming_ivf_probe(spark, sf_dir).select(
+            F.lit("sivf").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rn").cast("int").alias("dim"),
+            _nul("int").alias("q"),
+            F.col("query_id").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("score"),
+        ),
     ]
     return _union_all(parts)
 
@@ -5927,7 +5974,21 @@ def q_events_windows(spark, sf_dir):
         F.col("score_units").alias("n_events"),
         _nul("double").alias("sum_value"),
     )
-    return _union_all([tum, sli, rol, gf, f12, f3, fs, co, mi, dc])
+    # DT_DBTIME contract (r12 fold, r11 VERDICT #1): the three rendered
+    # time strings ride the k1 slot pipe-joined with the event id; the
+    # µs-since-midnight and the signed vs-noon diff take the numeric slots
+    tc = q_time_contract_events(spark, sf_dir).select(
+        F.lit("time_contract").alias("component"),
+        _nul("timestamp").alias("ws"),
+        _nul("timestamp").alias("we"),
+        F.concat_ws(
+            "|", F.col("event_id").cast("string"), "tod", "plus90", "tod_ms"
+        ).alias("k1"),
+        _nul("int").alias("grp"),
+        F.col("us").cast("long").alias("n_events"),
+        F.col("vs_noon_s").cast("double").alias("sum_value"),
+    )
+    return _union_all([tum, sli, rol, gf, f12, f3, fs, co, mi, dc, tc])
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -6582,7 +6643,15 @@ def q_sampling_splits(spark, sf_dir):
         ).alias("s1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([hs, st, mx, ws, sc, kf, tm, ds, da, dm])
+    # deterministic shard shuffle (r12 fold, r11 VERDICT #1): the
+    # pre-training (shard, pos) assignment, seed-reproducible
+    sh = q_shuffle_shards_docs(spark, sf_dir).select(
+        F.lit("shards").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("string").alias("s1"),
+        F.col("pos").cast("string").alias("s2"),
+    )
+    return _union_all([hs, st, mx, ws, sc, kf, tm, ds, da, dm, sh])
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -8756,6 +8825,15 @@ UNION ALL
 SELECT 'knn', CAST(vec_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
        CAST(query_id AS BIGINT), CAST(cosine_r AS DOUBLE)
 FROM ({SQL_KNN_JOIN}) _kj
+UNION ALL
+SELECT 'decontam', CAST(vec_id AS BIGINT), {_NULL_INT},
+       CAST(contaminated AS INTEGER), CAST(ref_id AS BIGINT),
+       CAST(cosine_r AS DOUBLE)
+FROM ({SQL_SEMANTIC_DECONTAM}) _sd
+UNION ALL
+SELECT 'sivf', CAST(vec_id AS BIGINT), CAST(rn AS INTEGER), {_NULL_INT},
+       CAST(query_id AS BIGINT), CAST(cosine_r AS DOUBLE)
+FROM ({SQL_STREAMING_IVF}) _sv
 """
 
 SQL_SAMPLING_SPLITS += f"""UNION ALL
@@ -8780,6 +8858,10 @@ SELECT 'dsir_merge', CAST(doc_id AS BIGINT),
            || ':' || CAST(n_feats AS VARCHAR),
        {_NULL_STR}
 FROM ({SQL_DSIR_APPLY}) _dm
+UNION ALL
+SELECT 'shards', CAST(doc_id AS BIGINT), CAST(shard AS VARCHAR),
+       CAST(pos AS VARCHAR)
+FROM ({SQL_SHUFFLE_SHARDS}) _sh
 """
 
 SQL_MINHASH_MD5_SUITE += f"""UNION ALL
@@ -8831,6 +8913,12 @@ SQL_EVENTS_WINDOWS += f"""UNION ALL
 SELECT 'decay', last_ts, {_NULL_TS}, CAST(user_id AS VARCHAR),
        CAST(n_events AS INTEGER), score_units, {_NULL_DOUBLE}
 FROM ({SQL_DECAY_EVENTS}) _dc
+UNION ALL
+SELECT 'time_contract', {_NULL_TS}, {_NULL_TS},
+       CAST(event_id AS VARCHAR) || '|' || tod || '|' || plus90
+           || '|' || tod_ms,
+       {_NULL_INT}, CAST(us AS BIGINT), CAST(vs_noon_s AS DOUBLE)
+FROM ({SQL_TIME_CONTRACT}) _tc
 """
 
 

@@ -30,18 +30,20 @@ EXPECTED = {
         "hll_merged", "hll_users", "kmv", "kmv_merged",
     },
     "ann_topk_suite": {
-        "brute_force", "fps", "hard_neg", "ivf", "ivf_idx", "km_assign",
-        "km_centroid", "knn", "lsh_md5", "project", "proto_assign",
-        "proto_centroid", "quantize", "semdedup",
+        "brute_force", "decontam", "fps", "hard_neg", "ivf", "ivf_idx",
+        "km_assign", "km_centroid", "knn", "lsh_md5", "project",
+        "proto_assign", "proto_centroid", "quantize", "semdedup", "sivf",
     },
     "events_windows": {
         "cohort", "decay", "funnel_s", "funnel_u12", "funnel_u3", "gap_fill",
-        "intervals", "rollup", "sliding", "tumbling",
+        "intervals", "rollup", "sliding", "time_contract", "tumbling",
     },
     "events_totals_suite": {"salted", "salted_join", "stateful"},
     "asof_range_joins": {"asof", "funnel", "range", "scd2_pit"},
     "orchestration_dag": {"foreach", "parallel", "retry", "retry_meta"},
-    "join_strategies": {"bloom", "bucketed"},
+    "join_strategies": {
+        "bloom", "bucketed", "ci_cs_miss", "ci_lookup", "ci_semi",
+    },
     "multimodal_decode": {"bmp", "features", "jpeg", "png", "resize", "wav"},
     "corpus_curation": {
         "clean", "contaminated", "dsir_sel", "enrich", "gate", "mixture",
@@ -49,7 +51,7 @@ EXPECTED = {
     },
     "sampling_splits": {
         "dsir", "dsir_apply", "dsir_merge", "hash_split", "kfold", "mixture",
-        "source_cap", "stratified", "temperature", "weighted",
+        "shards", "source_cap", "stratified", "temperature", "weighted",
     },
     "token_ops_docs": {
         "bpe", "bpe_doc", "bpe_word", "budget", "chunk", "corpus_dedup",
