@@ -159,33 +159,53 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(run_once(name), 3)
 
-    # Per-query regression gate: compare against the recorded baseline
-    # (bench_baseline.json, sf0.1 — the per-query MEDIAN of the current
-    # round's quiet runs, not the minimum: a min-of-all-runs anchor makes
-    # ordinary 20-30% machine variance trip the gate).  r9: a one-shot
-    # exceedance is NOT a verdict — any query over 1.5x its baseline
-    # re-runs twice more and both its recorded time and the gate use the
-    # median of the 3 reps, so a single cold-start/noise spike (the
-    # BENCH_r08 false-positive mode: 11 flags, 0 real) cannot flag.
-    # Only applied at the baseline's own scale factor; informational
-    # (the driver records the whole JSON line either way).
+    # Per-query regression gate (r12: gated against the FROZEN ANCHOR).
+    # bench_anchor.json holds the earliest recorded quiet per-query
+    # median and is NEVER refreshed — a regression can no longer hide by
+    # being absorbed into a rolling-baseline refresh (r11 VERDICT).
+    # bench_baseline.json stays as the ROLLING reference (latest quiet
+    # medians) for like-for-like round deltas; both ratios are reported.
+    # r9 rule unchanged: a one-shot exceedance is NOT a verdict — any
+    # query over 1.5x its anchor re-runs twice more and both its
+    # recorded time and the gate use the median of the 3 reps, so a
+    # single cold-start/noise spike cannot flag.  Only applied at the
+    # anchor's own scale factor; informational (the driver records the
+    # whole JSON line either way).
+    here = os.path.dirname(os.path.abspath(__file__))
     regressions: dict[str, dict[str, float]] = {}
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
-    if sf == 0.1 and os.path.exists(base_path):
+    anchor: dict[str, float] = {}
+    rolling: dict[str, float] = {}
+    anchor_path = os.path.join(here, "bench_anchor.json")
+    base_path = os.path.join(here, "bench_baseline.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as fh:
+            anchor = json.load(fh)["queries"]
+    if os.path.exists(base_path):
         with open(base_path) as fh:
-            baseline = json.load(fh)
+            rolling = json.load(fh)
+    if sf == 0.1 and anchor:
         for name, t in times.items():
-            b = baseline.get(name)
+            b = anchor.get(name)
             if b is None or b <= 0.3 or t <= 1.5 * b:
                 continue
             reps = sorted([t, run_once(name), run_once(name)])
             med = round(reps[1], 3)
             times[name] = med
             if med > 1.5 * b:
-                regressions[name] = {"sec": med, "baseline_sec": b,
+                regressions[name] = {"sec": med, "anchor_sec": b,
                                      "ratio": round(med / b, 2),
                                      "reps": reps}
+
+    def _ratio(base: dict[str, float]) -> float | None:
+        common = [n for n in times if n in base and base[n] > 0]
+        if not common:
+            return None
+        return round(
+            sum(times[n] for n in common) / sum(base[n] for n in common), 3
+        )
+
+    ratio_vs_anchor = _ratio(anchor) if sf == 0.1 else None
+    ratio_vs_rolling = _ratio(rolling) if sf == 0.1 else None
 
     total = round(sum(times.values()), 3)
     core20 = round(sum(times[n] for n in CORE20), 3)
@@ -196,17 +216,26 @@ def main() -> None:
     print(json.dumps(
         {"metric": "total_wall_sec", "value": total, "unit": "sec",
          "queries": times, "core20_wall_sec": core20,
-         "regressions": regressions, "sf": sf},
+         "regressions": regressions, "sf": sf,
+         "ratio_vs_anchor": ratio_vs_anchor,
+         "ratio_vs_rolling": ratio_vs_rolling},
         separators=(",", ":"),
     ))
     print(json.dumps(
         {"metric": "total_wall_sec", "value": total, "unit": "sec",
          "core20_wall_sec": core20, "n_queries": len(times),
          "regressions": regressions, "sf": sf,
-         "note": ("driver-machine runs historically show a uniform "
-                  "~1.2-1.4x uplift vs quiet runs (shared-machine load); "
-                  "compare against BENCH_LOCAL_r{N}.json before reading "
-                  "per-query deltas as code regressions")},
+         "ratio_vs_anchor": ratio_vs_anchor,
+         "ratio_vs_rolling": ratio_vs_rolling,
+         "note": ("ratio_vs_anchor compares the common-query sum against "
+                  "the FROZEN bench_anchor.json (earliest quiet medians, "
+                  "never refreshed); ratio_vs_rolling against the rolling "
+                  "bench_baseline.json (latest quiet medians).  The "
+                  "regression gate runs on the anchor.  Driver-machine "
+                  "runs historically show a uniform ~1.2-1.4x uplift vs "
+                  "quiet runs (shared-machine load); compare against "
+                  "BENCH_LOCAL_r{N}.json before reading per-query deltas "
+                  "as code regressions")},
         separators=(",", ":"),
     ))
     spark.stop()
