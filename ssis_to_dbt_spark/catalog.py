@@ -4807,7 +4807,18 @@ def q_join_strategies(spark, sf_dir):
         _nul("double").alias("v1"),
         F.col("s2"),
     )
-    return _union_all([bk, bl, ci])
+    # CI collation beyond joins (r12, r11 VERDICT #4): GROUP BY /
+    # DISTINCT / dup detection / ORDER BY under 'cig_' components
+    cg = q_ci_group_customers(spark, sf_dir).select(
+        F.concat(F.lit("cig_"), F.col("component")).alias("component"),
+        F.col("s1"),
+        F.col("n1"),
+        _nul("long").alias("n2"),
+        _nul("long").alias("n3"),
+        F.col("v1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([bk, bl, ci, cg])
 
 
 SQL_JOIN_STRATEGIES = f"""
@@ -4912,6 +4923,122 @@ SQL_JOIN_STRATEGIES += f"""UNION ALL
 SELECT 'ci_' || regexp_replace(component, '^ci_', ''), s1,
        CAST(k AS BIGINT), {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_DOUBLE}, s2
 FROM ({SQL_CI_COLLATION}) _ci
+"""
+
+
+# --- ci_group_customers: CI collation beyond joins (r12, r11 VERDICT #4) ----
+
+def q_ci_group_customers(spark, sf_dir):
+    """r12 (r11 VERDICT #4): SQL Server default-collation semantics for
+    GROUP BY / DISTINCT / duplicate detection / ORDER BY on string keys
+    — the reference groups and sorts on string columns
+    (dim_customer.sql, stg_crm__customers.sql), and a mixed-case
+    migration otherwise produces MORE groups, HIGHER distinct counts,
+    MISSED duplicates, and a DIFFERENT sort order than the source
+    server.  Same mixed-case fixture as `ci_collation_customers`
+    (as-is / lower / Titlecase by c_custkey % 3):
+
+    - 'group': ci grouped_aggregate on segment — one group per folded
+      key, MIN-case representative, count + exact decimal balance sum
+    - 'distinct': ci distinct_values — folded cardinality
+    - 'dup': ci duplicate_keys — case-variant keys COUNT as duplicates
+    - 'sort_top': ci sort + limit 10 — the selected head depends on the
+      folded order (CS order would pick only uppercase-segment rows)"""
+    from .operators.aggregate import duplicate_keys, grouped_aggregate
+    from .operators.setops import distinct_values, sort
+
+    cust = _t(spark, sf_dir)["customer"]
+    mixed = (
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower(F.col("c_mktsegment")))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substring(c_mktsegment, 2)")),
+            )
+        )
+    )
+    f = cust.select(
+        "c_custkey", mixed.alias("segment"), F.col("c_acctbal")
+    )
+    g = grouped_aggregate(
+        f,
+        ["segment"],
+        {
+            "n1": F.count(F.lit(1)),
+            "v1": F.round(F.sum(F.col("c_acctbal").cast(_D182)), 2)
+            .cast("double"),
+        },
+        ci=True,
+    ).select(
+        F.lit("group").alias("component"),
+        F.col("segment").cast("string").alias("s1"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("v1"),
+    )
+    d = distinct_values(f, ["segment"], ci=True).select(
+        F.lit("distinct").alias("component"),
+        F.col("segment").cast("string").alias("s1"),
+        _nul("long").alias("n1"),
+        _nul("double").alias("v1"),
+    )
+    dup = duplicate_keys(f.select("segment"), ["segment"], ci=True).select(
+        F.lit("dup").alias("component"),
+        F.col("segment").cast("string").alias("s1"),
+        F.col("dup_count").cast("long").alias("n1"),
+        _nul("double").alias("v1"),
+    )
+    st = (
+        sort(f, ["segment", "c_custkey"], ci=True)
+        .limit(10)
+        .select(
+            F.lit("sort_top").alias("component"),
+            F.col("segment").cast("string").alias("s1"),
+            F.col("c_custkey").cast("long").alias("n1"),
+            _nul("double").alias("v1"),
+        )
+    )
+    return _union_all([g, d, dup, st])
+
+
+_SQL_CI_MIXED = """
+  SELECT c_custkey,
+         CASE CAST(c_custkey % 3 AS INTEGER)
+           WHEN 0 THEN c_mktsegment
+           WHEN 1 THEN lower(c_mktsegment)
+           ELSE upper(substr(c_mktsegment, 1, 1))
+                || lower(substr(c_mktsegment, 2))
+         END AS segment,
+         c_acctbal
+  FROM customer
+"""
+
+SQL_CI_GROUP = f"""
+WITH f AS ({_SQL_CI_MIXED})
+SELECT 'group' AS component, CAST(MIN(segment) AS VARCHAR) AS s1,
+       CAST(COUNT(*) AS BIGINT) AS n1,
+       CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS v1
+FROM f GROUP BY lower(segment)
+UNION ALL
+SELECT 'distinct', CAST(MIN(segment) AS VARCHAR), {_NULL_BIGINT},
+       {_NULL_DOUBLE}
+FROM f GROUP BY lower(segment)
+UNION ALL
+SELECT 'dup', CAST(MIN(segment) AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       {_NULL_DOUBLE}
+FROM f GROUP BY lower(segment) HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'sort_top', CAST(segment AS VARCHAR), CAST(c_custkey AS BIGINT),
+       {_NULL_DOUBLE}
+FROM (SELECT segment, c_custkey FROM f
+      ORDER BY lower(segment), segment, c_custkey LIMIT 10) _st
+"""
+
+# fold into the join-strategies driver suite under 'cig_' components
+SQL_JOIN_STRATEGIES += f"""UNION ALL
+SELECT 'cig_' || component, s1, n1, {_NULL_BIGINT}, {_NULL_BIGINT}, v1,
+       {_NULL_STR}
+FROM ({SQL_CI_GROUP}) _cg
 """
 
 
@@ -9097,6 +9224,7 @@ ALL_QUERIES = {
     "roundtrip_sinks": q_roundtrip_sinks,
     "join_strategies": q_join_strategies,
     "ci_collation_customers": q_ci_collation_customers,
+    "ci_group_customers": q_ci_group_customers,
     "time_contract_events": q_time_contract_events,
     "bm25_search_docs": q_bm25_search_docs,
     "nb_classifier_docs": q_nb_classifier_docs,
@@ -9276,6 +9404,7 @@ ALL_ORACLES = {
     "roundtrip_sinks": SQL_ROUNDTRIP_SINKS,
     "join_strategies": SQL_JOIN_STRATEGIES,
     "ci_collation_customers": SQL_CI_COLLATION,
+    "ci_group_customers": SQL_CI_GROUP,
     "time_contract_events": SQL_TIME_CONTRACT,
     "bm25_search_docs": SQL_BM25_SEARCH,
     "nb_classifier_docs": SQL_NB_CLASSIFIER,

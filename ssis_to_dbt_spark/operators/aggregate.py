@@ -29,10 +29,40 @@ def grouped_aggregate(
     keys: list[str],
     aggs: dict[str, Column],
     post: dict[str, Column] | None = None,
+    ci: bool = False,
 ) -> DataFrame:
     """A1/A2: hash aggregate; ``post`` adds derived measures (A3) computed on
-    the aggregated (small) result."""
-    out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    the aggregated (small) result.
+
+    ``ci=True`` (r12, r11 VERDICT #4): SQL Server default-collation
+    (``SQL_Latin1_General_CP1_CI_AS``) GROUP BY semantics on STRING keys
+    — values differing only by case land in ONE group (a mixed-case
+    migration otherwise produces MORE groups than the source server;
+    the reference groups on string keys in e.g.
+    ``dbt_project/models/core/dim_customer.sql``).  Each folded group's
+    displayed key is the MIN of the original-case values: SQL Server
+    surfaces an arbitrary first-seen representative, which no
+    distributed engine can reproduce deterministically — MIN is the
+    portable, oracle-matchable choice.  Non-string keys pass through
+    (collation only affects character data).  Aggregate expressions
+    that reference a string KEY column see its lower() fold.
+
+    100 TB shape is unchanged: still one hash agg with map-side partial
+    combine; the fold is a map-side projection and the MIN
+    representative rides the same combine."""
+    if ci:
+        from .lookup import _ci_fold
+
+        df, stash = _ci_fold(df, keys)
+        rep = [F.min(s).alias(f"__rep_{k}") for k, s in stash.items()]
+        out = df.groupBy(*keys).agg(
+            *[c.alias(n) for n, c in aggs.items()], *rep
+        )
+        for k in stash:
+            out = out.withColumn(k, F.col(f"__rep_{k}")).drop(f"__rep_{k}")
+        out = out.select(*keys, *aggs)
+    else:
+        out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
     for name, col in (post or {}).items():
         out = out.withColumn(name, col)
     return out
@@ -88,13 +118,21 @@ def merge_aggregate(
     return merged.groupBy(*keys).agg(*aggs)
 
 
-def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
-    """A7: GROUP BY pk HAVING COUNT(*) > 1 (sql_server.py:237-245)."""
-    return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("dup_count"))
-        .filter(F.col("dup_count") > 1)
-    )
+def duplicate_keys(
+    df: DataFrame, keys: list[str], ci: bool = False
+) -> DataFrame:
+    """A7: GROUP BY pk HAVING COUNT(*) > 1 (sql_server.py:237-245).
+
+    ``ci=True``: CI-collation duplicate detection — keys differing only
+    by case COUNT AS DUPLICATES, exactly as a unique index on a CI
+    column would reject them on the source server.  The reported key is
+    the MIN-case representative (see :func:`grouped_aggregate`)."""
+    return grouped_aggregate(
+        df.select(*keys),
+        keys,
+        {"dup_count": F.count(F.lit(1))},
+        ci=ci,
+    ).filter(F.col("dup_count") > 1)
 
 
 def row_count(df: DataFrame, alias: str = "row_cnt") -> DataFrame:

@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def union_all(*dfs: DataFrame, allow_missing: bool = False) -> DataFrame:
@@ -31,8 +32,57 @@ def merge_sorted(a: DataFrame, b: DataFrame, sort_keys: list[Column | str]) -> D
     return a.unionByName(b).orderBy(*sort_keys)
 
 
-def sort(df: DataFrame, keys: list[Column | str], within_partitions: bool = False) -> DataFrame:
-    """O1: Sort component."""
+def sort(
+    df: DataFrame,
+    keys: list[Column | str],
+    within_partitions: bool = False,
+    ci: bool = False,
+) -> DataFrame:
+    """O1: Sort component.
+
+    ``ci=True`` (r12, r11 VERDICT #4): SQL Server default-collation
+    ORDER BY on STRING keys — rows order by each string key's
+    ``lower()`` fold (so 'apple' sorts between 'APPLE''s neighbors, not
+    after every uppercase value), with the ORIGINAL value as an
+    immediate deterministic tiebreaker inside each CI-equal run (SQL
+    Server's CI order within equal keys is arbitrary; the original-case
+    tiebreak is the portable choice).  Requires list-form string key
+    NAMES; non-string keys pass through unchanged.  Output rows keep
+    their original case — only the ordering folds."""
+    if ci:
+        if not all(isinstance(k, str) for k in keys):
+            raise ValueError("sort(ci=True) requires list-form key names")
+        dtypes = dict(df.dtypes)
+        folded: list[Column] = []
+        for k in keys:
+            if dtypes.get(k, "").startswith(("string", "varchar", "char")):
+                folded.append(F.lower(F.col(k)))
+                folded.append(F.col(k))
+            else:
+                folded.append(F.col(k))
+        keys = folded
     if within_partitions:
         return df.sortWithinPartitions(*keys)
     return df.orderBy(*keys)
+
+
+def distinct_values(
+    df: DataFrame, cols: list[str], ci: bool = False
+) -> DataFrame:
+    """DISTINCT projection over ``cols``.
+
+    ``ci=True``: CI-collation DISTINCT — string values differing only by
+    case collapse to ONE row, surfaced as the MIN-case representative
+    (deterministic stand-in for SQL Server's arbitrary first-seen; see
+    :func:`~.aggregate.grouped_aggregate`).  A mixed-case migration
+    otherwise reports a HIGHER distinct cardinality than the source
+    server.  Same plan shape as ``distinct()``: one hash agg with
+    map-side partial combine."""
+    if not ci:
+        return df.select(*cols).distinct()
+    from .aggregate import grouped_aggregate
+
+    out = grouped_aggregate(
+        df.select(*cols), cols, {"__n": F.count(F.lit(1))}, ci=True
+    )
+    return out.drop("__n")

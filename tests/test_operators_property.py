@@ -188,3 +188,56 @@ class TestCiCollationProperty:
         model_semi = {i for i, w in enumerate(left) if w.lower() in rmap}
         assert semi == model_semi
         assert anti == set(range(len(left))) - model_semi
+
+    @given(vals=st.lists(_words, min_size=0, max_size=12))
+    @settings(**SETTINGS)
+    def test_group_distinct_dup_sort_match_fold_model(self, spark, vals):
+        """r12 (r11 VERDICT #4): CI GROUP BY / DISTINCT / duplicate
+        detection / ORDER BY against the same Python lower()-fold model:
+        group counts per folded key, MIN-case representative, duplicate
+        flags, and the (lower(w), w) sort order must all match."""
+        from ssis_to_dbt_spark.operators.aggregate import (
+            duplicate_keys,
+            grouped_aggregate,
+        )
+        from ssis_to_dbt_spark.operators.setops import distinct_values, sort
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(vals)], "id long, seg string"
+        )
+        counts: dict[str, int] = {}
+        rep: dict[str, str] = {}
+        for w in vals:
+            k = w.lower()
+            counts[k] = counts.get(k, 0) + 1
+            rep[k] = min(rep.get(k, w), w)
+
+        got_g = {
+            r["seg"]: r["n"]
+            for r in grouped_aggregate(
+                df, ["seg"], {"n": F.count(F.lit(1))}, ci=True
+            ).collect()
+        }
+        assert got_g == {rep[k]: n for k, n in counts.items()}
+
+        got_d = {
+            r["seg"] for r in distinct_values(df, ["seg"], ci=True).collect()
+        }
+        assert got_d == set(rep.values())
+
+        got_dup = {
+            r["seg"]: r["dup_count"]
+            for r in duplicate_keys(df.select("seg"), ["seg"], ci=True)
+            .collect()
+        }
+        assert got_dup == {rep[k]: n for k, n in counts.items() if n > 1}
+
+        got_sorted = [
+            (r["seg"], r["id"])
+            for r in sort(df, ["seg", "id"], ci=True).collect()
+        ]
+        want_sorted = sorted(
+            ((w, i) for i, w in enumerate(vals)),
+            key=lambda t: (t[0].lower(), t[0], t[1]),
+        )
+        assert got_sorted == want_sorted

@@ -43,6 +43,7 @@ EXPECTED = {
     "orchestration_dag": {"foreach", "parallel", "retry", "retry_meta"},
     "join_strategies": {
         "bloom", "bucketed", "ci_cs_miss", "ci_lookup", "ci_semi",
+        "cig_group", "cig_distinct", "cig_dup", "cig_sort_top",
     },
     "multimodal_decode": {"bmp", "features", "jpeg", "png", "resize", "wav"},
     "corpus_curation": {
