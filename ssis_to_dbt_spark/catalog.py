@@ -5362,6 +5362,35 @@ def q_semantic_decontam_embeddings(spark, sf_dir):
     )
 
 
+def q_semantic_decontam_ivf(spark, sf_dir):
+    """r12 (r11 VERDICT #5): the CORPUS-SCALE decontamination path — the
+    same train-vs-eval 1-NN as `semantic_decontam_embeddings`, but the
+    EVAL set is persisted as an IVF index and the training corpus probes
+    it through a cell-keyed shuffle join: NO broadcast of either side
+    (nearest_reference's broadcast caps the eval set at model size; this
+    path has no such cap).  nprobe = n_cells here, so the result is
+    EXACTLY the broadcast path's — the oracle is SQL_SEMANTIC_DECONTAM
+    verbatim.  At deployment nprobe < n_cells bounds per-item work at
+    nprobe/n_cells of the eval set (the usual IVF recall trade); the
+    assign scan partition-prunes to the probed cells (plan-pinned in
+    test_plans)."""
+    from .text.similarity import semantic_decontam_indexed, write_ivf_index
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    train = emb.filter(F.col("vec_id") % 50 != 0)
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    base = _rt_tmpdir("sdivf")
+    write_ivf_index(ev, f"{base}/index", n_cells=8)
+    return semantic_decontam_indexed(
+        train, f"{base}/index", threshold=0.5, nprobe=8
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("ref_id").cast("long").alias("ref_id"),
+        "cosine_r",
+        "contaminated",
+    )
+
+
 SQL_SEMANTIC_DECONTAM = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
@@ -9232,6 +9261,7 @@ ALL_QUERIES = {
     "bm25_index_probe": q_bm25_index_probe,
     "streaming_ivf_probe": q_streaming_ivf_probe,
     "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
+    "semantic_decontam_ivf": q_semantic_decontam_ivf,
     "shuffle_shards_docs": q_shuffle_shards_docs,
 }
 
@@ -9412,6 +9442,7 @@ ALL_ORACLES = {
     "bm25_index_probe": SQL_BM25_SEARCH,
     "streaming_ivf_probe": SQL_STREAMING_IVF,
     "semantic_decontam_embeddings": SQL_SEMANTIC_DECONTAM,
+    "semantic_decontam_ivf": SQL_SEMANTIC_DECONTAM,
     "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,
     "pivot_median_orders": SQL_PIVOT_MEDIAN,
     "dtsx_sales_fact_etl": SQL_DTSX_SALES,

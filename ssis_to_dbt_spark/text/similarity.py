@@ -1662,3 +1662,84 @@ def nearest_reference(
             (F.col("cosine_r") >= float(threshold)).cast("int"),
         )
     return out
+
+
+def semantic_decontam_indexed(
+    df: DataFrame,
+    index: "IvfIndex | str",
+    threshold: float | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: str = "ref_id",
+    index_id_col: str = "vec_id",
+    index_vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-scale semantic decontamination THROUGH the persisted IVF
+    index (r12, r11 VERDICT #5): :func:`nearest_reference` broadcasts
+    the eval set, which caps it at model size.  Here the EVAL set lives
+    in an IVF index (:func:`write_ivf_index` over the eval vectors) and
+    the TRAINING corpus probes it WITHOUT broadcasting either side:
+
+    1. route every training vector to its ``nprobe`` nearest eval cells
+       — map-only, the centroids are a literal expression;
+    2. prune the eval assignment scan to the union of probed cells (a
+       bounded ``<= n_cells`` driver-side set -> PARTITION PRUNING on
+       the on-disk layout);
+    3. CELL-KEYED equi-join (an ordinary shuffle join — NO broadcast of
+       the eval side, unlike :func:`ivf_probe_batch` which broadcasts
+       the routed QUERY batch and is therefore the small-query-side
+       tool) and per-item argmax.
+
+    With ``nprobe >= n_cells`` the result is EXACTLY
+    :func:`nearest_reference` (pytest- and oracle-pinned); smaller
+    ``nprobe`` bounds per-item work at ``nprobe/n_cells`` of the eval
+    set at the usual IVF recall trade.  A drifted/hot eval cell skews
+    the cell join — AQE skew-join splits it at runtime, and
+    :func:`ivf_index_cell_audit` reports imbalance before it hurts.
+
+    ``index`` may be an open :class:`IvfIndex` or a path (opened with
+    ``index_id_col``/``index_vec_col``).
+
+    Returns ``(id_col, ref_id_col, cosine_r[, contaminated])`` —
+    identical contract to :func:`nearest_reference`."""
+    if isinstance(index, str):
+        index = read_ivf_index(
+            df.sparkSession, index, id_col=index_id_col,
+            vec_col=index_vec_col,
+        )
+    routed = route_queries(
+        df, index.centroids, nprobe, id_col, vec_col
+    ).withColumnRenamed(vec_col, "_qv")
+    cells = sorted(
+        r["cell"] for r in routed.select("cell").distinct().collect()
+    )
+    cand = index.assign.filter(F.col("cell").isin(cells)).select(
+        "cell",
+        F.col(index_id_col).alias(ref_id_col),
+        F.col(index_vec_col).alias("_rv"),
+    )
+    cos = cosine_similarity(
+        _as_double(F.col("_qv")), _as_double(F.col("_rv"))
+    )
+    # plain equi-join on the cell key: Catalyst/AQE picks the physical
+    # strategy; neither side carries a broadcast hint by design
+    scored = routed.join(cand, "cell").select(
+        id_col,
+        ref_id_col,
+        F.round(cos, 6).alias("cosine_r"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(ref_id_col)
+    )
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "contaminated",
+            (F.col("cosine_r") >= float(threshold)).cast("int"),
+        )
+    return out

@@ -3271,6 +3271,92 @@ class TestIndexEdgeCases:
             assert abs(out[i]["cosine_r"] - 1.0) < 1e-6
             assert out[i]["contaminated"] == 1
 
+    def test_semantic_decontam_indexed_equals_broadcast_path(
+        self, spark, tmp_path
+    ):
+        """r12 (r11 VERDICT #5): with nprobe = n_cells the IVF-routed
+        decontamination equals nearest_reference exactly — same nearest
+        eval neighbor, same rounded cosine, same flag."""
+        from ssis_to_dbt_spark.text.similarity import (
+            nearest_reference,
+            semantic_decontam_indexed,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        train = emb.filter(F.col("vec_id") % 50 != 0)
+        ev = emb.filter(F.col("vec_id") % 50 == 0)
+        idx = write_ivf_index(ev, str(tmp_path / "ivf"), n_cells=8)
+        got = sorted(map(tuple, semantic_decontam_indexed(
+            train, idx, threshold=0.5, nprobe=8
+        ).collect()))
+        exp = sorted(map(tuple, nearest_reference(
+            train,
+            ev.select(F.col("vec_id").alias("ref_id"), "embedding"),
+            threshold=0.5,
+        ).collect()))
+        assert got == exp
+
+    def test_semantic_decontam_indexed_prunes_and_never_broadcasts_eval(
+        self, spark, tmp_path
+    ):
+        """The probe's assign scan carries PartitionFilters on the probed
+        cell set, and the eval side reaches the join WITHOUT a broadcast:
+        with auto-broadcast disabled the plan holds no BroadcastExchange
+        at all (the cell join is a plain shuffle join)."""
+        from ssis_to_dbt_spark.text.similarity import (
+            semantic_decontam_indexed,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        train = emb.filter(F.col("vec_id") % 50 != 0)
+        ev = emb.filter(F.col("vec_id") % 50 == 0)
+        idx = write_ivf_index(ev, str(tmp_path / "ivf"), n_cells=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = semantic_decontam_indexed(train, idx, nprobe=2)
+            fmt = out._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "PartitionFilters" in fmt and "cell" in fmt
+        assert "BroadcastExchange" not in fmt
+        assert "BroadcastNestedLoopJoin" not in fmt
+
+    def test_semantic_decontam_indexed_small_nprobe_subset(
+        self, spark, tmp_path
+    ):
+        """nprobe < n_cells: every reported neighbor is a real eval
+        vector and the flag matches its rounded cosine — the usual IVF
+        recall trade, never a wrong value."""
+        from ssis_to_dbt_spark.text.similarity import (
+            semantic_decontam_indexed,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        train = emb.filter(F.col("vec_id") % 50 != 0).limit(30)
+        ev = emb.filter(F.col("vec_id") % 50 == 0)
+        idx = write_ivf_index(ev, str(tmp_path / "ivf"), n_cells=8)
+        rows = semantic_decontam_indexed(
+            train, idx, threshold=0.5, nprobe=2
+        ).collect()
+        ev_ids = {r["vec_id"] for r in ev.select("vec_id").collect()}
+        assert rows
+        for r in rows:
+            assert r["ref_id"] in ev_ids
+            assert r["contaminated"] == int(r["cosine_r"] >= 0.5)
+
     def test_bm25_probe_all_terms_absent(self, spark, tmp_path):
         from ssis_to_dbt_spark.text.retrieval import (
             bm25_index_probe,
