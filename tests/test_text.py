@@ -3202,6 +3202,167 @@ class TestBm25IndexLifecycleEdges:
         assert preds and all(r["pred_label"] is not None for r in preds)
 
 
+class TestIndexSkewLifecycle:
+    """r12 (r11 VERDICT #6): posting-list growth caps and imbalance
+    audits for the persisted BM25 and IVF indexes — the lifecycle
+    machinery the dedup index already carries (band cap/audit/compact)."""
+
+    def _mkdocs(self, spark, ids, text):
+        return spark.createDataFrame(
+            [(i, text) for i in ids], "doc_id long, text string"
+        )
+
+    def test_stopword_heavy_append_stream_bounds_postings(
+        self, spark, tmp_path
+    ):
+        """Adversarial stream: every appended batch repeats the term
+        'the' in every doc.  With max_df set, the term stops after the
+        batch that pushes it over the cap — its lifetime posting count
+        is BOUNDED while the uncapped twin grows linearly; normal-term
+        probes keep scoring correctly; the stopped term scores nothing."""
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            bm25_index_probe,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        # base: 10 docs, 'the' absent, 'alpha' in 3 (under any cap);
+        # each append: 10 docs ALL carrying 'the', 'quick' in 3
+        prefix = "bm25cap_" + tmp_path.name
+        base = self._mkdocs(spark, range(3), "alpha beta").unionByName(
+            spark.createDataFrame(
+                [(i, f"filler{i} beta") for i in range(3, 10)],
+                "doc_id long, text string",
+            )
+        )
+        write_bm25_index(
+            base, prefix, str(tmp_path / "t"), max_df=0.4
+        )
+        counts = []
+        for b in range(4):
+            ids = list(range(100 + b * 10, 110 + b * 10))
+            batch = spark.createDataFrame(
+                [
+                    (i, f"the uniq{i} quick" if j < 3 else f"the uniq{i}")
+                    for j, i in enumerate(ids)
+                ],
+                "doc_id long, text string",
+            )
+            append_bm25_index(spark, prefix, batch, max_df=0.4)
+            n_the = (
+                spark.table(f"{prefix}_postings")
+                .filter(F.col("term") == "the").count()
+            )
+            counts.append(n_the)
+        # batch 1: 10/20 docs carry 'the' -> df 10 > 0.4*20=8 -> stopped
+        # at the first append; no posting rows for it EVER land
+        assert counts == [0, 0, 0, 0]
+        idx = read_bm25_index(spark, prefix)
+        assert idx.stopterms.filter(F.col("term") == "the").count() == 1
+        # stopped term scores nothing; normal terms still score
+        assert bm25_index_probe(idx, {"q": ["the"]}).count() == 0
+        got = bm25_index_probe(idx, {"q": ["quick", "alpha"]}).collect()
+        assert len(got) > 0
+        # a mixed query drops only the stopped term
+        mixed = bm25_index_probe(idx, {"q": ["the", "quick"]}).collect()
+        assert {r["doc_id"] for r in mixed} == {
+            r["doc_id"] for r in bm25_index_probe(
+                idx, {"q": ["quick"]}
+            ).collect()
+        }
+
+    def test_write_time_max_df_and_explicit_stopwords(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text.retrieval import write_bm25_index
+
+        docs = self._mkdocs(spark, range(10), "common word")
+        docs = docs.unionByName(
+            self._mkdocs(spark, range(100, 103), "rare token common")
+        )
+        prefix = "bm25w_" + tmp_path.name
+        idx = write_bm25_index(
+            docs, prefix, str(tmp_path / "t"),
+            stopwords=["word"], max_df=0.9,
+        )
+        stopped = {r["term"] for r in idx.stopterms.collect()}
+        # 'common' df=13/13 > 0.9*13; 'word' explicit
+        assert stopped == {"common", "word"}
+        terms_left = {
+            r["term"]
+            for r in idx.postings.select("term").distinct().collect()
+        }
+        assert "common" not in terms_left and "word" not in terms_left
+        assert {"rare", "token"} <= terms_left
+
+    def test_term_audit_flags_creeper_and_stop_remediates(
+        self, spark, tmp_path
+    ):
+        """A term that stays under the per-batch cap in every append but
+        creeps over the lifetime cap is invisible to the incremental
+        check — the audit catches it, stop_bm25_terms remediates, and
+        probes exclude it afterwards."""
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            bm25_index_term_audit,
+            bm25_index_probe,
+            read_bm25_index,
+            stop_bm25_terms,
+            write_bm25_index,
+        )
+
+        prefix = "bm25aud_" + tmp_path.name
+        base = self._mkdocs(spark, range(20), "alpha beta")
+        write_bm25_index(base, prefix, str(tmp_path / "t"))
+        # each batch: 'creep' in 4/10 docs (under any per-batch alarm),
+        # lifetime df -> 16/60 docs... use cap 0.2: 16 > 0.2*60=12
+        for b in range(4):
+            ids = range(200 + b * 10, 210 + b * 10)
+            batch = self._mkdocs(spark, list(ids)[:4], "creep word").unionByName(
+                self._mkdocs(spark, list(ids)[4:], "plain word")
+            )
+            append_bm25_index(spark, prefix, batch)
+        audit = bm25_index_term_audit(spark, prefix, max_df=0.2)
+        flagged = {r["term"]: r["df_t"] for r in audit.collect()}
+        assert "creep" in flagged and flagged["creep"] == 16
+        stop_bm25_terms(spark, prefix, ["creep"])
+        idx = read_bm25_index(spark, prefix)
+        assert bm25_index_probe(idx, {"q": ["creep"]}).count() == 0
+        # postings rows remain on disk (no rewrite) but are unreachable
+        assert idx.postings.filter(F.col("term") == "creep").count() == 16
+
+    def test_ivf_cell_audit_flags_hot_cell_after_drifted_appends(
+        self, spark, tmp_path
+    ):
+        """Appends assign under FROZEN centroids: a drifted batch (every
+        vector identical) funnels into one cell; the audit flags exactly
+        that cell, and a fresh index over the same data is clean."""
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            ivf_index_cell_audit,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, n_cells=8)
+        assert ivf_index_cell_audit(spark, path, max_ratio=3.0).count() == 0
+        # drifted appends: one vector duplicated under fresh ids
+        one = emb.limit(1).select("embedding").first()["embedding"]
+        n = emb.count()
+        drift = spark.createDataFrame(
+            [(int(n + i), list(one)) for i in range(3 * n)],
+            "vec_id long, embedding array<float>",
+        )
+        append_ivf_index(spark, path, drift)
+        hot = ivf_index_cell_audit(spark, path, max_ratio=3.0).collect()
+        assert len(hot) == 1 and hot[0]["n_vectors"] >= 3 * n
+        assert hot[0]["ratio"] > 3.0
+
+
 class TestIndexEdgeCases:
     """r11: degenerate inputs on the persisted-index and cross-set-1NN
     APIs — empty query batches, k past the corpus size, empty reference
