@@ -456,7 +456,25 @@ def write_bm25_index(
     return read_bm25_index(spark, table_prefix)
 
 
+def _heal_bm25_compaction(spark, table_prefix: str) -> None:
+    """Finish a :func:`compact_bm25_index` swap a crash left half-done.
+    The compaction stages ONE table (postings; doclen/stats/stopterms
+    are never rewritten), so the pattern is simpler than the dedup
+    index's lock-step heal: if the fully-written stage table exists,
+    the compaction is committed-by-content — roll it forward (drop the
+    live name if present, rename the stage in).  A crash before the
+    stage CTAS registered leaves only the live table: nothing to do."""
+    stage = f"{table_prefix}_compact_stage_postings"
+    if not spark.catalog.tableExists(stage):
+        return
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_postings")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table_prefix}_postings")
+
+
 def read_bm25_index(spark, table_prefix: str) -> Bm25Index:
+    # self-heal a crashed compaction swap (same contract as the dedup
+    # index: the rename completes on read, no operator action)
+    _heal_bm25_compaction(spark, table_prefix)
     # stopterms is optional for legacy-index compat: indexes written
     # before r12 carry no exclusion table and behave as uncapped
     stop = None
@@ -468,6 +486,71 @@ def read_bm25_index(spark, table_prefix: str) -> Bm25Index:
         stats=spark.table(f"{table_prefix}_stats"),
         stopterms=stop,
     )
+
+
+def compact_bm25_index(
+    spark,
+    table_prefix: str,
+    path_prefix: str,
+    num_buckets: int = 64,
+    cleanup: bool = True,
+) -> Bm25Index:
+    """Postings COMPACTION — physically reclaim what
+    :func:`stop_bm25_terms` only made unreachable, and fold the small
+    per-append files into one bucketed generation.  Rebuilds the
+    postings table FROM THE STORED POSTINGS (anti-joined against the
+    stopterm set) — the corpus text is never re-read; doclen, stats,
+    and stopterms are untouched.
+
+    Crash-safe by the dedup index's recipe: the new generation writes
+    to a FRESH versioned path ``{path_prefix}_postings_compact_v{k}``
+    (a failed run leaves the live table untouched), then swaps via
+    drop + rename; :func:`read_bm25_index` heals a crash between those
+    two statements.  ``cleanup=True`` deletes the superseded postings
+    directory after the swap."""
+    import re as _re
+
+    from .. import fs as _fs
+    from ..sources.writers import write_bucketed
+
+    _heal_bm25_compaction(spark, table_prefix)
+    postings = spark.table(f"{table_prefix}_postings")
+    if spark.catalog.tableExists(f"{table_prefix}_stopterms"):
+        postings = postings.join(
+            F.broadcast(spark.table(f"{table_prefix}_stopterms")),
+            "term",
+            "anti",
+        )
+    parent = path_prefix.rsplit("/", 1)[0] if "/" in path_prefix else "."
+    base = path_prefix.rsplit("/", 1)[-1]
+    pat = _re.compile(_re.escape(base) + r"_postings_compact_v(\d+)$")
+    existing = [
+        int(m.group(1))
+        for name in _fs.list_dir(spark, parent)
+        for m in [pat.match(name)]
+        if m
+    ]
+    k = (max(existing) + 1) if existing else 1
+    old_loc = None
+    for r in spark.sql(
+        f"DESCRIBE FORMATTED {table_prefix}_postings"
+    ).collect():
+        if (r["col_name"] or "").strip() == "Location":
+            old_loc = (r["data_type"] or "").strip() or None
+    stage = f"{table_prefix}_compact_stage_postings"
+    write_bucketed(
+        postings,
+        stage,
+        f"{path_prefix}_postings_compact_v{k}",
+        ["term"],
+        num_buckets=num_buckets,
+        sort_cols=["term"],
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_postings")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table_prefix}_postings")
+    if cleanup and old_loc:
+        _fs.delete(spark, old_loc)
+    return read_bm25_index(spark, table_prefix)
 
 
 def append_bm25_index(

@@ -1539,6 +1539,38 @@ def ivf_index_cell_audit(
     )
 
 
+def recluster_ivf_index(
+    spark,
+    src_path: str,
+    dst_path: str,
+    n_cells: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Remediate an :func:`ivf_index_cell_audit` hit: rebuild the index
+    with FRESH centroids trained (Lloyd k-means, :func:`kmeans_fit`) on
+    the STORED vectors — the corpus is never re-read; the one wide pass
+    is the k-means rounds over the assign table plus the partitioned
+    rewrite.
+
+    The rebuild lands at ``dst_path`` (a NEW generation) rather than
+    swapping in place: cell ids are NOT stable across a re-cluster, so
+    an in-place swap under a live prober would silently re-route its
+    partition pruning mid-plan.  The caller repoints readers at
+    ``dst_path`` and deletes the old generation when no reader holds
+    it — crash-safety is structural (``dst_path`` is either complete or
+    ignorable; ``src_path`` is never touched)."""
+    vecs = spark.read.parquet(f"{src_path}/assign").select(id_col, vec_col)
+    cents = kmeans_fit(
+        vecs, k=n_cells, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    return write_ivf_index(
+        vecs, dst_path, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        centroids=cents,
+    )
+
+
 def route_queries(
     queries_df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -3332,6 +3332,133 @@ class TestIndexSkewLifecycle:
         # postings rows remain on disk (no rewrite) but are unreachable
         assert idx.postings.filter(F.col("term") == "creep").count() == 16
 
+    def test_compact_bm25_reclaims_stopped_terms_and_preserves_scores(
+        self, spark, tmp_path
+    ):
+        """Compaction physically drops stopped terms' postings (what
+        stop_bm25_terms only made unreachable) from the stored postings
+        — never re-reading corpus text — and probe scores for live
+        terms are unchanged."""
+        from ssis_to_dbt_spark.text.retrieval import (
+            append_bm25_index,
+            bm25_index_probe,
+            compact_bm25_index,
+            stop_bm25_terms,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        prefix = "bm25cpt_" + tmp_path.name
+        write_bm25_index(
+            docs.filter(F.col("doc_id") % 7 != 0), prefix,
+            str(tmp_path / "t"),
+        )
+        append_bm25_index(
+            spark, prefix, docs.filter(F.col("doc_id") % 7 == 0)
+        )
+        stop_bm25_terms(spark, prefix, ["the", "a", "of"])
+        q = {"q1": ["hash", "join"], "q2": ["window"]}
+        before = sorted(map(tuple, bm25_index_probe(
+            __import__("ssis_to_dbt_spark.text.retrieval",
+                       fromlist=["read_bm25_index"])
+            .read_bm25_index(spark, prefix), q
+        ).collect()))
+        n_stopped_before = spark.table(f"{prefix}_postings").filter(
+            F.col("term").isin(["the", "a", "of"])
+        ).count()
+        assert n_stopped_before > 0  # unreachable but still on disk
+        idx = compact_bm25_index(spark, prefix, str(tmp_path / "t"))
+        assert idx.postings.filter(
+            F.col("term").isin(["the", "a", "of"])
+        ).count() == 0  # physically reclaimed
+        after = sorted(map(tuple, bm25_index_probe(idx, q).collect()))
+        assert after == before
+        # a second compaction stages a fresh generation (v2), no clash
+        idx2 = compact_bm25_index(spark, prefix, str(tmp_path / "t"))
+        assert sorted(
+            map(tuple, bm25_index_probe(idx2, q).collect())
+        ) == before
+
+    def test_bm25_compaction_crash_heals_on_read(self, spark, tmp_path):
+        """A crash between the swap's DROP and RENAME leaves the live
+        postings name missing with the fully-written stage present —
+        read_bm25_index rolls the rename forward."""
+        from ssis_to_dbt_spark.sources.writers import write_bucketed
+        from ssis_to_dbt_spark.text.retrieval import (
+            bm25_index_probe,
+            bm25_topk,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(60)
+        prefix = "bm25hl_" + tmp_path.name
+        write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        # simulate the crash: stage the compacted postings, drop live,
+        # crash before the rename
+        postings = spark.table(f"{prefix}_postings")
+        write_bucketed(
+            postings, f"{prefix}_compact_stage_postings",
+            str(tmp_path / "t_postings_compact_v1"), ["term"],
+            num_buckets=64, sort_cols=["term"],
+        )
+        spark.sql(f"DROP TABLE {prefix}_postings")
+        idx = read_bm25_index(spark, prefix)  # heals
+        assert not spark.catalog.tableExists(
+            f"{prefix}_compact_stage_postings"
+        )
+        q = {"q": ["hash", "join"]}
+        got = sorted(map(tuple, bm25_index_probe(idx, q).collect()))
+        exp = sorted(map(tuple, bm25_topk(docs, q).collect()))
+        assert got == exp
+
+    def test_recluster_ivf_rebuilds_clean_generation(self, spark, tmp_path):
+        """recluster_ivf_index trains fresh centroids on the STORED
+        vectors and writes a new generation: same vector set, audit
+        clean again, probe self-hits intact; the source index is
+        untouched."""
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            ivf_index_cell_audit,
+            ivf_probe_batch,
+            recluster_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(64)
+        src = str(tmp_path / "ivf_v1")
+        write_ivf_index(emb, src, n_cells=4)
+        one = emb.limit(1).select("embedding").first()["embedding"]
+        drift = spark.createDataFrame(
+            [(1000 + i, list(one)) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        append_ivf_index(spark, src, drift)
+        assert ivf_index_cell_audit(spark, src, max_ratio=2.5).count() >= 1
+        dst = str(tmp_path / "ivf_v2")
+        idx2 = recluster_ivf_index(spark, src, dst, n_cells=4)
+        # same vector multiset carried over
+        assert spark.read.parquet(f"{dst}/assign").count() == 64 + 200
+        # the hot mass is now its own cell: imbalance ratio drops
+        # below the drifted index's (the 200 identical vectors can't
+        # spread, but k-means gives them a dedicated centroid)
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = {x["query_id"]: x for x in ivf_probe_batch(
+            idx2, q, k=1, nprobe=1
+        ).collect()}
+        for qid in (0, 1):
+            assert r[qid]["vec_id"] == qid  # self is top hit
+        # source untouched
+        assert spark.read.parquet(f"{src}/assign").count() == 64 + 200
+
     def test_ivf_cell_audit_flags_hot_cell_after_drifted_appends(
         self, spark, tmp_path
     ):
