@@ -5511,6 +5511,70 @@ WHERE rn <= 5
 """
 
 
+# --- streaming_bm25_probe: query micro-batches vs the persisted postings ----
+
+def q_streaming_bm25_probe(spark, sf_dir):
+    """r12: the STREAMING lexical-search path driven end-to-end — persist
+    the BM25 postings index over the full corpus, stage the three named
+    queries as per-query files (a query's terms never split across
+    micro-batches), run a real checkpointed availableNow stream through
+    ``write_stream_bm25_probe`` (each micro-batch bucket-prunes the
+    postings to its terms and lands under batch_id=N), read the sink
+    back.  Results are per-query, so the union over micro-batches equals
+    the one-shot probe — the oracle is the in-memory operator's SQL
+    verbatim (SQL_BM25_SEARCH)."""
+    import os as _os
+
+    from .streaming import write_stream_bm25_probe
+    from .text.retrieval import write_bm25_index
+
+    docs = _t(spark, sf_dir)["documents"]
+    base = _rt_tmpdir("sbm25")
+    prefix = "bm25s_" + _os.path.basename(base).rsplit("_", 1)[-1]
+    try:
+        write_bm25_index(docs, prefix, f"{base}/t")
+        src = f"{base}/queries"
+        qdf = _query_terms_local(spark)
+        for q in sorted(_BM25_QUERIES):
+            qdf.filter(F.col("query_id") == q).repartition(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("query_id string, term string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = write_stream_bm25_probe(
+            stream, prefix, f"{base}/out", f"{base}/ckpt", top_k=10
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_bm25_probe: stream did not drain in 600s"
+            )
+        out = spark.read.parquet(f"{base}/out").select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("score_units").cast("long").alias("score_units"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        out.write.mode("overwrite").parquet(f"{base}/result")
+    finally:
+        for t in ("postings", "doclen", "stats", "stopterms"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    return spark.read.parquet(f"{base}/result")
+
+
+def _query_terms_local(spark):
+    return spark.createDataFrame(
+        sorted(
+            (q, t) for q, terms in _BM25_QUERIES.items() for t in terms
+        ),
+        "query_id string, term string",
+    )
+
+
 # --- nb_classifier_docs: multinomial Naive Bayes fit + held-out scoring -----
 
 def q_nb_classifier_docs(spark, sf_dir):
@@ -5853,6 +5917,16 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("rn").cast("int").alias("dim"),
             _nul("int").alias("q"),
             F.col("query_id").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("score"),
+        ),
+        # corpus-scale decontam through the IVF index (r12): the
+        # no-broadcast cell-join path, nprobe = n_cells -> exact
+        q_semantic_decontam_ivf(spark, sf_dir).select(
+            F.lit("decontam_ivf").alias("component"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _nul("int").alias("dim"),
+            F.col("contaminated").cast("int").alias("q"),
+            F.col("ref_id").cast("long").alias("id_b"),
             F.col("cosine_r").cast("double").alias("score"),
         ),
     ]
@@ -7312,7 +7386,18 @@ def q_pii_tfidf_docs(spark, sf_dir):
         _nul("double").alias("v"),
         F.col("rn").cast("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur, cc, ml, bm, nb, bmi])
+    # r12: the streaming probe — a real checkpointed availableNow stream
+    # against the persisted postings, per-query micro-batches
+    bms = q_streaming_bm25_probe(spark, sf_dir).select(
+        F.lit("bm25_stream").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("string").alias("s1"),
+        F.col("n_terms").cast("long").alias("n1"),
+        F.col("score_units").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur, cc, ml, bm, nb, bmi, bms])
 
 
 SQL_PII_TFIDF = f"""
@@ -8990,6 +9075,11 @@ UNION ALL
 SELECT 'sivf', CAST(vec_id AS BIGINT), CAST(rn AS INTEGER), {_NULL_INT},
        CAST(query_id AS BIGINT), CAST(cosine_r AS DOUBLE)
 FROM ({SQL_STREAMING_IVF}) _sv
+UNION ALL
+SELECT 'decontam_ivf', CAST(vec_id AS BIGINT), {_NULL_INT},
+       CAST(contaminated AS INTEGER), CAST(ref_id AS BIGINT),
+       CAST(cosine_r AS DOUBLE)
+FROM ({SQL_SEMANTIC_DECONTAM}) _sdi
 """
 
 SQL_SAMPLING_SPLITS += f"""UNION ALL
@@ -9063,6 +9153,11 @@ SELECT 'bm25_idx', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
        CAST(n_terms AS BIGINT), CAST(score_units AS BIGINT),
        {_NULL_DOUBLE}, CAST(rn AS INTEGER)
 FROM ({SQL_BM25_SEARCH}) _bmi
+UNION ALL
+SELECT 'bm25_stream', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
+       CAST(n_terms AS BIGINT), CAST(score_units AS BIGINT),
+       {_NULL_DOUBLE}, CAST(rn AS INTEGER)
+FROM ({SQL_BM25_SEARCH}) _bms
 """
 
 SQL_EVENTS_WINDOWS += f"""UNION ALL
@@ -9260,6 +9355,7 @@ ALL_QUERIES = {
     "ivf_index_probe": q_ivf_index_probe,
     "bm25_index_probe": q_bm25_index_probe,
     "streaming_ivf_probe": q_streaming_ivf_probe,
+    "streaming_bm25_probe": q_streaming_bm25_probe,
     "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
     "semantic_decontam_ivf": q_semantic_decontam_ivf,
     "shuffle_shards_docs": q_shuffle_shards_docs,
@@ -9441,6 +9537,7 @@ ALL_ORACLES = {
     "ivf_index_probe": SQL_IVF_INDEX_PROBE,
     "bm25_index_probe": SQL_BM25_SEARCH,
     "streaming_ivf_probe": SQL_STREAMING_IVF,
+    "streaming_bm25_probe": SQL_BM25_SEARCH,
     "semantic_decontam_embeddings": SQL_SEMANTIC_DECONTAM,
     "semantic_decontam_ivf": SQL_SEMANTIC_DECONTAM,
     "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,

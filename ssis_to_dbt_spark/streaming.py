@@ -787,3 +787,71 @@ def write_stream_ivf_probe(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_bm25_probe(
+    queries_stream: DataFrame,
+    table_prefix: str,
+    out_dir: str,
+    checkpoint: str,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    trigger_available_now: bool = True,
+):
+    """Streaming lexical search (r12): probe query micro-batches against
+    the PERSISTED BM25 postings index
+    (:func:`~ssis_to_dbt_spark.text.retrieval.write_bm25_index`) — the
+    lexical twin of :func:`write_stream_ivf_probe`.
+
+    The stream carries ``(query_id, term)`` rows.  Per micro-batch: the
+    batch's query-term pairs collect to the driver (bounded — query
+    batches are REQUESTS, model-sized, exactly like the IVF probe's
+    routed query set; never corpus rows), the probe bucket-prunes the
+    postings to the batch's terms via
+    :func:`~ssis_to_dbt_spark.text.retrieval.bm25_index_probe`, and the
+    result OVERWRITES the batch's own ``batch_id=N`` subdirectory — the
+    keyed-overwrite discipline, so a replayed batch lands idempotently.
+
+    Results are per-query, so the union over micro-batches equals the
+    one-shot batch probe PROVIDED one query's terms never split across
+    micro-batches — stage each query's terms in one source file (the
+    natural shape: a query arrives whole).  An all-empty stream still
+    creates ``out_dir`` with the result schema (same contract as the
+    IVF twin).  Corpus-side work per batch is the batch's terms'
+    buckets only, regardless of stream lifetime."""
+    import os as _os
+
+    from .text.retrieval import bm25_index_probe, read_bm25_index
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rows = batch_df.select(query_id_col, term_col).collect()
+        if not rows and _os.path.exists(out_dir):
+            return
+        queries: dict[str, list[str]] = {}
+        for r in rows:
+            queries.setdefault(str(r[query_id_col]), []).append(
+                str(r[term_col])
+            )
+        idx = read_bm25_index(spark, table_prefix)
+        # an empty queries dict yields the probe's typed empty frame —
+        # first-and-empty batches create the sink with the result schema
+        res = bm25_index_probe(
+            idx, queries, top_k=top_k, k1=k1, b=b, id_col=id_col
+        )
+        res.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        queries_stream.writeStream.foreachBatch(_probe)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

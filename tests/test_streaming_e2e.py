@@ -1535,6 +1535,79 @@ class TestStreamingIvfProbe:
         assert got.count() == 0
         assert set(got.columns) >= {"query_id", "vec_id", "cosine_r", "rn"}
 
+    def test_streamed_bm25_batches_equal_batch_probe(
+        self, spark, tmp_path
+    ):
+        """r12: the lexical streaming twin — per-query micro-batches
+        against the persisted postings index union to exactly the
+        one-shot probe; an empty stream still creates the sink."""
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.streaming import write_stream_bm25_probe
+        from ssis_to_dbt_spark.text.retrieval import (
+            bm25_index_probe,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        prefix = "bm25str_" + tmp_path.name
+        write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        queries = {"q1": ["hash", "join"], "q2": ["window", "sort"]}
+        src = str(tmp_path / "queries")
+        for qid, terms in sorted(queries.items()):
+            spark.createDataFrame(
+                [(qid, t) for t in terms], "query_id string, term string"
+            ).repartition(1).write.mode("append").parquet(src)
+        out = str(tmp_path / "out")
+        q = write_stream_bm25_probe(
+            spark.readStream.schema("query_id string, term string")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            prefix, out, str(tmp_path / "ck"), top_k=5,
+        )
+        assert q.awaitTermination(300)
+        got = sorted(map(tuple, spark.read.parquet(out).select(
+            "query_id", "doc_id", "n_terms", "score_units", "rn"
+        ).collect()))
+        idx = read_bm25_index(spark, prefix)
+        exp = sorted(map(tuple, bm25_index_probe(
+            idx, queries, top_k=5
+        ).collect()))
+        assert got == exp
+        import glob as _glob
+        assert len(_glob.glob(f"{out}/batch_id=*")) == 2
+
+    def test_empty_bm25_stream_creates_readable_sink(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.streaming import write_stream_bm25_probe
+        from ssis_to_dbt_spark.text.retrieval import write_bm25_index
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(20)
+        prefix = "bm25es_" + tmp_path.name
+        write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        src = str(tmp_path / "queries")
+        spark.createDataFrame(
+            [], "query_id string, term string"
+        ).coalesce(1).write.parquet(src)
+        out = str(tmp_path / "out")
+        write_stream_bm25_probe(
+            spark.readStream.schema("query_id string, term string")
+            .parquet(src),
+            prefix, out, str(tmp_path / "ck"),
+        ).awaitTermination()
+        got = spark.read.parquet(out)
+        assert got.count() == 0
+        assert set(got.columns) >= {
+            "query_id", "doc_id", "n_terms", "score_units", "rn"
+        }
+
     def test_custom_index_column_names(self, spark, tmp_path):
         """r12 (r11 ADVICE): an index persisted with non-default
         id/vec column names probes through the stream via

@@ -30,9 +30,10 @@ EXPECTED = {
         "hll_merged", "hll_users", "kmv", "kmv_merged",
     },
     "ann_topk_suite": {
-        "brute_force", "decontam", "fps", "hard_neg", "ivf", "ivf_idx",
-        "km_assign", "km_centroid", "knn", "lsh_md5", "project",
-        "proto_assign", "proto_centroid", "quantize", "semdedup", "sivf",
+        "brute_force", "decontam", "decontam_ivf", "fps", "hard_neg",
+        "ivf", "ivf_idx", "km_assign", "km_centroid", "knn", "lsh_md5",
+        "project", "proto_assign", "proto_centroid", "quantize",
+        "semdedup", "sivf",
     },
     "events_windows": {
         "cohort", "decay", "funnel_s", "funnel_u12", "funnel_u3", "gap_fill",
@@ -59,8 +60,8 @@ EXPECTED = {
         "dedup_lines", "dup_spans", "pack", "pack_nosplit",
     },
     "pii_tfidf_docs": {
-        "bm25", "bm25_idx", "ccnet", "mixed_lang", "nb", "pii", "surprisal",
-        "tfidf",
+        "bm25", "bm25_idx", "bm25_stream", "ccnet", "mixed_lang", "nb",
+        "pii", "surprisal", "tfidf",
     },
     "pivot_median_orders": {
         "cube", "hist_p50", "histogram", "median", "pivot", "rolling",
