@@ -963,13 +963,25 @@ def _bind_component(
 
         if not comp.sort_keys:
             raise ValueError(f"Sort {comp.name}: no sortKeyPosition inputs")
-        keys = [
-            F.col(name).asc() if pos > 0 else F.col(name).desc()
-            for name, pos in sorted(comp.sort_keys, key=lambda t: abs(t[1]))
-        ]
-        return {_PRIMARY: sort_op(_one(ins, comp), keys)}
+        df_in = _one(ins, comp)
+        dtypes = dict(df_in.dtypes)
+        keys = []
+        for name, pos in sorted(comp.sort_keys, key=lambda t: abs(t[1])):
+            asc = pos > 0
+            # r12: under CI collation a string sort key orders by its
+            # lower() fold (same direction), original value as the
+            # immediate deterministic tiebreaker — operators/setops.sort's
+            # ci contract, inlined here because SSIS sortKeyPosition
+            # carries per-key direction
+            if ci and dtypes.get(name, "").startswith(
+                ("string", "varchar", "char")
+            ):
+                fold = F.lower(F.col(name))
+                keys.append(fold.asc() if asc else fold.desc())
+            keys.append(F.col(name).asc() if asc else F.col(name).desc())
+        return {_PRIMARY: sort_op(df_in, keys)}
     if cls == "Aggregate":
-        return {_PRIMARY: _bind_aggregate(_one(ins, comp), comp)}
+        return {_PRIMARY: _bind_aggregate(_one(ins, comp), comp, ci=ci)}
     if cls == "RowCount":
         # SSIS RowCount streams a count into a package variable; here the
         # count is one action over the input (documented cost), rows pass
@@ -1106,20 +1118,28 @@ _AGG_FUNCS = {
 }
 
 
-def _bind_aggregate(df, comp) -> DataFrame:
+def _bind_aggregate(df, comp, ci=False) -> DataFrame:
     """SSIS Aggregate: output columns whose AggregationType is group_by are
     the keys; the rest aggregate their source column (SourceInputColumn,
-    default = own name) under the declared function."""
-    keys = []
+    default = own name) under the declared function.
+
+    ``ci`` (r12): SQL Server CI-collation GROUP BY on string keys —
+    routed through ``grouped_aggregate(ci=True)`` (group on the lower()
+    fold, MIN-case representative), so a package migrated from a CI
+    server keeps its source-side group cardinality."""
+    key_pairs = []  # (output name, source column)
     aggs = []
+    agg_map = {}
     for c in comp.output_columns:
         kind = (c.aggregation or "group_by").lower()
         src = c.source_column or c.name
         if kind in ("group_by", "groupby"):
-            keys.append(F.col(src).alias(c.name))
+            key_pairs.append((c.name, src))
         elif kind == "count_all":
+            agg_map[c.name] = F.count(F.lit(1))
             aggs.append(F.count(F.lit(1)).alias(c.name))
         elif kind in _AGG_FUNCS:
+            agg_map[c.name] = _AGG_FUNCS[kind](F.col(src))
             aggs.append(_AGG_FUNCS[kind](F.col(src)).alias(c.name))
         else:
             raise ValueError(
@@ -1128,7 +1148,20 @@ def _bind_aggregate(df, comp) -> DataFrame:
             )
     if not aggs:
         raise ValueError(f"Aggregate {comp.name}: no aggregate columns")
-    out = df.groupBy(*keys).agg(*aggs)
+    if ci:
+        from .operators.aggregate import grouped_aggregate
+
+        work = df
+        for name, src in key_pairs:
+            if name != src:
+                work = work.withColumn(name, F.col(src))
+        out = grouped_aggregate(
+            work, [name for name, _ in key_pairs], agg_map, ci=True
+        )
+    else:
+        out = df.groupBy(
+            *[F.col(src).alias(name) for name, src in key_pairs]
+        ).agg(*aggs)
     for c in comp.output_columns:
         if c.data_type:
             out = out.withColumn(c.name, F.col(c.name).cast(c.spark_type()))

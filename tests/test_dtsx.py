@@ -826,6 +826,70 @@ class TestCollationCi:
         frames_cs, _ = run_package(spark, path, tables=self._tables(spark))
         assert frames_cs["Flow"].count() == 0
 
+    def test_aggregate_binds_ci_group_by(self, spark, tmp_path):
+        """r12 (r11 VERDICT #4): an SSIS Aggregate grouping on a string
+        column under collation_ci folds case variants into one group —
+        the CI server's cardinality — with the MIN-case representative;
+        the default keeps Spark's case-sensitive 3-group answer."""
+        body = (
+            '<components>'
+            '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+            '<properties><property name="OpenRowset">src.F</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\AG" componentClassID="Microsoft.Aggregate" name="AG">'
+            '<outputs><output refId="o" name="Aggregate Output 1"><outputColumns>'
+            '<outputColumn name="Seg"><properties>'
+            '<property name="AggregationType">group_by</property>'
+            '</properties></outputColumn>'
+            '<outputColumn name="N"><properties>'
+            '<property name="AggregationType">count_all</property>'
+            '</properties></outputColumn>'
+            '</outputColumns></output></outputs>'
+            '</component>'
+            '</components>'
+        )
+        path = _write_pkg(tmp_path, body, "CiAgg")
+        frames, _ = run_package(
+            spark, path, tables=self._tables(spark), collation_ci=True
+        )
+        got = {r["Seg"]: r["N"] for r in frames["Flow"].collect()}
+        # 'Alpha'/'ALPHA' fold together (MIN-case rep 'ALPHA'); 'beta' alone
+        assert got == {"ALPHA": 2, "beta": 1}
+        frames_cs, _ = run_package(spark, path, tables=self._tables(spark))
+        assert frames_cs["Flow"].count() == 3
+
+    def test_sort_binds_ci_order(self, spark, tmp_path):
+        """A Sort component under collation_ci orders by the lower()
+        fold (original value as tiebreak) — 'beta' sorts between the
+        alpha variants and the z-row, where case-sensitive binary order
+        would put lowercase after every uppercase value."""
+        body = (
+            '<components>'
+            '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+            '<properties><property name="OpenRowset">src.S</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\SO" componentClassID="Microsoft.Sort" name="SO">'
+            '<inputs><input refId="i" name="I"><inputColumns>'
+            '<inputColumn cachedName="Seg" sortKeyPosition="1"/>'
+            '<inputColumn cachedName="K" sortKeyPosition="2"/>'
+            '</inputColumns></input></inputs>'
+            '</component>'
+            '</components>'
+        )
+        src = spark.createDataFrame(
+            [(1, "beta"), (2, "ALPHA"), (3, "Zed"), (4, "alpha")],
+            "K int, Seg string",
+        )
+        path = _write_pkg(tmp_path, body, "CiSort")
+        frames, _ = run_package(
+            spark, path, tables={"src.S": src}, collation_ci=True
+        )
+        order = [r["K"] for r in frames["Flow"].collect()]
+        assert order == [2, 4, 1, 3]  # ALPHA, alpha, beta, Zed
+        frames_cs, _ = run_package(spark, path, tables={"src.S": src})
+        # binary order: uppercase block first
+        assert [r["K"] for r in frames_cs["Flow"].collect()] == [2, 3, 4, 1]
+
 
 class TestDataConversionErrorOutput:
     def test_failing_casts_route_to_error_output(self, spark, tmp_path):
