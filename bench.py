@@ -86,6 +86,7 @@ HEADLINE = [
     "bm25_search_docs",
     "nb_classifier_docs",
     "ivf_index_probe",
+    "semantic_decontam_ivf",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -693,3 +693,34 @@ class TestRound11PlanShapes:
         assert "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
         assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+class TestRound12PlanShapes:
+    def test_ci_group_fold_rides_the_hash_agg(self, spark):
+        """CI GROUP BY/DISTINCT/dup: the lower() fold is a map-side
+        projection riding the SAME hash aggregate (partial combine
+        intact) — no extra exchange, no cartesian, and the sort_top
+        component's orderBy+limit collapses to TakeOrderedAndProject
+        (never a range-partitioned global sort)."""
+        plan = plan_of(spark, "ci_group_customers", "simple")
+        assert "lower(" in plan
+        # min(string) representative forces SortAggregate; the contract
+        # is the MAP-SIDE PARTIAL COMBINE before the one exchange, not
+        # the aggregate flavor
+        assert "partial_min" in plan and "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_semantic_decontam_ivf_prunes_without_broadcasting_eval(
+        self, spark
+    ):
+        """The catalog entry's plan: PartitionFilters on the eval assign
+        scan and NO broadcast nested loop (the eval side reaches the
+        join through the cell key, not a broadcast of its rows; the
+        model-sized routed side may still auto-broadcast — that is the
+        query side, which is the intended direction)."""
+        fmt = plan_of(spark, "semantic_decontam_ivf")
+        assert "PartitionFilters" in fmt and "cell" in fmt
+        assert "BroadcastNestedLoopJoin" not in fmt
+        assert "CartesianProduct" not in fmt

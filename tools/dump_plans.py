@@ -59,6 +59,8 @@ SHOWCASE = {
     "nb_classifier_docs": "NB fit+apply: (label,term) hash agg with map-side combine; model grid broadcast back; per-doc argmax window; no cartesian",
     "ivf_index_probe": "persisted IVF probe: in-plan query routing, partition-pruned assignment scan (PartitionFilters on cell), routed queries broadcast, per-query WindowGroupLimit",
     "bm25_index_probe": "persisted BM25 probe: term IN-filter bucket-prunes the postings scan (SelectedBucketsCount), 1-row stats broadcast, shared ranking tail with bm25_search_docs",
+    "semantic_decontam_ivf": "corpus-scale decontam through the IVF index: map-only routing, PartitionFilters on the eval assign scan, cell-keyed shuffle join — NO broadcast of either side, per-item WindowGroupLimit argmax",
+    "ci_group_customers": "CI GROUP BY/DISTINCT/dup/sort: the lower() fold is a map-side projection riding the same hash agg (partial combine intact); MIN-case representative rides the combine",
 }
 
 # some entries need non-default kwargs for a REVIEWABLE plan (the
