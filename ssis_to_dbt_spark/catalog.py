@@ -5575,6 +5575,105 @@ def _query_terms_local(spark):
     )
 
 
+# --- hybrid_rrf_docs: reciprocal-rank fusion of lexical + vector search ------
+
+def q_hybrid_rrf_docs(spark, sf_dir):
+    """r12: HYBRID retrieval — reciprocal-rank fusion (Cormack et al.
+    2009, k=60) of the BM25 lexical top-10 and the cosine-ANN top-10
+    for the same three queries, under the shared doc_id = vec_id key
+    space (each query pairs its term bag with a query embedding:
+    vec_id 0/50/100 by sorted query name).  Rank-based fusion needs no
+    score calibration between BM25 units and cosines; contributions are
+    round-6 micro-units so rrf_units is an exact BIGINT.  Both input
+    rankings are per-query top-k relations (model-sized), so the fuse
+    itself never touches the corpus — at scale the inputs come from the
+    persisted postings/IVF probes, which produce these exact shapes
+    (pytest-pinned)."""
+    from .text.retrieval import bm25_topk, rrf_fuse
+    from .text.similarity import _as_double, cosine_similarity
+
+    docs = _t(spark, sf_dir)["documents"]
+    emb = _t(spark, sf_dir)["embeddings"]
+    bm = bm25_topk(docs, _BM25_QUERIES, top_k=10).select(
+        "query_id", "doc_id", "rn"
+    )
+    qv = emb.filter(F.col("vec_id").isin([0, 50, 100])).select(
+        F.when(F.col("vec_id") == 0, F.lit("q_hash_join"))
+        .when(F.col("vec_id") == 50, F.lit("q_scan_batch"))
+        .otherwise(F.lit("q_window_sort"))
+        .alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    cos = cosine_similarity(
+        _as_double(F.col("embedding")), _as_double(F.col("_qv"))
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cos, 6).alias("c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("doc_id")
+    )
+    ann = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "rn")
+    )
+    return rrf_fuse([bm, ann], k=60, top_k=10).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rrf_units").cast("long").alias("rrf_units"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH bm AS (SELECT query_id, doc_id, rn FROM ({SQL_BM25_SEARCH}) _b),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (
+  SELECT CASE vec_id WHEN 0 THEN 'q_hash_join'
+                     WHEN 50 THEN 'q_scan_batch'
+                     ELSE 'q_window_sort' END AS query_id, v AS qvec
+  FROM e WHERE vec_id IN (0, 50, 100)),
+sc AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                         * sqrt(list_inner_product(qv.qvec, qv.qvec)) > 0
+                    THEN list_inner_product(e.v, qv.qvec)
+                         / (sqrt(list_inner_product(e.v, e.v))
+                            * sqrt(list_inner_product(qv.qvec, qv.qvec)))
+                    ELSE 0.0 END, 6) AS c
+  FROM e CROSS JOIN qv),
+ann AS (
+  SELECT query_id, doc_id, rn
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, doc_id) AS rn
+        FROM sc)
+  WHERE rn <= 10),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(CAST(round(1.0 / (60 + rn), 6) AS DECIMAL(18,6)) * 1000000
+              AS BIGINT) AS u
+  FROM bm
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(CAST(round(1.0 / (60 + rn), 6) AS DECIMAL(18,6)) * 1000000
+              AS BIGINT)
+  FROM ann),
+f AS (SELECT query_id, doc_id, COUNT(*) AS n_lists, SUM(u) AS rrf_units
+      FROM u GROUP BY 1, 2)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lists AS BIGINT) AS n_lists,
+       CAST(rrf_units AS BIGINT) AS rrf_units, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_units DESC, doc_id) AS rn
+      FROM f)
+WHERE rn <= 10
+"""
+
+
 # --- nb_classifier_docs: multinomial Naive Bayes fit + held-out scoring -----
 
 def q_nb_classifier_docs(spark, sf_dir):
@@ -7397,7 +7496,17 @@ def q_pii_tfidf_docs(spark, sf_dir):
         _nul("double").alias("v"),
         F.col("rn").cast("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur, cc, ml, bm, nb, bmi, bms])
+    # r12: hybrid RRF fusion of the lexical + vector rankings
+    rrf = q_hybrid_rrf_docs(spark, sf_dir).select(
+        F.lit("rrf").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("string").alias("s1"),
+        F.col("n_lists").cast("long").alias("n1"),
+        F.col("rrf_units").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    return _union_all([pii, tfidf, sur, cc, ml, bm, nb, bmi, bms, rrf])
 
 
 SQL_PII_TFIDF = f"""
@@ -9158,6 +9267,11 @@ SELECT 'bm25_stream', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
        CAST(n_terms AS BIGINT), CAST(score_units AS BIGINT),
        {_NULL_DOUBLE}, CAST(rn AS INTEGER)
 FROM ({SQL_BM25_SEARCH}) _bms
+UNION ALL
+SELECT 'rrf', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
+       CAST(n_lists AS BIGINT), CAST(rrf_units AS BIGINT),
+       {_NULL_DOUBLE}, CAST(rn AS INTEGER)
+FROM ({SQL_HYBRID_RRF}) _rrf
 """
 
 SQL_EVENTS_WINDOWS += f"""UNION ALL
@@ -9356,6 +9470,7 @@ ALL_QUERIES = {
     "bm25_index_probe": q_bm25_index_probe,
     "streaming_ivf_probe": q_streaming_ivf_probe,
     "streaming_bm25_probe": q_streaming_bm25_probe,
+    "hybrid_rrf_docs": q_hybrid_rrf_docs,
     "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
     "semantic_decontam_ivf": q_semantic_decontam_ivf,
     "shuffle_shards_docs": q_shuffle_shards_docs,
@@ -9538,6 +9653,7 @@ ALL_ORACLES = {
     "bm25_index_probe": SQL_BM25_SEARCH,
     "streaming_ivf_probe": SQL_STREAMING_IVF,
     "streaming_bm25_probe": SQL_BM25_SEARCH,
+    "hybrid_rrf_docs": SQL_HYBRID_RRF,
     "semantic_decontam_embeddings": SQL_SEMANTIC_DECONTAM,
     "semantic_decontam_ivf": SQL_SEMANTIC_DECONTAM,
     "shuffle_shards_docs": SQL_SHUFFLE_SHARDS,

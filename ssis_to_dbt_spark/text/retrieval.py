@@ -796,3 +796,74 @@ def stop_bm25_terms(
     ).write.mode("append").format("parquet").saveAsTable(
         f"{table_prefix}_stopterms"
     )
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    k: int = 60,
+    top_k: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse N
+    per-query rankings — e.g. the persisted BM25 probe and the persisted
+    IVF-ANN probe — into one hybrid ranking:
+
+        rrf(q, d) = sum over lists L of 1 / (k + rank_L(q, d))
+
+    The standard zero-training hybrid-retrieval combiner: rank-based, so
+    BM25 score units and cosine similarities need no calibration against
+    each other.  Each contribution is round(1/(k+rank), 6) quantized to
+    integer micro-units BEFORE the sum (module determinism discipline) —
+    ``rrf_units`` is an exact BIGINT, order-independent under partial
+    aggregation and bit-equal across engines.
+
+    Inputs carry ``(query_col, id_col, rank_col)``; a document absent
+    from a list simply contributes nothing (no penalty term — the
+    standard formulation).  Returns ``(query_col, id_col, n_lists,
+    rrf_units, rn)`` with ties broken on ascending ``id_col``; ``top_k``
+    truncates per query.
+
+    100 TB shape: each input is already a per-query top-k (k rows per
+    query, model-sized relative to the corpus); the union + (query, doc)
+    hash agg with map-side combine and the per-query WindowGroupLimit
+    window are all bounded by queries x k x n_lists rows — the corpus is
+    never touched here."""
+    if not results:
+        raise ValueError("rrf_fuse: at least one result list required")
+    parts = [
+        df.select(
+            F.col(query_col),
+            F.col(id_col),
+            (
+                F.round(
+                    F.lit(1.0)
+                    / (F.lit(int(k)) + F.col(rank_col).cast("double")),
+                    6,
+                ).cast(T.DecimalType(18, 6))
+                * _UNIT
+            ).cast("long").alias("_u"),
+        )
+        for df in results
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("_u").alias("rrf_units"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_units").desc(), F.col(id_col)
+    )
+    out = fused.withColumn("rn", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("rn") <= int(top_k))
+    return out.select(
+        query_col,
+        id_col,
+        F.col("n_lists").cast("long").alias("n_lists"),
+        "rrf_units",
+        F.col("rn").cast("int").alias("rn"),
+    )

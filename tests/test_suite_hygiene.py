@@ -61,7 +61,7 @@ EXPECTED = {
     },
     "pii_tfidf_docs": {
         "bm25", "bm25_idx", "bm25_stream", "ccnet", "mixed_lang", "nb",
-        "pii", "surprisal", "tfidf",
+        "pii", "rrf", "surprisal", "tfidf",
     },
     "pivot_median_orders": {
         "cube", "hist_p50", "histogram", "median", "pivot", "rolling",

@@ -3202,6 +3202,112 @@ class TestBm25IndexLifecycleEdges:
         assert preds and all(r["pred_label"] is not None for r in preds)
 
 
+class TestRrfFusion:
+    """r12: reciprocal-rank fusion of per-query rankings — the standard
+    zero-calibration hybrid-retrieval combiner over the engine's lexical
+    and vector search outputs."""
+
+    def test_hand_model(self, spark):
+        """Two 3-item lists, k=60: fused units match the Python model
+        exactly (round-6 micro-units, ties on ascending id)."""
+        from ssis_to_dbt_spark.text.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+            "query_id string, doc_id long, rn int",
+        )
+        b = spark.createDataFrame(
+            [("q", 12, 1), ("q", 10, 2), ("q", 99, 3)],
+            "query_id string, doc_id long, rn int",
+        )
+        got = {
+            r["doc_id"]: (r["n_lists"], r["rrf_units"], r["rn"])
+            for r in rrf_fuse([a, b], k=60).collect()
+        }
+
+        def u(rank):
+            return int(round(1.0 / (60 + rank), 6) * 1_000_000)
+
+        model = {
+            10: u(1) + u(2),   # 16393 + 16129 = 32522
+            12: u(3) + u(1),   # 15873 + 16393 = 32266
+            11: u(2),          # 16129
+            99: u(3),          # 15873
+        }
+        order = sorted(model, key=lambda d: (-model[d], d))
+        for d in model:
+            n_lists = 2 if d in (10, 12) else 1
+            assert got[d] == (n_lists, model[d], order.index(d) + 1)
+
+    def test_fuses_persisted_probe_outputs(self, spark, tmp_path):
+        """The persisted BM25 and IVF probes produce exactly the shapes
+        rrf_fuse consumes: fusing them equals fusing the in-memory
+        operators when the indexes cover the full corpus and the ANN
+        probe visits every cell."""
+        from pyspark.sql import Window
+        from ssis_to_dbt_spark.text.retrieval import (
+            bm25_index_probe,
+            bm25_topk,
+            rrf_fuse,
+            write_bm25_index,
+        )
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            write_ivf_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        q = {"q1": ["hash", "join"], "q2": ["window"]}
+        qvecs = emb.filter(F.col("vec_id").isin([0, 50])).select(
+            F.when(F.col("vec_id") == 0, "q1").otherwise("q2")
+            .alias("query_id"),
+            "embedding",
+        )
+        # persisted path
+        bidx = write_bm25_index(
+            docs, "rrf_" + tmp_path.name, str(tmp_path / "t")
+        )
+        vidx = write_ivf_index(emb, str(tmp_path / "ivf"), n_cells=8)
+        bm_p = bm25_index_probe(bidx, q, top_k=10).select(
+            "query_id", "doc_id", "rn"
+        )
+        ann_p = ivf_probe_batch(
+            vidx, qvecs, k=10, nprobe=8
+        ).select("query_id", F.col("vec_id").alias("doc_id"), "rn")
+        fused_p = sorted(map(tuple, rrf_fuse(
+            [bm_p, ann_p], k=60, top_k=10
+        ).collect()))
+        # in-memory path
+        bm_m = bm25_topk(docs, q, top_k=10).select(
+            "query_id", "doc_id", "rn"
+        )
+        fused_m = sorted(map(tuple, rrf_fuse(
+            [bm_m, ann_p], k=60, top_k=10
+        ).collect()))
+        assert fused_p == fused_m
+        assert fused_p  # non-empty
+        # every fused row cites 1 or 2 source lists
+        assert {t[2] for t in fused_p} <= {1, 2}
+
+    def test_empty_and_single_list(self, spark):
+        import pytest
+
+        from ssis_to_dbt_spark.text.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        a = spark.createDataFrame(
+            [("q", 1, 1)], "query_id string, doc_id long, rn int"
+        )
+        rows = rrf_fuse([a], k=60).collect()
+        assert len(rows) == 1 and rows[0]["n_lists"] == 1
+
+
 class TestIndexSkewLifecycle:
     """r12 (r11 VERDICT #6): posting-list growth caps and imbalance
     audits for the persisted BM25 and IVF indexes — the lifecycle
