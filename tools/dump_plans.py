@@ -61,6 +61,7 @@ SHOWCASE = {
     "bm25_index_probe": "persisted BM25 probe: term IN-filter bucket-prunes the postings scan (SelectedBucketsCount), 1-row stats broadcast, shared ranking tail with bm25_search_docs",
     "semantic_decontam_ivf": "corpus-scale decontam through the IVF index: map-only routing, PartitionFilters on the eval assign scan, cell-keyed shuffle join — NO broadcast of either side, per-item WindowGroupLimit argmax",
     "ci_group_customers": "CI GROUP BY/DISTINCT/dup/sort: the lower() fold is a map-side projection riding the same hash agg (partial combine intact); MIN-case representative rides the combine",
+    "hybrid_rrf_docs": "RRF hybrid retrieval: both input rankings are per-query WindowGroupLimit top-k relations; the fuse is a model-sized union + (query, doc) hash agg — the corpus is only touched inside the two retrievers",
 }
 
 # some entries need non-default kwargs for a REVIEWABLE plan (the
