@@ -178,12 +178,27 @@ def main() -> None:
     rolling: dict[str, float] = {}
     anchor_path = os.path.join(here, "bench_anchor.json")
     base_path = os.path.join(here, "bench_baseline.json")
+    def _load_gate(path: str) -> dict[str, float]:
+        # one loader for both gate files (r12 ADVICE): accepts the
+        # nested {"queries": {...}, ...} shape (anchor) AND the flat
+        # {name: sec} shape (rolling baseline), and raises loudly on
+        # anything else — a format drift must fail, not silently yield
+        # a None/NaN ratio
+        with open(path) as fh:
+            data = json.load(fh)
+        q = data.get("queries") if isinstance(data, dict) else None
+        if isinstance(q, dict):
+            data = q
+        if not isinstance(data, dict) or not all(
+            isinstance(v, (int, float)) for v in data.values()
+        ):
+            raise ValueError(f"{path}: unrecognized bench gate schema")
+        return data
+
     if os.path.exists(anchor_path):
-        with open(anchor_path) as fh:
-            anchor = json.load(fh)["queries"]
+        anchor = _load_gate(anchor_path)
     if os.path.exists(base_path):
-        with open(base_path) as fh:
-            rolling = json.load(fh)
+        rolling = _load_gate(base_path)
     if sf == 0.1 and anchor:
         for name, t in times.items():
             b = anchor.get(name)

@@ -969,15 +969,19 @@ def _bind_component(
         for name, pos in sorted(comp.sort_keys, key=lambda t: abs(t[1])):
             asc = pos > 0
             # r12: under CI collation a string sort key orders by its
-            # lower() fold (same direction), original value as the
-            # immediate deterministic tiebreaker — operators/setops.sort's
-            # ci contract, inlined here because SSIS sortKeyPosition
-            # carries per-key direction
+            # lower() fold (direction follows sortKeyPosition's sign),
+            # original value as the immediate deterministic tiebreaker.
+            # r12 ADVICE: the tiebreak is ALWAYS ascending — SQL Server's
+            # CI order within fold-equal runs is arbitrary, so the
+            # tiebreak is our convention, and operators/setops.sort(ci=)
+            # already fixed it as ascending; one convention everywhere.
             if ci and dtypes.get(name, "").startswith(
                 ("string", "varchar", "char")
             ):
                 fold = F.lower(F.col(name))
                 keys.append(fold.asc() if asc else fold.desc())
+                keys.append(F.col(name).asc())
+                continue
             keys.append(F.col(name).asc() if asc else F.col(name).desc())
         return {_PRIMARY: sort_op(df_in, keys)}
     if cls == "Aggregate":

@@ -42,3 +42,25 @@ def delete(spark, path: str) -> bool:
     """Recursive delete; False if the path didn't exist."""
     fs, jpath = _fs_and_path(spark, path)
     return bool(fs.delete(jpath, True))
+
+
+def touch(spark, path: str) -> None:
+    """Create (or truncate) a zero-byte marker file — the commit-marker
+    primitive for staged swaps: written LAST after a stage's data is
+    fully on disk, so a heal can distinguish committed-by-marker from
+    crashed-mid-write (mere existence of staged data is NOT commitment;
+    r12 ADVICE on the BM25 compaction heal)."""
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    out.close()
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    """Hadoop FS rename (atomic per-directory on HDFS and local file://;
+    the swap step of every staged-generation lifecycle).  False if the
+    source doesn't exist or the destination blocks the move."""
+    fs, jsrc = _fs_and_path(spark, src)
+    jdst = _fs_and_path(spark, dst)[1]
+    if not fs.exists(jsrc):
+        return False
+    return bool(fs.rename(jsrc, jdst))

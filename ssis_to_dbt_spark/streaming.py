@@ -748,15 +748,17 @@ def write_stream_ivf_probe(
     (they may differ from the query stream's); an all-empty stream still
     creates ``out_dir`` with the result schema and zero rows, so a
     downstream ``spark.read.parquet(out_dir)`` never throws
-    path-not-found (r11 ADVICE)."""
-    import os as _os
-
+    path-not-found (r11 ADVICE).  The sink-exists check goes through the
+    Hadoop FS helpers (r12 ADVICE) — ``os.path.exists`` is always false
+    for an ``hdfs://``/``s3a://`` sink, which would make every empty
+    batch re-read the index and rewrite an empty partition."""
+    from . import fs as _fs
     from .text.similarity import ivf_probe_batch, read_ivf_index
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
-            if _os.path.exists(out_dir):
+            if _fs.exists(spark, out_dir):
                 return
             # first-and-empty: still create the sink (result schema,
             # zero rows) by probing with the batch's own empty frame —
@@ -819,24 +821,51 @@ def write_stream_bm25_probe(
     Results are per-query, so the union over micro-batches equals the
     one-shot batch probe PROVIDED one query's terms never split across
     micro-batches — stage each query's terms in one source file (the
-    natural shape: a query arrives whole).  An all-empty stream still
-    creates ``out_dir`` with the result schema (same contract as the
-    IVF twin).  Corpus-side work per batch is the batch's terms'
-    buckets only, regardless of stream lifetime."""
-    import os as _os
-
+    natural shape: a query arrives whole).  r12 ADVICE: that
+    precondition is now ENFORCED, not just documented — each batch
+    records its query_ids in a ``_query_ids/batch_id=N`` sidecar
+    (underscore-prefixed, so result reads skip it) and a batch that
+    carries a query_id already claimed by a DIFFERENT batch raises
+    before writing, instead of silently leaving two conflicting partial
+    rankings for one query.  A REPLAYED batch (same batch_id) passes —
+    the keyed overwrite keeps replays idempotent.  The sidecar read is
+    bounded: one row per (query, batch) ever seen, request-scale.
+    An all-empty stream still creates ``out_dir`` with the result
+    schema (same contract as the IVF twin).  Corpus-side work per batch
+    is the batch's terms' buckets only, regardless of stream lifetime."""
+    from . import fs as _fs
     from .text.retrieval import bm25_index_probe, read_bm25_index
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         rows = batch_df.select(query_id_col, term_col).collect()
-        if not rows and _os.path.exists(out_dir):
+        if not rows and _fs.exists(spark, out_dir):
             return
         queries: dict[str, list[str]] = {}
         for r in rows:
             queries.setdefault(str(r[query_id_col]), []).append(
                 str(r[term_col])
             )
+        seen_dir = f"{out_dir}/_query_ids"
+        if queries and _fs.exists(spark, seen_dir):
+            prior = {
+                str(r["query_id"])
+                for r in spark.read.parquet(seen_dir)
+                .filter(F.col("batch_id") != int(batch_id))
+                .select("query_id")
+                .distinct()
+                .collect()
+            }
+            split = sorted(set(queries) & prior)
+            if split:
+                raise ValueError(
+                    "write_stream_bm25_probe: query ids "
+                    f"{split} already probed in a prior micro-batch — "
+                    "a query's terms must arrive in ONE batch (stage "
+                    "each query's terms in one source file); a split "
+                    "query would leave two conflicting partial "
+                    "rankings"
+                )
         idx = read_bm25_index(spark, table_prefix)
         # an empty queries dict yields the probe's typed empty frame —
         # first-and-empty batches create the sink with the result schema
@@ -846,6 +875,12 @@ def write_stream_bm25_probe(
         res.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
+        if queries:
+            spark.createDataFrame(
+                [(q,) for q in sorted(queries)], "query_id string"
+            ).repartition(1).write.mode("overwrite").parquet(
+                f"{seen_dir}/batch_id={batch_id}"
+            )
 
     writer = (
         queries_stream.writeStream.foreachBatch(_probe)

@@ -456,19 +456,43 @@ def write_bm25_index(
     return read_bm25_index(spark, table_prefix)
 
 
+def _table_location(spark, table: str) -> str | None:
+    """Physical Location of a catalog table (DESCRIBE FORMATTED — a
+    bounded catalog-metadata collect), None if not recorded."""
+    loc = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            loc = (r["data_type"] or "").strip() or None
+    return loc
+
+
 def _heal_bm25_compaction(spark, table_prefix: str) -> None:
     """Finish a :func:`compact_bm25_index` swap a crash left half-done.
     The compaction stages ONE table (postings; doclen/stats/stopterms
-    are never rewritten), so the pattern is simpler than the dedup
-    index's lock-step heal: if the fully-written stage table exists,
-    the compaction is committed-by-content — roll it forward (drop the
-    live name if present, rename the stage in).  A crash before the
-    stage CTAS registered leaves only the live table: nothing to do."""
+    are never rewritten).  r12 ADVICE: existence of the stage table is
+    NOT commitment — ``saveAsTable`` registers the name before the data
+    is fully written, so a crash mid-CTAS could leave a registered but
+    PARTIAL stage, and rolling that forward would silently replace a
+    good live postings generation.  Commitment is the ``_COMMIT`` marker
+    :func:`compact_bm25_index` touches AFTER the bucketed write returns:
+    marker present -> roll forward (drop the live name if present,
+    rename the stage in); marker absent -> roll BACK (drop the partial
+    stage and delete its directory; the live table was never touched).
+    A crash before the stage registered leaves only the live table:
+    nothing to do."""
+    from .. import fs as _fs
+
     stage = f"{table_prefix}_compact_stage_postings"
     if not spark.catalog.tableExists(stage):
         return
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_postings")
-    spark.sql(f"ALTER TABLE {stage} RENAME TO {table_prefix}_postings")
+    loc = _table_location(spark, stage)
+    if loc and _fs.exists(spark, f"{loc}/_COMMIT"):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_postings")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table_prefix}_postings")
+        return
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    if loc:
+        _fs.delete(spark, loc)
 
 
 def read_bm25_index(spark, table_prefix: str) -> Bm25Index:
@@ -531,12 +555,7 @@ def compact_bm25_index(
         if m
     ]
     k = (max(existing) + 1) if existing else 1
-    old_loc = None
-    for r in spark.sql(
-        f"DESCRIBE FORMATTED {table_prefix}_postings"
-    ).collect():
-        if (r["col_name"] or "").strip() == "Location":
-            old_loc = (r["data_type"] or "").strip() or None
+    old_loc = _table_location(spark, f"{table_prefix}_postings")
     stage = f"{table_prefix}_compact_stage_postings"
     write_bucketed(
         postings,
@@ -546,6 +565,11 @@ def compact_bm25_index(
         num_buckets=num_buckets,
         sort_cols=["term"],
     )
+    # commit marker AFTER the bucketed write fully returns (r12 ADVICE):
+    # the heal rolls the stage forward only when this file exists, so a
+    # crash mid-CTAS (name registered, data partial) rolls BACK instead
+    # of replacing a good live generation with a partial one
+    _fs.touch(spark, f"{path_prefix}_postings_compact_v{k}/_COMMIT")
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_postings")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table_prefix}_postings")
     if cleanup and old_loc:

@@ -1440,6 +1440,37 @@ def write_ivf_index(
     return read_ivf_index(spark, path, id_col, vec_col)
 
 
+def _heal_ivf_recluster(spark, path: str) -> None:
+    """Finish (or discard) a :func:`recluster_ivf_index` in-place swap a
+    crash left half-done — the IVF member of the staged-generation heal
+    family (BM25 compaction ``_heal_bm25_compaction``, dedup
+    ``_heal_compaction_swap``).  The recluster stages the ENTIRE new
+    generation (assign + centroids) under ``{path}/_recluster_stage``
+    and touches ``_COMMIT`` only after both writes fully return:
+
+    - stage present WITHOUT ``_COMMIT`` -> crashed mid-build: delete the
+      stage; the live generation was never touched.
+    - stage present WITH ``_COMMIT`` -> committed-by-marker: roll the
+      swap forward child-by-child (delete the live child, rename the
+      staged child in — each step idempotent, so a crash mid-heal
+      re-heals), then delete the emptied stage.
+
+    Every step is a driver-side Hadoop-FS metadata call."""
+    from .. import fs as _fs
+
+    stage = f"{path}/_recluster_stage"
+    if not _fs.exists(spark, stage):
+        return
+    if not _fs.exists(spark, f"{stage}/_COMMIT"):
+        _fs.delete(spark, stage)
+        return
+    for child in ("assign", "centroids"):
+        if _fs.exists(spark, f"{stage}/{child}"):
+            _fs.delete(spark, f"{path}/{child}")
+            _fs.rename(spark, f"{stage}/{child}", f"{path}/{child}")
+    _fs.delete(spark, stage)
+
+
 def read_ivf_index(
     spark,
     path: str,
@@ -1448,7 +1479,12 @@ def read_ivf_index(
 ) -> IvfIndex:
     """Open a persisted IVF index.  The centroid fetch is a bounded
     model-sized collect (``n_cells`` rows — like reading a watermark);
-    the assignment frame stays lazy on the partitioned layout."""
+    the assignment frame stays lazy on the partitioned layout.  Opening
+    self-heals a crashed :func:`recluster_ivf_index` swap first (same
+    read-time contract as the BM25 and dedup indexes) — a probe opened
+    after a recluster serves the NEW generation with no manual
+    repoint."""
+    _heal_ivf_recluster(spark, path)
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     centroids = sorted(
         (int(r["cell"]), [float(x) for x in r["centroid"]])
@@ -1542,7 +1578,7 @@ def ivf_index_cell_audit(
 def recluster_ivf_index(
     spark,
     src_path: str,
-    dst_path: str,
+    dst_path: str | None = None,
     n_cells: int = 8,
     rounds: int = 2,
     id_col: str = "vec_id",
@@ -1554,21 +1590,47 @@ def recluster_ivf_index(
     is the k-means rounds over the assign table plus the partitioned
     rewrite.
 
-    The rebuild lands at ``dst_path`` (a NEW generation) rather than
-    swapping in place: cell ids are NOT stable across a re-cluster, so
-    an in-place swap under a live prober would silently re-route its
-    partition pruning mid-plan.  The caller repoints readers at
-    ``dst_path`` and deletes the old generation when no reader holds
-    it — crash-safety is structural (``dst_path`` is either complete or
-    ignorable; ``src_path`` is never touched)."""
+    ``dst_path=None`` (default, r12 VERDICT #3) swaps IN PLACE with the
+    staged-generation lifecycle proven on
+    :func:`~ssis_to_dbt_spark.text.retrieval.compact_bm25_index`: the
+    new generation (assign + centroids) is fully written under
+    ``{src_path}/_recluster_stage``, a ``_COMMIT`` marker lands after
+    both writes return, then the stage renames over the live children.
+    A crash at ANY point self-heals on the next
+    :func:`read_ivf_index` — before the marker the partial stage is
+    discarded (live untouched), after it the swap rolls forward — so a
+    probe opened after a recluster always serves exactly one complete
+    generation, with no manual repoint and no window where the index is
+    missing.  Appends after the recluster assign under the NEW stored
+    centroids (append re-reads ``{path}/centroids``).
+
+    An explicit ``dst_path`` keeps the old copy-out behavior (new
+    generation beside the old; caller repoints and reaps) for
+    deployments whose probers hold long-lived open handles: cell ids
+    are NOT stable across a re-cluster, so a handle opened before an
+    in-place swap must not keep probing across it — re-open per batch
+    (the streaming probes do) or use ``dst_path``."""
+    from .. import fs as _fs
+
+    _heal_ivf_recluster(spark, src_path)
     vecs = spark.read.parquet(f"{src_path}/assign").select(id_col, vec_col)
     cents = kmeans_fit(
         vecs, k=n_cells, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
-    return write_ivf_index(
-        vecs, dst_path, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+    if dst_path is not None:
+        return write_ivf_index(
+            vecs, dst_path, n_cells=n_cells, id_col=id_col,
+            vec_col=vec_col, centroids=cents,
+        )
+    stage = f"{src_path}/_recluster_stage"
+    _fs.delete(spark, stage)
+    write_ivf_index(
+        vecs, stage, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         centroids=cents,
     )
+    _fs.touch(spark, f"{stage}/_COMMIT")
+    _heal_ivf_recluster(spark, src_path)
+    return read_ivf_index(spark, src_path, id_col, vec_col)
 
 
 def route_queries(
@@ -1655,14 +1717,23 @@ def ivf_probe_batch(
     ``<= queries x nprobe`` partitions; the routed query table (queries
     x nprobe rows) broadcasts; the only exchange is the per-query
     top-k window's, which WindowGroupLimit caps at k rows per query per
-    partition."""
+    partition.  The routing stage runs ONCE (r12 VERDICT): when
+    ``nprobe >= n_cells`` the prune is a no-op and is skipped outright
+    (no action at all); otherwise the routed frame is
+    ``localCheckpoint``ed lazily, so the cell-set collect materializes
+    it and the join reuses the checkpointed blocks instead of
+    re-running the full query-side routing map."""
     routed = route_queries(
         queries_df, index.centroids, nprobe, query_id_col, query_vec_col
     ).withColumnRenamed(query_vec_col, "_qv")
-    cells = sorted(
-        r["cell"] for r in routed.select("cell").distinct().collect()
-    )
-    cand = index.assign.filter(F.col("cell").isin(cells))
+    if int(nprobe) >= len(index.centroids):
+        cand = index.assign
+    else:
+        routed = routed.localCheckpoint(eager=False)
+        cells = sorted(
+            r["cell"] for r in routed.select("cell").distinct().collect()
+        )
+        cand = index.assign.filter(F.col("cell").isin(cells))
     joined = cand.join(F.broadcast(routed), "cell")
     cos = cosine_similarity(_as_double(F.col(vec_col)), _as_double(F.col("_qv")))
     scored = joined.select(
@@ -1788,10 +1859,20 @@ def semantic_decontam_indexed(
     routed = route_queries(
         df, index.centroids, nprobe, id_col, vec_col
     ).withColumnRenamed(vec_col, "_qv")
-    cells = sorted(
-        r["cell"] for r in routed.select("cell").distinct().collect()
-    )
-    cand = index.assign.filter(F.col("cell").isin(cells)).select(
+    # single routing pass (r12 VERDICT #1-wrong): the probing side here
+    # is the CORPUS, so deriving the probed-cell set via an action must
+    # not evaluate route_queries twice.  nprobe >= n_cells (the oracled
+    # configuration) makes the prune a no-op — skip it with NO action;
+    # otherwise lazily localCheckpoint the routed frame so the cell-set
+    # collect materializes it once and the cell join reuses the blocks.
+    cand = index.assign
+    if int(nprobe) < len(index.centroids):
+        routed = routed.localCheckpoint(eager=False)
+        cells = sorted(
+            r["cell"] for r in routed.select("cell").distinct().collect()
+        )
+        cand = cand.filter(F.col("cell").isin(cells))
+    cand = cand.select(
         "cell",
         F.col(index_id_col).alias(ref_id_col),
         F.col(index_vec_col).alias("_rv"),

@@ -1608,6 +1608,40 @@ class TestStreamingIvfProbe:
             "query_id", "doc_id", "n_terms", "score_units", "rn"
         }
 
+    def test_bm25_stream_split_query_detected(self, spark, tmp_path):
+        """r12 ADVICE: a query whose terms split across micro-batches
+        would silently leave two conflicting partial rankings — the
+        probe now tracks query_ids per batch and RAISES on the split
+        instead.  A replay of the same batch_id stays allowed (keyed
+        overwrite, pinned by the batches-equal test above)."""
+        import pyspark.errors
+
+        from ssis_to_dbt_spark.streaming import write_stream_bm25_probe
+        from ssis_to_dbt_spark.text.retrieval import write_bm25_index
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(40)
+        prefix = "bm25sp_" + tmp_path.name
+        write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        src = str(tmp_path / "queries")
+        # q1's terms split across TWO source files -> two micro-batches
+        for term in ("hash", "join"):
+            spark.createDataFrame(
+                [("q1", term)], "query_id string, term string"
+            ).repartition(1).write.mode("append").parquet(src)
+        out = str(tmp_path / "out")
+        q = write_stream_bm25_probe(
+            spark.readStream.schema("query_id string, term string")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            prefix, out, str(tmp_path / "ck"), top_k=5,
+        )
+        with pytest.raises(
+            pyspark.errors.StreamingQueryException,
+            match="already probed in a prior micro-batch",
+        ):
+            q.awaitTermination(300)
+
     def test_custom_index_column_names(self, spark, tmp_path):
         """r12 (r11 ADVICE): an index persisted with non-default
         id/vec column names probes through the stream via

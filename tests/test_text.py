@@ -3499,23 +3499,70 @@ class TestIndexSkewLifecycle:
             write_bm25_index,
         )
 
+        from ssis_to_dbt_spark import fs as _fs
+
         docs = spark.read.parquet(
             "/root/testdata/sf0.001/documents.parquet"
         ).limit(60)
         prefix = "bm25hl_" + tmp_path.name
         write_bm25_index(docs, prefix, str(tmp_path / "t"))
-        # simulate the crash: stage the compacted postings, drop live,
-        # crash before the rename
+        # simulate the crash: stage the compacted postings, write the
+        # commit marker (compact_bm25_index touches it right after the
+        # bucketed write returns), drop live, crash before the rename
         postings = spark.table(f"{prefix}_postings")
         write_bucketed(
             postings, f"{prefix}_compact_stage_postings",
             str(tmp_path / "t_postings_compact_v1"), ["term"],
             num_buckets=64, sort_cols=["term"],
         )
+        _fs.touch(
+            spark, str(tmp_path / "t_postings_compact_v1" / "_COMMIT")
+        )
         spark.sql(f"DROP TABLE {prefix}_postings")
         idx = read_bm25_index(spark, prefix)  # heals
         assert not spark.catalog.tableExists(
             f"{prefix}_compact_stage_postings"
+        )
+        q = {"q": ["hash", "join"]}
+        got = sorted(map(tuple, bm25_index_probe(idx, q).collect()))
+        exp = sorted(map(tuple, bm25_topk(docs, q).collect()))
+        assert got == exp
+
+    def test_bm25_compaction_uncommitted_stage_rolls_back(
+        self, spark, tmp_path
+    ):
+        """r12 ADVICE: a stage table WITHOUT the _COMMIT marker is a
+        crash mid-CTAS (name registered, data possibly partial) — the
+        heal must DROP the stage and keep the live generation, never
+        roll a partial write forward over good data."""
+        from ssis_to_dbt_spark import fs as _fs
+        from ssis_to_dbt_spark.sources.writers import write_bucketed
+        from ssis_to_dbt_spark.text.retrieval import (
+            bm25_index_probe,
+            bm25_topk,
+            read_bm25_index,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(60)
+        prefix = "bm25rb_" + tmp_path.name
+        write_bm25_index(docs, prefix, str(tmp_path / "t"))
+        # a PARTIAL stage: only the first 5 postings rows made it
+        partial = spark.table(f"{prefix}_postings").limit(5)
+        write_bucketed(
+            partial, f"{prefix}_compact_stage_postings",
+            str(tmp_path / "t_postings_compact_v1"), ["term"],
+            num_buckets=64, sort_cols=["term"],
+        )
+        # NO _COMMIT marker -> the crash happened mid-write
+        idx = read_bm25_index(spark, prefix)  # rolls back
+        assert not spark.catalog.tableExists(
+            f"{prefix}_compact_stage_postings"
+        )
+        assert not _fs.exists(
+            spark, str(tmp_path / "t_postings_compact_v1")
         )
         q = {"q": ["hash", "join"]}
         got = sorted(map(tuple, bm25_index_probe(idx, q).collect()))
@@ -3564,6 +3611,124 @@ class TestIndexSkewLifecycle:
             assert r[qid]["vec_id"] == qid  # self is top hit
         # source untouched
         assert spark.read.parquet(f"{src}/assign").count() == 64 + 200
+
+    def test_recluster_ivf_in_place_swap_and_append(self, spark, tmp_path):
+        """r12 VERDICT #3: dst_path=None swaps IN PLACE — a probe opened
+        after the recluster (plain read_ivf_index on the SAME path)
+        serves the new generation with no manual repoint, and an append
+        after the recluster assigns under the NEW stored centroids and
+        lands in the new generation."""
+        from ssis_to_dbt_spark import fs as _fs
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            ivf_probe_batch,
+            read_ivf_index,
+            recluster_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(64)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, n_cells=4)
+        one = emb.limit(1).select("embedding").first()["embedding"]
+        drift = spark.createDataFrame(
+            [(1000 + i, list(one)) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        append_ivf_index(spark, path, drift)
+        old_cents = read_ivf_index(spark, path).centroids
+        recluster_ivf_index(spark, path, n_cells=4)
+        # stage fully reaped, no manual repoint: same path serves the
+        # rebuilt generation
+        assert not _fs.exists(spark, f"{path}/_recluster_stage")
+        idx = read_ivf_index(spark, path)
+        assert idx.centroids != old_cents  # fresh k-means generation
+        assert idx.assign.count() == 64 + 200
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = {x["query_id"]: x for x in ivf_probe_batch(
+            idx, q, k=1, nprobe=1
+        ).collect()}
+        for qid in (0, 1):
+            assert r[qid]["vec_id"] == qid
+        # append AFTER the recluster lands in the new generation under
+        # the new centroids
+        more = spark.createDataFrame(
+            [(5000 + i, list(one)) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        idx2 = append_ivf_index(spark, path, more)
+        assert idx2.assign.count() == 64 + 200 + 8
+        # the 8 clones co-locate with the 200-clone hot mass's NEW cell
+        cells = (
+            idx2.assign.filter(F.col("vec_id") >= 1000)
+            .select("cell").distinct().collect()
+        )
+        assert len(cells) == 1
+
+    def test_recluster_ivf_crash_state_matrix(self, spark, tmp_path):
+        """The three crash states of the in-place swap (mirror of
+        TestCompactionSwapSelfHeal): (A) stage without _COMMIT ->
+        rollback, live generation intact; (B) stage with _COMMIT before
+        any rename -> roll forward to the new generation; (C) mid-heal
+        crash (assign renamed, centroids still staged) -> re-heal
+        completes the swap."""
+        from ssis_to_dbt_spark import fs as _fs
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_centroids,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(32)
+
+        def fresh(path):
+            write_ivf_index(emb, path, n_cells=4)
+            return read_ivf_index(spark, path).centroids
+
+        def stage_new_gen(path):
+            # a complete new generation staged with DIFFERENT centroids
+            # (2 cells, so the generations are distinguishable)
+            stage = f"{path}/_recluster_stage"
+            cents = ivf_centroids(emb, 2)
+            write_ivf_index(emb, stage, n_cells=2, centroids=cents)
+            return stage
+
+        # (A) no marker: rollback, live untouched
+        p_a = str(tmp_path / "a")
+        live_cents = fresh(p_a)
+        stage_new_gen(p_a)
+        idx = read_ivf_index(spark, p_a)
+        assert not _fs.exists(spark, f"{p_a}/_recluster_stage")
+        assert idx.centroids == live_cents
+        assert idx.assign.count() == 32
+
+        # (B) marker, crash before any rename: roll forward
+        p_b = str(tmp_path / "b")
+        fresh(p_b)
+        stage_b = stage_new_gen(p_b)
+        _fs.touch(spark, f"{stage_b}/_COMMIT")
+        idx = read_ivf_index(spark, p_b)
+        assert not _fs.exists(spark, f"{p_b}/_recluster_stage")
+        assert len(idx.centroids) == 2  # the NEW generation
+        assert idx.assign.count() == 32
+
+        # (C) marker, assign already renamed, centroids still staged
+        p_c = str(tmp_path / "c")
+        fresh(p_c)
+        stage_c = stage_new_gen(p_c)
+        _fs.touch(spark, f"{stage_c}/_COMMIT")
+        _fs.delete(spark, f"{p_c}/assign")
+        _fs.rename(spark, f"{stage_c}/assign", f"{p_c}/assign")
+        idx = read_ivf_index(spark, p_c)
+        assert not _fs.exists(spark, f"{p_c}/_recluster_stage")
+        assert len(idx.centroids) == 2
+        assert idx.assign.count() == 32
 
     def test_ivf_cell_audit_flags_hot_cell_after_drifted_appends(
         self, spark, tmp_path
@@ -3750,6 +3915,61 @@ class TestIndexEdgeCases:
         for r in rows:
             assert r["ref_id"] in ev_ids
             assert r["contaminated"] == int(r["cosine_r"] >= 0.5)
+
+    def test_decontam_indexed_routing_runs_once(self, spark, tmp_path):
+        """r12 VERDICT ("what's wrong" #1): deriving the probed-cell set
+        must not evaluate the corpus-side routing twice.  nprobe <
+        n_cells: the routed frame is localCheckpoint'ed, so the cell
+        join's query side reads the checkpointed blocks (Scan
+        ExistingRDD in the plan) instead of recomputing route_queries;
+        nprobe >= n_cells: the prune is skipped outright — no checkpoint,
+        no IN-filter, no action at build time."""
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            nearest_reference,
+            read_ivf_index,
+            semantic_decontam_indexed,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        train = emb.filter(F.col("vec_id") % 50 != 0)
+        ev = emb.filter(F.col("vec_id") % 50 == 0)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(ev, path, n_cells=8)
+        idx = read_ivf_index(spark, path)
+
+        pruned = semantic_decontam_indexed(train, idx, nprobe=2)
+        assert "ExistingRDD" in pruned._jdf.queryExecution().toString()
+
+        # nprobe >= n_cells: the prune (and its cell-set action) is
+        # skipped — the old code collected the cell set even though the
+        # prune was a no-op there
+        full = semantic_decontam_indexed(train, idx, threshold=0.5,
+                                         nprobe=8)
+        plan = full._jdf.queryExecution().toString()
+        assert "ExistingRDD" not in plan
+        # and the values still equal the broadcast path exactly
+        got = sorted(map(tuple, full.collect()))
+        exp = sorted(map(tuple, nearest_reference(
+            train,
+            ev.select(F.col("vec_id").alias("ref_id"), "embedding"),
+            threshold=0.5,
+        ).collect()))
+        assert got == exp
+
+        # same discipline on the query-batch probe
+        q = emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        probed = ivf_probe_batch(idx, q, k=3, nprobe=2)
+        assert "ExistingRDD" in probed._jdf.queryExecution().toString()
+        unpruned = ivf_probe_batch(idx, q, k=3, nprobe=8)
+        assert "ExistingRDD" not in (
+            unpruned._jdf.queryExecution().toString()
+        )
 
     def test_bm25_probe_all_terms_absent(self, spark, tmp_path):
         from ssis_to_dbt_spark.text.retrieval import (
