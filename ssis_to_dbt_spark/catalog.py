@@ -4818,7 +4818,18 @@ def q_join_strategies(spark, sf_dir):
         F.col("v1"),
         _nul("string").alias("s2"),
     )
-    return _union_all([bk, bl, ci, cg])
+    # CI collation on string-equality PREDICATES (r13, r12 VERDICT #1)
+    # under 'cif_' components — WHERE folds + expression-compiler folds
+    cf = q_ci_filter_customers(spark, sf_dir).select(
+        F.concat(F.lit("cif_"), F.col("component")).alias("component"),
+        F.col("s1"),
+        F.col("k").cast("long").alias("n1"),
+        _nul("long").alias("n2"),
+        _nul("long").alias("n3"),
+        _nul("double").alias("v1"),
+        _nul("string").alias("s2"),
+    )
+    return _union_all([bk, bl, ci, cg, cf])
 
 
 SQL_JOIN_STRATEGIES = f"""
@@ -5039,6 +5050,120 @@ SQL_JOIN_STRATEGIES += f"""UNION ALL
 SELECT 'cig_' || component, s1, n1, {_NULL_BIGINT}, {_NULL_BIGINT}, v1,
        {_NULL_STR}
 FROM ({SQL_CI_GROUP}) _cg
+"""
+
+
+# --- ci_filter_customers: CI collation on string-equality PREDICATES --------
+
+def q_ci_filter_customers(spark, sf_dir):
+    """r13 (r12 VERDICT #1): CI-collation string-equality FILTERS — the
+    last collation surface after joins (r11) and grouping/sorting (r12).
+    On a CI server ``WHERE Status = 'Success'`` matches ``'SUCCESS'``
+    (InventorySync.dtsx:60-62,118), so a migrated package filtering on
+    one case silently drops the rest.  Same mixed-case fixture as the
+    other CI entries; four components drive BOTH fold paths:
+
+    - 'where_eq' / 'where_in': embedded T-SQL through
+      :func:`~ssis_to_dbt_spark.dtsx.rewrite_tsql` with ``ci=True`` —
+      the literal fold rewrites to ``LOWER(col) = 'lowered'`` and runs
+      via ``spark.sql`` (filters still reach the scan as pushable
+      predicates over a deterministic projection).
+    - 'expr_eq' / 'expr_ne': the SSIS expression compiler with
+      ``ci=True`` — the ConditionalSplit/DerivedColumn predicate shape
+      (``[segment] == "building"``), compiled to a folded Column.
+
+    100 TB: every component is a map-only filter over one scan — the
+    fold wraps the column in ``lower()`` which keeps the predicate a
+    per-row expression (no shuffle, no UDF); a deployment can persist a
+    folded generated column + bucketing if the CI filter is the hot
+    access path."""
+    from pyspark.sql import types as _T
+
+    from .dtsx import rewrite_tsql
+    from .expressions import compile_ssis_expression
+
+    cust = _t(spark, sf_dir)["customer"]
+    mixed = (
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower(F.col("c_mktsegment")))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substring(c_mktsegment, 2)")),
+            )
+        )
+    )
+    f = cust.select("c_custkey", mixed.alias("segment"))
+    f.createOrReplaceTempView("ci_filter_customers_src")
+
+    def shaped(df, tag):
+        return df.select(
+            F.lit(tag).alias("component"),
+            F.col("c_custkey").cast("long").alias("k"),
+            F.col("segment").cast("string").alias("s1"),
+        )
+
+    we = shaped(
+        spark.sql(rewrite_tsql(
+            "SELECT c_custkey, segment FROM src.C "
+            "WHERE segment = 'building'",
+            {"src.C": "ci_filter_customers_src"}, ci=True,
+        )),
+        "where_eq",
+    )
+    wi = shaped(
+        spark.sql(rewrite_tsql(
+            "SELECT c_custkey, segment FROM src.C "
+            "WHERE segment IN ('Building', 'MACHINERY')",
+            {"src.C": "ci_filter_customers_src"}, ci=True,
+        )),
+        "where_in",
+    )
+    cols = {"segment": _T.StringType()}
+    ee = shaped(
+        f.filter(compile_ssis_expression(
+            '[segment] == "BUILDING"', columns=cols, ci=True
+        )),
+        "expr_eq",
+    )
+    en = shaped(
+        f.filter(compile_ssis_expression(
+            '[segment] != "building"', columns=cols, ci=True
+        )),
+        "expr_ne",
+    )
+    return _union_all([we, wi, ee, en])
+
+
+SQL_CI_FILTER = """
+WITH f AS (
+  SELECT c_custkey,
+         CASE CAST(c_custkey % 3 AS INTEGER)
+           WHEN 0 THEN c_mktsegment
+           WHEN 1 THEN lower(c_mktsegment)
+           ELSE upper(substr(c_mktsegment, 1, 1))
+                || lower(substr(c_mktsegment, 2))
+         END AS segment
+  FROM customer)
+SELECT 'where_eq' AS component, CAST(c_custkey AS BIGINT) AS k,
+       CAST(segment AS VARCHAR) AS s1
+FROM f WHERE lower(segment) = 'building'
+UNION ALL
+SELECT 'where_in', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR)
+FROM f WHERE lower(segment) IN ('building', 'machinery')
+UNION ALL
+SELECT 'expr_eq', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR)
+FROM f WHERE lower(segment) = 'building'
+UNION ALL
+SELECT 'expr_ne', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR)
+FROM f WHERE lower(segment) <> 'building'
+"""
+
+# fold into the join-strategies driver suite under 'cif_' components
+SQL_JOIN_STRATEGIES += f"""UNION ALL
+SELECT 'cif_' || component, s1, CAST(k AS BIGINT), {_NULL_BIGINT},
+       {_NULL_BIGINT}, {_NULL_DOUBLE}, {_NULL_STR}
+FROM ({SQL_CI_FILTER}) _cf
 """
 
 
@@ -9463,6 +9588,7 @@ ALL_QUERIES = {
     "join_strategies": q_join_strategies,
     "ci_collation_customers": q_ci_collation_customers,
     "ci_group_customers": q_ci_group_customers,
+    "ci_filter_customers": q_ci_filter_customers,
     "time_contract_events": q_time_contract_events,
     "bm25_search_docs": q_bm25_search_docs,
     "nb_classifier_docs": q_nb_classifier_docs,
@@ -9646,6 +9772,7 @@ ALL_ORACLES = {
     "join_strategies": SQL_JOIN_STRATEGIES,
     "ci_collation_customers": SQL_CI_COLLATION,
     "ci_group_customers": SQL_CI_GROUP,
+    "ci_filter_customers": SQL_CI_FILTER,
     "time_contract_events": SQL_TIME_CONTRACT,
     "bm25_search_docs": SQL_BM25_SEARCH,
     "nb_classifier_docs": SQL_NB_CLASSIFIER,

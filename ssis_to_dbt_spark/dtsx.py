@@ -389,17 +389,106 @@ def _sql_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+_CI_EQ_TAIL = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s*(=|<>|!=)\s*$"
+)
+_CI_EQ_HEAD = re.compile(
+    r"^\s*(=|<>|!=)\s*([A-Za-z_][A-Za-z0-9_.]*)"
+)
+_CI_IN_TAIL = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s+(?i:IN)\s*\(\s*$"
+)
+
+
+def _fold_ci_sql(s: str) -> str:
+    """CI-collation fold for the embedded T-SQL subset (r12 VERDICT #1):
+    on a CI-collation server ``WHERE Status = 'Success'`` matches
+    ``'SUCCESS'`` rows (InventorySync.dtsx:60-62,118), so under
+    ``collation_ci=True`` every ``=``/``<>``/``!=``/``IN`` comparison of
+    an identifier against a STRING LITERAL rewrites to
+    ``LOWER(ident) op 'lowered literal'``.
+
+    Scope (documented subset): comparisons against string LITERALS —
+    after :func:`rewrite_tsql` substitutes ``?``/``@Var`` bindings, so a
+    parameterized ``Status = ?`` folds too.  Letterless literals
+    (``'2024-01-01'``, ``'42'``) are left alone: CI folding is a no-op
+    for them, and skipping keeps typed comparisons (date/numeric columns
+    against literal strings) typed instead of forcing a string compare.
+    Column-to-column string comparisons in embedded SQL are NOT folded —
+    the rewriter has no schema to know the operand types (the bound
+    Lookup/MergeJoin/expression paths, which do know, fold those).
+    The walk is literal-aware: text INSIDE string literals is never
+    treated as code."""
+    def _alpha(lit: str) -> bool:
+        return any(c.isalpha() for c in lit[1:-1])
+
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    i = 1
+    while i < len(parts):
+        lit = parts[i]
+        before = parts[i - 1]
+        after = parts[i + 1] if i + 1 < len(parts) else ""
+        m = _CI_EQ_TAIL.search(before)
+        if m and _alpha(lit):
+            parts[i - 1] = (
+                before[: m.start()] + f"LOWER({m.group(1)}) {m.group(2)} "
+            )
+            parts[i] = lit.lower()
+            i += 2
+            continue
+        m = _CI_EQ_HEAD.match(after)
+        if m and _alpha(lit):
+            parts[i] = lit.lower()
+            parts[i + 1] = (
+                f" {m.group(1)} LOWER({m.group(2)})" + after[m.end():]
+            )
+            i += 2
+            continue
+        m = _CI_IN_TAIL.search(before)
+        if m:
+            # fold the whole IN list: the list must be literal members
+            # interleaved with "," code chunks until ")" (a non-literal
+            # member leaves the comparison untouched — conservative)
+            j = i
+            ok = True
+            while j < len(parts):
+                nxt = parts[j + 1] if j + 1 < len(parts) else ""
+                if re.match(r"^\s*,\s*$", nxt):
+                    j += 2
+                    continue
+                if re.match(r"^\s*\)", nxt):
+                    break
+                ok = False
+                break
+            members = list(range(i, j + 1, 2)) if ok and j < len(parts) else []
+            if members and any(_alpha(parts[kk]) for kk in members):
+                parts[i - 1] = (
+                    before[: m.start()] + f"LOWER({m.group(1)}) IN ("
+                )
+                for kk in members:
+                    parts[kk] = parts[kk].lower()
+                i = j + 2
+                continue
+        i += 2
+    return "".join(parts)
+
+
 def rewrite_tsql(
     sql: str,
     table_views: dict[str, str],
     params: list | None = None,
     variables: dict[str, object] | None = None,
+    ci: bool = False,
 ) -> str:
     """Rewrite the embedded T-SQL subset into Spark-SQL-runnable text:
     strip ``[...]`` quoting, map bound dotted table names to their temp-view
     names, substitute ``?`` placeholders positionally from ``params`` and
     ``@Var`` references from ``variables``, and turn ``TOP n`` into a
-    trailing ``LIMIT n``.  Raises if a ``?`` remains unbound."""
+    trailing ``LIMIT n``.  Raises if a ``?`` remains unbound.
+    ``ci=True`` additionally folds string-literal equality/IN comparisons
+    case-insensitively (:func:`_fold_ci_sql` — the CI-collation server
+    contract, applied AFTER parameter substitution so bound values fold
+    too)."""
     s = sql.replace("[", "").replace("]", "").rstrip().rstrip(";")
     for t in sorted(table_views, key=len, reverse=True):
         s = re.sub(
@@ -440,6 +529,8 @@ def rewrite_tsql(
     if m:
         s = s[: m.start()] + s[m.end():].lstrip()
         s = s + f" LIMIT {m.group(1)}"
+    if ci:
+        s = _fold_ci_sql(s)
     return s
 
 
@@ -495,12 +586,18 @@ def bind_package(
     or task NAME -> ordered variable names feeding its ``?`` placeholders.
     ``sql_handlers``: task name -> ``(frames, vars) -> DataFrame`` for
     ExecuteSQL tasks the subset rewriter cannot run (MERGE, DELETE+INSERT...).
-    ``collation_ci``: compare STRING join keys case-insensitively in every
-    bound Lookup and MergeJoin — SQL Server's default collation
-    (``SQL_Latin1_General_CP1_CI_AS``), which the reference packages'
-    lookups inherit from the server (CustomerDataLoad.dtsx:122-129); the
-    engine's default stays case-sensitive (Spark semantics), so packages
-    migrated from a CI server opt in explicitly.
+    ``collation_ci``: SQL Server default-collation
+    (``SQL_Latin1_General_CP1_CI_AS``) semantics for every STRING
+    comparison the package performs — join keys in bound
+    Lookup/MergeJoin (CustomerDataLoad.dtsx:122-129), Aggregate/Sort
+    keys, AND (r13, r12 VERDICT #1) string-equality PREDICATES: embedded
+    T-SQL ``WHERE Status = 'Success'`` / ``<>`` / ``IN`` against string
+    literals (InventorySync.dtsx:60-62,118 — a CI server matches
+    ``'SUCCESS'`` rows; without the fold a migrated package silently
+    drops them), ConditionalSplit conditions, DerivedColumn ternaries,
+    and EvaluateAsExpression variables.  The engine's default stays
+    case-sensitive (Spark semantics), so packages migrated from a CI
+    server opt in explicitly.
 
     Returns (pipeline, report).  Each task becomes one :class:`Model` named
     by its ObjectName; precedence constraints become ``deps``; a data-flow
@@ -510,7 +607,8 @@ def bind_package(
     """
     vars_all = pkg.variable_values()
     vars_all.update(variables or {})
-    _resolve_variable_expressions(spark, pkg, vars_all, set(variables or {}))
+    _resolve_variable_expressions(spark, pkg, vars_all,
+                                  set(variables or {}), ci=collation_ci)
     views = {t: _mangle(pkg, t) for t in tables}
     for t, df in tables.items():
         df.createOrReplaceTempView(views[t])
@@ -546,7 +644,8 @@ def bind_package(
 
 
 def _resolve_variable_expressions(
-    spark, pkg: DtsxPackage, vars_all: dict, overridden: set[str]
+    spark, pkg: DtsxPackage, vars_all: dict, overridden: set[str],
+    ci: bool = False,
 ) -> None:
     """Evaluate EvaluateAsExpression variables (reference Variable model,
     src/parser/models.py:53-61): each compiles through the SSIS expression
@@ -574,7 +673,8 @@ def _resolve_variable_expressions(
         progressed = False
         for name, expr in list(pending.items()):
             try:
-                col = compile_ssis_expression(expr, variables=vars_all)
+                col = compile_ssis_expression(expr, variables=vars_all,
+                                              ci=ci)
                 vars_all[name] = spark.range(1).select(col.alias("v")).first()["v"]
             except Exception as exc:  # may depend on a still-pending variable
                 last_err = exc
@@ -764,7 +864,7 @@ def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers,
                 task.name, task.task_type, "bound", "caller handler"
             )
         if task.sql and classify_sql(task.sql) == "runnable":
-            def build(frames, vars_, _task=task):
+            def build(frames, vars_, _task=task, _ci=ci):
                 sql = rewrite_tsql(
                     _task.sql,
                     views,
@@ -772,6 +872,7 @@ def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers,
                         vars_[v] for v in param_bindings.get(_task.name, [])
                     ],
                     variables=vars_,
+                    ci=_ci,
                 )
                 return spark.sql(sql)
 
@@ -929,7 +1030,8 @@ def _bind_component(
 ) -> dict[str, DataFrame]:
     cls = comp.class_id.rsplit(".", 1)[-1]
     if cls == "OLEDBSource":
-        return {_PRIMARY: _bind_source(spark, comp, views, vars_, param_bindings)}
+        return {_PRIMARY: _bind_source(spark, comp, views, vars_,
+                                       param_bindings, ci=ci)}
     if cls == "FlatFileSource":
         from .sources.readers import read_csv
 
@@ -953,9 +1055,11 @@ def _bind_component(
     if cls == "Lookup":
         return _bind_lookup(spark, _one(ins, comp), comp, views, vars_, ci=ci)
     if cls == "DerivedColumn":
-        return {_PRIMARY: _bind_derived(_one(ins, comp), comp, vars_)}
+        return {_PRIMARY: _bind_derived(_one(ins, comp), comp, vars_,
+                                        ci=ci)}
     if cls == "ConditionalSplit":
-        return _bind_conditional_split(_one(ins, comp), comp, vars_)
+        return _bind_conditional_split(_one(ins, comp), comp, vars_,
+                                       ci=ci)
     if cls == "DataConversion":
         return _bind_data_conversion(_one(ins, comp), comp)
     if cls == "Sort":
@@ -1041,7 +1145,7 @@ def _bind_component(
     )
 
 
-def _bind_conditional_split(df, comp, vars_) -> dict[str, DataFrame]:
+def _bind_conditional_split(df, comp, vars_, ci=False) -> dict[str, DataFrame]:
     """First-match routing per the component's output Expressions in
     EvaluationOrder; the output WITHOUT an expression is the default and
     carries the chain forward (document-order mode), while every named
@@ -1049,7 +1153,8 @@ def _bind_conditional_split(df, comp, vars_) -> dict[str, DataFrame]:
     from .operators.split import conditional_split
 
     schema_map = {f.name: f.dataType for f in df.schema.fields}
-    compiler = SSISExpressionCompiler(columns=schema_map, variables=vars_)
+    compiler = SSISExpressionCompiler(columns=schema_map, variables=vars_,
+                                      ci=ci)
     conds = []
     default_name = "default"
     for out in comp.outputs:
@@ -1172,11 +1277,13 @@ def _bind_aggregate(df, comp, ci=False) -> DataFrame:
     return out
 
 
-def _bind_source(spark, comp, views, vars_, param_bindings) -> DataFrame:
+def _bind_source(spark, comp, views, vars_, param_bindings,
+                 ci=False) -> DataFrame:
     sql = comp.properties.get("SqlCommand")
     if sql:
         params = [vars_[v] for v in param_bindings.get(comp.name, [])]
-        df = spark.sql(rewrite_tsql(sql, views, params=params, variables=vars_))
+        df = spark.sql(rewrite_tsql(sql, views, params=params,
+                                    variables=vars_, ci=ci))
     else:
         table = comp.properties.get("OpenRowset", "").replace("[", "").replace("]", "")
         view = views.get(table)
@@ -1198,7 +1305,8 @@ def _bind_source(spark, comp, views, vars_, param_bindings) -> DataFrame:
 def _bind_lookup(spark, df, comp, views, vars_, ci=False) -> dict[str, DataFrame]:
     if df is None:
         raise ValueError(f"lookup {comp.name} has no upstream source")
-    dim = spark.sql(rewrite_tsql(comp.properties["SqlCommand"], views, variables=vars_))
+    dim = spark.sql(rewrite_tsql(comp.properties["SqlCommand"], views,
+                                 variables=vars_, ci=ci))
     out_names = [c.name for c in comp.output_columns]
     # dim columns not in the declared output are the reference (join) side,
     # matched positionally with the input columns' cachedNames — the sample
@@ -1264,12 +1372,13 @@ def _bind_lookup(spark, df, comp, views, vars_, ci=False) -> dict[str, DataFrame
     }
 
 
-def _bind_derived(df, comp, vars_) -> DataFrame:
+def _bind_derived(df, comp, vars_, ci=False) -> DataFrame:
     if df is None:
         raise ValueError(f"derived column {comp.name} has no upstream source")
     schema_map = {f.name: f.dataType for f in df.schema.fields}
     for c in comp.output_columns:
-        compiler = SSISExpressionCompiler(columns=schema_map, variables=vars_)
+        compiler = SSISExpressionCompiler(columns=schema_map, variables=vars_,
+                                          ci=ci)
         col = compiler.compile(c.expression or "")
         df = df.withColumn(c.name, col.cast(c.spark_type()))
         schema_map[c.name] = c.spark_type()

@@ -95,6 +95,17 @@ class SSISExpressionCompiler:
     ``variables``: package-variable bindings (@[User::X]) -> python values
     (reference: ssis_parser.py:179-203, models.py:53-61).
     ``now``: pinned timestamp for GETDATE() so audit columns are deterministic.
+    ``ci``: fold STRING comparisons case-insensitively (r12 VERDICT #1) —
+    on a SQL Server with the default CI collation
+    (``SQL_Latin1_General_CP1_CI_AS``), every string comparison inside a
+    DerivedColumn/ConditionalSplit expression compares case-insensitively
+    (reference: the ternary conditions of src/agents/llm/prompts.py:150-164
+    and InventorySync.dtsx's Status filters), so ``Status == "Success"``
+    must match ``'SUCCESS'`` rows.  Applies to ``==``/``!=`` AND the
+    ordering comparisons (``<`` etc. — CI collation orders by the folded
+    key) when BOTH operands are string-typed; non-string comparisons are
+    untouched.  Default stays case-sensitive (Spark semantics); packages
+    migrated from a CI server opt in via ``bind_package(collation_ci=)``.
     """
 
     def __init__(
@@ -102,10 +113,12 @@ class SSISExpressionCompiler:
         columns: dict[str, T.DataType] | None = None,
         variables: dict[str, object] | None = None,
         now: str | None = None,
+        ci: bool = False,
     ):
         self.columns = {k.lower(): v for k, v in (columns or {}).items()}
         self.variables = {k.lower(): v for k, v in (variables or {}).items()}
         self.now = now
+        self.ci = ci
 
     # public API ------------------------------------------------------------
     def compile(self, expression: str) -> Column:
@@ -160,12 +173,21 @@ class SSISExpressionCompiler:
             left = left & right
         return left, s
 
+    def _fold_ci(self, left, ls, right, rs):
+        """Under ``ci=``, a comparison of two STRING operands compares
+        the lower() folds (CI-collation semantics); anything else passes
+        through untouched."""
+        if self.ci and ls and rs:
+            return F.lower(left), F.lower(right)
+        return left, right
+
     def _equality(self):
         left, s = self._comparison()
         while self._peek() and self._peek().text in ("==", "!="):
             op = self._next().text
-            right, _ = self._comparison()
-            left = (left == right) if op == "==" else (left != right)
+            right, rs = self._comparison()
+            lhs, rhs = self._fold_ci(left, s, right, rs)
+            left = (lhs == rhs) if op == "==" else (lhs != rhs)
             s = False
         return left, s
 
@@ -173,9 +195,10 @@ class SSISExpressionCompiler:
         left, s = self._additive()
         while self._peek() and self._peek().text in ("<", ">", "<=", ">="):
             op = self._next().text
-            right, _ = self._additive()
-            left = {"<": left < right, ">": left > right,
-                    "<=": left <= right, ">=": left >= right}[op]
+            right, rs = self._additive()
+            lhs, rhs = self._fold_ci(left, s, right, rs)
+            left = {"<": lhs < rhs, ">": lhs > rhs,
+                    "<=": lhs <= rhs, ">=": lhs >= rhs}[op]
             s = False
         return left, s
 
@@ -426,9 +449,12 @@ def compile_ssis_expression(
     columns: dict[str, T.DataType] | None = None,
     variables: dict[str, object] | None = None,
     now: str | None = None,
+    ci: bool = False,
 ) -> Column:
     """One-shot convenience wrapper around :class:`SSISExpressionCompiler`."""
-    return SSISExpressionCompiler(columns, variables, now).compile(expression)
+    return SSISExpressionCompiler(columns, variables, now, ci=ci).compile(
+        expression
+    )
 
 
 # --------------------------------------------------------------------------

@@ -92,6 +92,66 @@ class TestRewrite:
         out = rewrite_tsql("SELECT TOP (5) x FROM t", {"t": "v"})
         assert out == "SELECT x FROM v LIMIT 5"
 
+    def test_ci_fold_where_equality(self):
+        """r13 (r12 VERDICT #1): ci=True folds string-literal =/<>/IN
+        comparisons to LOWER() form — after parameter substitution, so
+        bound values fold too; letterless literals (dates, numbers) and
+        range operators stay untouched; literal interiors are never
+        treated as code."""
+        out = rewrite_tsql(
+            "SELECT * FROM etl.L WHERE SyncType = 'Inventory' "
+            "AND Status='Success'",
+            {"etl.L": "v"}, ci=True,
+        )
+        assert out == (
+            "SELECT * FROM v WHERE LOWER(SyncType) = 'inventory' "
+            "AND LOWER(Status) = 'success'"
+        )
+        # parameterized value folds after substitution
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE Status = ?", {"t": "v"},
+            params=["Success"], ci=True,
+        )
+        assert out == "SELECT * FROM v WHERE LOWER(Status) = 'success'"
+        # @Var binding folds too
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE Status <> @S", {"t": "v"},
+            variables={"User::S": "Failed"}, ci=True,
+        )
+        assert out == "SELECT * FROM v WHERE LOWER(Status) <> 'failed'"
+        # IN list folds every member
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE Seg IN ('Gold', 'SILVER') AND k=1",
+            {"t": "v"}, ci=True,
+        )
+        assert out == (
+            "SELECT * FROM v WHERE LOWER(Seg) IN ('gold', 'silver') AND k=1"
+        )
+        # reversed literal-first form
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE 'Active' = Flag", {"t": "v"}, ci=True,
+        )
+        assert out == "SELECT * FROM v WHERE 'active' = LOWER(Flag)"
+        # letterless literals: CI is a no-op, typed compares stay typed
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE d = '2024-01-01' AND name >= 'Abc'",
+            {"t": "v"}, ci=True,
+        )
+        assert out == (
+            "SELECT * FROM v WHERE d = '2024-01-01' AND name >= 'Abc'"
+        )
+        # text inside a literal is never folded as code
+        out = rewrite_tsql(
+            "SELECT 'status = ''Active''' AS note FROM t", {"t": "v"},
+            ci=True,
+        )
+        assert out == "SELECT 'status = ''Active''' AS note FROM v"
+        # ci=False (default): nothing folds
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE Status = 'Success'", {"t": "v"},
+        )
+        assert out == "SELECT * FROM v WHERE Status = 'Success'"
+
     def test_classify(self):
         assert classify_sql("SELECT 1") == "runnable"
         assert classify_sql("-- note\nSELECT a FROM b") == "runnable"
@@ -889,6 +949,74 @@ class TestCollationCi:
         frames_cs, _ = run_package(spark, path, tables={"src.S": src})
         # binary order: uppercase block first
         assert [r["K"] for r in frames_cs["Flow"].collect()] == [2, 3, 4, 1]
+
+
+    def test_sql_where_equality_binds_ci(self, spark, tmp_path):
+        """r13 (r12 VERDICT #1): on a CI-collation server a plain
+        ``WHERE Status = 'Success'`` (InventorySync.dtsx:60-62) matches
+        'SUCCESS' and 'success' rows too — under collation_ci the
+        embedded-SQL rewrite folds string-literal equality, so the
+        migrated package stops silently dropping mixed-case rows; the
+        default stays case-sensitive."""
+        body = (
+            '<components>'
+            '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+            '<properties><property name="SqlCommand">'
+            "SELECT K, Status FROM src.F WHERE Status = 'Success'"
+            '</property></properties>'
+            '</component>'
+            '</components>'
+        )
+        src = spark.createDataFrame(
+            [(1, "Success"), (2, "SUCCESS"), (3, "success"), (4, "Failed")],
+            "K int, Status string",
+        )
+        path = _write_pkg(tmp_path, body, "CiWhere")
+        frames, _ = run_package(
+            spark, path, tables={"src.F": src}, collation_ci=True
+        )
+        got = {(r["K"], r["Status"]) for r in frames["Flow"].collect()}
+        # all case variants flow, ORIGINAL case preserved in the output
+        assert got == {(1, "Success"), (2, "SUCCESS"), (3, "success")}
+        frames_cs, _ = run_package(spark, path, tables={"src.F": src})
+        assert {r["K"] for r in frames_cs["Flow"].collect()} == {1}
+
+    def test_conditional_split_predicate_binds_ci(self, spark, tmp_path):
+        """A ConditionalSplit string comparison (the prompts.py:150-164
+        ternary shape) folds under collation_ci: Status == "success"
+        routes every case variant; default routes only the exact
+        match."""
+        body = (
+            '<components>'
+            '<component refId="P\\F\\S" componentClassID="Microsoft.OLEDBSource" name="S">'
+            '<properties><property name="OpenRowset">src.F</property></properties>'
+            '</component>'
+            '<component refId="P\\F\\CS" componentClassID="Microsoft.ConditionalSplit" name="CS">'
+            '<outputs>'
+            '<output refId="o1" name="Good"><properties>'
+            '<property name="Expression">[Status] == "success"</property>'
+            '<property name="EvaluationOrder">0</property>'
+            '</properties></output>'
+            '<output refId="o2" name="Rest"/>'
+            '</outputs>'
+            '</component>'
+            '</components>'
+            '<paths>'
+            '<path startId="P\\F\\S.Outputs[O]" endId="P\\F\\CS.Inputs[I]"/>'
+            '</paths>'
+        )
+        src = spark.createDataFrame(
+            [(1, "Success"), (2, "SUCCESS"), (3, "success"), (4, "Failed")],
+            "K int, Status string",
+        )
+        path = _write_pkg(tmp_path, body, "CiSplit")
+        frames, _ = run_package(
+            spark, path, tables={"src.F": src}, collation_ci=True
+        )
+        # the default output carries the chain: only the non-matches
+        assert {r["K"] for r in frames["Flow"].collect()} == {4}
+        frames_cs, _ = run_package(spark, path, tables={"src.F": src})
+        assert {r["K"] for r in frames_cs["Flow"].collect()} == {1, 2, 4}
 
 
 class TestDataConversionErrorOutput:

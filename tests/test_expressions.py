@@ -184,6 +184,58 @@ class TestVariables:
             compile_ssis_expression("@[User::Missing] + 1")
 
 
+class TestCiComparisons:
+    """r13 (r12 VERDICT #1): ci=True gives string comparisons CI-collation
+    semantics — ==/!= and the ordering operators fold both operands with
+    lower() when BOTH are string-typed; everything else is untouched and
+    the default stays case-sensitive."""
+
+    def test_equality_folds(self, spark):
+        c = compile_ssis_expression(
+            '[first] == "SUCCESS" ? 1 : 0', columns=STR_COLS, ci=True
+        )
+        assert one(spark, c, first="Success") == 1
+        assert one(spark, c, first="success") == 1
+        assert one(spark, c, first="Failed") == 0
+        # default: exact match only
+        c_cs = compile_ssis_expression(
+            '[first] == "SUCCESS" ? 1 : 0', columns=STR_COLS
+        )
+        assert one(spark, c_cs, first="Success") == 0
+
+    def test_inequality_and_ordering_fold(self, spark):
+        c = compile_ssis_expression(
+            '[first] != "failed" ? 1 : 0', columns=STR_COLS, ci=True
+        )
+        assert one(spark, c, first="FAILED") == 0
+        # CI collation orders by the fold: "apple" < "BANANA"
+        c = compile_ssis_expression(
+            '[first] < [last] ? 1 : 0', columns=STR_COLS, ci=True
+        )
+        assert one(spark, c, first="apple", last="BANANA") == 1
+        c_cs = compile_ssis_expression(
+            '[first] < [last] ? 1 : 0', columns=STR_COLS
+        )
+        assert one(spark, c_cs, first="apple", last="BANANA") == 0
+
+    def test_non_string_comparisons_untouched(self, spark):
+        cols = {"k": T.IntegerType(), "first": T.StringType()}
+        c = compile_ssis_expression("[k] == 5 ? 1 : 0", columns=cols, ci=True)
+        assert one(spark, c, k=5) == 1
+        # int column vs string literal: not a string-string compare, no fold
+        c = compile_ssis_expression(
+            '[k] == "5" ? 1 : 0', columns=cols, ci=True
+        )
+        assert one(spark, c, k=5) == 1
+
+    def test_variable_comparison_folds(self, spark):
+        c = compile_ssis_expression(
+            '[first] == @[User::Want] ? 1 : 0',
+            columns=STR_COLS, variables={"Want": "Gold"}, ci=True,
+        )
+        assert one(spark, c, first="GOLD") == 1
+
+
 class TestTsqlScalarNames:
     def test_concat_null_as_empty(self, spark):
         c = compile_ssis_expression('CONCAT([first], "-", [last])', columns=STR_COLS)

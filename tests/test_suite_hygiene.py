@@ -45,6 +45,7 @@ EXPECTED = {
     "join_strategies": {
         "bloom", "bucketed", "ci_cs_miss", "ci_lookup", "ci_semi",
         "cig_group", "cig_distinct", "cig_dup", "cig_sort_top",
+        "cif_where_eq", "cif_where_in", "cif_expr_eq", "cif_expr_ne",
     },
     "multimodal_decode": {"bmp", "features", "jpeg", "png", "resize", "wav"},
     "corpus_curation": {
