@@ -5427,6 +5427,101 @@ WHERE rn <= 5
 """
 
 
+# --- ivf_recall_audit: recall@k per nprobe — the audit->recall->recluster
+# loop's quality dial (r13, r12 VERDICT #7) ----------------------------------
+
+def q_ivf_recall_audit(spark, sf_dir):
+    """r13 (r12 VERDICT #7): :func:`ivf_recall_at_k` driven through a
+    persisted full-corpus IVF index — for nprobe in (1, 2, 8) probe the
+    vec_id%50==0 query sample at k=5 and count, per query, how many of
+    the exact top-5 (nprobe = n_cells = 8, pruning off) the pruned probe
+    recovered.  Exact integers; the oracle replays routing, pruned
+    probes, and hit counts for all three nprobe arms from the same
+    centroid construction.  The nprobe=8 arm doubles as the sanity
+    bound: n_hits = k for every query."""
+    from .text.similarity import ivf_recall_at_k, write_ivf_index
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    path = _rt_tmpdir("ivf_recall")
+    idx = write_ivf_index(emb, path, n_cells=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_recall_at_k(idx, queries, k=5, nprobes=(1, 2, 8)).select(
+        F.col("nprobe").cast("int").alias("nprobe"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("k").cast("int").alias("k"),
+    )
+
+
+SQL_IVF_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_all AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(e.v, cent.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM sim_all)
+  WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id AS query_id, v AS qv, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS crn
+  FROM sim_all WHERE vec_id % 50 = 0
+),
+np AS (SELECT nprobe FROM (VALUES (1), (2), (8)) t(nprobe)),
+probed AS (
+  SELECT np.nprobe, r.query_id, a.vec_id,
+         round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(r.qv, r.qv)) > 0
+                    THEN list_inner_product(a.v, r.qv)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(r.qv, r.qv)))
+                    ELSE 0.0 END, 6) AS cosine_r
+  FROM np
+  JOIN routed r ON r.crn <= np.nprobe
+  JOIN assign a ON a.cid = r.cid
+),
+topk AS (
+  SELECT nprobe, query_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY cosine_r DESC, vec_id) AS rn
+        FROM probed)
+  WHERE rn <= 5
+),
+hits AS (
+  SELECT t.nprobe, t.query_id, COUNT(*) AS n_hits
+  FROM topk t
+  JOIN (SELECT query_id, vec_id FROM topk WHERE nprobe = 8) x
+    ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(np.nprobe AS INTEGER) AS nprobe,
+       CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(5 AS INTEGER) AS k
+FROM np
+CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM e
+            WHERE vec_id % 50 = 0) q
+LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.query_id = q.query_id
+"""
+
+
 # --- shuffle_shards_docs: deterministic global shuffle into train shards ----
 
 def q_shuffle_shards_docs(spark, sf_dir):
@@ -5799,6 +5894,70 @@ WHERE rn <= 10
 """
 
 
+# --- hybrid_rrf_indexed: the DEPLOYMENT shape of hybrid retrieval ------------
+
+def q_hybrid_rrf_indexed(spark, sf_dir):
+    """r13 (r12 VERDICT #4): hybrid retrieval through the PERSISTED
+    indexes end-to-end — disk-built BM25 postings
+    (:func:`write_bm25_index` -> :func:`bm25_index_probe`) fused via
+    :func:`rrf_fuse` with disk-built IVF ANN (:func:`write_ivf_index`
+    -> :func:`ivf_probe_batch`) — the shape a deployment actually runs
+    (corpus indexed once, every query batch probes disk), now under an
+    oracle verdict instead of only a pytest pin.  The oracle is the
+    in-memory ``hybrid_rrf_docs`` SQL VERBATIM: equality holds because
+    the postings index covers the corpus (probe == bm25_topk, pinned)
+    and the IVF probe runs at nprobe = n_cells (pruning off, identical
+    round-6 ranking and tiebreaks).
+
+    100 TB: the fuse is pure post-retrieval algebra over per-query
+    top-k relations; corpus-side work is the probes' — bucket-pruned
+    postings buckets for the batch's terms, partition-pruned IVF cells
+    for the batch's routed queries."""
+    import os as _os
+
+    from .text.retrieval import (
+        bm25_index_probe,
+        rrf_fuse,
+        write_bm25_index,
+    )
+    from .text.similarity import ivf_probe_batch, write_ivf_index
+
+    docs = _t(spark, sf_dir)["documents"]
+    emb = _t(spark, sf_dir)["embeddings"]
+    path = _rt_tmpdir("hybrid_idx")
+    prefix = "bm25h_" + _os.path.basename(path).rsplit("_", 1)[-1]
+    try:
+        bidx = write_bm25_index(docs, prefix, f"{path}/t")
+        bm = bm25_index_probe(bidx, _BM25_QUERIES, top_k=10).select(
+            "query_id", "doc_id", "rn"
+        )
+        iidx = write_ivf_index(emb, f"{path}/ivf", n_cells=8)
+        qv = emb.filter(F.col("vec_id").isin([0, 50, 100])).select(
+            F.when(F.col("vec_id") == 0, F.lit("q_hash_join"))
+            .when(F.col("vec_id") == 50, F.lit("q_scan_batch"))
+            .otherwise(F.lit("q_window_sort"))
+            .alias("query_id"),
+            "embedding",
+        )
+        ann = ivf_probe_batch(iidx, qv, k=10, nprobe=8).select(
+            "query_id", F.col("vec_id").alias("doc_id"), "rn"
+        )
+        fused = rrf_fuse([bm, ann], k=60, top_k=10).select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_lists").cast("long").alias("n_lists"),
+            F.col("rrf_units").cast("long").alias("rrf_units"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        # materialize before dropping the postings tables (r11 ADVICE
+        # discipline — the returned frame must not reference them)
+        fused.write.mode("overwrite").parquet(f"{path}/result")
+    finally:
+        for t in ("postings", "doclen", "stats", "stopterms"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    return spark.read.parquet(f"{path}/result")
+
+
 # --- nb_classifier_docs: multinomial Naive Bayes fit + held-out scoring -----
 
 def q_nb_classifier_docs(spark, sf_dir):
@@ -6152,6 +6311,16 @@ def q_ann_topk_suite(spark, sf_dir):
             F.col("contaminated").cast("int").alias("q"),
             F.col("ref_id").cast("long").alias("id_b"),
             F.col("cosine_r").cast("double").alias("score"),
+        ),
+        # recall@k audit (r13, r12 VERDICT #7): the quality dial of the
+        # cell-audit -> recall -> recluster loop
+        q_ivf_recall_audit(spark, sf_dir).select(
+            F.lit("recall").alias("component"),
+            F.col("n_hits").cast("long").alias("vec_id"),
+            F.col("nprobe").cast("int").alias("dim"),
+            F.col("k").cast("int").alias("q"),
+            F.col("query_id").cast("long").alias("id_b"),
+            _nul("double").alias("score"),
         ),
     ]
     return _union_all(parts)
@@ -7631,7 +7800,20 @@ def q_pii_tfidf_docs(spark, sf_dir):
         _nul("double").alias("v"),
         F.col("rn").cast("int").alias("rn"),
     )
-    return _union_all([pii, tfidf, sur, cc, ml, bm, nb, bmi, bms, rrf])
+    # r13 (r12 VERDICT #4): the DEPLOYMENT shape — disk postings + IVF
+    # probes fused, oracle = the in-memory rrf SQL verbatim
+    rrfi = q_hybrid_rrf_indexed(spark, sf_dir).select(
+        F.lit("rrf_idx").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("string").alias("s1"),
+        F.col("n_lists").cast("long").alias("n1"),
+        F.col("rrf_units").cast("long").alias("n2"),
+        _nul("double").alias("v"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    return _union_all(
+        [pii, tfidf, sur, cc, ml, bm, nb, bmi, bms, rrf, rrfi]
+    )
 
 
 SQL_PII_TFIDF = f"""
@@ -9314,6 +9496,10 @@ SELECT 'decontam_ivf', CAST(vec_id AS BIGINT), {_NULL_INT},
        CAST(contaminated AS INTEGER), CAST(ref_id AS BIGINT),
        CAST(cosine_r AS DOUBLE)
 FROM ({SQL_SEMANTIC_DECONTAM}) _sdi
+UNION ALL
+SELECT 'recall', CAST(n_hits AS BIGINT), CAST(nprobe AS INTEGER),
+       CAST(k AS INTEGER), CAST(query_id AS BIGINT), {_NULL_DOUBLE}
+FROM ({SQL_IVF_RECALL}) _rc
 """
 
 SQL_SAMPLING_SPLITS += f"""UNION ALL
@@ -9397,6 +9583,11 @@ SELECT 'rrf', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
        CAST(n_lists AS BIGINT), CAST(rrf_units AS BIGINT),
        {_NULL_DOUBLE}, CAST(rn AS INTEGER)
 FROM ({SQL_HYBRID_RRF}) _rrf
+UNION ALL
+SELECT 'rrf_idx', CAST(doc_id AS BIGINT), CAST(query_id AS VARCHAR),
+       CAST(n_lists AS BIGINT), CAST(rrf_units AS BIGINT),
+       {_NULL_DOUBLE}, CAST(rn AS INTEGER)
+FROM ({SQL_HYBRID_RRF}) _rrfi
 """
 
 SQL_EVENTS_WINDOWS += f"""UNION ALL
@@ -9589,6 +9780,8 @@ ALL_QUERIES = {
     "ci_collation_customers": q_ci_collation_customers,
     "ci_group_customers": q_ci_group_customers,
     "ci_filter_customers": q_ci_filter_customers,
+    "ivf_recall_audit": q_ivf_recall_audit,
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "time_contract_events": q_time_contract_events,
     "bm25_search_docs": q_bm25_search_docs,
     "nb_classifier_docs": q_nb_classifier_docs,
@@ -9773,6 +9966,8 @@ ALL_ORACLES = {
     "ci_collation_customers": SQL_CI_COLLATION,
     "ci_group_customers": SQL_CI_GROUP,
     "ci_filter_customers": SQL_CI_FILTER,
+    "ivf_recall_audit": SQL_IVF_RECALL,
+    "hybrid_rrf_indexed": SQL_HYBRID_RRF,
     "time_contract_events": SQL_TIME_CONTRACT,
     "bm25_search_docs": SQL_BM25_SEARCH,
     "nb_classifier_docs": SQL_NB_CLASSIFIER,

@@ -33,7 +33,7 @@ EXPECTED = {
         "brute_force", "decontam", "decontam_ivf", "fps", "hard_neg",
         "ivf", "ivf_idx", "km_assign", "km_centroid", "knn", "lsh_md5",
         "project", "proto_assign", "proto_centroid", "quantize",
-        "semdedup", "sivf",
+        "recall", "semdedup", "sivf",
     },
     "events_windows": {
         "cohort", "decay", "funnel_s", "funnel_u12", "funnel_u3", "gap_fill",
@@ -62,7 +62,7 @@ EXPECTED = {
     },
     "pii_tfidf_docs": {
         "bm25", "bm25_idx", "bm25_stream", "ccnet", "mixed_lang", "nb",
-        "pii", "rrf", "surprisal", "tfidf",
+        "pii", "rrf", "rrf_idx", "surprisal", "tfidf",
     },
     "pivot_median_orders": {
         "cube", "hist_p50", "histogram", "median", "pivot", "rolling",

@@ -3730,6 +3730,38 @@ class TestIndexSkewLifecycle:
         assert len(idx.centroids) == 2
         assert idx.assign.count() == 32
 
+    def test_ivf_recall_audit_dial(self, spark, tmp_path):
+        """r13 (r12 VERDICT #7): ivf_recall_at_k — exact arm recovers
+        everything (n_hits = k at nprobe = n_cells), per-query hit
+        counts are monotone in nprobe, and every query appears in every
+        arm (zero-hit queries included)."""
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_recall_at_k,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = write_ivf_index(emb, str(tmp_path / "ivf"), n_cells=8)
+        q = emb.filter(F.col("vec_id") % 40 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_recall_at_k(idx, q, k=5, nprobes=(1, 2, 8)).collect()
+        n_q = q.count()
+        by_np = {}
+        for r in out:
+            by_np.setdefault(r["nprobe"], {})[r["query_id"]] = r["n_hits"]
+            assert r["k"] == 5 and 0 <= r["n_hits"] <= 5
+        assert set(by_np) == {1, 2, 8}
+        for np_, hits in by_np.items():
+            assert len(hits) == n_q  # every query in every arm
+        # exact arm: full recall
+        assert all(h == 5 for h in by_np[8].values())
+        # monotone per query: more probed cells never lose neighbors
+        for qid in by_np[1]:
+            assert by_np[1][qid] <= by_np[2][qid] <= by_np[8][qid]
+
     def test_ivf_cell_audit_flags_hot_cell_after_drifted_appends(
         self, spark, tmp_path
     ):
