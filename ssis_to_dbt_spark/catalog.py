@@ -8335,6 +8335,17 @@ def q_dtsx_inventory_sync(spark, sf_dir):
     """InventorySync.dtsx data flow executed by the engine: lookups with NO
     declared <inputs> (name-inferred join mapping), nested-ternary
     StockStatus, integer-division DaysOfSupply, decimal InventoryValue."""
+    return _dtsx_inventory_run(spark, sf_dir)[0]
+
+
+def _dtsx_inventory_run(spark, sf_dir):
+    """Shared InventorySync execution: returns (data-flow output,
+    post-UPDATE stg flag state).  r13 (r12 VERDICT #6): the SyncLog
+    binds with the FULL audit schema, so the package's 'Update Sync
+    Log' task (INSERT audit row + UPDATE ProcessedFlag,
+    InventorySync.dtsx:266-269) AUTO-BINDS and executes in-view — the
+    flag frame proves it ran (stg is built with ProcessedFlag =
+    p_partkey % 2; only the bound UPDATE flips the zeros to 1)."""
     from .dtsx import run_package
 
     t = _t(spark, sf_dir)
@@ -8370,8 +8381,10 @@ def q_dtsx_inventory_sync(spark, sf_dir):
         F.max("o_orderdate").cast("timestamp").alias("LastSyncTime"),
         F.lit("Inventory").alias("SyncType"),
         F.lit("Success").alias("Status"),
+        F.lit(0).cast("int").alias("RecordsProcessed"),
+        F.max("o_orderdate").cast("timestamp").alias("CompletedAt"),
     )
-    frames, _report = run_package(
+    frames, report = run_package(
         spark,
         f"{_DTSX_DIR}/InventorySync.dtsx",
         tables={
@@ -8380,6 +8393,16 @@ def q_dtsx_inventory_sync(spark, sf_dir):
             "dim.Warehouse": dim_wh,
             "etl.SyncLog": synclog,
         },
+    )
+    statuses = {b.name: b.status for b in report}
+    if statuses.get("Update Sync Log") != "bound":
+        raise RuntimeError(
+            "InventorySync 'Update Sync Log' did not auto-bind: "
+            f"{statuses.get('Update Sync Log')}"
+        )
+    flag = spark.table("inventorysync__stg_inventoryapi").select(
+        F.col("ProductSKU").alias("product_sku"),
+        F.col("ProcessedFlag").cast("int").alias("processed_flag"),
     )
     out = frames["Load Inventory Updates"].select(
         F.col("ProductSKU").alias("product_sku"),
@@ -8390,7 +8413,7 @@ def q_dtsx_inventory_sync(spark, sf_dir):
         F.col("DaysOfSupply").alias("days_of_supply"),
         F.col("InventoryValue").alias("inventory_value"),
     )
-    return _final_double(out, ["inventory_value"])
+    return _final_double(out, ["inventory_value"]), flag
 
 
 SQL_DTSX_INVENTORY = """
@@ -8534,7 +8557,8 @@ def q_dtsx_packages(spark, sf_dir):
         _nul("double").alias("num_c"),
         _nul("int").alias("num_i"),
     )
-    inv = q_dtsx_inventory_sync(spark, sf_dir).select(
+    inv_out, inv_flag = _dtsx_inventory_run(spark, sf_dir)
+    inv = inv_out.select(
         F.lit("inventory_sync").alias("component"),
         _nul("long").alias("id"),
         F.col("product_key").cast("int").alias("key_a"),
@@ -8546,6 +8570,21 @@ def q_dtsx_packages(spark, sf_dir):
         _nul("double").alias("num_b"),
         _nul("double").alias("num_c"),
         F.col("days_of_supply").cast("int").alias("num_i"),
+    )
+    # r13 (r12 VERDICT #6): the auto-bound UPDATE-flag task's post-state
+    # — every ProcessedFlag is 1 ONLY because the bound DML executed
+    invf = inv_flag.select(
+        F.lit("inv_flag").alias("component"),
+        _nul("long").alias("id"),
+        _nul("int").alias("key_a"),
+        _nul("int").alias("key_b"),
+        F.col("product_sku").alias("txt_a"),
+        _nul("string").alias("txt_b"),
+        _nul("timestamp").alias("ts"),
+        _nul("double").alias("num_a"),
+        _nul("double").alias("num_b"),
+        _nul("double").alias("num_c"),
+        F.col("processed_flag").cast("int").alias("num_i"),
     )
     rt = q_dtsx_order_routing(spark, sf_dir).select(
         F.lit("order_routing").alias("component"),
@@ -8560,7 +8599,7 @@ def q_dtsx_packages(spark, sf_dir):
         _nul("double").alias("num_c"),
         _nul("int").alias("num_i"),
     )
-    return _union_all([sales, cdl, inv, rt])
+    return _union_all([sales, cdl, inv, invf, rt])
 
 
 _NULL_TS = "CAST(NULL AS TIMESTAMP)"
@@ -8584,6 +8623,11 @@ SELECT 'inventory_sync', {_NULL_BIGINT}, CAST(product_key AS INTEGER),
        inventory_value, {_NULL_DOUBLE}, {_NULL_DOUBLE},
        CAST(days_of_supply AS INTEGER)
 FROM ({SQL_DTSX_INVENTORY}) _i
+UNION ALL
+SELECT 'inv_flag', {_NULL_BIGINT}, {_NULL_INT}, {_NULL_INT},
+       'SKU-' || CAST(p_partkey AS VARCHAR), {_NULL_STR}, {_NULL_TS},
+       {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE}, 1
+FROM part
 UNION ALL
 SELECT 'order_routing', CAST(order_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
        branch, priority, {_NULL_TS}, amount_num, {_NULL_DOUBLE},

@@ -549,6 +549,197 @@ def classify_sql(sql: str) -> str:
     return "manual"
 
 
+# --- r13 (r12 VERDICT #6): auto-bindable DML statement shapes ----------------
+# The two statement shapes the engine already owns writers for — the audit
+# INSERT (D5, sources/writers.py append + roundtrip_sinks:audit_update) and
+# the processed-flag UPDATE (D6, sources/writers.py:update_flag atomic
+# swap) — exactly the InventorySync.dtsx:266-269 "Update Sync Log" pair.
+# A task whose EVERY ;-separated statement matches one of these binds and
+# executes IN-VIEW (each statement re-registers its table's temp view, so
+# downstream tasks read the post-DML state; materialization to disk is the
+# writers' job).  Anything else stays honest-manual.
+
+_SQL_DML_LIT = (
+    r"(?:'(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?|\?|@\[?\w+(?:::\w+)?\]?"
+    r"|NULL|GETDATE\s*\(\s*\))"
+)
+_UPDATE_FLAG_RE = re.compile(
+    rf"(?is)^\s*UPDATE\s+([A-Za-z_]\w*(?:\.\w+)*)\s+SET\s+(\w+)\s*=\s*"
+    rf"({_SQL_DML_LIT})\s+WHERE\s+(\w+)\s*=\s*({_SQL_DML_LIT})\s*$"
+)
+_INSERT_VALUES_RE = re.compile(
+    r"(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*(?:\.\w+)*)\s*"
+    r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$"
+)
+
+
+def _split_sql_statements(s: str) -> list[str]:
+    """Split a T-SQL batch on ``;`` OUTSIDE string literals."""
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    stmts: list[str] = []
+    cur: list[str] = []
+    for i, part in enumerate(parts):
+        if i % 2 == 1:
+            cur.append(part)
+            continue
+        while ";" in part:
+            head, part = part.split(";", 1)
+            cur.append(head)
+            st = "".join(cur).strip()
+            if st:
+                stmts.append(st)
+            cur = []
+        cur.append(part)
+    tail = "".join(cur).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split an expression list on commas outside literals and parens."""
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for i, part in enumerate(parts):
+        if i % 2 == 1:
+            cur.append(part)
+            continue
+        for ch in part:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+    out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def _autobindable_dml(sql: str, spark=None, views=None) -> bool:
+    """True when every ;-separated statement is an auto-bindable DML
+    shape (insert-values / update-flag) — the bind-time eligibility
+    check, run on the raw SQL (placeholders still in place).
+
+    With ``spark``/``views`` the check also validates the statements
+    against the BOUND schemas: every referenced table must be bound and
+    every named column must exist on its bound frame.  A caller who
+    binds ``etl.SyncLog`` without the audit columns keeps the honest
+    manual_review classification instead of a run-time failure — the
+    flip to ``bound`` happens only when the statement can actually
+    execute."""
+    stmts = _split_sql_statements(
+        (sql or "").replace("[", "").replace("]", "")
+    )
+    if not stmts:
+        return False
+    for st in stmts:
+        mu = _UPDATE_FLAG_RE.match(st)
+        mi = _INSERT_VALUES_RE.match(st)
+        if not (mu or mi):
+            return False
+        if spark is None or views is None:
+            continue
+        table = (mu or mi).group(1)
+        view = views.get(table)
+        if view is None:
+            return False
+        have = {f.name for f in spark.table(view).schema.fields}
+        if mu:
+            need = {mu.group(2), mu.group(4)}
+        else:
+            need = {c.strip() for c in mi.group(2).split(",") if c.strip()}
+        if not need <= have:
+            return False
+    return True
+
+
+def _run_dml_statements(
+    spark, sql: str, views: dict[str, str], params: list, vars_: dict,
+    ci: bool = False,
+) -> DataFrame:
+    """Execute an auto-bound DML batch in-view: parameters substitute
+    through :func:`rewrite_tsql` (GETDATE -> current_timestamp first),
+    each statement rewrites its table's temp view, and the LAST
+    statement's post-state frame returns as the task output.
+
+    - ``INSERT INTO t (cols) VALUES (...)`` appends ONE row (the D5
+      audit shape): unlisted columns land NULL, every value casts to
+      the view column's type.
+    - ``UPDATE t SET c = v WHERE c2 = w`` flips the flag per-row (the
+      D6 shape; in-view twin of ``sources/writers.py:update_flag`` —
+      the atomic-swap writer materializes the same result to disk).
+      Under ``ci`` a string-literal WHERE comparison folds
+      case-insensitively, matching the SELECT-side collation contract.
+    """
+    s = re.sub(r"(?i)\bGETDATE\s*\(\s*\)", "current_timestamp()", sql)
+    # substitution only — no table mapping (we need original names to
+    # resolve views) and no CI fold (DML shapes are re-matched below;
+    # the UPDATE's WHERE folds explicitly)
+    s = rewrite_tsql(s, {}, params=params, variables=vars_)
+    last: DataFrame | None = None
+    for st in _split_sql_statements(s):
+        m = _INSERT_VALUES_RE.match(st)
+        if m:
+            table, cols_s, vals_s = m.group(1), m.group(2), m.group(3)
+            view = views.get(table)
+            if view is None:
+                raise ValueError(f"DML table {table!r} not bound")
+            cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+            vals = _split_top_level_commas(vals_s)
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"INSERT {table}: {len(cols)} columns, "
+                    f"{len(vals)} values"
+                )
+            cur = spark.table(view)
+            dtypes = dict(cur.dtypes)
+            unknown = [c for c in cols if c not in dtypes]
+            if unknown:
+                raise ValueError(
+                    f"INSERT {table}: unknown columns {unknown}"
+                )
+            by_col = dict(zip(cols, vals))
+            row = spark.range(1).select(
+                *[
+                    (
+                        F.expr(by_col[c]) if c in by_col
+                        else F.lit(None)
+                    ).cast(dtypes[c]).alias(c)
+                    for c in cur.columns
+                ]
+            )
+            last = cur.unionByName(row)
+            last.createOrReplaceTempView(view)
+            continue
+        m = _UPDATE_FLAG_RE.match(st)
+        if m:
+            table, set_col, set_val, where_col, where_val = m.groups()
+            view = views.get(table)
+            if view is None:
+                raise ValueError(f"DML table {table!r} not bound")
+            cur = spark.table(view)
+            wv = F.expr(where_val)
+            wc = F.col(where_col)
+            if ci and where_val.startswith("'"):
+                cond = F.lower(wc) == F.lower(wv)
+            else:
+                cond = wc == wv
+            last = cur.withColumn(
+                set_col,
+                F.when(cond, F.expr(set_val).cast(dict(cur.dtypes)[set_col]))
+                .otherwise(F.col(set_col)),
+            )
+            last.createOrReplaceTempView(view)
+            continue
+        raise ValueError(f"not an auto-bindable DML statement: {st[:80]}")
+    return last
+
+
 # ---------------------------------------------------------------------------
 # Binder
 # ---------------------------------------------------------------------------
@@ -879,6 +1070,28 @@ def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers,
             return Model(name=task.name, build=build), BoundTask(
                 task.name, task.task_type, "bound",
                 f"spark.sql ({task.result_type or 'no result set'})",
+            )
+        if task.sql and _autobindable_dml(task.sql, spark, views):
+            # r13 (r12 VERDICT #6): the audit-INSERT + flag-UPDATE pair
+            # (InventorySync.dtsx:266-269) auto-binds — the engine owns
+            # both writers (D5/D6); execution is in-view so downstream
+            # tasks read the post-DML state
+            def build(frames, vars_, _task=task, _ci=ci):
+                return _run_dml_statements(
+                    spark,
+                    _task.sql,
+                    views,
+                    params=[
+                        vars_[v] for v in param_bindings.get(_task.name, [])
+                    ],
+                    vars_=vars_,
+                    ci=_ci,
+                )
+
+            return Model(name=task.name, build=build), BoundTask(
+                task.name, task.task_type, "bound",
+                "auto-bound DML (insert-values / update-flag shapes, "
+                "D5/D6)",
             )
         return _noop_model(spark, task, "manual_review_required"), BoundTask(
             task.name, task.task_type, "manual_review_required",

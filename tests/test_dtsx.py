@@ -1019,6 +1019,163 @@ class TestCollationCi:
         assert {r["K"] for r in frames_cs["Flow"].collect()} == {1, 2, 4}
 
 
+class TestAutoBoundDml:
+    """r13 (r12 VERDICT #6): the audit-INSERT + flag-UPDATE statement
+    shapes (InventorySync.dtsx:266-269) auto-bind — the engine owns both
+    writers (D5 append / D6 update_flag atomic swap); execution is
+    in-view.  Everything else — and the same shapes against a bound
+    frame MISSING the named columns — stays honest-manual."""
+
+    def _pkg(self, tmp_path, name, sql, variables=""):
+        xml = ('<?xml version="1.0"?>\n'
+               '<DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" '
+               'xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask" '
+               f'DTS:ObjectName="{name}">'
+               f'<DTS:Variables>{variables}</DTS:Variables>'
+               '<DTS:Executables>'
+               f'<DTS:Executable DTS:refId="Package{BS}T" '
+               'DTS:ExecutableType="Microsoft.ExecuteSQLTask" '
+               'DTS:ObjectName="T">'
+               '<DTS:ObjectData><SQLTask:SqlTaskData '
+               'SQLTask:Connection="c" '
+               f'SQLTask:SqlStatementSource="{sql}"/></DTS:ObjectData>'
+               '</DTS:Executable>'
+               '</DTS:Executables>'
+               '<DTS:PrecedenceConstraints></DTS:PrecedenceConstraints>'
+               '</DTS:Executable>')
+        p = tmp_path / f"{name}.dtsx"
+        p.write_text(xml)
+        return str(p)
+
+    def test_update_flag_auto_binds_and_flips(self, spark, tmp_path):
+        path = self._pkg(
+            tmp_path, "UpdFlag",
+            "UPDATE stg.T SET Flag = 1 WHERE Flag = 0;",
+        )
+        stg = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 0)], "K int, Flag int"
+        )
+        frames, report = run_package(spark, path, tables={"stg.T": stg})
+        statuses = {b.name: b.status for b in report}
+        assert statuses["T"] == "bound"
+        got = {(r["K"], r["Flag"]) for r in frames["T"].collect()}
+        assert got == {(1, 1), (2, 1), (3, 1)}
+
+    def test_insert_plus_update_pair_binds(self, spark, tmp_path):
+        """The exact InventorySync 'Update Sync Log' pair: a 1-row audit
+        INSERT (GETDATE + @Var values) then the flag UPDATE; unlisted
+        INSERT columns land NULL; downstream state is in-view."""
+        from datetime import datetime
+
+        path = self._pkg(
+            tmp_path, "AuditPair",
+            "INSERT INTO etl.Log (SyncType, N, Status) "
+            "VALUES ('Inventory', @RecordsProcessed, 'Success');"
+            "UPDATE stg.T SET Flag = 1 WHERE Flag = 0;",
+            variables=(
+                '<DTS:Variable DTS:Namespace="User" '
+                'DTS:ObjectName="RecordsProcessed">'
+                '<DTS:VariableValue DTS:DataType="3">42</DTS:VariableValue>'
+                '</DTS:Variable>'
+            ),
+        )
+        log = spark.createDataFrame(
+            [("Inventory", 7, "Success", datetime(2024, 1, 1))],
+            "SyncType string, N int, Status string, At timestamp",
+        )
+        stg = spark.createDataFrame([(1, 0), (2, 1)], "K int, Flag int")
+        frames, report = run_package(
+            spark, path, tables={"etl.Log": log, "stg.T": stg}
+        )
+        statuses = {b.name: b.status for b in report}
+        assert statuses["T"] == "bound"
+        # the task frame is the UPDATE's post-state
+        assert {(r["K"], r["Flag"]) for r in frames["T"].collect()} == {
+            (1, 1), (2, 1)
+        }
+        # the INSERT landed in-view: new row with NULL for unlisted At
+        rows = sorted(
+            (r["SyncType"], r["N"], r["Status"], r["At"] is None)
+            for r in spark.table("auditpair__etl_log").collect()
+        )
+        assert rows == [
+            ("Inventory", 7, "Success", False),
+            ("Inventory", 42, "Success", True),
+        ]
+
+    def test_complex_dml_stays_manual(self, spark, tmp_path):
+        for sql in (
+            "UPDATE stg.T SET Flag = Flag + 1 WHERE Flag = 0;",
+            "DELETE FROM stg.T WHERE Flag = 0;",
+            "UPDATE stg.T SET Flag = 1;",
+        ):
+            path = self._pkg(tmp_path, f"M{abs(hash(sql)) % 1000}", sql)
+            stg = spark.createDataFrame([(1, 0)], "K int, Flag int")
+            _, report = run_package(spark, path, tables={"stg.T": stg})
+            assert report[0].status == "manual_review_required", sql
+
+    def test_missing_columns_stay_manual(self, spark, tmp_path):
+        """The InventorySync INSERT against a bound SyncLog missing the
+        audit columns must not flip to bound (it could never execute) —
+        the r11-era honest classification is preserved."""
+        path = self._pkg(
+            tmp_path, "MissCols",
+            "INSERT INTO etl.Log (SyncType, Missing) VALUES ('x', 1);",
+        )
+        log = spark.createDataFrame([("a",)], "SyncType string")
+        _, report = run_package(spark, path, tables={"etl.Log": log})
+        assert report[0].status == "manual_review_required"
+
+    def test_inventory_sync_update_task_binds_with_full_schema(
+        self, spark
+    ):
+        """Bound with a full-schema SyncLog, the reference package's
+        'Update Sync Log' task flips to bound and executes: audit row
+        appended, every ProcessedFlag=0 row flipped to 1 in-view."""
+        from datetime import datetime
+        from decimal import Decimal
+
+        synclog = spark.createDataFrame(
+            [("Inventory", datetime(2024, 3, 1), 5, "Success",
+              datetime(2024, 3, 1))],
+            "SyncType string, LastSyncTime timestamp, "
+            "RecordsProcessed int, Status string, CompletedAt timestamp",
+        )
+        stg = spark.createDataFrame(
+            [("SKU-1", "W1", 50, 10, 40, datetime(2024, 1, 1).date(), 20,
+              100, Decimal("2.5000"), 0)],
+            "ProductSKU string, WarehouseCode string, QuantityOnHand int,"
+            "QuantityReserved int, QuantityAvailable int, LastCountDate date,"
+            "ReorderPoint int, MaxStockLevel int, UnitCost decimal(18,4),"
+            "ProcessedFlag int",
+        )
+        dim_product = spark.createDataFrame(
+            [(900, "SKU-1", 1)], "ProductKey int, SKU string, IsActive int"
+        )
+        dim_wh = spark.createDataFrame(
+            [(501, "W1")], "WarehouseKey int, WarehouseCode string"
+        )
+        frames, report = run_package(
+            spark, f"{PKG_DIR}/InventorySync.dtsx",
+            tables={
+                "etl.SyncLog": synclog, "stg.InventoryAPI": stg,
+                "dim.Product": dim_product, "dim.Warehouse": dim_wh,
+            },
+        )
+        statuses = {b.name: b.status for b in report}
+        assert statuses["Update Sync Log"] == "bound"
+        # flag flipped in-view; audit row appended with the package's
+        # RecordsProcessed variable (0 by default) and GETDATE stamps
+        upd = spark.table("inventorysync__stg_inventoryapi")
+        assert [r["ProcessedFlag"] for r in upd.collect()] == [1]
+        log = spark.table("inventorysync__etl_synclog")
+        assert log.count() == 2
+        new = log.filter(F.col("LastSyncTime") > "2024-06-01").first()
+        assert new["SyncType"] == "Inventory"
+        assert new["Status"] == "Success"
+        assert new["CompletedAt"] is not None
+
+
 class TestDataConversionErrorOutput:
     def test_failing_casts_route_to_error_output(self, spark, tmp_path):
         body = (

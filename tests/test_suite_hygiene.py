@@ -69,7 +69,8 @@ EXPECTED = {
         "unpivot",
     },
     "dtsx_packages": {
-        "customer_load", "inventory_sync", "order_routing", "sales_fact",
+        "customer_load", "inv_flag", "inventory_sync", "order_routing",
+        "sales_fact",
     },
     "cdc_orders": {"apply", "diff"},
     "crawl_ingest_docs": {
