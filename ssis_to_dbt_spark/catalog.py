@@ -7030,6 +7030,116 @@ FROM documents
 """
 
 
+def q_image_phash_neardup(spark, sf_dir):
+    """r13 (r12 VERDICT #5): perceptual-hash image near-dup — dHash over
+    the pure-Python decoders, Hamming-banded candidate pairs through the
+    SAME blocking machinery as the text SimHash path
+    (``text/dedup.py:hamming_candidates``, skew-capped buckets).
+
+    Fixture: one 9x6 gray-gradient BMP per sampled doc
+    (``doc_id % 30 == 0``), pixel value
+    ``(23*base + 41*x + 59*y + 100*tweak*[x=0]) % 256`` with
+    ``base = id % 16`` (16 image classes -> same-base ids are clones or
+    x=0-tweaked near-dups) — CLOSED-FORM pixels, so the oracle derives
+    the 48-bit dHash, the 4x12-bit banding, and the pair set from the
+    formula alone.  Components: 'hash' = per-image dHash value; 'pair' =
+    banded candidates with exact Hamming distance.
+
+    100 TB: hashing is map-only over the media scan; blocking touches
+    only the hash relation with per-band caps — never all-pairs."""
+    from .text.dedup import phash_candidates
+    from .text.multimodal import encode_bmp_pixels, image_phash
+
+    docs = _t(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") % 30 == 0
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def encode(batches):
+        import pandas as pd
+
+        def px(i, x, y):
+            base = i % 16
+            tweak = (i // 16) % 2
+            v = (23 * base + 41 * x + 59 * y
+                 + (100 * tweak if x == 0 else 0)) % 256
+            return (v, v, v)
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        encode_bmp_pixels(
+                            [
+                                [px(int(i), x, y) for x in range(9)]
+                                for y in range(6)
+                            ]
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    fp = image_phash(media, method="dhash")
+    hashes = fp.select(
+        F.lit("hash").alias("component"),
+        F.col("media_id").cast("long").alias("id_a"),
+        _nul("long").alias("id_b"),
+        F.col("phash").cast("long").alias("n"),
+    )
+    pairs = phash_candidates(fp).select(
+        F.lit("pair").alias("component"),
+        F.col("media_a").cast("long").alias("id_a"),
+        F.col("media_b").cast("long").alias("id_b"),
+        F.col("hamming_distance").cast("long").alias("n"),
+    )
+    return _union_all([hashes, pairs])
+
+
+SQL_IMAGE_PHASH = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 16 AS BIGINT) AS base,
+         CAST((doc_id // 16) % 2 AS BIGINT) AS tweak
+  FROM documents WHERE doc_id % 30 = 0),
+g AS (
+  SELECT i.media_id, t1.x, t2.y,
+         (23 * i.base + 41 * t1.x + 59 * t2.y
+          + CASE WHEN t1.x = 0 THEN 100 * i.tweak ELSE 0 END) % 256 AS gv
+  FROM ids i, range(9) t1(x), range(6) t2(y)),
+bits AS (
+  SELECT a.media_id, a.y * 8 + a.x AS b,
+         CASE WHEN a.gv > c.gv THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g c ON a.media_id = c.media_id AND a.y = c.y
+                   AND c.x = a.x + 1
+  WHERE a.x < 8),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER)))
+              AS BIGINT) AS phash
+  FROM bits GROUP BY media_id),
+banded AS (
+  SELECT media_id, phash, t.i AS band_idx,
+         (phash >> CAST(12 * t.i AS INTEGER)) & 4095 AS band_val
+  FROM hashes, range(4) t(i)),
+pairs AS (
+  SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+                  l.phash AS pa, r.phash AS pb
+  FROM banded l
+  JOIN banded r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+               AND l.media_id < r.media_id)
+SELECT 'hash' AS component, CAST(media_id AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, phash AS n
+FROM hashes
+UNION ALL
+SELECT 'pair', CAST(a AS BIGINT), CAST(b AS BIGINT),
+       CAST(bit_count(xor(pa, pb)) AS BIGINT)
+FROM pairs
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     feats = q_multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("component"),
@@ -7100,7 +7210,32 @@ def q_multimodal_decode(spark, sf_dir):
         _nul("double").alias("v2"),
         _nul("double").alias("v3"),
     )
-    return _union_all([feats, bmp, wav, rs, png, jpg])
+    # r13 (r12 VERDICT #5): perceptual-hash near-dup — per-image dHash
+    # under 'phash', banded candidate pairs under 'phash_pair'
+    ph = q_image_phash_neardup(spark, sf_dir)
+    phh = ph.filter(F.col("component") == "hash").select(
+        F.lit("phash").alias("component"),
+        F.col("id_a").cast("long").alias("media_id"),
+        _nul("int").alias("i1"),
+        _nul("int").alias("i2"),
+        _nul("int").alias("i3"),
+        F.col("n").cast("long").alias("n1"),
+        _nul("double").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    php = ph.filter(F.col("component") == "pair").select(
+        F.lit("phash_pair").alias("component"),
+        F.col("id_a").cast("long").alias("media_id"),
+        F.col("n").cast("int").alias("i1"),
+        _nul("int").alias("i2"),
+        _nul("int").alias("i3"),
+        F.col("id_b").cast("long").alias("n1"),
+        _nul("double").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([feats, bmp, wav, rs, png, jpg, phh, php])
 
 
 SQL_MULTIMODAL_DECODE = f"""
@@ -7135,6 +7270,15 @@ SELECT 'jpeg', CAST(media_id AS BIGINT), CAST(width AS INTEGER),
        CAST(height AS INTEGER), CAST(channels AS INTEGER), {_NULL_BIGINT},
        {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE}
 FROM ({SQL_JPEG_STATS}) _j
+UNION ALL
+SELECT 'phash', CAST(id_a AS BIGINT), {_NULL_INT}, {_NULL_INT}, {_NULL_INT},
+       CAST(n AS BIGINT), {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE}
+FROM ({SQL_IMAGE_PHASH}) _ph WHERE component = 'hash'
+UNION ALL
+SELECT 'phash_pair', CAST(id_a AS BIGINT), CAST(n AS INTEGER), {_NULL_INT},
+       {_NULL_INT}, CAST(id_b AS BIGINT), {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       {_NULL_DOUBLE}
+FROM ({SQL_IMAGE_PHASH}) _pp WHERE component = 'pair'
 """
 
 
@@ -9806,6 +9950,7 @@ ALL_QUERIES = {
     "asof_range_joins": q_asof_range_joins,
     "orchestration_dag": q_orchestration_dag,
     "multimodal_decode": q_multimodal_decode,
+    "image_phash_neardup": q_image_phash_neardup,
     "sampling_splits": q_sampling_splits,
     "pii_tfidf_docs": q_pii_tfidf_docs,
     "pivot_unpivot_orders": q_pivot_unpivot_orders,
@@ -10000,6 +10145,7 @@ ALL_ORACLES = {
     "asof_range_joins": SQL_ASOF_RANGE_JOINS,
     "orchestration_dag": SQL_ORCHESTRATION_DAG,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "image_phash_neardup": SQL_IMAGE_PHASH,
     "sampling_splits": SQL_SAMPLING_SPLITS,
     "pii_tfidf_docs": SQL_PII_TFIDF,
     "pivot_unpivot_orders": SQL_PIVOT_UNPIVOT,

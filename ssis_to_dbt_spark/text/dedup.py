@@ -465,45 +465,10 @@ def simhash_md5_candidates(
     ``band_bits``-wide band of the fingerprint pair up via an equi-join on
     the band value (same cost shape as :func:`simhash_candidates`, band
     buckets capped via :func:`_cap_band_members`)."""
-    n_bands = bits // band_bits
     sh = simhash_md5_fingerprints(df, id_col, text_col, bits)
-    banded = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    # Both sides of the band self-join reference this table; materialize it
-    # once (id + fingerprint + band cols) instead of re-running the
-    # per-token vote pipeline from the corpus scan for each side.
-    banded = _cap_band_members(
-        banded, id_col, ["band_idx", "band_val"], max_bucket_size
-    ).localCheckpoint(eager=False)
-    left = banded.select(
-        "band_idx", "band_val",
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
-    )
-    right = banded.select(
-        "band_idx", "band_val",
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"),
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", hamming.alias("hamming_distance"))
+    return hamming_candidates(
+        sh, id_col=id_col, fp_col="simhash", bits=bits,
+        band_bits=band_bits, max_bucket_size=max_bucket_size,
     )
 
 
@@ -587,6 +552,91 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def hamming_candidates(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 48,
+    band_bits: int = 12,
+    max_bucket_size: int | None = 10_000,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Hamming-ball candidate blocking over an EXISTING fingerprint
+    column (r13): items sharing any ``band_bits``-wide band of the
+    ``bits``-bit fingerprint pair up via an equi-join on the band value,
+    skew-capped per band bucket (:func:`_cap_band_members`) — never
+    all-pairs.  The shared core of :func:`simhash_candidates` /
+    :func:`simhash_md5_candidates`, factored out so NON-text
+    fingerprints (perceptual image hashes,
+    :func:`~ssis_to_dbt_spark.text.multimodal.image_phash`) block
+    through the identical machinery.  NULL fingerprints (quarantined
+    decodes) drop out before banding.  Returns
+    ``(out_a, out_b, hamming_distance)``."""
+    n_bands = bits // band_bits
+    banded = fp_df.filter(F.col(fp_col).isNotNull()).select(
+        id_col,
+        F.col(fp_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col(fp_col), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "_fp", "band.band_idx", "band.band_val")
+    # Both sides of the band self-join reference this table; materialize
+    # it once (id + fingerprint + band cols) instead of re-running the
+    # fingerprint pipeline from the source scan for each side.
+    banded = _cap_band_members(
+        banded, id_col, ["band_idx", "band_val"], max_bucket_size
+    ).localCheckpoint(eager=False)
+    left = banded.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias(out_a), F.col("_fp").alias("_fp_a"),
+    )
+    right = banded.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias(out_b), F.col("_fp").alias("_fp_b"),
+    )
+    hamming = F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .dropDuplicates([out_a, out_b])
+        .select(out_a, out_b, hamming.alias("hamming_distance"))
+    )
+
+
+def phash_candidates(
+    fp_df: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "phash",
+    bits: int = 48,
+    band_bits: int = 12,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual-hash image near-dup candidates (r13, r12 VERDICT #5):
+    Hamming-band blocking over
+    :func:`~ssis_to_dbt_spark.text.multimodal.image_phash` output —
+    rescaled/re-encoded copies of an image land at Hamming distance 0-2
+    and share bands; filter ``hamming_distance <= t`` downstream for
+    the match threshold.  Returns ``(media_a, media_b,
+    hamming_distance)``.  100 TB: blocking touches only the
+    1-row-per-image hash relation; per-band buckets are skew-capped."""
+    return hamming_candidates(
+        fp_df, id_col=id_col, fp_col=fp_col, bits=bits,
+        band_bits=band_bits, max_bucket_size=max_bucket_size,
+        out_a="media_a", out_b="media_b",
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -598,45 +648,10 @@ def simhash_candidates(
     """SimHash near-dup candidates: docs sharing any ``band_bits``-wide band
     of the fingerprint (Hamming-ball blocking, equi-join on band value;
     band buckets capped via :func:`_cap_band_members`)."""
-    n_bands = bits // band_bits
     sh = simhash_fingerprints(df, id_col, text_col, bits)
-    banded = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    # Both sides of the band self-join reference this table; materialize it
-    # once (id + fingerprint + band cols) instead of re-running the
-    # per-token vote pipeline from the corpus scan for each side.
-    banded = _cap_band_members(
-        banded, id_col, ["band_idx", "band_val"], max_bucket_size
-    ).localCheckpoint(eager=False)
-    left = banded.select(
-        "band_idx", "band_val",
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
-    )
-    right = banded.select(
-        "band_idx", "band_val",
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"),
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", hamming.alias("hamming_distance"))
+    return hamming_candidates(
+        sh, id_col=id_col, fp_col="simhash", bits=bits,
+        band_bits=band_bits, max_bucket_size=max_bucket_size,
     )
 
 

@@ -793,3 +793,171 @@ def sample_frames(
     return df.select(
         id_col, content_col, F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(sample, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r13, r12 VERDICT #5): dHash / aHash over the
+# pure-Python decoders — the multimodal dedup a training-data pipeline
+# needs beyond byte-exact content_fingerprint.  A rescaled / re-encoded
+# copy of an image keeps its perceptual hash (nearest-neighbor downsample
+# to a tiny gray grid erases resolution and codec differences), so
+# near-duplicate images pair through the SAME Hamming-banded candidate
+# machinery the text SimHash path uses (text/dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def _pixel_rows(
+    data: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """(width, height, RGB rows top-first) for any supported image codec
+    — BMP (24bpp), PNG (8-bit gray/RGB/RGBA), JPEG (baseline, via
+    text/jpeg.py).  ValueError on anything else (the decoders' shared
+    refusal contract)."""
+    import struct
+
+    if len(data) >= 2 and data[:2] == b"BM":
+        if len(data) < 54:
+            raise ValueError("truncated BMP")
+        pixel_off = struct.unpack_from("<I", data, 10)[0]
+        width, height = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError("only 24bpp uncompressed BMP supported")
+        bottom_up = height > 0
+        height = abs(height)
+        if width < 1 or height < 1:
+            raise ValueError("degenerate source dimensions")
+        stride = (width * 3 + 3) & ~3
+        if pixel_off + (height - 1) * stride + width * 3 > len(data):
+            raise ValueError("truncated BMP")
+        rows = []
+        for j in range(height):
+            y = (height - 1 - j) if bottom_up else j
+            base = pixel_off + y * stride
+            raw = data[base: base + width * 3]
+            rows.append(
+                [
+                    (raw[i * 3 + 2], raw[i * 3 + 1], raw[i * 3])
+                    for i in range(width)
+                ]
+            )
+        return width, height, rows
+    if len(data) >= 8 and data[:8] == _PNG_SIG:
+        width, height, nch, lines = _png_scanlines(data)
+        rows = []
+        for line in lines:
+            if nch == 1:
+                rows.append([(v, v, v) for v in line])
+            else:
+                rows.append(
+                    [
+                        tuple(line[i * nch + c] for c in range(3))
+                        for i in range(width)
+                    ]
+                )
+        return width, height, rows
+    if len(data) >= 2 and data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        width, height, _nch, rows = decode_jpeg_pixels(data)
+        return width, height, rows
+    raise ValueError("unsupported image payload")
+
+
+def _gray_grid(data: bytes, dst_w: int, dst_h: int) -> list[list[int]]:
+    """Integer-luminance grid nearest-neighbor resized to (dst_w, dst_h):
+    gray = (299 r + 587 g + 114 b) // 1000 (BT.601, exact integers — an
+    r=g=b source pixel grays to exactly that value), NN mapping
+    ``src = floor(dst * src_dim / dst_dim)`` (identical to resize_bmp /
+    resize_png, so a pixel-doubled image resizes back to its source
+    grid bit-for-bit)."""
+    w, h, rows = _pixel_rows(data)
+    return [
+        [
+            (lambda p: (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000)(
+                rows[y * h // dst_h][x * w // dst_w]
+            )
+            for x in range(dst_w)
+        ]
+        for y in range(dst_h)
+    ]
+
+
+def dhash_image(data: bytes, hash_w: int = 8, hash_h: int = 6) -> int:
+    """Difference hash: resize to (hash_w+1) x hash_h gray, bit
+    ``y*hash_w + x`` set iff ``gray[y][x] > gray[y][x+1]`` — the
+    horizontal-gradient signature (Krawetz's dHash).  Default 48 bits
+    (8x6), matching the text SimHash width so the Hamming-band blocking
+    composes unchanged and the value stays positive in a signed 64-bit
+    column on every engine."""
+    g = _gray_grid(data, hash_w + 1, hash_h)
+    v = 0
+    for y in range(hash_h):
+        for x in range(hash_w):
+            if g[y][x] > g[y][x + 1]:
+                v |= 1 << (y * hash_w + x)
+    return v
+
+
+def ahash_image(data: bytes, hash_w: int = 8, hash_h: int = 6) -> int:
+    """Average hash: resize to hash_w x hash_h gray, bit set iff the
+    pixel exceeds the FLOOR-integer mean — exact arithmetic end to end
+    (no float mean), so the hash is engine-portable."""
+    g = _gray_grid(data, hash_w, hash_h)
+    total = sum(v for row in g for v in row)
+    mean = total // (hash_w * hash_h)
+    v = 0
+    for y in range(hash_h):
+        for x in range(hash_w):
+            if g[y][x] > mean:
+                v |= 1 << (y * hash_w + x)
+    return v
+
+
+def image_phash(
+    media_df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    method: str = "dhash",
+    hash_w: int = 8,
+    hash_h: int = 6,
+) -> DataFrame:
+    """Perceptual hash per image as an Arrow-batched map
+    (``mapInPandas`` — binary decode is genuinely per-row Python; no
+    shuffle, no driver round-trip): ``(id_col, phash long, err string)``.
+    Corrupt / unsupported payloads follow the decode-stats quarantine
+    contract — NULL hash + the refusal reason, never a poisoned job.
+
+    100 TB: map-only over the media table; downstream near-dup blocking
+    (:func:`~ssis_to_dbt_spark.text.dedup.phash_candidates`) touches only
+    the 1-row-per-image hash relation."""
+    fn = {"dhash": dhash_image, "ahash": ahash_image}.get(method)
+    if fn is None:
+        raise ValueError(f"unknown phash method {method!r}")
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hashes, errs = [], []
+            for raw in pdf[content_col]:
+                try:
+                    hashes.append(
+                        fn(bytes(raw), hash_w=hash_w, hash_h=hash_h)
+                    )
+                    errs.append(None)
+                except (ValueError, IndexError) as exc:
+                    hashes.append(None)
+                    errs.append(str(exc)[:200])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "err": errs,
+                }
+            )
+
+    return media_df.select(id_col, content_col).mapInPandas(
+        compute, schema=f"{id_col} long, phash long, err string"
+    )

@@ -47,7 +47,10 @@ EXPECTED = {
         "cig_group", "cig_distinct", "cig_dup", "cig_sort_top",
         "cif_where_eq", "cif_where_in", "cif_expr_eq", "cif_expr_ne",
     },
-    "multimodal_decode": {"bmp", "features", "jpeg", "png", "resize", "wav"},
+    "multimodal_decode": {
+        "bmp", "features", "jpeg", "phash", "phash_pair", "png", "resize",
+        "wav",
+    },
     "corpus_curation": {
         "clean", "contaminated", "dsir_sel", "enrich", "gate", "mixture",
         "pack", "prune",
