@@ -87,6 +87,10 @@ HEADLINE = [
     "nb_classifier_docs",
     "ivf_index_probe",
     "semantic_decontam_ivf",
+    "ci_filter_customers",
+    "ivf_recall_audit",
+    "hybrid_rrf_indexed",
+    "image_phash_neardup",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE

@@ -724,3 +724,29 @@ class TestRound12PlanShapes:
         assert "PartitionFilters" in fmt and "cell" in fmt
         assert "BroadcastNestedLoopJoin" not in fmt
         assert "CartesianProduct" not in fmt
+
+    def test_ci_filter_fold_stays_scan_side_expression(self, spark):
+        """r13: the CI predicate fold is a per-row lower() comparison in
+        the scan-side Filter — no exchange, no join, no UDF appears in
+        any of the four components' plan."""
+        fmt = plan_of(spark, "ci_filter_customers", "simple")
+        assert "Exchange hashpartitioning" not in fmt
+        assert "lower(" in fmt
+        assert "BatchEvalPython" not in fmt and "ArrowEval" not in fmt
+
+    def test_image_phash_banded_join_never_all_pairs(self, spark):
+        """r13: the perceptual near-dup plan joins on (band_idx,
+        band_val) — a hash equi-join, never a cartesian/BNLJ — and the
+        hash stage is one Arrow mapInPandas over the media scan."""
+        fmt = plan_of(spark, "image_phash_neardup")
+        assert "CartesianProduct" not in fmt
+        assert "BroadcastNestedLoopJoin" not in fmt
+        assert "band_val" in fmt
+        assert fmt.count("MapInPandas") >= 1
+
+    def test_ivf_recall_arms_partition_prune(self, spark):
+        """r13: the pruned recall arms carry PartitionFilters on the
+        cell key; nothing in the audit is a cartesian."""
+        fmt = plan_of(spark, "ivf_recall_audit")
+        assert "PartitionFilters" in fmt and "cell" in fmt
+        assert "CartesianProduct" not in fmt

@@ -62,6 +62,9 @@ SHOWCASE = {
     "semantic_decontam_ivf": "corpus-scale decontam through the IVF index: map-only routing, PartitionFilters on the eval assign scan, cell-keyed shuffle join — NO broadcast of either side, per-item WindowGroupLimit argmax",
     "ci_group_customers": "CI GROUP BY/DISTINCT/dup/sort: the lower() fold is a map-side projection riding the same hash agg (partial combine intact); MIN-case representative rides the combine",
     "hybrid_rrf_docs": "RRF hybrid retrieval: both input rankings are per-query WindowGroupLimit top-k relations; the fuse is a model-sized union + (query, doc) hash agg — the corpus is only touched inside the two retrievers",
+    "ci_filter_customers": "CI predicate folds (r13): LOWER() stays a per-row codegen expression inside the scan-side Filter — no exchange added by the fold; the expression-compiler arms share the plan shape with the rewrite_tsql arms",
+    "ivf_recall_audit": "recall@k audit (r13): each nprobe arm is a partition-pruned probe; hit counts join per-query top-k relations (request-scale); the exact arm is the unpruned probe, not a separate brute operator",
+    "image_phash_neardup": "perceptual near-dup (r13): map-only mapInPandas hash, banded self-join on (band_idx, band_val) with capped buckets, bit_count XOR hamming in codegen — never all-pairs",
 }
 
 # some entries need non-default kwargs for a REVIEWABLE plan (the
