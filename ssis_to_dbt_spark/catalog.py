@@ -7089,13 +7089,22 @@ def q_image_phash_neardup(spark, sf_dir):
         _nul("long").alias("id_b"),
         F.col("phash").cast("long").alias("n"),
     )
+    # aHash under its own component: the 8x6 NN grid of a 9x6 source is
+    # columns 0-7 identically (floor(9x/8) = x for x < 8), so the
+    # mean-threshold hash is the same closed form the oracle replays
+    ah = image_phash(media, method="ahash").select(
+        F.lit("ahash").alias("component"),
+        F.col("media_id").cast("long").alias("id_a"),
+        _nul("long").alias("id_b"),
+        F.col("phash").cast("long").alias("n"),
+    )
     pairs = phash_candidates(fp).select(
         F.lit("pair").alias("component"),
         F.col("media_a").cast("long").alias("id_a"),
         F.col("media_b").cast("long").alias("id_b"),
         F.col("hamming_distance").cast("long").alias("n"),
     )
-    return _union_all([hashes, pairs])
+    return _union_all([hashes, ah, pairs])
 
 
 SQL_IMAGE_PHASH = """
@@ -7133,6 +7142,17 @@ pairs AS (
 SELECT 'hash' AS component, CAST(media_id AS BIGINT) AS id_a,
        CAST(NULL AS BIGINT) AS id_b, phash AS n
 FROM hashes
+UNION ALL
+SELECT 'ahash', CAST(h.media_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(SUM(CASE WHEN g.gv > m.mean_g THEN
+                     (CAST(1 AS BIGINT) << CAST(g.y * 8 + g.x AS INTEGER))
+                     ELSE 0 END) AS BIGINT)
+FROM hashes h
+JOIN g ON g.media_id = h.media_id AND g.x < 8
+JOIN (SELECT media_id, SUM(gv) // 48 AS mean_g
+      FROM g WHERE x < 8 GROUP BY media_id) m
+  ON m.media_id = h.media_id
+GROUP BY h.media_id
 UNION ALL
 SELECT 'pair', CAST(a AS BIGINT), CAST(b AS BIGINT),
        CAST(bit_count(xor(pa, pb)) AS BIGINT)
