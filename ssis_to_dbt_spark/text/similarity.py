@@ -1943,11 +1943,14 @@ def ivf_recall_at_k(
     before calling if the sample is large).  The hit count joins
     per-query top-k relations — request-scale, never corpus-scale."""
     n_cells = len(index.centroids)
+    # the exact arm joins into EVERY pruned arm: localCheckpoint it so
+    # the full-index probe runs once, not once per nprobe (it is a
+    # queries x k relation — request-scale blocks)
     exact = ivf_probe_batch(
         index, queries_df, k=k, nprobe=n_cells,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         id_col=id_col, vec_col=vec_col,
-    ).select(query_id_col, id_col)
+    ).select(query_id_col, id_col).localCheckpoint(eager=False)
     qids = queries_df.select(query_id_col).distinct()
     outs = []
     for np_ in sorted({int(x) for x in nprobes}):
