@@ -7098,17 +7098,33 @@ def q_image_phash_neardup(spark, sf_dir):
         _nul("long").alias("id_b"),
         F.col("phash").cast("long").alias("n"),
     )
-    pairs = phash_candidates(fp).select(
+    cand = phash_candidates(fp)
+    pairs = cand.select(
         F.lit("pair").alias("component"),
         F.col("media_a").cast("long").alias("id_a"),
         F.col("media_b").cast("long").alias("id_b"),
         F.col("hamming_distance").cast("long").alias("n"),
     )
-    return _union_all([hashes, ah, pairs])
+    # the keep-one step (r13): near-dup pairs at Hamming <= 2 cluster via
+    # the SAME min-label connected components the text dedup runs; each
+    # member labels with its cluster's canonical (minimum) media_id
+    from .text.dedup import connected_components
+
+    comp = connected_components(
+        cand.filter(F.col("hamming_distance") <= 2), "media_a", "media_b"
+    )
+    csize = comp.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    clusters = comp.join(csize, "label").select(
+        F.lit("cluster").alias("component"),
+        F.col("node").cast("long").alias("id_a"),
+        F.col("label").cast("long").alias("id_b"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return _union_all([hashes, ah, pairs, clusters])
 
 
 SQL_IMAGE_PHASH = """
-WITH ids AS (
+WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id,
          CAST(doc_id % 16 AS BIGINT) AS base,
          CAST((doc_id // 16) % 2 AS BIGINT) AS tweak
@@ -7138,7 +7154,19 @@ pairs AS (
                   l.phash AS pa, r.phash AS pb
   FROM banded l
   JOIN banded r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-               AND l.media_id < r.media_id)
+               AND l.media_id < r.media_id),
+dpairs AS (SELECT a, b FROM pairs WHERE bit_count(xor(pa, pb)) <= 2),
+edges AS (SELECT a AS src, b AS dst FROM dpairs
+          UNION ALL
+          SELECT b AS src, a AS dst FROM dpairs),
+cnodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM cnodes
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS canonical FROM reach GROUP BY node)
 SELECT 'hash' AS component, CAST(media_id AS BIGINT) AS id_a,
        CAST(NULL AS BIGINT) AS id_b, phash AS n
 FROM hashes
@@ -7157,6 +7185,12 @@ UNION ALL
 SELECT 'pair', CAST(a AS BIGINT), CAST(b AS BIGINT),
        CAST(bit_count(xor(pa, pb)) AS BIGINT)
 FROM pairs
+UNION ALL
+SELECT 'cluster', CAST(node AS BIGINT), CAST(canonical AS BIGINT),
+       CAST(cs.n AS BIGINT)
+FROM comp
+JOIN (SELECT canonical AS c2, COUNT(*) AS n
+      FROM comp GROUP BY canonical) cs ON comp.canonical = cs.c2
 """
 
 

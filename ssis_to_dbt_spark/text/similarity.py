@@ -1978,3 +1978,82 @@ def ivf_recall_at_k(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def maintain_ivf_index(
+    spark,
+    path: str,
+    queries_df: DataFrame | None = None,
+    max_ratio: float = 4.0,
+    k: int = 10,
+    nprobe: int = 2,
+    min_recall: float = 0.9,
+    n_cells: int | None = None,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One index-maintenance cycle (r13): the EXECUTABLE composition of
+    the audit -> recall -> recluster loop the r12/r13 operators document.
+
+    1. :func:`ivf_index_cell_audit` — no over-ratio cells -> ``{"action":
+       "healthy"}``, nothing else runs.
+    2. Hot cells + a ``queries_df`` sample -> :func:`ivf_recall_at_k` at
+       the production ``nprobe``: if corpus recall@k still clears
+       ``min_recall``, the drift isn't hurting answers yet ->
+       ``{"action": "recall_ok"}`` (skip the rebuild, keep watching).
+    3. Hot cells + (recall sagged OR no sample to check) ->
+       :func:`recluster_ivf_index` IN PLACE (staged swap + crash heal),
+       then re-measure recall on the new generation when a sample exists.
+
+    Returns a driver-side report dict — every collect is bounded (audit
+    rows <= n_cells; recall is one aggregate row per arm; the sample is
+    model-sized by the audit contract).  Run it per append cycle or on
+    an audit alert; probes opened after it (per-batch re-open, as the
+    streaming probes do) serve whichever generation is live."""
+    idx = read_ivf_index(spark, path, id_col, vec_col)
+    cells = n_cells if n_cells is not None else len(idx.centroids)
+    hot = ivf_index_cell_audit(
+        spark, path, max_ratio=max_ratio, id_col=id_col, vec_col=vec_col
+    ).collect()
+    report: dict = {
+        "hot_cells": [
+            {"cell": r["cell"], "n_vectors": r["n_vectors"],
+             "ratio": r["ratio"]}
+            for r in hot
+        ],
+    }
+
+    def _recall(index) -> float:
+        rows = ivf_recall_at_k(
+            index, queries_df, k=k, nprobes=(nprobe,),
+            query_id_col=id_col if id_col in queries_df.columns
+            else "query_id",
+            query_vec_col=vec_col if vec_col in queries_df.columns
+            else "embedding",
+            id_col=id_col, vec_col=vec_col,
+        ).agg(
+            (F.sum("n_hits") / (F.count(F.lit(1)) * F.lit(int(k))))
+            .alias("r")
+        ).first()
+        return float(rows["r"]) if rows["r"] is not None else 1.0
+
+    if not hot:
+        report["action"] = "healthy"
+        return report
+    if queries_df is not None:
+        before = _recall(idx)
+        report["recall_before"] = round(before, 6)
+        if before >= float(min_recall):
+            report["action"] = "recall_ok"
+            return report
+    recluster_ivf_index(
+        spark, path, n_cells=cells, rounds=rounds,
+        id_col=id_col, vec_col=vec_col,
+    )
+    report["action"] = "reclustered"
+    if queries_df is not None:
+        report["recall_after"] = round(
+            _recall(read_ivf_index(spark, path, id_col, vec_col)), 6
+        )
+    return report

@@ -3762,6 +3762,65 @@ class TestIndexSkewLifecycle:
         for qid in by_np[1]:
             assert by_np[1][qid] <= by_np[2][qid] <= by_np[8][qid]
 
+    def test_maintain_ivf_index_three_branches(self, spark, tmp_path):
+        """r13: the executable audit->recall->recluster cycle.
+        (A) healthy index -> 'healthy', nothing rebuilt; (B) hot cells
+        but recall at the production nprobe still clears min_recall ->
+        'recall_ok', nothing rebuilt; (C) hot cells and the recall gate
+        can't clear (or no sample) -> in-place recluster, fresh
+        generation served from the SAME path, recall re-measured."""
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            maintain_ivf_index,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(64)
+        sample = emb.limit(8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        # (A) healthy
+        p_a = str(tmp_path / "a")
+        write_ivf_index(emb, p_a, n_cells=4)
+        rep = maintain_ivf_index(spark, p_a, sample, max_ratio=4.0)
+        assert rep["action"] == "healthy" and rep["hot_cells"] == []
+
+        # drift a second index hot
+        p_b = str(tmp_path / "b")
+        write_ivf_index(emb, p_b, n_cells=4)
+        one = emb.limit(1).select("embedding").first()["embedding"]
+        drift = spark.createDataFrame(
+            [(1000 + i, list(one)) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        append_ivf_index(spark, p_b, drift)
+        old_cents = read_ivf_index(spark, p_b).centroids
+
+        # (B) hot, but min_recall=0 always clears -> watch, don't rebuild
+        rep = maintain_ivf_index(
+            spark, p_b, sample, max_ratio=2.5, min_recall=0.0, nprobe=1,
+        )
+        assert rep["action"] == "recall_ok"
+        assert rep["hot_cells"] and 0.0 <= rep["recall_before"] <= 1.0
+        assert read_ivf_index(spark, p_b).centroids == old_cents
+
+        # (C) hot and no sample to clear the gate -> in-place recluster
+        rep = maintain_ivf_index(spark, p_b, None, max_ratio=2.5)
+        assert rep["action"] == "reclustered"
+        idx = read_ivf_index(spark, p_b)
+        assert idx.centroids != old_cents
+        assert idx.assign.count() == 64 + 200
+        # and with a sample, the rebuilt recall is reported
+        rep = maintain_ivf_index(
+            spark, p_b, sample, max_ratio=2.5, min_recall=2.0, nprobe=4,
+        )
+        assert rep["action"] == "reclustered"
+        assert rep["recall_after"] == 1.0  # nprobe = n_cells arm is exact
+
     def test_ivf_cell_audit_flags_hot_cell_after_drifted_appends(
         self, spark, tmp_path
     ):
