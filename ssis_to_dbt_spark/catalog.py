@@ -5119,6 +5119,14 @@ def q_ci_filter_customers(spark, sf_dir):
         )),
         "where_in",
     )
+    wl = shaped(
+        spark.sql(rewrite_tsql(
+            "SELECT c_custkey, segment FROM src.C "
+            "WHERE segment LIKE 'Build%'",
+            {"src.C": "ci_filter_customers_src"}, ci=True,
+        )),
+        "where_like",
+    )
     cols = {"segment": _T.StringType()}
     ee = shaped(
         f.filter(compile_ssis_expression(
@@ -5132,7 +5140,7 @@ def q_ci_filter_customers(spark, sf_dir):
         )),
         "expr_ne",
     )
-    return _union_all([we, wi, ee, en])
+    return _union_all([we, wi, wl, ee, en])
 
 
 SQL_CI_FILTER = """
@@ -5151,6 +5159,9 @@ FROM f WHERE lower(segment) = 'building'
 UNION ALL
 SELECT 'where_in', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR)
 FROM f WHERE lower(segment) IN ('building', 'machinery')
+UNION ALL
+SELECT 'where_like', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR)
+FROM f WHERE lower(segment) LIKE 'build%'
 UNION ALL
 SELECT 'expr_eq', CAST(c_custkey AS BIGINT), CAST(segment AS VARCHAR)
 FROM f WHERE lower(segment) = 'building'
@@ -7289,7 +7300,18 @@ def q_multimodal_decode(spark, sf_dir):
         _nul("double").alias("v2"),
         _nul("double").alias("v3"),
     )
-    return _union_all([feats, bmp, wav, rs, png, jpg, phh, php])
+    phc = ph.filter(F.col("component") == "cluster").select(
+        F.lit("phash_cluster").alias("component"),
+        F.col("id_a").cast("long").alias("media_id"),
+        F.col("n").cast("int").alias("i1"),
+        _nul("int").alias("i2"),
+        _nul("int").alias("i3"),
+        F.col("id_b").cast("long").alias("n1"),
+        _nul("double").alias("v1"),
+        _nul("double").alias("v2"),
+        _nul("double").alias("v3"),
+    )
+    return _union_all([feats, bmp, wav, rs, png, jpg, phh, php, phc])
 
 
 SQL_MULTIMODAL_DECODE = f"""
@@ -7333,6 +7355,11 @@ SELECT 'phash_pair', CAST(id_a AS BIGINT), CAST(n AS INTEGER), {_NULL_INT},
        {_NULL_INT}, CAST(id_b AS BIGINT), {_NULL_DOUBLE}, {_NULL_DOUBLE},
        {_NULL_DOUBLE}
 FROM ({SQL_IMAGE_PHASH}) _pp WHERE component = 'pair'
+UNION ALL
+SELECT 'phash_cluster', CAST(id_a AS BIGINT), CAST(n AS INTEGER),
+       {_NULL_INT}, {_NULL_INT}, CAST(id_b AS BIGINT), {_NULL_DOUBLE},
+       {_NULL_DOUBLE}, {_NULL_DOUBLE}
+FROM ({SQL_IMAGE_PHASH}) _pc WHERE component = 'cluster'
 """
 
 

@@ -398,14 +398,17 @@ _CI_EQ_HEAD = re.compile(
 _CI_IN_TAIL = re.compile(
     r"([A-Za-z_][A-Za-z0-9_.]*)\s+(?i:IN)\s*\(\s*$"
 )
+_CI_LIKE_TAIL = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s+((?i:NOT)\s+)?(?i:LIKE)\s*$"
+)
 
 
 def _fold_ci_sql(s: str) -> str:
     """CI-collation fold for the embedded T-SQL subset (r12 VERDICT #1):
     on a CI-collation server ``WHERE Status = 'Success'`` matches
     ``'SUCCESS'`` rows (InventorySync.dtsx:60-62,118), so under
-    ``collation_ci=True`` every ``=``/``<>``/``!=``/``IN`` comparison of
-    an identifier against a STRING LITERAL rewrites to
+    ``collation_ci=True`` every ``=``/``<>``/``!=``/``IN``/``[NOT] LIKE``
+    comparison of an identifier against a STRING LITERAL rewrites to
     ``LOWER(ident) op 'lowered literal'``.
 
     Scope (documented subset): comparisons against string LITERALS —
@@ -442,6 +445,15 @@ def _fold_ci_sql(s: str) -> str:
             parts[i + 1] = (
                 f" {m.group(1)} LOWER({m.group(2)})" + after[m.end():]
             )
+            i += 2
+            continue
+        m = _CI_LIKE_TAIL.search(before)
+        if m and _alpha(lit):
+            neg = "NOT " if m.group(2) else ""
+            parts[i - 1] = (
+                before[: m.start()] + f"LOWER({m.group(1)}) {neg}LIKE "
+            )
+            parts[i] = lit.lower()
             i += 2
             continue
         m = _CI_IN_TAIL.search(before)

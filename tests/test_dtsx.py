@@ -146,6 +146,15 @@ class TestRewrite:
             ci=True,
         )
         assert out == "SELECT 'status = ''Active''' AS note FROM v"
+        # LIKE / NOT LIKE fold too (prefix searches on a CI server)
+        out = rewrite_tsql(
+            "SELECT * FROM t WHERE Name LIKE 'Smi%' AND c NOT LIKE '%X'",
+            {"t": "v"}, ci=True,
+        )
+        assert out == (
+            "SELECT * FROM v WHERE LOWER(Name) LIKE 'smi%' "
+            "AND LOWER(c) NOT LIKE '%x'"
+        )
         # ci=False (default): nothing folds
         out = rewrite_tsql(
             "SELECT * FROM t WHERE Status = 'Success'", {"t": "v"},

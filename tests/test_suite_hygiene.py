@@ -45,11 +45,12 @@ EXPECTED = {
     "join_strategies": {
         "bloom", "bucketed", "ci_cs_miss", "ci_lookup", "ci_semi",
         "cig_group", "cig_distinct", "cig_dup", "cig_sort_top",
-        "cif_where_eq", "cif_where_in", "cif_expr_eq", "cif_expr_ne",
+        "cif_where_eq", "cif_where_in", "cif_where_like", "cif_expr_eq",
+        "cif_expr_ne",
     },
     "multimodal_decode": {
-        "bmp", "features", "jpeg", "phash", "phash_pair", "png", "resize",
-        "wav",
+        "bmp", "features", "jpeg", "phash", "phash_cluster", "phash_pair",
+        "png", "resize", "wav",
     },
     "corpus_curation": {
         "clean", "contaminated", "dsir_sel", "enrich", "gate", "mixture",
