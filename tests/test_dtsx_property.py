@@ -147,3 +147,79 @@ class TestStarContractionProperty:
                 parent[max(ra, rb)] = min(ra, rb)
         want = {n: find(n) for n in parent}
         assert got == want
+
+
+class TestCiFoldProperties:
+    """r13: properties of the CI-collation predicate fold (pure Python —
+    cheap, many examples)."""
+
+    @given(col=ident, val=st.text(max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_fold_is_idempotent(self, col, val):
+        from ssis_to_dbt_spark.dtsx import _fold_ci_sql
+
+        lit = "'" + val.replace("'", "''") + "'"
+        once = _fold_ci_sql(f"SELECT * FROM t WHERE {col} = {lit}")
+        assert _fold_ci_sql(once) == once
+
+    @given(col=ident, val=st.text(max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_fold_preserves_literal_payload_case_insensitively(
+        self, col, val
+    ):
+        """The folded comparison compares the SAME value: the literal
+        lowers, never mangles — un-lowering recovers a string that
+        case-folds back to the original."""
+        from ssis_to_dbt_spark.dtsx import _fold_ci_sql
+
+        lit = "'" + val.replace("'", "''") + "'"
+        out = _fold_ci_sql(f"SELECT * FROM t WHERE {col} = {lit}")
+        if any(c.isalpha() for c in val):
+            assert f"LOWER({col}) = " in out
+            m = re.search(r"= ('(?:[^']|'')*')$", out)
+            assert m
+            got = m.group(1)[1:-1].replace("''", "'")
+            assert got == val.lower()
+        else:
+            # letterless: CI is a no-op, typed comparisons stay typed
+            assert out == f"SELECT * FROM t WHERE {col} = {lit}"
+
+    @given(
+        parts=st.lists(
+            st.tuples(ident, st.text(max_size=8)), min_size=1, max_size=4
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_fold_never_touches_literal_interiors(self, parts):
+        """Whatever appears INSIDE a string literal — including text
+        shaped like `x = 'y'` — survives the fold byte-for-byte."""
+        from ssis_to_dbt_spark.dtsx import _fold_ci_sql
+
+        lits = [
+            "'" + f"{c} = ''{v}''".replace("'", "''")[: 30] + "'"
+            for c, v in parts
+        ]
+        # literals in SELECT position only: no code-side comparison at all
+        sql = "SELECT " + ", ".join(
+            f"{lit} AS a{i}" for i, lit in enumerate(lits)
+        ) + " FROM t"
+        assert _fold_ci_sql(sql) == sql
+
+    @given(col=ident, vals=st.lists(st.text(max_size=8), min_size=1,
+                                    max_size=4))
+    @settings(max_examples=100, deadline=None)
+    def test_in_list_folds_all_or_nothing(self, col, vals):
+        from ssis_to_dbt_spark.dtsx import _fold_ci_sql
+
+        lits = ["'" + v.replace("'", "''") + "'" for v in vals]
+        sql = f"SELECT * FROM t WHERE {col} IN ({', '.join(lits)})"
+        out = _fold_ci_sql(sql)
+        if any(any(ch.isalpha() for ch in v) for v in vals):
+            assert f"LOWER({col}) IN (" in out
+            # every member lowered
+            members = re.findall(r"'(?:[^']|'')*'", out)
+            assert [m[1:-1].replace("''", "'") for m in members] == [
+                v.lower() for v in vals
+            ]
+        else:
+            assert out == sql

@@ -1133,3 +1133,85 @@ class TestNaiveBayesProperty:
         }
         exp = self._py_nb(train, dict(enumerate(tests)))
         assert got == exp
+
+
+class TestPhashProperties:
+    """r13: perceptual-hash invariants (pure Python over the BMP codec —
+    cheap, many examples)."""
+
+    @given(
+        w=st.integers(min_value=2, max_value=12),
+        h=st.integers(min_value=2, max_value=10),
+        seed=st.integers(min_value=0, max_value=10**6),
+        factor=st.integers(min_value=2, max_value=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pixel_replication_never_changes_the_hash(
+        self, w, h, seed, factor
+    ):
+        """NN downsampling with the floor mapping recovers the source
+        grid from any integer pixel replication — so the dHash AND the
+        aHash of a factor-replicated image equal the original's."""
+        from ssis_to_dbt_spark.text.multimodal import (
+            ahash_image,
+            dhash_image,
+            encode_bmp_pixels,
+        )
+
+        def g(x, y):
+            v = (seed + 37 * x + 101 * y + x * y) % 256
+            return (v, v, v)
+
+        rows = [[g(x, y) for x in range(w)] for y in range(h)]
+        big = [
+            [rows[y // factor][x // factor] for x in range(w * factor)]
+            for y in range(h * factor)
+        ]
+        a, b = encode_bmp_pixels(rows), encode_bmp_pixels(big)
+        assert dhash_image(a) == dhash_image(b)
+        assert ahash_image(a) == ahash_image(b)
+
+    @given(seed=st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=60, deadline=None)
+    def test_dhash_matches_bit_model_on_exact_grids(self, seed):
+        """On a 9x6 source (no resize) the operator's dHash equals the
+        closed-form bit model — the same invariant the SQL oracle
+        relies on, here over arbitrary pixel functions."""
+        from ssis_to_dbt_spark.text.multimodal import (
+            dhash_image,
+            encode_bmp_pixels,
+        )
+
+        def g(x, y):
+            return (seed * 7 + 53 * x + 29 * y + (x * x) % 13) % 256
+
+        rows = [[(g(x, y),) * 3 for x in range(9)] for y in range(6)]
+        want = 0
+        for y in range(6):
+            for x in range(8):
+                if g(x, y) > g(x + 1, y):
+                    want |= 1 << (y * 8 + x)
+        assert dhash_image(encode_bmp_pixels(rows)) == want
+
+    @given(
+        seed=st.integers(min_value=0, max_value=10**6),
+        w=st.integers(min_value=8, max_value=16),
+        h=st.integers(min_value=6, max_value=12),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_hash_fits_48_bits_and_is_deterministic(self, seed, w, h):
+        from ssis_to_dbt_spark.text.multimodal import (
+            ahash_image,
+            dhash_image,
+            encode_bmp_pixels,
+        )
+
+        rows = [
+            [((seed + 3 * x + 11 * y) % 256,) * 3 for x in range(w)]
+            for y in range(h)
+        ]
+        data = encode_bmp_pixels(rows)
+        d1, d2 = dhash_image(data), dhash_image(data)
+        a1 = ahash_image(data)
+        assert d1 == d2
+        assert 0 <= d1 < (1 << 48) and 0 <= a1 < (1 << 48)
