@@ -396,7 +396,13 @@ _CI_EQ_HEAD = re.compile(
     r"^\s*(=|<>|!=)\s*([A-Za-z_][A-Za-z0-9_.]*)"
 )
 _CI_IN_TAIL = re.compile(
-    r"([A-Za-z_][A-Za-z0-9_.]*)\s+(?i:IN)\s*\(\s*$"
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s+((?i:NOT)\s+)?(?i:IN)\s*\(\s*$"
+)
+# keywords the tail-identifier groups must never swallow (r13 ADVICE:
+# without this, ``segment NOT IN (...)`` matched ident="NOT")
+_CI_IDENT_STOPWORDS = frozenset(
+    {"NOT", "AND", "OR", "IN", "LIKE", "IS", "NULL", "BETWEEN",
+     "WHERE", "ON", "WHEN", "THEN", "ELSE", "CASE", "END"}
 )
 _CI_LIKE_TAIL = re.compile(
     r"([A-Za-z_][A-Za-z0-9_.]*)\s+((?i:NOT)\s+)?(?i:LIKE)\s*$"
@@ -457,7 +463,7 @@ def _fold_ci_sql(s: str) -> str:
             i += 2
             continue
         m = _CI_IN_TAIL.search(before)
-        if m:
+        if m and m.group(1).upper() not in _CI_IDENT_STOPWORDS:
             # fold the whole IN list: the list must be literal members
             # interleaved with "," code chunks until ")" (a non-literal
             # member leaves the comparison untouched — conservative)
@@ -474,8 +480,9 @@ def _fold_ci_sql(s: str) -> str:
                 break
             members = list(range(i, j + 1, 2)) if ok and j < len(parts) else []
             if members and any(_alpha(parts[kk]) for kk in members):
+                neg = "NOT " if m.group(2) else ""
                 parts[i - 1] = (
-                    before[: m.start()] + f"LOWER({m.group(1)}) IN ("
+                    before[: m.start()] + f"LOWER({m.group(1)}) {neg}IN ("
                 )
                 for kk in members:
                     parts[kk] = parts[kk].lower()

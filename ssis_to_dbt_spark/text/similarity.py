@@ -1518,6 +1518,19 @@ def append_ivf_index(
     ``index``: pass an already-open handle (e.g. the return of
     :func:`write_ivf_index`) to skip the centroid re-read — the append
     still assigns under exactly those stored centroids."""
+    # Heal UNCONDITIONALLY before writing (r13 ADVICE): when an open
+    # ``index=`` handle is passed, a crashed recluster may have left a
+    # committed _recluster_stage — without the heal the append lands in
+    # the doomed live assign dir and the next read-time heal deletes it.
+    # A passed handle predates any stage that existed here, so if one
+    # did, its centroids may be the replaced generation's: drop it and
+    # re-open against the healed layout.
+    from .. import fs as _fs
+
+    had_stage = _fs.exists(spark, f"{path}/_recluster_stage")
+    _heal_ivf_recluster(spark, path)
+    if had_stage:
+        index = None
     idx = index if index is not None else read_ivf_index(
         spark, path, id_col, vec_col
     )
@@ -2025,12 +2038,19 @@ def maintain_ivf_index(
     }
 
     def _recall(index) -> float:
+        # Rename the sample's id/vec columns to guaranteed-non-colliding
+        # names before probing (r13 ADVICE): a sample taken straight off
+        # the embeddings/assign frame carries the INDEX id column
+        # (vec_id), and probing with query_id_col == id_col makes the
+        # cell join self-ambiguous (AMBIGUOUS_REFERENCE).
+        qid = id_col if id_col in queries_df.columns else "query_id"
+        qvec = vec_col if vec_col in queries_df.columns else "embedding"
+        sample = queries_df.select(
+            F.col(qid).alias("__mq_id"), F.col(qvec).alias("__mq_vec")
+        )
         rows = ivf_recall_at_k(
-            index, queries_df, k=k, nprobes=(nprobe,),
-            query_id_col=id_col if id_col in queries_df.columns
-            else "query_id",
-            query_vec_col=vec_col if vec_col in queries_df.columns
-            else "embedding",
+            index, sample, k=k, nprobes=(nprobe,),
+            query_id_col="__mq_id", query_vec_col="__mq_vec",
             id_col=id_col, vec_col=vec_col,
         ).agg(
             (F.sum("n_hits") / (F.count(F.lit(1)) * F.lit(int(k))))

@@ -4,7 +4,7 @@ contraction (one Spark job per example, few examples, model oracles)."""
 
 import re
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from ssis_to_dbt_spark.dtsx import rewrite_tsql
@@ -204,6 +204,31 @@ class TestCiFoldProperties:
             f"{lit} AS a{i}" for i, lit in enumerate(lits)
         ) + " FROM t"
         assert _fold_ci_sql(sql) == sql
+
+    @given(col=ident, vals=st.lists(st.text(max_size=8), min_size=1,
+                                    max_size=4),
+           neg=st.sampled_from(["NOT ", "not ", "Not ", ""]))
+    @settings(max_examples=100, deadline=None)
+    def test_not_in_folds_and_keeps_negation(self, col, vals, neg):
+        """r13 ADVICE: `col NOT IN (...)` must fold to
+        `LOWER(col) NOT IN (...)` — never `col LOWER(NOT) IN (...)`
+        (the identifier group must not swallow the NOT keyword)."""
+        from ssis_to_dbt_spark.dtsx import _fold_ci_sql, _CI_IDENT_STOPWORDS
+
+        assume(col.upper() not in _CI_IDENT_STOPWORDS)
+        lits = ["'" + v.replace("'", "''") + "'" for v in vals]
+        sql = f"SELECT * FROM t WHERE {col} {neg}IN ({', '.join(lits)})"
+        out = _fold_ci_sql(sql)
+        assert "LOWER(NOT)" not in out.upper().replace(" ", "")
+        if any(any(ch.isalpha() for ch in v) for v in vals):
+            want_neg = "NOT " if neg else ""
+            assert f"LOWER({col}) {want_neg}IN (" in out
+            members = re.findall(r"'(?:[^']|'')*'", out)
+            assert [m[1:-1].replace("''", "'") for m in members] == [
+                v.lower() for v in vals
+            ]
+        else:
+            assert out == sql
 
     @given(col=ident, vals=st.lists(st.text(max_size=8), min_size=1,
                                     max_size=4))

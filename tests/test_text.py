@@ -3821,6 +3821,81 @@ class TestIndexSkewLifecycle:
         assert rep["action"] == "reclustered"
         assert rep["recall_after"] == 1.0  # nprobe = n_cells arm is exact
 
+    def test_maintain_ivf_recall_with_index_id_col_sample(
+        self, spark, tmp_path
+    ):
+        """r13 ADVICE: a query sample taken straight off the embeddings
+        frame (carrying the INDEX id column `vec_id`) must not make the
+        probe's cell join self-ambiguous — _recall renames to
+        non-colliding names before probing."""
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            maintain_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(64)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, path, n_cells=4)
+        one = emb.limit(1).select("embedding").first()["embedding"]
+        drift = spark.createDataFrame(
+            [(1000 + i, list(one)) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        append_ivf_index(spark, path, drift)
+        # sample WITH vec_id/embedding — the collision case
+        sample = emb.limit(8)
+        rep = maintain_ivf_index(
+            spark, path, sample, max_ratio=2.5, min_recall=0.0, nprobe=1,
+        )
+        assert rep["action"] == "recall_ok"
+        assert 0.0 <= rep["recall_before"] <= 1.0
+
+    def test_append_ivf_heals_committed_stage_before_writing(
+        self, spark, tmp_path
+    ):
+        """r13 ADVICE: append with an OPEN index handle over a committed
+        crashed-recluster stage must heal FIRST — otherwise the appended
+        rows land in the doomed live assign dir and the next read-time
+        heal silently deletes them."""
+        from ssis_to_dbt_spark import fs as _fs
+        from ssis_to_dbt_spark.text.similarity import (
+            append_ivf_index,
+            ivf_centroids,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(32)
+        path = str(tmp_path / "ivf")
+        handle = write_ivf_index(emb, path, n_cells=4)
+        # a crashed recluster: complete staged new generation + _COMMIT
+        stage = f"{path}/_recluster_stage"
+        cents = ivf_centroids(emb, 2)
+        write_ivf_index(emb, stage, n_cells=2, centroids=cents)
+        _fs.touch(spark, f"{stage}/_COMMIT")
+        new = spark.createDataFrame(
+            [(500 + i, [float(i), 0.0, 1.0] + [0.0] * 61)
+             for i in range(5)],
+            "vec_id long, embedding array<float>",
+        ).select(
+            "vec_id",
+            F.col("embedding").cast(
+                emb.schema["embedding"].dataType.simpleString()
+            ).alias("embedding"),
+        )
+        idx = append_ivf_index(spark, path, new, index=handle)
+        # healed to the NEW generation and the appended rows SURVIVED
+        assert not _fs.exists(spark, stage)
+        assert len(idx.centroids) == 2
+        assert idx.assign.count() == 32 + 5
+        got = read_ivf_index(spark, path)
+        assert got.assign.filter(F.col("vec_id") >= 500).count() == 5
+
     def test_ivf_cell_audit_flags_hot_cell_after_drifted_appends(
         self, spark, tmp_path
     ):
