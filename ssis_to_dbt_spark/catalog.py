@@ -8354,6 +8354,18 @@ def q_dtsx_sales_fact_etl(spark, sf_dir):
     ?-bound [StartDate,EndDate], three dimension lookups (Customer/Product
     IgnoreFailure, Date FailComponent), derived Gross/Discount/Net amounts
     compiled from the package's own SSIS expressions."""
+    return _dtsx_sales_run(spark, sf_dir)[0]
+
+
+def _dtsx_sales_run(spark, sf_dir):
+    """Shared SalesFactETL execution: returns (fact output, post-DML
+    agg.DailySales state).  r14 (r13 VERDICT #1): agg.DailySales binds
+    with a two-row pre-state (one row INSIDE the @StartDate..@EndDate
+    delete range, one outside), so the package's 'Update Aggregates'
+    task (DELETE-range + INSERT..SELECT re-aggregate,
+    SalesFactETL.dtsx:294-306) AUTO-BINDS and executes in-view — the
+    post-state proves it ran: the in-range row is gone, the out-of-range
+    row survives, and the re-aggregated fact rows are appended."""
     from datetime import datetime
 
     from .dtsx import run_package
@@ -8402,7 +8414,20 @@ def q_dtsx_sales_fact_etl(spark, sf_dir):
             "FullDate",
         )
     )
-    frames, _report = run_package(
+    agg_pre = spark.createDataFrame(
+        [(11110101, 1, 1, 9, 9.0, 9, datetime(1995, 6, 15)),
+         (11110102, 2, 2, 8, 8.0, 8, datetime(1999, 1, 1))],
+        "DateKey int, ProductKey int, CustomerKey int, TotalQuantity long,"
+        " TotalNetAmount double, TransactionCount long, SaleDate timestamp",
+    )
+    fact_pre = spark.createDataFrame(
+        [],
+        "SaleID long, CustomerKey int, ProductKey int, CategoryID int,"
+        " DateKey int, SaleDate timestamp, Quantity int,"
+        " GrossAmount decimal(18,2), DiscountAmount decimal(18,2),"
+        " NetAmount decimal(18,2)",
+    )
+    frames, report = run_package(
         spark,
         f"{_DTSX_DIR}/SalesFactETL.dtsx",
         tables={
@@ -8410,12 +8435,29 @@ def q_dtsx_sales_fact_etl(spark, sf_dir):
             "dim.Customer": dim_customer,
             "dim.Product": dim_product,
             "dim.Date": dim_date,
+            "agg.DailySales": agg_pre,
+            "fact.Sales": fact_pre,
         },
         variables={
             "User::StartDate": datetime.fromisoformat(_DTSX_START),
             "User::EndDate": datetime.fromisoformat(_DTSX_END),
         },
         param_bindings={"Sales Source": ["User::StartDate", "User::EndDate"]},
+    )
+    statuses = {b.name: b.status for b in report}
+    if statuses.get("Update Aggregates") != "bound":
+        raise RuntimeError(
+            "SalesFactETL 'Update Aggregates' did not auto-bind: "
+            f"{statuses.get('Update Aggregates')}"
+        )
+    agg_post = frames["Update Aggregates"].select(
+        F.col("DateKey").cast("long").alias("date_key"),
+        F.col("CustomerKey").cast("int").alias("customer_key"),
+        F.col("ProductKey").cast("int").alias("product_key"),
+        F.col("SaleDate").alias("sale_date"),
+        F.col("TotalNetAmount").cast("double").alias("total_net"),
+        F.col("TotalQuantity").cast("double").alias("total_qty"),
+        F.col("TransactionCount").cast("double").alias("txn_count"),
     )
     out = frames["Load Sales Facts"].select(
         F.col("SaleID").alias("sale_id"),
@@ -8429,7 +8471,10 @@ def q_dtsx_sales_fact_etl(spark, sf_dir):
         F.col("DiscountAmount").alias("discount_amount"),
         F.col("NetAmount").alias("net_amount"),
     )
-    return _final_double(out, ["gross_amount", "discount_amount", "net_amount"])
+    return (
+        _final_double(out, ["gross_amount", "discount_amount", "net_amount"]),
+        _final_double(agg_post, ["total_net"]),
+    )
 
 
 SQL_DTSX_SALES = f"""
@@ -8492,6 +8537,25 @@ def q_dtsx_customer_load(spark, sf_dir):
     """CustomerDataLoad.dtsx executed by the engine: ?-bound incremental
     source filter, FullName / EmailDomain derived columns (the package's
     SUBSTRING/FINDSTRING/LEN and NULL-propagating ``+`` expressions)."""
+    return _dtsx_customer_run(spark, sf_dir)[0]
+
+
+def _dtsx_customer_run(spark, sf_dir):
+    """Shared CustomerDataLoad execution: returns (data-flow output,
+    post-MERGE dim.Customer state, post-TRUNCATE staging state).
+
+    r14 (r13 VERDICT #1): binding stg.Customer + dim.Customer flips the
+    package's remaining two ExecuteSQL tasks from manual to bound —
+    'Truncate Staging' (CustomerDataLoad.dtsx:51 -> in-view D1 truncate)
+    and 'Merge to Dimension' (dtsx:166-181, the SCD MERGE with the
+    HASHBYTES change-hash compare -> the join-based rewrite,
+    operators/scd.py:merge_upsert's statement twin).  The dim pre-state
+    is built to discriminate all four MERGE outcomes: even CustomerIDs
+    exist in the dim ('OLD ' names, IsCurrent 0), of which %4==0 carry
+    the CORRECT change hash (matched, hash equal -> untouched) and
+    %4==2 carry 'stale' (matched, hash differs -> updated in place);
+    loaded odd IDs are absent (inserted, hash NULL); unloaded even IDs
+    pass through untouched."""
     from datetime import datetime
 
     from .dtsx import run_package
@@ -8516,14 +8580,50 @@ def q_dtsx_customer_load(spark, sf_dir):
         F.date_add(F.lit("1994-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int"))
         .cast("timestamp").alias("ModifiedDate"),
     )
-    frames, _report = run_package(
+    # staging pre-state: data-flow output schema + a poison row the bound
+    # TRUNCATE must remove (its task frame is the post-truncate state)
+    stg_pre = spark.createDataFrame(
+        [(-1, "POISON", "P", "p@p", "0",
+          datetime(1990, 1, 1), datetime(1990, 1, 1), "POISON P", "p")],
+        "CustomerID int, FirstName string, LastName string, Email string,"
+        " Phone string, CreatedDate timestamp, ModifiedDate timestamp,"
+        " FullName string, EmailDomain string",
+    )
+    dim_pre = crm.filter(F.col("CustomerID") % 2 == 0).select(
+        "CustomerID",
+        "FirstName",
+        "LastName",
+        F.concat(F.lit("OLD "), F.col("FirstName")).alias("FullName"),
+        "Email",
+        "Phone",
+        F.substring_index("Email", "@", -1).alias("EmailDomain"),
+        "CreatedDate",
+        "ModifiedDate",
+        F.lit(0).cast("int").alias("IsCurrent"),
+        F.when(
+            F.col("CustomerID") % 4 == 0,
+            F.sha2(F.concat("FirstName", "LastName", "Email"), 256),
+        ).otherwise(F.lit("stale")).alias("CustomerHash"),
+    )
+    frames, report = run_package(
         spark,
         f"{_DTSX_DIR}/CustomerDataLoad.dtsx",
-        tables={"crm.Customers": crm},
+        tables={
+            "crm.Customers": crm,
+            "stg.Customer": stg_pre,
+            "dim.Customer": dim_pre,
+        },
         variables={"User::LoadDate": datetime(1994, 3, 1)},
         param_bindings={"OLE DB Source": ["User::LoadDate"]},
     )
-    return frames["Load Customer Data"].select(
+    statuses = {b.name: b.status for b in report}
+    for task in ("Truncate Staging", "Merge to Dimension"):
+        if statuses.get(task) != "bound":
+            raise RuntimeError(
+                f"CustomerDataLoad {task!r} did not auto-bind: "
+                f"{statuses.get(task)}"
+            )
+    loaded = frames["Load Customer Data"].select(
         F.col("CustomerID").alias("customer_id"),
         F.col("FullName").alias("full_name"),
         F.col("Email").alias("email"),
@@ -8531,6 +8631,14 @@ def q_dtsx_customer_load(spark, sf_dir):
         F.col("Phone").alias("phone"),
         F.col("ModifiedDate").alias("modified_date"),
     )
+    merge_post = frames["Merge to Dimension"].select(
+        F.col("CustomerID").alias("customer_id"),
+        F.col("FullName").alias("full_name"),
+        F.col("EmailDomain").alias("email_domain"),
+        F.col("CustomerHash").alias("customer_hash"),
+        F.col("IsCurrent").cast("int").alias("is_current"),
+    )
+    return loaded, merge_post, frames["Truncate Staging"]
 
 
 SQL_DTSX_CUSTOMER = """
@@ -8756,7 +8864,9 @@ FROM tagged
 def q_dtsx_packages(spark, sf_dir):
     """Driver suite: all three reference sample packages parsed from their
     .dtsx XML and executed end-to-end, outputs normalized and unioned."""
-    sales = q_dtsx_sales_fact_etl(spark, sf_dir).select(
+    sales_out, agg_post = _dtsx_sales_run(spark, sf_dir)
+    cdl_loaded, cdl_merge, cdl_trunc = _dtsx_customer_run(spark, sf_dir)
+    sales = sales_out.select(
         F.lit("sales_fact").alias("component"),
         F.col("sale_id").cast("long").alias("id"),
         F.col("customer_key").cast("int").alias("key_a"),
@@ -8769,7 +8879,7 @@ def q_dtsx_packages(spark, sf_dir):
         F.col("net_amount").cast("double").alias("num_c"),
         F.col("date_key").cast("int").alias("num_i"),
     )
-    cdl = q_dtsx_customer_load(spark, sf_dir).select(
+    cdl = cdl_loaded.select(
         F.lit("customer_load").alias("component"),
         F.col("customer_id").cast("long").alias("id"),
         _nul("int").alias("key_a"),
@@ -8811,6 +8921,50 @@ def q_dtsx_packages(spark, sf_dir):
         _nul("double").alias("num_c"),
         F.col("processed_flag").cast("int").alias("num_i"),
     )
+    # r14 (r13 VERDICT #1): post-states of the newly auto-bound DML tasks.
+    # cdl_merge — the SCD MERGE's four outcomes are value-discriminated
+    # (full_name OLD/new, customer_hash hex/'stale'/NULL, is_current 0/1);
+    # cdl_trunc — the TRUNCATE task's post-state row count (0);
+    # sales_agg — DELETE-range survivor + INSERT..SELECT re-aggregates.
+    cdlm = cdl_merge.select(
+        F.lit("cdl_merge").alias("component"),
+        F.col("customer_id").cast("long").alias("id"),
+        _nul("int").alias("key_a"),
+        _nul("int").alias("key_b"),
+        F.col("full_name").alias("txt_a"),
+        F.col("customer_hash").alias("txt_b"),
+        _nul("timestamp").alias("ts"),
+        _nul("double").alias("num_a"),
+        _nul("double").alias("num_b"),
+        _nul("double").alias("num_c"),
+        F.col("is_current").alias("num_i"),
+    )
+    cdlt = cdl_trunc.agg(F.count(F.lit(1)).cast("int").alias("n")).select(
+        F.lit("cdl_trunc").alias("component"),
+        _nul("long").alias("id"),
+        _nul("int").alias("key_a"),
+        _nul("int").alias("key_b"),
+        _nul("string").alias("txt_a"),
+        _nul("string").alias("txt_b"),
+        _nul("timestamp").alias("ts"),
+        _nul("double").alias("num_a"),
+        _nul("double").alias("num_b"),
+        _nul("double").alias("num_c"),
+        F.col("n").alias("num_i"),
+    )
+    sagg = agg_post.select(
+        F.lit("sales_agg").alias("component"),
+        F.col("date_key").alias("id"),
+        F.col("customer_key").alias("key_a"),
+        F.col("product_key").alias("key_b"),
+        _nul("string").alias("txt_a"),
+        _nul("string").alias("txt_b"),
+        F.col("sale_date").alias("ts"),
+        F.col("total_net").alias("num_a"),
+        F.col("total_qty").alias("num_b"),
+        F.col("txn_count").alias("num_c"),
+        _nul("int").alias("num_i"),
+    )
     rt = q_dtsx_order_routing(spark, sf_dir).select(
         F.lit("order_routing").alias("component"),
         F.col("order_id").cast("long").alias("id"),
@@ -8824,7 +8978,7 @@ def q_dtsx_packages(spark, sf_dir):
         _nul("double").alias("num_c"),
         _nul("int").alias("num_i"),
     )
-    return _union_all([sales, cdl, inv, invf, rt])
+    return _union_all([sales, cdl, inv, invf, rt, cdlm, cdlt, sagg])
 
 
 _NULL_TS = "CAST(NULL AS TIMESTAMP)"
@@ -8858,6 +9012,81 @@ SELECT 'order_routing', CAST(order_id AS BIGINT), {_NULL_INT}, {_NULL_INT},
        branch, priority, {_NULL_TS}, amount_num, {_NULL_DOUBLE},
        {_NULL_DOUBLE}, {_NULL_INT}
 FROM ({SQL_DTSX_ROUTING}) _r
+UNION ALL
+-- r14: post-MERGE dim.Customer (CustomerDataLoad.dtsx:166-181 replayed:
+-- matched+hash-differs -> updated, matched+hash-equal -> untouched,
+-- loaded-unmatched -> inserted, unloaded dim rows pass through)
+SELECT 'cdl_merge', CAST(CustomerID AS BIGINT), {_NULL_INT}, {_NULL_INT},
+       FullName, CustomerHash, {_NULL_TS}, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       {_NULL_DOUBLE}, IsCurrent
+FROM (
+  WITH crm2 AS (
+    SELECT CAST(c_custkey AS INTEGER) AS CustomerID,
+           substring(c_name, 1, 8) AS FirstName,
+           substring(c_name, 10, 9) AS LastName,
+           lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@'
+             || lower(c_mktsegment) || '.example.com' AS Email,
+           CAST(DATE '1994-01-01'
+                + CAST(c_custkey % 1000 AS INTEGER) AS TIMESTAMP)
+             AS ModifiedDate
+    FROM customer
+  ),
+  loaded AS (
+    SELECT CustomerID, FirstName, LastName,
+           FirstName || ' ' || LastName AS FullName, Email
+    FROM crm2 WHERE ModifiedDate >= TIMESTAMP '1994-03-01 00:00:00'
+  ),
+  dim_pre AS (
+    SELECT CustomerID, 'OLD ' || FirstName AS FullName,
+           CASE WHEN CustomerID % 4 = 0
+                THEN sha256(FirstName || LastName || Email)
+                ELSE 'stale' END AS CustomerHash,
+           0 AS IsCurrent
+    FROM crm2 WHERE CustomerID % 2 = 0
+  )
+  SELECT t.CustomerID,
+         CASE WHEN s.CustomerID IS NOT NULL AND t.CustomerHash !=
+                   sha256(concat(coalesce(CAST(s.FirstName AS VARCHAR), ''),
+                                 coalesce(CAST(s.LastName AS VARCHAR), ''),
+                                 coalesce(CAST(s.Email AS VARCHAR), '')))
+              THEN s.FullName ELSE t.FullName END AS FullName,
+         t.CustomerHash,
+         CASE WHEN s.CustomerID IS NOT NULL AND t.CustomerHash !=
+                   sha256(concat(coalesce(CAST(s.FirstName AS VARCHAR), ''),
+                                 coalesce(CAST(s.LastName AS VARCHAR), ''),
+                                 coalesce(CAST(s.Email AS VARCHAR), '')))
+              THEN 1 ELSE t.IsCurrent END AS IsCurrent
+  FROM dim_pre t LEFT JOIN loaded s ON t.CustomerID = s.CustomerID
+  UNION ALL
+  SELECT s.CustomerID, s.FullName, CAST(NULL AS VARCHAR), 1
+  FROM loaded s
+  WHERE NOT EXISTS (SELECT 1 FROM dim_pre t
+                    WHERE t.CustomerID = s.CustomerID)
+) _m
+UNION ALL
+-- r14: post-TRUNCATE staging state (CustomerDataLoad.dtsx:51) — the
+-- bound task's frame is the truncated table: zero rows
+SELECT 'cdl_trunc', {_NULL_BIGINT}, {_NULL_INT}, {_NULL_INT}, {_NULL_STR},
+       {_NULL_STR}, {_NULL_TS}, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       {_NULL_DOUBLE}, 0
+UNION ALL
+-- r14: post-DML agg.DailySales (SalesFactETL.dtsx:294-306): the in-range
+-- pre-state row is DELETEd, the out-of-range row survives, and the
+-- INSERT..SELECT re-aggregates the freshly loaded facts (every fact
+-- DateKey passes the dim.Date range subquery — the source filter
+-- already bounded SaleDate to the same range)
+SELECT 'sales_agg', CAST(11110102 AS BIGINT), 2, 2, {_NULL_STR},
+       {_NULL_STR}, TIMESTAMP '1999-01-01 00:00:00', 8.0, 8.0, 8.0,
+       {_NULL_INT}
+UNION ALL
+SELECT 'sales_agg', CAST(date_key AS BIGINT),
+       CAST(customer_key AS INTEGER), CAST(product_key AS INTEGER),
+       {_NULL_STR}, {_NULL_STR}, {_NULL_TS},
+       CAST(round(SUM(net_amount), 6) AS DOUBLE),
+       CAST(SUM(quantity) AS DOUBLE), CAST(COUNT(*) AS DOUBLE),
+       {_NULL_INT}
+FROM ({SQL_DTSX_SALES}) _f
+GROUP BY date_key, customer_key, product_key
 """
 
 

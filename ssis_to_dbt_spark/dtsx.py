@@ -204,9 +204,56 @@ class DtsxPackage:
 # Parser (stdlib ElementTree; the inner <pipeline> XML is namespace-free)
 # ---------------------------------------------------------------------------
 
+def _preserve_attr_newlines(text: str) -> str:
+    """Entity-escape literal newlines inside XML attribute values.
+
+    XML attribute-value normalization (spec 3.3.3) turns raw newlines
+    into spaces — correct per spec, but the reference samples embed
+    multi-line T-SQL in ``SqlStatementSource`` with RAW newlines
+    (a conforming producer would write ``&#xA;``), and losing the line
+    boundaries makes ``--`` line comments swallow the statements that
+    follow them (CustomerDataLoad.dtsx:165 comments out the MERGE).
+    Escaping to ``&#10;`` before parsing round-trips them faithfully.
+    Comment sections (``<!-- -->``) pass through untouched."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_tag = in_attr = False
+    while i < n:
+        ch = text[i]
+        if not in_tag:
+            if text.startswith("<!--", i):
+                j = text.find("-->", i)
+                j = n if j < 0 else j + 3
+                out.append(text[i:j])
+                i = j
+                continue
+            if ch == "<":
+                in_tag = True
+            out.append(ch)
+        elif in_attr:
+            if ch == '"':
+                in_attr = False
+                out.append(ch)
+            elif ch == "\n":
+                out.append("&#10;")
+            elif ch == "\r":
+                out.append("&#13;")
+            else:
+                out.append(ch)
+        else:
+            if ch == '"':
+                in_attr = True
+            elif ch == ">":
+                in_tag = False
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def parse_dtsx(path: str) -> DtsxPackage:
     """Parse one ``.dtsx`` file into the IR above."""
-    root = ET.parse(path).getroot()
+    with open(path, encoding="utf-8") as fh:
+        root = ET.fromstring(_preserve_attr_newlines(fh.read()))
 
     cms = []
     for cm in root.iter(_d("ConnectionManager")):
@@ -591,6 +638,182 @@ _INSERT_VALUES_RE = re.compile(
     r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$"
 )
 
+# --- r14 (r13 VERDICT #1): the remaining reference-sample DML shapes --------
+# CustomerDataLoad.dtsx:51 TRUNCATE, :166-181 SCD MERGE;
+# SalesFactETL.dtsx:294-306 DELETE-range + INSERT..SELECT re-aggregate.
+# Same contract as D5/D6: pattern-match the EXACT shapes, execute in-view,
+# everything else stays honest-manual.
+
+# a literal VALUE as it appears either at bind time (?-placeholders and
+# @Var references still in place) or at run time (after rewrite_tsql
+# substitution: TIMESTAMP '...' / DATE '...' / current_timestamp())
+_SQL_DML_VAL = (
+    r"(?:(?:TIMESTAMP|DATE)\s*'(?:[^']|'')*'|'(?:[^']|'')*'"
+    r"|[-+]?\d+(?:\.\d+)?|\?|@\[?\w+(?:::\w+)?\]?"
+    r"|NULL|GETDATE\s*\(\s*\)|current_timestamp\s*\(\s*\))"
+)
+_TRUNCATE_RE = re.compile(
+    r"(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*(?:\.\w+)*)\s*$"
+)
+_DELETE_RANGE_RE = re.compile(
+    rf"(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*(?:\.\w+)*)\s+WHERE\s+"
+    rf"(\w+)\s+BETWEEN\s+({_SQL_DML_VAL})\s+AND\s+({_SQL_DML_VAL})\s*$"
+)
+_INSERT_SELECT_RE = re.compile(
+    r"(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*(?:\.\w+)*)\s*"
+    r"\(([^)]*)\)\s*(SELECT\b.*)$"
+)
+# the CustomerDataLoad MERGE shape: aliased target/source, single-equality
+# ON, optional hash-compare MATCHED UPDATE arm, NOT-MATCHED INSERT arm.
+# WHEN NOT MATCHED BY SOURCE (and every other arm combination) does NOT
+# match and classifies manual.
+_MERGE_RE = re.compile(
+    r"(?is)^\s*MERGE\s+(?:INTO\s+)?([A-Za-z_]\w*(?:\.\w+)*)\s+AS\s+(\w+)"
+    r"\s+USING\s+([A-Za-z_]\w*(?:\.\w+)*)\s+AS\s+(\w+)"
+    r"\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*"
+    r"(?:WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*)?"
+    r"WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s+THEN\s+INSERT\s*"
+    r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$"
+)
+
+
+def _strip_line_comments(s: str) -> str:
+    """Drop ``--`` line comments OUTSIDE string literals (the sample DML
+    batches carry leading comments)."""
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(r"--[^\n]*", "", parts[i])
+    return "".join(parts)
+
+
+def _find_matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``s[open_idx] == '('``, literal-aware."""
+    depth = 0
+    i = open_idx
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < len(s):
+                if s[i] == "'":
+                    if i + 1 < len(s) and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL: {s[:80]}...")
+
+
+def _in_string_literal(s: str, pos: int) -> bool:
+    # '' escaping doubles the quote, so plain parity works
+    return s.count("'", 0, pos) % 2 == 1
+
+
+def _rewrite_tsql_calls(s: str) -> str:
+    """T-SQL builtins the DML subset understands -> Spark SQL, paren- and
+    literal-aware:
+
+    - ``CONCAT(a, b, ...)`` -> NULL-as-empty concat (T-SQL CONCAT ignores
+      NULLs; Spark's propagates) — each argument wraps
+      ``coalesce(CAST(x AS STRING), '')``.
+    - ``HASHBYTES('SHA2_256'|'SHA2_512'|'MD5', x)`` -> ``sha2(x, n)`` /
+      ``md5(x)``.  Contract: HASHBYTES returns VARBINARY, the Spark twins
+      return lowercase hex STRINGS — a bound hash column must store the
+      hex form (the engine's change_hash, expressions.py E11, does).
+    """
+    out = s
+    while True:
+        m = next(
+            (mm for mm in re.finditer(r"(?i)\b(CONCAT|HASHBYTES)\s*\(", out)
+             if not _in_string_literal(out, mm.start())),
+            None,
+        )
+        if m is None:
+            break
+        open_idx = out.index("(", m.end() - 1)
+        close_idx = _find_matching_paren(out, open_idx)
+        args = _split_top_level_commas(out[open_idx + 1: close_idx])
+        if m.group(1).upper() == "CONCAT":
+            inner = ", ".join(
+                f"coalesce(CAST({a} AS STRING), '')" for a in args
+            )
+            repl = f"__tsql_concat__({inner})"
+        else:
+            if len(args) != 2:
+                raise ValueError(f"HASHBYTES arity: {out[m.start():close_idx+1]}")
+            alg = args[0].strip().strip("'").upper()
+            if alg == "SHA2_256":
+                repl = f"sha2({args[1]}, 256)"
+            elif alg == "SHA2_512":
+                repl = f"sha2({args[1]}, 512)"
+            elif alg == "MD5":
+                repl = f"md5({args[1]})"
+            else:
+                raise ValueError(f"unsupported HASHBYTES algorithm {alg!r}")
+        out = out[: m.start()] + repl + out[close_idx + 1:]
+    return out.replace("__tsql_concat__", "concat")
+
+
+def _map_tables(s: str, views: dict[str, str]) -> str:
+    """Map dotted table names to their bound temp-view names (the same
+    word-boundary substitution :func:`rewrite_tsql` performs)."""
+    for t in sorted(views, key=len, reverse=True):
+        s = re.sub(
+            rf"(?<![A-Za-z0-9_.]){re.escape(t)}(?![A-Za-z0-9_.])",
+            views[t], s, flags=re.IGNORECASE,
+        )
+    return s
+
+
+_SELECT_TABLE_REF_RE = re.compile(
+    r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_]\w*(?:\.\w+)*)"
+)
+
+
+def _merge_parts(st: str):
+    """Parse the auto-bindable MERGE shape; returns a dict or None.
+    Resolves which ON side is target/source by alias."""
+    m = _MERGE_RE.match(st)
+    if not m:
+        return None
+    (tgt_t, tgt_a, src_t, src_a, a1, c1, a2, c2,
+     mcond, setlist, icols_s, ivals_s) = m.groups()
+    if {a1, a2} != {tgt_a, src_a} or a1 == a2:
+        return None
+    tkey = c1 if a1 == tgt_a else c2
+    skey = c2 if a2 == src_a else c1
+    sets: dict[str, str] = {}
+    if setlist:
+        for a in _split_top_level_commas(setlist):
+            if "=" not in a:
+                return None
+            col, expr = a.split("=", 1)
+            col = col.strip()
+            if not re.fullmatch(r"\w+", col):
+                return None
+            sets[col] = expr.strip()
+    icols = [c.strip() for c in icols_s.split(",") if c.strip()]
+    ivals = _split_top_level_commas(ivals_s)
+    if len(icols) != len(ivals):
+        return None
+    return {
+        "target": tgt_t, "target_alias": tgt_a,
+        "source": src_t, "source_alias": src_a,
+        "target_key": tkey, "source_key": skey,
+        "matched_cond": (mcond or "").strip() or None,
+        "sets": sets, "insert_cols": icols, "insert_vals": ivals,
+    }
+
+
+_ALIAS_REF_RE = re.compile(r"\b(\w+)\.(\w+)\b")
+
 
 def _split_sql_statements(s: str) -> list[str]:
     """Split a T-SQL batch on ``;`` OUTSIDE string literals."""
@@ -652,28 +875,89 @@ def _autobindable_dml(sql: str, spark=None, views=None) -> bool:
     flip to ``bound`` happens only when the statement can actually
     execute."""
     stmts = _split_sql_statements(
-        (sql or "").replace("[", "").replace("]", "")
+        _strip_line_comments((sql or "").replace("[", "").replace("]", ""))
     )
     if not stmts:
         return False
+
+    def _cols(table: str) -> set[str] | None:
+        view = (views or {}).get(table)
+        if view is None:
+            return None
+        return {f.name for f in spark.table(view).schema.fields}
+
     for st in stmts:
         mu = _UPDATE_FLAG_RE.match(st)
         mi = _INSERT_VALUES_RE.match(st)
-        if not (mu or mi):
+        mt = _TRUNCATE_RE.match(st)
+        md = _DELETE_RANGE_RE.match(st)
+        ms = _INSERT_SELECT_RE.match(st) if not mi else None
+        mg = _merge_parts(st) if not (mu or mi or mt or md or ms) else None
+        if not (mu or mi or mt or md or ms or mg):
             return False
         if spark is None or views is None:
             continue
-        table = (mu or mi).group(1)
-        view = views.get(table)
-        if view is None:
-            return False
-        have = {f.name for f in spark.table(view).schema.fields}
-        if mu:
-            need = {mu.group(2), mu.group(4)}
+        if mu or mi:
+            have = _cols((mu or mi).group(1))
+            if have is None:
+                return False
+            if mu:
+                need = {mu.group(2), mu.group(4)}
+            else:
+                need = {c.strip() for c in mi.group(2).split(",")
+                        if c.strip()}
+            if not need <= have:
+                return False
+        elif mt:
+            if _cols(mt.group(1)) is None:
+                return False
+        elif md:
+            have = _cols(md.group(1))
+            if have is None or md.group(2) not in have:
+                return False
+        elif ms:
+            # target bound with the named columns; the SELECT tail must
+            # be pure query (no nested DML/control flow) over BOUND
+            # tables only — unresolvable names keep the honest manual
+            # classification instead of a run-time failure
+            have = _cols(ms.group(1))
+            if have is None:
+                return False
+            need = {c.strip() for c in ms.group(2).split(",") if c.strip()}
+            if not need <= have:
+                return False
+            sel = ms.group(3)
+            if _MANUAL_KEYWORDS.search(sel):
+                return False
+            for ref in _SELECT_TABLE_REF_RE.findall(sel):
+                if ref in views:
+                    continue
+                # a bare name may be a bound table's mangled view or a
+                # dotted bound name's last segment — require full match
+                return False
         else:
-            need = {c.strip() for c in mi.group(2).split(",") if c.strip()}
-        if not need <= have:
-            return False
+            tcols = _cols(mg["target"])
+            scols = _cols(mg["source"])
+            if tcols is None or scols is None:
+                return False
+            if mg["target_key"] not in tcols or mg["source_key"] not in scols:
+                return False
+            if not set(mg["sets"]) <= tcols:
+                return False
+            if not set(mg["insert_cols"]) <= tcols:
+                return False
+            # every alias-qualified reference in the arms must resolve
+            exprs = list(mg["sets"].values()) + mg["insert_vals"]
+            if mg["matched_cond"]:
+                exprs.append(mg["matched_cond"])
+            for expr in exprs:
+                for alias, col in _ALIAS_REF_RE.findall(
+                    re.sub(r"'(?:[^']|'')*'", "''", expr)
+                ):
+                    if alias == mg["target_alias"] and col not in tcols:
+                        return False
+                    if alias == mg["source_alias"] and col not in scols:
+                        return False
     return True
 
 
@@ -695,13 +979,76 @@ def _run_dml_statements(
       Under ``ci`` a string-literal WHERE comparison folds
       case-insensitively, matching the SELECT-side collation contract.
     """
-    s = re.sub(r"(?i)\bGETDATE\s*\(\s*\)", "current_timestamp()", sql)
+    s = _strip_line_comments(sql)
+    s = re.sub(r"(?i)\bGETDATE\s*\(\s*\)", "current_timestamp()", s)
+    s = _rewrite_tsql_calls(s)
     # substitution only — no table mapping (we need original names to
     # resolve views) and no CI fold (DML shapes are re-matched below;
     # the UPDATE's WHERE folds explicitly)
     s = rewrite_tsql(s, {}, params=params, variables=vars_)
     last: DataFrame | None = None
     for st in _split_sql_statements(s):
+        m = _TRUNCATE_RE.match(st)
+        if m:
+            view = views.get(m.group(1))
+            if view is None:
+                raise ValueError(f"DML table {m.group(1)!r} not bound")
+            # D1 in-view twin: the overwrite writer materializes the
+            # same empty state to disk (CustomerDataLoad.dtsx:51)
+            last = spark.table(view).limit(0)
+            last.createOrReplaceTempView(view)
+            continue
+        m = _DELETE_RANGE_RE.match(st)
+        if m:
+            table, col, lo, hi = m.groups()
+            view = views.get(table)
+            if view is None:
+                raise ValueError(f"DML table {table!r} not bound")
+            cur = spark.table(view)
+            # DELETE keeps rows where the predicate is FALSE or NULL
+            cond = F.col(col).between(F.expr(lo), F.expr(hi))
+            last = cur.filter(~F.coalesce(cond, F.lit(False)))
+            last.createOrReplaceTempView(view)
+            continue
+        m = _INSERT_SELECT_RE.match(st)
+        if m and not _INSERT_VALUES_RE.match(st):
+            table, cols_s, sel = m.groups()
+            view = views.get(table)
+            if view is None:
+                raise ValueError(f"DML table {table!r} not bound")
+            cur = spark.table(view)
+            mapped = _map_tables(sel, views)
+            if ci:
+                mapped = _fold_ci_sql(mapped)
+            src = spark.sql(mapped)
+            cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+            if len(cols) != len(src.columns):
+                raise ValueError(
+                    f"INSERT..SELECT {table}: {len(cols)} columns, "
+                    f"{len(src.columns)} select expressions"
+                )
+            dtypes = dict(cur.dtypes)
+            unknown = [c for c in cols if c not in dtypes]
+            if unknown:
+                raise ValueError(
+                    f"INSERT..SELECT {table}: unknown columns {unknown}"
+                )
+            by_col = dict(zip(cols, src.columns))
+            new = src.select(
+                *[
+                    (
+                        F.col(by_col[c]) if c in by_col else F.lit(None)
+                    ).cast(dtypes[c]).alias(c)
+                    for c in cur.columns
+                ]
+            )
+            last = cur.unionByName(new)
+            last.createOrReplaceTempView(view)
+            continue
+        mg = _merge_parts(st)
+        if mg:
+            last = _run_merge_statement(spark, mg, views, ci=ci)
+            continue
         m = _INSERT_VALUES_RE.match(st)
         if m:
             table, cols_s, vals_s = m.group(1), m.group(2), m.group(3)
@@ -756,6 +1103,74 @@ def _run_dml_statements(
             last.createOrReplaceTempView(view)
             continue
         raise ValueError(f"not an auto-bindable DML statement: {st[:80]}")
+    return last
+
+
+def _run_merge_statement(
+    spark, mg: dict, views: dict[str, str], ci: bool = False,
+) -> DataFrame:
+    """Execute the auto-bound MERGE shape in-view (the
+    CustomerDataLoad.dtsx:166-181 SCD statement; the incremental-dim
+    operator twin is ``operators/scd.py:merge_upsert``):
+
+    - matched target rows whose MATCHED-arm condition holds -> the SET
+      assignments applied (each cast to the target column's type);
+      other matched + all unmatched target rows pass through unchanged;
+    - source rows matching no target key -> inserted (listed columns
+      from the VALUES exprs, unlisted columns NULL).
+
+    Join-based rewrite, no Delta dependency: one LEFT JOIN for the
+    update arm + one LEFT ANTI JOIN for the insert arm, both on the
+    single ON equality — at scale both shuffle on exactly the MERGE
+    key, and a broadcast hint fires automatically when the source side
+    is small (AQE).  Precondition (T-SQL raises error 8672 here too):
+    the source must be unique per join key — duplicate source keys
+    would multiply matched target rows.
+
+    ``ci=True`` folds the ON comparison to ``lower()`` when BOTH key
+    columns are strings (the Lookup/MergeJoin collation contract)."""
+    tview, sview = views.get(mg["target"]), views.get(mg["source"])
+    if tview is None:
+        raise ValueError(f"DML table {mg['target']!r} not bound")
+    if sview is None:
+        raise ValueError(f"DML table {mg['source']!r} not bound")
+    tgt, src = spark.table(tview), spark.table(sview)
+    ta, sa = mg["target_alias"], mg["source_alias"]
+    tkey, skey = mg["target_key"], mg["source_key"]
+    dtypes = dict(tgt.dtypes)
+    stypes = dict(src.dtypes)
+    if ci and dtypes.get(tkey) == "string" and stypes.get(skey) == "string":
+        on_sql = f"LOWER({ta}.{tkey}) = LOWER({sa}.{skey})"
+    else:
+        on_sql = f"{ta}.{tkey} = {sa}.{skey}"
+    match_ind = f"{sa}.{skey} IS NOT NULL"
+    if mg["matched_cond"]:
+        match_ind += f" AND ({mg['matched_cond']})"
+    upd_cols = []
+    for c in tgt.columns:
+        if c in mg["sets"]:
+            upd_cols.append(
+                f"CASE WHEN {match_ind} THEN CAST(({mg['sets'][c]}) AS "
+                f"{dtypes[c]}) ELSE {ta}.{c} END AS {c}"
+            )
+        else:
+            upd_cols.append(f"{ta}.{c} AS {c}")
+    upd_sql = (
+        f"SELECT {', '.join(upd_cols)} FROM {tview} AS {ta} "
+        f"LEFT JOIN {sview} AS {sa} ON {on_sql}"
+    )
+    ins_by = dict(zip(mg["insert_cols"], mg["insert_vals"]))
+    ins_cols = [
+        f"CAST(({ins_by[c]}) AS {dtypes[c]}) AS {c}" if c in ins_by
+        else f"CAST(NULL AS {dtypes[c]}) AS {c}"
+        for c in tgt.columns
+    ]
+    ins_sql = (
+        f"SELECT {', '.join(ins_cols)} FROM {sview} AS {sa} "
+        f"LEFT ANTI JOIN {tview} AS {ta} ON {on_sql}"
+    )
+    last = spark.sql(upd_sql).unionByName(spark.sql(ins_sql))
+    last.createOrReplaceTempView(tview)
     return last
 
 
@@ -1109,8 +1524,8 @@ def _bind_task(spark, pkg, task, views, param_bindings, sql_handlers,
 
             return Model(name=task.name, build=build), BoundTask(
                 task.name, task.task_type, "bound",
-                "auto-bound DML (insert-values / update-flag shapes, "
-                "D5/D6)",
+                "auto-bound DML (insert-values / update-flag / truncate / "
+                "delete-range / insert-select / merge shapes, D1-D6/J4)",
             )
         return _noop_model(spark, task, "manual_review_required"), BoundTask(
             task.name, task.task_type, "manual_review_required",

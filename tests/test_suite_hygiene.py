@@ -73,8 +73,8 @@ EXPECTED = {
         "unpivot",
     },
     "dtsx_packages": {
-        "customer_load", "inv_flag", "inventory_sync", "order_routing",
-        "sales_fact",
+        "cdl_merge", "cdl_trunc", "customer_load", "inv_flag",
+        "inventory_sync", "order_routing", "sales_agg", "sales_fact",
     },
     "cdc_orders": {"apply", "diff"},
     "crawl_ingest_docs": {
