@@ -7041,25 +7041,13 @@ FROM documents
 """
 
 
-def q_image_phash_neardup(spark, sf_dir):
-    """r13 (r12 VERDICT #5): perceptual-hash image near-dup — dHash over
-    the pure-Python decoders, Hamming-banded candidate pairs through the
-    SAME blocking machinery as the text SimHash path
-    (``text/dedup.py:hamming_candidates``, skew-capped buckets).
-
-    Fixture: one 9x6 gray-gradient BMP per sampled doc
-    (``doc_id % 30 == 0``), pixel value
+def _phash_fixture_media(spark, sf_dir):
+    """The closed-form image fixture shared by the phash entries: one
+    9x6 gray-gradient BMP per sampled doc (``doc_id % 30 == 0``), pixel
     ``(23*base + 41*x + 59*y + 100*tweak*[x=0]) % 256`` with
-    ``base = id % 16`` (16 image classes -> same-base ids are clones or
-    x=0-tweaked near-dups) — CLOSED-FORM pixels, so the oracle derives
-    the 48-bit dHash, the 4x12-bit banding, and the pair set from the
-    formula alone.  Components: 'hash' = per-image dHash value; 'pair' =
-    banded candidates with exact Hamming distance.
-
-    100 TB: hashing is map-only over the media scan; blocking touches
-    only the hash relation with per-band caps — never all-pairs."""
-    from .text.dedup import phash_candidates
-    from .text.multimodal import encode_bmp_pixels, image_phash
+    ``base = id % 16`` — the formula alone derives the dHash, so the
+    oracles replay it in pure SQL."""
+    from .text.multimodal import encode_bmp_pixels
 
     docs = _t(spark, sf_dir)["documents"].filter(
         F.col("doc_id") % 30 == 0
@@ -7092,7 +7080,30 @@ def q_image_phash_neardup(spark, sf_dir):
                 }
             )
 
-    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    return docs.mapInPandas(encode, schema="media_id long, content binary")
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """r13 (r12 VERDICT #5): perceptual-hash image near-dup — dHash over
+    the pure-Python decoders, Hamming-banded candidate pairs through the
+    SAME blocking machinery as the text SimHash path
+    (``text/dedup.py:hamming_candidates``, skew-capped buckets).
+
+    Fixture: one 9x6 gray-gradient BMP per sampled doc
+    (``doc_id % 30 == 0``), pixel value
+    ``(23*base + 41*x + 59*y + 100*tweak*[x=0]) % 256`` with
+    ``base = id % 16`` (16 image classes -> same-base ids are clones or
+    x=0-tweaked near-dups) — CLOSED-FORM pixels, so the oracle derives
+    the 48-bit dHash, the 4x12-bit banding, and the pair set from the
+    formula alone.  Components: 'hash' = per-image dHash value; 'pair' =
+    banded candidates with exact Hamming distance.
+
+    100 TB: hashing is map-only over the media scan; blocking touches
+    only the hash relation with per-band caps — never all-pairs."""
+    from .text.dedup import phash_candidates
+    from .text.multimodal import image_phash
+
+    media = _phash_fixture_media(spark, sf_dir)
     fp = image_phash(media, method="dhash")
     hashes = fp.select(
         F.lit("hash").alias("component"),
@@ -7202,6 +7213,157 @@ SELECT 'cluster', CAST(node AS BIGINT), CAST(canonical AS BIGINT),
 FROM comp
 JOIN (SELECT canonical AS c2, COUNT(*) AS n
       FROM comp GROUP BY canonical) cs ON comp.canonical = cs.c2
+"""
+
+
+def q_image_phash_index(spark, sf_dir):
+    """r14 (r13 VERDICT #2): the persisted image-hash dedup index driven
+    end-to-end through DISK — write the seed generation from batch 1
+    (``media_id % 60 == 0``), then run batch 2 (``% 60 == 30``) through
+    the media ingest arm: within-batch keep-one (Hamming<=2 connected
+    components, canonical = min id), probe against the stored bucketed
+    table (band equi-join, probe-time caps), reject index matches,
+    append the accepted fingerprints.  Components: 'kept' = batch-2
+    keep-one survivors with their dHash; 'probe' = batch-vs-index
+    candidate pairs with exact Hamming distance; 'acc' = accepted
+    (appended) images; 'post' = the index contents AFTER the append —
+    the full write -> probe -> append -> read round-trip under one
+    oracle.  Closed-form pixels (see :func:`_phash_fixture_media`) make
+    every stage SQL-derivable.
+
+    100 TB: every stage touches the 8-byte/image fingerprint relation;
+    the index table is bucketed on the band join key so the corpus side
+    of the probe never exchanges."""
+    import os as _os
+
+    from .ingest import ingest_media_batch
+    from .text.dedup import read_phash_index, write_phash_index
+    from .text.multimodal import image_phash
+
+    media = _phash_fixture_media(spark, sf_dir)
+    # hash once; both batches and all stages reuse the materialization
+    fp = image_phash(media, method="dhash").localCheckpoint(eager=False)
+    b1 = fp.filter(F.col("media_id") % 60 == 0)
+    b2 = fp.filter(F.col("media_id") % 60 == 30)
+    path = _rt_tmpdir("phash_index")
+    prefix = "phidx_" + _os.path.basename(path).rsplit("_", 1)[-1]
+    try:
+        write_phash_index(b1, prefix, f"{path}/t")
+        res = ingest_media_batch(spark, b2, prefix, batch_id=1)
+        out = _union_all([
+            res.kept.select(
+                F.lit("kept").alias("component"),
+                F.col("media_id").cast("long").alias("id_a"),
+                _nul("long").alias("id_b"),
+                F.col("phash").cast("long").alias("n"),
+            ),
+            res.probe_pairs.select(
+                F.lit("probe").alias("component"),
+                F.col("media_id").cast("long").alias("id_a"),
+                F.col("index_id").cast("long").alias("id_b"),
+                F.col("hamming_distance").cast("long").alias("n"),
+            ),
+            res.accepted.select(
+                F.lit("acc").alias("component"),
+                F.col("media_id").cast("long").alias("id_a"),
+                _nul("long").alias("id_b"),
+                F.col("phash").cast("long").alias("n"),
+            ),
+            read_phash_index(spark, prefix)
+            .select("media_id", "_fp").distinct()
+            .select(
+                F.lit("post").alias("component"),
+                F.col("media_id").cast("long").alias("id_a"),
+                _nul("long").alias("id_b"),
+                F.col("_fp").cast("long").alias("n"),
+            ),
+        ])
+        # materialize under the run's tmpdir so the catalog table can be
+        # dropped (metastore-leak contract, as the bm25/ivf entries)
+        out.write.mode("overwrite").parquet(f"{path}/out")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_phash")
+    return spark.read.parquet(f"{path}/out")
+
+
+SQL_IMAGE_PHASH_INDEX = """
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 16 AS BIGINT) AS base,
+         CAST((doc_id // 16) % 2 AS BIGINT) AS tweak
+  FROM documents WHERE doc_id % 30 = 0),
+g AS (
+  SELECT i.media_id, t1.x, t2.y,
+         (23 * i.base + 41 * t1.x + 59 * t2.y
+          + CASE WHEN t1.x = 0 THEN 100 * i.tweak ELSE 0 END) % 256 AS gv
+  FROM ids i, range(9) t1(x), range(6) t2(y)),
+bits AS (
+  SELECT a.media_id, a.y * 8 + a.x AS b,
+         CASE WHEN a.gv > c.gv THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g c ON a.media_id = c.media_id AND a.y = c.y
+                   AND c.x = a.x + 1
+  WHERE a.x < 8),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER)))
+              AS BIGINT) AS phash
+  FROM bits GROUP BY media_id),
+b1 AS (SELECT * FROM hashes WHERE media_id % 60 = 0),
+b2 AS (SELECT * FROM hashes WHERE media_id % 60 = 30),
+banded2 AS (
+  SELECT media_id, phash, t.i AS band_idx,
+         (phash >> CAST(12 * t.i AS INTEGER)) & 4095 AS band_val
+  FROM b2, range(4) t(i)),
+pairs2 AS (
+  SELECT DISTINCT l.media_id AS a, r.media_id AS b
+  FROM banded2 l
+  JOIN banded2 r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+               AND l.media_id < r.media_id
+  WHERE bit_count(xor(l.phash, r.phash)) <= 2),
+edges AS (SELECT a AS src, b AS dst FROM pairs2
+          UNION ALL SELECT b, a FROM pairs2),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS canonical FROM reach GROUP BY node),
+kept AS (
+  SELECT h.media_id, h.phash FROM b2 h
+  WHERE NOT EXISTS (SELECT 1 FROM comp c
+                    WHERE c.node = h.media_id
+                      AND c.canonical <> h.media_id)),
+banded1 AS (
+  SELECT media_id, phash, t.i AS band_idx,
+         (phash >> CAST(12 * t.i AS INTEGER)) & 4095 AS band_val
+  FROM b1, range(4) t(i)),
+bandedk AS (
+  SELECT media_id, phash, t.i AS band_idx,
+         (phash >> CAST(12 * t.i AS INTEGER)) & 4095 AS band_val
+  FROM kept, range(4) t(i)),
+probe AS (
+  SELECT DISTINCT k.media_id AS batch_id, x.media_id AS index_id,
+         bit_count(xor(k.phash, x.phash)) AS hd
+  FROM bandedk k
+  JOIN banded1 x ON k.band_idx = x.band_idx AND k.band_val = x.band_val
+  WHERE bit_count(xor(k.phash, x.phash)) <= 2),
+acc AS (
+  SELECT k.media_id, k.phash FROM kept k
+  WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.batch_id = k.media_id))
+SELECT 'kept' AS component, CAST(media_id AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, phash AS n
+FROM kept
+UNION ALL
+SELECT 'probe', CAST(batch_id AS BIGINT), CAST(index_id AS BIGINT),
+       CAST(hd AS BIGINT)
+FROM probe
+UNION ALL
+SELECT 'acc', CAST(media_id AS BIGINT), CAST(NULL AS BIGINT), phash
+FROM acc
+UNION ALL
+SELECT 'post', CAST(media_id AS BIGINT), CAST(NULL AS BIGINT), phash
+FROM (SELECT media_id, phash FROM b1
+      UNION ALL SELECT media_id, phash FROM acc) _p
 """
 
 
@@ -10261,6 +10423,7 @@ ALL_QUERIES = {
     "orchestration_dag": q_orchestration_dag,
     "multimodal_decode": q_multimodal_decode,
     "image_phash_neardup": q_image_phash_neardup,
+    "image_phash_index": q_image_phash_index,
     "sampling_splits": q_sampling_splits,
     "pii_tfidf_docs": q_pii_tfidf_docs,
     "pivot_unpivot_orders": q_pivot_unpivot_orders,
@@ -10456,6 +10619,7 @@ ALL_ORACLES = {
     "orchestration_dag": SQL_ORCHESTRATION_DAG,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "image_phash_neardup": SQL_IMAGE_PHASH,
+    "image_phash_index": SQL_IMAGE_PHASH_INDEX,
     "sampling_splits": SQL_SAMPLING_SPLITS,
     "pii_tfidf_docs": SQL_PII_TFIDF,
     "pivot_unpivot_orders": SQL_PIVOT_UNPIVOT,

@@ -393,3 +393,88 @@ def ingest_batch(
         batch_pruned=batch_pruned,
         batch_pairs=batch_pairs,
     )
+
+
+@dataclass
+class MediaIngestResult:
+    """One media-batch iteration's outputs (the image arm of the
+    continuous-crawl loop, r14 — r13 VERDICT #2)."""
+
+    # batch fingerprints surviving within-batch keep-one
+    kept: DataFrame
+    # kept rows REJECTED by the index probe (near-dup of an indexed image)
+    rejected: DataFrame
+    # kept rows accepted into the corpus (appended to the index)
+    accepted: DataFrame
+    # the probe's (media_id, index_id, hamming_distance) pairs
+    probe_pairs: DataFrame
+
+
+def ingest_media_batch(
+    spark,
+    batch_fp: DataFrame,
+    table_prefix: str,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    fp_col: str = "phash",
+    bits: int = 48,
+    band_bits: int = 12,
+    max_bucket_size: int | None = 10_000,
+    num_buckets: int = 64,
+    batch_id: int | None = None,
+    append: bool = True,
+) -> MediaIngestResult:
+    """One iteration of the IMAGE dedup loop against the persisted
+    perceptual-hash index (the media twin of :func:`ingest_batch`'s
+    dedup stages; the index lifecycle lives in
+    :mod:`ssis_to_dbt_spark.text.dedup`):
+
+    1. within-batch keep-one — Hamming-``<=max_hamming`` clusters among
+       the batch keep their canonical member
+       (:func:`~ssis_to_dbt_spark.text.dedup.phash_keep_one`);
+    2. probe the survivors against the stored index
+       (:func:`~ssis_to_dbt_spark.text.dedup.phash_probe_index`) —
+       matches within ``max_hamming`` REJECT;
+    3. append the accepted fingerprints
+       (:func:`~ssis_to_dbt_spark.text.dedup.append_phash_index`),
+       tagged ``_ib = batch_id``.
+
+    Replay-idempotent with a ``batch_id``: the probe excludes index rows
+    the crashed first attempt appended under the same tag (no
+    self-rejection), and the append skips when the tag already exists —
+    so a replayed batch reaches the identical accept/reject verdicts and
+    the index ends in the identical state.  ``append=False`` runs the
+    verdict stages only.
+
+    Input contract: ``batch_fp`` is the already-hashed
+    ``(media_id, phash)`` relation
+    (:func:`~ssis_to_dbt_spark.text.multimodal.image_phash` output) —
+    hashing is the map-only stage of the media scan and stays with the
+    decode pipeline.  100 TB: every stage here touches fingerprint
+    relations only (8 bytes/image), never media bytes."""
+    from .text.dedup import (
+        append_phash_index,
+        phash_keep_one,
+        phash_probe_index,
+    )
+
+    kept = phash_keep_one(
+        batch_fp, id_col, fp_col, max_hamming, bits, band_bits,
+        max_bucket_size,
+    ).localCheckpoint(eager=False)
+    pairs = phash_probe_index(
+        spark, kept, table_prefix, max_hamming, id_col, fp_col, bits,
+        band_bits, max_bucket_size,
+        exclude_tag=batch_id,
+    ).localCheckpoint(eager=False)
+    rej_ids = pairs.select(id_col).distinct()
+    rejected = kept.join(rej_ids, id_col, "semi")
+    accepted = kept.join(rej_ids, id_col, "left_anti")
+    if append:
+        append_phash_index(
+            accepted, table_prefix, num_buckets, id_col, fp_col, bits,
+            band_bits, batch_id=batch_id,
+        )
+    return MediaIngestResult(
+        kept=kept, rejected=rejected, accepted=accepted, probe_pairs=pairs
+    )

@@ -1119,3 +1119,247 @@ class TestWithinBatchDedupHotSkew:
             for i in range(self.CAP, 100)
         )
         assert all(by_id[i]["kept"] for i in range(100, 200))
+
+
+class TestPhashIndexLifecycle:
+    """r14 (r13 VERDICT #2): the persisted perceptual-hash dedup index —
+    the image modality mirrored onto the text index's lifecycle
+    (write/append/probe/audit/compact/heal, replay-idempotent appends).
+    Fingerprints are synthetic longs here (the closed-form BMP fixture
+    drives the oracled registry entry ``image_phash_index``)."""
+
+    def _fp(self, spark, rows):
+        return spark.createDataFrame(rows, "media_id long, phash long")
+
+    def _drop(self, spark, prefix):
+        for t in (f"{prefix}_phash", f"{prefix}_phash_cstage"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_probe_corpus_side_no_exchange(self, spark, tmp_path):
+        from ssis_to_dbt_spark.text.dedup import (
+            phash_probe_index,
+            write_phash_index,
+        )
+
+        corpus = self._fp(
+            spark, [(i, (i * 0x9E3779B97F4A7C15) & ((1 << 48) - 1))
+                    for i in range(200)]
+        )
+        batch = self._fp(
+            spark, [(1000 + i, (i * 0x9E3779B97F4A7C15) & ((1 << 48) - 1))
+                    for i in range(50)]
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_phash_index(
+                corpus, "ph_np", str(tmp_path / "ph_np"), num_buckets=4
+            )
+            out = phash_probe_index(
+                spark, batch, "ph_np", max_hamming=48
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan
+            import re
+
+            stored_ids = set()
+            for m in re.finditer(
+                r"FileScan parquet spark_catalog\.default\."
+                r"ph_np_phash\[([^\]]*)\]",
+                plan,
+            ):
+                stored_ids |= set(re.findall(r"#(\d+)", m.group(1)))
+            assert stored_ids
+            for m in re.finditer(
+                r"Exchange hashpartitioning\(([^)]*)\)", plan
+            ):
+                ex_ids = set(re.findall(r"#(\d+)", m.group(1)))
+                assert not (ex_ids & stored_ids), (m.group(0), stored_ids)
+            # identical fingerprints pair at distance 0
+            zero = out.filter(F.col("hamming_distance") == 0)
+            assert zero.count() == 50
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            self._drop(spark, "ph_np")
+
+    def test_append_equals_rebuild_and_two_batch_dedup(
+        self, spark, tmp_path
+    ):
+        """VERDICT done-criterion: the two-batch dedup-against-index
+        value check — batch 2 carries an exact dup (d=0), a near dup
+        (d=1), and a novel image vs the indexed batch 1; verdicts and
+        the post-append index must match a one-shot build."""
+        from ssis_to_dbt_spark.ingest import ingest_media_batch
+        from ssis_to_dbt_spark.text.dedup import (
+            phash_probe_index,
+            read_phash_index,
+            write_phash_index,
+        )
+
+        b1 = self._fp(spark, [(1, 0x123456789ABC), (4, 0x000FFF000FFF)])
+        b2 = self._fp(spark, [
+            (11, 0x123456789ABC),   # exact dup of 1 -> reject
+            (12, 0x123456789ABD),   # hamming 1 from 1 -> reject
+            (13, 0x5A5A5A5A5A5A),   # novel -> accept
+        ])
+        try:
+            write_phash_index(b1, "ph_2b", str(tmp_path / "ph_2b"),
+                              num_buckets=4)
+            res = ingest_media_batch(spark, b2, "ph_2b", batch_id=1,
+                                     num_buckets=4)
+            # 11 and 12 are ALSO near-dups of each other, so keep-one
+            # prunes 12 before the probe; 11 then rejects vs indexed 1
+            assert {r["media_id"] for r in res.kept.collect()} == {11, 13}
+            assert {r["media_id"] for r in res.rejected.collect()} == {11}
+            assert {r["media_id"] for r in res.accepted.collect()} == {13}
+            pairs = {(r["media_id"], r["index_id"],
+                      r["hamming_distance"])
+                     for r in res.probe_pairs.collect()}
+            assert pairs == {(11, 1, 0)}
+            post = read_phash_index(spark, "ph_2b")
+            assert {r["media_id"] for r in post.collect()} == {1, 4, 13}
+            # append == rebuild: probing a third batch gives identical
+            # pairs against the grown index vs a one-shot union build
+            b3 = self._fp(spark, [(21, 0x5A5A5A5A5A5B)])
+            got = sorted(map(tuple, phash_probe_index(
+                spark, b3, "ph_2b", max_hamming=2).collect()))
+            write_phash_index(
+                b1.unionByName(self._fp(spark, [(13, 0x5A5A5A5A5A5A)])),
+                "ph_2c", str(tmp_path / "ph_2c"), num_buckets=4)
+            want = sorted(map(tuple, phash_probe_index(
+                spark, b3, "ph_2c", max_hamming=2).collect()))
+            assert got == want == [(21, 13, 1)]
+        finally:
+            self._drop(spark, "ph_2b")
+            self._drop(spark, "ph_2c")
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """A replayed micro-batch (crash between append and checkpoint
+        commit) must not self-reject against its own first attempt's
+        rows and must not double-append."""
+        from ssis_to_dbt_spark.ingest import ingest_media_batch
+        from ssis_to_dbt_spark.text.dedup import (
+            read_phash_index,
+            write_phash_index,
+        )
+
+        b1 = self._fp(spark, [(1, 0x111111111111)])
+        b2 = self._fp(spark, [(2, 0x222222222222)])
+        try:
+            write_phash_index(b1, "ph_rp", str(tmp_path / "ph_rp"),
+                              num_buckets=4)
+            r1 = ingest_media_batch(spark, b2, "ph_rp", batch_id=5,
+                                    num_buckets=4)
+            assert {r["media_id"] for r in r1.accepted.collect()} == {2}
+            spark.catalog.refreshTable("ph_rp_phash")
+            n1 = read_phash_index(spark, "ph_rp").count()
+            # replay: same verdict, same index state
+            r2 = ingest_media_batch(spark, b2, "ph_rp", batch_id=5,
+                                    num_buckets=4)
+            assert {r["media_id"] for r in r2.accepted.collect()} == {2}
+            assert not r2.rejected.take(1)
+            spark.catalog.refreshTable("ph_rp_phash")
+            assert read_phash_index(spark, "ph_rp").count() == n1
+        finally:
+            self._drop(spark, "ph_rp")
+
+    def test_compact_dedupes_keeps_newest_and_preserves_probe(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text.dedup import (
+            append_phash_index,
+            compact_phash_index,
+            phash_index_band_audit,
+            phash_probe_index,
+            read_phash_index,
+            write_phash_index,
+        )
+
+        b1 = self._fp(spark, [(1, 0x111111111111), (2, 0x222222222222)])
+        try:
+            write_phash_index(b1, "ph_cp", str(tmp_path / "ph_cp"),
+                              num_buckets=4)
+            # replayed append (exact dup rows) + a re-crawled id whose
+            # image CHANGED (new fingerprint under a newer tag)
+            append_phash_index(
+                self._fp(spark, [(1, 0x111111111111)]), "ph_cp",
+                num_buckets=4, batch_id=None,
+            )
+            recrawl = 0x333333333333
+            append_phash_index(
+                self._fp(spark, [(2, recrawl)]), "ph_cp",
+                num_buckets=4, batch_id=7,
+            )
+            spark.catalog.refreshTable("ph_cp_phash")
+            assert phash_index_band_audit(spark, "ph_cp", 1).count() > 0
+            compact_phash_index(spark, "ph_cp", str(tmp_path / "ph_cp"),
+                                num_buckets=4)
+            idx = read_phash_index(spark, "ph_cp")
+            # one generation per id, newest fingerprint wins
+            assert idx.count() == 8  # 2 ids x 4 bands
+            fp2 = {r["_fp"] for r in idx.filter(
+                F.col("media_id") == 2).collect()}
+            assert fp2 == {recrawl}
+            # probe still works and the bucketed layout survived
+            out = phash_probe_index(
+                spark, self._fp(spark, [(9, recrawl)]), "ph_cp",
+                max_hamming=0,
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan
+            assert [tuple(r) for r in out.collect()] == [(9, 2, 0)]
+        finally:
+            self._drop(spark, "ph_cp")
+
+    def test_compaction_swap_self_heal(self, spark, tmp_path):
+        """Single-table swap crash states: stage + live -> rollback
+        (drop the maybe-partial stage, live untouched); live missing +
+        stage -> roll forward (rename completes on read)."""
+        from ssis_to_dbt_spark.sources.writers import write_bucketed
+        from ssis_to_dbt_spark.text.dedup import (
+            _hamming_banded,
+            read_phash_index,
+            write_phash_index,
+        )
+
+        b1 = self._fp(spark, [(1, 0x111111111111), (2, 0x222222222222)])
+        try:
+            write_phash_index(b1, "ph_hl", str(tmp_path / "ph_hl"),
+                              num_buckets=4)
+            # (A) stage present, live present -> rollback
+            stage_rows = _hamming_banded(
+                self._fp(spark, [(3, 0x333333333333)]),
+                "media_id", "phash", 48, 12, None,
+            ).select("*", F.lit(-1).cast("long").alias("_ib"))
+            write_bucketed(
+                stage_rows, "ph_hl_phash_cstage",
+                str(tmp_path / "ph_hl_stage_a"),
+                ["band_idx", "band_val"], num_buckets=4,
+                sort_cols=["band_idx", "band_val"],
+            )
+            idx = read_phash_index(spark, "ph_hl")
+            assert not spark.catalog.tableExists("ph_hl_phash_cstage")
+            assert {r["media_id"] for r in idx.collect()} == {1, 2}
+            # (B) live missing, stage present -> roll forward
+            write_bucketed(
+                stage_rows, "ph_hl_phash_cstage",
+                str(tmp_path / "ph_hl_stage_b"),
+                ["band_idx", "band_val"], num_buckets=4,
+                sort_cols=["band_idx", "band_val"],
+            )
+            spark.sql("DROP TABLE ph_hl_phash")
+            idx = read_phash_index(spark, "ph_hl")
+            assert not spark.catalog.tableExists("ph_hl_phash_cstage")
+            assert {r["media_id"] for r in idx.collect()} == {3}
+        finally:
+            self._drop(spark, "ph_hl")
+
+    def test_keep_one_passes_null_fingerprints(self, spark):
+        from ssis_to_dbt_spark.text.dedup import phash_keep_one
+
+        fp = spark.createDataFrame(
+            [(1, 0x111111111111), (2, 0x111111111111), (3, None)],
+            "media_id long, phash long",
+        )
+        kept = phash_keep_one(fp)
+        assert {r["media_id"] for r in kept.collect()} == {1, 3}
