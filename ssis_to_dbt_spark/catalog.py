@@ -5905,6 +5905,111 @@ WHERE rn <= 10
 """
 
 
+SQL_HYBRID_RRF_INDEXED = f"""
+WITH bm AS (SELECT query_id, doc_id, rn FROM ({SQL_BM25_SEARCH}) _b),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (
+  SELECT CASE vec_id WHEN 0 THEN 'q_hash_join'
+                     WHEN 50 THEN 'q_scan_batch'
+                     ELSE 'q_window_sort' END AS query_id, v AS qvec
+  FROM e WHERE vec_id IN (0, 50, 100)),
+-- full arm: brute-force cosine top-10 (nprobe = n_cells: pruning off)
+sc AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                         * sqrt(list_inner_product(qv.qvec, qv.qvec)) > 0
+                    THEN list_inner_product(e.v, qv.qvec)
+                         / (sqrt(list_inner_product(e.v, e.v))
+                            * sqrt(list_inner_product(qv.qvec, qv.qvec)))
+                    ELSE 0.0 END, 6) AS c
+  FROM e CROSS JOIN qv),
+ann_full AS (
+  SELECT query_id, doc_id, rn
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, doc_id) AS rn
+        FROM sc)
+  WHERE rn <= 10),
+-- pruned arm (r14): replay the stored-centroid routing at nprobe=2
+-- (the SQL_IVF_RECALL routing CTEs — id-seeded centroids, corpus
+-- argmax assignment, per-query 2 nearest cells, candidates from only
+-- those cells)
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_all AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(e.v, cent.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM sim_all)
+  WHERE rn = 1
+),
+qsim AS (
+  SELECT qv.query_id, qv.qvec, cent.cid,
+         CASE WHEN sqrt(list_inner_product(qv.qvec, qv.qvec))
+                   * sqrt(list_inner_product(cent.c, cent.c)) > 0
+              THEN list_inner_product(qv.qvec, cent.c)
+                   / (sqrt(list_inner_product(qv.qvec, qv.qvec))
+                      * sqrt(list_inner_product(cent.c, cent.c)))
+              ELSE 0.0 END AS sim
+  FROM qv CROSS JOIN cent),
+routed AS (
+  SELECT query_id, qvec, cid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cid) AS crn
+  FROM qsim),
+sc_p AS (
+  SELECT r.query_id, a.vec_id AS doc_id,
+         round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(r.qvec, r.qvec)) > 0
+                    THEN list_inner_product(a.v, r.qvec)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(r.qvec, r.qvec)))
+                    ELSE 0.0 END, 6) AS c
+  FROM routed r JOIN assign a ON a.cid = r.cid
+  WHERE r.crn <= 2),
+ann_pruned AS (
+  SELECT query_id, doc_id, rn
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, doc_id) AS rn
+        FROM sc_p)
+  WHERE rn <= 10),
+arms AS (
+  SELECT 'full' AS arm, query_id, doc_id, rn FROM ann_full
+  UNION ALL
+  SELECT 'pruned', query_id, doc_id, rn FROM ann_pruned),
+u AS (
+  SELECT a.arm, b.query_id, b.doc_id,
+         CAST(CAST(round(1.0 / (60 + b.rn), 6) AS DECIMAL(18,6)) * 1000000
+              AS BIGINT) AS u
+  FROM bm b CROSS JOIN (SELECT DISTINCT arm FROM arms) a
+  UNION ALL
+  SELECT arm, query_id, doc_id,
+         CAST(CAST(round(1.0 / (60 + rn), 6) AS DECIMAL(18,6)) * 1000000
+              AS BIGINT)
+  FROM arms),
+f AS (SELECT arm, query_id, doc_id, COUNT(*) AS n_lists, SUM(u) AS rrf_units
+      FROM u GROUP BY 1, 2, 3)
+SELECT arm, query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lists AS BIGINT) AS n_lists,
+       CAST(rrf_units AS BIGINT) AS rrf_units, CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY arm, query_id
+                                   ORDER BY rrf_units DESC, doc_id) AS rn
+      FROM f)
+WHERE rn <= 10
+"""
+
+
 # --- hybrid_rrf_indexed: the DEPLOYMENT shape of hybrid retrieval ------------
 
 def q_hybrid_rrf_indexed(spark, sf_dir):
@@ -5914,11 +6019,17 @@ def q_hybrid_rrf_indexed(spark, sf_dir):
     :func:`rrf_fuse` with disk-built IVF ANN (:func:`write_ivf_index`
     -> :func:`ivf_probe_batch`) — the shape a deployment actually runs
     (corpus indexed once, every query batch probes disk), now under an
-    oracle verdict instead of only a pytest pin.  The oracle is the
-    in-memory ``hybrid_rrf_docs`` SQL VERBATIM: equality holds because
-    the postings index covers the corpus (probe == bm25_topk, pinned)
-    and the IVF probe runs at nprobe = n_cells (pruning off, identical
-    round-6 ranking and tiebreaks).
+    oracle verdict instead of only a pytest pin.  Two arms:
+
+    - ``arm='full'`` (r13): the IVF probe at nprobe = n_cells — pruning
+      off, so the oracle is the in-memory ``hybrid_rrf_docs`` SQL
+      verbatim (equality pin with the non-indexed path).
+    - ``arm='pruned'`` (r14, r13 VERDICT #4): nprobe=2 — the
+      configuration a deployment actually serves.  Its oracle REPLAYS
+      the pruned routing in SQL (the routing CTEs of
+      ``SQL_IVF_RECALL``: queries route to their 2 nearest stored
+      centroids, candidates come only from those cells), closing the
+      last daylight between the verified shape and the deployed shape.
 
     100 TB: the fuse is pure post-retrieval algebra over per-query
     top-k relations; corpus-side work is the probes' — bucket-pruned
@@ -5950,16 +6061,24 @@ def q_hybrid_rrf_indexed(spark, sf_dir):
             .alias("query_id"),
             "embedding",
         )
-        ann = ivf_probe_batch(iidx, qv, k=10, nprobe=8).select(
-            "query_id", F.col("vec_id").alias("doc_id"), "rn"
-        )
-        fused = rrf_fuse([bm, ann], k=60, top_k=10).select(
-            F.col("query_id").cast("string").alias("query_id"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("n_lists").cast("long").alias("n_lists"),
-            F.col("rrf_units").cast("long").alias("rrf_units"),
-            F.col("rn").cast("int").alias("rn"),
-        )
+        bm = bm.localCheckpoint(eager=False)  # both arms fuse the same
+        # lexical ranking; materialize it once
+        arms = []
+        for arm, nprobe in (("full", 8), ("pruned", 2)):
+            ann = ivf_probe_batch(iidx, qv, k=10, nprobe=nprobe).select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rn"
+            )
+            arms.append(
+                rrf_fuse([bm, ann], k=60, top_k=10).select(
+                    F.lit(arm).alias("arm"),
+                    F.col("query_id").cast("string").alias("query_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_lists").cast("long").alias("n_lists"),
+                    F.col("rrf_units").cast("long").alias("rrf_units"),
+                    F.col("rn").cast("int").alias("rn"),
+                )
+            )
+        fused = _union_all(arms)
         # materialize before dropping the postings tables (r11 ADVICE
         # discipline — the returned frame must not reference them)
         fused.write.mode("overwrite").parquet(f"{path}/result")
@@ -8189,7 +8308,9 @@ def q_pii_tfidf_docs(spark, sf_dir):
     )
     # r13 (r12 VERDICT #4): the DEPLOYMENT shape — disk postings + IVF
     # probes fused, oracle = the in-memory rrf SQL verbatim
-    rrfi = q_hybrid_rrf_indexed(spark, sf_dir).select(
+    rrfi = q_hybrid_rrf_indexed(spark, sf_dir).filter(
+        F.col("arm") == "full"
+    ).select(
         F.lit("rrf_idx").alias("component"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("query_id").cast("string").alias("s1"),
@@ -10631,7 +10752,7 @@ ALL_ORACLES = {
     "ci_group_customers": SQL_CI_GROUP,
     "ci_filter_customers": SQL_CI_FILTER,
     "ivf_recall_audit": SQL_IVF_RECALL,
-    "hybrid_rrf_indexed": SQL_HYBRID_RRF,
+    "hybrid_rrf_indexed": SQL_HYBRID_RRF_INDEXED,
     "time_contract_events": SQL_TIME_CONTRACT,
     "bm25_search_docs": SQL_BM25_SEARCH,
     "nb_classifier_docs": SQL_NB_CLASSIFIER,
