@@ -554,8 +554,17 @@ def rewrite_tsql(
     ``ci=True`` additionally folds string-literal equality/IN comparisons
     case-insensitively (:func:`_fold_ci_sql` — the CI-collation server
     contract, applied AFTER parameter substitution so bound values fold
-    too)."""
-    s = sql.replace("[", "").replace("]", "").rstrip().rstrip(";")
+    too).
+
+    Bracket stripping is literal-aware (r14): ``[dbo].[T]`` quoting
+    strips, but brackets INSIDE string literals survive — they carry
+    T-SQL LIKE character classes, which
+    :func:`_rewrite_like_brackets` translates to ``regexp_like`` with
+    SQL Server semantics after parameter substitution."""
+    lparts = re.split(r"('(?:[^']|'')*')", sql)
+    for _k in range(0, len(lparts), 2):
+        lparts[_k] = lparts[_k].replace("[", "").replace("]", "")
+    s = "".join(lparts).rstrip().rstrip(";")
     for t in sorted(table_views, key=len, reverse=True):
         s = re.sub(
             rf"(?<![A-Za-z0-9_.]){re.escape(t)}(?![A-Za-z0-9_.])",
@@ -595,9 +604,110 @@ def rewrite_tsql(
     if m:
         s = s[: m.start()] + s[m.end():].lstrip()
         s = s + f" LIMIT {m.group(1)}"
+    s = _rewrite_like_brackets(s, ci=ci)
     if ci:
         s = _fold_ci_sql(s)
     return s
+
+
+# --- T-SQL LIKE bracket classes (r14, r13 VERDICT #5) -----------------------
+# SQL Server LIKE treats [A-C] / [^x] as character classes; Spark LIKE
+# treats '[' literally — a migrated package using them would silently
+# return different rows.  The translatable shape (identifier [NOT] LIKE
+# 'literal-with-[') rewrites to regexp_like with T-SQL class semantics;
+# any other bracket-LIKE shape classifies manual BY NAME (classify_sql).
+
+_LIKE_LHS_TAIL = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s+((?i:NOT)\s+)?(?i:LIKE)\s*$"
+)
+_LIKE_ANY_TAIL = re.compile(r"((?i:NOT)\s+)?(?i:LIKE)\s*$")
+
+
+def _tsql_like_to_regex(pat: str) -> str:
+    """Translate a T-SQL LIKE pattern to an anchored Java regex:
+    ``%`` -> ``.*``, ``_`` -> ``.``, ``[a-c]``/``[^x]`` -> character
+    classes (``[%]``/``[_]`` therefore match the literal wildcard,
+    T-SQL's bracket-escape idiom), everything else literal.  An
+    unclosed ``[`` is a literal bracket (SQL Server behavior)."""
+    out = ["^"]
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "[":
+            j = pat.find("]", i + 1)
+            if j < 0 or j == i + 1:  # unclosed or empty class: literal
+                out.append(re.escape(ch))
+            else:
+                inner = pat[i + 1: j]
+                neg = inner.startswith("^")
+                body = inner[1:] if neg else inner
+                esc = re.sub(r"([\\\]\[\^])", r"\\\1", body)
+                out.append("[" + ("^" if neg else "") + esc + "]")
+                i = j + 1
+                continue
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+def _sql_regex_literal(rx: str) -> str:
+    """Embed a regex in a Spark SQL string literal: double backslashes
+    (Spark treats ``\\`` as an escape in string literals) and double
+    single quotes."""
+    return "'" + rx.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _rewrite_like_brackets(s: str, ci: bool = False) -> str:
+    """Rewrite ``ident [NOT] LIKE '<pattern containing [>'`` to
+    ``[NOT ]regexp_like(ident, '^...$')`` with T-SQL class semantics,
+    literal-aware.  Under ``ci`` the identifier wraps ``LOWER()`` and
+    the pattern lowers first (the CI-collation contract —
+    :func:`_fold_ci_sql` never sees these, they are regexes by the time
+    it runs).  Patterns without ``[`` are untouched (plain LIKE is
+    portable)."""
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    for i in range(1, len(parts), 2):
+        lit = parts[i]
+        pat = lit[1:-1].replace("''", "'")
+        if "[" not in pat:
+            continue
+        m = _LIKE_LHS_TAIL.search(parts[i - 1])
+        if not m or m.group(1).upper() in _CI_IDENT_STOPWORDS:
+            continue
+        neg = "NOT " if m.group(2) else ""
+        ident = m.group(1)
+        if ci:
+            ident = f"LOWER({ident})"
+            pat = pat.lower()
+        rx = _sql_regex_literal(_tsql_like_to_regex(pat))
+        parts[i - 1] = parts[i - 1][: m.start()] + neg
+        parts[i] = f"regexp_like({ident}, {rx})"
+    return "".join(parts)
+
+
+def _has_untranslatable_bracket_like(sql: str) -> bool:
+    """True when a ``[NOT] LIKE`` against a bracket-class pattern has a
+    NON-identifier left side — the shape :func:`_rewrite_like_brackets`
+    cannot rewrite; Spark LIKE would silently diverge from SQL Server,
+    so :func:`classify_sql` refuses it by name."""
+    parts = re.split(r"('(?:[^']|'')*')", sql or "")
+    for i in range(1, len(parts), 2):
+        pat = parts[i][1:-1].replace("''", "'")
+        if "[" not in pat:
+            continue
+        before = parts[i - 1]
+        if not _LIKE_ANY_TAIL.search(before):
+            continue
+        m = _LIKE_LHS_TAIL.search(before)
+        if not m or m.group(1).upper() in _CI_IDENT_STOPWORDS:
+            return True
+    return False
 
 
 _RUNNABLE_RE = re.compile(r"(?is)^\s*(?:--[^\n]*\n\s*)*SELECT\b")
@@ -609,8 +719,16 @@ _MANUAL_KEYWORDS = re.compile(
 def classify_sql(sql: str) -> str:
     """'runnable' for a single SELECT statement; 'manual' for T-SQL control
     flow / DML the engine will not guess at (the reference's
-    manual_review_required contract)."""
-    if _RUNNABLE_RE.match(sql or "") and not _MANUAL_KEYWORDS.search(sql or ""):
+    manual_review_required contract) — and (r14) for a bracket-class
+    ``LIKE`` whose left side is not a plain identifier: Spark LIKE
+    treats ``[`` literally, the translatable shape rewrites to
+    ``regexp_like``, and anything else refuses BY NAME instead of
+    silently returning SQL Server-different rows."""
+    if (
+        _RUNNABLE_RE.match(sql or "")
+        and not _MANUAL_KEYWORDS.search(sql or "")
+        and not _has_untranslatable_bracket_like(sql or "")
+    ):
         return "runnable"
     return "manual"
 
@@ -874,9 +992,10 @@ def _autobindable_dml(sql: str, spark=None, views=None) -> bool:
     manual_review classification instead of a run-time failure — the
     flip to ``bound`` happens only when the statement can actually
     execute."""
-    stmts = _split_sql_statements(
-        _strip_line_comments((sql or "").replace("[", "").replace("]", ""))
-    )
+    bparts = re.split(r"('(?:[^']|'')*')", sql or "")
+    for _k in range(0, len(bparts), 2):
+        bparts[_k] = bparts[_k].replace("[", "").replace("]", "")
+    stmts = _split_sql_statements(_strip_line_comments("".join(bparts)))
     if not stmts:
         return False
 

@@ -1483,6 +1483,88 @@ class TestDmlRewriteHelpers:
         assert pkg.tasks[0].sql == "-- c1\nSELECT 1\nFROM t"
 
 
+class TestLikeBracketClasses:
+    """r14 (r13 VERDICT #5): T-SQL LIKE bracket classes — `[A-C]%` /
+    `[^x]%` are character classes on SQL Server but literal brackets to
+    Spark LIKE.  The identifier shape translates to regexp_like with
+    T-SQL semantics; any other bracket-LIKE shape refuses by name
+    (classify_sql -> manual); plain LIKE stays LIKE."""
+
+    def test_translation_model(self):
+        from ssis_to_dbt_spark.dtsx import _tsql_like_to_regex
+
+        assert _tsql_like_to_regex("[A-C]%") == "^[A-C].*$"
+        assert _tsql_like_to_regex("[^x]_") == "^[^x].$"
+        assert _tsql_like_to_regex("50[%]") == "^50[%]$"       # escaped %
+        assert _tsql_like_to_regex("a.b%") == "^a\\.b.*$"      # meta escaped
+        assert _tsql_like_to_regex("un[closed") == "^un\\[closed$"
+
+    def test_sql_server_semantics_end_to_end(self, spark):
+        """A bracket-class LIKE in embedded SQL returns exactly the rows
+        SQL Server would."""
+        from ssis_to_dbt_spark.dtsx import rewrite_tsql
+
+        spark.createDataFrame(
+            [("Alpha",), ("Bravo",), ("Charlie",), ("Delta",), ("acorn",),
+             ("B2",), ("[A-C]x",)],
+            "Name string",
+        ).createOrReplaceTempView("likecls_t")
+        got = {
+            r["Name"]
+            for r in spark.sql(
+                rewrite_tsql(
+                    "SELECT Name FROM dbo.T WHERE Name LIKE '[A-C]%'",
+                    {"dbo.T": "likecls_t"},
+                )
+            ).collect()
+        }
+        # SQL Server: first char in A..C (case-sensitive collation here)
+        assert got == {"Alpha", "Bravo", "Charlie", "B2"}
+        # negated class + NOT LIKE
+        got = {
+            r["Name"]
+            for r in spark.sql(
+                rewrite_tsql(
+                    "SELECT Name FROM dbo.T WHERE Name NOT LIKE '[^AB]%'",
+                    {"dbo.T": "likecls_t"},
+                )
+            ).collect()
+        }
+        assert got == {"Alpha", "Bravo", "B2"}
+        # ci: LOWER fold + lowered class
+        got = {
+            r["Name"]
+            for r in spark.sql(
+                rewrite_tsql(
+                    "SELECT Name FROM dbo.T WHERE Name LIKE '[A-C]%'",
+                    {"dbo.T": "likecls_t"}, ci=True,
+                )
+            ).collect()
+        }
+        assert got == {"Alpha", "Bravo", "Charlie", "B2", "acorn"}
+
+    def test_literal_brackets_survive_quoting_strip(self, spark):
+        from ssis_to_dbt_spark.dtsx import rewrite_tsql
+
+        out = rewrite_tsql(
+            "SELECT '[dbo].[T]' AS lit FROM [dbo].[T]", {"dbo.T": "v"}
+        )
+        assert out == "SELECT '[dbo].[T]' AS lit FROM v"
+
+    def test_untranslatable_shape_classifies_manual(self):
+        from ssis_to_dbt_spark.dtsx import classify_sql
+
+        assert classify_sql(
+            "SELECT * FROM t WHERE UPPER(Name) LIKE '[A-C]%'"
+        ) == "manual"
+        assert classify_sql(
+            "SELECT * FROM t WHERE Name LIKE '[A-C]%'"
+        ) == "runnable"
+        assert classify_sql(
+            "SELECT * FROM t WHERE Name LIKE 'A%'"
+        ) == "runnable"
+
+
 class TestDataConversionErrorOutput:
     def test_failing_casts_route_to_error_output(self, spark, tmp_path):
         body = (
