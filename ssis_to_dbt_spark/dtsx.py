@@ -1343,6 +1343,19 @@ def bind_package(
     case-sensitive (Spark semantics), so packages migrated from a CI
     server opt in explicitly.
 
+    Collation-fold DOMAIN (r14, the named contract boundary —
+    pytest-pinned in ``TestCiUnicodeBoundary``): the fold is ``lower()``
+    (Unicode simple case mapping).  It matches
+    ``SQL_Latin1_General_CP1_CI_AS`` exactly on the ASCII repertoire and
+    on Latin-1 case pairs (CP1252's case map agrees with Unicode's
+    there, and CI_AS is accent-SENSITIVE, so accented-vs-plain stays
+    distinct on both sides).  Known divergences, by name: ``'ß'`` vs
+    ``'ss'`` (the server weighs them EQUAL, the fold keeps them
+    distinct) and the Turkish dotted/dotless I pairs (``'İ'/'i'``,
+    ``'ı'/'I'`` — equal under a Turkish_CI collation, distinct under
+    the fold).  Data exercising those code points under ``ci=True``
+    needs a bespoke collation mapping, not this fold.
+
     Returns (pipeline, report).  Each task becomes one :class:`Model` named
     by its ObjectName; precedence constraints become ``deps``; a data-flow
     model's DataFrame is its destination input, also registered as a temp

@@ -1483,6 +1483,94 @@ class TestDmlRewriteHelpers:
         assert pkg.tasks[0].sql == "-- c1\nSELECT 1\nFROM t"
 
 
+class TestCiUnicodeBoundary:
+    """r14 (r13 VERDICT #7): the named contract boundary of the `ci=`
+    collation fold.  The engine folds with `lower()` (Unicode simple
+    case mapping, JVM-side); the migrated server collation
+    (`SQL_Latin1_General_CP1_CI_AS`) uses Windows Latin1 weights.  The
+    two AGREE on the ASCII repertoire and on Latin-1 case pairs (the
+    CP1252 simple case map matches Unicode's there, and CI_AS is
+    accent-SENSITIVE, so é<>e on both sides).  They DIVERGE, by name:
+
+    - 'ß' vs 'ss': SQL Server CI_AS weighs them EQUAL; the fold keeps
+      them distinct (lower('ß') = 'ß').
+    - Turkish dotted/dotless I ('İ'/'i', 'ı'/'I'): a Turkish_CI server
+      weighs each pair equal; the fold does not (lower('İ') is
+      'i'+combining-dot, lower('I') is 'i' <> 'ı').
+
+    These tests PIN the engine's actual behavior on both sides of the
+    boundary so any drift is caught; the divergences are documented in
+    `bind_package`'s docstring and SCALE.md rather than silently
+    wrong."""
+
+    def _fold_eq(self, spark, pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return [
+            (r["a"], r["b"], r["eq"])
+            for r in df.select(
+                "a", "b",
+                (F.lower("a") == F.lower("b")).alias("eq"),
+            ).collect()
+        ]
+
+    def test_ascii_fold_matches_python_lower_model(self, spark):
+        """On ASCII, JVM lower()-fold equality == the Python .lower()
+        model (one batched query over seeded random pairs — the
+        property the ASCII-fixture oracles rely on)."""
+        import random
+        import string
+
+        rng = random.Random(1414)
+        alphabet = string.ascii_letters + string.digits + " _-%"
+        pairs = []
+        for _ in range(150):
+            a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+            # half the pairs: a case-mangled copy; half: independent
+            if rng.random() < 0.5:
+                b = "".join(
+                    c.upper() if rng.random() < 0.5 else c.lower()
+                    for c in a
+                )
+            else:
+                b = "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 12))
+                )
+            pairs.append((a, b))
+        for a, b, eq in self._fold_eq(spark, pairs):
+            assert eq == (a.lower() == b.lower()), (a, b)
+
+    def test_latin1_case_pairs_agree(self, spark):
+        """CP1252 case pairs: fold-equal (and CI_AS-equal — same simple
+        case map); accent pairs: fold-distinct (and CI_AS-distinct —
+        the collation is accent-SENSITIVE)."""
+        got = dict(
+            ((a, b), eq) for a, b, eq in self._fold_eq(spark, [
+                ("É", "é"), ("Ñ", "ñ"), ("Ü", "ü"), ("Ç", "ç"),
+                ("é", "e"), ("ü", "u"), ("ñ", "n"),
+            ])
+        )
+        assert got[("É", "é")] and got[("Ñ", "ñ")]
+        assert got[("Ü", "ü")] and got[("Ç", "ç")]
+        assert not got[("é", "e")] and not got[("ü", "u")]
+        assert not got[("ñ", "n")]
+
+    def test_documented_divergences_pinned(self, spark):
+        """The named divergence cases: the fold keeps these DISTINCT
+        while the corresponding server collation weighs them equal.
+        Pinned so the boundary never drifts silently."""
+        got = dict(
+            ((a, b), eq) for a, b, eq in self._fold_eq(spark, [
+                ("ß", "ss"),   # CI_AS: equal; fold: distinct
+                ("İ", "i"),    # Turkish_CI: equal; fold: distinct
+                ("ı", "I"),    # Turkish_CI: equal; fold: distinct
+            ])
+        )
+        assert not got[("ß", "ss")]
+        assert not got[("İ", "i")]
+        assert not got[("ı", "I")]
+
+
 class TestLikeBracketClasses:
     """r14 (r13 VERDICT #5): T-SQL LIKE bracket classes — `[A-C]%` /
     `[^x]%` are character classes on SQL Server but literal brackets to
