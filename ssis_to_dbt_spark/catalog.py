@@ -10110,9 +10110,9 @@ def q_crawl_ingest_docs(spark, sf_dir):
     from .curation import stage_gate
     from .text.dedup import corpus_dedup_index
 
-    g1 = stage_gate(b1).localCheckpoint()
+    g1 = stage_gate(b1).localCheckpoint(eager=False)
     i1s, i1b = corpus_dedup_index(g1, checkpoint_sigs=True)
-    i1 = (i1s, i1b.localCheckpoint(eager=False))
+    i1 = (i1s, i1b)  # bands ride on the checkpointed sigs (r14)
     r1 = ingest_batch(b1, st, pre_gated=g1, pre_index=i1)
     r2 = ingest_batch(b2, r1.state)
 

@@ -53,6 +53,7 @@ def drop_seam_anti_join(
     drop_ids: DataFrame,
     key: str = "doc_id",
     broadcast_max_ids: int | None = None,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Size-aware anti-join seam: COUNT the drop-id set (one cheap action
     on a pair-derived, id-only table — never corpus-scale to compute) and
@@ -66,13 +67,18 @@ def drop_seam_anti_join(
       count just proved oversized).
 
     Both regimes are value-identical (plan-pinned + equality-tested in
-    ``TestSizeAwareSeams``)."""
+    ``TestSizeAwareSeams``).
+
+    ``known_count`` (r14 perf): a caller applying SEVERAL seams against
+    the SAME drop-id set (the ingest loop drops one rejected-id set from
+    gated docs, sigs, and bands) counts once and passes the measurement
+    in — one sizing action per batch instead of one per seam."""
     limit = (
         SEAM_BROADCAST_MAX_IDS
         if broadcast_max_ids is None
         else int(broadcast_max_ids)
     )
-    n = drop_ids.count()
+    n = drop_ids.count() if known_count is None else int(known_count)
     if n <= limit:
         return corpus.join(F.broadcast(drop_ids), key, "left_anti")
     return corpus.join(drop_ids.hint("shuffle_hash"), key, "left_anti")
