@@ -91,6 +91,7 @@ HEADLINE = [
     "ivf_recall_audit",
     "hybrid_rrf_indexed",
     "image_phash_neardup",
+    "image_phash_index",
 ]
 
 # Frozen round-4 headline: the like-for-like trend metric.  The full HEADLINE
@@ -154,11 +155,25 @@ def main() -> None:
         lambda pdf: pdf, "id long"
     ).collect()
 
+    # r14 (r13 VERDICT #8): build/probe split for the entries that
+    # construct a persisted index inside the timed body — the entry
+    # records its build wall in catalog.SECTION_TIMES; the probe share
+    # is the remainder.  Informational only: every gate stays on totals.
+    sections: dict[str, dict[str, float]] = {}
+
     def run_once(name: str) -> float:
         fn = catalog.ALL_QUERIES[name]
+        catalog.SECTION_TIMES.pop(name, None)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        sec = catalog.SECTION_TIMES.pop(name, None)
+        if sec and "build" in sec:
+            sections[name] = {
+                "build": round(sec["build"], 3),
+                "probe": round(max(dt - sec["build"], 0.0), 3),
+            }
+        return dt
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -238,7 +253,8 @@ def main() -> None:
          "queries": times, "core20_wall_sec": core20,
          "regressions": regressions, "sf": sf,
          "ratio_vs_anchor": ratio_vs_anchor,
-         "ratio_vs_rolling": ratio_vs_rolling},
+         "ratio_vs_rolling": ratio_vs_rolling,
+         "sections": sections},
         separators=(",", ":"),
     ))
     print(json.dumps(
