@@ -890,3 +890,106 @@ def write_stream_bm25_probe(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_media_ingest(
+    media_stream: DataFrame,
+    table_prefix: str,
+    out_dir: str,
+    checkpoint: str,
+    max_hamming: int = 2,
+    num_buckets: int = 64,
+    id_col: str = "media_id",
+    fp_col: str = "phash",
+    bits: int = 48,
+    band_bits: int = 12,
+    max_bucket_size: int | None = 10_000,
+    audit_every: int | None = None,
+    audit_max_bucket_size: int = 10_000,
+    compact_path_prefix: str | None = None,
+):
+    """r14: the IMAGE dedup loop as a ``foreachBatch`` sink — the
+    streaming deployment of :func:`ssis_to_dbt_spark.ingest
+    .ingest_media_batch` against the persisted perceptual-hash index
+    (value-identical to the batch form per micro-batch; pytest-pinned
+    in ``test_streaming_e2e.py``).  The stream carries already-hashed
+    ``(media_id, phash)`` fingerprints — hashing is the map-only stage
+    of the media decode pipeline and composes upstream.
+
+    Each micro-batch ``N``: optional band-audit/compaction hygiene ->
+    within-batch keep-one -> probe vs the stored index -> reject
+    matches -> append the acceptances tagged ``_ib = N``.
+    foreachBatch is at-least-once, and every side effect follows the
+    crawl sink's replay-idempotence contract:
+
+    - the probe excludes index rows tagged ``N`` (a crashed first
+      attempt's own appends can't self-reject the replay);
+    - the append SKIPS when tag-``N`` rows already exist;
+    - accepted/rejected land as per-batch ``batch_id=N`` subdirectory
+      OVERWRITES (partition discovery exposes ``batch_id`` on read);
+    - ``audit_every``-cadence compaction passes tag-``>= N`` rows
+      through verbatim (``keep_tags_at_or_above``), so a replayed batch
+      reaches the identical post-compaction index.
+
+    100 TB: every stage touches the 8-byte/image fingerprint relation;
+    the index side of the probe reads matching buckets of the bucketed
+    table with zero exchange."""
+    from .ingest import ingest_media_batch
+    from .text.dedup import (
+        append_phash_index,
+        compact_phash_index,
+        phash_index_band_audit,
+    )
+
+    if audit_every is not None and compact_path_prefix is None:
+        raise ValueError(
+            "audit_every requires compact_path_prefix (the compaction "
+            "staging location)"
+        )
+
+    def handle(batch_fp: DataFrame, batch_id: int) -> None:
+        spark = batch_fp.sparkSession
+        bid = int(batch_id)
+        # cloned-session cache: see the crawl sink — without the refresh
+        # batch N probes an index missing batch N-1's acceptances
+        spark.catalog.refreshTable(f"{table_prefix}_phash")
+        if (
+            audit_every is not None
+            and bid > 0
+            and bid % int(audit_every) == 0
+        ):
+            over = phash_index_band_audit(
+                spark, table_prefix, audit_max_bucket_size,
+                tags_below=bid,
+            )
+            if over.take(1):
+                compact_phash_index(
+                    spark, table_prefix, compact_path_prefix,
+                    num_buckets=num_buckets, id_col=id_col,
+                    bits=bits, band_bits=band_bits,
+                    keep_tags_at_or_above=bid,
+                )
+                spark.catalog.refreshTable(f"{table_prefix}_phash")
+        r = ingest_media_batch(
+            spark, batch_fp, table_prefix, max_hamming=max_hamming,
+            id_col=id_col, fp_col=fp_col, bits=bits,
+            band_bits=band_bits, max_bucket_size=max_bucket_size,
+            num_buckets=num_buckets, batch_id=bid, append=False,
+        )
+        for name, df in (("accepted", r.accepted),
+                         ("rejected", r.rejected)):
+            df.write.mode("overwrite").parquet(
+                f"{out_dir}/{name}/batch_id={bid}"
+            )
+        append_phash_index(
+            r.accepted, table_prefix, num_buckets=num_buckets,
+            id_col=id_col, fp_col=fp_col, bits=bits,
+            band_bits=band_bits, batch_id=bid,
+        )
+
+    return (
+        media_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1679,3 +1679,179 @@ class TestStreamingIvfProbe:
         rows = {r["query_id"]: r for r in got.filter("rn = 1").collect()}
         for qid in (0, 1):  # self is each query's top hit
             assert rows[qid]["item_id"] == qid
+
+
+class TestStreamingMediaIngest:
+    """r14: the image dedup loop's foreachBatch deployment
+    (write_stream_media_ingest) — per-micro-batch equivalence with the
+    batch arm, chained-batch dedup against the growing index, crash
+    replay idempotence, and the audit/compaction cadence."""
+
+    def _fp_rows(self, ids_fps):
+        return [(int(i), int(f)) for i, f in ids_fps]
+
+    def _write_batch(self, spark, src, rows):
+        spark.createDataFrame(
+            self._fp_rows(rows), "media_id long, phash long"
+        ).write.mode("append").parquet(src)
+
+    def _run(self, spark, src, prefix, out, ckpt, **kw):
+        from ssis_to_dbt_spark.streaming import write_stream_media_ingest
+
+        stream = spark.readStream.schema(
+            "media_id long, phash long"
+        ).parquet(src)
+        q = write_stream_media_ingest(
+            stream, prefix, out, ckpt, num_buckets=4, **kw
+        )
+        q.awaitTermination(240)
+        q.stop()  # release the checkpoint before the next run starts
+
+    def test_two_batches_dedup_against_growing_index(
+        self, spark, tmp_path
+    ):
+        from ssis_to_dbt_spark.text.dedup import (
+            read_phash_index,
+            write_phash_index,
+        )
+
+        prefix = "smi_idx"
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        seed = spark.createDataFrame(
+            [(1, 0x111111111111)], "media_id long, phash long"
+        )
+        try:
+            write_phash_index(seed, prefix, str(tmp_path / "idx"),
+                              num_buckets=4)
+            # batch 0: dup-of-seed (11), novel (12)
+            self._write_batch(spark, src, [(11, 0x111111111111),
+                                           (12, 0x222222222222)])
+            self._run(spark, src, prefix, out, ckpt)
+            # batch 1: dup of batch 0's ACCEPTED novel (21) + novel (22)
+            self._write_batch(spark, src, [(21, 0x222222222223),
+                                           (22, 0x333333333333)])
+            self._run(spark, src, prefix, out, ckpt)
+            acc = {
+                r["media_id"]
+                for r in spark.read.parquet(f"{out}/accepted").collect()
+            }
+            rej = {
+                r["media_id"]
+                for r in spark.read.parquet(f"{out}/rejected").collect()
+            }
+            assert acc == {12, 22}
+            assert rej == {11, 21}  # 21 rejected vs batch 0's append
+            spark.catalog.refreshTable(f"{prefix}_phash")
+            idx_ids = {
+                r["media_id"]
+                for r in read_phash_index(spark, prefix).collect()
+            }
+            assert idx_ids == {1, 12, 22}
+        finally:
+            for t in (f"{prefix}_phash", f"{prefix}_phash_cstage"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_replay_after_crash_is_idempotent(self, spark, tmp_path):
+        """Crash between the handler's side effects and the checkpoint
+        commit (delete commits/0): the replay must reach identical
+        verdicts — no self-rejection against the crashed attempt's own
+        appends, no double-append, outputs overwritten not duplicated."""
+        import os
+
+        from ssis_to_dbt_spark.text.dedup import (
+            read_phash_index,
+            write_phash_index,
+        )
+
+        prefix = "smi_rp"
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        seed = spark.createDataFrame(
+            [(1, 0x111111111111)], "media_id long, phash long"
+        )
+        try:
+            write_phash_index(seed, prefix, str(tmp_path / "idx"),
+                              num_buckets=4)
+            self._write_batch(spark, src, [(11, 0x111111111111),
+                                           (12, 0x222222222222)])
+            self._run(spark, src, prefix, out, ckpt)
+            # simulate the crash: drop the commit marker so Structured
+            # Streaming genuinely replays batch 0 against the mutated
+            # index
+            os.remove(os.path.join(ckpt, "commits", "0"))
+            crc = os.path.join(ckpt, "commits", ".0.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            self._run(spark, src, prefix, out, ckpt)
+            acc = [
+                r["media_id"]
+                for r in spark.read.parquet(f"{out}/accepted").collect()
+            ]
+            rej = [
+                r["media_id"]
+                for r in spark.read.parquet(f"{out}/rejected").collect()
+            ]
+            assert sorted(acc) == [12] and sorted(rej) == [11]
+            spark.catalog.refreshTable(f"{prefix}_phash")
+            idx = read_phash_index(spark, prefix, with_batch_tag=True)
+            # exactly one generation of batch-0 rows (4 bands x 1 image)
+            assert idx.filter(F.col("_ib") == 0).count() == 4
+        finally:
+            for t in (f"{prefix}_phash", f"{prefix}_phash_cstage"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_audit_cadence_compacts_and_keeps_serving(
+        self, spark, tmp_path
+    ):
+        """Duplicate rows from a manual double-append trip the audit at
+        the cadence batch; compaction dedupes while the loop keeps
+        serving (keep_tags_at_or_above protects the live batch)."""
+        from ssis_to_dbt_spark.text.dedup import (
+            append_phash_index,
+            read_phash_index,
+            write_phash_index,
+        )
+
+        prefix = "smi_cp"
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        seed = spark.createDataFrame(
+            [(1, 0x111111111111)], "media_id long, phash long"
+        )
+        try:
+            write_phash_index(seed, prefix, str(tmp_path / "idx"),
+                              num_buckets=4)
+            # duplicate seed rows -> over-cap at audit_max_bucket_size=1
+            append_phash_index(seed, prefix, num_buckets=4)
+            self._write_batch(spark, src, [(11, 0x222222222222)])
+            self._run(spark, src, prefix, out, ckpt,
+                      audit_every=2,
+                      audit_max_bucket_size=1,
+                      compact_path_prefix=str(tmp_path / "cmp"))
+            self._write_batch(spark, src, [(12, 0x333333333333)])
+            self._run(spark, src, prefix, out, ckpt,
+                      audit_every=2,
+                      audit_max_bucket_size=1,
+                      compact_path_prefix=str(tmp_path / "cmp"))
+            # batch 2 (bid=2, cadence hit): compaction deduped the seed
+            self._write_batch(spark, src, [(13, 0x444444444444)])
+            self._run(spark, src, prefix, out, ckpt,
+                      audit_every=2,
+                      audit_max_bucket_size=1,
+                      compact_path_prefix=str(tmp_path / "cmp"))
+            spark.catalog.refreshTable(f"{prefix}_phash")
+            idx = read_phash_index(spark, prefix)
+            ids = sorted(
+                r["media_id"] for r in
+                idx.select("media_id").distinct().collect()
+            )
+            assert ids == [1, 11, 12, 13]
+            # seed dup rows reclaimed: 4 ids x 4 bands exactly
+            assert idx.count() == 16
+        finally:
+            for t in (f"{prefix}_phash", f"{prefix}_phash_cstage"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
