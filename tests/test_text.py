@@ -396,6 +396,34 @@ class TestSemDeDup:
             }
             assert a == e
 
+    def test_gram_and_chunked_arrow_paths_bit_identical(self, spark):
+        # r14 perf: cells <= gram_max_n accumulate the pair-dot matrix as
+        # sequential rank-1 updates (same per-element IEEE op order as the
+        # pair-gather fold); forcing gram_max_n=1 routes every cell through
+        # the original chunked fallback — outputs must agree BIT-exactly
+        from ssis_to_dbt_spark.text.similarity import (
+            _semdedup_arrow,
+            ivf_centroids,
+        )
+        from ssis_to_dbt_spark.sources.readers import testdata
+
+        fixture = testdata(spark, "/root/testdata/sf0.001")["embeddings"]
+        for df in (self._corpus(spark), fixture):
+            cents = ivf_centroids(df, 4)
+            g = {
+                (r["vec_id"], r["cell"], r["dup_of"], r["max_cos_r"])
+                for r in _semdedup_arrow(
+                    df, 0.3, "vec_id", "embedding", cents
+                ).collect()
+            }
+            c = {
+                (r["vec_id"], r["cell"], r["dup_of"], r["max_cos_r"])
+                for r in _semdedup_arrow(
+                    df, 0.3, "vec_id", "embedding", cents, gram_max_n=1
+                ).collect()
+            }
+            assert g == c
+
     def test_empty_corpus_both_engines(self, spark):
         # empty input -> empty centroid list; the expr path's ivf_assign
         # must short-circuit (argmax over an empty struct array is
