@@ -32,6 +32,90 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
+# --- SQL-text expression builders (r14 perf) --------------------------------
+# Column-by-Column construction pays one py4j round-trip per operator
+# node; the hot vector paths (centroid sims, probe cosines) build
+# hundreds of nodes per plan, which measured as multiple SECONDS of
+# driver-side plan construction per query.  These helpers render the
+# IDENTICAL expression trees as SQL text — one F.expr()/selectExpr()
+# call each — so results are bit-identical (same analyzed tree) while
+# construction drops to string formatting.  Literal doubles render via
+# repr(), whose shortest-round-trip decimal re-parses to the same bits
+# (pinned in tests).
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_dlit(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _sql_arr(vals) -> str:
+    return "array(" + ", ".join(_sql_dlit(v) for v in vals) + ")"
+
+
+def _sql_as_double(c: str) -> str:
+    return f"transform({c}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_l2(c: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({c}, x -> x * x), 0.0D, "
+        "(acc, x) -> acc + x))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    den = f"({_sql_l2(a)} * {_sql_l2(b)})"
+    return (
+        f"CASE WHEN {den} > 0 THEN {_sql_dot(a, b)} / {den} "
+        "ELSE 0.0D END"
+    )
+
+
+def _with_centroid_sims(
+    df: DataFrame, centroids, vec_col: str
+) -> DataFrame:
+    """Project ``_v``/``_norm`` and one ``_sim{cid}`` column per centroid
+    (the shared head of :func:`ivf_assign` / :func:`route_queries`) as
+    TWO selectExpr rounds — the trees are those the Column formulation
+    built, at O(1) py4j calls."""
+    df = df.withColumn(
+        "_v", F.expr(_sql_as_double(_sql_ident(vec_col)))
+    ).withColumn("_norm", F.expr(_sql_l2("_v")))
+    sims = []
+    for cid, cvec in centroids:
+        cnorm = 0.0
+        for x in cvec:
+            cnorm = cnorm + float(x) * float(x)
+        cnorm = math.sqrt(cnorm)
+        den = f"(_norm * {_sql_dlit(cnorm)})"
+        sims.append(
+            f"CASE WHEN {den} > 0 THEN {_sql_dot('_v', _sql_arr(cvec))}"
+            f" / {den} ELSE 0.0D END AS _sim{cid}"
+        )
+    return df.selectExpr("*", *sims)
+
+
+def _ranked_cells_sql(centroids) -> str:
+    """The ``sort_array(array(struct(sim, -cell)), desc)`` ranking over
+    the ``_sim{cid}`` columns of :func:`_with_centroid_sims` — (sim
+    desc, cell asc) by struct field order, as SQL text."""
+    return "sort_array(array(" + ", ".join(
+        f"named_struct('s', _sim{cid}, 'nc', {-cid})"
+        for cid, _ in centroids
+    ) + "), false)"
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -66,19 +150,37 @@ def brute_force_topk(
     Plan shape: project cosine -> orderBy().limit(k) which Spark executes as
     TakeOrderedAndProject — no global sort of the corpus.
     """
-    q = _query_literal(query_vec)
-    scored = df.select(
-        F.col(id_col),
-        cosine_similarity(_as_double(F.col(vec_col)), q).alias("cosine"),
+    cos_sql = _sql_cosine(
+        _sql_as_double(_sql_ident(vec_col)), _sql_arr(query_vec)
+    )
+    scored = df.selectExpr(
+        _sql_ident(id_col), f"{cos_sql} AS cosine"
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def _literal_plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _literal_plane_bucket(
+    vec: "Column | str", planes: list[list[float]]
+) -> Column:
     """Bucket id from compile-time constant ±1 hyperplanes: ``num_planes``
     sequential dot products against literal arrays — ZERO hash evaluations
     per row, and the identical IEEE expression tree the expression fallbacks
-    evaluate, so bucket ids are bit-equal to theirs."""
+    evaluate, so bucket ids are bit-equal to theirs.  Pass ``vec`` as a
+    SQL fragment (column name) to build the whole tree as ONE F.expr —
+    the Column form costs ~10 py4j round-trips per plane at plan-build
+    time (r14 perf)."""
+    if isinstance(vec, str):
+        terms = []
+        for p, plane in enumerate(planes):
+            dot = (
+                f"aggregate(zip_with({vec}, {_sql_arr(plane)}, "
+                "(x, s) -> CAST(x AS DOUBLE) * s), 0.0D, "
+                "(acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"CASE WHEN {dot} > 0 THEN {1 << p}L ELSE 0L END"
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
     total = None
     for p, plane in enumerate(planes):
         # one array literal per plane (a single py4j call — element-wise
@@ -155,7 +257,8 @@ def _xxhash_sign_planes(num_planes: int, dims: int, seed: int) -> list[list[floa
 
 
 def hyperplane_bucket(
-    vec: Column, num_planes: int = 16, seed: int = 0, dims: int | None = None
+    vec: "Column | str", num_planes: int = 16, seed: int = 0,
+    dims: int | None = None,
 ) -> Column:
     """Sign-LSH bucket id (one bit per hyperplane, packed into a BIGINT).
 
@@ -170,7 +273,9 @@ def hyperplane_bucket(
     is the scale-killing path; the literal path evaluates zero.
     """
     if dims is not None:
-        return _literal_plane_bucket(vec, _xxhash_sign_planes(num_planes, dims, seed))
+        return _literal_plane_bucket(
+            vec, _xxhash_sign_planes(num_planes, dims, seed)
+        )
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
@@ -216,7 +321,7 @@ def _md5_sign(p: int, j: int) -> float:
 
 
 def hyperplane_bucket_md5(
-    vec: Column, num_planes: int = 4, dims: int | None = None
+    vec: "Column | str", num_planes: int = 4, dims: int | None = None
 ) -> Column:
     """Sign-LSH bucket id with md5-derived hyperplanes.
 
@@ -302,7 +407,8 @@ def lsh_topk_md5(
     planes = [[_md5_sign(p, j) for j in range(dims)] for p in range(num_planes)]
     q_bucket = _py_bucket(query_vec, planes)
     candidates = df.filter(
-        _literal_plane_bucket(F.col(vec_col), planes) == F.lit(q_bucket)
+        _literal_plane_bucket(_sql_ident(vec_col), planes)
+        == F.lit(q_bucket)
     )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
@@ -347,7 +453,10 @@ def lsh_bucket_candidates(
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), num_planes, seed, dims).alias("bucket"),
+        hyperplane_bucket(
+            _sql_ident(vec_col) if dims is not None else F.col(vec_col),
+            num_planes, seed, dims,
+        ).alias("bucket"),
     )
     bucketed = _cap_bucket_size(bucketed, id_col, max_bucket_size)
     left = bucketed.select(
@@ -359,12 +468,12 @@ def lsh_bucket_candidates(
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            cosine_similarity(
-                _as_double(F.col("vec_a")), _as_double(F.col("vec_b"))
-            ).alias("cosine"),
+            _sql_cosine(
+                _sql_as_double("vec_a"), _sql_as_double("vec_b")
+            ) + " AS cosine",
         )
     )
 
@@ -392,7 +501,8 @@ def lsh_topk(
     planes = _xxhash_sign_planes(num_planes, dims, seed)
     q_bucket = _py_bucket(query_vec, planes)
     candidates = df.filter(
-        _literal_plane_bucket(F.col(vec_col), planes) == F.lit(q_bucket)
+        _literal_plane_bucket(_sql_ident(vec_col), planes)
+        == F.lit(q_bucket)
     )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
@@ -422,8 +532,11 @@ def embedding_neardup_pairs_md5(
     bucketed = df.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
-        hyperplane_bucket_md5(F.col(vec_col), num_planes, dims).alias("bucket"),
-    ).withColumn("_norm", l2_norm(F.col("_v")))
+        hyperplane_bucket_md5(
+            _sql_ident(vec_col) if dims is not None else F.col(vec_col),
+            num_planes, dims,
+        ).alias("bucket"),
+    ).withColumn("_norm", F.expr(_sql_l2("_v")))
     bucketed = _cap_bucket_size(bucketed, id_col, max_bucket_size)
     left = bucketed.select(
         "bucket",
@@ -477,8 +590,11 @@ def knn_join(
     pairs = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_similarity(
-            _as_double(F.col(corpus_vec)), _as_double(F.col(query_vec))
+        F.expr(
+            _sql_cosine(
+                _sql_as_double(_sql_ident(corpus_vec)),
+                _sql_as_double(_sql_ident(query_vec)),
+            )
         ).alias("cosine"),
         F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(salt_buckets)).alias("_salt"),
     )
@@ -564,38 +680,17 @@ def ivf_assign(
     if not centroids:
         out = df.withColumn(cell_col, F.lit(-1).cast("int"))
         return out.withColumn(sim_col, F.lit(0.0)) if sim_col else out
-    v = _as_double(F.col(vec_col))
-    df = df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
-    sim_cols = []
-    for cid, cvec in centroids:
-        cnorm = 0.0
-        for x in cvec:
-            cnorm = cnorm + float(x) * float(x)
-        cnorm = math.sqrt(cnorm)
-        denom = F.col("_norm") * F.lit(cnorm)
-        sim = F.when(
-            denom > 0,
-            dot_product(F.col("_v"), F.lit([float(x) for x in cvec])) / denom,
-        ).otherwise(F.lit(0.0))
-        sim_cols.append(sim.alias(f"_sim{cid}"))
-    df = df.select("*", *sim_cols)
+    df = _with_centroid_sims(df, centroids, vec_col)
     # argmax via max-of-structs: (sim, -cell) compares field-by-field, so the
     # max is the highest sim with the LOWEST cell id on exact ties — linear
     # plan size (a chained when-fold would double the tree per centroid)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"_sim{cid}").alias("s"),
-                    F.lit(-cid).alias("nc"),
-                )
-                for cid, _ in centroids
-            ]
-        )
-    )
-    out = df.withColumn(cell_col, -best.getField("nc"))
+    best_sql = "array_max(array(" + ", ".join(
+        f"named_struct('s', _sim{cid}, 'nc', {-cid})"
+        for cid, _ in centroids
+    ) + "))"
+    out = df.withColumn(cell_col, F.expr(f"-(({best_sql}).nc)"))
     if sim_col:
-        out = out.withColumn(sim_col, best.getField("s"))
+        out = out.withColumn(sim_col, F.expr(f"({best_sql}).s"))
     return out.drop("_v", "_norm", *[f"_sim{cid}" for cid, _ in centroids])
 
 
@@ -633,7 +728,6 @@ def farthest_point_seeds(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    v = _as_double(F.col(vec_col))
     first = (
         df.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -643,12 +737,15 @@ def farthest_point_seeds(
     if not first:
         return []
     seeds = [(first[0][id_col], [float(x) for x in first[0][vec_col]])]
+    v_sql = _sql_as_double(_sql_ident(vec_col))
     while len(seeds) < k:
         sims = [
-            cosine_similarity(v, _query_literal(vec)).alias(f"_s{j}")
+            f"{_sql_cosine(v_sql, _sql_arr(vec))} AS _s{j}"
             for j, (_, vec) in enumerate(seeds)
         ]
-        staged = df.select(F.col(id_col), F.col(vec_col), *sims)
+        staged = df.selectExpr(
+            _sql_ident(id_col), _sql_ident(vec_col), *sims
+        )
         max_sim = (
             F.col("_s0")
             if len(seeds) == 1
@@ -879,14 +976,12 @@ def prototype_assign(
             "prototype_assign requires numeric (int/float) class labels for "
             f"the -label tie-break; got non-numeric labels: {non_numeric!r}"
         )
-    v = _as_double(F.col(vec_col))
+    v_sql = _sql_as_double(_sql_ident(vec_col))
     labs = sorted(centroids)
-    staged = df.select(
+    staged = df.selectExpr(
         "*",
         *[
-            cosine_similarity(v, _query_literal(centroids[lab])).alias(
-                f"_pcos{i}"
-            )
+            f"{_sql_cosine(v_sql, _sql_arr(centroids[lab]))} AS _pcos{i}"
             for i, lab in enumerate(labs)
         ],
     )
@@ -1686,45 +1781,49 @@ def route_queries(
     lowest cell id), and the probed cells explode to
     ``(query_id, embedding, cell)`` rows — ``nprobe`` rows per query, no
     shuffle, no driver round-trip per query."""
-    v = _as_double(F.col(vec_col))
-    q = queries_df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
-    sim_cols = []
-    for cid, cvec in centroids:
-        cnorm = 0.0
-        for x in cvec:
-            cnorm = cnorm + float(x) * float(x)
-        cnorm = math.sqrt(cnorm)
-        denom = F.col("_norm") * F.lit(cnorm)
-        sim = F.when(
-            denom > 0,
-            dot_product(F.col("_v"), F.lit([float(x) for x in cvec])) / denom,
-        ).otherwise(F.lit(0.0))
-        sim_cols.append(sim.alias(f"_sim{cid}"))
-    q = q.select("*", *sim_cols)
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"_sim{cid}").alias("s"),
-                    F.lit(-cid).alias("nc"),
-                )
-                for cid, _ in centroids
-            ]
-        ),
-        asc=False,
-    )
+    q = _with_centroid_sims(queries_df, centroids, vec_col)
+    ranked_sql = _ranked_cells_sql(centroids)
     probe_n = min(int(nprobe), len(centroids))
     return (
-        q.withColumn("_cells", F.slice(ranked, 1, probe_n))
-        .select(
-            id_col,
-            vec_col,
-            F.explode(F.col("_cells")).alias("_c"),
+        q.selectExpr(
+            _sql_ident(id_col),
+            _sql_ident(vec_col),
+            f"explode(slice({ranked_sql}, 1, {probe_n})) AS _c",
         )
-        .select(
-            id_col,
-            vec_col,
-            (-F.col("_c.nc")).cast("int").alias("cell"),
+        .selectExpr(
+            _sql_ident(id_col),
+            _sql_ident(vec_col),
+            "CAST(-(_c.nc) AS INT) AS cell",
+        )
+    )
+
+
+def route_queries_ranked(
+    queries_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`route_queries` at nprobe = n_cells, keeping the RANK of
+    each probed cell: ``(id_col, vec_col, cell, crn)`` with ``crn`` = 1
+    for the query's nearest centroid (same (sim desc, cell asc) order as
+    ``route_queries``, so ``crn <= nprobe`` reproduces its probed-cell
+    set exactly).  One map pass serves every nprobe arm of a recall
+    audit — instead of one routing pass (plus its probed-cell-set
+    action) per arm."""
+    q = _with_centroid_sims(queries_df, centroids, vec_col)
+    ranked_sql = _ranked_cells_sql(centroids)
+    return (
+        q.selectExpr(
+            _sql_ident(id_col),
+            _sql_ident(vec_col),
+            f"posexplode({ranked_sql}) AS (_pos, _c)",
+        )
+        .selectExpr(
+            _sql_ident(id_col),
+            _sql_ident(vec_col),
+            "CAST(-(_c.nc) AS INT) AS cell",
+            "CAST(_pos + 1 AS INT) AS crn",
         )
     )
 
@@ -1775,11 +1874,13 @@ def ivf_probe_batch(
         )
         cand = index.assign.filter(F.col("cell").isin(cells))
     joined = cand.join(F.broadcast(routed), "cell")
-    cos = cosine_similarity(_as_double(F.col(vec_col)), _as_double(F.col("_qv")))
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        F.round(cos, 6).alias("cosine_r"),
+    cos_sql = _sql_cosine(
+        _sql_as_double(_sql_ident(vec_col)), _sql_as_double("`_qv`")
+    )
+    scored = joined.selectExpr(
+        _sql_ident(query_id_col),
+        _sql_ident(id_col),
+        f"round({cos_sql}, 6) AS cosine_r",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_r").desc(), F.col(id_col)
@@ -1828,13 +1929,13 @@ def nearest_reference(
         else F.col(id_col).alias(ref_id_col),
         F.col(ref_vec_col).alias("_rv"),
     )
-    cos = cosine_similarity(
-        _as_double(F.col(vec_col)), _as_double(F.col("_rv"))
+    cos_sql = _sql_cosine(
+        _sql_as_double(_sql_ident(vec_col)), _sql_as_double("`_rv`")
     )
-    scored = df.crossJoin(F.broadcast(ref)).select(
-        id_col,
-        ref_id_col,
-        F.round(cos, 6).alias("cosine_r"),
+    scored = df.crossJoin(F.broadcast(ref)).selectExpr(
+        _sql_ident(id_col),
+        _sql_ident(ref_id_col),
+        f"round({cos_sql}, 6) AS cosine_r",
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine_r").desc(), F.col(ref_id_col)
@@ -1917,15 +2018,15 @@ def semantic_decontam_indexed(
         F.col(index_id_col).alias(ref_id_col),
         F.col(index_vec_col).alias("_rv"),
     )
-    cos = cosine_similarity(
-        _as_double(F.col("_qv")), _as_double(F.col("_rv"))
+    cos_sql = _sql_cosine(
+        _sql_as_double("`_qv`"), _sql_as_double("`_rv`")
     )
     # plain equi-join on the cell key: Catalyst/AQE picks the physical
     # strategy; neither side carries a broadcast hint by design
-    scored = routed.join(cand, "cell").select(
-        id_col,
-        ref_id_col,
-        F.round(cos, 6).alias("cosine_r"),
+    scored = routed.join(cand, "cell").selectExpr(
+        _sql_ident(id_col),
+        _sql_ident(ref_id_col),
+        f"round({cos_sql}, 6) AS cosine_r",
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine_r").desc(), F.col(ref_id_col)
@@ -1952,6 +2053,7 @@ def ivf_recall_at_k(
     query_vec_col: str = "embedding",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Recall@k audit (r13, r12 VERDICT #7): the operational dial that
     closes the index-health loop — :func:`ivf_index_cell_audit` says the
@@ -1977,47 +2079,91 @@ def ivf_recall_at_k(
     in scan cost; re-clustering buys it back for free at one rebuild.
 
     100 TB shape: the query side is a SAMPLE (model-sized by contract —
-    this is an audit, not a serving path).  Each pruned arm scans
-    ``<= nprobe/n_cells`` of the index via partition pruning; the exact
-    arm is one full-index probe per arm (cache/persist the exact frame
-    before calling if the sample is large).  The hit count joins
-    per-query top-k relations — request-scale, never corpus-scale."""
+    this is an audit, not a serving path).  The audit's EXACT arm must
+    scan the whole index by definition, so the fused form (r14 perf)
+    routes once with cell ranks (:func:`route_queries_ranked`), joins
+    the full assignment scan ONCE against the broadcast ranked routing,
+    and derives every arm by ``crn <= nprobe`` + one shared per-(arm,
+    query) top-k window — strictly fewer index bytes than per-arm
+    probes (1 full scan, vs 1 full + sum(nprobe_i)/n_cells partial
+    scans) and no per-arm routing actions.  Values are identical to
+    per-arm :func:`ivf_probe_batch` calls: the ranked routing reproduces
+    each arm's probed-cell set exactly, scores quantize round-6 before
+    the same (cosine desc, id asc) window, and each corpus vector lives
+    in one cell so no dedup seam exists.  The hit count joins per-query
+    top-k relations — request-scale, never corpus-scale."""
     n_cells = len(index.centroids)
-    # the exact arm joins into EVERY pruned arm: localCheckpoint it so
-    # the full-index probe runs once, not once per nprobe (it is a
-    # queries x k relation — request-scale blocks)
-    exact = ivf_probe_batch(
-        index, queries_df, k=k, nprobe=n_cells,
-        query_id_col=query_id_col, query_vec_col=query_vec_col,
-        id_col=id_col, vec_col=vec_col,
-    ).select(query_id_col, id_col).localCheckpoint(eager=False)
-    qids = queries_df.select(query_id_col).distinct()
-    outs = []
-    for np_ in sorted({int(x) for x in nprobes}):
-        pruned = ivf_probe_batch(
-            index, queries_df, k=k, nprobe=np_,
-            query_id_col=query_id_col, query_vec_col=query_vec_col,
-            id_col=id_col, vec_col=vec_col,
+    arms = sorted({int(x) for x in nprobes})
+    # internal arm set: always carry the exact arm (crn cap = n_cells)
+    all_arms = sorted({min(a, n_cells) for a in arms} | {n_cells})
+    routed = route_queries_ranked(
+        queries_df, index.centroids, query_id_col, query_vec_col
+    ).withColumnRenamed(query_vec_col, "_qv")
+    joined = index.assign.join(F.broadcast(routed), "cell")
+    cos_sql = _sql_cosine(
+        _sql_as_double(_sql_ident(vec_col)), _sql_as_double("`_qv`")
+    )
+    scored = joined.selectExpr(
+        _sql_ident(query_id_col),
+        _sql_ident(id_col),
+        f"round({cos_sql}, 6) AS cosine_r",
+        "crn",
+    )
+    fanned = scored.withColumn(
+        "_arm",
+        F.explode(F.array(*[F.lit(a).cast("int") for a in all_arms])),
+    ).filter(F.col("crn") <= F.col("_arm"))
+    w = Window.partitionBy("_arm", query_id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(id_col)
+    )
+    topk = (
+        fanned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .select("_arm", query_id_col, id_col)
+    )
+    # the per-arm top-k relation feeds BOTH sides of the hit join;
+    # checkpoint it so the fused index scan runs once, not once per
+    # consumer (``checkpoint=False`` keeps the lazy plan for the
+    # plan-shape tests, which pin the single-scan shape)
+    if checkpoint:
+        topk = topk.localCheckpoint(eager=False)
+    exact = topk.filter(F.col("_arm") == n_cells).select(
+        query_id_col, id_col
+    )
+    hits = (
+        topk.join(exact, [query_id_col, id_col])
+        .groupBy("_arm", query_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("_arm").alias("_h_arm"),
+            F.col(query_id_col).alias("_h_qid"),
+            "n_hits",
         )
-        hits = (
-            pruned.join(exact, [query_id_col, id_col])
-            .groupBy(query_id_col)
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # requested arms as a pure-JVM literal explode (a 3-row
+    # createDataFrame would spread over default-parallelism Python
+    # partitions — one worker roundtrip per slice)
+    qids = queries_df.select(query_id_col).distinct().select(
+        query_id_col,
+        F.explode(
+            F.array(*[F.lit(a).cast("int") for a in arms])
+        ).alias("nprobe"),
+    )
+    return (
+        qids
+        .join(
+            hits,
+            (F.least(F.col("nprobe"), F.lit(n_cells)) == F.col("_h_arm"))
+            & (F.col(query_id_col) == F.col("_h_qid")),
+            "left",
         )
-        outs.append(
-            qids.join(hits, query_id_col, "left").select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                query_id_col,
-                F.coalesce(F.col("n_hits"), F.lit(0))
-                .cast("long")
-                .alias("n_hits"),
-                F.lit(int(k)).cast("int").alias("k"),
-            )
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            query_id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(int(k)).cast("int").alias("k"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def maintain_ivf_index(

@@ -744,9 +744,50 @@ class TestRound12PlanShapes:
         assert "band_val" in fmt
         assert fmt.count("MapInPandas") >= 1
 
-    def test_ivf_recall_arms_partition_prune(self, spark):
-        """r13: the pruned recall arms carry PartitionFilters on the
-        cell key; nothing in the audit is a cartesian."""
+    def test_ivf_recall_fused_single_scan(self, spark):
+        """r14 (fused recall audit): ONE full-index scan serves every
+        nprobe arm — the ranked routing broadcasts onto the assign scan,
+        arms fan out via a literal explode, and the shared per-arm top-k
+        is checkpointed so the scan is not re-run per consumer.  Nothing
+        in the audit is a cartesian."""
         fmt = plan_of(spark, "ivf_recall_audit")
-        assert "PartitionFilters" in fmt and "cell" in fmt
         assert "CartesianProduct" not in fmt
+        # the arm fan is a pure-JVM literal explode (no Python-side
+        # createDataFrame of the 3-row arm table)
+        assert "explode([1,2,8])" in fmt
+        # the fused top-k relation enters as the checkpointed RDD —
+        # both the exact arm and the hit join read the SAME blocks
+        assert "Scan ExistingRDD" in fmt
+        assert "BatchEvalPython" not in fmt and "ArrowEvalPython" not in fmt
+
+    def test_ivf_recall_fused_lazy_shape(self, spark):
+        """The pre-checkpoint fused plan (checkpoint=False): the ranked
+        routing joins the assign scan as a BROADCAST (queries are a
+        model-sized sample by contract) — no shuffle of the index side
+        before scoring, no cartesian."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_recall_at_k,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        idx = write_ivf_index(
+            emb, tempfile.mkdtemp(prefix="planpin_recall_"), n_cells=8
+        )
+        q = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = ivf_recall_at_k(idx, q, k=5, nprobes=(1, 2, 8),
+                             checkpoint=False)
+        fmt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" in fmt
+        assert "CartesianProduct" not in fmt
+        assert "BroadcastNestedLoopJoin" not in fmt
