@@ -6063,7 +6063,7 @@ def q_hybrid_rrf_indexed(spark, sf_dir):
         rrf_fuse,
         write_bm25_index,
     )
-    from .text.similarity import ivf_probe_batch, write_ivf_index
+    from .text.similarity import ivf_probe_batch_arms, write_ivf_index
 
     docs = _t(spark, sf_dir)["documents"]
     emb = _t(spark, sf_dir)["embeddings"]
@@ -6090,9 +6090,16 @@ def q_hybrid_rrf_indexed(spark, sf_dir):
         )
         bm = bm.localCheckpoint(eager=False)  # both arms fuse the same
         # lexical ranking; materialize it once
+        # r14 perf: both prune levels from ONE probe — the fused
+        # multi-arm form scans the index once (the full arm needs the
+        # whole assignment anyway) and fans by cell rank; per-arm values
+        # are ivf_probe_batch's exactly (oracles unchanged)
+        ann_arms = ivf_probe_batch_arms(
+            iidx, qv, k=10, nprobes=(2, 8)
+        ).localCheckpoint(eager=False)
         arms = []
         for arm, nprobe in (("full", 8), ("pruned", 2)):
-            ann = ivf_probe_batch(iidx, qv, k=10, nprobe=nprobe).select(
+            ann = ann_arms.filter(F.col("nprobe") == nprobe).select(
                 "query_id", F.col("vec_id").alias("doc_id"), "rn"
             )
             arms.append(

@@ -1897,6 +1897,80 @@ def ivf_probe_batch(
     )
 
 
+def ivf_probe_batch_arms(
+    index: IvfIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (2,),
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Several ``nprobe`` arms of :func:`ivf_probe_batch` from ONE scan
+    (r14 perf): route once with cell ranks
+    (:func:`route_queries_ranked`), scan the union of the LARGEST arm's
+    probed cells once (the full assignment when that arm is
+    nprobe >= n_cells), score each candidate once, then fan the scored
+    rows into arms by ``crn <= nprobe`` and rank per (arm, query).
+
+    Per arm, values are identical to ``ivf_probe_batch(nprobe=a)``: the
+    ranked routing reproduces each arm's probed-cell set exactly, the
+    cosine quantizes round-6 before the same (cosine desc, id asc)
+    window, and each corpus vector lives in one cell so no dedup seam
+    exists.  A caller running the same query batch at several prune
+    levels (recall audits, full-vs-pruned comparison arms) pays one
+    probe instead of one per arm.
+
+    Returns ``(nprobe, query_id, vec_id, cosine_r, rn)``."""
+    n_cells = len(index.centroids)
+    arms = sorted({int(x) for x in nprobes})
+    amax = min(arms[-1], n_cells)
+    routed = route_queries_ranked(
+        queries_df, index.centroids, query_id_col, query_vec_col
+    ).withColumnRenamed(query_vec_col, "_qv")
+    if amax < n_cells:
+        # even the widest arm prunes: route once, collect the probed
+        # cell set (<= queries x amax), partition-prune the scan
+        routed = routed.filter(F.col("crn") <= amax).localCheckpoint(
+            eager=False
+        )
+        cells = sorted(
+            r["cell"] for r in routed.select("cell").distinct().collect()
+        )
+        cand = index.assign.filter(F.col("cell").isin(cells))
+    else:
+        cand = index.assign
+    joined = cand.join(F.broadcast(routed), "cell")
+    cos_sql = _sql_cosine(
+        _sql_as_double(_sql_ident(vec_col)), _sql_as_double("`_qv`")
+    )
+    scored = joined.selectExpr(
+        _sql_ident(query_id_col),
+        _sql_ident(id_col),
+        f"round({cos_sql}, 6) AS cosine_r",
+        "crn",
+    )
+    fanned = scored.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(a).cast("int") for a in arms])),
+    ).filter(F.col("crn") <= F.least(F.col("nprobe"), F.lit(n_cells)))
+    w = Window.partitionBy("nprobe", query_id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(id_col)
+    )
+    return (
+        fanned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select(
+            "nprobe",
+            query_id_col,
+            id_col,
+            "cosine_r",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 def nearest_reference(
     df: DataFrame,
     ref_df: DataFrame,

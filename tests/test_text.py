@@ -2950,6 +2950,38 @@ class TestPersistedIvfIndex:
                     cr - round(row["cosine"], 6)
                 ) < 1e-9
 
+    def test_probe_arms_equal_per_arm_probes(self, spark, tmp_path):
+        """r14 fused multi-arm probe: each arm of ivf_probe_batch_arms
+        is bit-identical to the standalone ivf_probe_batch at that
+        nprobe — including an arm that exceeds n_cells (clamped)."""
+        from ssis_to_dbt_spark.text.similarity import (
+            ivf_probe_batch,
+            ivf_probe_batch_arms,
+            write_ivf_index,
+        )
+
+        emb = self._emb(spark)
+        idx = write_ivf_index(emb, str(tmp_path / "ivfarms"), n_cells=8)
+        queries = emb.filter(F.col("vec_id").isin([0, 100, 250])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        fused = ivf_probe_batch_arms(
+            idx, queries, k=5, nprobes=(1, 2, 8, 11)
+        ).collect()
+        for a in (1, 2, 8, 11):
+            arm = sorted(
+                (r["query_id"], r["rn"], r["vec_id"], r["cosine_r"])
+                for r in fused
+                if r["nprobe"] == a
+            )
+            solo = sorted(
+                (r["query_id"], r["rn"], r["vec_id"], r["cosine_r"])
+                for r in ivf_probe_batch(
+                    idx, queries, k=5, nprobe=a
+                ).collect()
+            )
+            assert arm == solo and len(arm) > 0
+
     def test_probe_scan_partition_prunes(self, spark, tmp_path):
         from ssis_to_dbt_spark.text.similarity import (
             ivf_probe_batch,
