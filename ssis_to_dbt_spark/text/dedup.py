@@ -139,14 +139,19 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("_sh")
     )
+    # r14 perf: the num_hashes min-aggregates and the final array render
+    # as SQL text (one parse each) instead of Column-by-Column — the
+    # identical expression trees (integer literal permutation ids, same
+    # xxhash64 argument types) at O(1) py4j round-trips instead of ~5 per
+    # hash; measured seconds of driver time at num_hashes=64
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+        F.expr(f"min(xxhash64({i}, _sh)) AS _h{i}")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash"),
+    arr = ", ".join(f"_h{i}" for i in range(num_hashes))
+    return sigs.selectExpr(
+        f"`{id_col}`", f"array({arr}) AS minhash"
     )
 
 
@@ -257,14 +262,16 @@ def minhash_signatures_md5(
     sh = df.select(
         F.col(id_col), F.explode(shingle(F.col(text_col), shingle_n)).alias("_sh")
     )
+    # SQL-text aggregates (r14 perf): identical trees (string-literal
+    # permutation prefix, same concat_ws/md5 arguments), one parse each
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh")))).alias(f"_h{i}")
+        F.expr(f"min(md5(concat_ws(':', '{i}', _sh))) AS _h{i}")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash"),
+    arr = ", ".join(f"_h{i}" for i in range(num_hashes))
+    return sigs.selectExpr(
+        f"`{id_col}`", f"array({arr}) AS minhash"
     )
 
 
@@ -415,6 +422,31 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _simhash_vote_aggs(bits: int) -> list[Column]:
+    """The per-bit ±1 vote aggregates over the staged token hash ``_h``,
+    rendered as SQL text (r14 perf): identical trees to the Column
+    formulation (integer literals, same CASE/shiftright/& shape) at one
+    py4j round-trip per bit instead of ~8."""
+    return [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(_h, {j}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS _v{j}"
+        )
+        for j in range(bits)
+    ]
+
+
+def _simhash_fp_sql(bits: int) -> str:
+    """The fingerprint fold over the ``_v{j}`` vote columns — the same
+    left-associated sum of CASE terms the Column loop built, as one SQL
+    string (exact integer arithmetic either way)."""
+    return " + ".join(
+        f"CASE WHEN _v{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    ) + " AS simhash"
+
+
 def simhash_md5_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -435,22 +467,8 @@ def simhash_md5_fingerprints(
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
     ).select(id_col, _md5_long(F.col("_tok")).alias("_h"))
-    h = F.col("_h")
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{j}")
-            for j in range(bits)
-        ]
-    )
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    votes = toks.groupBy(id_col).agg(*_simhash_vote_aggs(bits))
+    return votes.selectExpr(f"`{id_col}`", _simhash_fp_sql(bits))
 
 
 def simhash_md5_candidates(
@@ -534,22 +552,8 @@ def simhash_fingerprints(
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
     ).select(id_col, F.xxhash64(F.col("_tok")).alias("_h"))
-    h = F.col("_h")
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{j}")
-            for j in range(bits)
-        ]
-    )
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    votes = toks.groupBy(id_col).agg(*_simhash_vote_aggs(bits))
+    return votes.selectExpr(f"`{id_col}`", _simhash_fp_sql(bits))
 
 
 def _hamming_banded(

@@ -1543,23 +1543,45 @@ def write_ivf_index(
     per-task.  Probes then touch ``nprobe/n_cells`` of the data via
     partition pruning (plan-pinned), the same read-amplification contract
     as the bucketed dedup index."""
+    from .. import fs as _fs
+
     spark = df.sparkSession
+    # a FULL write supersedes any staged recluster generation: a stale
+    # committed `_recluster_stage` under this path would otherwise roll
+    # OVER the fresh index at the next read-time heal
+    _fs.delete(spark, f"{path}/_recluster_stage")
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, id_col, vec_col)
     assigned = ivf_assign(df, centroids, id_col, vec_col, cell_col="cell")
     assigned.select("cell", id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/assign")
-    # repartition(1), NOT coalesce(1): a parallelized local list spreads
-    # over default-parallelism Python partitions, and coalesce(1) folds
-    # them into ONE task that pays the python-worker roundtrip per parent
-    # partition SEQUENTIALLY (profiled ~4 s for 8 rows at 32 slices);
-    # repartition shuffles the 8 rows into one task in ~0.1 s
-    spark.createDataFrame(
-        [(c, [float(x) for x in v]) for c, v in centroids],
-        "cell int, centroid array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    return read_ivf_index(spark, path, id_col, vec_col)
+    # centroid table as a JVM LocalRelation (r14 perf): inline() over
+    # literal structs writes the model-sized table in ONE single-task
+    # job — no Python-partition spread (a parallelized local list lands
+    # on default-parallelism Python slices), no repartition shuffle.
+    # Doubles render via repr() (shortest round-trip re-parses to the
+    # same bits, pinned in tests), so the stored values are exactly the
+    # in-memory centroids.
+    structs = ", ".join(
+        f"named_struct('cell', {int(c)}, 'centroid', {_sql_arr(v)})"
+        for c, v in centroids
+    )
+    spark.range(1).selectExpr(f"inline(array({structs}))").selectExpr(
+        "CAST(cell AS INT) AS cell", "centroid"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # the handle is constructible without re-reading what we just wrote:
+    # centroids are in hand, the assignment frame is lazy on the
+    # partitioned layout (read_ivf_index yields the identical handle)
+    assign = spark.read.parquet(f"{path}/assign").select(
+        F.col("cell").cast("int").alias("cell"), id_col, vec_col
+    )
+    return IvfIndex(
+        centroids=sorted(
+            (int(c), [float(x) for x in v]) for c, v in centroids
+        ),
+        assign=assign,
+    )
 
 
 def _heal_ivf_recluster(spark, path: str) -> None:
