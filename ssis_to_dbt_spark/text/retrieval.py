@@ -414,9 +414,19 @@ def write_bm25_index(
     postings = toks.groupBy("term", id_col).agg(
         F.count(F.lit(1)).alias("tf")
     )
-    stop = spark.createDataFrame(
-        [(w,) for w in sorted(set(stopwords or []))], "term string"
-    )
+    # stopword seed as a JVM LocalRelation (r14 perf): a createDataFrame
+    # of a local list spreads over default-parallelism Python slices and
+    # its write pays a repartition shuffle; the literal explode is one
+    # single-task write with no Python workers
+    base = sorted(set(stopwords or []))
+    if base:
+        quoted = ", ".join("'" + w.replace("'", "\\'") + "'" for w in base)
+        stop = spark.range(1).selectExpr(
+            f"explode(array({quoted})) AS term"
+        )
+    else:
+        stop = spark.range(0).selectExpr("CAST(NULL AS STRING) AS term")
+    stop_w = stop
     if max_df is not None:
         n_docs = df.count()
         thr = _max_df_threshold(max_df, n_docs)
@@ -427,9 +437,10 @@ def write_bm25_index(
             .select("term")
         )
         stop = stop.unionByName(over).distinct()
+        stop_w = stop.repartition(1)  # corpus-derived: fold to one file
     postings = postings.join(F.broadcast(stop), "term", "anti")
     (
-        stop.repartition(1).write.mode("overwrite").format("parquet")
+        stop_w.write.mode("overwrite").format("parquet")
         .option("path", f"{path_prefix}_stopterms")
         .saveAsTable(f"{table_prefix}_stopterms")
     )
@@ -442,15 +453,18 @@ def write_bm25_index(
         dl, f"{table_prefix}_doclen", f"{path_prefix}_doclen",
         [id_col], num_buckets=num_buckets, sort_cols=[id_col],
     )
+    # stats from the JUST-WRITTEN doclen table (r14 perf): the previous
+    # df.agg re-tokenized the whole corpus a third time; summing the
+    # stored per-doc lengths is the identical value (dl is exactly
+    # _doc_len per doc) read from a 2-column bucketed table.  No
+    # repartition(1): a global aggregate is already one partition.
     # COALESCE the length sum: over an EMPTY corpus SUM() is NULL, and a
     # NULL stored total_dl would poison the first append's additive
     # advance (int(None) TypeError) — an empty index must store (0, 0)
-    df.agg(
+    spark.table(f"{table_prefix}_doclen").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum(_doc_len(F.col(text_col))), F.lit(0))
-        .cast("long")
-        .alias("total_dl"),
-    ).repartition(1).write.mode("overwrite").format("parquet").option(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+    ).write.mode("overwrite").format("parquet").option(
         "path", f"{path_prefix}_stats"
     ).saveAsTable(f"{table_prefix}_stats")
     return read_bm25_index(spark, table_prefix)
