@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .local_rel import local_rows_df as _local_rows
 from .expressions import (
     compile_ssis_expression,
     nullif_trim,
@@ -2488,7 +2489,8 @@ def q_validation_rollup(spark, sf_dir):
         ("__report__", "overall", rep.overall_status,
          rep.models_passed, rep.models_failed),
     ]
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         rows, "model string, check_name string, status string, "
               "value_a bigint, value_b bigint",
     )
@@ -3129,7 +3131,8 @@ def q_cms_tokens_docs(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
-    probes = spark.createDataFrame(
+    probes = _local_rows(
+        spark,
         [(i, t) for i, t in enumerate(_CMS_PROBES)], "probe_idx int, tok string"
     )
     direct = cms_sketch(toks, "tok")
@@ -5819,7 +5822,8 @@ def q_streaming_bm25_probe(spark, sf_dir):
 
 
 def _query_terms_local(spark):
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         sorted(
             (q, t) for q, terms in _BM25_QUERIES.items() for t in terms
         ),
@@ -7067,7 +7071,8 @@ def q_retry_dag(spark, sf_dir):
         F.col("c_mktsegment").cast("string").alias("segment"),
         F.col("n_cust").cast("long").alias("n1"),
     )
-    meta = spark.createDataFrame(
+    meta = _local_rows(
+        spark,
         [(f"{n}:{r.status}:{r.attempts}",) for n, r in sorted(report.runs.items())],
         "segment string",
     ).select(
@@ -8034,7 +8039,8 @@ def q_bpe_merges_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir)["documents"]
     merges, _ = bpe_train(docs, rounds=3)
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         merges, "round int, pair string, weight long"
     )
 
@@ -9473,7 +9479,8 @@ def q_fps_seeds(spark, sf_dir):
 
     emb = _t(spark, sf_dir)["embeddings"]
     seeds = farthest_point_seeds(emb, k=4)
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         [
             (i, int(sid), d, float(x))
             for i, sid, vec in seeds
@@ -9540,7 +9547,8 @@ def q_kmeans_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir)["embeddings"]
     cents = kmeans_fit(emb, k=4, rounds=2)
     assigned = ivf_assign(emb, cents, sim_col="_sim")
-    cent_rows = spark.createDataFrame(
+    cent_rows = _local_rows(
+        spark,
         [(cid, dim, float(v)) for cid, vec in cents for dim, v in enumerate(vec)],
         "id_a long, dim int, v1 double",
     ).select(F.lit("centroid").alias("component"), "id_a", "dim", "v1")

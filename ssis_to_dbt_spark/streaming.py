@@ -876,9 +876,13 @@ def write_stream_bm25_probe(
             f"{out_dir}/batch_id={batch_id}"
         )
         if queries:
-            spark.createDataFrame(
-                [(q,) for q in sorted(queries)], "query_id string"
-            ).repartition(1).write.mode("overwrite").parquet(
+            from .local_rel import local_rows_df
+
+            # JVM LocalRelation, one task (r14 perf) — no repartition
+            # shuffle, no Python-slice spread for the sidecar id list
+            local_rows_df(
+                spark, [(q,) for q in sorted(queries)], "query_id string"
+            ).write.mode("overwrite").parquet(
                 f"{seen_dir}/batch_id={batch_id}"
             )
 

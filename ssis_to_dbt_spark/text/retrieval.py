@@ -68,7 +68,13 @@ def _doc_len(text: Column) -> Column:
 
 
 def _query_terms_df(spark, queries: dict[str, list[str]]) -> DataFrame:
-    return spark.createDataFrame(
+    # JVM LocalRelation (r14 perf): the query-term table is request-
+    # sized and sits in every probe plan; the Python-slice spread of
+    # createDataFrame paid ~one worker round-trip per slice per probe
+    from ..local_rel import local_rows_df
+
+    return local_rows_df(
+        spark,
         sorted({(q, t) for q, terms in queries.items() for t in terms}),
         "query_id string, term string",
     )
@@ -723,13 +729,16 @@ def append_bm25_index(
     # `or 0` on BOTH sides: the delta's SUM is NULL for an all-empty
     # batch, and a legacy index written before write_bm25_index learned
     # to COALESCE may have stored a NULL total_dl over an empty corpus
-    spark.createDataFrame(
+    from ..local_rel import local_rows_df
+
+    local_rows_df(
+        spark,
         [(
             int(old["n_docs"] or 0) + int(delta["n_docs"]),
             int(old["total_dl"] or 0) + int(delta["total_dl"] or 0),
         )],
         "n_docs long, total_dl long",
-    ).repartition(1).write.mode("overwrite").parquet(loc)
+    ).write.mode("overwrite").parquet(loc)
     spark.catalog.refreshTable(f"{table_prefix}_stats")
     return read_bm25_index(spark, table_prefix)
 

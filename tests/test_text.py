@@ -4213,3 +4213,35 @@ class TestIndexEdgeCases:
             idx, {"q": ["zzznothere", "qqqmissing"]}, top_k=5
         )
         assert out.count() == 0
+
+    def test_local_rows_df_matches_createdataframe(self, spark):
+        """r14 local_rel helper: the JVM LocalRelation form carries the
+        same schema (names + types) and the same rows as the
+        createDataFrame it replaces, including NULLs, quotes in
+        strings, doubles (repr round-trip), and the 0-row case."""
+        from ssis_to_dbt_spark.local_rel import local_rows_df
+
+        rows = [
+            (1, "plain", 0.5, None),
+            (None, "it's \"quoted\" \\ backslash", -1.75e-300, 7),
+            (3, None, float(2**53 + 1), -9),
+        ]
+        schema = "a int, b string, c double, d long"
+        ref = spark.createDataFrame(rows, schema)
+        got = local_rows_df(spark, rows, schema)
+        assert [
+            (f.name, f.dataType.simpleString()) for f in got.schema.fields
+        ] == [
+            (f.name, f.dataType.simpleString()) for f in ref.schema.fields
+        ]
+        key = lambda r: tuple(  # noqa: E731
+            repr(v) for v in r
+        )
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, ref.collect())
+        )
+        empty = local_rows_df(spark, [], schema)
+        assert empty.count() == 0
+        assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+            f.dataType.simpleString() for f in ref.schema.fields
+        ]
