@@ -1470,6 +1470,43 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
     )
 
 
+CC_COLLECT_MAX_EDGES = 200_000
+
+
+def _driver_union_find(spark, rows, node_type: str) -> DataFrame:
+    """Exact min-label connected components over a BOUNDED collected edge
+    list (union-find with min-root canonicalization — the root of every
+    tree is its member minimum by induction, so ``find(n)`` IS the
+    component's minimum id).  Returns the ``(node, label)`` relation as a
+    JVM LocalRelation.  Values are identical to the distributed
+    propagation: both compute label = min id of the connected component,
+    over exactly the nodes appearing in the edge list (self-loop-only
+    nodes keep their own id)."""
+    from ..local_rel import local_rows_df
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = sorted((n, find(n)) for n in parent)
+    return local_rows_df(
+        spark, labels, f"node {node_type}, label {node_type}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -1477,6 +1514,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "auto",
     switch_after: int = 8,
+    collect_max_edges: int | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: ``(node, label)`` where
     ``label`` is the minimum id in the node's connected component — the
@@ -1505,6 +1543,14 @@ def connected_components(
     - ``"auto"`` (default) — min-label for ``switch_after`` rounds, then
       fall over to star contraction if not yet converged: shallow near-dup
       graphs pay nothing extra, pathological chains still terminate.
+
+    ``collect_max_edges`` (r14): the size gate for the small-graph
+    engine — an edge list the measured count puts at or under the cap
+    (default ``CC_COLLECT_MAX_EDGES`` = 200k) is collected once and
+    labeled with exact driver-side min-root union-find (identical
+    values, pytest-pinned); larger graphs run the distributed rounds.
+    Pass ``0`` to force the distributed path (tests / corpus-scale
+    benchmarking).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Materialize the edge list ONCE: `pairs` is usually the tail of an
@@ -1536,11 +1582,45 @@ def connected_components(
         return star_labels()
     if algorithm not in ("auto", "min_label"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # r14 perf — SIZE-AWARE small-graph engine (the prune_clusters /
+    # curation-seam discipline: COUNT, then pick the engine the measured
+    # size justifies).  Each distributed propagation round is a
+    # multi-exchange job; on a shallow graph that is 3-5 sequential
+    # shuffle jobs to label a pair-derived edge set that is usually
+    # orders of magnitude smaller than the corpus.  At or below
+    # ``collect_max_edges`` (default 200k edges — a few MB of driver
+    # traffic, the bounded-collect class of the seam counts), collect
+    # the checkpointed edge list ONCE and run exact min-root union-find
+    # driver-side; the result is the identical (node, label = component
+    # min) relation as a LocalRelation (equality pytest-pinned against
+    # the forced-distributed path).  A corpus-scale pair table exceeds
+    # the cap and takes the distributed rounds unchanged.  Ids must be
+    # integral or string for the literal relation; anything else (or a
+    # NULL id) falls through to the distributed path.
+    limit = (
+        CC_COLLECT_MAX_EDGES
+        if collect_max_edges is None
+        else int(collect_max_edges)
+    )
+    ed = None
+    if limit > 0:
+        typ = dict(pairs.dtypes).get(id_a)
+        if typ in ("bigint", "int", "smallint", "tinyint", "string"):
+            ed = edges.localCheckpoint(eager=False)
+            if ed.count() <= limit:
+                rows = [(r["src"], r["dst"]) for r in ed.collect()]
+                if all(a is not None and b is not None for a, b in rows):
+                    return _driver_union_find(
+                        pairs.sparkSession, rows, typ
+                    )
     # lazy: round 1's job materializes both (r14 perf — two fewer
     # standalone jobs; the checkpoints still cut every later round's
-    # lineage off the upstream candidate pipeline)
-    sym = edges.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # lineage off the upstream candidate pipeline).  `ed` (when the
+    # size gate already materialized the edge list) is reused so the
+    # candidate pipeline is not re-run for the symmetrized union.
+    base = ed if ed is not None else edges
+    sym = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     rounds = max_iter if algorithm == "min_label" else min(switch_after, max_iter)
     labels = (

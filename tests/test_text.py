@@ -477,7 +477,12 @@ class TestConnectedComponents:
         import pytest as _pytest
 
         with _pytest.raises(RuntimeError, match="converge"):
-            tx.connected_components(pairs, max_iter=2, algorithm="min_label")
+            # collect_max_edges=0 forces the distributed rounds — the
+            # r14 size gate would otherwise label this 10-edge chain
+            # driver-side without iterating at all
+            tx.connected_components(pairs, max_iter=2,
+                                    algorithm="min_label",
+                                    collect_max_edges=0)
 
     def test_auto_switches_to_star_on_deep_chain(self, spark):
         # a 1000-node path graph: diameter 999 >> any sane min-label budget;

@@ -595,7 +595,8 @@ class TestConnectedComponentsProperty:
         got = {
             r["node"]: r["label"]
             for r in tx.connected_components(
-                df, algorithm="min_label", max_iter=60
+                df, algorithm="min_label", max_iter=60,
+                collect_max_edges=0,
             ).collect()
         }
         assert got == _uf_oracle(edges)
@@ -625,8 +626,24 @@ class TestConnectedComponentsProperty:
         got = {
             r["node"]: r["label"]
             for r in tx.connected_components(
-                df, algorithm="auto", switch_after=1
+                df, algorithm="auto", switch_after=1,
+                collect_max_edges=0,
             ).collect()
+        }
+        assert got == _uf_oracle(edges)
+
+    @given(graphs=edge_lists)
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_driver_gate_matches_union_find(self, spark, graphs):
+        # r14: the default size-gated path (collect + driver union-find)
+        # on the same random graphs — equal to the oracle and therefore
+        # to the forced-distributed paths above
+        edges = _flatten(graphs)
+        df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        got = {
+            r["node"]: r["label"]
+            for r in tx.connected_components(df).collect()
         }
         assert got == _uf_oracle(edges)
 
