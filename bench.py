@@ -161,7 +161,11 @@ def main() -> None:
     # is the remainder.  Informational only: every gate stays on totals.
     sections: dict[str, dict[str, float]] = {}
 
+    release_off = os.environ.get("SPARK_GRAFT_BENCH_NO_RELEASE") == "1"
+
     def release_leaked_blocks() -> None:
+        if release_off:
+            return
         # r14 (inter-query hygiene, OUTSIDE the timed region): queries
         # that localCheckpoint multi-consumer intermediates leave their
         # materialized RDD blocks pinned in the shared session
