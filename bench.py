@@ -161,7 +161,9 @@ def main() -> None:
     # is the remainder.  Informational only: every gate stays on totals.
     sections: dict[str, dict[str, float]] = {}
 
-    release_off = os.environ.get("SPARK_GRAFT_BENCH_NO_RELEASE") == "1"
+    release_off = os.environ.get(
+        "SPARK_GRAFT_BENCH_NO_RELEASE", ""
+    ).strip().lower() in ("1", "true", "yes", "on")
 
     def release_leaked_blocks() -> None:
         if release_off:
@@ -278,8 +280,13 @@ def main() -> None:
          "sections": sections},
         separators=(",", ":"),
     ))
+    # r15 (r14 VERDICT #2): the FINAL line — the only one guaranteed to
+    # survive tail capture — must carry the per-query map, or the driver's
+    # per-query PERF comparison and scaling block stay empty.  71 floats is
+    # a few KB; well under any line-length risk.
     print(json.dumps(
         {"metric": "total_wall_sec", "value": total, "unit": "sec",
+         "queries": times,
          "core20_wall_sec": core20, "n_queries": len(times),
          "regressions": regressions, "sf": sf,
          "ratio_vs_anchor": ratio_vs_anchor,
