@@ -949,7 +949,8 @@ def q_split_leakage_docs(spark, sf_dir, pairs=None):
     docs = _t(spark, sf_dir)["documents"]
     split = hash_split(docs, "doc_id", test_pct=10).select("doc_id", "split")
     if pairs is None:
-        pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+        pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4,
+                                        engine="arrow")
     sa = split.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -992,7 +993,8 @@ def q_minhash_pairs_md5(spark, sf_dir):
     # (cand arm, leakage audit, prune/safe-split) — lazily checkpointed so
     # each arm reads the materialized pair table instead of re-running the
     # corpus-scan -> shingle -> signature -> band-join upstream.
-    pairs0 = minhash_candidates_md5(docs, num_hashes=8, bands=4).localCheckpoint(
+    pairs0 = minhash_candidates_md5(docs, num_hashes=8, bands=4,
+                                        engine="arrow").localCheckpoint(
         eager=False
     )
     cand = pairs0.select(
@@ -2911,7 +2913,8 @@ def q_neardup_clusters(spark, sf_dir):
     from .text.dedup import connected_components
 
     docs = _t(spark, sf_dir)["documents"]
-    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4,
+                                        engine="arrow")
     comp = connected_components(pairs, "doc_a", "doc_b")
     sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "label").select(
@@ -9630,7 +9633,8 @@ def q_neardup_prune_docs(spark, sf_dir, pairs=None):
 
     docs = _t(spark, sf_dir)["documents"]
     if pairs is None:
-        pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+        pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4,
+                                        engine="arrow")
     return prune_clusters(docs, pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -9821,7 +9825,8 @@ def q_cluster_split_docs(spark, sf_dir):
     from .text.dedup import prune_clusters
 
     docs = _t(spark, sf_dir)["documents"]
-    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4)
+    pairs = minhash_candidates_md5(docs, num_hashes=8, bands=4,
+                                        engine="arrow")
     pruned = prune_clusters(docs, pairs)
     return _cluster_split(pruned).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -10157,7 +10162,7 @@ def q_crawl_ingest_docs(spark, sf_dir):
     from .text.dedup import corpus_dedup_index
 
     g1 = stage_gate(b1).localCheckpoint(eager=False)
-    i1s, i1b = corpus_dedup_index(g1, checkpoint_sigs=True)
+    i1s, i1b = corpus_dedup_index(g1, checkpoint_sigs=True, engine="arrow")
     i1 = (i1s, i1b)  # bands ride on the checkpointed sigs (r14)
     r1 = ingest_batch(b1, st, pre_gated=g1, pre_index=i1)
     r2 = ingest_batch(b2, r1.state)

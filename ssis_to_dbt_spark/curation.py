@@ -108,7 +108,12 @@ def stage_prune(gated: DataFrame) -> DataFrame:
     one row per gated doc ``(doc_id, cluster_id, cluster_size, kept)``."""
     from .text.dedup import minhash_candidates_md5, prune_clusters
 
-    pairs = minhash_candidates_md5(gated, num_hashes=8, bands=4)
+    # r15 perf (guide §7.3/§2.4): the Arrow signature kernel is
+    # bit-identical to the expression path (pytest-pinned) but its plan is
+    # a single ArrowEvalPython node — no shingle-explode exchange and no
+    # ~0.4 s-per-declaration planning of the giant md5 expression tree.
+    pairs = minhash_candidates_md5(gated, num_hashes=8, bands=4,
+                                   engine="arrow")
     return prune_clusters(gated, pairs)
 
 

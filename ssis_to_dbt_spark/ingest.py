@@ -120,7 +120,13 @@ def seed_ingest_state(
 
     # checkpoint_sigs: banding reuses the materialized signature pass
     # instead of re-running the minhash per frame (dedup.py r11 note)
-    sigs, bands = corpus_dedup_index(corpus_df, checkpoint_sigs=checkpoint)
+    # r15 perf (guide §7.3/§2.4): Arrow signature kernel — bit-identical
+    # values, map-only plan (no shingle-explode exchange), and the lazy
+    # checkpoint declaration below stops paying the expression tree's
+    # per-plan Catalyst/codegen cost.
+    sigs, bands = corpus_dedup_index(
+        corpus_df, checkpoint_sigs=checkpoint, engine="arrow"
+    )
     state = dsir_fit_state(
         corpus_df, F.col("lang") == "en", buckets=buckets, engine="arrow"
     )
@@ -264,7 +270,7 @@ def ingest_batch(
         bsigs, bbands = pre_index
     else:
         bsigs, bbands = corpus_dedup_index(
-            gated, checkpoint_sigs=checkpoint, **cap_kw
+            gated, checkpoint_sigs=checkpoint, engine="arrow", **cap_kw
         )
         # bands ride on the checkpointed sigs — no own checkpoint
         # (see seed_ingest_state's r14 note)

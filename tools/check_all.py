@@ -2,7 +2,9 @@
 the 50-entry driver window) against its DuckDB oracle — backs the README
 claim that all registered queries pass.
 
-Usage: python tools/check_all.py [sf_dir] [--json OUT]   (default sf0.001)
+Usage: python tools/check_all.py [sf_dir] [--json OUT] [--only n1,n2,...]
+(default sf0.001; --only restricts the sweep to the named queries — the
+optimization-round inner loop for re-oracling just the touched entries)
 
 With --json OUT, also writes a machine-readable per-query record (the
 round artifact REGISTRY_r{N}.json: status/rows/secs per query, plus the
@@ -34,6 +36,11 @@ def main():
             sys.exit(2)
         json_out = args[i + 1]
         del args[i : i + 2]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
     from ssis_to_dbt_spark import catalog
@@ -54,6 +61,8 @@ def main():
     passed = failed = rows_only = 0
     records = {}
     for name, fn in catalog.ALL_QUERIES.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
